@@ -1,0 +1,391 @@
+"""Result/analytics aggregations over the trials & metrics tables.
+
+These are the relational core of the engine (SURVEY.md §2.5, A1-A10),
+re-expressing the reference's driver-side dict bookkeeping
+(`maggy/core/experiment_driver/optimization_driver.py:344-406`,
+`maggy/optimizer/abstractoptimizer.py:158-252,402-443`,
+`maggy/optimizer/bayes/base.py:536-668`) as one-pass Spark SQL.
+
+Cross-engine determinism: double sums/averages go through an exact
+DECIMAL(18,4) accumulator (the synthetic money columns are 2-decimal
+clean, so the cast is lossless) — decimal addition is associative,
+so Spark's partial aggregation order cannot change the result, and
+the final double division uses identical operands in both engines.
+
+Scale notes: every query here is a single scan + single shuffle
+(groupBy or window on trial_id/budget); no driver-side collect. At
+100 TB the metrics table would be bucketed by trial_id so the
+window/groupBy reuses the bucketing without a shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from maggy_spark.plans.fixtures import metrics_df, trials_df, with_fixtures
+
+DEC = "decimal(18,4)"
+
+
+def _exact_avg(col: str):
+    """Order-independent avg: exact decimal sum -> double / count."""
+    return F.sum(F.col(col).cast(DEC)).cast("double") / F.count(col)
+
+
+# -- A1: best/worst/avg experiment result ------------------------------
+
+
+def a1_result_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment result dict as a 1-row DF (direction=max).
+
+    Reference: running best/worst/avg bookkeeping at
+    `optimization_driver.py:344-406` — here a single aggregation
+    pass; best/worst via rank-1 windows with seq tie-break.
+    """
+    t = trials_df(spark, sf_dir).where(F.col("status") == "FINALIZED")
+    w_best = Window.orderBy(F.col("final_metric").desc(), F.col("seq"))
+    w_worst = Window.orderBy(F.col("final_metric").asc(), F.col("seq"))
+    ranked = t.select(
+        "trial_id",
+        "final_metric",
+        F.row_number().over(w_best).alias("rn_best"),
+        F.row_number().over(w_worst).alias("rn_worst"),
+    )
+    best = ranked.where(F.col("rn_best") == 1).select(
+        F.col("trial_id").alias("best_id"), F.col("final_metric").alias("best_val")
+    )
+    worst = ranked.where(F.col("rn_worst") == 1).select(
+        F.col("trial_id").alias("worst_id"), F.col("final_metric").alias("worst_val")
+    )
+    stats = t.agg(
+        _exact_avg("final_metric").alias("avg_metric"),
+        F.count("*").alias("num_trials"),
+        F.sum(F.when(F.col("early_stop"), 1).otherwise(0)).cast("bigint").alias("early_stopped"),
+    )
+    return best.crossJoin(worst).crossJoin(stats)
+
+
+A1_SQL = with_fixtures(
+    """
+, fin AS (SELECT * FROM trials WHERE status = 'FINALIZED')
+, ranked AS (
+    SELECT trial_id, final_metric,
+           row_number() OVER (ORDER BY final_metric DESC, seq) AS rn_best,
+           row_number() OVER (ORDER BY final_metric ASC, seq) AS rn_worst
+    FROM fin
+)
+SELECT b.best_id, b.best_val, w.worst_id, w.worst_val,
+       s.avg_metric, s.num_trials, s.early_stopped
+FROM (SELECT trial_id AS best_id, final_metric AS best_val FROM ranked WHERE rn_best = 1) b
+CROSS JOIN (SELECT trial_id AS worst_id, final_metric AS worst_val FROM ranked WHERE rn_worst = 1) w
+CROSS JOIN (
+    SELECT cast(sum(cast(final_metric AS DECIMAL(18,4))) AS DOUBLE) / count(final_metric) AS avg_metric,
+           count(*) AS num_trials,
+           cast(sum(CASE WHEN early_stop THEN 1 ELSE 0 END) AS BIGINT) AS early_stopped
+    FROM fin
+) s
+"""
+)
+
+
+# -- A2: direction normalization ---------------------------------------
+
+
+def a2_direction_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negate metrics so a max-problem becomes a min-problem.
+
+    Reference: `abstractoptimizer.py:186-252`.
+    """
+    t = trials_df(spark, sf_dir).where(F.col("status") == "FINALIZED")
+    return t.select("trial_id", (-F.col("final_metric")).alias("neg_metric"))
+
+
+A2_SQL = with_fixtures(
+    """
+SELECT trial_id, -final_metric AS neg_metric
+FROM trials WHERE status = 'FINALIZED'
+"""
+)
+
+
+# -- A3: budget-filtered X/y assembly (BO training data) ---------------
+
+
+def a3_get_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surrogate training rows for budget=1: normalized params + negated
+    metric (direction max -> min problem).
+
+    Reference: `BaseAsyncBO.get_XY` `bayes/base.py:459-641` (budget
+    filter + transform + negation); normalization per §1.4.
+    p1 in [0,49] -> /49; p2 ordinal over the 5 priority classes -> /4.
+    """
+    t = trials_df(spark, sf_dir).where(
+        (F.col("status") == "FINALIZED") & (F.col("budget") == 1)
+    )
+    domain = F.array(*[F.lit(s) for s in ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]])
+    return t.select(
+        "trial_id",
+        (F.col("p1").cast("double") / F.lit(49.0)).alias("x1"),
+        ((F.array_position(domain, F.col("p2")).cast("double") - F.lit(1.0)) / F.lit(4.0)).alias("x2"),
+        (-F.col("final_metric")).alias("y"),
+    )
+
+
+A3_SQL = with_fixtures(
+    """
+SELECT trial_id,
+       cast(p1 AS DOUBLE) / 49.0 AS x1,
+       (cast(list_position(['1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'], p2) AS DOUBLE) - 1.0) / 4.0 AS x2,
+       -final_metric AS y
+FROM trials
+WHERE status = 'FINALIZED' AND budget = 1
+"""
+)
+
+
+# -- A4: per-budget ybest/yworst/ymean ---------------------------------
+
+
+def a4_budget_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/mean of finalized metrics per budget.
+
+    Reference: `ybest/yworst/ymean` `abstractoptimizer.py:402-443`;
+    used by constant-liar imputation (`gp.py:345-361`).
+    """
+    t = trials_df(spark, sf_dir).where(F.col("status") == "FINALIZED")
+    return t.groupBy("budget").agg(
+        F.min("final_metric").alias("ybest"),
+        F.max("final_metric").alias("yworst"),
+        _exact_avg("final_metric").alias("ymean"),
+        F.count("*").alias("n_trials"),
+    )
+
+
+A4_SQL = with_fixtures(
+    """
+SELECT budget,
+       min(final_metric) AS ybest,
+       max(final_metric) AS yworst,
+       cast(sum(cast(final_metric AS DECIMAL(18,4))) AS DOUBLE) / count(final_metric) AS ymean,
+       count(*) AS n_trials
+FROM trials
+WHERE status = 'FINALIZED'
+GROUP BY budget
+"""
+)
+
+
+# -- A5: top-k per rung -------------------------------------------------
+
+
+def a5_topk_per_rung(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Top-k finalized trials per rung (budget) by metric desc.
+
+    Reference: ASHA `_top_k` `asha.py:161-169`; Hyperband promote
+    `hyperband.py:501-527`. Window rank with seq tie-break.
+    """
+    t = trials_df(spark, sf_dir).where(F.col("status") == "FINALIZED")
+    w = Window.partitionBy("budget").orderBy(F.col("final_metric").desc(), F.col("seq"))
+    return (
+        t.select("budget", "trial_id", "final_metric", F.row_number().over(w).cast("bigint").alias("rank"))
+        .where(F.col("rank") <= k)
+    )
+
+
+A5_SQL = with_fixtures(
+    """
+SELECT budget, trial_id, final_metric, rank FROM (
+    SELECT budget, trial_id, final_metric,
+           row_number() OVER (PARTITION BY budget ORDER BY final_metric DESC, seq) AS rank
+    FROM trials WHERE status = 'FINALIZED'
+) WHERE rank <= 3
+"""
+)
+
+
+# -- A6: TPE good/bad split --------------------------------------------
+
+
+def a6_tpe_split(spark: SparkSession, sf_dir: str, gamma: float = 0.15, n_hparams: int = 2) -> DataFrame:
+    """Split finalized trials into good/bad by metric quantile.
+
+    Reference: `TPE._split_trials` `tpe.py:191-221` — argsort by
+    metric ascending; good = first max(n_hparams+1, floor(gamma*n)),
+    bad = the rest up to good+max(n_hparams+1, floor((1-gamma)*n)).
+    """
+    t = trials_df(spark, sf_dir).where(F.col("status") == "FINALIZED")
+    w = Window.orderBy(F.col("final_metric").asc(), F.col("seq"))
+    n = t.count()  # scalar driver-side; small metadata count
+    n_good = max(n_hparams + 1, int(gamma * n))
+    n_bad = max(n_hparams + 1, int((1.0 - gamma) * n))
+    ranked = t.select("trial_id", "final_metric", F.row_number().over(w).alias("rn"))
+    return ranked.select(
+        "trial_id",
+        "final_metric",
+        F.when(F.col("rn") <= n_good, F.lit("good"))
+        .when(F.col("rn") <= n_good + n_bad, F.lit("bad"))
+        .otherwise(F.lit("excluded"))
+        .alias("split"),
+    )
+
+
+A6_SQL = with_fixtures(
+    """
+, fin AS (SELECT * FROM trials WHERE status = 'FINALIZED')
+, ranked AS (
+    SELECT trial_id, final_metric,
+           row_number() OVER (ORDER BY final_metric ASC, seq) AS rn,
+           count(*) OVER () AS n
+    FROM fin
+)
+SELECT trial_id, final_metric,
+       CASE WHEN rn <= greatest(3, cast(floor(0.15 * n) AS BIGINT)) THEN 'good'
+            WHEN rn <= greatest(3, cast(floor(0.15 * n) AS BIGINT))
+                      + greatest(3, cast(floor(0.85 * n) AS BIGINT)) THEN 'bad'
+            ELSE 'excluded' END AS split
+FROM ranked
+"""
+)
+
+
+# -- A7: prefix average over metric history ----------------------------
+
+
+def a7_prefix_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running mean of each trial's metric stream, ordered by step.
+
+    Reference: median-rule input `medianrule.py:38-42`. Exact decimal
+    running sum so the window accumulation order (Spark cumulative vs
+    DuckDB segment tree) cannot change the value.
+    """
+    m = metrics_df(spark, sf_dir)
+    w = Window.partitionBy("trial_id").orderBy("step").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return m.select(
+        "trial_id",
+        "step",
+        (F.sum(F.col("value").cast(DEC)).over(w).cast("double") / F.count("value").over(w)).alias("prefix_avg"),
+    )
+
+
+A7_SQL = with_fixtures(
+    """
+SELECT trial_id, step,
+       cast(sum(cast(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+           / count(value) OVER w AS prefix_avg
+FROM metrics
+WINDOW w AS (PARTITION BY trial_id ORDER BY step ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+)
+
+
+# -- A8: median of prefix-averages (the early-stop threshold) ----------
+
+
+def a8_median_prefix(spark: SparkSession, sf_dir: str, step_limit: int = 3) -> DataFrame:
+    """Median over finished trials' mean-of-first-s metrics.
+
+    Reference: `MedianStoppingRule` threshold `medianrule.py:44-51`.
+    Rounded to 4 decimals to absorb last-ulp interpolation diffs.
+    """
+    m = metrics_df(spark, sf_dir)
+    t = trials_df(spark, sf_dir).where(F.col("status") == "FINALIZED").select("trial_id")
+    pavg = (
+        m.where(F.col("step") <= step_limit)
+        .join(t, "trial_id")
+        .groupBy("trial_id")
+        .agg(_exact_avg("value").alias("pavg"))
+    )
+    return pavg.agg(F.round(F.percentile("pavg", F.lit(0.5)), 4).alias("median_prefix_avg"))
+
+
+A8_SQL = with_fixtures(
+    """
+, pavg AS (
+    SELECT m.trial_id,
+           cast(sum(cast(m.value AS DECIMAL(18,4))) AS DOUBLE) / count(m.value) AS pavg
+    FROM metrics m
+    JOIN trials t ON m.trial_id = t.trial_id AND t.status = 'FINALIZED'
+    WHERE m.step <= 3
+    GROUP BY m.trial_id
+)
+SELECT round(quantile_cont(pavg, 0.5), 4) AS median_prefix_avg FROM pavg
+"""
+)
+
+
+# -- A9: average of non-null partition results -------------------------
+
+
+def a9_partition_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean over non-null per-worker final metrics.
+
+    Reference: distributed-training result averaging
+    `base_driver.py:244-253`. PENDING trials carry NULL metrics.
+    """
+    t = trials_df(spark, sf_dir)
+    return t.agg(
+        _exact_avg("final_metric").alias("avg_metric"),
+        F.count("final_metric").alias("n_reporting"),
+        F.count("*").alias("n_total"),
+    )
+
+
+A9_SQL = with_fixtures(
+    """
+SELECT cast(sum(cast(final_metric AS DECIMAL(18,4))) AS DOUBLE) / count(final_metric) AS avg_metric,
+       count(final_metric) AS n_reporting,
+       count(*) AS n_total
+FROM trials
+"""
+)
+
+
+# -- A10: interim-results selection ------------------------------------
+
+
+def a10_interim_selection(spark: SparkSession, sf_dir: str, interval: int = 2) -> DataFrame:
+    """Every `interval`-th step of each history plus the last step,
+    with the normalized-budget feature column.
+
+    Reference: `bayes/base.py:643-668` (index selection) and
+    `:536-641` (budget-augmented rows z = [x, n/N]).
+    """
+    m = metrics_df(spark, sf_dir)
+    mx = m.groupBy("trial_id").agg(F.max("step").alias("max_step"))
+    return (
+        m.join(mx, "trial_id")
+        .where((F.col("step") % interval == 0) | (F.col("step") == F.col("max_step")))
+        .select(
+            "trial_id",
+            "step",
+            "value",
+            (F.col("step").cast("double") / F.col("max_step").cast("double")).alias("budget_frac"),
+        )
+    )
+
+
+A10_SQL = with_fixtures(
+    """
+, mx AS (SELECT trial_id, max(step) AS max_step FROM metrics GROUP BY trial_id)
+SELECT m.trial_id, m.step, m.value,
+       cast(m.step AS DOUBLE) / cast(mx.max_step AS DOUBLE) AS budget_frac
+FROM metrics m JOIN mx ON m.trial_id = mx.trial_id
+WHERE m.step % 2 = 0 OR m.step = mx.max_step
+"""
+)
+
+
+OPERATORS = [
+    ("a1_result_summary", a1_result_summary, A1_SQL),
+    ("a2_direction_normalize", a2_direction_normalize, A2_SQL),
+    ("a3_get_xy", a3_get_xy, A3_SQL),
+    ("a4_budget_stats", a4_budget_stats, A4_SQL),
+    ("a5_topk_per_rung", a5_topk_per_rung, A5_SQL),
+    ("a6_tpe_split", a6_tpe_split, A6_SQL),
+    ("a7_prefix_avg", a7_prefix_avg, A7_SQL),
+    ("a8_median_prefix", a8_median_prefix, A8_SQL),
+    ("a9_partition_avg", a9_partition_avg, A9_SQL),
+    ("a10_interim_selection", a10_interim_selection, A10_SQL),
+]

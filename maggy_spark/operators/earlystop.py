@@ -1,0 +1,114 @@
+"""Metric-stream operators: dedup and the median early-stopping rule.
+
+Reference: metric append dedup-by-step ignoring nulls
+(`maggy/trial.py:93-108`, C2) and the median stopping rule
+(`maggy/earlystop/medianrule.py:27-60`, C3) triggered per
+`es_interval` steps (`optimization_driver.py:456-471`).
+
+Batch forms here are the oracle-checkable core; the streaming forms
+(watermark + dropDuplicates + trigger re-evaluation) live in
+maggy_spark.streaming and reuse the same expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from maggy_spark.plans.fixtures import metrics_df, metrics_raw_df, trials_df, with_fixtures
+
+DEC = "decimal(18,4)"
+
+
+# -- C2: metric dedup ---------------------------------------------------
+
+
+def c2_metric_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop null-valued metrics and collapse duplicate steps.
+
+    Reference: `Trial.append_metric` (`trial.py:93-108`) ignores
+    null values and already-seen steps. Relationally: filter +
+    group-by-first (duplicate steps carry identical values in the
+    fixture, so min() is the deterministic representative).
+    In streaming this is `withWatermark + dropDuplicates`.
+    """
+    raw = metrics_raw_df(spark, sf_dir)
+    return (
+        raw.where(F.col("value").isNotNull())
+        .groupBy("trial_id", "step")
+        .agg(F.min("value").alias("value"))
+    )
+
+
+C2_SQL = with_fixtures(
+    """
+SELECT trial_id, step, min(value) AS value
+FROM metrics_raw
+WHERE value IS NOT NULL
+GROUP BY trial_id, step
+"""
+)
+
+
+# -- C3: median stopping rule ------------------------------------------
+
+
+def c3_median_rule(spark: SparkSession, sf_dir: str, step_limit: int = 3) -> DataFrame:
+    """Early-stop decision for every running trial (direction=max).
+
+    Reference: `MedianStoppingRule.earlystop_check`
+    (`medianrule.py:27-60`): for the checked trial at step s, take
+    each finished trial's mean of its first s metrics; the median of
+    those is the bar; stop the checked trial if its best (max)
+    observed metric is below the bar.
+    """
+    m = metrics_df(spark, sf_dir)
+    t = trials_df(spark, sf_dir)
+    fin = t.where(F.col("status") == "FINALIZED").select("trial_id")
+    run = t.where(F.col("status") == "RUNNING").select("trial_id")
+
+    pavg = (
+        m.where(F.col("step") <= step_limit)
+        .join(fin, "trial_id")
+        .groupBy("trial_id")
+        .agg((F.sum(F.col("value").cast(DEC)).cast("double") / F.count("value")).alias("pavg"))
+    )
+    median = pavg.agg(F.round(F.percentile("pavg", F.lit(0.5)), 4).alias("median_bar"))
+
+    best_so_far = m.join(run, "trial_id").groupBy("trial_id").agg(F.max("value").alias("best_metric"))
+    return best_so_far.crossJoin(median).select(
+        "trial_id",
+        "best_metric",
+        "median_bar",
+        (F.col("best_metric") < F.col("median_bar")).alias("should_stop"),
+    )
+
+
+C3_SQL = with_fixtures(
+    """
+, pavg AS (
+    SELECT m.trial_id,
+           cast(sum(cast(m.value AS DECIMAL(18,4))) AS DOUBLE) / count(m.value) AS pavg
+    FROM metrics m
+    JOIN trials t ON m.trial_id = t.trial_id AND t.status = 'FINALIZED'
+    WHERE m.step <= 3
+    GROUP BY m.trial_id
+),
+med AS (SELECT round(quantile_cont(pavg, 0.5), 4) AS median_bar FROM pavg),
+best AS (
+    SELECT m.trial_id, max(m.value) AS best_metric
+    FROM metrics m
+    JOIN trials t ON m.trial_id = t.trial_id AND t.status = 'RUNNING'
+    GROUP BY m.trial_id
+)
+SELECT b.trial_id, b.best_metric, med.median_bar,
+       (b.best_metric < med.median_bar) AS should_stop
+FROM best b CROSS JOIN med
+"""
+)
+
+
+OPERATORS = [
+    ("c2_metric_dedup", c2_metric_dedup, C2_SQL),
+    ("c3_median_rule", c3_median_rule, C3_SQL),
+]

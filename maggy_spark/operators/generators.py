@@ -1,0 +1,283 @@
+"""Trial generators: samplers, grid, ASHA/Hyperband rung math, dedup.
+
+Reference semantics per SURVEY.md §2.2: random sampler
+(`maggy/searchspace.py:180-208`), grid search Cartesian product
+(`maggy/optimizer/gridsearch.py:74-93`), ASHA promotions
+(`maggy/optimizer/asha.py:86-169`), Hyperband ladder
+(`maggy/pruner/hyperband.py:114-218`), duplicate-trial guard
+(`maggy/optimizer/abstractoptimizer.py:254-295`), trial factory
+(`abstractoptimizer.py:317-376`).
+
+Scale notes: grid materialization is a crossJoin of tiny DISTINCT
+domains (each side collapses to <100 rows before the product — the
+product never touches the fact table); the dedup guard is a
+broadcast-able LEFT ANTI join; ASHA promotion is one window over the
+rung partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from maggy_spark.plans.fixtures import load_table, trials_df, with_fixtures
+
+# -- G1: seeded random sampler (rows-only check: RNG is engine-local) --
+
+
+def g1_random_sample(spark: SparkSession, sf_dir: str, num: int = 256, seed: int = 42) -> DataFrame:
+    """`num` uniform draws over a 3-hparam searchspace as a DF query.
+
+    Reference: `Searchspace.get_random_parameter_values`
+    (`searchspace.py:180-208`): DOUBLE -> uniform(lo,hi), INTEGER ->
+    randint inclusive, CATEGORICAL -> choice. Expressed as column
+    math over `rand(seed)` so it is deterministic per (seed, row)
+    within Spark; the DuckDB oracle is omitted (engine-local RNG),
+    driver records the rows-only check.
+    """
+    domain = F.array(F.lit("red"), F.lit("green"), F.lit("blue"))
+    df = spark.range(num).select(
+        F.col("id").alias("trial_seq"),
+        (F.rand(seed) * (0.99 - 0.01) + 0.01).alias("dropout"),
+        (F.floor(F.rand(seed + 1) * (8 - 2 + 1)) + 2).cast("bigint").alias("kernel"),
+        F.element_at(domain, (F.floor(F.rand(seed + 2) * 3) + 1).cast("int")).alias("color"),
+    )
+    return df
+
+
+# -- G3: grid search Cartesian product ---------------------------------
+
+
+def g3_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Cartesian product of two DISCRETE/CATEGORICAL domains with
+    grid trial ids.
+
+    Reference: `GridSearch._grid_params` (`gridsearch.py:74-81`,
+    `itertools.product`) -> crossJoin of DISTINCT domain relations;
+    trial id = md5 of the sorted-key JSON params
+    (`trial.py:132-134`).
+    """
+    part = load_table(spark, sf_dir, "part")
+    brands = part.select(F.col("p_brand").alias("brand")).distinct()
+    sizes = part.select(F.col("p_size").alias("size")).distinct()
+    grid = brands.crossJoin(sizes)
+    params_json = F.concat(
+        F.lit('{"brand": "'), F.col("brand"), F.lit('", "size": '),
+        F.col("size").cast("string"), F.lit("}"),
+    )
+    return grid.select(
+        F.substring(F.md5(params_json), 1, 16).alias("trial_id"), "brand", "size"
+    )
+
+
+G3_SQL = """
+WITH brands AS (SELECT DISTINCT p_brand AS brand FROM part),
+     sizes AS (SELECT DISTINCT p_size AS size FROM part)
+SELECT substr(md5('{"brand": "' || brand || '", "size": ' || cast(size AS VARCHAR) || '}'), 1, 16) AS trial_id,
+       brand, size
+FROM brands CROSS JOIN sizes
+"""
+
+
+# -- G4: single-run controller -----------------------------------------
+
+
+def g4_single_run(spark: SparkSession, sf_dir: str, num_trials: int = 16) -> DataFrame:
+    """`num_trials` empty-param trials (plain distributed run).
+
+    Reference: `SingleRun.get_suggestion` (`singlerun.py:21-37`).
+    """
+    return spark.range(num_trials).select(
+        F.col("id").alias("seq"),
+        F.substring(F.md5(F.concat(F.lit("singlerun-"), F.col("id").cast("string"))), 1, 16).alias("trial_id"),
+    )
+
+
+G4_SQL = """
+SELECT cast(i AS BIGINT) AS seq,
+       substr(md5('singlerun-' || cast(i AS VARCHAR)), 1, 16) AS trial_id
+FROM range(0, 16) t(i)
+"""
+
+
+# -- G5: ASHA promotion query ------------------------------------------
+
+
+def g5_asha_promotion(spark: SparkSession, sf_dir: str, reduction_factor: int = 2) -> DataFrame:
+    """Trials promotable out of each rung: the top
+    floor(n_finished/eta) by metric per rung.
+
+    Reference: `Asha.get_suggestion`/`_top_k` (`asha.py:86-169`):
+    on completion, the top 1/reduction_factor of each rung's
+    finalized trials advance to budget min*factor^(rung+1).
+    budget column doubles as the rung index here.
+    """
+    t = trials_df(spark, sf_dir).where(F.col("status") == "FINALIZED")
+    w = Window.partitionBy("budget").orderBy(F.col("final_metric").desc(), F.col("seq"))
+    counted = t.select(
+        F.col("budget").alias("rung"),
+        "trial_id",
+        "final_metric",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        F.count("*").over(Window.partitionBy("budget")).alias("n_finished"),
+    )
+    return counted.where(F.col("rank") <= F.floor(F.col("n_finished") / reduction_factor)).select(
+        "rung",
+        "trial_id",
+        "final_metric",
+        "rank",
+        (F.col("rung") + 1).cast("int").alias("promote_to_rung"),
+    )
+
+
+G5_SQL = with_fixtures(
+    """
+, ranked AS (
+    SELECT budget AS rung, trial_id, final_metric,
+           row_number() OVER (PARTITION BY budget ORDER BY final_metric DESC, seq) AS rank,
+           count(*) OVER (PARTITION BY budget) AS n_finished
+    FROM trials WHERE status = 'FINALIZED'
+)
+SELECT rung, trial_id, final_metric, rank,
+       cast(rung + 1 AS INTEGER) AS promote_to_rung
+FROM ranked
+WHERE rank <= floor(n_finished / 2)
+"""
+)
+
+
+# -- G10: Hyperband budget ladder --------------------------------------
+
+
+def g10_hyperband_ladder(
+    spark: SparkSession, sf_dir: str, min_budget: int = 1, max_budget: int = 9, eta: int = 3, n_iterations: int = 2
+) -> DataFrame:
+    """The (iteration, rung, budget, n_configs) schedule table.
+
+    Reference: `Hyperband` ladder math `hyperband.py:114-124`
+    (budgets = geometric ladder min*eta^rung) and per-iteration
+    config counts `hyperband.py:197-218`; golden scenario from
+    FIXTURES.md F6: smax=2, budgets [1,3,9]; iteration 0 ->
+    n_configs [9,3,1], iteration 1 -> [3,1].
+    n(i, r) = eta^(smax - r) for r in i..smax.
+    """
+    import math
+
+    smax = int(math.floor(math.log(max_budget / min_budget) / math.log(eta)))
+    iters = spark.range(n_iterations).select(F.col("id").cast("int").alias("iteration"))
+    rungs = spark.range(smax + 1).select(F.col("id").cast("int").alias("rung"))
+    return (
+        iters.crossJoin(rungs)
+        .where(F.col("rung") >= F.col("iteration"))
+        .select(
+            "iteration",
+            "rung",
+            (min_budget * F.pow(F.lit(float(eta)), F.col("rung"))).cast("bigint").alias("budget"),
+            F.pow(F.lit(float(eta)), F.lit(smax) - F.col("rung")).cast("bigint").alias("n_configs"),
+        )
+    )
+
+
+G10_SQL = """
+SELECT cast(i AS INTEGER) AS iteration, cast(r AS INTEGER) AS rung,
+       cast(1 * pow(3, r) AS BIGINT) AS budget,
+       cast(pow(3, 2 - r) AS BIGINT) AS n_configs
+FROM range(0, 2) t1(i) CROSS JOIN range(0, 3) t2(r)
+WHERE r >= i
+"""
+
+
+# -- G12: duplicate-trial guard (anti join) ----------------------------
+
+
+def g12_dedup_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pending candidate param-combos not yet tried (finalized or
+    running) — the reference rejects duplicates before scheduling.
+
+    Reference: `AbstractOptimizer.hparams_exist`
+    (`abstractoptimizer.py:254-295`) -> LEFT ANTI JOIN on the
+    canonical params encoding. The seen-side collapses to distinct
+    combos, so at scale Spark broadcasts it (AQE) instead of
+    shuffling the candidate stream.
+    """
+    t = trials_df(spark, sf_dir)
+    pending = t.where(F.col("status") == "PENDING").select("params_json").distinct()
+    seen = t.where(F.col("status").isin("FINALIZED", "RUNNING")).select("params_json").distinct()
+    return pending.join(seen, "params_json", "left_anti").select(
+        "params_json", F.substring(F.md5(F.col("params_json")), 1, 16).alias("trial_id")
+    )
+
+
+G12_SQL = with_fixtures(
+    """
+SELECT params_json, substr(md5(params_json), 1, 16) AS trial_id
+FROM (SELECT DISTINCT params_json FROM trials WHERE status = 'PENDING') p
+WHERE NOT EXISTS (
+    SELECT 1 FROM trials s
+    WHERE s.status IN ('FINALIZED', 'RUNNING') AND s.params_json = p.params_json
+)
+"""
+)
+
+
+# -- G13: trial factory (id from canonical params JSON) ----------------
+
+
+def g13_trial_factory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recompute every trial's id from its sorted-key params JSON —
+    the relational twin of `Trial.__init__`'s md5 scheme.
+
+    Reference: `trial.py:110-136` + metadata wrap
+    `abstractoptimizer.py:317-376`; sample_type derived from budget.
+    """
+    t = trials_df(spark, sf_dir)
+    return t.select(
+        "seq",
+        F.substring(F.md5(F.col("params_json")), 1, 16).alias("param_trial_id"),
+        F.when(F.col("budget") == 0, F.lit("random"))
+        .when(F.col("budget") == 1, F.lit("model"))
+        .otherwise(F.lit("promoted"))
+        .alias("sample_type"),
+    )
+
+
+G13_SQL = with_fixtures(
+    """
+SELECT seq,
+       substr(md5(params_json), 1, 16) AS param_trial_id,
+       CASE WHEN budget = 0 THEN 'random'
+            WHEN budget = 1 THEN 'model'
+            ELSE 'promoted' END AS sample_type
+FROM trials
+"""
+)
+
+
+# -- golden trial id ----------------------------------------------------
+
+
+def trial_id_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's golden trial-id test as a 1-row query:
+    md5('{"param1": 5, "param2": "ada"}')[:16] == '3d1cc9fdb1d4d001'
+    (`maggy/tests/test_trial.py:24-32`)."""
+    return spark.range(1).select(
+        F.substring(F.md5(F.lit('{"param1": 5, "param2": "ada"}')), 1, 16).alias("trial_id")
+    )
+
+
+GOLDEN_SQL = """
+SELECT substr(md5('{"param1": 5, "param2": "ada"}'), 1, 16) AS trial_id
+"""
+
+
+OPERATORS = [
+    ("g1_random_sample", g1_random_sample, None),  # engine-local RNG: rows-only check
+    ("g3_grid_search", g3_grid_search, G3_SQL),
+    ("g4_single_run", g4_single_run, G4_SQL),
+    ("g5_asha_promotion", g5_asha_promotion, G5_SQL),
+    ("g10_hyperband_ladder", g10_hyperband_ladder, G10_SQL),
+    ("g12_dedup_guard", g12_dedup_guard, G12_SQL),
+    ("g13_trial_factory", g13_trial_factory, G13_SQL),
+    ("trial_id_golden", trial_id_golden, GOLDEN_SQL),
+]

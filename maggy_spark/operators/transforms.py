@@ -1,0 +1,79 @@
+"""The numeric transform layer as column arithmetic (SURVEY.md §1.4).
+
+Reference: `Searchspace.transform/inverse_transform`
+(`maggy/searchspace.py:266-443`): min-max normalize to [0,1] with
+clipping for DOUBLE/INTEGER (`_normalize_scalar`,
+`searchspace.py:384-399`), ordinal encode for CATEGORICAL
+(`_encode_categorical`, `searchspace.py:355-366`), rounding inverse
+for INTEGER (`searchspace.py:430-443`).
+
+All pure column math — stays inside whole-stage codegen, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from maggy_spark.plans.fixtures import load_table
+
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+LO, HI = -999.0, 9999.0
+
+
+def t1_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max normalize c_acctbal into [0,1] with clipping, and
+    ordinal-encode + normalize c_mktsegment — the §1.4 transform
+    applied relationally.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    domain = F.array(*[F.lit(s) for s in SEGMENTS])
+    norm = (F.col("c_acctbal") - F.lit(LO)) / F.lit(HI - LO)
+    clipped = F.least(F.greatest(norm, F.lit(0.0)), F.lit(1.0))
+    ordinal = F.array_position(domain, F.col("c_mktsegment")).cast("bigint")
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        clipped.alias("acctbal_norm"),
+        (ordinal - 1).alias("segment_ordinal"),
+        ((ordinal.cast("double") - 1.0) / F.lit(float(len(SEGMENTS) - 1))).alias("segment_norm"),
+    )
+
+
+T1_SQL = """
+SELECT c_custkey AS custkey,
+       least(greatest((c_acctbal - (-999.0)) / 10998.0, 0.0), 1.0) AS acctbal_norm,
+       cast(list_position(['AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY'], c_mktsegment) AS BIGINT) - 1 AS segment_ordinal,
+       (cast(list_position(['AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY'], c_mktsegment) AS DOUBLE) - 1.0) / 4.0 AS segment_norm
+FROM customer
+"""
+
+
+def t2_inverse_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode normalized vectors back to the hparam domain; INTEGER
+    rounds half-up (`searchspace.py:430-443`). Uses p_size scaled to
+    [0,1] over its own [1,50] range, round-tripped.
+    """
+    p = load_table(spark, sf_dir, "part")
+    x = (F.col("p_size").cast("double") - 1.0) / 49.0
+    decoded = F.round(F.lit(1.0) + x * F.lit(49.0), 0).cast("bigint")
+    return p.select(
+        F.col("p_partkey").alias("partkey"),
+        x.alias("x"),
+        decoded.alias("size_roundtrip"),
+        (decoded == F.col("p_size").cast("bigint")).alias("roundtrip_ok"),
+    )
+
+
+T2_SQL = """
+SELECT p_partkey AS partkey,
+       (cast(p_size AS DOUBLE) - 1.0) / 49.0 AS x,
+       cast(round(1.0 + ((cast(p_size AS DOUBLE) - 1.0) / 49.0) * 49.0, 0) AS BIGINT) AS size_roundtrip,
+       cast(round(1.0 + ((cast(p_size AS DOUBLE) - 1.0) / 49.0) * 49.0, 0) AS BIGINT) = cast(p_size AS BIGINT) AS roundtrip_ok
+FROM part
+"""
+
+
+OPERATORS = [
+    ("t1_minmax_normalize", t1_minmax_normalize, T1_SQL),
+    ("t2_inverse_transform", t2_inverse_transform, T2_SQL),
+]

@@ -1,0 +1,152 @@
+"""Derived experiment fixtures over the synthetic TPC-H-ish tables.
+
+The correctness gate (driver t2) compares every declared query
+against a DuckDB oracle over the SAME parquet tables. The engine's
+domain model is trials/metrics (SURVEY.md §1.1), so we derive those
+tables deterministically from `orders`/`lineitem` with expressions
+that evaluate bit-identically in Spark SQL and DuckDB:
+
+- ``trials``  <- orders:   one trial per order. trial_id is the
+  16-char md5 prefix of the order key string (the reference's id
+  scheme, `maggy/trial.py:132-134`), final_metric = o_totalprice
+  (NULL while PENDING), budget = o_orderkey % 3 (multi-fidelity
+  rungs), status from o_orderstatus, params from
+  (o_custkey % 50, o_orderpriority, o_orderkey % 500); params_json
+  is the sorted-key JSON encoding used by the reference's trial-id
+  hash (`json.dumps(params, sort_keys=True)`).
+- ``metrics`` <- lineitem: per-trial step stream, step =
+  l_linenumber, value = l_extendedprice (ragged 1..7 steps/trial,
+  like early-stopped histories).
+- ``metrics_raw`` adds deliberate duplicate-step and null-value rows
+  to exercise the C2 dedup operator (`maggy/trial.py:93-108`).
+
+Only exact-representable expressions are used (integer modulo, md5
+of decimal integer strings, column copies) — no float arithmetic —
+so the two engines agree bit-for-bit.
+
+At scale: trials/metrics derivations are narrow projections over the
+fact tables; they push column pruning into the parquet scan and add
+no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# -- DuckDB side: CTE block prepended to every oracle query ------------
+
+DUCKDB_FIXTURE_CTES = """
+WITH trials AS (
+    SELECT
+        substr(md5(cast(o_orderkey AS VARCHAR)), 1, 16) AS trial_id,
+        o_orderkey AS seq,
+        cast(o_orderkey % 3 AS INTEGER) AS budget,
+        CASE o_orderstatus
+            WHEN 'F' THEN 'FINALIZED'
+            WHEN 'O' THEN 'RUNNING'
+            ELSE 'PENDING'
+        END AS status,
+        CASE WHEN o_orderstatus = 'P' THEN CAST(NULL AS DOUBLE)
+             ELSE o_totalprice END AS final_metric,
+        (o_orderkey % 7 = 0) AS early_stop,
+        cast(o_custkey % 50 AS BIGINT) AS p1,
+        o_orderpriority AS p2,
+        cast(o_orderkey % 500 AS BIGINT) AS p3,
+        '{"p1": ' || cast(o_custkey % 50 AS VARCHAR) || ', "p2": "'
+            || o_orderpriority || '", "p3": '
+            || cast(o_orderkey % 500 AS VARCHAR) || '}' AS params_json
+    FROM orders
+),
+metrics AS (
+    -- l_linenumber is NOT unique per order in the synthetic data;
+    -- the reference's metric history dedups by step
+    -- (maggy/trial.py:93-108), so dedup deterministically here
+    -- (min value wins) to keep window frames engine-independent.
+    SELECT
+        substr(md5(cast(l_orderkey AS VARCHAR)), 1, 16) AS trial_id,
+        cast(l_linenumber AS BIGINT) AS step,
+        min(l_extendedprice) AS value
+    FROM lineitem
+    GROUP BY 1, 2
+),
+metrics_raw AS (
+    SELECT trial_id, step, value FROM metrics
+    UNION ALL
+    SELECT trial_id, step, value FROM metrics WHERE step <= 2
+    UNION ALL
+    SELECT trial_id, step, CAST(NULL AS DOUBLE) AS value
+    FROM metrics WHERE step = 1
+)
+"""
+
+
+def with_fixtures(sql: str) -> str:
+    """Prepend the shared fixture CTEs to an oracle query body."""
+    return DUCKDB_FIXTURE_CTES + sql
+
+
+# -- Spark side --------------------------------------------------------
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def trials_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of the ``trials`` CTE above."""
+    o = load_table(spark, sf_dir, "orders")
+    p1 = (F.col("o_custkey") % 50).cast("bigint")
+    p3 = (F.col("o_orderkey") % 500).cast("bigint")
+    return o.select(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 16).alias("trial_id"),
+        F.col("o_orderkey").alias("seq"),
+        (F.col("o_orderkey") % 3).cast("int").alias("budget"),
+        F.when(F.col("o_orderstatus") == "F", F.lit("FINALIZED"))
+        .when(F.col("o_orderstatus") == "O", F.lit("RUNNING"))
+        .otherwise(F.lit("PENDING"))
+        .alias("status"),
+        F.when(F.col("o_orderstatus") == "P", F.lit(None).cast("double"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("final_metric"),
+        (F.col("o_orderkey") % 7 == 0).alias("early_stop"),
+        p1.alias("p1"),
+        F.col("o_orderpriority").alias("p2"),
+        p3.alias("p3"),
+        F.concat(
+            F.lit('{"p1": '),
+            p1.cast("string"),
+            F.lit(', "p2": "'),
+            F.col("o_orderpriority"),
+            F.lit('", "p3": '),
+            p3.cast("string"),
+            F.lit("}"),
+        ).alias("params_json"),
+    )
+
+
+def metrics_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of the ``metrics`` CTE above."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 16).alias("trial_id"),
+            F.col("l_linenumber").cast("bigint").alias("step"),
+            F.col("l_extendedprice").alias("value"),
+        )
+        # duplicate (order, linenumber) pairs exist in the synthetic
+        # data; dedup by step like the reference's metric append
+        # (maggy/trial.py:93-108), min value as the deterministic rep
+        .groupBy("trial_id", "step")
+        .agg(F.min("value").alias("value"))
+    )
+
+
+def metrics_raw_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``metrics_raw`` (adds dup-step and null rows)."""
+    m = metrics_df(spark, sf_dir)
+    dups = m.where(F.col("step") <= 2)
+    nulls = m.where(F.col("step") == 1).select(
+        "trial_id", "step", F.lit(None).cast("double").alias("value")
+    )
+    return m.unionAll(dups).unionAll(nulls)

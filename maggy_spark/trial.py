@@ -1,0 +1,146 @@
+"""Trial: one hyperparameter configuration and its evaluation state.
+
+Reference semantics (`maggy/trial.py:24-176`): a trial is identified
+by the first 16 hex chars of md5 over the sorted-key JSON encoding of
+its params (golden value: ``{"param1": 5, "param2": "ada"}`` ->
+``"3d1cc9fdb1d4d001"``, asserted by the reference's own test
+`maggy/tests/test_trial.py:24-32`). Metric history appends are
+deduplicated by step, and null values are ignored
+(`trial.py:93-108`).
+
+In the rebuild a Trial is a plain row in the `trials` DataFrame
+(SURVEY.md §1.1 / FIXTURES.md F2); this class is the driver-side
+convenience object.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import time
+from typing import Any
+
+PENDING = "PENDING"
+SCHEDULED = "SCHEDULED"
+RUNNING = "RUNNING"
+ERROR = "ERROR"
+FINALIZED = "FINALIZED"
+
+_ID_EXCLUDED_KEYS = ("dataset_function", "model_function", "ablated_feature", "ablated_layer")
+
+
+def trial_id_for_params(params: dict[str, Any]) -> str:
+    """16-char md5 prefix of the sorted-key JSON of params.
+
+    Matches `substr(md5(to_json(sorted map)),1,16)` in SQL, so the
+    same id is computable relationally (SURVEY.md §1.2).
+    """
+    hashable = {k: v for k, v in params.items() if k not in _ID_EXCLUDED_KEYS and not callable(v)}
+    payload = json.dumps(hashable, sort_keys=True)
+    return hashlib.md5(payload.encode("utf-8")).hexdigest()[:16]
+
+
+class Trial:
+    PENDING = PENDING
+    SCHEDULED = SCHEDULED
+    RUNNING = RUNNING
+    ERROR = ERROR
+    FINALIZED = FINALIZED
+
+    def __init__(
+        self,
+        params: dict[str, Any],
+        trial_type: str = "optimization",
+        info_dict: dict | None = None,
+    ) -> None:
+        self.params = dict(params)
+        self.trial_type = trial_type
+        self.info_dict = dict(info_dict or {})
+        self.trial_id = trial_id_for_params(self.params)
+        self.status = PENDING
+        self.final_metric: float | None = None
+        self.metric_history: list[float] = []
+        self.step_history: list[int] = []
+        self.early_stop = False
+        self.start: float | None = None
+        self.duration: float | None = None
+
+    # -- metric stream (reference C2, trial.py:93-108) -------------------
+
+    def append_metric(self, value: float | None, step: int | None = None) -> int | None:
+        """Append (step, value) if step unseen and value non-null.
+
+        Returns the step if appended, else None. Steps default to the
+        next integer when omitted.
+        """
+        if value is None:
+            return None
+        if step is None:
+            step = self.step_history[-1] + 1 if self.step_history else 0
+        step = int(step)
+        if step in self.step_history:
+            return None
+        self.metric_history.append(float(value))
+        self.step_history.append(step)
+        return step
+
+    def start_run(self) -> None:
+        self.status = RUNNING
+        self.start = time.time()
+
+    def finalize(self, final_metric: float | None) -> None:
+        self.status = FINALIZED
+        self.final_metric = None if final_metric is None else float(final_metric)
+        if self.start is not None:
+            self.duration = time.time() - self.start
+
+    def to_row(self, seq: int, direction: str = "min", budget: int = 0) -> dict:
+        """Flatten to the `trials` table schema (FIXTURES.md F2)."""
+        return {
+            "trial_id": self.trial_id,
+            "seq": int(seq),
+            "params": {k: _canonical_str(v) for k, v in self.params.items() if not callable(v)},
+            "budget": int(budget),
+            "sample_type": self.info_dict.get("sample_type", "random"),
+            "status": self.status,
+            "direction": direction,
+            "final_metric": self.final_metric,
+            "early_stop": bool(self.early_stop),
+            "duration_ms": int(self.duration * 1000) if self.duration is not None else None,
+        }
+
+    def json(self) -> str:
+        return json.dumps(
+            {
+                "trial_id": self.trial_id,
+                "params": {k: v for k, v in self.params.items() if not callable(v)},
+                "status": self.status,
+                "final_metric": self.final_metric,
+                "metric_history": self.metric_history,
+                "step_history": self.step_history,
+                "early_stop": self.early_stop,
+            },
+            sort_keys=True,
+        )
+
+    @classmethod
+    def from_json(cls, payload: str) -> "Trial":
+        d = json.loads(payload)
+        t = cls(d["params"])
+        t.status = d.get("status", PENDING)
+        t.final_metric = d.get("final_metric")
+        t.metric_history = list(d.get("metric_history", []))
+        t.step_history = list(d.get("step_history", []))
+        t.early_stop = bool(d.get("early_stop", False))
+        return t
+
+    def __repr__(self) -> str:
+        return f"Trial({self.trial_id}, status={self.status}, params={self.params!r})"
+
+
+def _canonical_str(v: Any) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float) and v.is_integer():
+        return str(int(v))
+    return str(v)

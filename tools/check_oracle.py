@@ -1,0 +1,134 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every __spark_entry__.queries() entry on Spark and its
+oracle_sql() twin on DuckDB over the same parquet tables, then
+compares row count, sorted column names, and an order-insensitive
+per-row value hash (floats compared bit-exact via repr, which is why
+the operators route double aggregation through exact decimals).
+
+Usage: python tools/check_oracle.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    if v is None or (isinstance(v, float) and v != v):
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def frame_signature(df: pd.DataFrame):
+    import numpy as np
+
+    cols = sorted(df.columns)
+    out = df[cols]
+    rows = set()
+    dup = 0
+    rowset = {}
+    for tup in out.itertuples(index=False, name=None):
+        key = "|".join(norm_cell(v) for v in tup)
+        rowset[key] = rowset.get(key, 0) + 1
+    return cols, rowset
+
+
+def to_pandas_spark(sdf):
+    # avoid arrow-vs-plain dtype surprises: collect via rows
+    rows = sdf.collect()
+    cols = sdf.columns
+    return pd.DataFrame([tuple(r) for r in rows], columns=cols)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("oracle-check")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if Path(p).exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            spark_pd = to_pandas_spark(sdf)
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(spark_pd)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            duck_pd = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        sc, srows = frame_signature(spark_pd)
+        dc, drows = frame_signature(duck_pd)
+        status = []
+        if len(spark_pd) != len(duck_pd):
+            status.append(f"rowcount {len(spark_pd)} vs {len(duck_pd)}")
+        if sc != dc:
+            status.append(f"columns {sc} vs {dc}")
+        if srows != drows:
+            n_mismatch = sum((srows.get(k, 0) - drows.get(k, 0)) != 0 for k in set(srows) | set(drows))
+            status.append(f"values ({n_mismatch} differing row-keys)")
+            sonly = [k for k in srows if k not in drows][:3]
+            donly = [k for k in drows if k not in srows][:3]
+            if sonly:
+                status.append(f"spark-only e.g. {sonly}")
+            if donly:
+                status.append(f"duck-only e.g. {donly}")
+        if status:
+            failures.append(name)
+            print(f"FAIL {name}: " + "; ".join(status))
+        else:
+            print(f"ok   {name}: MATCH ({len(spark_pd)} rows, {time.time()-t0:.1f}s)")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
