@@ -1,0 +1,70 @@
+"""Benchmark: run every registered operator at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and print ONE JSON line.
+
+Each query is forced end-to-end with the `noop` sink (full JVM-side
+execution, no Python row transfer) so timings measure the Spark plan,
+not py4j serialization. Compare against BASELINE.md §3 targets.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("maggy-spark-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from maggy_spark import registry
+
+    qs = registry.queries()
+    timings: dict[str, float] = {}
+    for name, fn in qs.items():
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # a failed query must not hide the rest
+            timings[name] = -1.0
+            print(f"BENCH ERROR {name}: {e}", file=sys.stderr)
+
+    total = round(sum(v for v in timings.values() if v >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "operator_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_queries": len(timings),
+                "cpus": int(cpus),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

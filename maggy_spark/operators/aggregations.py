@@ -45,26 +45,29 @@ def a1_result_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass; best/worst via rank-1 windows with seq tie-break.
     """
     t = trials_df(spark, sf_dir).where(F.col("status") == "FINALIZED")
-    w_best = Window.orderBy(F.col("final_metric").desc(), F.col("seq"))
-    w_worst = Window.orderBy(F.col("final_metric").asc(), F.col("seq"))
-    ranked = t.select(
-        "trial_id",
-        "final_metric",
-        F.row_number().over(w_best).alias("rn_best"),
-        F.row_number().over(w_worst).alias("rn_worst"),
-    )
-    best = ranked.where(F.col("rn_best") == 1).select(
-        F.col("trial_id").alias("best_id"), F.col("final_metric").alias("best_val")
-    )
-    worst = ranked.where(F.col("rn_worst") == 1).select(
-        F.col("trial_id").alias("worst_id"), F.col("final_metric").alias("worst_val")
-    )
-    stats = t.agg(
+    # argmax/argmin via ordered structs: one partial-aggregating pass,
+    # no global sort — this is the plan that survives a 100x scale-up
+    # (a global row_number window would funnel into one partition).
+    # Tie-break matches ORDER BY final_metric [DESC], seq: -seq under
+    # max == smallest seq wins.
+    best_s = F.max(F.struct(F.col("final_metric"), (-F.col("seq")).alias("ns"), F.col("trial_id")))
+    worst_s = F.min(F.struct(F.col("final_metric"), F.col("seq"), F.col("trial_id")))
+    agg = t.agg(
+        best_s.alias("b"),
+        worst_s.alias("w"),
         _exact_avg("final_metric").alias("avg_metric"),
         F.count("*").alias("num_trials"),
         F.sum(F.when(F.col("early_stop"), 1).otherwise(0)).cast("bigint").alias("early_stopped"),
     )
-    return best.crossJoin(worst).crossJoin(stats)
+    return agg.select(
+        F.col("b.trial_id").alias("best_id"),
+        F.col("b.final_metric").alias("best_val"),
+        F.col("w.trial_id").alias("worst_id"),
+        F.col("w.final_metric").alias("worst_val"),
+        "avg_metric",
+        "num_trials",
+        "early_stopped",
+    )
 
 
 A1_SQL = with_fixtures(

@@ -143,10 +143,22 @@ def metrics_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def metrics_raw_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of ``metrics_raw`` (adds dup-step and null rows)."""
-    m = metrics_df(spark, sf_dir)
-    dups = m.where(F.col("step") <= 2)
-    nulls = m.where(F.col("step") == 1).select(
+    """Spark twin of ``metrics_raw`` (adds dup-step and null rows).
+
+    Built from the pre-dedup projection rather than three copies of
+    the deduped `metrics` (saves two shuffles): because the dirty
+    stream is consumed by min()-dedup (C2), raw rows vs deduped rows
+    yield the identical result — duplicate (trial, step) rows only
+    ever contribute their min, and null values are filtered first.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = li.select(
+        F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 16).alias("trial_id"),
+        F.col("l_linenumber").cast("bigint").alias("step"),
+        F.col("l_extendedprice").alias("value"),
+    )
+    dups = raw.where(F.col("step") <= 2)
+    nulls = raw.where(F.col("step") == 1).select(
         "trial_id", "step", F.lit(None).cast("double").alias("value")
     )
-    return m.unionAll(dups).unionAll(nulls)
+    return raw.unionAll(dups).unionAll(nulls)

@@ -1,0 +1,119 @@
+"""Relational kernel invariants at sf0.001 (fast; the full DuckDB
+oracle sweep lives in tools/check_oracle.py and the driver's t2)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from maggy_spark.operators import aggregations as agg
+from maggy_spark.operators import earlystop, generators, transforms
+from maggy_spark.plans.fixtures import metrics_df, trials_df
+
+
+def test_fixture_shapes(spark, sf_dir):
+    t = trials_df(spark, sf_dir)
+    assert t.count() > 0
+    assert t.select("trial_id").distinct().count() == t.count()
+    m = metrics_df(spark, sf_dir)
+    # metrics are deduped by (trial_id, step)
+    assert m.groupBy("trial_id", "step").count().where("count > 1").count() == 0
+
+
+def test_a1_consistency(spark, sf_dir):
+    row = agg.a1_result_summary(spark, sf_dir).collect()[0]
+    assert row.best_val >= row.avg_metric >= row.worst_val
+    assert row.num_trials > 0 and 0 <= row.early_stopped <= row.num_trials
+
+
+def test_a4_per_budget_bounds(spark, sf_dir):
+    for r in agg.a4_budget_stats(spark, sf_dir).collect():
+        assert r.ybest <= r.ymean <= r.yworst
+        assert r.budget in (0, 1, 2)
+
+
+def test_a5_topk_rank_bounds(spark, sf_dir):
+    rows = agg.a5_topk_per_rung(spark, sf_dir, k=3).collect()
+    by_rung = {}
+    for r in rows:
+        by_rung.setdefault(r.budget, []).append(r)
+    for rung, rs in by_rung.items():
+        assert len(rs) == 3
+        ms = [r.final_metric for r in sorted(rs, key=lambda x: x.rank)]
+        assert ms == sorted(ms, reverse=True)
+
+
+def test_a6_split_sizes(spark, sf_dir):
+    rows = agg.a6_tpe_split(spark, sf_dir).collect()
+    n = len(rows)
+    n_good = sum(r.split == "good" for r in rows)
+    n_bad = sum(r.split == "bad" for r in rows)
+    assert n_good == max(3, int(0.15 * n))
+    assert n_bad == min(max(3, int(0.85 * n)), n - n_good)
+    # floors can leave a remainder unlabeled (reference keeps only good+bad)
+    assert n - (n_good + n_bad) <= 1
+
+
+def test_a7_prefix_avg_first_step_equals_value(spark, sf_dir):
+    m = metrics_df(spark, sf_dir).withColumnRenamed("value", "v")
+    p = agg.a7_prefix_avg(spark, sf_dir)
+    joined = p.join(m, ["trial_id", "step"]).where("step = 1")
+    bad = joined.where(F.abs(F.col("prefix_avg") - F.col("v")) > 1e-9).count()
+    assert bad == 0
+
+
+def test_c3_median_rule_decision_shape(spark, sf_dir):
+    rows = earlystop.c3_median_rule(spark, sf_dir).collect()
+    assert len(rows) > 0
+    bars = {r.median_bar for r in rows}
+    assert len(bars) == 1  # single global bar
+    for r in rows:
+        assert r.should_stop == (r.best_metric < r.median_bar)
+
+
+def test_g3_grid_is_full_product(spark, sf_dir):
+    from maggy_spark.plans.fixtures import load_table
+
+    part = load_table(spark, sf_dir, "part")
+    nb = part.select("p_brand").distinct().count()
+    ns = part.select("p_size").distinct().count()
+    g = generators.g3_grid_search(spark, sf_dir)
+    assert g.count() == nb * ns
+    assert g.select("trial_id").distinct().count() == nb * ns
+
+
+def test_g5_promotion_fraction(spark, sf_dir):
+    t = trials_df(spark, sf_dir).where("status = 'FINALIZED'")
+    per_rung = {r.budget: r["count"] for r in t.groupBy("budget").count().collect()}
+    promo = generators.g5_asha_promotion(spark, sf_dir).groupBy("rung").count().collect()
+    for r in promo:
+        assert r["count"] == per_rung[r.rung] // 2
+
+
+def test_g10_golden_ladder(spark, sf_dir):
+    rows = {(r.iteration, r.rung): (r.budget, r.n_configs) for r in generators.g10_hyperband_ladder(spark, sf_dir).collect()}
+    # golden scenario from FIXTURES.md F6 (reference hyperband.py:115-124,200-209)
+    assert rows == {
+        (0, 0): (1, 9), (0, 1): (3, 3), (0, 2): (9, 1),
+        (1, 1): (3, 3), (1, 2): (9, 1),
+    }
+
+
+def test_g12_guard_excludes_seen(spark, sf_dir):
+    t = trials_df(spark, sf_dir)
+    seen = {r.params_json for r in t.where("status IN ('FINALIZED','RUNNING')").collect()}
+    novel = [r.params_json for r in generators.g12_dedup_guard(spark, sf_dir).collect()]
+    assert novel and not (set(novel) & seen)
+
+
+def test_golden_id_via_spark(spark, sf_dir):
+    assert generators.trial_id_golden(spark, sf_dir).collect()[0].trial_id == "3d1cc9fdb1d4d001"
+
+
+def test_c2_dedup_restores_metrics(spark, sf_dir):
+    m = metrics_df(spark, sf_dir)
+    d = earlystop.c2_metric_dedup(spark, sf_dir)
+    assert d.count() == m.count()
+    assert d.exceptAll(m).count() == 0
+
+
+def test_t2_roundtrip_all_ok(spark, sf_dir):
+    assert transforms.t2_inverse_transform(spark, sf_dir).where("NOT roundtrip_ok").count() == 0
