@@ -17,4 +17,12 @@ from maggy_spark.trial import Trial, trial_id_for_params
 
 __version__ = "0.1.0"
 
-__all__ = ["Searchspace", "Trial", "trial_id_for_params", "__version__"]
+
+def lagom(train_fn, config, spark=None):
+    """Run an experiment (see maggy_spark.experiment.lagom)."""
+    from maggy_spark.experiment import lagom as _lagom
+
+    return _lagom(train_fn, config, spark)
+
+
+__all__ = ["Searchspace", "Trial", "trial_id_for_params", "lagom", "__version__"]

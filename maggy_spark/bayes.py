@@ -1,0 +1,274 @@
+"""Bayesian optimization controllers: GP and TPE, numpy-only.
+
+Reference semantics (SURVEY.md §2.2 G6-G9):
+- Async BO base loop (`maggy/optimizer/bayes/base.py:170-313`):
+  warmup buffer of random configs, epsilon-random fraction, surrogate
+  update from finalized trials, acquisition-optimized sampling,
+  dedup with <=3 random retries (`base.py:288-301`), busy-location
+  imputation via constant liar (`gp.py:329-373`).
+- GP surrogate (`bayes/gp.py:266-327`): Matern nu=2.5 kernel with
+  normalize_y and gaussian noise; acquisition EI over `n_points`
+  sampled candidates (`gp.py:183-264` "sampling" routine).
+- TPE (`bayes/tpe.py:75-266`): good/bad split at gamma quantile with
+  floor n_hparams+1, two KDEs, sample n_samples=24 from the good
+  KDE, pick max EI = pdf_good/pdf_bad clipped at 1e-32.
+
+The environment ships no sklearn/scipy/statsmodels, so the surrogate
+math is implemented directly with numpy (Cholesky GP regression,
+Gaussian KDE with Scott bandwidth). Model state is tiny (<= num_trials
+rows); it lives driver-side while trial execution fans out through
+Spark (executor.py), matching the reference's division of labor.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+
+from maggy_spark.optimizers import MAX_DEDUP_RETRIES, AbstractOptimizer
+from maggy_spark.searchspace import CATEGORICAL, DISCRETE
+from maggy_spark.trial import Trial
+
+DEFAULT_WARMUP = 15        # base.py:88-93
+DEFAULT_RANDOM_FRACTION = 0.33
+DEFAULT_N_POINTS = 10_000  # gp.py:158-163
+DEFAULT_TPE_SAMPLES = 24   # tpe.py:41,53-54
+EI_CLIP = 1e-32            # tpe.py:253-266
+
+
+class BaseAsyncBO(AbstractOptimizer):
+    def __init__(
+        self,
+        num_warmup_trials: int = DEFAULT_WARMUP,
+        random_fraction: float = DEFAULT_RANDOM_FRACTION,
+    ):
+        super().__init__()
+        self.num_warmup_trials = num_warmup_trials
+        self.random_fraction = random_fraction
+        self._rng: random.Random | None = None
+        self._nprng: np.random.Generator | None = None
+        self._emitted = 0
+
+    def _initialize(self) -> None:
+        self._rng = random.Random(self.seed)
+        self._nprng = np.random.default_rng(self.seed)
+        self.num_warmup_trials = min(self.num_warmup_trials, self.num_trials)
+
+    # -- training data: X in [0,1]^d, y sign-normalized to min ----------
+
+    def get_xy(self) -> tuple[np.ndarray, np.ndarray]:
+        """Transform finalized trials to surrogate training data
+        (reference get_XY, base.py:459-641, single-fidelity path)."""
+        rows = [t for t in self.final_store if t.final_metric is not None]
+        if not rows:
+            return np.zeros((0, len(self.searchspace))), np.zeros(0)
+        X = np.array([self.searchspace.transform(t.params) for t in rows])
+        y = np.array([self.metric_for_min(t.final_metric) for t in rows])
+        return X, y
+
+    def _random_params(self) -> dict:
+        return self.searchspace.get_random_parameter_values(
+            1, seed=None if self.seed is None else self.seed * 100_003 + self._emitted
+        )[0]
+
+    def _emit(self, params: dict, sample_type: str) -> Trial:
+        t = Trial(params, info_dict={"sample_type": sample_type})
+        self._emitted += 1
+        return self._register(t)
+
+    def next_batch(self, max_trials: int) -> list[Trial]:
+        out: list[Trial] = []
+        while len(out) < max_trials and self._emitted < self.num_trials:
+            n_done = len(self.final_store)
+            if self._emitted < self.num_warmup_trials or n_done < len(self.searchspace) + 1:
+                params, stype = self._random_params(), "random"
+            elif self._rng.random() < self.random_fraction:
+                params, stype = self._random_params(), "random"
+            else:
+                params, stype = self.suggest_model_params(), "model"
+            retries = 0
+            while self.hparams_exist(params) and retries < MAX_DEDUP_RETRIES:
+                params = self._random_params()
+                stype = "random_forced"
+                retries += 1
+            if self.hparams_exist(params):
+                break  # searchspace exhausted (base.py:288-301)
+            out.append(self._emit(params, stype))
+        return out
+
+    def suggest_model_params(self) -> dict:  # override
+        raise NotImplementedError
+
+
+# ---------------------------------------------------------------------
+# GP regression with Matern 5/2, numpy-only
+# ---------------------------------------------------------------------
+
+
+def matern52(a: np.ndarray, b: np.ndarray, length_scale: float) -> np.ndarray:
+    d = np.sqrt(np.maximum(((a[:, None, :] - b[None, :, :]) ** 2).sum(-1), 0.0))
+    s = np.sqrt(5.0) * d / length_scale
+    return (1.0 + s + s**2 / 3.0) * np.exp(-s)
+
+
+class _GPModel:
+    """Exact GP regression: zero-mean on standardized y, Matern 5/2,
+    lengthscale picked by log-marginal-likelihood over a small grid
+    (stand-in for sklearn's MLE optimizer, gp.py:266-291)."""
+
+    GRID = (0.1, 0.2, 0.5, 1.0, 2.0)
+
+    def __init__(self, noise: float = 1e-6):
+        self.noise = noise
+        self.X = None
+        self._alpha = None
+        self._chol = None
+        self.ls = 0.5
+        self.y_mean = 0.0
+        self.y_std = 1.0
+
+    def fit(self, X: np.ndarray, y: np.ndarray) -> None:
+        self.X = X
+        self.y_mean = float(y.mean())
+        self.y_std = float(y.std()) or 1.0
+        yn = (y - self.y_mean) / self.y_std
+        best = (-np.inf, None, None, None)
+        n = len(X)
+        for ls in self.GRID:
+            K = matern52(X, X, ls) + self.noise * np.eye(n)
+            try:
+                L = np.linalg.cholesky(K)
+            except np.linalg.LinAlgError:
+                continue
+            alpha = np.linalg.solve(L.T, np.linalg.solve(L, yn))
+            lml = -0.5 * yn @ alpha - np.log(np.diag(L)).sum() - 0.5 * n * math.log(2 * math.pi)
+            if lml > best[0]:
+                best = (lml, ls, L, alpha)
+        if best[1] is None:  # fully degenerate; fall back
+            K = matern52(X, X, 1.0) + 1e-3 * np.eye(n)
+            L = np.linalg.cholesky(K)
+            best = (0.0, 1.0, L, np.linalg.solve(L.T, np.linalg.solve(L, yn)))
+        _, self.ls, self._chol, self._alpha = best
+
+    def predict(self, Xs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        Ks = matern52(Xs, self.X, self.ls)
+        mu = Ks @ self._alpha
+        v = np.linalg.solve(self._chol, Ks.T)
+        var = np.maximum(1.0 - (v**2).sum(0), 1e-12)
+        return mu * self.y_std + self.y_mean, np.sqrt(var) * self.y_std
+
+
+def _norm_pdf(z: np.ndarray) -> np.ndarray:
+    return np.exp(-0.5 * z**2) / math.sqrt(2 * math.pi)
+
+
+def _norm_cdf(z: np.ndarray) -> np.ndarray:
+    # vectorized erf via math.erf (no scipy in this environment)
+    erf = np.vectorize(math.erf)
+    return 0.5 * (1.0 + erf(z / math.sqrt(2.0)))
+
+
+def expected_improvement(mu: np.ndarray, sigma: np.ndarray, y_best: float) -> np.ndarray:
+    """EI for minimization (reference acquisitions.py:68-135 via skopt)."""
+    imp = y_best - mu
+    z = imp / sigma
+    return imp * _norm_cdf(z) + sigma * _norm_pdf(z)
+
+
+class GP(BaseAsyncBO):
+    """GP-EI controller (reference bayes/gp.py)."""
+
+    def __init__(self, n_points: int = DEFAULT_N_POINTS, liar_strategy: str = "cl_min", **kw):
+        super().__init__(**kw)
+        self.n_points = n_points
+        if liar_strategy not in ("cl_min", "cl_max", "cl_mean"):
+            raise ValueError(f"unknown liar strategy {liar_strategy!r} (gp.py:345-361)")
+        self.liar_strategy = liar_strategy
+        self._busy: list[dict] = []
+
+    def suggest_model_params(self) -> dict:
+        X, y = self.get_xy()
+        # constant-liar imputation of busy trials (gp.py:329-373): busy
+        # param vectors get ybest/yworst/ymean as pseudo-observations
+        busy = [p for p in self._busy]
+        if busy:
+            liar = {"cl_min": y.min(), "cl_max": y.max(), "cl_mean": y.mean()}[self.liar_strategy]
+            Xb = np.array([self.searchspace.transform(p) for p in busy])
+            X = np.vstack([X, Xb])
+            y = np.concatenate([y, np.full(len(busy), liar)])
+        model = _GPModel()
+        model.fit(X, y)
+        cand = self._nprng.random((self.n_points, len(self.searchspace)))
+        mu, sigma = model.predict(cand)
+        ei = expected_improvement(mu, sigma, float(y.min()))
+        best = cand[int(np.argmax(ei))]
+        return self.searchspace.inverse_transform(best.tolist())
+
+    def next_batch(self, max_trials: int) -> list[Trial]:
+        batch = super().next_batch(max_trials)
+        self._busy = [t.params for t in batch]
+        return batch
+
+    def finalize_trial(self, trial: Trial) -> None:
+        super().finalize_trial(trial)
+        self._busy = [p for p in self._busy if Trial(p).trial_id != trial.trial_id]
+
+
+# ---------------------------------------------------------------------
+# TPE
+# ---------------------------------------------------------------------
+
+
+class TPE(BaseAsyncBO):
+    """Tree-structured Parzen estimator (reference bayes/tpe.py).
+
+    Continuous/ordinal dims: Gaussian KDE (Scott bandwidth) over the
+    [0,1]-transformed values; categorical dims: empirical frequency
+    with add-one smoothing. EI = pdf_good/pdf_bad over n_samples
+    draws from the good KDE.
+    """
+
+    def __init__(self, gamma: float = 0.15, n_samples: int = DEFAULT_TPE_SAMPLES, bw_factor: float = 3.0, **kw):
+        super().__init__(**kw)
+        self.gamma = gamma
+        self.n_samples = n_samples
+        self.bw_factor = bw_factor  # bandwidth widening on sampling, tpe.py:84-118
+
+    def _split(self, X: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Good/bad split (tpe.py:191-221; relational twin: A6)."""
+        n = len(y)
+        floor = len(self.searchspace) + 1
+        n_good = max(floor, int(self.gamma * n))
+        n_bad = max(floor, int((1.0 - self.gamma) * n))
+        order = np.argsort(y, kind="stable")
+        return X[order[:n_good]], X[order[n_good:n_good + n_bad]]
+
+    @staticmethod
+    def _scott_bw(x: np.ndarray) -> float:
+        n = max(len(x), 2)
+        s = float(x.std()) or 0.1
+        return 1.059 * s * n ** (-0.2)
+
+    def _kde_pdf(self, data: np.ndarray, q: np.ndarray) -> np.ndarray:
+        """Product of per-dim Gaussian KDE pdfs at query points."""
+        pdf = np.ones(len(q))
+        for d in range(data.shape[1]):
+            bw = self._scott_bw(data[:, d])
+            z = (q[:, d, None] - data[None, :, d]) / bw
+            pdf *= _norm_pdf(z).mean(axis=1) / bw
+        return pdf
+
+    def suggest_model_params(self) -> dict:
+        X, y = self.get_xy()
+        good, bad = self._split(X, y)
+        # sample around good points with widened bandwidth (tpe.py:84-118)
+        idx = self._nprng.integers(0, len(good), size=self.n_samples)
+        samples = np.empty((self.n_samples, X.shape[1]))
+        for d in range(X.shape[1]):
+            bw = self._scott_bw(good[:, d]) * self.bw_factor
+            samples[:, d] = np.clip(good[idx, d] + self._nprng.normal(0.0, bw, self.n_samples), 0.0, 1.0)
+        ei = self._kde_pdf(good, samples) / np.maximum(self._kde_pdf(bad, samples), EI_CLIP)
+        best = samples[int(np.argmax(ei))]
+        return self.searchspace.inverse_transform(best.tolist())

@@ -1,0 +1,72 @@
+"""Experiment configs — the public API surface of `lagom`.
+
+Mirrors the reference's config classes (`maggy/config/*.py`):
+`BaseConfig` (`base_config.py`), `HyperparameterOptConfig`
+(`hyperparameter_optimization.py:20-87`), `AblationConfig`
+(`ablation.py`), `TfDistributedConfig`/`TorchDistributedConfig`
+(`tf_distributed.py`/`torch_distributed.py`). Fields keep the
+reference names so user code ports unchanged.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass
+class BaseConfig:
+    name: str = "maggy_experiment"
+    description: str = ""
+    hb_interval: int = 1  # heartbeat granularity, reference default 1 s
+    metric_key: str | None = None
+
+
+@dataclass
+class HyperparameterOptConfig(BaseConfig):
+    """Reference: `config/hyperparameter_optimization.py:20-87`."""
+
+    num_trials: int = 1
+    optimizer: Any = "randomsearch"  # name or optimizer instance
+    searchspace: Any = None
+    direction: str = "max"
+    es_interval: int = 1    # early-stop check cadence (steps)
+    es_min: int = 10        # min finalized trials before checking
+    es_policy: Any = "median"  # "median" | "none" | rule instance
+    optimization_key: str = "metric"
+    seed: int | None = None
+    parallelism: int | None = None  # max concurrent trials (defaults to cores)
+
+
+@dataclass
+class AblationConfig(BaseConfig):
+    """Reference: `config/ablation.py`; early stopping forced off
+    (`ablation_driver.py:52`)."""
+
+    ablation_study: Any = None
+    ablator: str = "loco"
+    direction: str = "max"
+    optimization_key: str = "metric"
+
+
+@dataclass
+class TorchDistributedConfig(BaseConfig):
+    """Gang-scheduled distributed training (reference
+    `config/torch_distributed.py`); executed barrier-mode."""
+
+    module: Any = None
+    train_set: Any = None
+    test_set: Any = None
+    num_workers: int = 2
+    backend: str = "gloo"
+
+
+@dataclass
+class TfDistributedConfig(BaseConfig):
+    """Reference `config/tf_distributed.py`."""
+
+    model: Any = None
+    train_set: Any = None
+    test_set: Any = None
+    num_workers: int = 2
+    process_data: Any = None

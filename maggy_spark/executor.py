@@ -1,0 +1,238 @@
+"""Distributed trial execution: the user train_fn as a grouped pandas UDF.
+
+Replaces the reference's long-held `foreachPartition` workers + TCP
+control plane (`maggy/core/executors/trial_executor.py:35-213`,
+`maggy/core/rpc.py`) with short-lived Spark jobs: each wave of
+pending trials becomes a DataFrame with one group per trial,
+`applyInPandas` fans the user function out, and results come back as
+rows. Spark task retries replace the reference's lost-trial
+blacklist (C10); no sockets.
+
+Kwarg injection mirrors `trial_executor.py:166-179` (signature
+inspection); return normalization mirrors `util.handle_return_val`
+(`maggy/util.py:159-199`); early stop surfaces as an exception at
+`reporter.broadcast`, exactly the reference's cooperative contract
+(`reporter.py:100-101`).
+
+Scale: one trial = one group = one task; a 10k-trial wave is a 10k-
+task stage. Params travel as JSON strings (bytes per trial), datasets
+are read by the train_fn from shared storage — identical data
+movement profile to the reference (§4.2) minus the socket chatter.
+"""
+
+from __future__ import annotations
+
+import inspect
+import json
+import time
+from typing import Any, Callable
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from maggy_spark.reporter import EarlyStopException, Reporter
+
+RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("trial_id", T.StringType()),
+        T.StructField("final_metric", T.DoubleType()),
+        T.StructField("metric_history", T.ArrayType(T.DoubleType())),
+        T.StructField("step_history", T.ArrayType(T.LongType())),
+        T.StructField("early_stop", T.BooleanType()),
+        T.StructField("error", T.StringType()),
+        T.StructField("logs", T.ArrayType(T.StringType())),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+def build_kwargs(train_fn: Callable, hparams: dict, reporter: Reporter, extras: dict | None = None) -> dict:
+    """Signature-driven injection (reference trial_executor.py:166-179):
+    parameter names matching hparams get the value; `reporter`,
+    `hparams`/`params`, and extras (model/dataset/budget) by name;
+    **kwargs functions receive everything."""
+    extras = extras or {}
+    sig = inspect.signature(train_fn)
+    has_var_kw = any(p.kind == inspect.Parameter.VAR_KEYWORD for p in sig.parameters.values())
+    kwargs: dict[str, Any] = {}
+    for name, p in sig.parameters.items():
+        if p.kind in (inspect.Parameter.VAR_POSITIONAL, inspect.Parameter.VAR_KEYWORD):
+            continue
+        if name == "reporter":
+            kwargs[name] = reporter
+        elif name in ("hparams", "params"):
+            kwargs[name] = dict(hparams)
+        elif name in hparams:
+            kwargs[name] = hparams[name]
+        elif name in extras:
+            kwargs[name] = extras[name]
+        elif p.default is inspect.Parameter.empty:
+            raise TypeError(
+                f"train_fn parameter {name!r} matches no hyperparameter, "
+                f"no injected extra {sorted(extras)}, and has no default"
+            )
+    if has_var_kw:
+        for k, v in hparams.items():
+            kwargs.setdefault(k, v)
+        kwargs.setdefault("reporter", reporter)
+    return kwargs
+
+
+def normalize_return(value: Any, optimization_key: str) -> float:
+    """Scalar-or-dict return contract (reference util.py:159-199)."""
+    import numbers
+
+    if isinstance(value, dict):
+        if optimization_key not in value:
+            raise ValueError(
+                f"train_fn returned a dict without optimization key {optimization_key!r}: "
+                f"keys={sorted(value)}"
+            )
+        value = value[optimization_key]
+    if value is None or not isinstance(value, numbers.Number):
+        raise ValueError(f"train_fn must return a number or dict with a numeric "
+                         f"{optimization_key!r}; got {type(value).__name__}")
+    return float(value)
+
+
+def run_trial_wave(
+    spark: SparkSession,
+    pending: list[dict],
+    train_fn: Callable,
+    optimization_key: str = "metric",
+    stop_check_source: str | None = None,
+    extras: dict | None = None,
+) -> list[dict]:
+    """Execute one wave of pending trials as a grouped pandas UDF.
+
+    `pending`: [{"trial_id": ..., "params": {...}, "budget": int}].
+    `stop_check_source` is an optional serialized early-stop state
+    (JSON) evaluated trial-locally at each broadcast — cooperative
+    cancellation, SURVEY.md §7.3a.
+    """
+    if not pending:
+        return []
+    rows = [
+        (p["trial_id"], json.dumps({k: v for k, v in p["params"].items() if not callable(v)}),
+         int(p.get("budget", 0)))
+        for p in pending
+    ]
+    df = spark.createDataFrame(rows, "trial_id string, params_json string, budget int")
+    # one group per trial; aim for one task per trial so a wave of k
+    # trials runs k-wide
+    df = df.repartition(len(rows), "trial_id")
+
+    # Serialize the train_fn BY VALUE: user functions typically live in
+    # modules (notebooks, test files, scripts) that executor Python
+    # workers cannot re-import; plain closure capture would pickle them
+    # by reference and fail with ModuleNotFoundError on the worker.
+    fn_bytes = _dumps_by_value(train_fn)
+    opt_key = optimization_key
+    stop_src = stop_check_source
+    extra_static = extras or {}
+
+    def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        from pyspark import cloudpickle as _cp
+
+        fn = _cp.loads(fn_bytes)
+        trial_id = pdf["trial_id"].iloc[0]
+        hparams = json.loads(pdf["params_json"].iloc[0])
+        budget = int(pdf["budget"].iloc[0])
+        stop_check = _make_stop_check(stop_src)
+        reporter = Reporter(stop_check=stop_check)
+        t0 = time.time()
+        final = None
+        early = False
+        error = None
+        try:
+            ex = dict(extra_static)
+            if budget:
+                ex.setdefault("budget", budget)
+            kwargs = build_kwargs(fn, hparams, reporter, ex)
+            ret = fn(**kwargs)
+            final = normalize_return(ret, opt_key)
+        except EarlyStopException as e:  # salvage last metric (trial_executor.py:194-196)
+            final = e.metric
+            early = True
+        except Exception as e:  # noqa: BLE001 - errors become ERROR rows, not task failures
+            error = f"{type(e).__name__}: {e}"
+        return pd.DataFrame(
+            [
+                {
+                    "trial_id": trial_id,
+                    "final_metric": final,
+                    "metric_history": reporter.metric_history,
+                    "step_history": reporter.step_history,
+                    "early_stop": early,
+                    "error": error,
+                    "logs": reporter.logs,
+                    "duration_ms": int((time.time() - t0) * 1000),
+                }
+            ]
+        )
+
+    out = df.groupBy("trial_id").applyInPandas(run_group, RESULT_SCHEMA)
+    return [r.asDict() for r in out.collect()]
+
+
+def _dumps_by_value(fn: Callable) -> bytes:
+    """cloudpickle the function with its defining module registered for
+    by-value pickling (unless it is an installed/importable package
+    like maggy_spark itself), then restore the registry."""
+    from pyspark import cloudpickle as cp
+
+    mod = inspect.getmodule(fn)
+    registered = False
+    if mod is not None and mod.__name__ not in ("__main__", "builtins") and not (
+        mod.__name__.startswith(("maggy_spark", "pyspark", "numpy", "pandas"))
+    ):
+        try:
+            cp.register_pickle_by_value(mod)
+            registered = True
+        except Exception:  # noqa: BLE001 - fall back to by-reference
+            pass
+    try:
+        return cp.dumps(fn)
+    finally:
+        if registered:
+            try:
+                cp.unregister_pickle_by_value(mod)
+            except Exception:  # noqa: BLE001
+                pass
+
+
+def _make_stop_check(stop_src: str | None):
+    """Rebuild the early-stop predicate from its serialized state.
+
+    State: {"direction": "max"|"min", "es_interval": int,
+    "prefix_histories": [[v1, v2, ...], ...]} — finished trials'
+    metric histories. At step s the bar is the median of each
+    finished history's mean-of-first-s; stop if the checked trial's
+    best (direction=max: max; min: min) is on the wrong side
+    (reference medianrule.py:27-60).
+    """
+    if not stop_src:
+        return None
+    state = json.loads(stop_src)
+    direction = state.get("direction", "max")
+    es_interval = int(state.get("es_interval", 1))
+    histories: list[list[float]] = state.get("prefix_histories", [])
+    if not histories:
+        return None
+
+    def check(step_history: list[int], metric_history: list[float]) -> bool:
+        s = len(metric_history)
+        if s == 0 or s % es_interval != 0:
+            return False
+        means = [sum(h[:s]) / min(s, len(h)) for h in histories if h]
+        if not means:
+            return False
+        means.sort()
+        n = len(means)
+        median = means[n // 2] if n % 2 == 1 else (means[n // 2 - 1] + means[n // 2]) / 2.0
+        if direction == "max":
+            return max(metric_history) < median
+        return min(metric_history) > median
+
+    return check

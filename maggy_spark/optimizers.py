@@ -1,0 +1,253 @@
+"""Trial-generating controllers (SURVEY.md §2.2).
+
+Each controller consumes finalized trials and emits the next batch of
+pending `Trial`s. State is tiny (per-trial metadata), so controllers
+run driver-side and the heavy lifting — trial execution and result
+aggregation — is Spark's.
+
+Reference semantics:
+- RandomSearch: pre-buffers `num_trials` random configs, requires at
+  least one continuous hparam (`optimizer/randomsearch.py:23-113`).
+- GridSearch: Cartesian product of DISCRETE/CATEGORICAL domains
+  only; `num_trials` = product size (`optimizer/gridsearch.py:33-93`).
+- SingleRun: `num_trials` empty-param trials (`singlerun.py:21-37`).
+- ASHA: async successive halving — random at rung 0 with
+  budget=resource_min; promote the top 1/reduction_factor of a rung
+  to budget min*factor^(rung+1) (`optimizer/asha.py:71-169`).
+- Dedup guard: a candidate whose params (ex budget) equal a
+  finished/running trial's is rejected; random retry <= 3
+  (`abstractoptimizer.py:254-295`, `bayes/base.py:288-301`).
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import math
+import random
+from abc import ABC, abstractmethod
+
+from maggy_spark.searchspace import CATEGORICAL, DISCRETE, DOUBLE, INTEGER, Searchspace
+from maggy_spark.trial import Trial
+
+MAX_DEDUP_RETRIES = 3
+
+
+class AbstractOptimizer(ABC):
+    """Controller base: holds searchspace + finalized-trial feed."""
+
+    def __init__(self) -> None:
+        self.searchspace: Searchspace | None = None
+        self.num_trials: int = 0
+        self.direction: str = "max"
+        self.seed: int | None = None
+        self.final_store: list[Trial] = []
+        self._seen_params: set[str] = set()
+
+    def initialize(self, searchspace: Searchspace, num_trials: int, direction: str, seed: int | None) -> None:
+        self.searchspace = searchspace
+        self.num_trials = num_trials
+        self.direction = direction
+        self.seed = seed
+        self._initialize()
+
+    def _initialize(self) -> None:  # hook
+        pass
+
+    @abstractmethod
+    def next_batch(self, max_trials: int) -> list[Trial]:
+        """Emit up to max_trials new pending trials; [] when done."""
+
+    def finalize_trial(self, trial: Trial) -> None:
+        self.final_store.append(trial)
+
+    def done(self) -> bool:
+        return len(self.final_store) >= self.num_trials
+
+    # -- dedup guard (G12) ---------------------------------------------
+
+    def _params_key(self, params: dict) -> str:
+        clean = {k: v for k, v in params.items() if k != "budget" and not callable(v)}
+        return json.dumps(clean, sort_keys=True, default=str)
+
+    def hparams_exist(self, params: dict) -> bool:
+        return self._params_key(params) in self._seen_params
+
+    def _register(self, trial: Trial) -> Trial:
+        self._seen_params.add(self._params_key(trial.params))
+        return trial
+
+    # -- sign normalization (A2) ---------------------------------------
+
+    def metric_for_min(self, value: float) -> float:
+        """Normalize to a minimization problem (abstractoptimizer.py:186-213)."""
+        return -value if self.direction == "max" else value
+
+
+class RandomSearch(AbstractOptimizer):
+    def _initialize(self) -> None:
+        if not any(t in (DOUBLE, INTEGER) for t in self.searchspace.names().values()):
+            raise ValueError(
+                "RandomSearch requires at least one continuous (DOUBLE/INTEGER) "
+                "hyperparameter (reference randomsearch.py:30-36)"
+            )
+        self._buffer: list[Trial] = []
+        rng_seed = self.seed
+        drawn = 0
+        attempts = 0
+        while drawn < self.num_trials and attempts < self.num_trials * (MAX_DEDUP_RETRIES + 1):
+            params = self.searchspace.get_random_parameter_values(
+                1, seed=None if rng_seed is None else rng_seed + attempts
+            )[0]
+            attempts += 1
+            if self.hparams_exist(params):
+                continue
+            t = Trial(params, info_dict={"sample_type": "random"})
+            self._buffer.append(self._register(t))
+            drawn += 1
+
+    def next_batch(self, max_trials: int) -> list[Trial]:
+        out, self._buffer = self._buffer[:max_trials], self._buffer[max_trials:]
+        return out
+
+
+class GridSearch(AbstractOptimizer):
+    def _initialize(self) -> None:
+        bad = [n for n, t in self.searchspace.names().items() if t in (DOUBLE, INTEGER)]
+        if bad:
+            raise ValueError(
+                f"GridSearch supports only DISCRETE/CATEGORICAL hparams; got "
+                f"continuous {bad} (reference gridsearch.py:83-93)"
+            )
+        names = list(self.searchspace.keys())
+        domains = [self.searchspace.get(n) for n in names]
+        self._buffer = [
+            self._register(Trial(dict(zip(names, combo)), info_dict={"sample_type": "grid"}))
+            for combo in itertools.product(*domains)
+        ]
+        self.num_trials = len(self._buffer)
+
+    def next_batch(self, max_trials: int) -> list[Trial]:
+        out, self._buffer = self._buffer[:max_trials], self._buffer[max_trials:]
+        return out
+
+
+class SingleRun(AbstractOptimizer):
+    def _initialize(self) -> None:
+        self._emitted = 0
+
+    def next_batch(self, max_trials: int) -> list[Trial]:
+        out = []
+        while self._emitted < self.num_trials and len(out) < max_trials:
+            out.append(Trial({"run": self._emitted}, info_dict={"sample_type": "random"}))
+            self._emitted += 1
+        return out
+
+
+class Asha(AbstractOptimizer):
+    """Asynchronous successive halving (reference `optimizer/asha.py`).
+
+    budget lives as an explicit attr in info_dict (the reference
+    smuggles it into params and flags that as tech debt,
+    `abstractoptimizer.py:168,275`).
+    """
+
+    def __init__(self, reduction_factor: int = 2, resource_min: int = 1, resource_max: int = 4):
+        super().__init__()
+        if reduction_factor < 2:
+            raise ValueError("reduction_factor must be >= 2 (asha.py guard)")
+        self.eta = reduction_factor
+        self.resource_min = resource_min
+        self.resource_max = resource_max
+        # max rung: largest k with min*eta^k <= max  (asha.py:78-83)
+        self.max_rung = int(math.floor(math.log(resource_max / resource_min) / math.log(reduction_factor)))
+        self._promoted: dict[int, set[str]] = {r: set() for r in range(self.max_rung + 1)}
+        self._rng = None
+        self._emitted_rung0 = 0
+
+    def _initialize(self) -> None:
+        self._rng = random.Random(self.seed)
+
+    def budget_for_rung(self, rung: int) -> int:
+        return self.resource_min * self.eta**rung
+
+    def _rung_of(self, trial: Trial) -> int:
+        return int(trial.info_dict.get("rung", 0))
+
+    def _promotable(self, rung: int) -> list[Trial]:
+        """Top floor(n_finished/eta) of a rung not yet promoted
+        (asha.py:100-147,161-169); direction-aware sort."""
+        fin = [t for t in self.final_store if self._rung_of(t) == rung and t.final_metric is not None]
+        k = len(fin) // self.eta - len(self._promoted[rung])
+        if k <= 0:
+            return []
+        fin.sort(key=lambda t: self.metric_for_min(t.final_metric))
+        top = [t for t in fin if t.trial_id not in self._promoted[rung]][: k]
+        return top
+
+    def next_batch(self, max_trials: int) -> list[Trial]:
+        out: list[Trial] = []
+        # promotions first, highest rung first (asha.py:96-121)
+        for rung in range(self.max_rung - 1, -1, -1):
+            for src in self._promotable(rung):
+                if len(out) >= max_trials:
+                    return out
+                params = {k: v for k, v in src.params.items()}
+                t = Trial(params, info_dict={
+                    "sample_type": "promoted",
+                    "rung": rung + 1,
+                    "budget": self.budget_for_rung(rung + 1),
+                    "original_trial_id": src.trial_id,
+                })
+                # promoted trials share params with their source; id must
+                # differ by rung — disambiguate like the reference's
+                # per-rung trial copies (hyperband.py:458-465)
+                t.trial_id = Trial({**params, "budget": self.budget_for_rung(rung + 1)}).trial_id
+                self._promoted[rung].add(src.trial_id)
+                out.append(t)
+        # fill with rung-0 randoms (asha.py:149-156)
+        while len(out) < max_trials and self._emitted_rung0 < self.num_trials:
+            params = self.searchspace.get_random_parameter_values(
+                1, seed=None if self.seed is None else self.seed + self._emitted_rung0
+            )[0]
+            self._emitted_rung0 += 1
+            if self.hparams_exist(params):
+                continue
+            t = Trial(params, info_dict={
+                "sample_type": "random",
+                "rung": 0,
+                "budget": self.budget_for_rung(0),
+            })
+            out.append(self._register(t))
+        return out
+
+    def done(self) -> bool:
+        # done when every rung-0 candidate is emitted and no promotion pending
+        if self._emitted_rung0 < self.num_trials:
+            return False
+        pending = any(self._promotable(r) for r in range(self.max_rung))
+        finished = len(self.final_store)
+        return not pending and finished >= self._emitted_rung0 + sum(len(s) for s in self._promoted.values())
+
+
+CONTROLLERS = {
+    "randomsearch": RandomSearch,
+    "gridsearch": GridSearch,
+    "none": SingleRun,
+    "asha": Asha,
+}
+
+
+def get_controller(spec, **kwargs) -> AbstractOptimizer:
+    """Resolve a controller name or instance (reference
+    `optimization_driver.py:612-655` controller_dict)."""
+    if isinstance(spec, AbstractOptimizer):
+        return spec
+    name = str(spec).lower()
+    if name in ("gp", "tpe"):
+        from maggy_spark.bayes import GP, TPE
+
+        return GP(**kwargs) if name == "gp" else TPE(**kwargs)
+    if name not in CONTROLLERS:
+        raise ValueError(f"unknown optimizer {spec!r}; expected one of {sorted(CONTROLLERS) + ['gp', 'tpe']}")
+    return CONTROLLERS[name](**kwargs)

@@ -1,0 +1,164 @@
+"""End-to-end lagom runs — the shape of the reference's own e2e test
+(`maggy/tests/test_randomsearch.py:66-100`: 5-trial random search,
+reporter broadcasts, result is a dict with best/worst/avg)."""
+
+import pytest
+
+from maggy_spark import Searchspace, lagom
+from maggy_spark.config import BaseConfig, HyperparameterOptConfig
+from maggy_spark.optimizers import Asha, GridSearch, RandomSearch
+
+
+def quadratic_train_fn(x, y, reporter):
+    # deterministic "training": maximize -(x-0.3)^2 - (y-5)^2/100
+    val = -((x - 0.3) ** 2) - ((y - 5) ** 2) / 100.0
+    for step in range(3):
+        reporter.broadcast(val * (step + 1) / 3.0, step)
+    return val
+
+
+SP = {"x": ("DOUBLE", [0.0, 1.0]), "y": ("INTEGER", [0, 10])}
+
+
+def test_random_search_e2e(spark):
+    config = HyperparameterOptConfig(
+        num_trials=5,
+        optimizer="randomsearch",
+        searchspace=Searchspace(**SP),
+        direction="max",
+        es_policy="none",
+        seed=42,
+    )
+    res = lagom(quadratic_train_fn, config, spark)
+    assert res["num_trials"] == 5
+    assert res["best_val"] >= res["avg"] >= res["worst_val"]
+    assert set(res["best_config"]) == {"x", "y"}
+    assert res["best_val"] == pytest.approx(
+        -((res["best_config"]["x"] - 0.3) ** 2) - ((res["best_config"]["y"] - 5) ** 2) / 100.0
+    )
+
+
+def test_random_search_deterministic_under_seed(spark):
+    def run():
+        config = HyperparameterOptConfig(
+            num_trials=4, optimizer="randomsearch",
+            searchspace=Searchspace(**SP), direction="max", es_policy="none", seed=7,
+        )
+        return lagom(quadratic_train_fn, config, spark)
+
+    r1, r2 = run(), run()
+    assert r1["best_id"] == r2["best_id"]
+    assert r1["best_val"] == r2["best_val"]
+
+
+def test_grid_search_e2e(spark):
+    def fn(a, b):
+        return float(len(a)) * b
+
+    config = HyperparameterOptConfig(
+        optimizer="gridsearch",
+        searchspace=Searchspace(a=("CATEGORICAL", ["s", "ss", "sss"]), b=("DISCRETE", [1, 2])),
+        direction="max",
+        es_policy="none",
+    )
+    res = lagom(fn, config, spark)
+    assert res["num_trials"] == 6  # full product
+    assert res["best_val"] == 6.0  # 'sss' * 2
+    assert res["worst_val"] == 1.0
+
+
+def test_min_direction(spark):
+    def fn(x):
+        return (x - 0.5) ** 2
+
+    config = HyperparameterOptConfig(
+        num_trials=6, optimizer="randomsearch",
+        searchspace=Searchspace(x=("DOUBLE", [0.0, 1.0])),
+        direction="min", es_policy="none", seed=3,
+    )
+    res = lagom(fn, config, spark)
+    assert res["best_val"] <= res["avg"] <= res["worst_val"]
+
+
+def test_asha_promotes(spark):
+    def fn(x, budget=1):
+        # better x and more budget -> better metric
+        return x * budget
+
+    config = HyperparameterOptConfig(
+        num_trials=8,
+        optimizer=Asha(reduction_factor=2, resource_min=1, resource_max=4),
+        searchspace=Searchspace(x=("DOUBLE", [0.0, 1.0])),
+        direction="max", es_policy="none", seed=11, parallelism=4,
+    )
+    res = lagom(fn, config, spark)
+    assert res["num_trials"] >= 8  # rung-0 plus promotions
+    # the winner must be a promoted high-budget trial
+    assert res["best_val"] > 1.0
+
+
+def test_error_trial_does_not_kill_experiment(spark):
+    calls = {"n": 0}
+
+    def fn(x):
+        if x < 0.5:
+            raise RuntimeError("boom")
+        return x
+
+    config = HyperparameterOptConfig(
+        num_trials=6, optimizer="randomsearch",
+        searchspace=Searchspace(x=("DOUBLE", [0.0, 1.0])),
+        direction="max", es_policy="none", seed=5,
+    )
+    res = lagom(fn, config, spark)
+    # errored trials excluded from aggregates but experiment completes
+    assert res["num_trials"] >= 1
+    assert res["best_val"] >= 0.5
+
+
+def test_early_stop_median_rule(spark):
+    # 10 good trials establish the bar; then bad trials get stopped at
+    # their first broadcast past es_interval
+    def fn(x, reporter):
+        base = 100.0 if x >= 0.5 else -100.0
+        for step in range(5):
+            reporter.broadcast(base + step, step)
+        return base + 4
+
+    sp = Searchspace(x=("DOUBLE", [0.0, 1.0]))
+    config = HyperparameterOptConfig(
+        num_trials=24, optimizer="randomsearch", searchspace=sp,
+        direction="max", es_policy="median", es_interval=1, es_min=8,
+        seed=13, parallelism=8,
+    )
+    res = lagom(fn, config, spark)
+    assert res["num_trials"] + res["early_stopped"] >= 24 or res["early_stopped"] > 0
+
+
+def test_base_config_single_run(spark):
+    def fn():
+        return 42.0
+
+    res = lagom(fn, BaseConfig(), spark)
+    assert res["test result"] == 42.0
+
+
+def test_invalid_optimizer_rejected(spark):
+    with pytest.raises(ValueError):
+        lagom(
+            quadratic_train_fn,
+            HyperparameterOptConfig(optimizer="bogus", searchspace=Searchspace(**SP)),
+            spark,
+        )
+
+
+def test_gridsearch_rejects_continuous():
+    g = GridSearch()
+    with pytest.raises(ValueError):
+        g.initialize(Searchspace(x=("DOUBLE", [0, 1])), 5, "max", None)
+
+
+def test_randomsearch_requires_continuous():
+    r = RandomSearch()
+    with pytest.raises(ValueError):
+        r.initialize(Searchspace(c=("CATEGORICAL", ["a", "b"])), 5, "max", None)
