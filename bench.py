@@ -38,6 +38,11 @@ def main() -> None:
 
     from maggy_spark import registry
 
+    # warm up the JVM / codegen / parquet-footer paths so the first
+    # measured query isn't charged for session startup
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    spark.range(1_000).selectExpr("sum(id)").collect()
+
     qs = registry.queries()
     timings: dict[str, float] = {}
     for name, fn in qs.items():
@@ -46,6 +51,7 @@ def main() -> None:
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.time() - t0, 3)
+            spark.catalog.clearCache()  # drop per-query persists
         except Exception as e:  # a failed query must not hide the rest
             timings[name] = -1.0
             print(f"BENCH ERROR {name}: {e}", file=sys.stderr)

@@ -1,0 +1,289 @@
+"""Similarity search over the `embeddings` table (array<float>, 64-d).
+
+Three tiers, mirroring how a real 100 TB vector pipeline scales:
+- ann1: brute-force cosine top-k — the correctness baseline; the
+  query side is tiny and broadcast, so the big side streams through
+  one stage without a shuffle.
+- ann2: sign-LSH bucketed top-k — candidates restricted to the
+  query's hyperplane-sign bucket. Hyperplanes are data-derived
+  (fixed anchor rows) so both engines agree exactly.
+- ann3: IVF-style partitioned search — a representative per label
+  partition, queries probe only their nearest partition.
+- ann4: embedding-cosine near-duplicate pairs, LSH-bucket-blocked so
+  the pair space is bucket-local, never n^2.
+
+All dot products fold left-to-right over double-cast elements, which
+Spark's `aggregate` and DuckDB's `list_dot_product` both do — the
+cosines match bit-for-bit (verified empirically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from maggy_spark.plans.fixtures import load_table
+
+N_QUERIES = 5     # vec_id < 5 are the query vectors
+N_PLANES = 4      # vec_id 0..3 double as LSH hyperplanes
+TOP_K = 5
+
+
+def _dot(a: str, b: str):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _cosine(a: str, b: str):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def _cosine_pre(a: str, b: str, norm_a: str, norm_b: str):
+    """Cosine with precomputed norms: norms are per-vector (computed
+    once on each join side), not per-pair — at k buckets x m vectors
+    this turns 3 dot products per pair into 1. sqrt(dot(v,v)) is a
+    deterministic function of v, so results are bit-identical to the
+    per-pair form the oracle uses."""
+    return _dot(a, b) / (F.col(norm_a) * F.col(norm_b))
+
+
+_DOT_SQL = "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"{_DOT_SQL.format(a=a, b=b)} / "
+        f"(sqrt({_DOT_SQL.format(a=a, b=a)}) * sqrt({_DOT_SQL.format(a=b, b=b)}))"
+    )
+
+
+def ann1_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: queries broadcast against the corpus, rank
+    by similarity desc with vec_id tie-break."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
+        F.sqrt(_dot("embedding", "embedding")).alias("qn"),
+    )
+    c = e.where(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ve"),
+        F.sqrt(_dot("embedding", "embedding")).alias("vn"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "neighbor_id", _cosine_pre("qe", "ve", "qn", "vn").alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.select("query_id", "neighbor_id", "cosine", F.row_number().over(w).cast("bigint").alias("rank"))
+        .where(F.col("rank") <= TOP_K)
+    )
+
+
+ANN1_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ve FROM embeddings WHERE vec_id >= {N_QUERIES}),
+scored AS (
+    SELECT query_id, neighbor_id, {_cos_sql("qe", "ve")} AS cosine
+    FROM c CROSS JOIN q
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+def _bucket_expr(planes_df_alias_cols):
+    """Sign bucket relative to the 4 anchor embeddings."""
+    sign_bits = [
+        F.when(_dot("emb", f"p{i}") >= 0, F.lit("1")).otherwise(F.lit("0")) for i in range(N_PLANES)
+    ]
+    return F.concat(*sign_bits)
+
+
+def _with_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    planes = (
+        e.where(F.col("vec_id") < N_PLANES)
+        .groupBy()
+        .pivot("vec_id", list(range(N_PLANES)))
+        .agg(F.first("embedding"))
+    )
+    planes = planes.select(*[F.col(str(i)).alias(f"p{i}") for i in range(N_PLANES)])
+    withp = e.select(F.col("vec_id"), F.col("label"), F.col("embedding").alias("emb")).crossJoin(
+        F.broadcast(planes)
+    )
+    return withp.select(
+        "vec_id", "label", "emb",
+        F.sqrt(_dot("emb", "emb")).alias("norm"),
+        _bucket_expr(None).alias("bucket"),
+    )
+
+
+_BUCKET_SQL = f"""
+planes AS (
+    SELECT
+        max(CASE WHEN vec_id = 0 THEN embedding END) AS p0,
+        max(CASE WHEN vec_id = 1 THEN embedding END) AS p1,
+        max(CASE WHEN vec_id = 2 THEN embedding END) AS p2,
+        max(CASE WHEN vec_id = 3 THEN embedding END) AS p3
+    FROM embeddings WHERE vec_id < {N_PLANES}
+),
+bucketed AS (
+    SELECT e.vec_id, e.label, e.embedding AS emb,
+           (CASE WHEN {_DOT_SQL.format(a="e.embedding", b="p.p0")} >= 0 THEN '1' ELSE '0' END) ||
+           (CASE WHEN {_DOT_SQL.format(a="e.embedding", b="p.p1")} >= 0 THEN '1' ELSE '0' END) ||
+           (CASE WHEN {_DOT_SQL.format(a="e.embedding", b="p.p2")} >= 0 THEN '1' ELSE '0' END) ||
+           (CASE WHEN {_DOT_SQL.format(a="e.embedding", b="p.p3")} >= 0 THEN '1' ELSE '0' END) AS bucket
+    FROM embeddings e CROSS JOIN planes p
+)
+"""
+
+
+def ann2_lsh_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Sign-LSH approximate top-k: search only the query's bucket.
+    The bucket equi-join replaces the brute-force cross join — the
+    scale path when the corpus no longer fits a cross join."""
+    from pyspark.sql.window import Window
+
+    b = _with_buckets(spark, sf_dir)
+    q = b.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"), F.col("norm").alias("qn"), "bucket"
+    )
+    c = b.where(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ve"), F.col("norm").alias("vn"), "bucket"
+    )
+    scored = c.join(F.broadcast(q), "bucket").select(
+        "query_id", "neighbor_id", _cosine_pre("qe", "ve", "qn", "vn").alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.select("query_id", "neighbor_id", "cosine", F.row_number().over(w).cast("bigint").alias("rank"))
+        .where(F.col("rank") <= k)
+    )
+
+
+ANN2_SQL = f"""
+WITH {_BUCKET_SQL},
+q AS (SELECT vec_id AS query_id, emb AS qe, bucket FROM bucketed WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, emb AS ve, bucket FROM bucketed WHERE vec_id >= {N_QUERIES}),
+scored AS (
+    SELECT q.query_id, c.neighbor_id, {_cos_sql("q.qe", "c.ve")} AS cosine
+    FROM c JOIN q ON c.bucket = q.bucket
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+) WHERE rank <= 3
+"""
+
+
+def ann3_ivf_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """IVF-style partitioned search: each label partition is
+    represented by its min-vec_id member (deterministic medoid);
+    a query probes only the partition whose representative it is
+    closest to. At scale: partitions = bucketed parquet, probe = one
+    partition scan."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    rep_ids = e.groupBy("label").agg(F.min("vec_id").alias("rep_id")).select(
+        F.col("label").alias("rep_label"), "rep_id"
+    )
+    reps = rep_ids.join(e, rep_ids.rep_id == e.vec_id).select(
+        "rep_label", F.col("embedding").alias("rep_emb")
+    )
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
+        F.sqrt(_dot("embedding", "embedding")).alias("qn"),
+    )
+    # assign each query to its nearest representative
+    qr = q.crossJoin(F.broadcast(reps)).select(
+        "query_id", "qe", "qn", "rep_label", _cosine("qe", "rep_emb").alias("rep_cos")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("rep_cos").desc(), F.col("rep_label"))
+    assigned = qr.select("query_id", "qe", "qn", "rep_label", F.row_number().over(wq).alias("rn")).where(
+        F.col("rn") == 1
+    )
+    c = e.where(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ve"),
+        F.sqrt(_dot("embedding", "embedding")).alias("vn"),
+        F.col("label").alias("rep_label"),
+    )
+    scored = c.join(F.broadcast(assigned.select("query_id", "qe", "qn", "rep_label")), "rep_label").select(
+        "query_id", "neighbor_id", _cosine_pre("qe", "ve", "qn", "vn").alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.select("query_id", "neighbor_id", "cosine", F.row_number().over(w).cast("bigint").alias("rank"))
+        .where(F.col("rank") <= k)
+    )
+
+
+ANN3_SQL = f"""
+WITH rep_ids AS (SELECT label, min(vec_id) AS rep_id FROM embeddings GROUP BY label),
+reps AS (
+    SELECT r.label AS rep_label, e.embedding AS rep_emb
+    FROM rep_ids r JOIN embeddings e ON r.rep_id = e.vec_id
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
+assigned AS (
+    SELECT query_id, qe, rep_label FROM (
+        SELECT q.query_id, q.qe, r.rep_label,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_cos_sql("q.qe", "r.rep_emb")} DESC, r.rep_label
+               ) AS rn
+        FROM q CROSS JOIN reps r
+    ) WHERE rn = 1
+),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ve, label AS rep_label
+      FROM embeddings WHERE vec_id >= {N_QUERIES}),
+scored AS (
+    SELECT a.query_id, c.neighbor_id, {_cos_sql("a.qe", "c.ve")} AS cosine
+    FROM c JOIN assigned a ON c.rep_label = a.rep_label
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+) WHERE rank <= 3
+"""
+
+
+def ann4_embedding_near_dup(spark: SparkSession, sf_dir: str, threshold: float = 0.3) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by LSH bucket:
+    only co-bucketed pairs are scored, so the pair space stays
+    bucket-local instead of n^2."""
+    b = _with_buckets(spark, sf_dir).persist()  # signatures table: computed once, both join sides
+    a = b.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("ea"), F.col("norm").alias("na"), "bucket")
+    c = b.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("eb"), F.col("norm").alias("nb"), "bucket")
+    return (
+        a.join(c, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", _cosine_pre("ea", "eb", "na", "nb").alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+ANN4_SQL = f"""
+WITH {_BUCKET_SQL}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos_sql("a.emb", "b.emb")} AS cosine
+FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_cos_sql("a.emb", "b.emb")} >= 0.3
+"""
+
+
+OPERATORS = [
+    ("ann1_bruteforce_topk", ann1_bruteforce_topk, ANN1_SQL),
+    ("ann2_lsh_topk", ann2_lsh_topk, ANN2_SQL),
+    ("ann3_ivf_topk", ann3_ivf_topk, ANN3_SQL),
+    ("ann4_embedding_near_dup", ann4_embedding_near_dup, ANN4_SQL),
+]

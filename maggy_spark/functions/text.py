@@ -1,0 +1,181 @@
+"""Text analysis over the `documents` table: token counting, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+All pure column expressions (split/filter/aggregate/md5) — JVM-side,
+whole-stage-codegen friendly, no Python in the hot path. Ratios are
+double divisions of identical integer operands, so Spark and DuckDB
+agree bitwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from maggy_spark.plans.fixtures import load_table
+
+STOPWORDS = ["a", "the"]
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+LANG_MARKERS = {
+    "en": ["the", "a", "value", "fast"],
+    "de": ["der", "die", "und", "nicht"],
+    "fr": ["le", "la", "et", "est"],
+    "es": ["el", "la", "que", "de"],
+}
+
+
+def _tokens():
+    return F.split(F.col("text"), " ")
+
+
+def tx1_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization + char/token counts + mean token length.
+
+    The BPE-ish sub-token estimate counts 4-char chunks (ceil(len/4))
+    per token — a deterministic proxy for byte-pair token budgeting.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_toks = F.size(toks).cast("bigint")
+    n_chars = F.length("text").cast("bigint")
+    bpe = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("bigint")
+    )
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_toks.alias("n_tokens"),
+        (n_chars.cast("double") / n_toks.cast("double")).alias("chars_per_token"),
+        bpe.alias("bpe_tokens"),
+    )
+
+
+TX1_SQL = """
+SELECT doc_id,
+       cast(length(text) AS BIGINT) AS n_chars,
+       cast(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+       cast(length(text) AS DOUBLE) / cast(len(str_split(text, ' ')) AS DOUBLE) AS chars_per_token,
+       cast(list_sum(list_transform(str_split(text, ' '), t -> cast(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+
+def tx2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics: vocabulary richness (distinct/total tokens),
+    stopword ratio, mean word length — the usual pre-training corpus
+    filters, each an exact integer ratio."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_toks = F.size(toks).cast("bigint")
+    n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("bigint")
+    return d.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        (n_distinct.cast("double") / n_toks.cast("double")).alias("vocab_richness"),
+        (n_stop.cast("double") / n_toks.cast("double")).alias("stopword_ratio"),
+        ((F.length("text") - n_toks + 1).cast("double") / n_toks.cast("double")).alias("mean_word_len"),
+        (n_distinct >= 10).alias("passes_richness_filter"),
+    )
+
+
+TX2_SQL = """
+WITH t AS (
+    SELECT doc_id, text, str_split(text, ' ') AS toks FROM documents
+)
+SELECT doc_id,
+       cast(len(toks) AS BIGINT) AS n_tokens,
+       cast(len(list_distinct(toks)) AS DOUBLE) / cast(len(toks) AS DOUBLE) AS vocab_richness,
+       cast(len(list_filter(toks, x -> list_contains(['a','the'], x))) AS DOUBLE)
+           / cast(len(toks) AS DOUBLE) AS stopword_ratio,
+       cast(length(text) - len(toks) + 1 AS DOUBLE) / cast(len(toks) AS DOUBLE) AS mean_word_len,
+       (len(list_distinct(toks)) >= 10) AS passes_richness_filter
+FROM t
+"""
+
+
+def tx3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language scoring with deterministic argmax
+    (fixed tie-break order en > de > fr > es > unknown)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    scores = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("bigint")
+    pred = (
+        F.when(
+            (scores["en"] >= scores["de"]) & (scores["en"] >= scores["fr"]) & (scores["en"] >= scores["es"]) & (scores["en"] > 0),
+            F.lit("en"),
+        )
+        .when((scores["de"] >= scores["fr"]) & (scores["de"] >= scores["es"]) & (scores["de"] > 0), F.lit("de"))
+        .when((scores["fr"] >= scores["es"]) & (scores["fr"] > 0), F.lit("fr"))
+        .when(scores["es"] > 0, F.lit("es"))
+        .otherwise(F.lit("unknown"))
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        scores["en"].alias("score_en"),
+        scores["de"].alias("score_de"),
+        scores["fr"].alias("score_fr"),
+        scores["es"].alias("score_es"),
+        pred.alias("predicted_lang"),
+    )
+
+
+_SCORE = "len(list_filter(str_split(text,' '), x -> list_contains({words}, x)))"
+TX3_SQL = f"""
+WITH s AS (
+    SELECT doc_id, lang,
+           cast({_SCORE.format(words="['the','a','value','fast']")} AS BIGINT) AS score_en,
+           cast({_SCORE.format(words="['der','die','und','nicht']")} AS BIGINT) AS score_de,
+           cast({_SCORE.format(words="['le','la','et','est']")} AS BIGINT) AS score_fr,
+           cast({_SCORE.format(words="['el','la','que','de']")} AS BIGINT) AS score_es
+    FROM documents
+)
+SELECT doc_id, lang AS labeled_lang, score_en, score_de, score_fr, score_es,
+       CASE WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es AND score_en > 0 THEN 'en'
+            WHEN score_de >= score_fr AND score_de >= score_es AND score_de > 0 THEN 'de'
+            WHEN score_fr >= score_es AND score_fr > 0 THEN 'fr'
+            WHEN score_es > 0 THEN 'es'
+            ELSE 'unknown' END AS predicted_lang
+FROM s
+"""
+
+
+def tx4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: md5 of the normalized text (lowercase,
+    collapsed whitespace), a 64-bit-prefix hex fingerprint, and a
+    shard bucket — the partitioning key a 100 TB dedup would bucket
+    its corpus by."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.col("text"), " +", " "))
+    h = F.md5(norm)
+    return d.select(
+        "doc_id",
+        h.alias("fingerprint"),
+        F.substring(h, 1, 16).alias("fingerprint64"),
+        (F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint") % 256).cast("int").alias("shard_bucket"),
+    )
+
+
+TX4_SQL = """
+WITH h AS (
+    SELECT doc_id, md5(lower(regexp_replace(text, ' +', ' ', 'g'))) AS fingerprint
+    FROM documents
+)
+SELECT doc_id, fingerprint,
+       substr(fingerprint, 1, 16) AS fingerprint64,
+       cast(cast(('0x' || substr(fingerprint, 1, 4)) AS INTEGER) % 256 AS INTEGER) AS shard_bucket
+FROM h
+"""
+
+
+OPERATORS = [
+    ("tx1_token_count", tx1_token_count, TX1_SQL),
+    ("tx2_quality_score", tx2_quality_score, TX2_SQL),
+    ("tx3_lang_id", tx3_lang_id, TX3_SQL),
+    ("tx4_fingerprint", tx4_fingerprint, TX4_SQL),
+]

@@ -16,9 +16,9 @@ def _collect() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
 
     modules = [aggregations, generators, earlystop, transforms]
     try:
-        from maggy_spark.functions import dedup, similarity, text
+        from maggy_spark.functions import dedup, multimodal, similarity, text
 
-        modules += [text, dedup, similarity]
+        modules += [text, dedup, similarity, multimodal]
     except ImportError:
         pass
 

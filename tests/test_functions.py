@@ -1,0 +1,132 @@
+"""LLM-pipeline operators: invariants at sf0.001 (oracle parity is
+covered by tools/check_oracle.py / driver t2)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from maggy_spark.functions import dedup, multimodal, similarity, text
+
+
+def test_token_counts_positive(spark, sf_dir):
+    rows = text.tx1_token_count(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_tokens > 0 and r.n_chars >= r.n_tokens  # docs are non-empty word soup
+        assert r.bpe_tokens >= r.n_tokens  # 4-char chunks never fewer than words
+
+
+def test_quality_ratios_bounded(spark, sf_dir):
+    for r in text.tx2_quality_score(spark, sf_dir).collect():
+        assert 0.0 < r.vocab_richness <= 1.0
+        assert 0.0 <= r.stopword_ratio < 1.0
+
+
+def test_langid_covers_all_docs(spark, sf_dir):
+    df = text.tx3_lang_id(spark, sf_dir)
+    n = df.count()
+    assert df.where(F.col("predicted_lang").isNotNull()).count() == n
+
+
+def test_fingerprint_unique_for_distinct_texts(spark, sf_dir):
+    df = text.tx4_fingerprint(spark, sf_dir)
+    assert df.select("fingerprint").distinct().count() == df.count()
+    assert df.where((F.col("shard_bucket") < 0) | (F.col("shard_bucket") > 255)).count() == 0
+
+
+def test_exact_dedup_partitions_docs(spark, sf_dir):
+    d1 = dedup.dd1_exact_dedup(spark, sf_dir)
+    total = d1.agg(F.sum("n_copies")).collect()[0][0]
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert total == n_docs
+
+
+def test_minhash_signature_is_subset_property(spark, sf_dir):
+    # the minhash of each seed must be the md5 of SOME shingle of the doc
+    sig = dedup.dd2_minhash_signature(spark, sf_dir)
+    assert sig.where(F.col("mh0").isNull()).count() == 0
+    # deterministic across runs
+    a = sorted(tuple(r) for r in sig.collect())
+    b = sorted(tuple(r) for r in dedup.dd2_minhash_signature(spark, sf_dir).collect())
+    assert a == b
+
+
+def test_lsh_pairs_are_ordered(spark, sf_dir):
+    assert dedup.dd3_lsh_candidate_pairs(spark, sf_dir).where("doc_a >= doc_b").count() == 0
+
+
+def test_jaccard_bounds(spark, sf_dir):
+    for r in dedup.dd4_ngram_jaccard(spark, sf_dir).collect():
+        assert 0.0 < r.jaccard <= 1.0
+        assert r.n_common >= 2
+
+
+def test_cluster_reps_are_min(spark, sf_dir):
+    df = dedup.dd5_dedup_clusters(spark, sf_dir)
+    assert df.where("cluster_rep > doc_id").count() == 0
+
+
+def test_bruteforce_topk_shape(spark, sf_dir):
+    rows = similarity.ann1_bruteforce_topk(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == 5
+    for q, rs in by_q.items():
+        assert len(rs) == 5
+        sims = [r.cosine for r in sorted(rs, key=lambda x: x.rank)]
+        assert sims == sorted(sims, reverse=True)
+        assert all(-1.0 - 1e-9 <= s <= 1.0 + 1e-9 for s in sims)
+
+
+def test_lsh_topk_is_subset_of_bucket(spark, sf_dir):
+    # approximate results must come from the query's own bucket and
+    # can never beat brute force
+    bf = {(r.query_id, r.rank): r.cosine for r in similarity.ann1_bruteforce_topk(spark, sf_dir).collect()}
+    for r in similarity.ann2_lsh_topk(spark, sf_dir).collect():
+        assert r.cosine <= bf[(r.query_id, 1)] + 1e-12
+
+
+def test_ivf_topk_shape(spark, sf_dir):
+    rows = similarity.ann3_ivf_topk(spark, sf_dir).collect()
+    assert rows and all(r.rank <= 3 for r in rows)
+
+
+def test_near_dup_pairs_symmetric_free(spark, sf_dir):
+    df = similarity.ann4_embedding_near_dup(spark, sf_dir)
+    assert df.where("id_a >= id_b").count() == 0
+
+
+def test_multimodal_decode_schema_and_determinism(spark, sf_dir):
+    a = multimodal.mm1_decode_metadata(spark, sf_dir)
+    rows = a.collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n_docs
+    for r in rows:
+        assert r.media_type in ("image", "audio", "video")
+        assert len(r.checksum) == 32
+        if r.media_type == "audio":
+            assert r.duration_sec == pytest.approx(r.n_frames / 16_000.0)
+    again = {r.media_id: r.checksum for r in a.collect()}
+    assert {r.media_id: r.checksum for r in rows} == again
+
+
+def test_frame_sample_includes_last(spark, sf_dir):
+    rows = multimodal.mm2_frame_sample(spark, sf_dir).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r)
+    for mid, rs in by_id.items():
+        idxs = sorted(r.frame_idx for r in rs)
+        n_frames = rs[0].n_frames
+        assert idxs[0] == 0 and idxs[-1] == n_frames - 1
+        assert len(set(idxs)) == len(idxs)
+
+
+def test_metadata_stats_prune_payload(spark, sf_dir):
+    df = multimodal.mm3_metadata_stats(spark, sf_dir)
+    rows = {r.media_type: r for r in df.collect()}
+    assert set(rows) == {"image", "audio", "video"}
+    # payload must not be read: the plan should not reference the
+    # synthesized binary column (projection happens pre-agg)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "payload" not in plan.lower() or "encode" not in plan.lower()
