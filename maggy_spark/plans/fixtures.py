@@ -93,6 +93,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events` is written with TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects unless nanos are surfaced as long
+    (`spark.sql.legacy.parquet.nanosAsLong`); convert to a proper
+    timestamp with exact integer division (ns -> us)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = load_table(spark, sf_dir, "events")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
 def trials_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of the ``trials`` CTE above."""
     o = load_table(spark, sf_dir, "orders")

@@ -12,9 +12,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _collect() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
-    from maggy_spark.operators import aggregations, earlystop, generators, transforms
+    from maggy_spark.operators import aggregations, earlystop, events, generators, transforms
 
-    modules = [aggregations, generators, earlystop, transforms]
+    modules = [aggregations, generators, earlystop, transforms, events]
     try:
         from maggy_spark.functions import dedup, multimodal, similarity, text
 

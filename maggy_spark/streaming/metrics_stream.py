@@ -1,0 +1,79 @@
+"""Structured Streaming forms of the metric-stream operators.
+
+Reference control plane (SURVEY.md §2.3): heartbeat messages every
+`hb_interval` seconds (`maggy/core/rpc.py:716-737`) append
+(trial_id, step, value) to per-trial histories with duplicate steps
+dropped and nulls ignored (`maggy/trial.py:93-108`); the driver
+re-evaluates early stopping per message batch
+(`optimization_driver.py:433-471`).
+
+Streaming mapping:
+- heartbeats -> any streaming source with schema
+  `metrics(trial_id STRING, step BIGINT, value DOUBLE, ts TIMESTAMP)`
+- C2 dedup -> `withWatermark(ts) + dropDuplicates([trial_id, step])`;
+  the watermark bounds dedup state exactly like the reference's
+  "stale steps are rejected" rule (`reporter.py:95-96`)
+- C3 trigger -> each micro-batch recomputes the median rule over the
+  accumulated per-trial state (foreachBatch against the batch C3
+  query, reusing the same expressions as operators/earlystop.py)
+
+State scale: dropDuplicates state is (trial_id, step) keys inside
+the watermark horizon; per-trial running aggregates are bounded by
+active trials — both fine for 1000-executor clusters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,4)"
+
+
+def dedup_metric_stream(metrics_stream: DataFrame, watermark: str = "10 seconds") -> DataFrame:
+    """C2 in streaming form: drop null values, dedup (trial_id, step)
+    within the watermark horizon."""
+    return (
+        metrics_stream.withWatermark("ts", watermark)
+        .where(F.col("value").isNotNull())
+        .dropDuplicates(["trial_id", "step"])
+    )
+
+
+def windowed_metric_aggregates(
+    metrics_stream: DataFrame, watermark: str = "10 seconds", window: str = "5 seconds"
+) -> DataFrame:
+    """Tumbling-window per-trial aggregates over the deduped stream:
+    count/mean/max per (trial, window) — the progress feed the
+    reference exposes via LOG polling (`spark_driver.py:253-264`)."""
+    deduped = dedup_metric_stream(metrics_stream, watermark)
+    return deduped.groupBy(
+        F.window("ts", window).alias("w"), F.col("trial_id")
+    ).agg(
+        F.count("value").alias("n_reports"),
+        (F.sum(F.col("value").cast(DEC)).cast("double") / F.count("value")).alias("mean_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def early_stop_decisions_stream(
+    metrics_stream: DataFrame,
+    finalized_prefix_avgs: DataFrame,
+    watermark: str = "10 seconds",
+    direction: str = "max",
+) -> DataFrame:
+    """C3 as a streaming query: running trials' best-so-far vs the
+    (static) median bar of finalized trials' prefix averages.
+
+    `finalized_prefix_avgs` is the batch-side relation
+    (trial_id, pavg) — a static DataFrame joined into the stream;
+    the stream side keeps only per-trial max state."""
+    bar = finalized_prefix_avgs.agg(
+        F.round(F.percentile("pavg", F.lit(0.5)), 4).alias("median_bar")
+    )
+    deduped = dedup_metric_stream(metrics_stream, watermark)
+    best = deduped.groupBy("trial_id").agg(F.max("value").alias("best_metric"))
+    cmp = (F.col("best_metric") < F.col("median_bar")) if direction == "max" else (
+        F.col("best_metric") > F.col("median_bar")
+    )
+    return best.crossJoin(bar).select("trial_id", "best_metric", "median_bar", cmp.alias("should_stop"))

@@ -1,0 +1,142 @@
+"""Streaming metric-ingest semantics: dedup, windowed aggregates, and
+the early-stop trigger — driven with a memory-source stream built
+from the `events` table (TESTDATA.md suggests events for streaming
+metric-ingest tests)."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from maggy_spark.streaming import (
+    dedup_metric_stream,
+    early_stop_decisions_stream,
+    windowed_metric_aggregates,
+)
+
+SCHEMA = "trial_id string, step bigint, value double, ts timestamp"
+
+
+def _run_stream_once(sdf, out_name):
+    q = sdf.writeStream.format("memory").queryName(out_name).outputMode(
+        "append" if sdf.isStreaming and not sdf.schema.fieldNames().count("n_reports") else "complete"
+    )
+    return q
+
+
+def _feed(spark, rows):
+    """Create a file-based stream by writing rows to a temp dir and
+    reading it back as a stream (deterministic one-batch source)."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="maggy_stream_")
+    df = spark.createDataFrame(rows, SCHEMA)
+    df.write.mode("overwrite").parquet(d)
+    return spark.readStream.schema(SCHEMA).parquet(d)
+
+
+def _ts(sec):
+    import datetime
+
+    return datetime.datetime(2026, 1, 1, 0, 0, sec)
+
+
+def test_stream_dedup_drops_nulls_and_dup_steps(spark):
+    rows = [
+        ("t1", 0, 1.0, _ts(0)),
+        ("t1", 0, 999.0, _ts(1)),   # duplicate step: dropped
+        ("t1", 1, None, _ts(2)),    # null: dropped
+        ("t1", 1, 2.0, _ts(3)),
+        ("t2", 0, 5.0, _ts(4)),
+    ]
+    stream = _feed(spark, rows)
+    q = (
+        dedup_metric_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {(r.trial_id, r.step): r.value for r in spark.sql("SELECT * FROM dedup_out").collect()}
+    assert got[("t1", 1)] == 2.0
+    assert got[("t2", 0)] == 5.0
+    assert len(got) == 3
+    assert got[("t1", 0)] in (1.0, 999.0)  # exactly one survivor per step
+
+
+def test_windowed_aggregates(spark):
+    rows = [
+        ("t1", 0, 1.0, _ts(0)),
+        ("t1", 1, 3.0, _ts(1)),
+        ("t2", 0, 10.0, _ts(2)),
+    ]
+    stream = _feed(spark, rows)
+    q = (
+        windowed_metric_aggregates(stream, window="60 seconds")
+        .writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {r.trial_id: r for r in spark.sql("SELECT * FROM win_out").collect()}
+    assert got["t1"].n_reports == 2 and got["t1"].mean_value == 2.0 and got["t1"].max_value == 3.0
+    assert got["t2"].n_reports == 1
+
+
+def test_early_stop_stream_decision(spark):
+    # finalized bar: pavgs 10, 20, 30 -> median 20
+    finalized = spark.createDataFrame(
+        [("f1", 10.0), ("f2", 20.0), ("f3", 30.0)], "trial_id string, pavg double"
+    )
+    rows = [
+        ("slow", 0, 5.0, _ts(0)),   # best 5 < 20 -> stop
+        ("slow", 1, 12.0, _ts(1)),
+        ("fast", 0, 25.0, _ts(2)),  # best 25 >= 20 -> keep
+    ]
+    stream = _feed(spark, rows)
+    q = (
+        early_stop_decisions_stream(stream, finalized, direction="max")
+        .writeStream.format("memory")
+        .queryName("es_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {r.trial_id: r.should_stop for r in spark.sql("SELECT * FROM es_out").collect()}
+    assert got == {"slow": True, "fast": False}
+
+
+def test_events_table_streams_end_to_end(spark):
+    """Treat the driver's `events` parquet as the heartbeat stream:
+    user_id -> trial, event_id -> step."""
+    import tempfile
+
+    from maggy_spark.plans.fixtures import load_events
+
+    static = load_events(spark, "/root/testdata/sf0.001")
+    d = tempfile.mkdtemp(prefix="maggy_events_stream_")
+    static.write.mode("overwrite").parquet(d)  # streaming sources need a directory
+    stream = spark.readStream.schema(static.schema).parquet(d)
+    metrics = stream.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("trial_id"),
+        F.col("event_id").alias("step"),
+        F.col("value"),
+        F.col("ts"),
+    )
+    q = (
+        dedup_metric_stream(metrics, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("events_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n_stream = spark.sql("SELECT count(*) c FROM events_out").collect()[0].c
+    n_expected = static.where(F.col("value").isNotNull()).dropDuplicates(["user_id", "event_id"]).count()
+    assert n_stream == n_expected
