@@ -44,7 +44,7 @@ def a1_result_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     `optimization_driver.py:344-406` — here a single aggregation
     pass; best/worst via rank-1 windows with seq tie-break.
     """
-    t = trials_df(spark, sf_dir).where(F.col("status") == "FINALIZED")
+    t = trials_df(spark, sf_dir, statuses=["FINALIZED"])
     # argmax/argmin via ordered structs: one partial-aggregating pass,
     # no global sort — this is the plan that survives a 100x scale-up
     # (a global row_number window would funnel into one partition).
@@ -101,7 +101,7 @@ def a2_direction_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference: `abstractoptimizer.py:186-252`.
     """
-    t = trials_df(spark, sf_dir).where(F.col("status") == "FINALIZED")
+    t = trials_df(spark, sf_dir, statuses=["FINALIZED"])
     return t.select("trial_id", (-F.col("final_metric")).alias("neg_metric"))
 
 
@@ -124,9 +124,7 @@ def a3_get_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter + transform + negation); normalization per §1.4.
     p1 in [0,49] -> /49; p2 ordinal over the 5 priority classes -> /4.
     """
-    t = trials_df(spark, sf_dir).where(
-        (F.col("status") == "FINALIZED") & (F.col("budget") == 1)
-    )
+    t = trials_df(spark, sf_dir, statuses=["FINALIZED"]).where(F.col("budget") == 1)
     domain = F.array(*[F.lit(s) for s in ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]])
     return t.select(
         "trial_id",
@@ -157,7 +155,7 @@ def a4_budget_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference: `ybest/yworst/ymean` `abstractoptimizer.py:402-443`;
     used by constant-liar imputation (`gp.py:345-361`).
     """
-    t = trials_df(spark, sf_dir).where(F.col("status") == "FINALIZED")
+    t = trials_df(spark, sf_dir, statuses=["FINALIZED"])
     return t.groupBy("budget").agg(
         F.min("final_metric").alias("ybest"),
         F.max("final_metric").alias("yworst"),
@@ -189,7 +187,7 @@ def a5_topk_per_rung(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     Reference: ASHA `_top_k` `asha.py:161-169`; Hyperband promote
     `hyperband.py:501-527`. Window rank with seq tie-break.
     """
-    t = trials_df(spark, sf_dir).where(F.col("status") == "FINALIZED")
+    t = trials_df(spark, sf_dir, statuses=["FINALIZED"])
     w = Window.partitionBy("budget").orderBy(F.col("final_metric").desc(), F.col("seq"))
     return (
         t.select("budget", "trial_id", "final_metric", F.row_number().over(w).cast("bigint").alias("rank"))
@@ -218,7 +216,7 @@ def a6_tpe_split(spark: SparkSession, sf_dir: str, gamma: float = 0.15, n_hparam
     metric ascending; good = first max(n_hparams+1, floor(gamma*n)),
     bad = the rest up to good+max(n_hparams+1, floor((1-gamma)*n)).
     """
-    t = trials_df(spark, sf_dir).where(F.col("status") == "FINALIZED")
+    t = trials_df(spark, sf_dir, statuses=["FINALIZED"])
     w = Window.orderBy(F.col("final_metric").asc(), F.col("seq"))
     n = t.count()  # scalar driver-side; small metadata count
     n_good = max(n_hparams + 1, int(gamma * n))
@@ -293,7 +291,7 @@ def a8_median_prefix(spark: SparkSession, sf_dir: str, step_limit: int = 3) -> D
     Rounded to 4 decimals to absorb last-ulp interpolation diffs.
     """
     m = metrics_df(spark, sf_dir)
-    t = trials_df(spark, sf_dir).where(F.col("status") == "FINALIZED").select("trial_id")
+    t = trials_df(spark, sf_dir, statuses=["FINALIZED"]).select("trial_id")
     pavg = (
         m.where(F.col("step") <= step_limit)
         .join(t, "trial_id")

@@ -68,9 +68,7 @@ def c3_median_rule(spark: SparkSession, sf_dir: str, step_limit: int = 3) -> Dat
     # a 1-row broadcast-joined aggregate. Two shuffles total — the
     # shape that holds at 1000 executors.
     m = metrics_df(spark, sf_dir)
-    t = trials_df(spark, sf_dir).where(F.col("status").isin("FINALIZED", "RUNNING")).select(
-        "trial_id", "status"
-    )
+    t = trials_df(spark, sf_dir, statuses=["FINALIZED", "RUNNING"]).select("trial_id", "status")
     per_trial = (
         m.join(t, "trial_id")
         .groupBy("trial_id", "status")
@@ -79,6 +77,9 @@ def c3_median_rule(spark: SparkSession, sf_dir: str, step_limit: int = 3) -> Dat
             F.count(F.when(F.col("step") <= step_limit, F.col("value"))).alias("pcnt"),
             F.max("value").alias("best_metric"),
         )
+        # consumed twice (median bar + per-trial decisions): materialize
+        # once so the metrics scan + join + groupBy run a single time
+        .persist()
     )
     pavg = per_trial.where((F.col("status") == "FINALIZED") & (F.col("pcnt") > 0)).select(
         (F.col("psum").cast("double") / F.col("pcnt")).alias("pavg")

@@ -113,7 +113,7 @@ def g5_asha_promotion(spark: SparkSession, sf_dir: str, reduction_factor: int = 
     finalized trials advance to budget min*factor^(rung+1).
     budget column doubles as the rung index here.
     """
-    t = trials_df(spark, sf_dir).where(F.col("status") == "FINALIZED")
+    t = trials_df(spark, sf_dir, statuses=["FINALIZED"])
     w = Window.partitionBy("budget").orderBy(F.col("final_metric").desc(), F.col("seq"))
     counted = t.select(
         F.col("budget").alias("rung"),

@@ -105,9 +105,23 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
-def trials_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of the ``trials`` CTE above."""
+_STATUS_TO_SOURCE = {"FINALIZED": "F", "RUNNING": "O", "PENDING": "P"}
+
+
+def trials_df(spark: SparkSession, sf_dir: str, statuses: list[str] | None = None) -> DataFrame:
+    """Spark twin of the ``trials`` CTE above.
+
+    `statuses`: optional status filter applied to the SOURCE column
+    (o_orderstatus) before the projection — a post-hoc filter on the
+    CASE-derived `status` column does not constant-fold into a
+    parquet-pushable predicate (Catalyst keeps the CASE as a
+    DataFilter, so row-group stats pruning is lost); filtering the
+    raw column reaches the scan as PushedFilters.
+    """
     o = load_table(spark, sf_dir, "orders")
+    if statuses:
+        src = [_STATUS_TO_SOURCE[s] for s in statuses]
+        o = o.where(F.col("o_orderstatus").isin(src))
     p1 = (F.col("o_custkey") % 50).cast("bigint")
     p3 = (F.col("o_orderkey") % 500).cast("bigint")
     return o.select(

@@ -11,6 +11,7 @@ def spark():
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.maxMetadataStringLength", "2000")  # full FileScan lines for plan audits
         .getOrCreate()
     )
     yield s

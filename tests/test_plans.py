@@ -1,0 +1,108 @@
+"""Physical-plan audits: assert the scale-critical properties instead
+of hoping for them — filters reach the parquet scan, projections
+prune columns, small sides broadcast, aggregations are partial
+(map-side combine) before the shuffle.
+
+These are the '.explain and iterate' contract from the build brief,
+pinned as tests so a regression in plan shape fails CI, not a 100 TB
+run."""
+
+import pytest
+
+from maggy_spark.operators import aggregations as agg
+from maggy_spark.operators import earlystop, generators
+from maggy_spark.plans.fixtures import metrics_df, trials_df
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_trials_projection_prunes_orders_scan(spark, sf_dir):
+    # trials uses 5 source columns; the scan must not read o_orderdate
+    df = trials_df(spark, sf_dir).select("trial_id", "budget")
+    plan = _plan(df)
+    scan_line = next(l for l in plan.splitlines() if "FileScan" in l or "Scan parquet" in l.lower())
+    assert "o_orderdate" not in scan_line
+    assert "o_totalprice" not in scan_line  # pruned further by the projection
+
+
+def test_status_filter_pushdown(spark, sf_dir):
+    # filtering via the statuses= source predicate reaches parquet
+    df = trials_df(spark, sf_dir, statuses=["FINALIZED"])
+    plan = _plan(df)
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    assert "EqualTo(o_orderstatus,F)" in pushed
+    # counter-example pinned: a post-hoc filter on the CASE-derived
+    # column does NOT push (Catalyst keeps the CASE as a DataFilter) —
+    # which is exactly why the statuses= path exists
+    lazy = _plan(trials_df(spark, sf_dir).where("status = 'FINALIZED'"))
+    assert "o_orderstatus" not in lazy.split("PushedFilters:")[1].split("]")[0]
+
+
+def test_a4_uses_partial_aggregation(spark, sf_dir):
+    plan = _plan(agg.a4_budget_stats(spark, sf_dir))
+    # two HashAggregates (partial + final) around one exchange:
+    # map-side combine before the shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan
+
+
+def test_a1_has_no_global_sort(spark, sf_dir):
+    plan = _plan(agg.a1_result_summary(spark, sf_dir))
+    assert "Sort [" not in plan  # struct-max agg, not a sort-based top-1
+    assert "Window" not in plan
+
+
+def test_c3_materializes_shared_relation(spark, sf_dir):
+    plan = _plan(earlystop.c3_median_rule(spark, sf_dir))
+    # per-trial stats feed both the median bar and the decisions;
+    # the relation must be cached, not recomputed per consumer
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastExchange" in plan  # 1-row median bar broadcast
+
+
+def test_g12_anti_join_broadcasts_seen_side(spark, sf_dir):
+    plan = _plan(generators.g12_dedup_guard(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_g3_grid_distinct_before_product(spark, sf_dir):
+    # the cross join must consume DISTINCT-collapsed sides, not the
+    # raw part table twice
+    plan = _plan(generators.g3_grid_search(spark, sf_dir))
+    assert "HashAggregate" in plan  # distinct collapse
+    idx_join = plan.find("BroadcastNestedLoopJoin")
+    assert idx_join != -1
+
+
+def test_ann1_broadcasts_query_side(spark, sf_dir):
+    from maggy_spark.functions import similarity
+
+    plan = _plan(similarity.ann1_bruteforce_topk(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_whole_stage_codegen_on_kernel(spark, sf_dir):
+    # expression-only operators (no Window, which never codegens)
+    # must run inside WholeStageCodegen spans
+    from maggy_spark.operators import transforms
+
+    # executedPlan toString marks codegen stages with "*(n)"
+    for q in (generators.g13_trial_factory, transforms.t1_minmax_normalize):
+        assert "*(1)" in _plan(q(spark, sf_dir)), q.__name__
+
+
+def test_mm3_never_scans_text_payload(spark, sf_dir):
+    from maggy_spark.functions import multimodal
+
+    # metadata aggregation must not decode the payload: the optimized
+    # plan reads `text` only to compute length (for meta.n_bytes) and
+    # the executed scan excludes every other doc column
+    plan = _plan(multimodal.mm3_metadata_stats(spark, sf_dir))
+    scan_line = next(l for l in plan.splitlines() if "FileScan" in l or "Scan parquet" in l.lower())
+    assert "lang" not in scan_line and "n_chars" not in scan_line
