@@ -36,6 +36,14 @@ class HyperparameterOptConfig(BaseConfig):
     optimization_key: str = "metric"
     seed: int | None = None
     parallelism: int | None = None  # max concurrent trials (defaults to cores)
+    # "wave": batch-synchronous waves of `parallelism` trials — lowest
+    # overhead; use for short trials.
+    # "async": per-trial Spark jobs from a driver thread pool (FAIR
+    # pool) — a finished slot is refilled immediately, preserving the
+    # reference's async scheduling (optimization_driver.py:519-541),
+    # which ASHA/BO exploit. Each job pays ~1 s submission overhead,
+    # so prefer it only when trial runtime dominates (real training).
+    scheduling: str = "wave"
 
 
 @dataclass

@@ -150,7 +150,18 @@ def run_trial_wave(
             if budget:
                 ex.setdefault("budget", budget)
             kwargs = build_kwargs(fn, hparams, reporter, ex)
-            ret = fn(**kwargs)
+            # E4: tee user print() output into the trial logs
+            # (reference monkey-patches builtins.print,
+            # trial_executor.py:93-103; redirect_stdout is the
+            # tamper-free equivalent)
+            import contextlib
+            import io
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                ret = fn(**kwargs)
+            if buf.getvalue():
+                reporter.logs.extend(buf.getvalue().rstrip("\n").split("\n"))
             final = normalize_return(ret, opt_key)
         except EarlyStopException as e:  # salvage last metric (trial_executor.py:194-196)
             final = e.metric

@@ -71,6 +71,39 @@ def _run_base(train_fn: Callable, config: BaseConfig, spark: SparkSession) -> di
     return {"test result": metric, "logs": reporter.logs}
 
 
+def _stop_source(controller, config) -> str | None:
+    es_enabled = str(config.es_policy).lower() == "median" or not isinstance(config.es_policy, str)
+    if not es_enabled or len(controller.final_store) < config.es_min:
+        return None
+    histories = [t.metric_history for t in controller.final_store if t.metric_history]
+    if not histories:
+        return None
+    return json.dumps(
+        {
+            "direction": config.direction,
+            "es_interval": config.es_interval,
+            "prefix_histories": histories,
+        }
+    )
+
+
+def _apply_result(controller, trial: Trial, r: dict, seq: int) -> None:
+    trial.metric_history = list(r["metric_history"] or [])
+    trial.step_history = [int(s) for s in (r["step_history"] or [])]
+    trial.early_stop = bool(r["early_stop"])
+    trial.duration = (r["duration_ms"] or 0) / 1000.0
+    if r.get("logs"):
+        trial.info_dict["logs"] = list(r["logs"])
+    if r["error"]:
+        trial.status = Trial.ERROR
+        trial.info_dict["error"] = r["error"]
+    else:
+        trial.status = Trial.FINALIZED
+        trial.final_metric = r["final_metric"]
+        controller.finalize_trial(trial)
+    trial.info_dict["seq"] = seq
+
+
 def _run_hpo(train_fn: Callable, config: HyperparameterOptConfig, spark: SparkSession) -> dict:
     controller = get_controller(config.optimizer)
     controller.initialize(
@@ -80,58 +113,12 @@ def _run_hpo(train_fn: Callable, config: HyperparameterOptConfig, spark: SparkSe
         seed=config.seed,
     )
     parallelism = config.parallelism or spark.sparkContext.defaultParallelism
-    es_enabled = str(config.es_policy).lower() == "median" or not isinstance(config.es_policy, str)
 
     t_start = time.time()
-    all_trials: list[Trial] = []
-    seq = 0
-    waves = 0
-    while not controller.done():
-        wave = controller.next_batch(parallelism)
-        if not wave:
-            break
-        stop_src = None
-        if es_enabled and len(controller.final_store) >= config.es_min:
-            histories = [t.metric_history for t in controller.final_store if t.metric_history]
-            if histories:
-                stop_src = json.dumps(
-                    {
-                        "direction": config.direction,
-                        "es_interval": config.es_interval,
-                        "prefix_histories": histories,
-                    }
-                )
-        pending = [
-            {"trial_id": t.trial_id, "params": t.params, "budget": int(t.info_dict.get("budget", 0))}
-            for t in wave
-        ]
-        by_id = {t.trial_id: t for t in wave}
-        results = run_trial_wave(
-            spark,
-            pending,
-            train_fn,
-            optimization_key=config.optimization_key,
-            stop_check_source=stop_src,
-        )
-        for r in results:
-            t = by_id[r["trial_id"]]
-            t.metric_history = list(r["metric_history"] or [])
-            t.step_history = [int(s) for s in (r["step_history"] or [])]
-            t.early_stop = bool(r["early_stop"])
-            t.duration = (r["duration_ms"] or 0) / 1000.0
-            if r["error"]:
-                t.status = Trial.ERROR
-                t.info_dict["error"] = r["error"]
-            else:
-                t.status = Trial.FINALIZED
-                t.final_metric = r["final_metric"]
-                controller.finalize_trial(t)
-            seq += 1
-            t.info_dict["seq"] = seq
-            all_trials.append(t)
-        waves += 1
-        if waves > 10_000:
-            raise RuntimeError("experiment did not converge (wave limit)")
+    if config.scheduling == "async":
+        all_trials, waves = _drive_async(train_fn, config, spark, controller, parallelism)
+    else:
+        all_trials, waves = _drive_waves(train_fn, config, spark, controller, parallelism)
 
     result = _aggregate_result(spark, all_trials, config.direction)
     result["duration_sec"] = round(time.time() - t_start, 3)
@@ -143,6 +130,91 @@ def _run_hpo(train_fn: Callable, config: HyperparameterOptConfig, spark: SparkSe
     if worst is not None:
         result["worst_config"] = {k: v for k, v in worst.params.items() if not callable(v)}
     return result
+
+
+def _drive_waves(train_fn, config, spark, controller, parallelism) -> tuple[list[Trial], int]:
+    """Batch-synchronous scheduling: waves of `parallelism` trials."""
+    all_trials: list[Trial] = []
+    seq = 0
+    waves = 0
+    while not controller.done():
+        wave = controller.next_batch(parallelism)
+        if not wave:
+            break
+        stop_src = _stop_source(controller, config)
+        pending = [
+            {"trial_id": t.trial_id, "params": t.params, "budget": int(t.info_dict.get("budget", 0))}
+            for t in wave
+        ]
+        by_id = {t.trial_id: t for t in wave}
+        results = run_trial_wave(
+            spark, pending, train_fn,
+            optimization_key=config.optimization_key,
+            stop_check_source=stop_src,
+        )
+        for r in results:
+            seq += 1
+            t = by_id[r["trial_id"]]
+            _apply_result(controller, t, r, seq)
+            all_trials.append(t)
+        waves += 1
+        if waves > 10_000:
+            raise RuntimeError("experiment did not converge (wave limit)")
+    return all_trials, waves
+
+
+def _drive_async(train_fn, config, spark, controller, parallelism) -> tuple[list[Trial], int]:
+    """Per-trial scheduling: a driver thread pool keeps `parallelism`
+    single-trial Spark jobs in flight and refills a slot the moment a
+    trial finishes — the reference's asynchrony
+    (`optimization_driver.py:519-541`) without its socket plane.
+    Each job runs in the 'maggy' FAIR scheduler pool so concurrent
+    trials share executors fairly (SURVEY.md §7.3b)."""
+    from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
+
+    all_trials: list[Trial] = []
+    seq = 0
+    jobs = 0
+
+    def run_one(trial: Trial, stop_src: str | None) -> tuple[Trial, dict]:
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", "maggy")
+        res = run_trial_wave(
+            spark,
+            [{"trial_id": trial.trial_id, "params": trial.params,
+              "budget": int(trial.info_dict.get("budget", 0))}],
+            train_fn,
+            optimization_key=config.optimization_key,
+            stop_check_source=stop_src,
+        )
+        return trial, res[0]
+
+    with ThreadPoolExecutor(max_workers=parallelism) as pool:
+        in_flight = set()
+        stall = 0
+        while True:
+            while len(in_flight) < parallelism and not controller.done():
+                batch = controller.next_batch(1)
+                if not batch:
+                    break
+                in_flight.add(pool.submit(run_one, batch[0], _stop_source(controller, config)))
+                jobs += 1
+            if not in_flight:
+                if controller.done():
+                    break
+                stall += 1
+                if stall > 3:
+                    break  # controller has nothing runnable and nothing in flight
+                continue
+            stall = 0
+            done, in_flight = wait(in_flight, return_when=FIRST_COMPLETED)
+            for f in done:
+                trial, r = f.result()
+                seq += 1
+                _apply_result(controller, trial, r, seq)
+                all_trials.append(trial)
+            if jobs > 100_000:
+                raise RuntimeError("experiment did not converge (job limit)")
+    return all_trials, jobs
 
 
 def trials_to_df(spark: SparkSession, trials: list[Trial], direction: str = "max"):

@@ -1,0 +1,133 @@
+"""Async scheduling mode, print capture, and hypothesis property tests
+for the transform layer / trial ids."""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from maggy_spark import Searchspace, Trial, lagom, trial_id_for_params
+from maggy_spark.config import HyperparameterOptConfig
+from maggy_spark.optimizers import Asha
+
+
+def test_async_scheduling_e2e(spark):
+    def fn(x, y):
+        return x + y
+
+    config = HyperparameterOptConfig(
+        num_trials=8, optimizer="randomsearch",
+        searchspace=Searchspace(x=("DOUBLE", [0, 1]), y=("DOUBLE", [0, 1])),
+        direction="max", es_policy="none", seed=5, parallelism=4, scheduling="async",
+    )
+    res = lagom(fn, config, spark)
+    assert res["num_trials"] == 8
+    assert res["num_waves"] == 8  # one job per trial
+    assert res["best_val"] >= res["avg"]
+
+
+def test_async_asha_promotes(spark):
+    def fn(x, budget=1):
+        return x * budget
+
+    config = HyperparameterOptConfig(
+        num_trials=8,
+        optimizer=Asha(reduction_factor=2, resource_min=1, resource_max=4),
+        searchspace=Searchspace(x=("DOUBLE", [0.0, 1.0])),
+        direction="max", es_policy="none", seed=11, parallelism=4, scheduling="async",
+    )
+    res = lagom(fn, config, spark)
+    assert res["num_trials"] >= 8
+    assert res["best_val"] > 1.0  # a promoted (budget>1) trial won
+
+
+def test_print_capture(spark):
+    def fn(x):
+        print("hello from trial")
+        print("second line")
+        return x
+
+    config = HyperparameterOptConfig(
+        num_trials=1, optimizer="randomsearch",
+        searchspace=Searchspace(x=("DOUBLE", [0, 1])),
+        direction="max", es_policy="none", seed=1,
+    )
+    from maggy_spark.optimizers import RandomSearch
+
+    rs = RandomSearch()
+    config.optimizer = rs
+    lagom(fn, config, spark)
+    logs = rs.final_store[0].info_dict.get("logs", [])
+    assert "hello from trial" in logs and "second line" in logs
+
+
+# -- hypothesis properties ---------------------------------------------
+
+finite = st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    lo=finite,
+    width=st.floats(min_value=1e-3, max_value=1e6, allow_nan=False),
+    frac=st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+)
+def test_double_transform_roundtrip(lo, width, frac):
+    hi = lo + width
+    sp = Searchspace(x=("DOUBLE", [lo, hi]))
+    v = lo + frac * width
+    [enc] = sp.transform({"x": v})
+    assert 0.0 <= enc <= 1.0
+    dec = sp.inverse_transform([enc])["x"]
+    assert dec == pytest.approx(min(max(v, lo), hi), rel=1e-9, abs=1e-9 * width)
+
+
+@settings(max_examples=50, deadline=None)
+@given(lo=st.integers(-1000, 1000), width=st.integers(1, 2000), v=st.integers(0, 2000))
+def test_integer_transform_roundtrip(lo, width, v):
+    hi = lo + width
+    val = lo + (v % (width + 1))
+    sp = Searchspace(x=("INTEGER", [lo, hi]))
+    [enc] = sp.transform({"x": val})
+    assert sp.inverse_transform([enc])["x"] == val
+
+
+@settings(max_examples=50, deadline=None)
+@given(domain=st.lists(st.text(min_size=1, max_size=8), min_size=1, max_size=6, unique=True))
+def test_categorical_roundtrip(domain):
+    sp = Searchspace(c=("CATEGORICAL", domain))
+    for v in domain:
+        [enc] = sp.transform({"c": v})
+        assert sp.inverse_transform([enc])["c"] == v
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    params=st.dictionaries(
+        st.text(min_size=1, max_size=10),
+        st.one_of(st.integers(-10**9, 10**9), st.text(max_size=20), st.booleans()),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_trial_id_is_key_order_invariant_and_16hex(params):
+    tid = trial_id_for_params(params)
+    assert len(tid) == 16 and all(c in "0123456789abcdef" for c in tid)
+    shuffled = dict(reversed(list(params.items())))
+    assert trial_id_for_params(shuffled) == tid
+
+
+@settings(max_examples=30, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), n=st.integers(1, 20))
+def test_random_sampler_bounds_property(seed, n):
+    sp = Searchspace(
+        d=("DOUBLE", [2.5, 7.5]),
+        i=("INTEGER", [-3, 3]),
+        k=("DISCRETE", [1, 2, 4]),
+        c=("CATEGORICAL", ["a", "b"]),
+    )
+    draws = sp.get_random_parameter_values(n, seed=seed)
+    assert draws == sp.get_random_parameter_values(n, seed=seed)  # deterministic
+    for p in draws:
+        assert 2.5 <= p["d"] <= 7.5
+        assert -3 <= p["i"] <= 3 and isinstance(p["i"], int)
+        assert p["k"] in (1, 2, 4) and p["c"] in ("a", "b")
