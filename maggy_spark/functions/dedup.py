@@ -238,10 +238,109 @@ FROM d JOIN reps ON d.h = reps.h
 """
 
 
+N_SIMHASH_BITS = 16
+
+
+def _simhash_expr():
+    """16-bit SimHash over distinct tokens as a bit-string column.
+
+    Bit k is the sign of sum over tokens of +-1, where the vote is the
+    high bit of the first hex char of md5('k|' || token) — one
+    independent hash per bit, identical in both engines (md5 hex is
+    the shared hash family, as with MinHash). Map-side only: an
+    aggregate over the token array, no explode, no shuffle.
+    """
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+
+    def bit_col(k: int):
+        s = F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(F.substring(F.md5(F.concat(F.lit(f"{k}|"), t)), 1, 1) < "8", 1).otherwise(-1),
+        )
+        return F.when(s >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    return F.concat(*[bit_col(k) for k in range(N_SIMHASH_BITS)])
+
+
+def _simhash_sql_expr() -> str:
+    parts = []
+    for k in range(N_SIMHASH_BITS):
+        s = (
+            f"list_sum(list_transform(list_distinct(str_split(text, ' ')), "
+            f"t -> CASE WHEN substr(md5('{k}|' || t), 1, 1) < '8' THEN 1 ELSE -1 END))"
+        )
+        parts.append(f"(CASE WHEN {s} >= 0 THEN '1' ELSE '0' END)")
+    return " || ".join(parts)
+
+
+def dd6_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc SimHash signature + its band prefix (the blocking key
+    for hamming-distance candidate generation)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        _simhash_expr().alias("simhash"),
+    ).select(
+        "doc_id", "simhash", F.substring("simhash", 1, 8).alias("band")
+    )
+
+
+DD6_SQL = f"""
+SELECT doc_id, simhash, substr(simhash, 1, 8) AS band
+FROM (SELECT doc_id, {_simhash_sql_expr()} AS simhash FROM documents)
+"""
+
+
+def dd7_simhash_near_dup(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-duplicate pairs: candidates blocked on an 8-bit
+    band prefix (docs differing in the first byte are never paired),
+    then exact hamming distance <= `max_hamming` over the 16-bit
+    signatures. The band equi-join keeps the pair space bucket-local.
+    """
+    sig = dd6_simhash(spark, sf_dir).persist()
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "band")
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "band")
+    # hamming = count of differing chars between equal-length bit strings
+    idx = F.sequence(F.lit(1), F.lit(N_SIMHASH_BITS))
+    return (
+        a.join(b, "band")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.aggregate(
+                idx,
+                F.lit(0),
+                lambda acc, i: acc
+                + F.when(F.col("ha").substr(i, F.lit(1)) != F.col("hb").substr(i, F.lit(1)), 1).otherwise(0),
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+DD7_SQL = f"""
+WITH sig AS (
+    SELECT doc_id, simhash, substr(simhash, 1, 8) AS band
+    FROM (SELECT doc_id, {_simhash_sql_expr()} AS simhash FROM documents)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       cast(list_sum(list_transform(generate_series(1, {N_SIMHASH_BITS}),
+            i -> CASE WHEN substr(a.simhash, i, 1) != substr(b.simhash, i, 1) THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.band = b.band AND a.doc_id < b.doc_id
+WHERE list_sum(list_transform(generate_series(1, {N_SIMHASH_BITS}),
+        i -> CASE WHEN substr(a.simhash, i, 1) != substr(b.simhash, i, 1) THEN 1 ELSE 0 END)) <= 3
+"""
+
+
 OPERATORS = [
     ("dd1_exact_dedup", dd1_exact_dedup, DD1_SQL),
     ("dd2_minhash_signature", dd2_minhash_signature, DD2_SQL),
     ("dd3_lsh_candidate_pairs", dd3_lsh_candidate_pairs, DD3_SQL),
     ("dd4_ngram_jaccard", dd4_ngram_jaccard, DD4_SQL),
     ("dd5_dedup_clusters", dd5_dedup_clusters, DD5_SQL),
+    ("dd6_simhash", dd6_simhash, DD6_SQL),
+    ("dd7_simhash_near_dup", dd7_simhash_near_dup, DD7_SQL),
 ]

@@ -130,3 +130,26 @@ def test_metadata_stats_prune_payload(spark, sf_dir):
     # synthesized binary column (projection happens pre-agg)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "payload" not in plan.lower() or "encode" not in plan.lower()
+
+
+def test_simhash_signature_shape(spark, sf_dir):
+    rows = dedup.dd6_simhash(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert len(r.simhash) == 16 and set(r.simhash) <= {"0", "1"}
+        assert r.band == r.simhash[:8]
+    # deterministic
+    again = {r.doc_id: r.simhash for r in dedup.dd6_simhash(spark, sf_dir).collect()}
+    assert {r.doc_id: r.simhash for r in rows} == again
+
+
+def test_simhash_near_dup_bounds(spark, sf_dir):
+    sig = {r.doc_id: r.simhash for r in dedup.dd6_simhash(spark, sf_dir).collect()}
+    pairs = dedup.dd7_simhash_near_dup(spark, sf_dir).collect()
+    for r in pairs[:50]:
+        assert r.doc_a < r.doc_b
+        assert 0 <= r.hamming <= 3
+        # recompute hamming from signatures
+        true_h = sum(a != b for a, b in zip(sig[r.doc_a], sig[r.doc_b]))
+        assert true_h == r.hamming
+        assert sig[r.doc_a][:8] == sig[r.doc_b][:8]  # band-blocked
