@@ -178,14 +178,29 @@ def expected_improvement(mu: np.ndarray, sigma: np.ndarray, y_best: float) -> np
 
 
 class GP(BaseAsyncBO):
-    """GP-EI controller (reference bayes/gp.py)."""
+    """GP-EI controller (reference bayes/gp.py).
 
-    def __init__(self, n_points: int = DEFAULT_N_POINTS, liar_strategy: str = "cl_min", **kw):
+    Candidate scoring is driver-side numpy by default (10k x d is
+    microseconds); set `distributed_scoring=True` to fan the EI
+    evaluation out as an Arrow-batched `mapInPandas` job over
+    `spark.range` — the SURVEY §2.2 G6 scale path for very large
+    candidate pools (the fitted GP factors are a few KB and ship in
+    the task closure)."""
+
+    def __init__(
+        self,
+        n_points: int = DEFAULT_N_POINTS,
+        liar_strategy: str = "cl_min",
+        distributed_scoring: bool = False,
+        **kw,
+    ):
         super().__init__(**kw)
         self.n_points = n_points
         if liar_strategy not in ("cl_min", "cl_max", "cl_mean"):
             raise ValueError(f"unknown liar strategy {liar_strategy!r} (gp.py:345-361)")
         self.liar_strategy = liar_strategy
+        self.distributed_scoring = distributed_scoring
+        self.spark = None  # set by the experiment loop when available
         self._busy: list[dict] = []
 
     def suggest_model_params(self) -> dict:
@@ -200,11 +215,58 @@ class GP(BaseAsyncBO):
             y = np.concatenate([y, np.full(len(busy), liar)])
         model = _GPModel()
         model.fit(X, y)
-        cand = self._nprng.random((self.n_points, len(self.searchspace)))
-        mu, sigma = model.predict(cand)
-        ei = expected_improvement(mu, sigma, float(y.min()))
-        best = cand[int(np.argmax(ei))]
-        return self.searchspace.inverse_transform(best.tolist())
+        y_best = float(y.min())
+        if self.distributed_scoring and self.spark is not None:
+            best = self._argmax_ei_distributed(model, y_best)
+        else:
+            cand = self._nprng.random((self.n_points, len(self.searchspace)))
+            mu, sigma = model.predict(cand)
+            ei = expected_improvement(mu, sigma, y_best)
+            best = cand[int(np.argmax(ei))]
+        return self.searchspace.inverse_transform(list(best))
+
+    def _argmax_ei_distributed(self, model: "_GPModel", y_best: float, n_parts: int = 16):
+        """EI argmax over the candidate pool as a Spark job: each task
+        draws its deterministic slice of candidates (seeded by slice
+        id), scores them vectorized, and emits only its local argmax;
+        the driver reduces 16 rows."""
+        import pandas as pd
+
+        d = len(self.searchspace)
+        per_part = max(1, self.n_points // n_parts)
+        state = {
+            "X": model.X.tolist(), "chol": model._chol.tolist(),
+            "alpha": model._alpha.tolist(), "ls": model.ls,
+            "y_mean": model.y_mean, "y_std": model.y_std,
+            "seed": self.seed or 0, "per_part": per_part, "d": d, "y_best": y_best,
+        }
+
+        def score(batches):
+            import numpy as _np
+
+            Xtr = _np.array(state["X"]); L = _np.array(state["chol"])
+            alpha = _np.array(state["alpha"])
+            for pdf in batches:
+                for pid in pdf["id"]:
+                    rng = _np.random.default_rng(state["seed"] * 1_000_003 + int(pid))
+                    cand = rng.random((state["per_part"], state["d"]))
+                    Ks = matern52(cand, Xtr, state["ls"])
+                    mu = Ks @ alpha * state["y_std"] + state["y_mean"]
+                    v = _np.linalg.solve(L, Ks.T)
+                    sigma = _np.sqrt(_np.maximum(1.0 - (v**2).sum(0), 1e-12)) * state["y_std"]
+                    ei = expected_improvement(mu, sigma, state["y_best"])
+                    b = int(_np.argmax(ei))
+                    yield pd.DataFrame([{"ei": float(ei[b]),
+                                         "x": ",".join(map(repr, cand[b]))}])
+
+        rows = (
+            self.spark.range(n_parts)
+            .repartition(n_parts)
+            .mapInPandas(score, "ei double, x string")
+            .collect()
+        )
+        best = max(rows, key=lambda r: r.ei)
+        return [float(t) for t in best.x.split(",")]
 
     def next_batch(self, max_trials: int) -> list[Trial]:
         batch = super().next_batch(max_trials)

@@ -106,12 +106,17 @@ def _apply_result(controller, trial: Trial, r: dict, seq: int) -> None:
 
 def _run_hpo(train_fn: Callable, config: HyperparameterOptConfig, spark: SparkSession) -> dict:
     controller = get_controller(config.optimizer)
+    if config.searchspace is None:
+        raise ValueError("HyperparameterOptConfig.searchspace is required")
+    if config.direction not in ("min", "max"):
+        raise ValueError(f"direction must be 'min' or 'max', got {config.direction!r}")
     controller.initialize(
         searchspace=config.searchspace,
         num_trials=config.num_trials,
         direction=config.direction,
         seed=config.seed,
     )
+    controller.spark = spark  # controllers may fan work out (e.g. GP distributed scoring)
     parallelism = config.parallelism or spark.sparkContext.defaultParallelism
 
     t_start = time.time()

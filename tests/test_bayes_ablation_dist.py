@@ -162,3 +162,29 @@ def test_barrier_tf_config(spark):
 
     res = lagom(train_fn, TfDistributedConfig(num_workers=2), spark)
     assert res["test result"] == 2.0
+
+
+def test_gp_distributed_scoring_matches_shape(spark):
+    gp = GP(n_points=3200, num_warmup_trials=5, distributed_scoring=True)
+    res = lagom(parabola, _hpo(gp, 10, seed=2), spark)
+    assert res["num_trials"] == 10
+    types = [t.info_dict.get("sample_type") for t in gp.final_store]
+    assert "model" in types  # distributed EI path produced suggestions
+    assert res["best_val"] < 0.15
+
+
+def test_lagom_validation_errors(spark):
+    from maggy_spark.config import HyperparameterOptConfig
+
+    with pytest.raises(ValueError, match="searchspace"):
+        lagom(parabola, HyperparameterOptConfig(num_trials=2), spark)
+    with pytest.raises(ValueError, match="direction"):
+        lagom(
+            parabola,
+            HyperparameterOptConfig(
+                num_trials=2,
+                searchspace=Searchspace(x=("DOUBLE", [0, 1]), y=("DOUBLE", [0, 1])),
+                direction="sideways",
+            ),
+            spark,
+        )
