@@ -119,9 +119,12 @@ def run_trial_wave(
         for p in pending
     ]
     df = spark.createDataFrame(rows, "trial_id string, params_json string, budget int")
-    # one group per trial; aim for one task per trial so a wave of k
-    # trials runs k-wide
-    df = df.repartition(len(rows), "trial_id")
+    # Exactly one trial per task: round-robin repartition(n) gives a
+    # perfectly even explicit partitioning that AQE respects. A
+    # groupBy().applyInPandas here would re-shuffle to
+    # spark.sql.shuffle.partitions and AQE would coalesce the tiny
+    # wave into a handful of partitions — trials would serialize.
+    df = df.repartition(len(rows))
 
     # Serialize the train_fn BY VALUE: user functions typically live in
     # modules (notebooks, test files, scripts) that executor Python
@@ -139,6 +142,7 @@ def run_trial_wave(
         trial_id = pdf["trial_id"].iloc[0]
         hparams = json.loads(pdf["params_json"].iloc[0])
         budget = int(pdf["budget"].iloc[0])
+        assert len(pdf) == 1, "one trial per group"
         stop_check = _make_stop_check(stop_src)
         reporter = Reporter(stop_check=stop_check)
         t0 = time.time()
@@ -183,7 +187,17 @@ def run_trial_wave(
             ]
         )
 
-    out = df.groupBy("trial_id").applyInPandas(run_group, RESULT_SCHEMA)
+    def run_partition(batches):
+        # a partition holds at most one trial (round-robin above);
+        # concatenate defensively in case of future batching changes
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        whole = pd.concat(pdfs, ignore_index=True)
+        for i in range(len(whole)):
+            yield run_group(whole.iloc[i : i + 1])
+
+    out = df.mapInPandas(run_partition, RESULT_SCHEMA)
     return [r.asDict() for r in out.collect()]
 
 
