@@ -3,10 +3,11 @@
 Replaces the reference's long-held `foreachPartition` workers + TCP
 control plane (`maggy/core/executors/trial_executor.py:35-213`,
 `maggy/core/rpc.py`) with short-lived Spark jobs: each wave of
-pending trials becomes a DataFrame with one group per trial,
-`applyInPandas` fans the user function out, and results come back as
-rows. Spark task retries replace the reference's lost-trial
-blacklist (C10); no sockets.
+pending trials becomes a DataFrame with exactly one trial per
+partition (`parallelize` slicing), `mapInPandas` fans the user
+function out one task per trial, and results come back as rows.
+Spark task retries replace the reference's lost-trial blacklist
+(C10); no sockets.
 
 Kwarg injection mirrors `trial_executor.py:166-179` (signature
 inspection); return normalization mirrors `util.handle_return_val`
@@ -118,13 +119,15 @@ def run_trial_wave(
          int(p.get("budget", 0)))
         for p in pending
     ]
-    df = spark.createDataFrame(rows, "trial_id string, params_json string, budget int")
-    # Exactly one trial per task: round-robin repartition(n) gives a
-    # perfectly even explicit partitioning that AQE respects. A
-    # groupBy().applyInPandas here would re-shuffle to
-    # spark.sql.shuffle.partitions and AQE would coalesce the tiny
-    # wave into a handful of partitions — trials would serialize.
-    df = df.repartition(len(rows))
+    # Exactly one trial per task: parallelize with numSlices=len(rows)
+    # puts exactly one row in each partition with no shuffle. Neither
+    # groupBy().applyInPandas (re-shuffles to
+    # spark.sql.shuffle.partitions, then AQE coalesces the tiny wave)
+    # nor repartition(n) (round-robin starts at a RANDOM offset per
+    # input partition, so partitions collide — measured [2,2,1,1,1,1,
+    # 0,0] for 8 rows) guarantees that; both serialize trials.
+    rdd = spark.sparkContext.parallelize(rows, numSlices=len(rows))
+    df = spark.createDataFrame(rdd, "trial_id string, params_json string, budget int")
 
     # Serialize the train_fn BY VALUE: user functions typically live in
     # modules (notebooks, test files, scripts) that executor Python
@@ -142,7 +145,6 @@ def run_trial_wave(
         trial_id = pdf["trial_id"].iloc[0]
         hparams = json.loads(pdf["params_json"].iloc[0])
         budget = int(pdf["budget"].iloc[0])
-        assert len(pdf) == 1, "one trial per group"
         stop_check = _make_stop_check(stop_src)
         reporter = Reporter(stop_check=stop_check)
         t0 = time.time()
@@ -188,14 +190,12 @@ def run_trial_wave(
         )
 
     def run_partition(batches):
-        # a partition holds at most one trial (round-robin above);
-        # concatenate defensively in case of future batching changes
-        pdfs = [p for p in batches if len(p)]
-        if not pdfs:
-            return
-        whole = pd.concat(pdfs, ignore_index=True)
-        for i in range(len(whole)):
-            yield run_group(whole.iloc[i : i + 1])
+        # normally exactly one trial per partition (parallelize
+        # slicing above); the row loop still executes every trial
+        # correctly if a partition ever carries more
+        for pdf in batches:
+            for i in range(len(pdf)):
+                yield run_group(pdf.iloc[i : i + 1])
 
     out = df.mapInPandas(run_partition, RESULT_SCHEMA)
     return [r.asDict() for r in out.collect()]

@@ -49,9 +49,14 @@ def ev2_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: at 100 TB `events` is date-partitioned and this query
     prunes to the requested days at the scan."""
     e = load_events(spark, sf_dir)
-    # day as STRING: engines render DATE differently in their client
-    # layers; the string form is unambiguous
-    return e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+    # day via epoch-day arithmetic (unix_micros is tz-independent, the
+    # DateType render is pure): matches DuckDB's naive-timestamp day
+    # on ANY session timezone — date_format would shift day boundaries
+    # with spark.sql.session.timeZone. String form is unambiguous
+    # across both engines' client layers.
+    epoch_days = F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)).cast("int")
+    day = F.date_add(F.lit("1970-01-01").cast("date"), epoch_days).cast("string")
+    return e.groupBy(day.alias("day")).agg(
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("active_users"),
         (F.sum(F.col("value").cast(DEC4)).cast("double") / F.count("value")).alias("avg_value"),

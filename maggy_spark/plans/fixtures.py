@@ -99,10 +99,6 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`spark.sql.legacy.parquet.nanosAsLong`); convert to a proper
     timestamp with exact integer division (ns -> us)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # DuckDB treats the stored nanos as a naive timestamp; Spark
-    # renders TimestampType in the session timezone. Pin UTC so
-    # date bucketing agrees with the oracle regardless of host tz.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = load_table(spark, sf_dir, "events")
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
