@@ -176,8 +176,18 @@ def run_ablation(train_fn: Callable, config: AblationConfig, spark: SparkSession
     path = study.training_dataset_path
     label = study.label_name
     custom_gens = dict(study.custom_model_generators)
+    # Serialize the USER fn by value here: `wrapped` (a local function)
+    # is always pickled by value, but a closure cell holding train_fn
+    # would be pickled by REFERENCE to train_fn's module — exactly the
+    # executor-side ModuleNotFoundError _dumps_by_value prevents.
+    from maggy_spark.executor import _dumps_by_value
+
+    train_fn_bytes = _dumps_by_value(train_fn)
 
     def wrapped(hparams: dict, reporter: Any = None, **_kw) -> Any:
+        from pyspark import cloudpickle as _cp
+
+        user_fn = _cp.loads(train_fn_bytes)
         ablated = hparams.get("ablated", "None")
         kind, _, name = ablated.partition(":")
         ablated_feature = name if kind == "feature" else None
@@ -191,8 +201,8 @@ def run_ablation(train_fn: Callable, config: AblationConfig, spark: SparkSession
             "ablated_layer": ablated_layer,
             "label_name": label,
         }
-        kwargs = build_kwargs(train_fn, {}, reporter, extras)
-        return train_fn(**kwargs)
+        kwargs = build_kwargs(user_fn, {}, reporter, extras)
+        return user_fn(**kwargs)
 
     pending = [{"trial_id": t.trial_id, "params": t.params, "budget": 0} for t in trials]
     by_id = {t.trial_id: t for t in trials}

@@ -50,6 +50,7 @@ class BaseAsyncBO(AbstractOptimizer):
         self._rng: random.Random | None = None
         self._nprng: np.random.Generator | None = None
         self._emitted = 0
+        self._draws = 0  # total random draws, incl. dedup retries
 
     def _initialize(self) -> None:
         self._rng = random.Random(self.seed)
@@ -69,8 +70,12 @@ class BaseAsyncBO(AbstractOptimizer):
         return X, y
 
     def _random_params(self) -> dict:
+        # seed advances with EVERY draw (not just emitted trials), so
+        # dedup retries actually redraw instead of repeating the same
+        # seeded sample three times
+        self._draws += 1
         return self.searchspace.get_random_parameter_values(
-            1, seed=None if self.seed is None else self.seed * 100_003 + self._emitted
+            1, seed=None if self.seed is None else self.seed * 100_003 + self._draws
         )[0]
 
     def _emit(self, params: dict, sample_type: str) -> Trial:
@@ -78,11 +83,15 @@ class BaseAsyncBO(AbstractOptimizer):
         self._emitted += 1
         return self._register(t)
 
+    def min_model_trials(self) -> int:
+        """Finalized trials required before the surrogate can suggest."""
+        return len(self.searchspace) + 1
+
     def next_batch(self, max_trials: int) -> list[Trial]:
         out: list[Trial] = []
         while len(out) < max_trials and self._emitted < self.num_trials:
             n_done = len(self.final_store)
-            if self._emitted < self.num_warmup_trials or n_done < len(self.searchspace) + 1:
+            if self._emitted < self.num_warmup_trials or n_done < self.min_model_trials():
                 params, stype = self._random_params(), "random"
             elif self._rng.random() < self.random_fraction:
                 params, stype = self._random_params(), "random"
@@ -268,10 +277,14 @@ class GP(BaseAsyncBO):
         best = max(rows, key=lambda r: r.ei)
         return [float(t) for t in best.x.split(",")]
 
-    def next_batch(self, max_trials: int) -> list[Trial]:
-        batch = super().next_batch(max_trials)
-        self._busy = [t.params for t in batch]
-        return batch
+    def _emit(self, params: dict, sample_type: str) -> Trial:
+        # every emitted trial joins the busy set the moment it exists,
+        # so (a) later suggestions within the same batch see earlier
+        # ones, and (b) async single-trial batches ACCUMULATE in-flight
+        # trials instead of overwriting the set
+        t = super()._emit(params, sample_type)
+        self._busy.append(dict(params))
+        return t
 
     def finalize_trial(self, trial: Trial) -> None:
         super().finalize_trial(trial)
@@ -297,6 +310,11 @@ class TPE(BaseAsyncBO):
         self.gamma = gamma
         self.n_samples = n_samples
         self.bw_factor = bw_factor  # bandwidth widening on sampling, tpe.py:84-118
+
+    def min_model_trials(self) -> int:
+        # both KDEs need rows: the good floor is n_hparams+1, so the
+        # bad side is only non-empty once n > 2*(n_hparams+1) - 1
+        return 2 * (len(self.searchspace) + 1)
 
     def _split(self, X: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Good/bad split (tpe.py:191-221; relational twin: A6)."""
@@ -325,6 +343,8 @@ class TPE(BaseAsyncBO):
     def suggest_model_params(self) -> dict:
         X, y = self.get_xy()
         good, bad = self._split(X, y)
+        if len(bad) == 0:  # defensive: min_model_trials should prevent this
+            return self._random_params()
         # sample around good points with widened bandwidth (tpe.py:84-118)
         idx = self._nprng.integers(0, len(good), size=self.n_samples)
         samples = np.empty((self.n_samples, X.shape[1]))

@@ -35,6 +35,14 @@ def run_distributed_training(
     fn_bytes = _dumps_by_value(train_fn)
     metric_key = config.metric_key or "metric"
     is_tf = isinstance(config, TfDistributedConfig)
+    # config-carried training objects, injected by name like the
+    # reference (train_fn(module=..., train_set=..., ...)); these ride
+    # the task closure, so large datasets should be paths/handles
+    config_extras = {
+        k: getattr(config, k)
+        for k in ("module", "model", "train_set", "test_set", "process_data")
+        if getattr(config, k, None) is not None
+    }
 
     def worker(iterator):
         from pyspark import BarrierTaskContext
@@ -72,6 +80,7 @@ def run_distributed_training(
         reporter = Reporter()
         extras = dict(cluster)
         extras["cluster"] = cluster
+        extras.update(config_extras)
         try:
             kwargs = build_kwargs(fn, {}, reporter, extras)
             ret = fn(**kwargs)

@@ -71,9 +71,23 @@ def _run_base(train_fn: Callable, config: BaseConfig, spark: SparkSession) -> di
     return {"test result": metric, "logs": reporter.logs}
 
 
+def _es_enabled(config) -> bool:
+    """Early stopping runs only for the median policy; None or "none"
+    disable it. Anything else is rejected up front rather than being
+    silently treated as median (custom rule objects are not supported
+    in the UDF-local check — SURVEY §7.3a)."""
+    policy = config.es_policy
+    if policy is None or (isinstance(policy, str) and policy.lower() == "none"):
+        return False
+    if isinstance(policy, str) and policy.lower() == "median":
+        return True
+    raise ValueError(
+        f"unsupported es_policy {policy!r}: expected 'median', 'none', or None"
+    )
+
+
 def _stop_source(controller, config) -> str | None:
-    es_enabled = str(config.es_policy).lower() == "median" or not isinstance(config.es_policy, str)
-    if not es_enabled or len(controller.final_store) < config.es_min:
+    if not _es_enabled(config) or len(controller.final_store) < config.es_min:
         return None
     histories = [t.metric_history for t in controller.final_store if t.metric_history]
     if not histories:
@@ -110,6 +124,7 @@ def _run_hpo(train_fn: Callable, config: HyperparameterOptConfig, spark: SparkSe
         raise ValueError("HyperparameterOptConfig.searchspace is required")
     if config.direction not in ("min", "max"):
         raise ValueError(f"direction must be 'min' or 'max', got {config.direction!r}")
+    _es_enabled(config)  # reject unsupported policies before any work
     controller.initialize(
         searchspace=config.searchspace,
         num_trials=config.num_trials,

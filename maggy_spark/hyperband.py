@@ -42,6 +42,10 @@ class Hyperband(AbstractOptimizer):
 
     def _initialize(self) -> None:
         self._rng = random.Random(self.seed)
+        # generated-but-not-yet-handed-out trials: next_batch drains
+        # this first, so a small max_trials can never drop trials that
+        # are already registered in a rung's pending ledger
+        self._queue: list[Trial] = []
         # iteration state: for each SH iteration, the rung cursor and
         # per-rung trial ledgers
         self._iters = []
@@ -85,10 +89,10 @@ class Hyperband(AbstractOptimizer):
         return t
 
     def next_batch(self, max_trials: int) -> list[Trial]:
-        out: list[Trial] = []
+        # generate any newly-runnable rungs into the queue, then hand
+        # out at most max_trials from it — never drop generated trials
+        # (they are already in a rung's pending ledger)
         for i, it in enumerate(self._iters):
-            if len(out) >= max_trials:
-                break
             if not it["seeded"]:
                 # rung seeding: n0 random configs (hyperband.py:197-218)
                 for _ in range(it["n_configs"][0]):
@@ -98,7 +102,7 @@ class Hyperband(AbstractOptimizer):
                     self._emitted_seed += 1
                     t = self._new_trial(params, i, it["rung"], "random")
                     it["pending"][t.trial_id] = t
-                    out.append(t)
+                    self._queue.append(t)
                 it["seeded"] = True
                 continue
             if it["pending"]:
@@ -115,8 +119,9 @@ class Hyperband(AbstractOptimizer):
                     t = self._new_trial(params, i, it["rung"], "promoted")
                     t.info_dict["original_trial_id"] = src.trial_id
                     it["pending"][t.trial_id] = t
-                    out.append(t)
-        return out[:max_trials]
+                    self._queue.append(t)
+        out, self._queue = self._queue[:max_trials], self._queue[max_trials:]
+        return out
 
     def finalize_trial(self, trial: Trial) -> None:
         super().finalize_trial(trial)

@@ -164,6 +164,7 @@ class Asha(AbstractOptimizer):
         self._promoted: dict[int, set[str]] = {r: set() for r in range(self.max_rung + 1)}
         self._rng = None
         self._emitted_rung0 = 0
+        self._rung0_draws = 0
 
     def _initialize(self) -> None:
         self._rng = random.Random(self.seed)
@@ -205,19 +206,27 @@ class Asha(AbstractOptimizer):
                 t.trial_id = Trial({**params, "budget": self.budget_for_rung(rung + 1)}).trial_id
                 self._promoted[rung].add(src.trial_id)
                 out.append(t)
-        # fill with rung-0 randoms (asha.py:149-156)
+        # fill with rung-0 randoms (asha.py:149-156); the draw counter
+        # salts the seed per attempt, while _emitted_rung0 counts only
+        # trials actually emitted (a dedup skip must not inflate the
+        # done() accounting)
+        attempts = 0
         while len(out) < max_trials and self._emitted_rung0 < self.num_trials:
             params = self.searchspace.get_random_parameter_values(
-                1, seed=None if self.seed is None else self.seed + self._emitted_rung0
+                1, seed=None if self.seed is None else self.seed + self._rung0_draws
             )[0]
-            self._emitted_rung0 += 1
+            self._rung0_draws += 1
+            attempts += 1
             if self.hparams_exist(params):
+                if attempts > (MAX_DEDUP_RETRIES + 1) * self.num_trials:
+                    break  # searchspace effectively exhausted
                 continue
             t = Trial(params, info_dict={
                 "sample_type": "random",
                 "rung": 0,
                 "budget": self.budget_for_rung(0),
             })
+            self._emitted_rung0 += 1
             out.append(self._register(t))
         return out
 

@@ -1,0 +1,180 @@
+"""Regression tests for the round-1 code-review findings."""
+
+import pytest
+
+from maggy_spark import Searchspace, lagom
+from maggy_spark.bayes import GP, TPE
+from maggy_spark.config import HyperparameterOptConfig, TorchDistributedConfig
+from maggy_spark.hyperband import Hyperband
+from maggy_spark.optimizers import Asha
+
+
+def test_hyperband_small_parallelism_runs_all_trials(spark):
+    """Finding 1: parallelism < first-rung width must not drop trials."""
+    def fn(x, budget=1):
+        return x * budget
+
+    hb = Hyperband(min_budget=1, max_budget=9, eta=3, n_iterations=2)
+    config = HyperparameterOptConfig(
+        optimizer=hb, searchspace=Searchspace(x=("DOUBLE", [0.0, 1.0])),
+        direction="max", es_policy="none", seed=17, parallelism=4, num_trials=0,
+    )
+    res = lagom(fn, config, spark)
+    assert res["num_trials"] == 17  # 9+3+1+3+1, nothing dropped
+    best = next(t for t in hb.final_store if t.trial_id == res["best_id"])
+    assert best.info_dict["budget"] == 9
+
+
+def test_hyperband_async_small_parallelism(spark):
+    """Finding 1 under async scheduling (next_batch(1))."""
+    def fn(x, budget=1):
+        return x * budget
+
+    hb = Hyperband(min_budget=1, max_budget=4, eta=2, n_iterations=1)
+    config = HyperparameterOptConfig(
+        optimizer=hb, searchspace=Searchspace(x=("DOUBLE", [0.0, 1.0])),
+        direction="max", es_policy="none", seed=3, parallelism=2,
+        scheduling="async", num_trials=0,
+    )
+    res = lagom(fn, config, spark)
+    assert res["num_trials"] == hb.num_trials  # full schedule executed
+
+
+def test_ablation_by_value_pickling(spark):
+    """Finding 2: a train_fn from a non-importable module must survive
+    the ablation wrapper's closure."""
+    from tests.test_bayes_ablation_dist import make_study
+
+    study = make_study()
+
+    # this module (tests.*) is not importable by executor workers
+    def train_fn(dataset_function, label_name):
+        pdf = dataset_function()
+        return float(len(pdf.columns))
+
+    from maggy_spark.config import AblationConfig
+
+    res = lagom(train_fn, AblationConfig(ablation_study=study, direction="max"), spark)
+    assert res["num_trials"] == 4  # no executor-side ModuleNotFoundError
+
+
+def test_stream_early_stop_min_direction(spark):
+    """Finding 3: direction='min' uses min-of-stream as best."""
+    import datetime
+
+    from maggy_spark.streaming import early_stop_decisions_stream
+
+    def ts(s):
+        return datetime.datetime(2026, 1, 1, 0, 0, s)
+
+    finalized = spark.createDataFrame(
+        [("f1", 10.0), ("f2", 20.0), ("f3", 30.0)], "trial_id string, pavg double"
+    )
+    import tempfile
+
+    rows = [("t", 0, 25.0, ts(0)), ("t", 1, 5.0, ts(1))]  # reached 5 < bar 20
+    d = tempfile.mkdtemp(prefix="es_min_")
+    spark.createDataFrame(rows, "trial_id string, step bigint, value double, ts timestamp").write.mode(
+        "overwrite"
+    ).parquet(d)
+    stream = spark.readStream.schema("trial_id string, step bigint, value double, ts timestamp").parquet(d)
+    q = (
+        early_stop_decisions_stream(stream, finalized, direction="min")
+        .writeStream.format("memory").queryName("es_min_out").outputMode("complete")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    row = spark.sql("SELECT * FROM es_min_out").collect()[0]
+    assert row.best_metric == 5.0  # min, not max
+    assert row.should_stop is False  # 5 < 20: under the bar, keep going
+
+
+def test_gp_busy_accumulates():
+    """Finding 4: in-flight params accumulate across batches."""
+    gp = GP(num_warmup_trials=2, n_points=50)
+    gp.initialize(Searchspace(x=("DOUBLE", [0, 1])), 6, "min", 7)
+    b1 = gp.next_batch(1)
+    b2 = gp.next_batch(1)
+    assert len(gp._busy) == 2  # not overwritten
+    gp.finalize_trial(_finalized(b1[0]))
+    assert len(gp._busy) == 1
+
+
+def _finalized(trial):
+    trial.finalize(0.5)
+    return trial
+
+
+def test_dedup_retries_redraw():
+    """Finding 5: seeded retries must produce different draws."""
+    gp = GP(num_warmup_trials=10, n_points=10)
+    gp.initialize(Searchspace(c=("DOUBLE", [0, 1])), 10, "min", 42)
+    p1 = gp._random_params()
+    p2 = gp._random_params()
+    assert p1 != p2  # draw counter salts the seed
+
+
+def test_asha_dedup_skip_does_not_inflate_accounting(spark):
+    """Finding 9: discrete-ish space where duplicates occur."""
+    def fn(x, i, budget=1):
+        return x * budget + i
+
+    asha = Asha(reduction_factor=2, resource_min=1, resource_max=2)
+    config = HyperparameterOptConfig(
+        num_trials=6,
+        optimizer=asha,
+        searchspace=Searchspace(x=("DOUBLE", [0.0, 1.0]), i=("INTEGER", [0, 1])),
+        direction="max", es_policy="none", seed=2, parallelism=3,
+    )
+    res = lagom(fn, config, spark)
+    assert res["num_trials"] >= 6
+    assert asha._emitted_rung0 == sum(
+        1 for t in asha.final_store if t.info_dict.get("rung") == 0
+    )
+
+
+def test_tpe_gates_until_bad_split_nonempty():
+    """Finding 8: TPE must not model before both KDEs have rows."""
+    tpe = TPE(num_warmup_trials=1)
+    tpe.initialize(Searchspace(x=("DOUBLE", [0, 1])), 10, "min", 1)
+    assert tpe.min_model_trials() == 4  # 2*(1+1)
+    # under the gate every suggestion is random, never NaN-EI
+    for i in range(3):
+        batch = tpe.next_batch(1)
+        for t in batch:
+            t.finalize(float(i))
+            tpe.finalize_trial(t)
+    assert all(t.info_dict["sample_type"].startswith("random") for t in tpe.final_store)
+
+
+def test_es_policy_none_and_invalid(spark):
+    def fn(x):
+        return x
+
+    cfg = HyperparameterOptConfig(
+        num_trials=2, optimizer="randomsearch",
+        searchspace=Searchspace(x=("DOUBLE", [0, 1])),
+        direction="max", es_policy=None, seed=1,
+    )
+    res = lagom(fn, cfg, spark)  # None disables early stopping
+    assert res["early_stopped"] == 0
+
+    cfg.es_policy = object()
+    with pytest.raises(ValueError, match="es_policy"):
+        lagom(fn, cfg, spark)
+
+
+def test_distributed_config_objects_injected(spark):
+    """Finding 6: config-carried training objects reach the train_fn."""
+    def train_fn(rank, module, train_set, test_set):
+        return float(module["layers"] + len(train_set) + len(test_set))
+
+    cfg = TorchDistributedConfig(
+        num_workers=2,
+        module={"layers": 3},
+        train_set=[1, 2, 3],
+        test_set=[4],
+    )
+    res = lagom(train_fn, cfg, spark)
+    assert res["errors"] is None
+    assert res["test result"] == 7.0
