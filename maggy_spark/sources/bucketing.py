@@ -1,0 +1,85 @@
+"""Bucketed storage for the hot relations: co-located joins and
+shuffle-free aggregation.
+
+The aggregations kernel notes that at 100 TB the `metrics` table is
+bucketed by trial_id so per-trial groupBys/windows reuse the storage
+partitioning instead of shuffling. This module makes that concrete:
+`materialize_metrics_bucketed` writes metrics with `bucketBy(trial_id)`
+(sorted within buckets by step) into the session catalog, and
+`prefix_avg_over_bucketed` runs the A7 window over it —
+`tests/test_bucketing.py` asserts the executed plan contains NO
+Exchange before the window/groupBy.
+
+Salting lives here too: `salted_join` spreads a skewed join key over
+`salt` sub-keys (replicating the small side) — the manual fallback
+when AQE's skew-join split isn't applicable (e.g. non-shuffle-join
+plans or pre-AQE clusters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,4)"
+
+
+def materialize_metrics_bucketed(
+    spark: SparkSession, sf_dir: str, table: str = "metrics_bucketed", buckets: int = 16
+) -> str:
+    """Write the metrics relation bucketed by trial_id, sorted by step
+    within each bucket — the layout every per-trial operator reuses."""
+    from maggy_spark.plans.fixtures import metrics_df
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        metrics_df(spark, sf_dir)
+        .write.mode("overwrite")
+        .bucketBy(buckets, "trial_id")
+        .sortBy("trial_id", "step")
+        .saveAsTable(table)
+    )
+    return table
+
+
+def prefix_avg_over_bucketed(spark: SparkSession, table: str = "metrics_bucketed") -> DataFrame:
+    """A7 over the bucketed table: the window's hash requirement is
+    satisfied by the bucketing, so the plan has no Exchange."""
+    from pyspark.sql.window import Window
+
+    m = spark.table(table)
+    w = Window.partitionBy("trial_id").orderBy("step").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return m.select(
+        "trial_id",
+        "step",
+        (F.sum(F.col("value").cast(DEC)).over(w).cast("double") / F.count("value").over(w)).alias("prefix_avg"),
+    )
+
+
+def per_trial_stats_over_bucketed(spark: SparkSession, table: str = "metrics_bucketed") -> DataFrame:
+    """Per-trial aggregation over the bucketed table — shuffle-free
+    groupBy on the bucketing key."""
+    return spark.table(table).groupBy("trial_id").agg(
+        F.count("*").alias("n_steps"),
+        F.max("value").alias("best"),
+        (F.sum(F.col("value").cast(DEC)).cast("double") / F.count("value")).alias("mean_value"),
+    )
+
+
+def salted_join(
+    left: DataFrame, right: DataFrame, key: str, salt: int = 8, how: str = "inner"
+) -> DataFrame:
+    """Skew-spreading equi-join: the (large, skewed) left side gets a
+    random salt in [0, salt), the (smaller) right side is replicated
+    across all salt values, and the join key becomes (key, salt) — a
+    hot key's rows land in `salt` tasks instead of one.
+
+    Use when one key dominates a shuffle join and AQE's skew split
+    can't kick in. Right-side replication multiplies its size by
+    `salt`; keep the replicated side the smaller one.
+    """
+    salted_left = left.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
+    salts = F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("_salt")
+    salted_right = right.select("*", salts)
+    out = salted_left.join(salted_right, on=[key, "_salt"], how=how)
+    return out.drop("_salt")

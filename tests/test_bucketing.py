@@ -1,0 +1,63 @@
+"""Bucketed-table layouts: shuffle-free per-trial operators, and the
+salting fallback for skewed joins."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from maggy_spark.sources.bucketing import (
+    materialize_metrics_bucketed,
+    per_trial_stats_over_bucketed,
+    prefix_avg_over_bucketed,
+    salted_join,
+)
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, sf_dir):
+    return materialize_metrics_bucketed(spark, sf_dir, buckets=8)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_window_has_no_exchange(spark, bucketed):
+    df = prefix_avg_over_bucketed(spark, bucketed)
+    plan = _plan(df)
+    assert "Exchange" not in plan  # bucketing satisfies the window's distribution
+    # and the result matches the shuffling form
+    from maggy_spark.operators.aggregations import a7_prefix_avg
+
+    base = {(r.trial_id, r.step): r.prefix_avg for r in a7_prefix_avg(spark, "/root/testdata/sf0.001").collect()}
+    got = {(r.trial_id, r.step): r.prefix_avg for r in df.collect()}
+    assert got == base
+
+
+def test_bucketed_groupby_has_no_exchange(spark, bucketed):
+    df = per_trial_stats_over_bucketed(spark, bucketed)
+    assert "Exchange" not in _plan(df)
+    rows = df.collect()
+    assert rows and all(r.n_steps >= 1 for r in rows)
+
+
+def test_salted_join_correct_and_spread(spark):
+    # skewed left: 'hot' key holds 90% of rows
+    left = spark.range(1000).select(
+        F.when(F.col("id") < 900, F.lit("hot")).otherwise(F.concat(F.lit("k"), F.col("id"))).alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.createDataFrame(
+        [("hot", 1.0)] + [(f"k{i}", float(i)) for i in range(900, 1000)], "k string, w double"
+    )
+    plain = left.join(right, "k").agg(F.count("*"), F.sum("v"), F.sum("w")).collect()[0]
+    salted = salted_join(left, right, "k", salt=8).agg(F.count("*"), F.sum("v"), F.sum("w")).collect()[0]
+    assert tuple(plain) == tuple(salted)  # identical join result
+    # the hot key's rows really spread across salt values
+    spread = (
+        left.withColumn("_salt", (F.rand(seed=42) * 8).cast("int"))
+        .where("k = 'hot'")
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert spread == 8
