@@ -1,0 +1,90 @@
+"""Training-side data access: rank-sharded parquet readers and batch
+iterators for worker processes.
+
+Reference: maggy feeds workers via petastorm readers with
+`cur_shard=RANK, shard_count=WORLD_SIZE`
+(`maggy/core/patching/dataloader.py:102-141`) and tf.data `.shard()`
+(`tf_dist_executor.py:382-406`). The Spark-era equivalents:
+
+- training data is produced by Spark jobs and written as parquet
+  (`write_training_shards` aligns file count to the worker count);
+- each worker reads its shard with pyarrow at ROW-GROUP granularity
+  (`shard_parquet_reader`) — no Spark session needed inside the
+  worker, columns are pruned at the scan, batches arrive as
+  pandas/numpy ready for the training framework;
+- shards partition the row groups round-robin, so every row lands in
+  exactly one rank and ranks stay balanced when row groups are
+  similar-sized (Spark's writer keeps them so).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from pathlib import Path
+
+import pandas as pd
+
+
+def write_training_shards(df, path: str, n_shards: int) -> str:
+    """Repartition to one file per shard and write parquet — the
+    layout `shard_parquet_reader` consumes with zero remote shuffling."""
+    df.repartition(n_shards).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _parquet_files(path: str) -> list[str]:
+    p = Path(path)
+    if p.is_file():
+        return [str(p)]
+    return sorted(str(f) for f in p.glob("*.parquet"))
+
+
+def shard_parquet_reader(
+    path: str,
+    rank: int,
+    world_size: int,
+    columns: list[str] | None = None,
+    batch_size: int = 1024,
+) -> Iterator[pd.DataFrame]:
+    """Yield this rank's shard of a parquet dataset as pandas batches.
+
+    Sharding unit is the (file, row_group) pair, assigned round-robin
+    by global index — disjoint and exhaustive across ranks. Column
+    projection is pushed to the parquet reader.
+    """
+    import pyarrow.parquet as pq
+
+    if not 0 <= rank < world_size:
+        raise ValueError(f"rank {rank} outside world of {world_size}")
+    gid = 0
+    for fname in _parquet_files(path):
+        pf = pq.ParquetFile(fname)
+        for rg in range(pf.num_row_groups):
+            if gid % world_size == rank:
+                table = pf.read_row_group(rg, columns=columns)
+                for batch in table.to_batches(max_chunksize=batch_size):
+                    yield batch.to_pandas()
+            gid += 1
+
+
+def count_shard_rows(path: str, rank: int, world_size: int) -> int:
+    """Row count of a rank's shard without materializing data."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    gid = 0
+    for fname in _parquet_files(path):
+        pf = pq.ParquetFile(fname)
+        for rg in range(pf.num_row_groups):
+            if gid % world_size == rank:
+                total += pf.metadata.row_group(rg).num_rows
+            gid += 1
+    return total
+
+
+def dataframe_to_batches(df, batch_size: int = 1024) -> Iterator[pd.DataFrame]:
+    """Driver-side batch iterator over a (small) DataFrame via Arrow —
+    for eval sets and debugging; training workers should use
+    `shard_parquet_reader` against written shards instead."""
+    for batch in df.toArrow().to_batches(max_chunksize=batch_size):
+        yield batch.to_pandas()
