@@ -378,8 +378,55 @@ WHERE m.step % 2 = 0 OR m.step = mx.max_step
 )
 
 
+# -- A10b: multi-fidelity surrogate training rows ----------------------
+
+
+def a10b_interim_xy(spark: SparkSession, sf_dir: str, interval: int = 2) -> DataFrame:
+    """Budget-augmented BO training data z = [x, n/N] from interim
+    results: every `interval`-th step (plus the last) of finalized
+    trials' histories joined with their normalized params, metric
+    negated to a min-problem.
+
+    Reference: `get_XY` with interim_results
+    (`bayes/base.py:536-641`) — the multi-fidelity path that feeds
+    per-budget surrogates; selection rule as in A10
+    (`base.py:643-668`), transform per §1.4.
+    """
+    m = metrics_df(spark, sf_dir)
+    t = trials_df(spark, sf_dir, statuses=["FINALIZED"]).select("trial_id", "p1")
+    mx = m.groupBy("trial_id").agg(F.max("step").alias("max_step"))
+    sel = (
+        m.join(mx, "trial_id")
+        .where((F.col("step") % interval == 0) | (F.col("step") == F.col("max_step")))
+        .join(t, "trial_id")
+    )
+    return sel.select(
+        "trial_id",
+        "step",
+        (F.col("p1").cast("double") / F.lit(49.0)).alias("x1"),
+        (F.col("step").cast("double") / F.col("max_step").cast("double")).alias("z_budget"),
+        (-F.col("value")).alias("y"),
+    )
+
+
+A10B_SQL = with_fixtures(
+    """
+, mx AS (SELECT trial_id, max(step) AS max_step FROM metrics GROUP BY trial_id)
+SELECT m.trial_id, m.step,
+       cast(t.p1 AS DOUBLE) / 49.0 AS x1,
+       cast(m.step AS DOUBLE) / cast(mx.max_step AS DOUBLE) AS z_budget,
+       -m.value AS y
+FROM metrics m
+JOIN mx ON m.trial_id = mx.trial_id
+JOIN trials t ON m.trial_id = t.trial_id AND t.status = 'FINALIZED'
+WHERE m.step % 2 = 0 OR m.step = mx.max_step
+"""
+)
+
+
 OPERATORS = [
     ("a1_result_summary", a1_result_summary, A1_SQL),
+    ("a10b_interim_xy", a10b_interim_xy, A10B_SQL),
     ("a2_direction_normalize", a2_direction_normalize, A2_SQL),
     ("a3_get_xy", a3_get_xy, A3_SQL),
     ("a4_budget_stats", a4_budget_stats, A4_SQL),

@@ -29,9 +29,17 @@ def materialize_metrics_bucketed(
 ) -> str:
     """Write the metrics relation bucketed by trial_id, sorted by step
     within each bucket — the layout every per-trial operator reuses."""
+    import shutil
+    from urllib.parse import urlparse
+
     from maggy_spark.plans.fixtures import metrics_df
 
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a fresh in-memory catalog does not track tables from earlier
+    # sessions, but their warehouse directories survive and block
+    # saveAsTable with LOCATION_ALREADY_EXISTS — clear the orphan
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
     (
         metrics_df(spark, sf_dir)
         .write.mode("overwrite")

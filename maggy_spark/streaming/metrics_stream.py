@@ -81,3 +81,54 @@ def early_stop_decisions_stream(
         F.col("best_metric") > F.col("median_bar")
     )
     return best.crossJoin(bar).select("trial_id", "best_metric", "median_bar", cmp.alias("should_stop"))
+
+
+def stateful_trial_tracker(
+    metrics_stream: DataFrame,
+    median_bar: float,
+    direction: str = "max",
+    timeout_conf: str = "NoTimeout",
+) -> DataFrame:
+    """Custom stateful operator via `applyInPandasWithState`: per-trial
+    running (best, count, stop?) state maintained across micro-batches
+    — the arbitrary-state form of the early-stop trigger for when
+    per-batch recomputation over the full history gets expensive
+    (SURVEY.md §7.3e).
+
+    State per trial_id: (best_metric DOUBLE, n_reports BIGINT). Each
+    micro-batch folds its new rows into the state and emits the
+    updated row with the stop decision against the (static) bar.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "trial_id string, best_metric double, n_reports bigint, should_stop boolean"
+    state_schema = "best_metric double, n_reports bigint"
+    is_max = direction == "max"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as _pd
+
+        best = None
+        count = 0
+        if state.exists:
+            best, count = state.get
+        for pdf in pdfs:
+            vals = pdf["value"].dropna()
+            if len(vals):
+                batch_best = float(vals.max() if is_max else vals.min())
+                best = batch_best if best is None else (
+                    max(best, batch_best) if is_max else min(best, batch_best)
+                )
+            count += int(len(vals))
+        state.update((best, count))
+        stop = (
+            best is not None
+            and ((best < median_bar) if is_max else (best > median_bar))
+        )
+        yield _pd.DataFrame(
+            [{"trial_id": key[0], "best_metric": best, "n_reports": count, "should_stop": stop}]
+        )
+
+    return metrics_stream.groupBy("trial_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", getattr(GroupStateTimeout, timeout_conf)
+    )

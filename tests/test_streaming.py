@@ -140,3 +140,48 @@ def test_events_table_streams_end_to_end(spark):
     n_stream = spark.sql("SELECT count(*) c FROM events_out").collect()[0].c
     n_expected = static.where(F.col("value").isNotNull()).dropDuplicates(["user_id", "event_id"]).count()
     assert n_stream == n_expected
+
+
+def test_stateful_tracker_accumulates_across_batches(spark, tmp_path):
+    """applyInPandasWithState: state must persist across micro-batches
+    (maxFilesPerTrigger=1 forces one batch per file)."""
+    import pandas as pd
+
+    from maggy_spark.streaming import stateful_trial_tracker
+
+    d = str(tmp_path / "feed")
+    import os
+
+    os.makedirs(d)
+    # batch 1: t1 sees 5.0; batch 2: t1 improves to 25.0
+    spark.createDataFrame(
+        [("t1", 0, 5.0, _ts(0)), ("t2", 0, 30.0, _ts(0))], SCHEMA
+    ).coalesce(1).write.parquet(d + "/b1")
+    spark.createDataFrame([("t1", 1, 25.0, _ts(5))], SCHEMA).coalesce(1).write.parquet(d + "/b2")
+    # flatten into one dir of files
+    files = []
+    for sub in ("b1", "b2"):
+        for f in os.listdir(f"{d}/{sub}"):
+            if f.endswith(".parquet"):
+                os.rename(f"{d}/{sub}/{f}", f"{d}/{sub}_{f}")
+                files.append(f"{d}/{sub}_{f}")
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").parquet(d)
+    )
+    q = (
+        stateful_trial_tracker(stream, median_bar=20.0, direction="max")
+        .writeStream.format("memory").queryName("state_out").outputMode("update")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM state_out").collect()
+    # final state per trial: take the last emitted row per trial
+    last = {}
+    for r in rows:
+        last[r.trial_id] = r
+    assert last["t1"].best_metric == 25.0 and last["t1"].n_reports == 2  # state crossed batches
+    assert last["t1"].should_stop is False  # 25 >= bar 20
+    assert last["t2"].best_metric == 30.0 and last["t2"].should_stop is False
+    # t1's FIRST emission (batch 1) must have flagged it below the bar
+    t1_rows = [r for r in rows if r.trial_id == "t1"]
+    assert any(r.n_reports == 1 and r.should_stop for r in t1_rows)
