@@ -82,14 +82,32 @@ def dd2_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", *cols)
 
 
+# shared SQL fragments: signature, banding, and candidate generation
+# are written ONCE and composed by DD2/DD3/DD8 (mirrors how the Spark
+# side builds dd3/dd8 on dd2)
+_SIG_SQL = """
+    SELECT doc_id,
+           list_min(list_transform(shingles, s -> md5('0|' || s))) AS mh0,
+           list_min(list_transform(shingles, s -> md5('1|' || s))) AS mh1,
+           list_min(list_transform(shingles, s -> md5('2|' || s))) AS mh2,
+           list_min(list_transform(shingles, s -> md5('3|' || s))) AS mh3
+    FROM sh
+"""
+
+_BANDS_SQL = """
+    SELECT doc_id, 'b0:' || mh0 || mh1 AS band_key FROM sig
+    UNION ALL
+    SELECT doc_id, 'b1:' || mh2 || mh3 AS band_key FROM sig
+"""
+
+_CAND_SQL = """
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
 DD2_SQL = f"""
 WITH sh AS ({_SHINGLES_SQL})
-SELECT doc_id,
-       list_min(list_transform(shingles, s -> md5('0|' || s))) AS mh0,
-       list_min(list_transform(shingles, s -> md5('1|' || s))) AS mh1,
-       list_min(list_transform(shingles, s -> md5('2|' || s))) AS mh2,
-       list_min(list_transform(shingles, s -> md5('3|' || s))) AS mh3
-FROM sh
+{_SIG_SQL}
 """
 
 
@@ -123,21 +141,9 @@ def dd3_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DD3_SQL = f"""
 WITH sh AS ({_SHINGLES_SQL}),
-sig AS (
-    SELECT doc_id,
-           list_min(list_transform(shingles, s -> md5('0|' || s))) AS mh0,
-           list_min(list_transform(shingles, s -> md5('1|' || s))) AS mh1,
-           list_min(list_transform(shingles, s -> md5('2|' || s))) AS mh2,
-           list_min(list_transform(shingles, s -> md5('3|' || s))) AS mh3
-    FROM sh
-),
-bands AS (
-    SELECT doc_id, 'b0:' || mh0 || mh1 AS band_key FROM sig
-    UNION ALL
-    SELECT doc_id, 'b1:' || mh2 || mh3 AS band_key FROM sig
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+sig AS ({_SIG_SQL}),
+bands AS ({_BANDS_SQL})
+{_CAND_SQL}
 """
 
 
@@ -335,6 +341,43 @@ WHERE list_sum(list_transform(generate_series(1, {N_SIMHASH_BITS}),
 """
 
 
+def dd8_lsh_verified_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup pipeline: LSH band candidates (dd3)
+    verified with EXACT jaccard via array_intersect of the two docs'
+    distinct-shingle arrays. Work is proportional to the candidate
+    count, not Σf² over shingle frequencies — this is the path that
+    replaces dd4's exhaustive verification at corpus scale.
+    """
+    sh = load_table(spark, sf_dir, "documents").select("doc_id", _shingles_expr().alias("sh")).persist()
+    cand = dd3_lsh_candidate_pairs(spark, sf_dir)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = cand.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        inter.cast("bigint").alias("n_common"),
+        (inter.cast("double") / union.cast("double")).alias("jaccard"),
+    )
+
+
+DD8_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sig AS ({_SIG_SQL}),
+bands AS ({_BANDS_SQL}),
+cand AS ({_CAND_SQL})
+SELECT c.doc_a, c.doc_b,
+       cast(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS n_common,
+       cast(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+           / cast(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS jaccard
+FROM cand c
+JOIN sh sa ON c.doc_a = sa.doc_id
+JOIN sh sb ON c.doc_b = sb.doc_id
+"""
+
+
 OPERATORS = [
     ("dd1_exact_dedup", dd1_exact_dedup, DD1_SQL),
     ("dd2_minhash_signature", dd2_minhash_signature, DD2_SQL),
@@ -343,4 +386,5 @@ OPERATORS = [
     ("dd5_dedup_clusters", dd5_dedup_clusters, DD5_SQL),
     ("dd6_simhash", dd6_simhash, DD6_SQL),
     ("dd7_simhash_near_dup", dd7_simhash_near_dup, DD7_SQL),
+    ("dd8_lsh_verified_jaccard", dd8_lsh_verified_jaccard, DD8_SQL),
 ]

@@ -144,9 +144,12 @@ SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
             WHEN doc_id % 3 = 1 THEN 'audio'
             ELSE 'video' END AS media_type,
        count(*) AS n_items,
-       cast(sum(length(text)) AS BIGINT) AS total_bytes,
-       cast(min(length(text)) AS BIGINT) AS min_bytes,
-       cast(max(length(text)) AS BIGINT) AS max_bytes
+       -- octet_length of the utf-8 encoding: the Spark side measures
+       -- BYTES of the binary payload, and char length would silently
+       -- diverge on any non-ASCII text
+       cast(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       cast(min(octet_length(encode(text))) AS BIGINT) AS min_bytes,
+       cast(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
 FROM documents
 GROUP BY 1
 """

@@ -99,7 +99,7 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
-def _bucket_expr(planes_df_alias_cols):
+def _bucket_expr():
     """Sign bucket relative to the 4 anchor embeddings."""
     sign_bits = [
         F.when(_dot("emb", f"p{i}") >= 0, F.lit("1")).otherwise(F.lit("0")) for i in range(N_PLANES)
@@ -122,7 +122,7 @@ def _with_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return withp.select(
         "vec_id", "label", "emb",
         F.sqrt(_dot("emb", "emb")).alias("norm"),
-        _bucket_expr(None).alias("bucket"),
+        _bucket_expr().alias("bucket"),
     )
 
 

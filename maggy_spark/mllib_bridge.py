@@ -109,6 +109,9 @@ def fit_with_lagom(
     results: list[Trial] = []
 
     def run_one(trial: Trial) -> Trial:
+        # concurrent fits share executors fairly when the session runs
+        # spark.scheduler.mode=FAIR; harmless under FIFO
+        train_df.sparkSession.sparkContext.setLocalProperty("spark.scheduler.pool", "maggy")
         est = estimator_factory(trial.params)
         model = est.fit(train_df)
         metric = float(evaluator.evaluate(model.transform(val_df)))

@@ -67,7 +67,10 @@ def a1_result_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_metric",
         "num_trials",
         "early_stopped",
-    )
+        # zero finalized trials -> empty result, matching the oracle's
+        # CROSS JOIN against empty rank-1 subqueries (a bare global agg
+        # would emit one all-NULL row)
+    ).where(F.col("num_trials") > 0)
 
 
 A1_SQL = with_fixtures(
@@ -138,7 +141,10 @@ A3_SQL = with_fixtures(
     """
 SELECT trial_id,
        cast(p1 AS DOUBLE) / 49.0 AS x1,
-       (cast(list_position(['1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'], p2) AS DOUBLE) - 1.0) / 4.0 AS x2,
+       -- coalesce(...,0): Spark's array_position yields 0 for a value
+       -- outside the domain where DuckDB list_position yields NULL;
+       -- align so an out-of-domain p2 degrades identically (x2=-0.25)
+       (cast(coalesce(list_position(['1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'], p2), 0) AS DOUBLE) - 1.0) / 4.0 AS x2,
        -final_metric AS y
 FROM trials
 WHERE status = 'FINALIZED' AND budget = 1

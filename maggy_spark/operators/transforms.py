@@ -42,8 +42,10 @@ def t1_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 T1_SQL = """
 SELECT c_custkey AS custkey,
        least(greatest((c_acctbal - (-999.0)) / 10998.0, 0.0), 1.0) AS acctbal_norm,
-       cast(list_position(['AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY'], c_mktsegment) AS BIGINT) - 1 AS segment_ordinal,
-       (cast(list_position(['AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY'], c_mktsegment) AS DOUBLE) - 1.0) / 4.0 AS segment_norm
+       -- coalesce: align DuckDB's NULL-for-missing with Spark's
+       -- 0-for-missing array_position on out-of-domain segments
+       cast(coalesce(list_position(['AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY'], c_mktsegment), 0) AS BIGINT) - 1 AS segment_ordinal,
+       (cast(coalesce(list_position(['AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY'], c_mktsegment), 0) AS DOUBLE) - 1.0) / 4.0 AS segment_norm
 FROM customer
 """
 

@@ -85,7 +85,13 @@ def salted_join(
     Use when one key dominates a shuffle join and AQE's skew split
     can't kick in. Right-side replication multiplies its size by
     `salt`; keep the replicated side the smaller one.
+
+    Only inner/left joins are valid: under right/full outer joins the
+    (salt-1) non-matching replicas of each right row would surface as
+    spurious null-padded output rows.
     """
+    if how.replace("_", "").lower() not in ("inner", "left", "leftouter"):
+        raise ValueError(f"salted_join supports inner/left joins only, got {how!r}")
     salted_left = left.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
     salts = F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("_salt")
     salted_right = right.select("*", salts)

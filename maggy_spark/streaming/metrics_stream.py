@@ -32,11 +32,17 @@ DEC = "decimal(18,4)"
 
 def dedup_metric_stream(metrics_stream: DataFrame, watermark: str = "10 seconds") -> DataFrame:
     """C2 in streaming form: drop null values, dedup (trial_id, step)
-    within the watermark horizon."""
+    within the watermark horizon.
+
+    Must be dropDuplicatesWithinWatermark: plain dropDuplicates only
+    evicts state when the event-time column is part of the dedup key,
+    so keying on (trial_id, step) alone would grow state forever on a
+    long-running heartbeat stream.
+    """
     return (
         metrics_stream.withWatermark("ts", watermark)
         .where(F.col("value").isNotNull())
-        .dropDuplicates(["trial_id", "step"])
+        .dropDuplicatesWithinWatermark(["trial_id", "step"])
     )
 
 
@@ -95,14 +101,17 @@ def stateful_trial_tracker(
     per-batch recomputation over the full history gets expensive
     (SURVEY.md §7.3e).
 
-    State per trial_id: (best_metric DOUBLE, n_reports BIGINT). Each
-    micro-batch folds its new rows into the state and emits the
-    updated row with the stop decision against the (static) bar.
+    State per trial_id: (best_metric DOUBLE, n_reports BIGINT,
+    max_step BIGINT). Each micro-batch folds its new rows into the
+    state and emits the updated row with the stop decision against
+    the (static) bar. Duplicate/regressed steps are dropped like the
+    reference's metric append (`trial.py:93-108`): only rows with
+    step > max_step count, processed in step order.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = "trial_id string, best_metric double, n_reports bigint, should_stop boolean"
-    state_schema = "best_metric double, n_reports bigint"
+    state_schema = "best_metric double, n_reports bigint, max_step bigint"
     is_max = direction == "max"
 
     def update(key, pdfs, state: GroupState):
@@ -110,17 +119,21 @@ def stateful_trial_tracker(
 
         best = None
         count = 0
+        max_step = -1
         if state.exists:
-            best, count = state.get
+            best, count, max_step = state.get
         for pdf in pdfs:
-            vals = pdf["value"].dropna()
-            if len(vals):
+            pdf = pdf.dropna(subset=["value"]).sort_values("step")
+            pdf = pdf[pdf["step"] > max_step].drop_duplicates(subset=["step"], keep="first")
+            if len(pdf):
+                vals = pdf["value"]
                 batch_best = float(vals.max() if is_max else vals.min())
                 best = batch_best if best is None else (
                     max(best, batch_best) if is_max else min(best, batch_best)
                 )
-            count += int(len(vals))
-        state.update((best, count))
+                count += int(len(vals))
+                max_step = int(pdf["step"].max())
+        state.update((best, count, max_step))
         stop = (
             best is not None
             and ((best < median_bar) if is_max else (best > median_bar))
