@@ -1,0 +1,123 @@
+"""The composed training-data pipeline: dedup -> near-dup drop ->
+quality filter -> token accounting, as ONE declarative plan.
+
+This is the capstone of the LLM-pipeline operator family: each stage
+is an operator that already exists (dd5 exact-dup clusters, dd8
+LSH-verified near-dups, tx2 quality ratios, tx1 token counts), and
+the pipeline composes them into a single DataFrame query that
+Catalyst optimizes end-to-end — no intermediate materialization, no
+driver round-trips. The final relation is what a pre-training run
+would read; `corpus_to_shards` writes it worker-aligned.
+
+At 100 TB: every stage is bucket/band-blocked (inherited from its
+operator), the keep-set anti-joins are broadcast-able (the drop side
+is pairs, orders of magnitude smaller than the corpus), and the
+output is column-pruned to the training schema at the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from maggy_spark.functions.dedup import (
+    _SHINGLES_SQL,
+    dd5_dedup_clusters,
+    dd8_lsh_verified_jaccard,
+)
+from maggy_spark.functions.text import tx1_token_count, tx2_quality_score
+from maggy_spark.plans.fixtures import load_table
+
+MIN_TOKENS = 10
+MIN_RICHNESS = 0.3
+NEAR_DUP_JACCARD = 0.5
+
+
+def pl1_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surviving documents with their training-relevant stats.
+
+    keep = not an exact duplicate (cluster rep survives)
+         AND not the higher-id member of a verified near-dup pair
+         AND n_tokens >= 10 AND vocab_richness >= 0.3
+    """
+    exact = dd5_dedup_clusters(spark, sf_dir).where(~F.col("is_duplicate")).select("doc_id")
+    near_drop = (
+        dd8_lsh_verified_jaccard(spark, sf_dir)
+        .where(F.col("jaccard") >= NEAR_DUP_JACCARD)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    quality = tx2_quality_score(spark, sf_dir).select("doc_id", "n_tokens", "vocab_richness")
+    tokens = tx1_token_count(spark, sf_dir).select("doc_id", "bpe_tokens")
+    return (
+        exact.join(F.broadcast(near_drop), "doc_id", "left_anti")
+        .join(quality, "doc_id")
+        .join(tokens, "doc_id")
+        .where((F.col("n_tokens") >= MIN_TOKENS) & (F.col("vocab_richness") >= MIN_RICHNESS))
+        .select("doc_id", "n_tokens", "bpe_tokens", F.col("vocab_richness").alias("richness"))
+    )
+
+
+PL1_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sig AS (
+    SELECT doc_id,
+           list_min(list_transform(shingles, s -> md5('0|' || s))) AS mh0,
+           list_min(list_transform(shingles, s -> md5('1|' || s))) AS mh1,
+           list_min(list_transform(shingles, s -> md5('2|' || s))) AS mh2,
+           list_min(list_transform(shingles, s -> md5('3|' || s))) AS mh3
+    FROM sh
+),
+bands AS (
+    SELECT doc_id, 'b0:' || mh0 || mh1 AS band_key FROM sig
+    UNION ALL
+    SELECT doc_id, 'b1:' || mh2 || mh3 AS band_key FROM sig
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+near_drop AS (
+    SELECT DISTINCT c.doc_b AS doc_id
+    FROM cand c
+    JOIN sh sa ON c.doc_a = sa.doc_id
+    JOIN sh sb ON c.doc_b = sb.doc_id
+    WHERE cast(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+          / cast(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+          >= {NEAR_DUP_JACCARD}
+),
+exact_reps AS (
+    SELECT doc_id FROM (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+        FROM documents
+    ) WHERE doc_id = rep
+),
+stats AS (
+    SELECT doc_id,
+           cast(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+           cast(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+               / cast(len(str_split(text, ' ')) AS DOUBLE) AS richness,
+           cast(list_sum(list_transform(str_split(text, ' '), t -> cast(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_tokens
+    FROM documents
+)
+SELECT s.doc_id, s.n_tokens, s.bpe_tokens, s.richness
+FROM stats s
+JOIN exact_reps e ON s.doc_id = e.doc_id
+WHERE s.doc_id NOT IN (SELECT doc_id FROM near_drop)
+  AND s.n_tokens >= {MIN_TOKENS} AND s.richness >= {MIN_RICHNESS}
+"""
+
+
+def corpus_to_shards(spark: SparkSession, sf_dir: str, out_path: str, n_shards: int = 8) -> str:
+    """Materialize the surviving corpus (full text + stats) as
+    worker-aligned shards for the training loop."""
+    from maggy_spark.sources.data import write_training_shards
+
+    keep = pl1_corpus_prep(spark, sf_dir).select("doc_id", "n_tokens")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return write_training_shards(docs.join(keep, "doc_id"), out_path, n_shards)
+
+
+OPERATORS = [
+    ("pl1_corpus_prep", pl1_corpus_prep, PL1_SQL),
+]

@@ -16,9 +16,9 @@ def _collect() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
 
     modules = [aggregations, generators, earlystop, transforms, events]
     try:
-        from maggy_spark.functions import dedup, multimodal, similarity, text
+        from maggy_spark.functions import dedup, multimodal, pipeline, similarity, text
 
-        modules += [text, dedup, similarity, multimodal]
+        modules += [text, dedup, similarity, multimodal, pipeline]
     except ImportError:
         pass
 

@@ -153,3 +153,29 @@ def test_simhash_near_dup_bounds(spark, sf_dir):
         true_h = sum(a != b for a, b in zip(sig[r.doc_a], sig[r.doc_b]))
         assert true_h == r.hamming
         assert sig[r.doc_a][:8] == sig[r.doc_b][:8]  # band-blocked
+
+
+def test_corpus_prep_pipeline(spark, sf_dir):
+    from maggy_spark.functions import pipeline
+
+    out = pipeline.pl1_corpus_prep(spark, sf_dir)
+    rows = out.collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert 0 < len(rows) <= n_docs
+    for r in rows[:100]:
+        assert r.n_tokens >= pipeline.MIN_TOKENS
+        assert r.richness >= pipeline.MIN_RICHNESS
+        assert r.bpe_tokens >= r.n_tokens
+    # survivors contain no exact duplicates
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids))
+
+
+def test_corpus_to_shards(spark, sf_dir, tmp_path):
+    from maggy_spark.functions import pipeline
+    from maggy_spark.sources.data import count_shard_rows
+
+    out = str(tmp_path / "corpus")
+    pipeline.corpus_to_shards(spark, sf_dir, out, n_shards=4)
+    kept = pipeline.pl1_corpus_prep(spark, sf_dir).count()
+    assert sum(count_shard_rows(out, r, 4) for r in range(4)) == kept
