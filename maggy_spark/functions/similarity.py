@@ -281,8 +281,45 @@ WHERE {_cos_sql("a.emb", "b.emb")} >= 0.3
 """
 
 
+def ann5_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-blocked 1-NN graph: for EVERY vector, its nearest
+    co-bucketed neighbor — the kNN-join that seeds clustering/
+    connected-components over an embedding corpus. Pair scoring stays
+    bucket-local; the per-vector argmax is a window over the bucket
+    pair relation."""
+    from pyspark.sql.window import Window
+
+    b = _with_buckets(spark, sf_dir).persist()
+    a = b.select(F.col("vec_id").alias("src"), F.col("emb").alias("ea"), F.col("norm").alias("na"), "bucket")
+    c = b.select(F.col("vec_id").alias("dst"), F.col("emb").alias("eb"), F.col("norm").alias("nb"), "bucket")
+    pairs = (
+        a.join(c, "bucket")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst", _cosine_pre("ea", "eb", "na", "nb").alias("cosine"))
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
+    return pairs.select("src", "dst", "cosine", F.row_number().over(w).cast("bigint").alias("rn")).where(
+        F.col("rn") == 1
+    ).select("src", F.col("dst").alias("nearest"), "cosine")
+
+
+ANN5_SQL = f"""
+WITH {_BUCKET_SQL},
+pairs AS (
+    SELECT a.vec_id AS src, b.vec_id AS dst, {_cos_sql("a.emb", "b.emb")} AS cosine
+    FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+)
+SELECT src, dst AS nearest, cosine FROM (
+    SELECT src, dst, cosine,
+           row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rn
+    FROM pairs
+) WHERE rn = 1
+"""
+
+
 OPERATORS = [
     ("ann1_bruteforce_topk", ann1_bruteforce_topk, ANN1_SQL),
+    ("ann5_knn_graph", ann5_knn_graph, ANN5_SQL),
     ("ann2_lsh_topk", ann2_lsh_topk, ANN2_SQL),
     ("ann3_ivf_topk", ann3_ivf_topk, ANN3_SQL),
     ("ann4_embedding_near_dup", ann4_embedding_near_dup, ANN4_SQL),

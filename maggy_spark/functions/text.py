@@ -173,8 +173,56 @@ FROM h
 """
 
 
+def tx5_ngram_stats(spark: SparkSession, sf_dir: str, top_k: int = 50) -> DataFrame:
+    """Corpus bigram statistics: global top-k bigrams by document
+    frequency, with total occurrences — the vocabulary/contamination
+    profile a corpus audit starts from. Explode -> two-level
+    aggregate; at 100 TB the bigram key is uniform (no skew) and the
+    top-k is a partial-aggregated count + single ordered limit."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = d.select("doc_id", F.explode(grams).alias("bigram"))
+    stats = ex.groupBy("bigram").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    wrank = Window.orderBy(F.col("doc_freq").desc(), F.col("n_occurrences").desc(), F.col("bigram"))
+    return stats.select(
+        "bigram", "n_occurrences", "doc_freq", F.row_number().over(wrank).cast("bigint").alias("rank")
+    ).where(F.col("rank") <= top_k)
+
+
+TX5_SQL = """
+WITH ex AS (
+    SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+        THEN list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])
+        ELSE [] END) AS bigram
+    FROM (SELECT doc_id, str_split(text, ' ') AS w FROM documents)
+),
+stats AS (
+    SELECT bigram, count(*) AS n_occurrences, count(DISTINCT doc_id) AS doc_freq
+    FROM ex GROUP BY bigram
+)
+SELECT bigram, n_occurrences, doc_freq, rank FROM (
+    SELECT bigram, n_occurrences, doc_freq,
+           row_number() OVER (ORDER BY doc_freq DESC, n_occurrences DESC, bigram) AS rank
+    FROM stats
+) WHERE rank <= 50
+"""
+
+
 OPERATORS = [
     ("tx1_token_count", tx1_token_count, TX1_SQL),
+    ("tx5_ngram_stats", tx5_ngram_stats, TX5_SQL),
     ("tx2_quality_score", tx2_quality_score, TX2_SQL),
     ("tx3_lang_id", tx3_lang_id, TX3_SQL),
     ("tx4_fingerprint", tx4_fingerprint, TX4_SQL),

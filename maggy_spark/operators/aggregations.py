@@ -224,10 +224,19 @@ def a6_tpe_split(spark: SparkSession, sf_dir: str, gamma: float = 0.15, n_hparam
     """
     t = trials_df(spark, sf_dir, statuses=["FINALIZED"])
     w = Window.orderBy(F.col("final_metric").asc(), F.col("seq"))
-    n = t.count()  # scalar driver-side; small metadata count
-    n_good = max(n_hparams + 1, int(gamma * n))
-    n_bad = max(n_hparams + 1, int((1.0 - gamma) * n))
-    ranked = t.select("trial_id", "final_metric", F.row_number().over(w).alias("rn"))
+    # fully declarative: the total count rides an unordered global
+    # window (no extra sort, no driver-side count() action at build
+    # time), thresholds fold into the CASE like the oracle's
+    # count(*) OVER ()
+    floor_n = F.lit(n_hparams + 1).cast("bigint")
+    ranked = t.select(
+        "trial_id",
+        "final_metric",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    n_good = F.greatest(floor_n, F.floor(gamma * F.col("n")))
+    n_bad = F.greatest(floor_n, F.floor((1.0 - gamma) * F.col("n")))
     return ranked.select(
         "trial_id",
         "final_metric",

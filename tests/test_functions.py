@@ -179,3 +179,21 @@ def test_corpus_to_shards(spark, sf_dir, tmp_path):
     pipeline.corpus_to_shards(spark, sf_dir, out, n_shards=4)
     kept = pipeline.pl1_corpus_prep(spark, sf_dir).count()
     assert sum(count_shard_rows(out, r, 4) for r in range(4)) == kept
+
+
+def test_ngram_stats_ranked(spark, sf_dir):
+    rows = text.tx5_ngram_stats(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 50
+    freqs = [r.doc_freq for r in sorted(rows, key=lambda r: r.rank)]
+    assert freqs == sorted(freqs, reverse=True)
+    for r in rows:
+        assert r.n_occurrences >= r.doc_freq >= 1
+        assert len(r.bigram.split(" ")) == 2
+
+
+def test_knn_graph_covers_all_vectors(spark, sf_dir):
+    rows = similarity.ann5_knn_graph(spark, sf_dir).collect()
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    # every vector that shares a bucket with at least one other gets a neighbor
+    assert len(rows) >= n_vecs * 0.9
+    assert all(r.src != r.nearest for r in rows)
