@@ -118,6 +118,41 @@ def corpus_to_shards(spark: SparkSession, sf_dir: str, out_path: str, n_shards: 
     return write_training_shards(docs.join(keep, "doc_id"), out_path, n_shards)
 
 
+# per-language sampling quotas (percent) — the domain-mixing knob of
+# a pre-training data recipe
+LANG_QUOTAS = {"en": 80, "de": 50, "fr": 50, "es": 50, "zh": 25}
+
+
+def pl2_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by language: doc selected iff
+    hash(doc_id) mod 100 < quota[lang]. Hash-based selection (not
+    rand()) is THE reproducible sampling method at corpus scale —
+    identical across runs, engines, partitionings, and retries; no
+    sampling state, no seed plumbing. Selection rides the scan as a
+    pure filter."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint") % 100)
+    quota = F.coalesce(
+        *[F.when(F.col("lang") == lang, F.lit(pct)) for lang, pct in LANG_QUOTAS.items()],
+        F.lit(0),
+    )
+    return d.select("doc_id", "lang", bucket.cast("int").alias("sample_bucket")).where(
+        F.col("sample_bucket") < quota
+    )
+
+
+_QUOTA_CASE = " ".join(f"WHEN lang = '{lang}' THEN {pct}" for lang, pct in LANG_QUOTAS.items())
+PL2_SQL = f"""
+SELECT doc_id, lang, sample_bucket FROM (
+    SELECT doc_id, lang,
+           cast(cast(('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS INTEGER) AS sample_bucket
+    FROM documents
+)
+WHERE sample_bucket < (CASE {_QUOTA_CASE} ELSE 0 END)
+"""
+
+
 OPERATORS = [
     ("pl1_corpus_prep", pl1_corpus_prep, PL1_SQL),
+    ("pl2_stratified_sample", pl2_stratified_sample, PL2_SQL),
 ]

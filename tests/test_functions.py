@@ -197,3 +197,19 @@ def test_knn_graph_covers_all_vectors(spark, sf_dir):
     # every vector that shares a bucket with at least one other gets a neighbor
     assert len(rows) >= n_vecs * 0.9
     assert all(r.src != r.nearest for r in rows)
+
+
+def test_stratified_sample_respects_quotas(spark, sf_dir):
+    from maggy_spark.functions import pipeline
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    totals = {r.lang: r["count"] for r in docs.groupBy("lang").count().collect()}
+    sampled = {r.lang: r["count"] for r in pipeline.pl2_stratified_sample(spark, sf_dir).groupBy("lang").count().collect()}
+    for lang, pct in pipeline.LANG_QUOTAS.items():
+        if lang in totals:
+            rate = sampled.get(lang, 0) / totals[lang]
+            assert abs(rate - pct / 100) < 0.25  # hash-uniformity within tolerance at small n
+    # deterministic: identical on rerun
+    a = sorted(r.doc_id for r in pipeline.pl2_stratified_sample(spark, sf_dir).collect())
+    b = sorted(r.doc_id for r in pipeline.pl2_stratified_sample(spark, sf_dir).collect())
+    assert a == b
