@@ -20,6 +20,10 @@ class BaseConfig:
     description: str = ""
     hb_interval: int = 1  # heartbeat granularity, reference default 1 s
     metric_key: str | None = None
+    # when set, finalize writes result.json + the bucketed trials
+    # relation under <log_dir>/<name>_<run_id>/ (reference S5/S6,
+    # optimization_driver.py:235-253)
+    log_dir: str | None = None
 
 
 @dataclass

@@ -149,7 +149,23 @@ def _run_hpo(train_fn: Callable, config: HyperparameterOptConfig, spark: SparkSe
     worst = next((t for t in all_trials if t.trial_id == result.get("worst_id")), None)
     if worst is not None:
         result["worst_config"] = {k: v for k, v in worst.params.items() if not callable(v)}
+    if config.log_dir:
+        result["log_dir"] = _persist_experiment(spark, config, all_trials, result)
     return result
+
+
+def _persist_experiment(spark, config, trials: list[Trial], result: dict) -> str:
+    """S5/S6 finalize: experiment dir + result.json + trials relation
+    (reference optimization_driver.py:235-253,294-342)."""
+    from maggy_spark.sources.sinks import write_experiment_result, write_trial_artifacts
+    from maggy_spark.util import next_run_id, register_environment
+
+    run_id = next_run_id(config.log_dir, config.name)
+    exp_dir = register_environment(config.name, run_id, config.log_dir)
+    write_experiment_result(result, exp_dir)
+    if trials:
+        write_trial_artifacts(trials_to_df(spark, trials, config.direction), exp_dir)
+    return exp_dir
 
 
 def _drive_waves(train_fn, config, spark, controller, parallelism) -> tuple[list[Trial], int]:

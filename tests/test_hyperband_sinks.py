@@ -102,3 +102,51 @@ def test_keras_callbacks_report():
     ce.on_epoch_end(5, {"val_loss": 0.25})
     assert rep.metric_history == [1.0, 0.5, 0.25]
     assert rep.step_history == [0, 1, 5]
+
+
+def test_lagom_persists_artifacts(spark, tmp_path):
+    from maggy_spark.sources import read_experiment, read_trial_summaries
+
+    def fn(x):
+        return x * 2
+
+    config = HyperparameterOptConfig(
+        name="exp_persist", num_trials=3, optimizer="randomsearch",
+        searchspace=Searchspace(x=("DOUBLE", [0, 1])),
+        direction="max", es_policy="none", seed=1, log_dir=str(tmp_path),
+    )
+    res = lagom(fn, config, spark)
+    assert res["log_dir"].endswith("exp_persist_0")
+    with open(f"{res['log_dir']}/result.json") as f:
+        assert json.load(f)["best_id"] == res["best_id"]
+    assert read_experiment(spark, res["log_dir"]).count() == 3
+    top = read_trial_summaries(spark, res["log_dir"]).limit(1).collect()[0]
+    assert top.final_metric == res["best_val"]
+    # second run increments the run id
+    res2 = lagom(fn, config, spark)
+    assert res2["log_dir"].endswith("exp_persist_1")
+
+
+def test_gp_mixed_searchspace(spark):
+    """BO over DOUBLE + INTEGER + CATEGORICAL dims end-to-end."""
+    from maggy_spark.bayes import GP
+
+    def fn(lr, layers, act):
+        base = {"relu": 0.0, "tanh": 0.1}[act]
+        return (lr - 0.3) ** 2 + (layers - 4) ** 2 / 100.0 + base
+
+    sp = Searchspace(
+        lr=("DOUBLE", [0.0, 1.0]),
+        layers=("INTEGER", [1, 8]),
+        act=("CATEGORICAL", ["relu", "tanh"]),
+    )
+    config = HyperparameterOptConfig(
+        num_trials=12, optimizer=GP(n_points=400, num_warmup_trials=6),
+        searchspace=sp, direction="min", es_policy="none", seed=6, parallelism=4,
+    )
+    res = lagom(fn, config, spark)
+    assert res["num_trials"] == 12
+    best = res["best_config"]
+    assert isinstance(best["layers"], int) and 1 <= best["layers"] <= 8
+    assert best["act"] in ("relu", "tanh")
+    assert res["best_val"] < 0.3
