@@ -56,6 +56,34 @@ def main() -> None:
             timings[name] = -1.0
             print(f"BENCH ERROR {name}: {e}", file=sys.stderr)
 
+    # experiment-level targets from BASELINE.md §3: 16-trial no-op
+    # random search wall time (target <= 35 s) and median per-trial
+    # scheduling overhead (target <= 2 s)
+    try:
+        from maggy_spark import Searchspace, lagom
+        from maggy_spark.config import HyperparameterOptConfig
+
+        def _noop(x):
+            return x
+
+        cfg = HyperparameterOptConfig(
+            num_trials=16, optimizer="randomsearch",
+            searchspace=Searchspace(x=("DOUBLE", [0.0, 1.0])),
+            direction="max", es_policy="none", seed=42, parallelism=4,
+        )
+        lagom(_noop, HyperparameterOptConfig(
+            num_trials=1, optimizer="randomsearch",
+            searchspace=Searchspace(x=("DOUBLE", [0.0, 1.0])),
+            direction="max", es_policy="none", seed=1,
+        ), spark)  # warm python workers
+        t0 = time.time()
+        res = lagom(_noop, cfg, spark)
+        timings["exp_random16_noop"] = round(time.time() - t0, 3)
+        # median per-trial overhead: wall / trials-per-slot for a no-op fn
+        timings["exp_per_trial_overhead"] = round(timings["exp_random16_noop"] / (16 / 4), 3)
+    except Exception as e:  # noqa: BLE001
+        print(f"BENCH ERROR experiment metrics: {e}", file=sys.stderr)
+
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     print(
         json.dumps(
