@@ -196,11 +196,15 @@ def run_ablation(train_fn: Callable, config: AblationConfig, spark: SparkSession
 
         extras = {
             "dataset_function": make_dataset_function(path, label, ablated_feature),
-            "model_function": custom_gens.get(name) if kind == "custom" else None,
             "ablated_feature": ablated_feature,
             "ablated_layer": ablated_layer,
             "label_name": label,
         }
+        # only inject model_function when this trial actually carries
+        # one — an unconditional None would clobber a user-supplied
+        # parameter default (build_kwargs prefers extras over defaults)
+        if kind == "custom" and custom_gens.get(name) is not None:
+            extras["model_function"] = custom_gens[name]
         kwargs = build_kwargs(user_fn, {}, reporter, extras)
         return user_fn(**kwargs)
 

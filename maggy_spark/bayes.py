@@ -55,7 +55,16 @@ class BaseAsyncBO(AbstractOptimizer):
     def _initialize(self) -> None:
         self._rng = random.Random(self.seed)
         self._nprng = np.random.default_rng(self.seed)
+        # reset per-run state (instances may be reused across lagom calls)
+        self._emitted = 0
+        self._draws = 0
         self.num_warmup_trials = min(self.num_warmup_trials, self.num_trials)
+
+    def report_error(self, trial) -> None:
+        """A failed trial frees its emission slot so a replacement can
+        be drawn (the experiment still attempts num_trials results)."""
+        super().report_error(trial)
+        self._emitted = max(0, self._emitted - 1)
 
     # -- training data: X in [0,1]^d, y sign-normalized to min ----------
 
@@ -211,6 +220,12 @@ class GP(BaseAsyncBO):
         self.distributed_scoring = distributed_scoring
         self.spark = None  # set by the experiment loop when available
         self._busy: list[dict] = []
+        self._suggest_calls = 0
+
+    def _initialize(self) -> None:
+        super()._initialize()
+        self._busy = []
+        self._suggest_calls = 0
 
     def suggest_model_params(self) -> dict:
         X, y = self.get_xy()
@@ -243,11 +258,21 @@ class GP(BaseAsyncBO):
 
         d = len(self.searchspace)
         per_part = max(1, self.n_points // n_parts)
+        # per-call seed base: the candidate pool must VARY across
+        # suggestions (the driver path's rng advances naturally);
+        # seeded runs stay deterministic via the call counter,
+        # unseeded runs draw the base from the session rng
+        self._suggest_calls += 1
+        seed_base = (
+            self.seed * 1_000_003 + self._suggest_calls * 7919
+            if self.seed is not None
+            else int(self._nprng.integers(2**31))
+        )
         state = {
             "X": model.X.tolist(), "chol": model._chol.tolist(),
             "alpha": model._alpha.tolist(), "ls": model.ls,
             "y_mean": model.y_mean, "y_std": model.y_std,
-            "seed": self.seed or 0, "per_part": per_part, "d": d, "y_best": y_best,
+            "seed": seed_base, "per_part": per_part, "d": d, "y_best": y_best,
         }
 
         def score(batches):
@@ -257,7 +282,7 @@ class GP(BaseAsyncBO):
             alpha = _np.array(state["alpha"])
             for pdf in batches:
                 for pid in pdf["id"]:
-                    rng = _np.random.default_rng(state["seed"] * 1_000_003 + int(pid))
+                    rng = _np.random.default_rng(state["seed"] + int(pid))
                     cand = rng.random((state["per_part"], state["d"]))
                     Ks = matern52(cand, Xtr, state["ls"])
                     mu = Ks @ alpha * state["y_std"] + state["y_mean"]
@@ -288,6 +313,13 @@ class GP(BaseAsyncBO):
 
     def finalize_trial(self, trial: Trial) -> None:
         super().finalize_trial(trial)
+        self._busy = [p for p in self._busy if Trial(p).trial_id != trial.trial_id]
+
+    def report_error(self, trial: Trial) -> None:
+        """Errored trials leave the busy set too — otherwise they pin a
+        phantom constant-liar pseudo-observation into every later
+        surrogate fit."""
+        super().report_error(trial)
         self._busy = [p for p in self._busy if Trial(p).trial_id != trial.trial_id]
 
 

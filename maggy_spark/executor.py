@@ -151,29 +151,31 @@ def run_trial_wave(
         final = None
         early = False
         error = None
+        # E4: tee user print() output into the trial logs (reference
+        # monkey-patches builtins.print, trial_executor.py:93-103).
+        # The capture is flushed in finally so prints from FAILING and
+        # early-stopped trials survive — that's exactly the output
+        # needed to debug an ERROR row.
+        import contextlib
+        import io
+
+        buf = io.StringIO()
         try:
             ex = dict(extra_static)
             if budget:
                 ex.setdefault("budget", budget)
             kwargs = build_kwargs(fn, hparams, reporter, ex)
-            # E4: tee user print() output into the trial logs
-            # (reference monkey-patches builtins.print,
-            # trial_executor.py:93-103; redirect_stdout is the
-            # tamper-free equivalent)
-            import contextlib
-            import io
-
-            buf = io.StringIO()
             with contextlib.redirect_stdout(buf):
                 ret = fn(**kwargs)
-            if buf.getvalue():
-                reporter.logs.extend(buf.getvalue().rstrip("\n").split("\n"))
             final = normalize_return(ret, opt_key)
         except EarlyStopException as e:  # salvage last metric (trial_executor.py:194-196)
             final = e.metric
             early = True
         except Exception as e:  # noqa: BLE001 - errors become ERROR rows, not task failures
             error = f"{type(e).__name__}: {e}"
+        finally:
+            if buf.getvalue():
+                reporter.logs.extend(buf.getvalue().rstrip("\n").split("\n"))
         return pd.DataFrame(
             [
                 {
@@ -201,30 +203,40 @@ def run_trial_wave(
     return [r.asDict() for r in out.collect()]
 
 
+_PICKLE_LOCK = __import__("threading").Lock()
+
+
 def _dumps_by_value(fn: Callable) -> bytes:
     """cloudpickle the function with its defining module registered for
     by-value pickling (unless it is an installed/importable package
-    like maggy_spark itself), then restore the registry."""
+    like maggy_spark itself), then restore the registry.
+
+    Serialized under a lock: the register/unregister pair mutates
+    cloudpickle's GLOBAL registry, and _drive_async calls this from a
+    thread pool — an interleaved unregister would silently flip a
+    concurrent dumps back to by-reference pickling.
+    """
     from pyspark import cloudpickle as cp
 
     mod = inspect.getmodule(fn)
-    registered = False
-    if mod is not None and mod.__name__ not in ("__main__", "builtins") and not (
-        mod.__name__.startswith(("maggy_spark", "pyspark", "numpy", "pandas"))
-    ):
-        try:
-            cp.register_pickle_by_value(mod)
-            registered = True
-        except Exception:  # noqa: BLE001 - fall back to by-reference
-            pass
-    try:
-        return cp.dumps(fn)
-    finally:
-        if registered:
+    with _PICKLE_LOCK:
+        registered = False
+        if mod is not None and mod.__name__ not in ("__main__", "builtins") and not (
+            mod.__name__.startswith(("maggy_spark", "pyspark", "numpy", "pandas"))
+        ):
             try:
-                cp.unregister_pickle_by_value(mod)
-            except Exception:  # noqa: BLE001
+                cp.register_pickle_by_value(mod)
+                registered = True
+            except Exception:  # noqa: BLE001 - fall back to by-reference
                 pass
+        try:
+            return cp.dumps(fn)
+        finally:
+            if registered:
+                try:
+                    cp.unregister_pickle_by_value(mod)
+                except Exception:  # noqa: BLE001
+                    pass
 
 
 def _make_stop_check(stop_src: str | None):

@@ -111,6 +111,7 @@ def _apply_result(controller, trial: Trial, r: dict, seq: int) -> None:
     if r["error"]:
         trial.status = Trial.ERROR
         trial.info_dict["error"] = r["error"]
+        controller.report_error(trial)  # rung ledgers / busy sets / done() accounting
     else:
         trial.status = Trial.FINALIZED
         trial.final_metric = r["final_metric"]
@@ -143,6 +144,7 @@ def _run_hpo(train_fn: Callable, config: HyperparameterOptConfig, spark: SparkSe
     result = _aggregate_result(spark, all_trials, config.direction)
     result["duration_sec"] = round(time.time() - t_start, 3)
     result["num_waves"] = waves
+    result["errors"] = sum(t.status == Trial.ERROR for t in all_trials)
     best = next((t for t in all_trials if t.trial_id == result.get("best_id")), None)
     if best is not None:
         result["best_config"] = {k: v for k, v in best.params.items() if not callable(v)}
@@ -277,10 +279,14 @@ def _aggregate_result(spark: SparkSession, trials: list[Trial], direction: str) 
         return {"num_trials": len(trials), "errors": errs, "early_stopped": 0}
     sign = -1.0 if direction == "min" else 1.0
     key = (F.col("final_metric") * sign)
+    # plain double avg: user metrics have arbitrary scale (a loss of
+    # 4e-5 would round to 0 under the oracle kernel's decimal(18,4)
+    # accumulator, which exists for cross-engine parity on the
+    # 2-decimal fixtures, not for experiment results)
     agg = df.agg(
         F.max(F.struct(key.alias("m"), (-F.col("seq")).alias("ns"), F.col("trial_id"), F.col("final_metric"))).alias("b"),
         F.min(F.struct(key.alias("m"), F.col("seq"), F.col("trial_id"), F.col("final_metric"))).alias("w"),
-        (F.sum(F.col("final_metric").cast(DEC)).cast("double") / F.count("final_metric")).alias("avg"),
+        F.avg("final_metric").alias("avg"),
         F.count("*").alias("num_trials"),
         F.sum(F.when(F.col("early_stop"), 1).otherwise(0)).cast("bigint").alias("early_stopped"),
     ).collect()[0]

@@ -86,6 +86,13 @@ class Hyperband(AbstractOptimizer):
                 "budget": budget,
             },
         )
+        # disambiguate across SH iterations: iteration 1 can seed the
+        # same (params, budget) that iteration 0 promoted; ids must
+        # differ or the wave's result routing conflates them (the
+        # reference keeps per-rung trial copies, hyperband.py:458-465)
+        from maggy_spark.trial import trial_id_for_params
+
+        t.trial_id = trial_id_for_params({**params, "budget": budget, "sh_iteration": iteration})
         return t
 
     def next_batch(self, max_trials: int) -> list[Trial]:
@@ -94,15 +101,28 @@ class Hyperband(AbstractOptimizer):
         # (they are already in a rung's pending ledger)
         for i, it in enumerate(self._iters):
             if not it["seeded"]:
-                # rung seeding: n0 random configs (hyperband.py:197-218)
-                for _ in range(it["n_configs"][0]):
+                # rung seeding: n0 random configs (hyperband.py:197-218);
+                # dedup WITHIN the iteration — duplicate params+budget
+                # would collide in the pending ledger/result routing
+                seeded = 0
+                attempts = 0
+                seen_here: set[str] = set()
+                while seeded < it["n_configs"][0] and attempts < 20 * it["n_configs"][0]:
                     params = self.searchspace.get_random_parameter_values(
                         1, seed=None if self.seed is None else self.seed + 7919 * self._emitted_seed
                     )[0]
                     self._emitted_seed += 1
+                    attempts += 1
                     t = self._new_trial(params, i, it["rung"], "random")
+                    if t.trial_id in seen_here:
+                        continue  # redraw (small discrete spaces collide)
+                    seen_here.add(t.trial_id)
                     it["pending"][t.trial_id] = t
                     self._queue.append(t)
+                    seeded += 1
+                if seeded < it["n_configs"][0]:
+                    # searchspace smaller than the rung: shrink the rung
+                    it["n_configs"][0] = seeded
                 it["seeded"] = True
                 continue
             if it["pending"]:
@@ -129,6 +149,16 @@ class Hyperband(AbstractOptimizer):
             if trial.trial_id in it["pending"]:
                 del it["pending"][trial.trial_id]
                 it["finished"].append(trial)
+                break
+
+    def report_error(self, trial: Trial) -> None:
+        """An errored trial must leave its rung's pending ledger or the
+        iteration stalls forever waiting on it; the rung simply
+        finishes with one fewer candidate."""
+        super().report_error(trial)
+        for it in self._iters:
+            if trial.trial_id in it["pending"]:
+                del it["pending"][trial.trial_id]
                 break
 
     def done(self) -> bool:

@@ -49,6 +49,13 @@ class AbstractOptimizer(ABC):
         self.num_trials = num_trials
         self.direction = direction
         self.seed = seed
+        # a controller instance may be reused across lagom() calls
+        # (get_controller accepts instances): reset accumulated state
+        # or the second run sees done()==True immediately and every
+        # redraw as a duplicate
+        self.final_store = []
+        self._seen_params = set()
+        self.n_errors = 0
         self._initialize()
 
     def _initialize(self) -> None:  # hook
@@ -61,8 +68,14 @@ class AbstractOptimizer(ABC):
     def finalize_trial(self, trial: Trial) -> None:
         self.final_store.append(trial)
 
+    def report_error(self, trial: Trial) -> None:
+        """An emitted trial failed (ERROR row): it will never finalize.
+        Controllers must not wait on it (rung ledgers, done()
+        accounting, busy sets)."""
+        self.n_errors += 1
+
     def done(self) -> bool:
-        return len(self.final_store) >= self.num_trials
+        return len(self.final_store) + self.n_errors >= self.num_trials
 
     # -- dedup guard (G12) ---------------------------------------------
 
@@ -91,7 +104,7 @@ class RandomSearch(AbstractOptimizer):
                 "RandomSearch requires at least one continuous (DOUBLE/INTEGER) "
                 "hyperparameter (reference randomsearch.py:30-36)"
             )
-        self._buffer: list[Trial] = []
+        self._buffer = []
         rng_seed = self.seed
         drawn = 0
         attempts = 0
@@ -168,6 +181,10 @@ class Asha(AbstractOptimizer):
 
     def _initialize(self) -> None:
         self._rng = random.Random(self.seed)
+        # reset per-run state (instances may be reused across lagom calls)
+        self._promoted = {r: set() for r in range(self.max_rung + 1)}
+        self._emitted_rung0 = 0
+        self._rung0_draws = 0
 
     def budget_for_rung(self, rung: int) -> int:
         return self.resource_min * self.eta**rung
@@ -231,12 +248,13 @@ class Asha(AbstractOptimizer):
         return out
 
     def done(self) -> bool:
-        # done when every rung-0 candidate is emitted and no promotion pending
+        # done when every rung-0 candidate is emitted and no promotion
+        # pending; errored trials count as settled (they never finalize)
         if self._emitted_rung0 < self.num_trials:
             return False
         pending = any(self._promotable(r) for r in range(self.max_rung))
-        finished = len(self.final_store)
-        return not pending and finished >= self._emitted_rung0 + sum(len(s) for s in self._promoted.values())
+        settled = len(self.final_store) + self.n_errors
+        return not pending and settled >= self._emitted_rung0 + sum(len(s) for s in self._promoted.values())
 
 
 CONTROLLERS = {
@@ -257,6 +275,13 @@ def get_controller(spec, **kwargs) -> AbstractOptimizer:
         from maggy_spark.bayes import GP, TPE
 
         return GP(**kwargs) if name == "gp" else TPE(**kwargs)
+    if name == "hyperband":
+        from maggy_spark.hyperband import Hyperband
+
+        return Hyperband(**kwargs)
     if name not in CONTROLLERS:
-        raise ValueError(f"unknown optimizer {spec!r}; expected one of {sorted(CONTROLLERS) + ['gp', 'tpe']}")
+        raise ValueError(
+            f"unknown optimizer {spec!r}; expected one of "
+            f"{sorted(CONTROLLERS) + ['gp', 'tpe', 'hyperband']}"
+        )
     return CONTROLLERS[name](**kwargs)

@@ -178,3 +178,109 @@ def test_distributed_config_objects_injected(spark):
     res = lagom(train_fn, cfg, spark)
     assert res["errors"] is None
     assert res["test result"] == 7.0
+
+
+# -- third review round -------------------------------------------------
+
+
+def test_controller_reuse_across_runs(spark):
+    """Reused optimizer instances must reset state on initialize."""
+    def fn(x):
+        return x
+
+    gp = GP(num_warmup_trials=2, n_points=50)
+    cfg = HyperparameterOptConfig(
+        num_trials=4, optimizer=gp, searchspace=Searchspace(x=("DOUBLE", [0, 1])),
+        direction="max", es_policy="none", seed=3,
+    )
+    r1 = lagom(fn, cfg, spark)
+    r2 = lagom(fn, cfg, spark)
+    assert r1["num_trials"] == 4 and r2["num_trials"] == 4  # second run not empty
+
+
+def test_hyperband_by_name(spark):
+    from maggy_spark.optimizers import get_controller
+
+    hb = get_controller("hyperband", min_budget=1, max_budget=4, eta=2, n_iterations=1)
+    from maggy_spark.hyperband import Hyperband
+
+    assert isinstance(hb, Hyperband)
+
+
+def test_hyperband_survives_errored_trial(spark):
+    """An ERROR row must not stall the iteration's remaining rungs."""
+    def fn(x, budget=1):
+        if budget == 1 and x < 0.2:
+            raise RuntimeError("flaky trial")
+        return x * budget
+
+    from maggy_spark.hyperband import Hyperband
+
+    hb = Hyperband(min_budget=1, max_budget=4, eta=2, n_iterations=1)
+    cfg = HyperparameterOptConfig(
+        optimizer=hb, searchspace=Searchspace(x=("DOUBLE", [0, 1])),
+        direction="max", es_policy="none", seed=8, parallelism=8, num_trials=0,
+    )
+    res = lagom(fn, cfg, spark)
+    # promotions happened despite errors: some budget-4 trials finalized
+    assert any(t.info_dict.get("budget") == 4 for t in hb.final_store)
+
+
+def test_asha_survives_errored_trial(spark):
+    def fn(x, budget=1):
+        if x > 0.8:
+            raise RuntimeError("boom")
+        return x * budget
+
+    asha = Asha(reduction_factor=2, resource_min=1, resource_max=2)
+    cfg = HyperparameterOptConfig(
+        num_trials=6, optimizer=asha, searchspace=Searchspace(x=("DOUBLE", [0, 1])),
+        direction="max", es_policy="none", seed=4, parallelism=3,
+    )
+    res = lagom(fn, cfg, spark)  # must terminate, not stall
+    assert res["num_trials"] >= 1
+
+
+def test_experiment_avg_not_rounded(spark):
+    """Tiny loss-scale metrics must not collapse to 0 in the avg."""
+    def fn(x):
+        return 4.2e-05 * (1 + x / 10)
+
+    cfg = HyperparameterOptConfig(
+        num_trials=3, optimizer="randomsearch",
+        searchspace=Searchspace(x=("DOUBLE", [0, 1])),
+        direction="max", es_policy="none", seed=2,
+    )
+    res = lagom(fn, cfg, spark)
+    assert res["avg"] > 4e-05
+
+
+def test_error_trial_logs_captured(spark):
+    """Prints from failing trials must reach the trial logs."""
+    from maggy_spark.executor import run_trial_wave
+
+    def fn(x):
+        print("about to fail")
+        raise RuntimeError("dead")
+
+    [r] = run_trial_wave(spark, [{"trial_id": "t0", "params": {"x": 0.5}, "budget": 0}], fn)
+    assert r["error"] and "dead" in r["error"]
+    assert "about to fail" in (r["logs"] or [])  # failure diagnostics survive
+
+
+def test_ablation_respects_model_function_default(spark):
+    from tests.test_bayes_ablation_dist import make_study
+    from maggy_spark.config import AblationConfig
+
+    study = make_study()
+
+    def default_model():
+        return "base-model"
+
+    def train_fn(dataset_function, label_name, model_function=default_model):
+        assert model_function is not None  # default must survive injection
+        model_function()
+        return float(len(dataset_function().columns))
+
+    res = lagom(train_fn, AblationConfig(ablation_study=study, direction="max"), spark)
+    assert res["num_trials"] == 4  # no NoneType-not-callable errors
