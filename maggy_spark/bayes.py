@@ -275,8 +275,19 @@ class GP(BaseAsyncBO):
             "seed": seed_base, "per_part": per_part, "d": d, "y_best": y_best,
         }
 
+        from pathlib import Path
+
+        pkg_path = str(Path(__file__).resolve().parent.parent)
+
         def score(batches):
+            import sys as _sys
+
             import numpy as _np
+            import pandas as pd
+
+            if pkg_path not in _sys.path:
+                _sys.path.insert(0, pkg_path)
+            from maggy_spark.bayes import expected_improvement, matern52
 
             Xtr = _np.array(state["X"]); L = _np.array(state["chol"])
             alpha = _np.array(state["alpha"])

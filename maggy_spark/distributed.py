@@ -44,9 +44,24 @@ def run_distributed_training(
         if getattr(config, k, None) is not None
     }
 
+    from pathlib import Path
+
+    # plain-string capture: the barrier closure must unpickle with
+    # stdlib alone on workers that can't import maggy_spark yet
+    pkg_path = str(Path(__file__).resolve().parent.parent)
+
     def worker(iterator):
+        import json
+        import socket
+        import sys as _sys
+
         from pyspark import BarrierTaskContext
         from pyspark import cloudpickle as _cp
+
+        if pkg_path not in _sys.path:
+            _sys.path.insert(0, pkg_path)
+        from maggy_spark.executor import build_kwargs, normalize_return
+        from maggy_spark.reporter import Reporter
 
         ctx = BarrierTaskContext.get()
         rank = ctx.partitionId()

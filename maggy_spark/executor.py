@@ -26,6 +26,7 @@ from __future__ import annotations
 import inspect
 import json
 import time
+from pathlib import Path
 from typing import Any, Callable
 
 import pandas as pd
@@ -138,16 +139,33 @@ def run_trial_wave(
     stop_src = stop_check_source
     extra_static = extras or {}
 
-    def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    # Captured as a plain string so the UDF closure below carries NO
+    # references to maggy_spark module globals: python workers do not
+    # inherit the driver's sys.path, so the closure must be able to
+    # unpickle with stdlib alone, then bootstrap the package path and
+    # import what it needs at call time.
+    pkg_path = str(Path(__file__).resolve().parent.parent)
+
+    def run_group(pdf):
+        import json as _json
+        import sys as _sys
+        import time as _time
+
+        import pandas as _pd
         from pyspark import cloudpickle as _cp
+
+        if pkg_path not in _sys.path:
+            _sys.path.insert(0, pkg_path)
+        from maggy_spark.executor import _make_stop_check, build_kwargs, normalize_return
+        from maggy_spark.reporter import EarlyStopException, Reporter
 
         fn = _cp.loads(fn_bytes)
         trial_id = pdf["trial_id"].iloc[0]
-        hparams = json.loads(pdf["params_json"].iloc[0])
+        hparams = _json.loads(pdf["params_json"].iloc[0])
         budget = int(pdf["budget"].iloc[0])
         stop_check = _make_stop_check(stop_src)
         reporter = Reporter(stop_check=stop_check)
-        t0 = time.time()
+        t0 = _time.time()
         final = None
         early = False
         error = None
@@ -176,7 +194,7 @@ def run_trial_wave(
         finally:
             if buf.getvalue():
                 reporter.logs.extend(buf.getvalue().rstrip("\n").split("\n"))
-        return pd.DataFrame(
+        return _pd.DataFrame(
             [
                 {
                     "trial_id": trial_id,
@@ -186,7 +204,7 @@ def run_trial_wave(
                     "early_stop": early,
                     "error": error,
                     "logs": reporter.logs,
-                    "duration_ms": int((time.time() - t0) * 1000),
+                    "duration_ms": int((_time.time() - t0) * 1000),
                 }
             ]
         )

@@ -53,14 +53,22 @@ class Searchspace:
 
     # -- declaration ---------------------------------------------------
 
-    def add(self, name: str, hp_type: str, region: list) -> None:
+    def add(self, name: str, hp_type, region: list | None = None) -> None:
         """Validate and register one hyperparameter.
 
-        Validation mirrors reference `searchspace.py:71-150`:
-        DOUBLE/INTEGER need a 2-element [lo, hi] with lo < hi (INTEGER
-        bounds strictly int); DISCRETE needs numeric values;
-        CATEGORICAL needs strings.
+        Two call shapes: the engine's ``add(name, type, region)`` and
+        the reference's ``add(name, (type, region))``
+        (`searchspace.py:71-80`). Validation mirrors reference
+        `searchspace.py:71-150`: DOUBLE/INTEGER need a 2-element
+        [lo, hi] with lo < hi (INTEGER bounds strictly int); DISCRETE
+        needs numeric values; CATEGORICAL needs strings.
         """
+        if region is None:
+            if not isinstance(hp_type, (tuple, list)) or len(hp_type) != 2:
+                raise ValueError(
+                    f"Hyperparameter {name}: expected (type, feasible_region), got {hp_type!r}"
+                )
+            hp_type, region = hp_type
         if not isinstance(name, str) or not name:
             raise ValueError(f"Hyperparameter name must be a non-empty string: {name!r}")
         if name in self._hparam_types:
@@ -100,16 +108,42 @@ class Searchspace:
         """name -> type, insertion-ordered."""
         return dict(self._hparam_types)
 
-    def get(self, name: str) -> list:
-        return self._feasible_regions[name]
+    def get(self, name: str, default=None):
+        """Feasible region of `name`, or `default` when undeclared
+        (reference `searchspace.py:173-178`)."""
+        return self._feasible_regions.get(name, default)
 
     def keys(self):
-        return self._hparam_types.keys()
+        return list(self._hparam_types.keys())
 
     def items(self):
-        """Yield (name, type, region) in insertion order."""
+        """Yield hyperparameter views in insertion order. Each view
+        unpacks as the engine's (name, type, region) triple AND
+        supports the reference's dict-style access
+        (`item["name"] / item["type"] / item["values"]`,
+        `searchspace.py:210-237`)."""
         for name, t in self._hparam_types.items():
-            yield name, t, self._feasible_regions[name]
+            yield _HparamView((name, t, self._feasible_regions[name]))
+
+    def values(self):
+        """[(type, region), ...] in insertion order (reference
+        `searchspace.py:248-255`)."""
+        return [(t, self._feasible_regions[n]) for n, t in self._hparam_types.items()]
+
+    def to_dict(self) -> dict:
+        """name -> (type, region) (reference `searchspace.py:152-162`)."""
+        return {n: (t, self._feasible_regions[n]) for n, t in self._hparam_types.items()}
+
+    def __iter__(self):
+        return self.items()
+
+    def __getattr__(self, name: str):
+        # reference exposes each hparam's region as an attribute
+        # (`setattr` in add, accessed as `sp.dropout`)
+        regions = self.__dict__.get("_feasible_regions")
+        if regions is not None and name in regions:
+            return regions[name]
+        raise AttributeError(name)
 
     def __len__(self) -> int:
         return len(self._hparam_types)
@@ -242,6 +276,24 @@ class Searchspace:
             else:
                 rows.append((name, seq, t, None, None, [str(v) for v in region]))
         return spark.createDataFrame(rows, schema)
+
+
+class _HparamView(tuple):
+    """A (name, type, region) triple that also answers the reference's
+    dict-style keys (name/type/values)."""
+
+    _KEYS = {"name": 0, "type": 1, "values": 2}
+
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            return tuple.__getitem__(self, self._KEYS[key])
+        return tuple.__getitem__(self, key)
+
+    def get(self, key, default=None):
+        try:
+            return self[key]
+        except (KeyError, IndexError):
+            return default
 
 
 def _minmax(v: float, lo: float, hi: float) -> float:
