@@ -60,6 +60,26 @@ def to_pandas_spark(sdf):
     return pd.DataFrame([tuple(r) for r in rows], columns=cols)
 
 
+_SPARK_TO_CANON = {
+    "bigint": "i64", "int": "i32", "smallint": "i16", "double": "f64",
+    "float": "f32", "string": "str", "boolean": "bool", "date": "date",
+    "timestamp": "ts",
+}
+_NUMPY_TO_CANON = {
+    "int64": "i64", "int32": "i32", "int16": "i16", "float64": "f64",
+    "float32": "f32", "object": "str", "bool": "bool",
+    "datetime64[ns]": "ts", "datetime64[us]": "ts",
+}
+
+
+def spark_dtypes(sdf) -> dict:
+    return {name: _SPARK_TO_CANON.get(dt, dt) for name, dt in sdf.dtypes}
+
+
+def duck_dtypes(df: pd.DataFrame) -> dict:
+    return {c: _NUMPY_TO_CANON.get(str(df[c].dtype), str(df[c].dtype)) for c in df.columns}
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -111,6 +131,14 @@ def main() -> int:
             status.append(f"rowcount {len(spark_pd)} vs {len(duck_pd)}")
         if sc != dc:
             status.append(f"columns {sc} vs {dc}")
+        st, dt = spark_dtypes(sdf), duck_dtypes(duck_pd)
+        mismatched = {c: (st.get(c), dt.get(c)) for c in st if st.get(c) != dt.get(c)}
+        # object columns on the duckdb side can hold anything; only
+        # flag clear numeric-width/type disagreements
+        mismatched = {c: v for c, v in mismatched.items()
+                      if v[1] != "str" or v[0] not in ("str", "date", "ts")}
+        if mismatched:
+            status.append(f"dtypes {mismatched}")
         if srows != drows:
             n_mismatch = sum((srows.get(k, 0) - drows.get(k, 0)) != 0 for k in set(srows) | set(drows))
             status.append(f"values ({n_mismatch} differing row-keys)")
