@@ -1,0 +1,49 @@
+"""Training-data pipeline over the synthetic corpus: dedup ->
+near-dup -> quality filter -> stratified sample -> worker-aligned
+shards — the LLM-data-prep extensions composed end-to-end.
+
+Run: python examples/corpus_pipeline.py [sf_dir]
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("maggy-spark-corpus-pipeline")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from maggy_spark.functions.pipeline import corpus_to_shards, pl1_corpus_prep, pl2_stratified_sample
+    from maggy_spark.sources.data import count_shard_rows, shard_parquet_reader
+
+    kept = pl1_corpus_prep(spark, sf_dir)
+    print(f"survivors after dedup+quality: {kept.count()}")
+    kept.orderBy(F.desc("bpe_tokens")).show(5)
+
+    sample = pl2_stratified_sample(spark, sf_dir)
+    sample.groupBy("lang").count().orderBy("lang").show()
+
+    out = "/tmp/maggy_example_corpus"
+    corpus_to_shards(spark, sf_dir, out, n_shards=4)
+    for rank in range(4):
+        n = count_shard_rows(out, rank, 4)
+        print(f"worker {rank}: {n} docs", end="; ")
+    print()
+    # a training worker consumes its shard without a Spark session:
+    first_batch = next(shard_parquet_reader(out, rank=0, world_size=4, batch_size=64))
+    print(f"rank-0 first batch: {len(first_batch)} rows, columns={list(first_batch.columns)}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,41 @@
+"""The driver contract in __spark_entry__: t1 smoke shape and the
+queries/oracle key discipline."""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as entrymod
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0  # driver requirement: runs, >=0 rows
+    assert set(df.columns) == {
+        "best_id", "best_val", "worst_id", "worst_val", "avg_metric", "num_trials", "early_stopped"
+    }
+    # stable schema across invocations
+    assert entrymod.entry(spark).schema == df.schema
+
+
+def test_every_oracle_has_a_query():
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 49
+    # rows-only (non-SQL-expressible) queries are the documented set
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == {"g1_random_sample", "mm1_decode_metadata", "mm2_frame_sample"}
+
+
+def test_query_callables_take_spark_and_sfdir(spark):
+    import inspect
+
+    for name, fn in entrymod.queries().items():
+        params = list(inspect.signature(fn).parameters)
+        assert params[:2] == ["spark", "sf_dir"], name
+        # extra params must all have defaults (driver calls with 2 args)
+        sig = inspect.signature(fn)
+        for p in list(sig.parameters.values())[2:]:
+            assert p.default is not inspect.Parameter.empty, (name, p.name)
