@@ -74,6 +74,44 @@ def per_trial_stats_over_bucketed(spark: SparkSession, table: str = "metrics_buc
     )
 
 
+def materialize_trials_bucketed(
+    spark: SparkSession, sf_dir: str, table: str = "trials_bucketed", buckets: int = 16
+) -> str:
+    """Trials bucketed on the same key/bucket-count as metrics: the
+    layout that makes trial<->metrics joins co-located."""
+    import shutil
+    from urllib.parse import urlparse
+
+    from maggy_spark.plans.fixtures import trials_df
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
+    (
+        trials_df(spark, sf_dir)
+        .write.mode("overwrite")
+        .bucketBy(buckets, "trial_id")
+        .sortBy("trial_id")
+        .saveAsTable(table)
+    )
+    return table
+
+
+def colocated_trial_metrics_join(
+    spark: SparkSession, trials_table: str = "trials_bucketed", metrics_table: str = "metrics_bucketed"
+) -> DataFrame:
+    """trial<->metrics equi-join over co-bucketed tables: both sides
+    read pre-hashed on trial_id, so the join plan has NO shuffle
+    exchange — the C2/S9 join shape (SURVEY §2.6 equi-join) at
+    100 TB."""
+    t = spark.table(trials_table).select("trial_id", "status", "budget")
+    m = spark.table(metrics_table)
+    return t.join(m, "trial_id").groupBy("trial_id", "status", "budget").agg(
+        F.count("*").alias("n_steps"),
+        F.max("value").alias("best_value"),
+    )
+
+
 def salted_join(
     left: DataFrame, right: DataFrame, key: str, salt: int = 8, how: str = "inner"
 ) -> DataFrame:

@@ -61,3 +61,37 @@ def test_salted_join_correct_and_spread(spark):
         .count()
     )
     assert spread == 8
+
+
+def test_colocated_join_has_no_shuffle(spark, sf_dir, bucketed):
+    from maggy_spark.sources.bucketing import (
+        colocated_trial_metrics_join,
+        materialize_trials_bucketed,
+    )
+
+    materialize_trials_bucketed(spark, sf_dir, buckets=8)
+    # the 100 TB case is big-big: disable broadcast so the join must
+    # rely on bucket co-location (at toy scale Spark would broadcast
+    # the small side, which is also shuffle-free but proves nothing)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = colocated_trial_metrics_join(spark)
+        plan = _plan(df)
+        assert "Exchange hashpartitioning" not in plan  # no shuffle on either side
+        assert "SortMergeJoin" in plan and "Bucketed: true" in plan
+        rows = df.collect()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert rows and all(r.n_steps >= 1 for r in rows)
+    # correctness vs the shuffling form
+    from maggy_spark.plans.fixtures import metrics_df, trials_df
+    import pyspark.sql.functions as F
+
+    base = (
+        trials_df(spark, sf_dir).select("trial_id", "status", "budget")
+        .join(metrics_df(spark, sf_dir), "trial_id")
+        .groupBy("trial_id", "status", "budget")
+        .agg(F.count("*").alias("n_steps"), F.max("value").alias("best_value"))
+    )
+    assert {tuple(r) for r in rows} == {tuple(r) for r in base.collect()}

@@ -1,0 +1,69 @@
+"""ExperimentStore: live relational analytics over a running
+experiment's trials/metrics tables."""
+
+import pytest
+
+from maggy_spark.store import ExperimentStore
+from maggy_spark.trial import Trial
+
+
+def _trial(seq, metric, budget=0, steps=(1.0, 2.0, 3.0)):
+    t = Trial({"x": seq})
+    for i, v in enumerate(steps):
+        t.append_metric(v * metric, i)
+    t.finalize(metric)
+    t.info_dict["seq"] = seq
+    t.info_dict["budget"] = budget
+    return t
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("store")
+    s = ExperimentStore(spark, str(tmp_path / "exp"), direction="max")
+    wave1 = [_trial(1, 10.0, budget=1), _trial(2, 30.0, budget=1)]
+    s.append_trials(wave1)
+    s.append_metrics(wave1)
+    wave2 = [_trial(3, 20.0, budget=2), _trial(4, 40.0, budget=2)]
+    s.append_trials(wave2)
+    s.append_metrics(wave2)
+    return s
+
+
+def test_incremental_appends_visible(store):
+    assert store.trials().count() == 4
+    assert store.metrics().count() == 12
+
+
+def test_result_summary_matches_kernel_shape(store):
+    res = store.result_summary()
+    assert res["best_val"] == 40.0 and res["worst_val"] == 10.0
+    assert res["num_trials"] == 4
+    assert res["avg"] == pytest.approx(25.0)
+
+
+def test_budget_stats(store):
+    rows = {r.budget: r for r in store.budget_stats().collect()}
+    assert rows[1].ybest == 10.0 and rows[1].yworst == 30.0
+    assert rows[2].n_trials == 2
+
+
+def test_promotable_top_half(store):
+    promo = {r.rung: r.trial_id for r in store.promotable(eta=2).collect()}
+    # per rung: top floor(2/2)=1 by metric desc
+    t = {r.seq: r.trial_id for r in store.trials().collect()}
+    assert promo[1] == t[2]  # metric 30 beats 10
+    assert promo[2] == t[4]  # metric 40 beats 20
+
+
+def test_median_bar(store):
+    # prefix means over first 3 steps: 2*metric for each trial ->
+    # [20, 60, 40, 80]; median = 50
+    assert store.median_bar(step_limit=3) == pytest.approx(50.0)
+
+
+def test_empty_store_summary(spark, tmp_path):
+    s = ExperimentStore(spark, str(tmp_path / "empty"))
+    s.append_trials([])
+    with pytest.raises(Exception):
+        s.trials().count()  # nothing written yet -> no parquet path
