@@ -24,6 +24,11 @@ class BaseConfig:
     # relation under <log_dir>/<name>_<run_id>/ (reference S5/S6,
     # optimization_driver.py:235-253)
     log_dir: str | None = None
+    # with log_dir set, also append trials/metrics to a live
+    # ExperimentStore after every wave, so other Spark sessions can
+    # watch the running experiment relationally (costs one small
+    # write job per wave)
+    stream_artifacts: bool = False
 
 
 @dataclass

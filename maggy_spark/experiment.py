@@ -135,11 +135,21 @@ def _run_hpo(train_fn: Callable, config: HyperparameterOptConfig, spark: SparkSe
     controller.spark = spark  # controllers may fan work out (e.g. GP distributed scoring)
     parallelism = config.parallelism or spark.sparkContext.defaultParallelism
 
+    store = None
+    exp_dir = None
+    if getattr(config, "stream_artifacts", False) and config.log_dir:
+        from maggy_spark.store import ExperimentStore
+        from maggy_spark.util import next_run_id, register_environment
+
+        run_id = next_run_id(config.log_dir, config.name)
+        exp_dir = register_environment(config.name, run_id, config.log_dir)
+        store = ExperimentStore(spark, exp_dir + "/live", direction=config.direction)
+
     t_start = time.time()
     if config.scheduling == "async":
-        all_trials, waves = _drive_async(train_fn, config, spark, controller, parallelism)
+        all_trials, waves = _drive_async(train_fn, config, spark, controller, parallelism, store)
     else:
-        all_trials, waves = _drive_waves(train_fn, config, spark, controller, parallelism)
+        all_trials, waves = _drive_waves(train_fn, config, spark, controller, parallelism, store)
 
     result = _aggregate_result(spark, all_trials, config.direction)
     result["duration_sec"] = round(time.time() - t_start, 3)
@@ -152,25 +162,27 @@ def _run_hpo(train_fn: Callable, config: HyperparameterOptConfig, spark: SparkSe
     if worst is not None:
         result["worst_config"] = {k: v for k, v in worst.params.items() if not callable(v)}
     if config.log_dir:
-        result["log_dir"] = _persist_experiment(spark, config, all_trials, result)
+        result["log_dir"] = _persist_experiment(spark, config, all_trials, result, exp_dir)
     return result
 
 
-def _persist_experiment(spark, config, trials: list[Trial], result: dict) -> str:
+def _persist_experiment(spark, config, trials: list[Trial], result: dict, exp_dir: str | None = None) -> str:
     """S5/S6 finalize: experiment dir + result.json + trials relation
-    (reference optimization_driver.py:235-253,294-342)."""
+    (reference optimization_driver.py:235-253,294-342). Reuses the
+    live store's run dir when streaming was on."""
     from maggy_spark.sources.sinks import write_experiment_result, write_trial_artifacts
     from maggy_spark.util import next_run_id, register_environment
 
-    run_id = next_run_id(config.log_dir, config.name)
-    exp_dir = register_environment(config.name, run_id, config.log_dir)
+    if exp_dir is None:
+        run_id = next_run_id(config.log_dir, config.name)
+        exp_dir = register_environment(config.name, run_id, config.log_dir)
     write_experiment_result(result, exp_dir)
     if trials:
         write_trial_artifacts(trials_to_df(spark, trials, config.direction), exp_dir)
     return exp_dir
 
 
-def _drive_waves(train_fn, config, spark, controller, parallelism) -> tuple[list[Trial], int]:
+def _drive_waves(train_fn, config, spark, controller, parallelism, store=None) -> tuple[list[Trial], int]:
     """Batch-synchronous scheduling: waves of `parallelism` trials."""
     all_trials: list[Trial] = []
     seq = 0
@@ -190,18 +202,23 @@ def _drive_waves(train_fn, config, spark, controller, parallelism) -> tuple[list
             optimization_key=config.optimization_key,
             stop_check_source=stop_src,
         )
+        done_wave = []
         for r in results:
             seq += 1
             t = by_id[r["trial_id"]]
             _apply_result(controller, t, r, seq)
             all_trials.append(t)
+            done_wave.append(t)
+        if store is not None:
+            store.append_trials(done_wave)
+            store.append_metrics(done_wave)
         waves += 1
         if waves > 10_000:
             raise RuntimeError("experiment did not converge (wave limit)")
     return all_trials, waves
 
 
-def _drive_async(train_fn, config, spark, controller, parallelism) -> tuple[list[Trial], int]:
+def _drive_async(train_fn, config, spark, controller, parallelism, store=None) -> tuple[list[Trial], int]:
     """Per-trial scheduling: a driver thread pool keeps `parallelism`
     single-trial Spark jobs in flight and refills a slot the moment a
     trial finishes — the reference's asynchrony
@@ -245,11 +262,16 @@ def _drive_async(train_fn, config, spark, controller, parallelism) -> tuple[list
                 continue
             stall = 0
             done, in_flight = wait(in_flight, return_when=FIRST_COMPLETED)
+            settled = []
             for f in done:
                 trial, r = f.result()
                 seq += 1
                 _apply_result(controller, trial, r, seq)
                 all_trials.append(trial)
+                settled.append(trial)
+            if store is not None and settled:
+                store.append_trials(settled)
+                store.append_metrics(settled)
             if jobs > 100_000:
                 raise RuntimeError("experiment did not converge (job limit)")
     return all_trials, jobs

@@ -67,3 +67,46 @@ def test_empty_store_summary(spark, tmp_path):
     s.append_trials([])
     with pytest.raises(Exception):
         s.trials().count()  # nothing written yet -> no parquet path
+
+
+def test_lagom_streams_to_store(spark, tmp_path):
+    from maggy_spark import Searchspace, lagom
+    from maggy_spark.config import HyperparameterOptConfig
+
+    def fn(x, reporter):
+        reporter.broadcast(x, 0)
+        reporter.broadcast(x * 2, 1)
+        return x
+
+    cfg = HyperparameterOptConfig(
+        name="live_exp", num_trials=6, optimizer="randomsearch",
+        searchspace=Searchspace(x=("DOUBLE", [0, 1])),
+        direction="max", es_policy="none", seed=4, parallelism=3,
+        log_dir=str(tmp_path), stream_artifacts=True,
+    )
+    res = lagom(fn, cfg, spark)
+    live = ExperimentStore(spark, f"{tmp_path}/live_exp_0/live", direction="max")
+    assert live.trials().count() == 6
+    assert live.metrics().count() == 12  # 2 broadcasts per trial
+    summary = live.result_summary()
+    assert summary["best_val"] == res["best_val"]
+    assert summary["num_trials"] == 6
+
+
+def test_streaming_run_keeps_single_dir(spark, tmp_path):
+    from maggy_spark import Searchspace, lagom
+    from maggy_spark.config import HyperparameterOptConfig
+    import os
+
+    cfg = HyperparameterOptConfig(
+        name="single_dir", num_trials=2, optimizer="randomsearch",
+        searchspace=Searchspace(x=("DOUBLE", [0, 1])),
+        direction="max", es_policy="none", seed=9,
+        log_dir=str(tmp_path), stream_artifacts=True,
+    )
+    res = lagom(lambda x: x, cfg, spark)
+    # live store and final artifacts share one run dir
+    assert res["log_dir"].endswith("single_dir_0")
+    assert os.path.isdir(f"{res['log_dir']}/live")
+    assert os.path.exists(f"{res['log_dir']}/result.json")
+    assert not os.path.isdir(f"{tmp_path}/single_dir_1")
