@@ -290,28 +290,38 @@ def trials_to_df(spark: SparkSession, trials: list[Trial], direction: str = "max
     return spark.createDataFrame(rows, schema)
 
 
-def _aggregate_result(spark: SparkSession, trials: list[Trial], direction: str) -> dict:
-    """The A1 result aggregation over the experiment's own trials DF
-    (reference optimization_driver.py:344-406 + prep_results)."""
-    if not trials:
-        return {"num_trials": 0, "early_stopped": 0}
-    df = trials_to_df(spark, trials, direction).where(F.col("status") == "FINALIZED")
-    if df.isEmpty():
-        errs = sum(t.status == Trial.ERROR for t in trials)
-        return {"num_trials": len(trials), "errors": errs, "early_stopped": 0}
+def summarize_finalized(finalized_df, direction: str) -> dict:
+    """The A1 summary over a FINALIZED-trials relation — shared by the
+    experiment finalize path and the live ExperimentStore.
+
+    Null metrics are excluded from best/worst/avg (a null struct field
+    would sort below every real metric under min and win `worst`);
+    num_trials still counts every finalized row. Plain double avg:
+    user metrics have arbitrary scale (a loss of 4e-5 would round to
+    0 under the oracle kernel's decimal(18,4) accumulator, which
+    exists for cross-engine parity on the fixtures, not results).
+    """
     sign = -1.0 if direction == "min" else 1.0
-    key = (F.col("final_metric") * sign)
-    # plain double avg: user metrics have arbitrary scale (a loss of
-    # 4e-5 would round to 0 under the oracle kernel's decimal(18,4)
-    # accumulator, which exists for cross-engine parity on the
-    # 2-decimal fixtures, not for experiment results)
-    agg = df.agg(
-        F.max(F.struct(key.alias("m"), (-F.col("seq")).alias("ns"), F.col("trial_id"), F.col("final_metric"))).alias("b"),
-        F.min(F.struct(key.alias("m"), F.col("seq"), F.col("trial_id"), F.col("final_metric"))).alias("w"),
+    key = F.col("final_metric") * sign
+    agg = finalized_df.agg(
+        F.max(
+            F.when(
+                F.col("final_metric").isNotNull(),
+                F.struct(key.alias("m"), (-F.col("seq")).alias("ns"), F.col("trial_id"), F.col("final_metric")),
+            )
+        ).alias("b"),
+        F.min(
+            F.when(
+                F.col("final_metric").isNotNull(),
+                F.struct(key.alias("m"), F.col("seq"), F.col("trial_id"), F.col("final_metric")),
+            )
+        ).alias("w"),
         F.avg("final_metric").alias("avg"),
         F.count("*").alias("num_trials"),
         F.sum(F.when(F.col("early_stop"), 1).otherwise(0)).cast("bigint").alias("early_stopped"),
     ).collect()[0]
+    if agg.num_trials == 0 or agg.b is None:
+        return {"num_trials": int(agg.num_trials or 0), "early_stopped": int(agg.early_stopped or 0)}
     return {
         "best_id": agg.b.trial_id,
         "best_val": agg.b.final_metric,
@@ -321,3 +331,15 @@ def _aggregate_result(spark: SparkSession, trials: list[Trial], direction: str) 
         "num_trials": agg.num_trials,
         "early_stopped": agg.early_stopped,
     }
+
+
+def _aggregate_result(spark: SparkSession, trials: list[Trial], direction: str) -> dict:
+    """The A1 result aggregation over the experiment's own trials DF
+    (reference optimization_driver.py:344-406 + prep_results)."""
+    if not trials:
+        return {"num_trials": 0, "early_stopped": 0}
+    df = trials_to_df(spark, trials, direction).where(F.col("status") == "FINALIZED")
+    if df.isEmpty():
+        errs = sum(t.status == Trial.ERROR for t in trials)
+        return {"num_trials": len(trials), "errors": errs, "early_stopped": 0}
+    return summarize_finalized(df, direction)

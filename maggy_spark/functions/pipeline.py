@@ -21,11 +21,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from maggy_spark.functions.dedup import (
+    _BANDS_SQL,
+    _CAND_SQL,
     _SHINGLES_SQL,
+    _SIG_SQL,
     dd5_dedup_clusters,
     dd8_lsh_verified_jaccard,
 )
-from maggy_spark.functions.text import tx1_token_count, tx2_quality_score
 from maggy_spark.plans.fixtures import load_table
 
 MIN_TOKENS = 10
@@ -47,36 +49,34 @@ def pl1_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    quality = tx2_quality_score(spark, sf_dir).select("doc_id", "n_tokens", "vocab_richness")
-    tokens = tx1_token_count(spark, sf_dir).select("doc_id", "bpe_tokens")
+    # all per-doc stats in ONE projection over one scan (joining the
+    # tx1/tx2 operators would tokenize the corpus twice and add a
+    # corpus-wide shuffle join — Catalyst can't fuse two derivations
+    # of the same table through a join)
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_toks = F.size(toks).cast("bigint")
+    stats = d.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / n_toks.cast("double")).alias("richness"),
+        F.aggregate(
+            toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("bigint")
+        ).alias("bpe_tokens"),
+    )
     return (
         exact.join(F.broadcast(near_drop), "doc_id", "left_anti")
-        .join(quality, "doc_id")
-        .join(tokens, "doc_id")
-        .where((F.col("n_tokens") >= MIN_TOKENS) & (F.col("vocab_richness") >= MIN_RICHNESS))
-        .select("doc_id", "n_tokens", "bpe_tokens", F.col("vocab_richness").alias("richness"))
+        .join(stats, "doc_id")
+        .where((F.col("n_tokens") >= MIN_TOKENS) & (F.col("richness") >= MIN_RICHNESS))
+        .select("doc_id", "n_tokens", "bpe_tokens", "richness")
     )
 
 
 PL1_SQL = f"""
 WITH sh AS ({_SHINGLES_SQL}),
-sig AS (
-    SELECT doc_id,
-           list_min(list_transform(shingles, s -> md5('0|' || s))) AS mh0,
-           list_min(list_transform(shingles, s -> md5('1|' || s))) AS mh1,
-           list_min(list_transform(shingles, s -> md5('2|' || s))) AS mh2,
-           list_min(list_transform(shingles, s -> md5('3|' || s))) AS mh3
-    FROM sh
-),
-bands AS (
-    SELECT doc_id, 'b0:' || mh0 || mh1 AS band_key FROM sig
-    UNION ALL
-    SELECT doc_id, 'b1:' || mh2 || mh3 AS band_key FROM sig
-),
-cand AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-),
+sig AS ({_SIG_SQL}),
+bands AS ({_BANDS_SQL}),
+cand AS ({_CAND_SQL}),
 near_drop AS (
     SELECT DISTINCT c.doc_b AS doc_id
     FROM cand c

@@ -24,22 +24,33 @@ from pyspark.sql import functions as F
 DEC = "decimal(18,4)"
 
 
+def _reset_table(spark: SparkSession, table: str) -> None:
+    """DROP the table and remove its orphaned warehouse location.
+
+    A fresh in-memory catalog does not track tables from earlier
+    sessions, but their warehouse directories survive and block
+    saveAsTable with LOCATION_ALREADY_EXISTS. Deletion goes through
+    the Hadoop FileSystem API so it works for ANY warehouse scheme
+    (local, hdfs://, s3a://) — a local shutil.rmtree would silently
+    no-op on remote warehouses.
+    """
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    jvm = spark._jvm
+    location = spark.conf.get("spark.sql.warehouse.dir").rstrip("/") + f"/{table}"
+    hpath = jvm.org.apache.hadoop.fs.Path(location)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+
+
 def materialize_metrics_bucketed(
     spark: SparkSession, sf_dir: str, table: str = "metrics_bucketed", buckets: int = 16
 ) -> str:
     """Write the metrics relation bucketed by trial_id, sorted by step
     within each bucket — the layout every per-trial operator reuses."""
-    import shutil
-    from urllib.parse import urlparse
-
     from maggy_spark.plans.fixtures import metrics_df
 
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    # a fresh in-memory catalog does not track tables from earlier
-    # sessions, but their warehouse directories survive and block
-    # saveAsTable with LOCATION_ALREADY_EXISTS — clear the orphan
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
+    _reset_table(spark, table)
     (
         metrics_df(spark, sf_dir)
         .write.mode("overwrite")
@@ -79,14 +90,9 @@ def materialize_trials_bucketed(
 ) -> str:
     """Trials bucketed on the same key/bucket-count as metrics: the
     layout that makes trial<->metrics joins co-located."""
-    import shutil
-    from urllib.parse import urlparse
-
     from maggy_spark.plans.fixtures import trials_df
 
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
+    _reset_table(spark, table)
     (
         trials_df(spark, sf_dir)
         .write.mode("overwrite")

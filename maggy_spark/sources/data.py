@@ -36,7 +36,16 @@ def _parquet_files(path: str) -> list[str]:
     p = Path(path)
     if p.is_file():
         return [str(p)]
-    return sorted(str(f) for f in p.glob("*.parquet"))
+    files = sorted(str(f) for f in p.glob("*.parquet"))
+    if not files:
+        # a silent [] would let a worker "train" on zero batches; a
+        # typo'd path or a partitionBy layout (files in subdirs) must
+        # fail loudly
+        raise FileNotFoundError(
+            f"no parquet files at {path!r} (flat *.parquet layout expected; "
+            f"partitioned datasets need their leaf directories)"
+        )
+    return files
 
 
 def shard_parquet_reader(

@@ -39,22 +39,31 @@ class ExperimentStore:
         self.direction = direction
         self._trials_path = os.path.join(path, "trials")
         self._metrics_path = os.path.join(path, "metrics")
+        self._seq_counter: int | None = None
         os.makedirs(path, exist_ok=True)
 
     # -- appends -------------------------------------------------------
 
+    def _next_seq(self) -> int:
+        """Monotone seq across appends AND across store handles: the
+        tie-break key in summaries/promotions must stay unique."""
+        if self._seq_counter is None:
+            try:
+                self._seq_counter = self.trials().count()
+            except Exception:  # noqa: BLE001 - nothing written yet
+                self._seq_counter = 0
+        return self._seq_counter
+
     def append_trials(self, trials: list[Trial]) -> None:
         if not trials:
             return
-        rows = [
-            t.to_row(
-                seq=t.info_dict.get("seq", i),
-                direction=self.direction,
-                budget=int(t.info_dict.get("budget", 0)),
-            )
-            for i, t in enumerate(trials)
-        ]
-        self.spark.createDataFrame(rows, TRIALS_SCHEMA).coalesce(1).write.mode("append").parquet(
+        base = self._next_seq()
+        from maggy_spark.experiment import trials_to_df  # single source of the row shape
+
+        for i, t in enumerate(trials):
+            t.info_dict.setdefault("seq", base + i + 1)
+        self._seq_counter = max(self._seq_counter, max(t.info_dict["seq"] for t in trials))
+        trials_to_df(self.spark, trials, self.direction).coalesce(1).write.mode("append").parquet(
             self._trials_path
         )
 
@@ -81,31 +90,26 @@ class ExperimentStore:
     # -- kernel queries over the live store ----------------------------
 
     def result_summary(self) -> dict:
-        """A1 over the live store (ordered-struct max/min, one pass)."""
+        """A1 over the live store — the same aggregation the finalize
+        path uses (single source in experiment.summarize_finalized)."""
+        from maggy_spark.experiment import summarize_finalized
+
         t = self.trials().where(F.col("status") == "FINALIZED")
-        sign = -1.0 if self.direction == "min" else 1.0
-        key = F.col("final_metric") * sign
-        row = t.agg(
-            F.max(F.struct(key.alias("m"), (-F.col("seq")).alias("ns"), F.col("trial_id"), F.col("final_metric"))).alias("b"),
-            F.min(F.struct(key.alias("m"), F.col("seq"), F.col("trial_id"), F.col("final_metric"))).alias("w"),
-            F.avg("final_metric").alias("avg"),
-            F.count("*").alias("num_trials"),
-            F.sum(F.when(F.col("early_stop"), 1).otherwise(0)).cast("bigint").alias("early_stopped"),
-        ).collect()[0]
-        if row.num_trials == 0:
-            return {"num_trials": 0, "early_stopped": 0}
-        return {
-            "best_id": row.b.trial_id, "best_val": row.b.final_metric,
-            "worst_id": row.w.trial_id, "worst_val": row.w.final_metric,
-            "avg": row.avg, "num_trials": row.num_trials, "early_stopped": row.early_stopped,
-        }
+        return summarize_finalized(t, self.direction)
 
     def budget_stats(self) -> DataFrame:
-        """A4 per-budget ybest/yworst/ymean over the live store."""
-        t = self.trials().where(F.col("status") == "FINALIZED")
+        """A4 per-budget ybest/yworst/ymean over the live store —
+        direction-aware: ybest is the BEST metric for this
+        experiment's direction (the reference equates ybest with min
+        only after sign-normalizing max-direction metrics)."""
+        t = self.trials().where(
+            (F.col("status") == "FINALIZED") & F.col("final_metric").isNotNull()
+        )
+        best = F.max("final_metric") if self.direction == "max" else F.min("final_metric")
+        worst = F.min("final_metric") if self.direction == "max" else F.max("final_metric")
         return t.groupBy("budget").agg(
-            F.min("final_metric").alias("ybest"),
-            F.max("final_metric").alias("yworst"),
+            best.alias("ybest"),
+            worst.alias("yworst"),
             F.avg("final_metric").alias("ymean"),
             F.count("*").alias("n_trials"),
         )

@@ -42,10 +42,39 @@ def test_result_summary_matches_kernel_shape(store):
     assert res["avg"] == pytest.approx(25.0)
 
 
-def test_budget_stats(store):
+def test_budget_stats_direction_aware(store):
     rows = {r.budget: r for r in store.budget_stats().collect()}
-    assert rows[1].ybest == 10.0 and rows[1].yworst == 30.0
+    # direction='max': ybest is the BEST (largest) metric
+    assert rows[1].ybest == 30.0 and rows[1].yworst == 10.0
+    assert rows[2].ybest == 40.0 and rows[2].yworst == 20.0
     assert rows[2].n_trials == 2
+
+
+def test_result_summary_ignores_null_metrics(spark, tmp_path):
+    s = ExperimentStore(spark, str(tmp_path / "nullm"), direction="max")
+    good = [_trial(1, 10.0), _trial(2, 5.0)]
+    broken = Trial({"x": 99})
+    broken.finalize(None)  # finalized without a metric
+    broken.info_dict["seq"] = 3
+    s.append_trials(good + [broken])
+    res = s.result_summary()
+    assert res["worst_val"] == 5.0  # not the null-metric trial
+    assert res["best_val"] == 10.0
+    assert res["num_trials"] == 3  # still counted
+
+
+def test_append_without_seq_stays_unique(spark, tmp_path):
+    s = ExperimentStore(spark, str(tmp_path / "seqless"), direction="max")
+
+    def bare(metric):
+        t = Trial({"m": metric})
+        t.finalize(metric)
+        return t
+
+    s.append_trials([bare(1.0), bare(2.0)])
+    s.append_trials([bare(3.0), bare(4.0)])
+    seqs = [r.seq for r in s.trials().collect()]
+    assert len(seqs) == len(set(seqs)) == 4  # unique across waves
 
 
 def test_promotable_top_half(store):

@@ -40,12 +40,8 @@ def norm_cell(v):
 
 
 def frame_signature(df: pd.DataFrame):
-    import numpy as np
-
     cols = sorted(df.columns)
     out = df[cols]
-    rows = set()
-    dup = 0
     rowset = {}
     for tup in out.itertuples(index=False, name=None):
         key = "|".join(norm_cell(v) for v in tup)
