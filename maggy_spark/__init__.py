@@ -12,6 +12,13 @@ file:line citations into /root/reference; this package shares no code
 with the reference.
 """
 
+from maggy_spark.config import (
+    AblationConfig,
+    BaseConfig,
+    HyperparameterOptConfig,
+    TfDistributedConfig,
+    TorchDistributedConfig,
+)
 from maggy_spark.searchspace import Searchspace
 from maggy_spark.trial import Trial, trial_id_for_params
 
@@ -25,4 +32,15 @@ def lagom(train_fn, config, spark=None):
     return _lagom(train_fn, config, spark)
 
 
-__all__ = ["Searchspace", "Trial", "trial_id_for_params", "lagom", "__version__"]
+__all__ = [
+    "AblationConfig",
+    "BaseConfig",
+    "HyperparameterOptConfig",
+    "Searchspace",
+    "TfDistributedConfig",
+    "TorchDistributedConfig",
+    "Trial",
+    "lagom",
+    "trial_id_for_params",
+    "__version__",
+]

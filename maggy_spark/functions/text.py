@@ -220,9 +220,36 @@ SELECT bigram, n_occurrences, doc_freq, rank FROM (
 """
 
 
+TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def tx6_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization: letter runs, digit runs, and
+    individual punctuation as separate tokens — the pre-tokenizer
+    shape BPE vocabularies are trained over. Verified identical
+    between Java regex (Spark) and RE2 (DuckDB) for this pattern.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_REGEX), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_regex_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+    )
+
+
+TX6_SQL = f"""
+SELECT doc_id,
+       cast(len(regexp_extract_all(lower(text), '{TOKEN_REGEX}')) AS BIGINT) AS n_regex_tokens,
+       cast(len(list_distinct(regexp_extract_all(lower(text), '{TOKEN_REGEX}'))) AS BIGINT) AS n_distinct_tokens
+FROM documents
+"""
+
+
 OPERATORS = [
     ("tx1_token_count", tx1_token_count, TX1_SQL),
     ("tx5_ngram_stats", tx5_ngram_stats, TX5_SQL),
+    ("tx6_regex_tokens", tx6_regex_tokens, TX6_SQL),
     ("tx2_quality_score", tx2_quality_score, TX2_SQL),
     ("tx3_lang_id", tx3_lang_id, TX3_SQL),
     ("tx4_fingerprint", tx4_fingerprint, TX4_SQL),

@@ -213,3 +213,11 @@ def test_stratified_sample_respects_quotas(spark, sf_dir):
     a = sorted(r.doc_id for r in pipeline.pl2_stratified_sample(spark, sf_dir).collect())
     b = sorted(r.doc_id for r in pipeline.pl2_stratified_sample(spark, sf_dir).collect())
     assert a == b
+
+
+def test_regex_tokens_superset_of_words(spark, sf_dir):
+    base = {r.doc_id: r.n_tokens for r in text.tx1_token_count(spark, sf_dir).collect()}
+    for r in text.tx6_regex_tokens(spark, sf_dir).collect():
+        # regex tokens split punctuation off, so never fewer than words
+        assert r.n_regex_tokens >= base[r.doc_id]
+        assert 1 <= r.n_distinct_tokens <= r.n_regex_tokens
