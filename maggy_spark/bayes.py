@@ -68,15 +68,34 @@ class BaseAsyncBO(AbstractOptimizer):
 
     # -- training data: X in [0,1]^d, y sign-normalized to min ----------
 
-    def get_xy(self) -> tuple[np.ndarray, np.ndarray]:
+    def get_xy(self, budget: int | None = None) -> tuple[np.ndarray, np.ndarray]:
         """Transform finalized trials to surrogate training data
-        (reference get_XY, base.py:459-641, single-fidelity path)."""
+        (reference get_XY, base.py:459-641). With `budget`, only that
+        fidelity's trials feed the model (per-budget surrogates,
+        base.py:243-268)."""
         rows = [t for t in self.final_store if t.final_metric is not None]
+        if budget is not None:
+            rows = [t for t in rows if int(t.info_dict.get("budget", 0)) == budget]
         if not rows:
             return np.zeros((0, len(self.searchspace))), np.zeros(0)
         X = np.array([self.searchspace.transform(t.params) for t in rows])
         y = np.array([self.metric_for_min(t.final_metric) for t in rows])
         return X, y
+
+    def model_budget(self) -> int | None:
+        """The fidelity whose surrogate to use: the LARGEST budget with
+        enough finalized observations (reference reuses the
+        biggest-budget model, base.py:251-256); None when trials carry
+        no budgets (single-fidelity experiment)."""
+        counts: dict[int, int] = {}
+        for t in self.final_store:
+            if t.final_metric is not None:
+                b = int(t.info_dict.get("budget", 0))
+                counts[b] = counts.get(b, 0) + 1
+        if set(counts) <= {0}:
+            return None
+        sufficient = [b for b, n in counts.items() if n >= self.min_model_trials()]
+        return max(sufficient) if sufficient else None
 
     def _random_params(self) -> dict:
         # seed advances with EVERY draw (not just emitted trials), so
@@ -228,7 +247,11 @@ class GP(BaseAsyncBO):
         self._suggest_calls = 0
 
     def suggest_model_params(self) -> dict:
-        X, y = self.get_xy()
+        # multi-fidelity: train on the biggest budget with enough data;
+        # otherwise pool every finalized trial (single-fidelity)
+        X, y = self.get_xy(self.model_budget())
+        if len(y) < self.min_model_trials():
+            X, y = self.get_xy()
         # constant-liar imputation of busy trials (gp.py:329-373): busy
         # param vectors get ybest/yworst/ymean as pseudo-observations
         busy = [p for p in self._busy]

@@ -188,3 +188,43 @@ def test_lagom_validation_errors(spark):
             ),
             spark,
         )
+
+
+def test_gp_multi_fidelity_model_selection():
+    """Per-budget surrogates: the biggest sufficiently-observed budget
+    wins (reference base.py:251-268)."""
+    gp = GP(num_warmup_trials=0, n_points=50)
+    gp.initialize(Searchspace(x=("DOUBLE", [0, 1])), 30, "min", 5)
+    from maggy_spark.trial import Trial
+
+    def fin(x, budget, metric):
+        t = Trial({"x": x})
+        t.info_dict["budget"] = budget
+        t.finalize(metric)
+        return t
+
+    # 6 trials at budget 1, 1 at budget 3 (insufficient: GP floor is d+1=2)
+    for i in range(6):
+        gp.finalize_trial(fin(i / 10, 1, float(i)))
+    gp.finalize_trial(fin(0.0, 3, 0.0))
+    assert gp.min_model_trials() == 2
+    assert gp.model_budget() == 1  # budget 3 lacks observations
+    X, y = gp.get_xy(1)
+    assert len(y) == 6
+    # one more at budget 3 -> the bigger fidelity becomes the model budget
+    gp.finalize_trial(fin(0.2, 3, 1.0))
+    assert gp.model_budget() == 3
+    assert len(gp.get_xy(3)[1]) == 2
+
+
+def test_gp_single_fidelity_pools_all():
+    gp = GP(num_warmup_trials=0, n_points=50)
+    gp.initialize(Searchspace(x=("DOUBLE", [0, 1])), 10, "min", 5)
+    from maggy_spark.trial import Trial
+
+    for i in range(5):
+        t = Trial({"x": i / 10})
+        t.finalize(float(i))
+        gp.finalize_trial(t)
+    assert gp.model_budget() is None  # no budgets anywhere
+    assert len(gp.get_xy(gp.model_budget())[1]) == 5
