@@ -407,7 +407,10 @@ class TPE(BaseAsyncBO):
         return pdf
 
     def suggest_model_params(self) -> dict:
-        X, y = self.get_xy()
+        # multi-fidelity: same biggest-sufficient-budget rule as GP
+        X, y = self.get_xy(self.model_budget())
+        if len(y) < self.min_model_trials():
+            X, y = self.get_xy()
         good, bad = self._split(X, y)
         if len(bad) == 0:  # defensive: min_model_trials should prevent this
             return self._random_params()

@@ -86,6 +86,20 @@ def _es_enabled(config) -> bool:
     )
 
 
+import logging
+
+_LOG = logging.getLogger("maggy_spark")
+
+
+def _log_progress(controller, settled: int) -> None:
+    """A11: per-wave progress line (reference util.progress_bar,
+    printed on the driver; INFO level so notebooks opt in)."""
+    from maggy_spark.util import progress_bar
+
+    total = max(controller.num_trials, settled)
+    _LOG.info("maggy experiment %s", progress_bar(settled, total))
+
+
 def _stop_source(controller, config) -> str | None:
     if not _es_enabled(config) or len(controller.final_store) < config.es_min:
         return None
@@ -212,6 +226,7 @@ def _drive_waves(train_fn, config, spark, controller, parallelism, store=None) -
         if store is not None:
             store.append_trials(done_wave)
             store.append_metrics(done_wave)
+        _log_progress(controller, len(all_trials))
         waves += 1
         if waves > 10_000:
             raise RuntimeError("experiment did not converge (wave limit)")

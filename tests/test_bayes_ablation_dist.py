@@ -228,3 +228,25 @@ def test_gp_single_fidelity_pools_all():
         gp.finalize_trial(t)
     assert gp.model_budget() is None  # no budgets anywhere
     assert len(gp.get_xy(gp.model_budget())[1]) == 5
+
+
+def test_tpe_multi_fidelity_selection():
+    tpe = TPE(num_warmup_trials=0)
+    tpe.initialize(Searchspace(x=("DOUBLE", [0, 1])), 30, "min", 5)
+    from maggy_spark.trial import Trial
+
+    def fin(x, budget, metric):
+        t = Trial({"x": x})
+        t.info_dict["budget"] = budget
+        t.finalize(metric)
+        return t
+
+    for i in range(8):
+        tpe.finalize_trial(fin(i / 10, 1, float(i)))
+    for i in range(2):
+        tpe.finalize_trial(fin(i / 5, 9, float(i)))
+    assert tpe.min_model_trials() == 4
+    assert tpe.model_budget() == 1  # budget 9 insufficient (2 < 4)
+    for i in range(2, 5):
+        tpe.finalize_trial(fin(i / 5, 9, float(i)))
+    assert tpe.model_budget() == 9
