@@ -1,0 +1,104 @@
+"""Classic warehouse queries over the fact tables — the scan/agg and
+join/top-k baselines BASELINE.md §3 calls for ("full-table scan+agg
+of lineitem").
+
+Not reference-maggy semantics (declared additions): these exist so the
+bench exercises the canonical large-fact-table shapes — a Q1-style
+pricing summary (single scan, low-cardinality groupBy with map-side
+combine) and a join + top-k (broadcast-ineligible fact-fact join with
+an ordered-struct aggregation instead of a global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from maggy_spark.plans.fixtures import load_table, with_fixtures
+
+DEC = "decimal(18,4)"
+
+
+def k1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: one lineitem scan, groupBy on
+    the 2-value flag columns, exact decimal sums; avgs divide decimal
+    sums by counts (identical operands cross-engine)."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("2024-06-01"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sum_base_price"),
+            # disc_price is exactly 4-decimal, charge exactly 6-decimal
+            # (2dec x 2dec [x 2dec] products): round at 6 recovers the
+            # exact rational from the double (never a tie), then the
+            # decimal(18,6) sum is order-independent
+            F.sum(F.round(disc_price, 6).cast("decimal(18,6)")).cast("double").alias("sum_disc_price"),
+            F.sum(F.round(charge, 6).cast("decimal(18,6)")).cast("double").alias("sum_charge"),
+            (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(F.col("l_discount").cast(DEC)).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+K1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       cast(sum(cast(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       cast(sum(cast(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       cast(sum(cast(round(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       cast(sum(cast(round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       cast(sum(cast(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+       cast(sum(cast(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-06-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def k2_top_customers(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Top-k customers by order spend: orders groupBy (map-side
+    combined) -> broadcast-joined to customer -> rank window over the
+    k-sized aggregate, never a sort of the fact table."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_spend"),
+        F.count("*").alias("n_orders"),
+    )
+    w = Window.orderBy(F.col("total_spend").desc(), F.col("o_custkey"))
+    topk = spend.select("o_custkey", "total_spend", "n_orders", F.row_number().over(w).cast("bigint").alias("rank")).where(
+        F.col("rank") <= k
+    )
+    return topk.join(c, topk.o_custkey == c.c_custkey).select(
+        F.col("c_custkey").alias("custkey"), "c_name", "c_mktsegment", "total_spend", "n_orders", "rank"
+    )
+
+
+K2_SQL = """
+WITH spend AS (
+    SELECT o_custkey,
+           cast(sum(cast(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spend,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+),
+topk AS (
+    SELECT o_custkey, total_spend, n_orders,
+           row_number() OVER (ORDER BY total_spend DESC, o_custkey) AS rank
+    FROM spend
+)
+SELECT c.c_custkey AS custkey, c.c_name, c.c_mktsegment, t.total_spend, t.n_orders, t.rank
+FROM topk t JOIN customer c ON t.o_custkey = c.c_custkey
+WHERE t.rank <= 10
+"""
+
+
+OPERATORS = [
+    ("k1_pricing_summary", k1_pricing_summary, K1_SQL),
+    ("k2_top_customers", k2_top_customers, K2_SQL),
+]

@@ -12,9 +12,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _collect() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
-    from maggy_spark.operators import aggregations, earlystop, events, generators, transforms
+    from maggy_spark.operators import (
+        aggregations,
+        earlystop,
+        events,
+        generators,
+        transforms,
+        warehouse,
+    )
 
-    modules = [aggregations, generators, earlystop, transforms, events]
+    modules = [aggregations, generators, earlystop, transforms, events, warehouse]
     try:
         from maggy_spark.functions import dedup, multimodal, pipeline, similarity, text
 

@@ -117,3 +117,23 @@ def test_c2_dedup_restores_metrics(spark, sf_dir):
 
 def test_t2_roundtrip_all_ok(spark, sf_dir):
     assert transforms.t2_inverse_transform(spark, sf_dir).where("NOT roundtrip_ok").count() == 0
+
+
+def test_k1_pricing_summary_shape(spark, sf_dir):
+    from maggy_spark.operators import warehouse
+
+    rows = warehouse.k1_pricing_summary(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 6  # |returnflag| x |linestatus| groups
+    for r in rows:
+        assert r.sum_charge >= r.sum_disc_price > 0  # tax only adds
+        assert r.avg_disc < 1.0 and r.count_order > 0
+
+
+def test_k2_top_customers_ranked(spark, sf_dir):
+    from maggy_spark.operators import warehouse
+
+    rows = sorted(warehouse.k2_top_customers(spark, sf_dir).collect(), key=lambda r: r.rank)
+    assert len(rows) == 10
+    spends = [r.total_spend for r in rows]
+    assert spends == sorted(spends, reverse=True)
+    assert all(r.n_orders >= 1 for r in rows)
