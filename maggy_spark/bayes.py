@@ -43,8 +43,12 @@ class BaseAsyncBO(AbstractOptimizer):
         self,
         num_warmup_trials: int = DEFAULT_WARMUP,
         random_fraction: float = DEFAULT_RANDOM_FRACTION,
+        pruner=None,
+        pruner_kwargs: dict | None = None,
     ):
-        super().__init__()
+        # pruner/pruner_kwargs mirror the reference's optimizer-level
+        # attachment (abstractoptimizer.py:29-46)
+        super().__init__(pruner=pruner, pruner_kwargs=pruner_kwargs)
         self.num_warmup_trials = num_warmup_trials
         self.random_fraction = random_fraction
         self._rng: random.Random | None = None
@@ -108,31 +112,43 @@ class BaseAsyncBO(AbstractOptimizer):
 
     def _emit(self, params: dict, sample_type: str) -> Trial:
         t = Trial(params, info_dict={"sample_type": sample_type})
-        self._emitted += 1
+        self._on_emit(t)
         return self._register(t)
+
+    def _on_emit(self, trial: Trial) -> None:
+        self._emitted += 1
 
     def min_model_trials(self) -> int:
         """Finalized trials required before the surrogate can suggest."""
         return len(self.searchspace) + 1
 
-    def next_batch(self, max_trials: int) -> list[Trial]:
+    def _suggest_one(self) -> tuple[dict, str] | None:
+        """One warmup/ε-random/model suggestion with the <=3-retry
+        dedup guard (base.py:232-301); None = searchspace exhausted.
+        Shared by the single-fidelity loop and pruner slot fills."""
+        n_done = len(self.final_store)
+        if self._emitted < self.num_warmup_trials or n_done < self.min_model_trials():
+            params, stype = self._random_params(), "random"
+        elif self._rng.random() < self.random_fraction:
+            params, stype = self._random_params(), "random"
+        else:
+            params, stype = self.suggest_model_params(), "model"
+        retries = 0
+        while self.hparams_exist(params) and retries < MAX_DEDUP_RETRIES:
+            params = self._random_params()
+            stype = "random_forced"
+            retries += 1
+        if self.hparams_exist(params):
+            return None  # searchspace exhausted (base.py:288-301)
+        return params, stype
+
+    def _next_batch(self, max_trials: int) -> list[Trial]:
         out: list[Trial] = []
         while len(out) < max_trials and self._emitted < self.num_trials:
-            n_done = len(self.final_store)
-            if self._emitted < self.num_warmup_trials or n_done < self.min_model_trials():
-                params, stype = self._random_params(), "random"
-            elif self._rng.random() < self.random_fraction:
-                params, stype = self._random_params(), "random"
-            else:
-                params, stype = self.suggest_model_params(), "model"
-            retries = 0
-            while self.hparams_exist(params) and retries < MAX_DEDUP_RETRIES:
-                params = self._random_params()
-                stype = "random_forced"
-                retries += 1
-            if self.hparams_exist(params):
-                break  # searchspace exhausted (base.py:288-301)
-            out.append(self._emit(params, stype))
+            sug = self._suggest_one()
+            if sug is None:
+                break
+            out.append(self._emit(*sug))
         return out
 
     def suggest_model_params(self) -> dict:  # override
@@ -254,7 +270,7 @@ class GP(BaseAsyncBO):
             X, y = self.get_xy()
         # constant-liar imputation of busy trials (gp.py:329-373): busy
         # param vectors get ybest/yworst/ymean as pseudo-observations
-        busy = [p for p in self._busy]
+        busy = [p for _, p in self._busy]
         if busy:
             liar = {"cl_min": y.min(), "cl_max": y.max(), "cl_mean": y.mean()}[self.liar_strategy]
             Xb = np.array([self.searchspace.transform(p) for p in busy])
@@ -336,25 +352,28 @@ class GP(BaseAsyncBO):
         best = max(rows, key=lambda r: r.ei)
         return [float(t) for t in best.x.split(",")]
 
-    def _emit(self, params: dict, sample_type: str) -> Trial:
+    def _on_emit(self, trial: Trial) -> None:
         # every emitted trial joins the busy set the moment it exists,
         # so (a) later suggestions within the same batch see earlier
         # ones, and (b) async single-trial batches ACCUMULATE in-flight
-        # trials instead of overwriting the set
-        t = super()._emit(params, sample_type)
-        self._busy.append(dict(params))
-        return t
+        # trials instead of overwriting the set. Keyed by the trial's
+        # FINAL id (budget-salted under a pruner), params stored
+        # without the budget key so the liar vector stays in-space.
+        super()._on_emit(trial)
+        self._busy.append(
+            (trial.trial_id, {k: v for k, v in trial.params.items() if k != "budget"})
+        )
 
     def finalize_trial(self, trial: Trial) -> None:
         super().finalize_trial(trial)
-        self._busy = [p for p in self._busy if Trial(p).trial_id != trial.trial_id]
+        self._busy = [(tid, p) for tid, p in self._busy if tid != trial.trial_id]
 
     def report_error(self, trial: Trial) -> None:
         """Errored trials leave the busy set too — otherwise they pin a
         phantom constant-liar pseudo-observation into every later
         surrogate fit."""
         super().report_error(trial)
-        self._busy = [p for p in self._busy if Trial(p).trial_id != trial.trial_id]
+        self._busy = [(tid, p) for tid, p in self._busy if tid != trial.trial_id]
 
 
 # ---------------------------------------------------------------------

@@ -43,6 +43,12 @@ class HyperparameterOptConfig(BaseConfig):
     es_min: int = 10        # min finalized trials before checking
     es_policy: Any = "median"  # "median" | "none" | rule instance
     optimization_key: str = "metric"
+    # multi-fidelity: attach a Hyperband pruner to the optimizer —
+    # "hyperband" or a HyperbandPruner instance. The pruner then owns
+    # budgets/promotions and OVERRIDES num_trials (reference
+    # optimization_driver.py:87-89; pruner/hyperband.py).
+    pruner: Any = None
+    pruner_kwargs: dict | None = None
     seed: int | None = None
     parallelism: int | None = None  # max concurrent trials (defaults to cores)
     # "wave": batch-synchronous waves of `parallelism` trials — lowest

@@ -135,6 +135,12 @@ def _apply_result(controller, trial: Trial, r: dict, seq: int) -> None:
 
 def _run_hpo(train_fn: Callable, config: HyperparameterOptConfig, spark: SparkSession) -> dict:
     controller = get_controller(config.optimizer)
+    if getattr(config, "pruner", None) is not None and controller._pruner_spec is None:
+        # config-level pruner attaches to whatever optimizer was chosen
+        # (reference passes pruner via the optimizer constructor;
+        # config-level is the ergonomic equivalent)
+        controller._pruner_spec = config.pruner
+        controller._pruner_kwargs = dict(config.pruner_kwargs or {})
     if config.searchspace is None:
         raise ValueError("HyperparameterOptConfig.searchspace is required")
     if config.direction not in ("min", "max"):

@@ -95,7 +95,7 @@ class Hyperband(AbstractOptimizer):
         t.trial_id = trial_id_for_params({**params, "budget": budget, "sh_iteration": iteration})
         return t
 
-    def next_batch(self, max_trials: int) -> list[Trial]:
+    def _next_batch(self, max_trials: int) -> list[Trial]:
         # generate any newly-runnable rungs into the queue, then hand
         # out at most max_trials from it — never drop generated trials
         # (they are already in a rung's pending ledger)

@@ -34,15 +34,25 @@ MAX_DEDUP_RETRIES = 3
 
 
 class AbstractOptimizer(ABC):
-    """Controller base: holds searchspace + finalized-trial feed."""
+    """Controller base: holds searchspace + finalized-trial feed.
 
-    def __init__(self) -> None:
+    A Hyperband pruner may be attached (reference
+    `abstractoptimizer.py:29-46` accepts pruner/pruner_kwargs): the
+    pruner then decides budgets and promotions while THIS optimizer
+    keeps sampling new configs — multi-fidelity composition
+    (`bayes/base.py:186-211`). Any optimizer implementing
+    `_suggest_one` composes (RandomSearch, GP, TPE)."""
+
+    def __init__(self, pruner=None, pruner_kwargs: dict | None = None) -> None:
         self.searchspace: Searchspace | None = None
         self.num_trials: int = 0
         self.direction: str = "max"
         self.seed: int | None = None
         self.final_store: list[Trial] = []
         self._seen_params: set[str] = set()
+        self._pruner_spec = pruner
+        self._pruner_kwargs = dict(pruner_kwargs or {})
+        self.pruner = None
 
     def initialize(self, searchspace: Searchspace, num_trials: int, direction: str, seed: int | None) -> None:
         self.searchspace = searchspace
@@ -56,14 +66,114 @@ class AbstractOptimizer(ABC):
         self.final_store = []
         self._seen_params = set()
         self.n_errors = 0
+        self.pruner = None
+        if self._pruner_spec is not None:
+            self.pruner = self._build_pruner()
+            # a pruner overrides num_trials (optimization_driver.py:87-89)
+            self.num_trials = self.pruner.num_trials()
+            self._pruned_params: dict[str, dict] = {}
         self._initialize()
+
+    def _build_pruner(self):
+        from maggy_spark.pruner import HyperbandPruner
+
+        if type(self)._suggest_one is AbstractOptimizer._suggest_one:
+            raise ValueError(
+                f"{type(self).__name__} cannot drive a pruner: it has no "
+                "_suggest_one (use RandomSearch, GP, or TPE)"
+            )
+        spec = self._pruner_spec
+        if isinstance(spec, str):
+            if spec.lower() != "hyperband":
+                raise ValueError(f"unknown pruner {spec!r}; only 'hyperband' is supported")
+            spec = HyperbandPruner(**self._pruner_kwargs, trial_metric_getter=self._pruner_metrics)
+        else:
+            spec.trial_metric_getter = self._pruner_metrics
+        return spec
+
+    def _pruner_metrics(self, trial_ids) -> dict[str, float]:
+        """trial_metric_getter contract (`pruner/abstractpruner.py`):
+        {trial_id: min-normalized metric} for the FINISHED subset."""
+        if isinstance(trial_ids, str):
+            trial_ids = [trial_ids]
+        wanted = set(trial_ids)
+        return {
+            t.trial_id: self.metric_for_min(t.final_metric)
+            for t in self.final_store
+            if t.trial_id in wanted and t.final_metric is not None
+        }
 
     def _initialize(self) -> None:  # hook
         pass
 
-    @abstractmethod
     def next_batch(self, max_trials: int) -> list[Trial]:
-        """Emit up to max_trials new pending trials; [] when done."""
+        """Emit up to max_trials new pending trials; [] when done (or,
+        with a pruner, when every startable slot is in flight)."""
+        if self.pruner is not None:
+            return self._next_batch_pruned(max_trials)
+        return self._next_batch(max_trials)
+
+    @abstractmethod
+    def _next_batch(self, max_trials: int) -> list[Trial]:
+        """Single-fidelity batch emission (no pruner attached)."""
+
+    def _suggest_one(self) -> tuple[dict, str] | None:
+        """One (params, sample_type) suggestion for a pruner-allocated
+        slot; None when the searchspace is exhausted. Only optimizers
+        implementing this compose with a pruner."""
+        raise ValueError(
+            f"{type(self).__name__} does not support a pruner "
+            "(only RandomSearch/GP/TPE can fill SH rung-0 slots)"
+        )
+
+    def _next_batch_pruned(self, max_trials: int) -> list[Trial]:
+        """Pruner-driven emission: `pruning_routine()` before every
+        trial decides new-sample vs promotion vs wait
+        (`bayes/base.py:186-211`)."""
+        from maggy_spark.trial import trial_id_for_params
+
+        out: list[Trial] = []
+        while len(out) < max_trials:
+            nxt = self.pruner.pruning_routine()
+            if nxt is None or nxt == "IDLE":
+                break
+            budget, src_id = int(nxt["budget"]), nxt.get("trial_id")
+            if src_id:
+                params, stype = dict(self._pruned_params[src_id]), "promoted"
+            else:
+                sug = self._suggest_one()
+                if sug is None:
+                    # slot already allocated in the rung ledger: fill it
+                    # with an unconditional random rather than stalling
+                    sug = (
+                        self.searchspace.get_random_parameter_values(
+                            1, seed=None if self.seed is None else self.seed + len(self._pruned_params) + 7
+                        )[0],
+                        "random_forced",
+                    )
+                params, stype = sug
+            t = Trial(
+                {**params, "budget": budget},
+                info_dict={"sample_type": stype, "budget": budget},
+            )
+            if src_id:
+                t.info_dict["original_trial_id"] = src_id
+            # two SH iterations may run identical params at the same
+            # budget; ids must stay unique or result routing conflates
+            # them (the reference keeps per-rung trial copies)
+            salt = 0
+            while t.trial_id in self._pruned_params:
+                salt += 1
+                t.trial_id = trial_id_for_params({**params, "budget": budget, "rerun": salt})
+            self._pruned_params[t.trial_id] = dict(params)
+            self._register(t)
+            self._on_emit(t)
+            self.pruner.report_trial(original_trial_id=src_id, new_trial_id=t.trial_id)
+            out.append(t)
+        return out
+
+    def _on_emit(self, trial: Trial) -> None:
+        """Hook: an emitted trial now exists (busy sets, counters)."""
 
     def finalize_trial(self, trial: Trial) -> None:
         self.final_store.append(trial)
@@ -73,8 +183,12 @@ class AbstractOptimizer(ABC):
         Controllers must not wait on it (rung ledgers, done()
         accounting, busy sets)."""
         self.n_errors += 1
+        if self.pruner is not None:
+            self.pruner.report_error(trial.trial_id)
 
     def done(self) -> bool:
+        if self.pruner is not None:
+            return self.pruner.finished()
         return len(self.final_store) + self.n_errors >= self.num_trials
 
     # -- dedup guard (G12) ---------------------------------------------
@@ -119,9 +233,24 @@ class RandomSearch(AbstractOptimizer):
             self._buffer.append(self._register(t))
             drawn += 1
 
-    def next_batch(self, max_trials: int) -> list[Trial]:
+    def _next_batch(self, max_trials: int) -> list[Trial]:
         out, self._buffer = self._buffer[:max_trials], self._buffer[max_trials:]
         return out
+
+    def _suggest_one(self) -> tuple[dict, str] | None:
+        """Pruner slot fill: drain the pre-buffered configs, then keep
+        drawing fresh randoms (the pruner's rung-0 demand can exceed
+        the original buffer when iterations shrink rungs)."""
+        if self._buffer:
+            t = self._buffer.pop(0)
+            return dict(t.params), "random"
+        for attempt in range(MAX_DEDUP_RETRIES + 1):
+            params = self.searchspace.get_random_parameter_values(
+                1, seed=None if self.seed is None else self.seed + 104_729 + len(self._seen_params) * 31 + attempt
+            )[0]
+            if not self.hparams_exist(params):
+                return params, "random"
+        return None
 
 
 class GridSearch(AbstractOptimizer):
@@ -140,7 +269,7 @@ class GridSearch(AbstractOptimizer):
         ]
         self.num_trials = len(self._buffer)
 
-    def next_batch(self, max_trials: int) -> list[Trial]:
+    def _next_batch(self, max_trials: int) -> list[Trial]:
         out, self._buffer = self._buffer[:max_trials], self._buffer[max_trials:]
         return out
 
@@ -149,7 +278,7 @@ class SingleRun(AbstractOptimizer):
     def _initialize(self) -> None:
         self._emitted = 0
 
-    def next_batch(self, max_trials: int) -> list[Trial]:
+    def _next_batch(self, max_trials: int) -> list[Trial]:
         out = []
         while self._emitted < self.num_trials and len(out) < max_trials:
             out.append(Trial({"run": self._emitted}, info_dict={"sample_type": "random"}))
@@ -203,7 +332,7 @@ class Asha(AbstractOptimizer):
         top = [t for t in fin if t.trial_id not in self._promoted[rung]][: k]
         return top
 
-    def next_batch(self, max_trials: int) -> list[Trial]:
+    def _next_batch(self, max_trials: int) -> list[Trial]:
         out: list[Trial] = []
         # promotions first, highest rung first (asha.py:96-121)
         for rung in range(self.max_rung - 1, -1, -1):
