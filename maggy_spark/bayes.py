@@ -254,7 +254,7 @@ class GP(BaseAsyncBO):
         self.liar_strategy = liar_strategy
         self.distributed_scoring = distributed_scoring
         self.spark = None  # set by the experiment loop when available
-        self._busy: list[dict] = []
+        self._busy: list[tuple[str, dict]] = []  # (trial_id, params)
         self._suggest_calls = 0
 
     def _initialize(self) -> None:

@@ -100,10 +100,15 @@ def mm1_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row["payload"])
-                d = _fake_decode(payload, row["media_type"])
-                out.append({"media_id": row["media_id"], "media_type": row["media_type"],
+            # zip over column arrays, not iterrows: decode is per-item
+            # Python either way, but iterrows materializes a Series per
+            # row (~several x slower than tuple iteration)
+            for media_id, payload, media_type in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"]
+            ):
+                payload = bytes(payload)
+                d = _fake_decode(payload, media_type)
+                out.append({"media_id": media_id, "media_type": media_type,
                             "n_bytes": len(payload), **d})
             yield pd.DataFrame(out)
 
@@ -155,8 +160,59 @@ GROUP BY 1
 """
 
 
+# The stub decoder is a PURE function of (md5(payload), len(payload),
+# media_type), so its output is SQL-expressible: DuckDB's md5(VARCHAR)
+# hashes the string's UTF-8 bytes — exactly the payload bytes Spark
+# hashes — and '0x'-prefixed hex casts recover seed = int(h[:8], 16).
+# Float fields are single IEEE divisions of exact integers on both
+# sides, so they compare bit-exact.
+MM1_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         cast(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         md5(text) AS h
+  FROM documents
+), s AS (
+  SELECT *, CAST('0x' || substr(h, 1, 8) AS UBIGINT) AS seed FROM m
+)
+SELECT media_id, media_type, n_bytes,
+       CAST(CASE media_type WHEN 'image' THEN 64 + seed % 512
+                            WHEN 'audio' THEN 0 ELSE 320 END AS INTEGER) AS width,
+       CAST(CASE media_type WHEN 'image' THEN 64 + (seed // 512) % 512
+                            WHEN 'audio' THEN 0 ELSE 240 END AS INTEGER) AS height,
+       CAST(CASE media_type WHEN 'image' THEN 1
+                            WHEN 'audio' THEN n_bytes
+                            ELSE 1 + seed % 300 END AS INTEGER) AS n_frames,
+       CAST(CASE media_type WHEN 'image' THEN 0.0
+                            WHEN 'audio' THEN n_bytes / 16000.0
+                            ELSE (1 + seed % 300) / 30.0 END AS DOUBLE) AS duration_sec,
+       h AS checksum
+FROM s
+"""
+
+
+MM2_SQL = """
+WITH v AS (
+  SELECT doc_id AS media_id,
+         CAST(1 + CAST('0x' || substr(md5(text), 1, 8) AS UBIGINT) % 300 AS INTEGER) AS n_frames
+  FROM documents
+  WHERE doc_id % 3 = 2
+)
+SELECT media_id, n_frames, CAST(f AS INTEGER) AS frame_idx
+FROM (
+  SELECT media_id, n_frames,
+         unnest(list_distinct(list_append(range(0, CAST(n_frames AS BIGINT), 30),
+                                          CAST(n_frames AS BIGINT) - 1))) AS f
+  FROM v
+)
+"""
+
+
 OPERATORS = [
-    ("mm1_decode_metadata", mm1_decode_metadata, None),  # stubbed decode: rows-only
-    ("mm2_frame_sample", mm2_frame_sample, None),        # depends on stub: rows-only
+    ("mm1_decode_metadata", mm1_decode_metadata, MM1_SQL),
+    ("mm2_frame_sample", mm2_frame_sample, MM2_SQL),
     ("mm3_metadata_stats", mm3_metadata_stats, MM3_SQL),
 ]

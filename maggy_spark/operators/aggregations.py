@@ -439,16 +439,19 @@ WHERE m.step % 2 = 0 OR m.step = mx.max_step
 )
 
 
+# a8_median_prefix and a10b_interim_xy stay oracle-checked via
+# tests/test_offline_oracles.py but are NOT registered: the driver's
+# correctness gate checks only the first 50 registry entries, and these
+# two are supplementary views of c3/a7 and a10 respectively — the slots
+# go to pl1/pl2 and hb1 instead.
 OPERATORS = [
     ("a1_result_summary", a1_result_summary, A1_SQL),
-    ("a10b_interim_xy", a10b_interim_xy, A10B_SQL),
     ("a2_direction_normalize", a2_direction_normalize, A2_SQL),
     ("a3_get_xy", a3_get_xy, A3_SQL),
     ("a4_budget_stats", a4_budget_stats, A4_SQL),
     ("a5_topk_per_rung", a5_topk_per_rung, A5_SQL),
     ("a6_tpe_split", a6_tpe_split, A6_SQL),
     ("a7_prefix_avg", a7_prefix_avg, A7_SQL),
-    ("a8_median_prefix", a8_median_prefix, A8_SQL),
     ("a9_partition_avg", a9_partition_avg, A9_SQL),
     ("a10_interim_selection", a10_interim_selection, A10_SQL),
 ]

@@ -271,13 +271,116 @@ SELECT substr(md5('{"param1": 5, "param2": "ada"}'), 1, 16) AS trial_id
 """
 
 
+# -- HB1: live pruner rung ledger vs relational successive halving -----
+
+
+def hb1_pruner_rungs(
+    spark: SparkSession, sf_dir: str, min_budget: int = 1, max_budget: int = 9, eta: int = 3, n_iterations: int = 2
+) -> DataFrame:
+    """Drive a real HyperbandPruner to completion and emit its rung
+    ledger (`rungs_df`): one row per slot with promotion lineage.
+
+    Reference: `pruner/hyperband.py:137-195` (`pruning_routine`) and
+    `hyperband.py:266-279` (`report_trial`); the oracle re-derives the
+    same ledger PURELY relationally — per-rung top-1/eta selection via
+    ORDER BY/LIMIT over an md5-derived metric — so the imperative rung
+    stepping is checked against an independent SQL spec.
+
+    Determinism: new-config trial ids are md5("hb-<seq>") in hand-out
+    order; a promotion re-run of trial t at budget b is
+    md5("hbp-<t>-<b>"); the metric observed by a run is the integer
+    value of md5("<tid>:<budget>")[:12] (lower is better) — the same
+    ranking DuckDB gets by ordering the hex substring.
+    """
+    import hashlib
+
+    from maggy_spark.pruner import HyperbandPruner
+
+    def h(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    metrics: dict[str, int] = {}
+    pruner = HyperbandPruner(
+        min_budget=min_budget,
+        max_budget=max_budget,
+        eta=eta,
+        n_iterations=n_iterations,
+        trial_metric_getter=lambda ids: {t: metrics[t] for t in ids if t in metrics},
+    )
+    seq = 0
+    while True:
+        nxt = pruner.pruning_routine()
+        if nxt is None or nxt == HyperbandPruner.IDLE:
+            # IDLE is unreachable when metrics land synchronously; bail
+            # rather than spin if the ledger ever stalls (row-count
+            # mismatch against the oracle then flags the bug)
+            break
+        budget = int(nxt["budget"])
+        if nxt["trial_id"] is None:
+            tid = h(f"hb-{seq}")[:16]
+            seq += 1
+            pruner.report_trial(None, tid)
+        else:
+            orig = nxt["trial_id"]
+            tid = h(f"hbp-{orig}-{budget}")[:16]
+            pruner.report_trial(orig, tid)
+        metrics[tid] = int(h(f"{tid}:{budget}")[:12], 16)
+    return pruner.rungs_df(spark)
+
+
+# Geometry for (min=1, max=9, eta=3, n_iterations=2): budgets [1,3,9];
+# iteration 0 rungs n=[9,3,1] at ladder 0..2, iteration 1 (s=1) seeds
+# floor(3/2)*3 = 3 configs at ladder rung 1 -> n=[3,1]. Seeding order:
+# iteration 0 finishes before iteration 1 activates, so its rung-0 ids
+# are hb-0..hb-8 and iteration 1's are hb-9..hb-11.
+HB1_SQL = """
+WITH r0a AS (
+  SELECT substr(md5('hb-' || CAST(i AS VARCHAR)), 1, 16) AS tid FROM range(0, 9) t(i)
+),
+p1a AS (
+  SELECT tid FROM r0a ORDER BY substr(md5(tid || ':1'), 1, 12) LIMIT 3
+),
+r1a AS (
+  SELECT tid AS orig, substr(md5('hbp-' || tid || '-3'), 1, 16) AS new_tid FROM p1a
+),
+p2a AS (
+  SELECT orig, new_tid FROM r1a ORDER BY substr(md5(new_tid || ':3'), 1, 12) LIMIT 1
+),
+r2a AS (
+  SELECT new_tid AS orig, substr(md5('hbp-' || new_tid || '-9'), 1, 16) AS new_tid FROM p2a
+),
+r0b AS (
+  SELECT substr(md5('hb-' || CAST(i AS VARCHAR)), 1, 16) AS tid FROM range(9, 12) t(i)
+),
+p1b AS (
+  SELECT tid FROM r0b ORDER BY substr(md5(tid || ':3'), 1, 12) LIMIT 1
+),
+r1b AS (
+  SELECT tid AS orig, substr(md5('hbp-' || tid || '-9'), 1, 16) AS new_tid FROM p1b
+)
+SELECT CAST(0 AS INTEGER) AS iteration, CAST(0 AS INTEGER) AS rung, CAST(1 AS INTEGER) AS budget,
+       tid AS original_trial_id, tid AS trial_id, false AS promoted FROM r0a
+UNION ALL
+SELECT 0, 1, 3, orig, new_tid, true FROM r1a
+UNION ALL
+SELECT 0, 2, 9, orig, new_tid, true FROM r2a
+UNION ALL
+SELECT 1, 1, 3, tid, tid, false FROM r0b
+UNION ALL
+SELECT 1, 2, 9, orig, new_tid, true FROM r1b
+"""
+
+
+# trial_id_golden stays covered by tests/test_kernel.py (golden hash
+# 3d1cc9fdb1d4d001) but is unregistered: the driver checks only the
+# first 50 registry entries, and its slot goes to the pipeline capstones.
 OPERATORS = [
     ("g1_random_sample", g1_random_sample, None),  # engine-local RNG: rows-only check
     ("g3_grid_search", g3_grid_search, G3_SQL),
     ("g4_single_run", g4_single_run, G4_SQL),
     ("g5_asha_promotion", g5_asha_promotion, G5_SQL),
     ("g10_hyperband_ladder", g10_hyperband_ladder, G10_SQL),
+    ("hb1_pruner_rungs", hb1_pruner_rungs, HB1_SQL),
     ("g12_dedup_guard", g12_dedup_guard, G12_SQL),
     ("g13_trial_factory", g13_trial_factory, G13_SQL),
-    ("trial_id_golden", trial_id_golden, GOLDEN_SQL),
 ]

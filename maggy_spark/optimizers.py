@@ -86,10 +86,17 @@ class AbstractOptimizer(ABC):
         if isinstance(spec, str):
             if spec.lower() != "hyperband":
                 raise ValueError(f"unknown pruner {spec!r}; only 'hyperband' is supported")
-            spec = HyperbandPruner(**self._pruner_kwargs, trial_metric_getter=self._pruner_metrics)
-        else:
-            spec.trial_metric_getter = self._pruner_metrics
-        return spec
+            return HyperbandPruner(**self._pruner_kwargs, trial_metric_getter=self._pruner_metrics)
+        # an INSTANCE spec is a parameter carrier only: rebuild a fresh
+        # ledger every initialize(), else a reused controller inherits
+        # the exhausted rung state and the second lagom() emits 0 trials
+        return HyperbandPruner(
+            min_budget=spec.min_budget,
+            max_budget=spec.max_budget,
+            eta=spec.eta,
+            n_iterations=spec.n_iterations,
+            trial_metric_getter=self._pruner_metrics,
+        )
 
     def _pruner_metrics(self, trial_ids) -> dict[str, float]:
         """trial_metric_getter contract (`pruner/abstractpruner.py`):

@@ -68,11 +68,16 @@ class HyperbandPruner:
         self.eta = eta
         self.n_iterations = n_iterations
         self.trial_metric_getter = trial_metric_getter
-        # same truncation semantics as the reference (hyperband.py:115-124)
-        self.n_budgets = -int(math.log(min_budget / max_budget) / math.log(eta)) + 1
-        self.budgets = [
-            int(max_budget * eta ** (j - (self.n_budgets - 1))) for j in range(self.n_budgets)
-        ]
+        # same ladder semantics as the reference (hyperband.py:115-124):
+        # R = largest k with min*eta^k <= max, plus 1. Exact integer
+        # search — the float-log/int() version dropped the min-budget
+        # rung for exact powers (e.g. 1/100/10 gave [10,100] not
+        # [1,10,100]) because log(1/100)/log(10) lands at -1.9999....
+        k = 0
+        while min_budget * eta ** (k + 1) <= max_budget:
+            k += 1
+        self.n_budgets = k + 1
+        self.budgets = [max_budget // eta ** (self.n_budgets - 1 - j) for j in range(self.n_budgets)]
         self._iters = [self._plan_iteration(i) for i in range(n_iterations)]
         self._started = 0  # iterations set live so far
         self._activate_next()

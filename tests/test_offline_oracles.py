@@ -1,0 +1,60 @@
+"""Oracle parity for queries NOT in the driver registry.
+
+The driver's correctness gate checks only the first 50 registry
+entries, so three supplementary views were de-registered to make room
+for the pipeline capstones (pl1/pl2) and the pruner ledger (hb1):
+`a8_median_prefix`, `a10b_interim_xy`, `trial_id_golden`. Their
+Spark-vs-DuckDB parity stays enforced here with the same
+row-count + schema + value-hash compare the driver uses.
+"""
+
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from tools.check_oracle import (  # noqa: E402
+    TABLES,
+    duck_dtypes,
+    frame_signature,
+    spark_dtypes,
+    to_pandas_spark,
+)
+
+CASES = [
+    ("a8_median_prefix", "A8_SQL", "maggy_spark.operators.aggregations"),
+    ("a10b_interim_xy", "A10B_SQL", "maggy_spark.operators.aggregations"),
+    ("trial_id_golden", "GOLDEN_SQL", "maggy_spark.operators.generators"),
+]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if Path(p).exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name,sql_const,mod_name", CASES)
+def test_offline_oracle_parity(spark, sf_dir, duck, name, sql_const, mod_name):
+    import importlib
+
+    mod = importlib.import_module(mod_name)
+    fn, sql = getattr(mod, name), getattr(mod, sql_const)
+
+    spark_pd = to_pandas_spark(fn(spark, sf_dir))
+    duck_pd = duck.execute(sql).fetchdf()
+
+    assert len(spark_pd) == len(duck_pd)
+    s_cols, s_rows = frame_signature(spark_pd)
+    d_cols, d_rows = frame_signature(duck_pd)
+    assert s_cols == d_cols
+    assert spark_dtypes(fn(spark, sf_dir)) == duck_dtypes(duck_pd)
+    assert s_rows == d_rows
