@@ -212,6 +212,19 @@ class _GPModel:
         var = np.maximum(1.0 - (v**2).sum(0), 1e-12)
         return mu * self.y_std + self.y_mean, np.sqrt(var) * self.y_std
 
+    def sample_y(self, Xs: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        """One draw from the JOINT posterior over Xs (Thompson
+        sampling needs correlated values, not independent mu/sigma
+        draws — sklearn's sample_y, used by reference AsyTS
+        acquisitions.py:158-183, does the same O(m^3) factorization)."""
+        Ks = matern52(Xs, self.X, self.ls)
+        mu = Ks @ self._alpha
+        v = np.linalg.solve(self._chol, Ks.T)
+        cov = matern52(Xs, Xs, self.ls) - v.T @ v
+        L = np.linalg.cholesky(cov + 1e-8 * np.eye(len(Xs)))
+        f = mu + L @ rng.standard_normal(len(Xs))
+        return f * self.y_std + self.y_mean
+
 
 def _norm_pdf(z: np.ndarray) -> np.ndarray:
     return np.exp(-0.5 * z**2) / math.sqrt(2 * math.pi)
@@ -223,15 +236,95 @@ def _norm_cdf(z: np.ndarray) -> np.ndarray:
     return 0.5 * (1.0 + erf(z / math.sqrt(2.0)))
 
 
+# Acklam's rational approximation of the standard normal inverse CDF
+# (|relative error| < 1.15e-9 over (0,1)); the standard scipy-free way
+# to draw truncated normals by inverse-transform sampling.
+_PPF_A = (-3.969683028665376e01, 2.209460984245205e02, -2.759285104469687e02,
+          1.383577518672690e02, -3.066479806614716e01, 2.506628277459239e00)
+_PPF_B = (-5.447609879822406e01, 1.615858368580409e02, -1.556989798598866e02,
+          6.680131188771972e01, -1.328068155288572e01)
+_PPF_C = (-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e00,
+          -2.549732539343734e00, 4.374664141464968e00, 2.938163982698783e00)
+_PPF_D = (7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e00,
+          3.754408661907416e00)
+
+
+def _norm_ppf(p: np.ndarray) -> np.ndarray:
+    p = np.clip(np.asarray(p, dtype=float), 1e-12, 1 - 1e-12)
+    out = np.empty_like(p)
+    plow, phigh = 0.02425, 1 - 0.02425
+    a, b, c, d = _PPF_A, _PPF_B, _PPF_C, _PPF_D
+    lo = p < plow
+    hi = p > phigh
+    mid = ~(lo | hi)
+    if lo.any():
+        q = np.sqrt(-2 * np.log(p[lo]))
+        out[lo] = (((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]) / (
+            (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1
+        )
+    if hi.any():
+        q = np.sqrt(-2 * np.log(1 - p[hi]))
+        out[hi] = -(((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]) / (
+            (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1
+        )
+    if mid.any():
+        q = p[mid] - 0.5
+        r = q * q
+        out[mid] = (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r + a[5]) * q / (
+            ((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1
+        )
+    return out
+
+
+def _truncnorm_rvs(
+    means: np.ndarray, bw: float, lo: float, hi: float, rng: np.random.Generator
+) -> np.ndarray:
+    """Truncated-normal draws (one per mean) on [lo, hi] via inverse
+    CDF — the scipy-free twin of the reference's sps.truncnorm.rvs
+    (tpe.py:96-111): mass is renormalized inside the bounds instead of
+    piling up on them the way clipping does."""
+    a = _norm_cdf((lo - means) / bw)
+    b = _norm_cdf((hi - means) / bw)
+    u = a + (b - a) * rng.random(len(means))
+    return np.clip(means + bw * _norm_ppf(u), lo, hi)
+
+
 def expected_improvement(mu: np.ndarray, sigma: np.ndarray, y_best: float) -> np.ndarray:
-    """EI for minimization (reference acquisitions.py:68-135 via skopt)."""
+    """EI for minimization (reference acquisitions.py:68-90 via skopt)."""
     imp = y_best - mu
     z = imp / sigma
     return imp * _norm_cdf(z) + sigma * _norm_pdf(z)
 
 
+def probability_of_improvement(
+    mu: np.ndarray, sigma: np.ndarray, y_best: float, xi: float = 0.01
+) -> np.ndarray:
+    """PI for minimization (reference acquisitions.py:92-111 via
+    skopt's _gaussian_acquisition with acq_func='PI')."""
+    return _norm_cdf((y_best - mu - xi) / sigma)
+
+
+def lower_confidence_bound(mu: np.ndarray, sigma: np.ndarray, kappa: float = 1.96) -> np.ndarray:
+    """LCB utility for minimization (acquisitions.py:113-135): the
+    reference minimizes mu - kappa*sigma; returned negated so every
+    acquisition here is argMAXed uniformly."""
+    return -(mu - kappa * sigma)
+
+
 class GP(BaseAsyncBO):
-    """GP-EI controller (reference bayes/gp.py).
+    """GP controller (reference bayes/gp.py).
+
+    Acquisitions (`acq_fun`): EI (default), PI, LCB (reference
+    acquisitions.py:68-135; xi/kappa via `acq_fun_kwargs`) and
+    `asy_ts` asynchronous Thompson sampling (acquisitions.py:158-183,
+    a joint posterior draw over the candidate pool). Acquisition
+    optimizer (`acq_optimizer`): "sampling" argmax over `n_points`
+    candidates, or "lbfgs" — the reference's bounded 20-iter
+    refinement from the `n_restarts_optimizer` best starts
+    (gp.py:183-264), implemented as numpy projected-gradient ascent
+    (no scipy in this environment). Busy-trial imputation
+    (`liar_strategy`): cl_min/cl_max/cl_mean constant liars or `kb`
+    kriging believer (gp.py:329-373).
 
     Candidate scoring is driver-side numpy by default (10k x d is
     microseconds); set `distributed_scoring=True` to fan the EI
@@ -240,18 +333,35 @@ class GP(BaseAsyncBO):
     candidate pools (the fitted GP factors are a few KB and ship in
     the task closure)."""
 
+    ACQ_FUNS = ("EI", "PI", "LCB", "asy_ts")
+    # how many points a joint-posterior Thompson draw can afford: the
+    # O(m^3) factorization in sample_y caps the candidate pool
+    MAX_TS_CANDIDATES = 1024
+
     def __init__(
         self,
         n_points: int = DEFAULT_N_POINTS,
         liar_strategy: str = "cl_min",
         distributed_scoring: bool = False,
+        acq_fun: str = "EI",
+        acq_fun_kwargs: dict | None = None,
+        acq_optimizer: str = "sampling",
+        n_restarts_optimizer: int = 5,
         **kw,
     ):
         super().__init__(**kw)
         self.n_points = n_points
-        if liar_strategy not in ("cl_min", "cl_max", "cl_mean"):
-            raise ValueError(f"unknown liar strategy {liar_strategy!r} (gp.py:345-361)")
+        if liar_strategy not in ("cl_min", "cl_max", "cl_mean", "kb"):
+            raise ValueError(f"unknown liar strategy {liar_strategy!r} (gp.py:345-373)")
+        if acq_fun not in self.ACQ_FUNS:
+            raise ValueError(f"unknown acquisition {acq_fun!r}; expected one of {self.ACQ_FUNS}")
+        if acq_optimizer not in ("sampling", "lbfgs"):
+            raise ValueError(f"unknown acq_optimizer {acq_optimizer!r} (gp.py:183-264)")
         self.liar_strategy = liar_strategy
+        self.acq_fun = acq_fun
+        self.acq_fun_kwargs = dict(acq_fun_kwargs or {})
+        self.acq_optimizer = acq_optimizer
+        self.n_restarts_optimizer = n_restarts_optimizer
         self.distributed_scoring = distributed_scoring
         self.spark = None  # set by the experiment loop when available
         self._busy: list[tuple[str, dict]] = []  # (trial_id, params)
@@ -268,25 +378,96 @@ class GP(BaseAsyncBO):
         X, y = self.get_xy(self.model_budget())
         if len(y) < self.min_model_trials():
             X, y = self.get_xy()
-        # constant-liar imputation of busy trials (gp.py:329-373): busy
-        # param vectors get ybest/yworst/ymean as pseudo-observations
+        # busy-location imputation (gp.py:329-373): busy param vectors
+        # get pseudo-observations — constant liar (ybest/yworst/ymean)
+        # or kriging believer (posterior mean of a model fit on the
+        # observed data only, gp.py:345-361 'kb')
         busy = [p for _, p in self._busy]
         if busy:
-            liar = {"cl_min": y.min(), "cl_max": y.max(), "cl_mean": y.mean()}[self.liar_strategy]
             Xb = np.array([self.searchspace.transform(p) for p in busy])
+            if self.liar_strategy == "kb":
+                believer = _GPModel()
+                believer.fit(X, y)
+                yb = believer.predict(Xb)[0]
+            else:
+                liar = {"cl_min": y.min(), "cl_max": y.max(), "cl_mean": y.mean()}[self.liar_strategy]
+                yb = np.full(len(busy), liar)
             X = np.vstack([X, Xb])
-            y = np.concatenate([y, np.full(len(busy), liar)])
+            y = np.concatenate([y, yb])
         model = _GPModel()
         model.fit(X, y)
         y_best = float(y.min())
-        if self.distributed_scoring and self.spark is not None:
+        if self.acq_fun == "EI" and self.distributed_scoring and self.spark is not None:
             best = self._argmax_ei_distributed(model, y_best)
         else:
-            cand = self._nprng.random((self.n_points, len(self.searchspace)))
-            mu, sigma = model.predict(cand)
-            ei = expected_improvement(mu, sigma, y_best)
-            best = cand[int(np.argmax(ei))]
+            n_cand = min(self.n_points, self.MAX_TS_CANDIDATES) if self.acq_fun == "asy_ts" else self.n_points
+            cand = self._nprng.random((n_cand, len(self.searchspace)))
+            util = self._utility(model, cand, y_best)
+            if self.acq_optimizer == "lbfgs" and self.acq_fun != "asy_ts":
+                # asy_ts re-draws a fresh posterior sample per evaluation
+                # (the reference falls back to approx_grad for the same
+                # reason, gp.py:220-227); gradient steps on noise are
+                # meaningless, so TS stays pure-sampling here
+                starts = cand[np.argsort(-util)[: self.n_restarts_optimizer]]
+                best = self._refine(model, starts, y_best)
+            else:
+                best = cand[int(np.argmax(util))]
         return self.searchspace.inverse_transform(list(best))
+
+    def _utility(self, model: "_GPModel", X: np.ndarray, y_best: float) -> np.ndarray:
+        """Acquisition utility, argMAXed (reference minimizes skopt's
+        negated values — same optimum, acquisitions.py:68-183)."""
+        if self.acq_fun == "asy_ts":
+            return -model.sample_y(X, self._nprng)
+        mu, sigma = model.predict(X)
+        if self.acq_fun == "EI":
+            return expected_improvement(mu, sigma, y_best)
+        if self.acq_fun == "PI":
+            return probability_of_improvement(mu, sigma, y_best, self.acq_fun_kwargs.get("xi", 0.01))
+        return lower_confidence_bound(mu, sigma, self.acq_fun_kwargs.get("kappa", 1.96))
+
+    def _refine(self, model: "_GPModel", starts: np.ndarray, y_best: float) -> np.ndarray:
+        """acq_optimizer='lbfgs' (gp.py:183-264): bounded refinement of
+        the top sampled candidates. scipy's fmin_l_bfgs_b is not in the
+        environment, so this is a projected-gradient ascent — central-
+        difference gradient, backtracking step, <= 20 iterations (the
+        reference's maxiter), clipped to [0,1]. Ascent is monotone, so
+        the result can only improve on the sampled argmax."""
+        eps = 1e-4
+
+        def u(x: np.ndarray) -> float:
+            return float(self._utility(model, x[None, :], y_best)[0])
+
+        best_x, best_u = starts[0], -np.inf
+        for x0 in starts:
+            x = x0.copy()
+            ux = u(x)
+            step = 0.1
+            for _ in range(20):
+                g = np.zeros_like(x)
+                for d in range(len(x)):
+                    xp, xm = x.copy(), x.copy()
+                    xp[d] = min(x[d] + eps, 1.0)
+                    xm[d] = max(x[d] - eps, 0.0)
+                    denom = xp[d] - xm[d]
+                    g[d] = (u(xp) - u(xm)) / denom if denom > 0 else 0.0
+                gn = float(np.linalg.norm(g))
+                if gn < 1e-12:
+                    break
+                moved = False
+                while step > 1e-5:
+                    xn = np.clip(x + step * g / gn, 0.0, 1.0)
+                    un = u(xn)
+                    if un > ux:
+                        x, ux, moved = xn, un, True
+                        step *= 1.5
+                        break
+                    step *= 0.5
+                if not moved:
+                    break
+            if ux > best_u:
+                best_x, best_u = x, ux
+        return best_x
 
     def _argmax_ei_distributed(self, model: "_GPModel", y_best: float, n_parts: int = 16):
         """EI argmax over the candidate pool as a Spark job: each task
@@ -384,10 +565,22 @@ class GP(BaseAsyncBO):
 class TPE(BaseAsyncBO):
     """Tree-structured Parzen estimator (reference bayes/tpe.py).
 
-    Continuous/ordinal dims: Gaussian KDE (Scott bandwidth) over the
-    [0,1]-transformed values; categorical dims: empirical frequency
-    with add-one smoothing. EI = pdf_good/pdf_bad over n_samples
-    draws from the good KDE.
+    Mixed-vartype KDEs over the [0,1]-transformed values, the shape of
+    the reference's statsmodels KDEMultivariate with vartype string
+    'c...u...' (tpe.py:223-251): continuous/ordinal dims use a
+    per-dim Gaussian kernel (Scott bandwidth, floored at min_bw=1e-3
+    from HpBandSter via tpe.py:72); CATEGORICAL dims use the
+    Aitchison-Aitken kernel on the category index. Sampling draws
+    around good observations (tpe.py:84-118): continuous dims from a
+    TRUNCATED normal with x`bw_factor`-widened bandwidth, categorical
+    dims keep the observed category with prob (1 - lambda) and re-roll
+    uniformly otherwise. EI = pdf_good/pdf_bad over n_samples draws.
+
+    statsmodels is not in this environment, so the categorical
+    bandwidth lambda is a plug-in normal-reference-style decay
+    min((c-1)/c, n^(-2/(d+4))) rather than statsmodels' estimate —
+    same kernel family and limits (lambda -> 0 concentrates on
+    observed categories; lambda = (c-1)/c is uniform).
     """
 
     def __init__(self, gamma: float = 0.15, n_samples: int = DEFAULT_TPE_SAMPLES, bw_factor: float = 3.0, **kw):
@@ -395,6 +588,7 @@ class TPE(BaseAsyncBO):
         self.gamma = gamma
         self.n_samples = n_samples
         self.bw_factor = bw_factor  # bandwidth widening on sampling, tpe.py:84-118
+        self.min_bw = 1e-3          # tpe.py:72 (from HpBandSter)
 
     def min_model_trials(self) -> int:
         # both KDEs need rows: the good floor is n_hparams+1, so the
@@ -416,13 +610,40 @@ class TPE(BaseAsyncBO):
         s = float(x.std()) or 0.1
         return 1.059 * s * n ** (-0.2)
 
+    def _dim_specs(self) -> list[tuple[str, int]]:
+        """Per-dim (kind, n_choices): 'u' for CATEGORICAL (unordered),
+        'c' otherwise — the reference's statsmodels vartype string
+        (tpe.py:223-251; DOUBLE/INTEGER -> 'c', CATEGORICAL -> 'u';
+        DISCRETE is ordinal and keeps the continuous kernel)."""
+        out = []
+        for _name, t, region in self.searchspace.items():
+            out.append(("u", len(region)) if t == CATEGORICAL else ("c", 0))
+        return out
+
+    @staticmethod
+    def _cat_lambda(n: int, d: int, c: int) -> float:
+        """Aitchison-Aitken bandwidth: normal-reference-style decay in
+        n, capped at the uniform-kernel limit (c-1)/c."""
+        return float(min((c - 1) / c, n ** (-2.0 / (d + 4))))
+
     def _kde_pdf(self, data: np.ndarray, q: np.ndarray) -> np.ndarray:
-        """Product of per-dim Gaussian KDE pdfs at query points."""
+        """Product of per-dim kernel pdfs at query points: Gaussian
+        for continuous dims, Aitchison-Aitken over category indices
+        for CATEGORICAL dims (mixed KDEMultivariate shape)."""
+        n, ndim = data.shape
         pdf = np.ones(len(q))
-        for d in range(data.shape[1]):
-            bw = self._scott_bw(data[:, d])
-            z = (q[:, d, None] - data[None, :, d]) / bw
-            pdf *= _norm_pdf(z).mean(axis=1) / bw
+        for j, (kind, c) in enumerate(self._dim_specs()):
+            if kind == "u" and c > 1:
+                lam = self._cat_lambda(n, ndim, c)
+                di = np.rint(data[:, j] * (c - 1)).astype(int)
+                qi = np.rint(q[:, j] * (c - 1)).astype(int)
+                k = np.where(qi[:, None] == di[None, :], 1.0 - lam, lam / (c - 1))
+                pdf *= k.mean(axis=1)
+            elif kind != "u":
+                bw = max(self._scott_bw(data[:, j]), self.min_bw)
+                z = (q[:, j, None] - data[None, :, j]) / bw
+                pdf *= _norm_pdf(z).mean(axis=1) / bw
+            # kind == 'u' with c == 1: constant dim, pdf factor 1
         return pdf
 
     def suggest_model_params(self) -> dict:
@@ -433,12 +654,25 @@ class TPE(BaseAsyncBO):
         good, bad = self._split(X, y)
         if len(bad) == 0:  # defensive: min_model_trials should prevent this
             return self._random_params()
-        # sample around good points with widened bandwidth (tpe.py:84-118)
+        # sample around good points (tpe.py:84-118): continuous dims
+        # from a widened TRUNCATED normal, categorical dims keep the
+        # observed category with prob (1 - lambda), else re-roll
         idx = self._nprng.integers(0, len(good), size=self.n_samples)
         samples = np.empty((self.n_samples, X.shape[1]))
-        for d in range(X.shape[1]):
-            bw = self._scott_bw(good[:, d]) * self.bw_factor
-            samples[:, d] = np.clip(good[idx, d] + self._nprng.normal(0.0, bw, self.n_samples), 0.0, 1.0)
+        for j, (kind, c) in enumerate(self._dim_specs()):
+            means = good[idx, j]
+            if kind == "u":
+                if c <= 1:
+                    samples[:, j] = 0.0
+                    continue
+                lam = self._cat_lambda(len(good), X.shape[1], c)
+                keep = self._nprng.random(self.n_samples) < (1.0 - lam)
+                rerolled = self._nprng.integers(0, c, size=self.n_samples)
+                cats = np.where(keep, np.rint(means * (c - 1)).astype(int), rerolled)
+                samples[:, j] = cats / (c - 1)
+            else:
+                bw = max(self._scott_bw(good[:, j]), self.min_bw) * self.bw_factor
+                samples[:, j] = _truncnorm_rvs(means, bw, 0.0, 1.0, self._nprng)
         ei = self._kde_pdf(good, samples) / np.maximum(self._kde_pdf(bad, samples), EI_CLIP)
         best = samples[int(np.argmax(ei))]
         return self.searchspace.inverse_transform(best.tolist())

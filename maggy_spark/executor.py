@@ -105,6 +105,7 @@ def run_trial_wave(
     optimization_key: str = "metric",
     stop_check_source: str | None = None,
     extras: dict | None = None,
+    tb_base_dir: str | None = None,
 ) -> list[dict]:
     """Execute one wave of pending trials as a grouped pandas UDF.
 
@@ -138,6 +139,7 @@ def run_trial_wave(
     opt_key = optimization_key
     stop_src = stop_check_source
     extra_static = extras or {}
+    tb_base = tb_base_dir
 
     # Captured as a plain string so the UDF closure below carries NO
     # references to maggy_spark module globals: python workers do not
@@ -163,6 +165,15 @@ def run_trial_wave(
         trial_id = pdf["trial_id"].iloc[0]
         hparams = _json.loads(pdf["params_json"].iloc[0])
         budget = int(pdf["budget"].iloc[0])
+        if tb_base:
+            # reference registers the trial's TensorBoard dir before the
+            # user function runs (tensorboard.py:28-31), so in-function
+            # `from maggy import tensorboard; tensorboard.logdir()` works
+            import os as _os
+
+            from maggy import tensorboard as _tb
+
+            _tb._register(_os.path.join(tb_base, str(trial_id)))
         stop_check = _make_stop_check(stop_src)
         reporter = Reporter(stop_check=stop_check)
         t0 = _time.time()
@@ -261,26 +272,59 @@ def _make_stop_check(stop_src: str | None):
     """Rebuild the early-stop predicate from its serialized state.
 
     State: {"direction": "max"|"min", "es_interval": int,
-    "prefix_histories": [[v1, v2, ...], ...]} — finished trials'
-    metric histories. At step s the bar is the median of each
-    finished history's mean-of-first-s; stop if the checked trial's
-    best (direction=max: max; min: min) is on the wrong side
+    "prefix_histories": [[v1, v2, ...], ...], "refresh_path": str?} —
+    finished trials' metric histories. At step s the bar is the median
+    of each finished history's mean-of-first-s; stop if the checked
+    trial's best (direction=max: max; min: min) is on the wrong side
     (reference medianrule.py:27-60).
+
+    With `refresh_path` set (async scheduling), the check re-reads the
+    driver-maintained bar file (mtime-gated, so an unchanged bar costs
+    one stat per interval) before every evaluation: a long-running
+    trial sees the bar TIGHTEN as later trials finish, matching the
+    reference's per-heartbeat re-evaluation
+    (`optimization_driver.py:456-471`) without its socket plane. The
+    file lives under log_dir (shared storage on a real cluster) or the
+    local tmpdir in local mode.
     """
     if not stop_src:
         return None
     state = json.loads(stop_src)
     direction = state.get("direction", "max")
     es_interval = int(state.get("es_interval", 1))
-    histories: list[list[float]] = state.get("prefix_histories", [])
-    if not histories:
+    refresh_path = state.get("refresh_path")
+    holder = {
+        "histories": state.get("prefix_histories", []),
+        "mtime": None,
+    }
+    if not holder["histories"] and not refresh_path:
         return None
+
+    def _maybe_refresh() -> None:
+        if not refresh_path:
+            return
+        import os
+
+        try:
+            mt = os.stat(refresh_path).st_mtime_ns
+        except OSError:
+            return  # bar not published yet
+        if mt == holder["mtime"]:
+            return
+        try:
+            with open(refresh_path) as f:
+                fresh = json.load(f)
+            holder["histories"] = fresh.get("prefix_histories", holder["histories"])
+            holder["mtime"] = mt
+        except (OSError, json.JSONDecodeError, ValueError):
+            pass  # concurrent replace: keep the previous bar, retry next check
 
     def check(step_history: list[int], metric_history: list[float]) -> bool:
         s = len(metric_history)
         if s == 0 or s % es_interval != 0:
             return False
-        means = [sum(h[:s]) / min(s, len(h)) for h in histories if h]
+        _maybe_refresh()
+        means = [sum(h[:s]) / min(s, len(h)) for h in holder["histories"] if h]
         if not means:
             return False
         means.sort()

@@ -77,6 +77,9 @@ def _es_enabled(config) -> bool:
     silently treated as median (custom rule objects are not supported
     in the UDF-local check — SURVEY §7.3a)."""
     policy = config.es_policy
+    # facade rule classes/instances (maggy.earlystop) carry a POLICY
+    # string; strings pass through unchanged
+    policy = getattr(policy, "POLICY", policy)
     if policy is None or (isinstance(policy, str) and policy.lower() == "none"):
         return False
     if isinstance(policy, str) and policy.lower() == "median":
@@ -100,19 +103,44 @@ def _log_progress(controller, settled: int) -> None:
     _LOG.info("maggy experiment %s", progress_bar(settled, total))
 
 
-def _stop_source(controller, config) -> str | None:
-    if not _es_enabled(config) or len(controller.final_store) < config.es_min:
+def _bar_payload(controller, config) -> dict:
+    """Current median-rule bar state: histories appear only once
+    es_min trials have finalized (medianrule.py min-completed gate)."""
+    histories = []
+    if len(controller.final_store) >= config.es_min:
+        histories = [t.metric_history for t in controller.final_store if t.metric_history]
+    return {
+        "direction": config.direction,
+        "es_interval": config.es_interval,
+        "prefix_histories": histories,
+    }
+
+
+def _stop_source(controller, config, refresh_path: str | None = None) -> str | None:
+    if not _es_enabled(config):
         return None
-    histories = [t.metric_history for t in controller.final_store if t.metric_history]
-    if not histories:
+    payload = _bar_payload(controller, config)
+    if refresh_path is not None:
+        # async scheduling: the trial-local check re-reads the bar file
+        # as it tightens, so even a trial submitted BEFORE es_min
+        # finishers gets a stop source (empty bar now, live bar later)
+        payload["refresh_path"] = refresh_path
+    elif not payload["prefix_histories"]:
         return None
-    return json.dumps(
-        {
-            "direction": config.direction,
-            "es_interval": config.es_interval,
-            "prefix_histories": histories,
-        }
-    )
+    return json.dumps(payload)
+
+
+def _publish_bar(controller, config, refresh_path: str) -> None:
+    """Atomically publish the tightened bar for in-flight trials
+    (write + os.replace: readers see the old or the new file, never a
+    torn one)."""
+    import os
+
+    payload = _bar_payload(controller, config)
+    tmp = f"{refresh_path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, refresh_path)
 
 
 def _apply_result(controller, trial: Trial, r: dict, seq: int) -> None:
@@ -202,6 +230,18 @@ def _persist_experiment(spark, config, trials: list[Trial], result: dict, exp_di
     return exp_dir
 
 
+def _tb_base(config) -> str:
+    """Per-experiment base dir for trial TensorBoard registration
+    (reference tensorboard.py:28-37): under log_dir when configured,
+    else a temp location so in-function `tensorboard.logdir()` always
+    resolves."""
+    import os
+    import tempfile
+
+    base = config.log_dir or os.path.join(tempfile.gettempdir(), "maggy_tb")
+    return os.path.join(base, f"{config.name}_tb")
+
+
 def _drive_waves(train_fn, config, spark, controller, parallelism, store=None) -> tuple[list[Trial], int]:
     """Batch-synchronous scheduling: waves of `parallelism` trials."""
     all_trials: list[Trial] = []
@@ -221,6 +261,7 @@ def _drive_waves(train_fn, config, spark, controller, parallelism, store=None) -
             spark, pending, train_fn,
             optimization_key=config.optimization_key,
             stop_check_source=stop_src,
+            tb_base_dir=_tb_base(config),
         )
         done_wave = []
         for r in results:
@@ -261,40 +302,72 @@ def _drive_async(train_fn, config, spark, controller, parallelism, store=None) -
             train_fn,
             optimization_key=config.optimization_key,
             stop_check_source=stop_src,
+            tb_base_dir=_tb_base(config),
         )
         return trial, res[0]
 
-    with ThreadPoolExecutor(max_workers=parallelism) as pool:
-        in_flight = set()
-        stall = 0
-        while True:
-            while len(in_flight) < parallelism and not controller.done():
-                batch = controller.next_batch(1)
-                if not batch:
-                    break
-                in_flight.add(pool.submit(run_one, batch[0], _stop_source(controller, config)))
-                jobs += 1
-            if not in_flight:
-                if controller.done():
-                    break
-                stall += 1
-                if stall > 3:
-                    break  # controller has nothing runnable and nothing in flight
-                continue
+    # continuous early-stop bar (reference re-evaluates the rule at
+    # every METRIC heartbeat, optimization_driver.py:456-471): the
+    # driver republishes the bar file as trials settle and in-flight
+    # trials re-read it at their next broadcast. Under log_dir the file
+    # is on the experiment's (shared) storage; tmpdir in local mode.
+    es_refresh_path = None
+    if _es_enabled(config):
+        import os
+        import tempfile
+
+        base = config.log_dir or tempfile.gettempdir()
+        os.makedirs(base, exist_ok=True)
+        es_refresh_path = os.path.join(
+            base, f".maggy_bar_{config.name}_{os.getpid()}_{id(controller):x}.json"
+        )
+
+    try:
+        with ThreadPoolExecutor(max_workers=parallelism) as pool:
+            in_flight = set()
             stall = 0
-            done, in_flight = wait(in_flight, return_when=FIRST_COMPLETED)
-            settled = []
-            for f in done:
-                trial, r = f.result()
-                seq += 1
-                _apply_result(controller, trial, r, seq)
-                all_trials.append(trial)
-                settled.append(trial)
-            if store is not None and settled:
-                store.append_trials(settled)
-                store.append_metrics(settled)
-            if jobs > 100_000:
-                raise RuntimeError("experiment did not converge (job limit)")
+            while True:
+                while len(in_flight) < parallelism and not controller.done():
+                    batch = controller.next_batch(1)
+                    if not batch:
+                        break
+                    in_flight.add(
+                        pool.submit(
+                            run_one, batch[0], _stop_source(controller, config, es_refresh_path)
+                        )
+                    )
+                    jobs += 1
+                if not in_flight:
+                    if controller.done():
+                        break
+                    stall += 1
+                    if stall > 3:
+                        break  # controller has nothing runnable and nothing in flight
+                    continue
+                stall = 0
+                done, in_flight = wait(in_flight, return_when=FIRST_COMPLETED)
+                settled = []
+                for f in done:
+                    trial, r = f.result()
+                    seq += 1
+                    _apply_result(controller, trial, r, seq)
+                    all_trials.append(trial)
+                    settled.append(trial)
+                if settled and es_refresh_path is not None:
+                    _publish_bar(controller, config, es_refresh_path)
+                if store is not None and settled:
+                    store.append_trials(settled)
+                    store.append_metrics(settled)
+                if jobs > 100_000:
+                    raise RuntimeError("experiment did not converge (job limit)")
+    finally:
+        if es_refresh_path is not None:
+            import os
+
+            try:
+                os.remove(es_refresh_path)
+            except OSError:
+                pass
     return all_trials, jobs
 
 

@@ -1,0 +1,162 @@
+"""TPE mixed-vartype fidelity: truncated-normal sampling, per-dim
+bandwidths, categorical re-roll (reference tpe.py:84-118,223-251).
+"""
+
+import numpy as np
+import pytest
+
+from maggy_spark.bayes import TPE, _norm_cdf, _norm_ppf, _truncnorm_rvs
+from maggy_spark.searchspace import Searchspace
+
+
+# -- numeric primitives --------------------------------------------------
+
+
+def test_norm_ppf_accuracy():
+    # golden quantiles of the standard normal
+    for p, z in [(0.5, 0.0), (0.975, 1.959964), (0.025, -1.959964),
+                 (0.841344746, 1.0), (0.001, -3.090232)]:
+        assert abs(float(_norm_ppf(np.array([p]))[0]) - z) < 1e-5
+    # round-trips the CDF
+    zs = np.linspace(-4, 4, 41)
+    assert np.allclose(_norm_ppf(_norm_cdf(zs)), zs, atol=1e-6)
+
+
+def test_truncnorm_in_bounds_no_pileup():
+    rng = np.random.default_rng(3)
+    means = np.full(4000, 0.95)  # near the upper bound
+    x = _truncnorm_rvs(means, 0.2, 0.0, 1.0, rng)
+    assert ((x >= 0.0) & (x <= 1.0)).all()
+    # clipping would pile ~40% of the mass exactly at 1.0; inverse-CDF
+    # truncation renormalizes inside the bounds instead
+    assert (x == 1.0).mean() < 0.01
+    assert (x > 0.9).mean() > 0.3  # still concentrated near the mean
+
+
+def test_truncnorm_deterministic():
+    means = np.linspace(0, 1, 100)
+    a = _truncnorm_rvs(means, 0.1, 0.0, 1.0, np.random.default_rng(5))
+    b = _truncnorm_rvs(means, 0.1, 0.0, 1.0, np.random.default_rng(5))
+    assert np.array_equal(a, b)
+
+
+# -- mixed-vartype KDE ---------------------------------------------------
+
+
+def _mixed_tpe(seed=2):
+    sp = Searchspace(
+        x=("DOUBLE", [0.0, 1.0]),
+        opt=("CATEGORICAL", ["adam", "sgd", "rmsprop"]),
+    )
+    t = TPE(num_warmup_trials=4, random_fraction=0.0)
+    t.initialize(sp, 40, "max", seed)
+    return t, sp
+
+
+def test_categorical_kde_is_a_pmf():
+    t, _sp = _mixed_tpe()
+    # data: 8 obs in category 0, 2 in category 2 (encoded /2)
+    data = np.array([[0.5, 0.0]] * 8 + [[0.5, 1.0]] * 2)
+    cats = np.array([[0.5, 0.0], [0.5, 0.5], [0.5, 1.0]])
+    pdf = t._kde_pdf(data, cats)
+    cont = pdf / pdf.sum()
+    # the categorical factor alone must sum to 1 over categories: the
+    # continuous factor is identical across the three queries
+    lam = t._cat_lambda(10, 2, 3)
+    expect = np.array([0.8 * (1 - lam) + 0.2 * lam / 2,
+                       lam / 2,  # 0.8*lam/2 + 0.2*lam/2
+                       0.2 * (1 - lam) + 0.8 * lam / 2])
+    assert np.allclose(cont, expect / expect.sum(), atol=1e-9)
+    # observed-heavy category dominates
+    assert pdf[0] > pdf[2] > pdf[1]
+
+
+def test_good_samples_concentrate_per_dim():
+    # property (verdict G8 done-criterion): draws from the good KDE
+    # concentrate near the good trials in EVERY dim — continuous mass
+    # near the good mean, categorical mass on the good category
+    t, sp = _mixed_tpe()
+    rng = np.random.default_rng(0)
+    for _ in range(30):
+        x = float(rng.random())
+        opt = ["adam", "sgd", "rmsprop"][int(rng.integers(3))]
+        # good iff x near 0.2 AND opt == 'sgd'
+        metric = -abs(x - 0.2) - (0.0 if opt == "sgd" else 1.0)
+        tr_batch = t.next_batch(1)
+        if not tr_batch:
+            break
+        tr = tr_batch[0]
+        tr.params = {"x": x, "opt": opt}
+        tr.final_metric = metric
+        t.finalize_trial(tr)
+    draws = [t.suggest_model_params() for _ in range(40)]
+    xs = np.array([d["x"] for d in draws])
+    opts = [d["opt"] for d in draws]
+    assert abs(np.median(xs) - 0.2) < 0.25
+    assert opts.count("sgd") > len(opts) * 0.5
+
+
+def test_tpe_seeded_determinism_mixed_space():
+    def run(seed):
+        t, _ = _mixed_tpe(seed)
+        out = []
+        for _ in range(60):
+            if t.done():
+                break
+            batch = t.next_batch(1)
+            if not batch:
+                break
+            for tr in batch:
+                tr.final_metric = -abs(tr.params["x"] - 0.2) - (
+                    0.0 if tr.params["opt"] == "sgd" else 1.0
+                )
+                t.finalize_trial(tr)
+                out.append(tr.params)
+        return out
+
+    a, b = run(9), run(9)
+    assert len(a) == 40
+    assert a == b
+    assert run(10) != a  # seed actually matters
+
+
+def test_tpe_beats_random_on_mixed_space():
+    # on a ~1-d problem best-of-N uniform random is near optimal, so
+    # the comparison runs on 3 continuous dims + 1 categorical where
+    # model guidance actually pays; majority-of-seeds because any
+    # single seed can flip on random luck. Seeds are spaced far apart:
+    # RandomSearch salts per-draw with seed+attempt, so CONSECUTIVE
+    # base seeds share almost all their draws.
+    from maggy_spark.optimizers import RandomSearch
+
+    def metric(p):
+        d = abs(p["x"] - 0.2) + abs(p["y"] - 0.7) + abs(p["z"] - 0.4)
+        return -d - (0.0 if p["opt"] == "sgd" else 1.0)
+
+    def best_of(ctrl, seed, n=50):
+        sp = Searchspace(
+            x=("DOUBLE", [0.0, 1.0]), y=("DOUBLE", [0.0, 1.0]), z=("DOUBLE", [0.0, 1.0]),
+            opt=("CATEGORICAL", ["adam", "sgd", "rmsprop"]),
+        )
+        ctrl.initialize(sp, n, "max", seed)
+        best = -np.inf
+        for _ in range(120):
+            if ctrl.done():
+                break
+            batch = ctrl.next_batch(1)
+            if not batch:
+                break
+            for tr in batch:
+                tr.final_metric = metric(tr.params)
+                ctrl.finalize_trial(tr)
+                best = max(best, tr.final_metric)
+        return best
+
+    wins, tpe_bests = 0, []
+    for seed in (17, 1017, 2017, 3017, 4017):
+        tb = best_of(TPE(num_warmup_trials=8), seed)
+        rb = best_of(RandomSearch(), seed)
+        tpe_bests.append(tb)
+        wins += tb >= rb
+    assert wins >= 3
+    assert all(b > -0.6 for b in tpe_bests)  # in the basin, sgd found, every seed
