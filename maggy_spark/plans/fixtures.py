@@ -93,6 +93,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def corpus_count(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Memoized `count(*)` of a source table, used to derive
+    scale-aware blocking parameters (SimHash band bits, ANN plane
+    count). The testdata tables are immutable, so the count is cached
+    on the session — operators that each need the corpus size don't
+    re-run the (metadata-only, but still one job each) parquet count."""
+    cache = getattr(spark, "_maggy_corpus_counts", None)
+    if cache is None:
+        cache = {}
+        spark._maggy_corpus_counts = cache
+    key = (sf_dir, name)
+    if key not in cache:
+        cache[key] = load_table(spark, sf_dir, name).count()
+    return cache[key]
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`events` is written with TIMESTAMP(NANOS), which Spark's parquet
     reader rejects unless nanos are surfaced as long

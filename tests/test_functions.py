@@ -135,24 +135,36 @@ def test_metadata_stats_prune_payload(spark, sf_dir):
 def test_simhash_signature_shape(spark, sf_dir):
     rows = dedup.dd6_simhash(spark, sf_dir).collect()
     assert rows
+    b = dedup.simhash_band_bits(len(rows))
+    t = dedup.SIMHASH_BANDS * b
     for r in rows:
-        assert len(r.simhash) == 16 and set(r.simhash) <= {"0", "1"}
-        assert r.band == r.simhash[:8]
+        assert len(r.simhash) == t and set(r.simhash) <= {"0", "1"}
+        assert r.band == r.simhash[:b]
     # deterministic
     again = {r.doc_id: r.simhash for r in dedup.dd6_simhash(spark, sf_dir).collect()}
     assert {r.doc_id: r.simhash for r in rows} == again
 
 
-def test_simhash_near_dup_bounds(spark, sf_dir):
+def test_simhash_near_dup_exact_recall(spark, sf_dir):
+    """Pigeonhole banding is lossless: dd7 returns EXACTLY the pairs
+    within MAX_HAMMING, independent of the blocking geometry."""
     sig = {r.doc_id: r.simhash for r in dedup.dd6_simhash(spark, sf_dir).collect()}
     pairs = dedup.dd7_simhash_near_dup(spark, sf_dir).collect()
-    for r in pairs[:50]:
+    got = {}
+    for r in pairs:
         assert r.doc_a < r.doc_b
-        assert 0 <= r.hamming <= 3
-        # recompute hamming from signatures
-        true_h = sum(a != b for a, b in zip(sig[r.doc_a], sig[r.doc_b]))
-        assert true_h == r.hamming
-        assert sig[r.doc_a][:8] == sig[r.doc_b][:8]  # band-blocked
+        assert 0 <= r.hamming <= dedup.MAX_HAMMING
+        assert (r.doc_a, r.doc_b) not in got  # first-matching-band guard dedups
+        got[(r.doc_a, r.doc_b)] = r.hamming
+    # brute-force ground truth over all signature pairs
+    ids = sorted(sig)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b_ in ids[i + 1:]:
+            h = sum(x != y for x, y in zip(sig[a], sig[b_]))
+            if h <= dedup.MAX_HAMMING:
+                expect[(a, b_)] = h
+    assert got == expect
 
 
 def test_corpus_prep_pipeline(spark, sf_dir):
