@@ -360,42 +360,50 @@ def dd7_simhash_near_dup(spark: SparkSession, sf_dir: str, max_hamming: int = MA
     pairs within max_hamming, independent of the blocking.
 
     Pair-level mechanics are integer, not string: the signature rides
-    as a 64-bit int so hamming is one bit_count(xor) per candidate
-    (not T substring compares), and a pair sharing several bands is
-    emitted only by its FIRST matching band (j<i prefix-inequality
-    guard) — no DISTINCT, so nothing reshuffles the candidate stream.
+    as a 64-bit int, the band key is one long (band index in the high
+    bits, band value in the low), hamming is one bit_count(xor) per
+    candidate, and a pair sharing several bands is emitted only by its
+    FIRST matching band (statically-unrolled shift/mask prefix-
+    inequality guard) — no DISTINCT, so nothing reshuffles the
+    candidate stream, and the shuffled rows are three longs wide.
     """
-    sig = dd6_simhash(spark, sf_dir).select(
-        "doc_id", "simhash", F.conv("simhash", 2, 10).cast("long").alias("sigint")
-    )
+    from functools import reduce
+    from operator import and_
+
     b = simhash_band_bits(corpus_count(spark, sf_dir, "documents"))
+    t = SIMHASH_BANDS * b
+    mask = (1 << b) - 1
+    sig = dd6_simhash(spark, sf_dir).select(
+        "doc_id", F.conv("simhash", 2, 10).cast("long").alias("sigint")
+    )
+
+    def bval(col, i: int):
+        # simhash[ i*b+1 .. (i+1)*b ] as an int: the string's leftmost
+        # bit is the integer's most significant
+        return F.shiftrightunsigned(col, t - (i + 1) * b).bitwiseAND(F.lit(mask))
+
     bands = sig.select(
         "doc_id",
         "sigint",
-        "simhash",
         F.explode(
-            F.array(*[
-                F.concat(F.lit(f"{i}:"), F.substring("simhash", i * b + 1, b))
-                for i in range(SIMHASH_BANDS)
-            ])
+            F.array(*[F.lit(i << b) + bval(F.col("sigint"), i) for i in range(SIMHASH_BANDS)])
         ).alias("band_key"),
     ).persist()
-    a = bands.select(F.col("doc_id").alias("doc_a"), F.col("sigint").alias("sa"),
-                     F.col("simhash").alias("ha"), "band_key")
-    bb = bands.select(F.col("doc_id").alias("doc_b"), F.col("sigint").alias("sb"),
-                      F.col("simhash").alias("hb"), "band_key")
-    band_idx = F.split(F.col("band_key"), ":").getItem(0).cast("int")
-    first_match = F.forall(
-        F.sequence(F.lit(0), band_idx - 1),
-        lambda j: F.col("ha").substr(j * b + F.lit(1), F.lit(b))
-        != F.col("hb").substr(j * b + F.lit(1), F.lit(b)),
-    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), F.col("sigint").alias("sa"), "band_key")
+    bb = bands.select(F.col("doc_id").alias("doc_b"), F.col("sigint").alias("sb"), "band_key")
+    band_idx = F.shiftrightunsigned(F.col("band_key"), b)
+    first_match = band_idx == 0
+    for j in range(1, SIMHASH_BANDS):
+        prior_diff = reduce(
+            and_, [bval(F.col("sa"), jj) != bval(F.col("sb"), jj) for jj in range(j)]
+        )
+        first_match = first_match | ((band_idx == j) & prior_diff)
     ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
     return (
         a.join(bb, "band_key")
         .where(F.col("doc_a") < F.col("doc_b"))
         .where(ham <= max_hamming)
-        .where((band_idx == 0) | first_match)
+        .where(first_match)
         .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
     )
 
