@@ -171,11 +171,21 @@ def dd4_ngram_jaccard(
     ex = d.select("doc_id", F.explode("sh").alias("shingle")).select(
         "doc_id", F.xxhash64("shingle").alias("sid")
     )
-    rare = ex.groupBy("sid").count().where(F.col("count") <= max_doc_freq).select("sid")
-    # materialize the pruned postings once; both sides of the
+    # doc-frequency cap as a windowed count over sid: the window's
+    # hash-partition on sid is the SAME partitioning the self-join
+    # below needs, so the cap costs zero extra shuffles (the earlier
+    # groupBy-count + semi-join formulation paid two; 2x at sf0.1).
+    # Materialize the pruned postings once; both sides of the
     # self-join read the persisted relation instead of re-deriving
-    # the shingle pipeline
-    ex = ex.join(rare, "sid").persist()
+    # the shingle pipeline.
+    from pyspark.sql.window import Window
+
+    ex = (
+        ex.withColumn("f", F.count("*").over(Window.partitionBy("sid")))
+        .where(F.col("f") <= max_doc_freq)
+        .drop("f")
+        .persist()
+    )
     a = ex.alias("a")
     b = ex.alias("b")
     inter = (
