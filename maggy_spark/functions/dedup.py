@@ -324,13 +324,17 @@ def _simhash_expr(total_bits: int, chunks: int):
 # derived parameters ride along as columns (CROSS JOIN with the 1-row
 # params relation) because DuckDB forbids subqueries inside lambdas.
 # The per-bit list_sum walks the hash array once per bit — fine for
-# the oracle, which only runs at gate scale.
+# the oracle, which only runs at gate scale. NULL text yields a NULL
+# signature, matching Spark's natural NULL propagation (a non-NULL
+# text always has >= 1 token, so list_sum is never NULL otherwise).
 _SIMHASH_SIG_SQL = """
     SELECT doc_id, b, t,
-           array_to_string(list_transform(generate_series(1, t), k ->
-               CASE WHEN coalesce(list_sum(list_transform(hs, h ->
-                        CASE WHEN substr(h, k, 1) < '8' THEN 1 ELSE -1 END)), 0) >= 0
-                    THEN '1' ELSE '0' END), '') AS simhash
+           CASE WHEN hs IS NULL THEN NULL ELSE
+               array_to_string(list_transform(generate_series(1, t), k ->
+                   CASE WHEN list_sum(list_transform(hs, h ->
+                            CASE WHEN substr(h, k, 1) < '8' THEN 1 ELSE -1 END)) >= 0
+                        THEN '1' ELSE '0' END), '')
+           END AS simhash
     FROM (
         SELECT doc_id, p.b AS b, p.t AS t,
                list_transform(list_distinct(str_split(text, ' ')), tk ->
@@ -380,6 +384,14 @@ def dd7_simhash_near_dup(spark: SparkSession, sf_dir: str, max_hamming: int = MA
     from functools import reduce
     from operator import and_
 
+    if max_hamming > MAX_HAMMING:
+        # pigeonhole banding is lossless only for distances < bands:
+        # dd6 signatures carry SIMHASH_BANDS = MAX_HAMMING + 1 bands,
+        # so a larger radius would silently lose pairs
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the banding's exact-recall "
+            f"radius {MAX_HAMMING} (SIMHASH_BANDS={SIMHASH_BANDS})"
+        )
     b = simhash_band_bits(corpus_count(spark, sf_dir, "documents"))
     t = SIMHASH_BANDS * b
     mask = (1 << b) - 1

@@ -19,6 +19,7 @@ cosines match bit-for-bit (verified empirically).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -125,21 +126,31 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
-def _with_buckets(spark: SparkSession, sf_dir: str, target: int = TARGET_BUCKET_VECS) -> DataFrame:
-    """Corpus with sign-LSH buckets: the plane count derives from the
-    corpus size (ann_planes) and the anchor embeddings are collected
-    to the driver ONCE per session (<= 16 tiny rows, via a pushed-down
-    vec_id filter) and embedded as literal arrays, so the bucket is a
-    pure map-side projection — no extra scan, shuffle, or broadcast
-    per query. The resulting DataFrame is session-cached: every ANN
-    operator over the same (sf_dir, target) reuses one lineage."""
+def _bucketed(spark: SparkSession, sf_dir: str, target: int = TARGET_BUCKET_VECS) -> tuple[DataFrame, int]:
+    """Corpus with sign-LSH buckets, plus the plane count that shaped
+    them (callers like ann2 need the bucket-string width and must stay
+    in lockstep with it — returning it together removes the coupled
+    re-derivation). Plane count derives from the corpus size
+    (ann_planes); the anchor embeddings are collected to the driver
+    ONCE per session (<= 16 tiny rows, via a pushed-down vec_id
+    filter) and embedded as literal arrays, so the bucket is a pure
+    map-side projection — no extra scan, shuffle, or broadcast per
+    query. The DataFrame is session-cached AND persisted here (a
+    deliberate session-scoped signatures table, like a dedup
+    pipeline's persisted signature relation): every ANN operator over
+    the same (sf_dir, target) reuses one lineage, and both sides of a
+    pair self-join read the materialization. persist() is idempotent
+    guarded, so callers never re-persist or unpersist it."""
     cache = getattr(spark, "_maggy_bucketed", None)
     if cache is None:
         cache = {}
         spark._maggy_bucketed = cache
     key = (sf_dir, target)
     if key in cache:
-        return cache[key]
+        df, n_planes = cache[key]
+        if df.storageLevel == StorageLevel.NONE:
+            df.persist()  # re-pin if an external clearCache() dropped it
+        return df, n_planes
     e = load_table(spark, sf_dir, "embeddings")
     n_planes = ann_planes(corpus_count(spark, sf_dir, "embeddings"), target)
     anchors = e.where(F.col("vec_id") < n_planes).select("vec_id", "embedding").orderBy("vec_id").collect()
@@ -166,9 +177,13 @@ def _with_buckets(spark: SparkSession, sf_dir: str, target: int = TARGET_BUCKET_
         "vec_id", "label", "emb",
         F.sqrt(_dot("emb", "emb")).alias("norm"),
         bucket.alias("bucket"),
-    )
-    cache[key] = df
-    return df
+    ).persist()
+    cache[key] = (df, n_planes)
+    return df, n_planes
+
+
+def _with_buckets(spark: SparkSession, sf_dir: str, target: int = TARGET_BUCKET_VECS) -> DataFrame:
+    return _bucketed(spark, sf_dir, target)[0]
 
 
 # SQL twin: same plane order (vec_id ascending), same fold-left dot
@@ -204,8 +219,7 @@ def ann2_lsh_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     broadcast query side only — the corpus is never re-read."""
     from pyspark.sql.window import Window
 
-    b = _with_buckets(spark, sf_dir)
-    n_planes = ann_planes(corpus_count(spark, sf_dir, "embeddings"))
+    b, n_planes = _bucketed(spark, sf_dir)
     flip = [
         F.concat(
             F.substring("bucket", 1, i - 1),
@@ -337,7 +351,7 @@ def ann4_embedding_near_dup(spark: SparkSession, sf_dir: str, threshold: float =
     """Embedding-cosine near-duplicate pairs, blocked by LSH bucket:
     only co-bucketed pairs are scored, so the pair space stays
     bucket-local instead of n^2."""
-    b = _with_buckets(spark, sf_dir, TARGET_BUCKET_PAIR_VECS).persist()  # computed once, both join sides
+    b, _ = _bucketed(spark, sf_dir, TARGET_BUCKET_PAIR_VECS)  # persisted signatures table, both join sides
     a = b.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("ea"), F.col("norm").alias("na"), "bucket")
     c = b.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("eb"), F.col("norm").alias("nb"), "bucket")
     return (
@@ -364,7 +378,7 @@ def ann5_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair relation."""
     from pyspark.sql.window import Window
 
-    b = _with_buckets(spark, sf_dir, TARGET_BUCKET_PAIR_VECS).persist()
+    b, _ = _bucketed(spark, sf_dir, TARGET_BUCKET_PAIR_VECS)
     a = b.select(F.col("vec_id").alias("src"), F.col("emb").alias("ea"), F.col("norm").alias("na"), "bucket")
     c = b.select(F.col("vec_id").alias("dst"), F.col("emb").alias("eb"), F.col("norm").alias("nb"), "bucket")
     pairs = (
