@@ -15,6 +15,19 @@ Three tiers, mirroring how a real 100 TB vector pipeline scales:
 All dot products fold left-to-right over double-cast elements, which
 Spark's `aggregate` and DuckDB's `list_dot_product` both do — the
 cosines match bit-for-bit (verified empirically).
+
+Recall envelope (measured, see SCALING.md): the synthetic corpus has
+WEAK nearest neighbors (top-1 cosine ~0.4 => per-hyperplane-bit
+agreement ~0.63), which bounds what any sign-LSH scheme can recall at
+a small candidate budget — banded multi-table probing was prototyped
+and bought ~7/15 recall@3 at 8x the candidates, so it is not the
+shipped default. The operator split is deliberate: ann2/ann4 are the
+scale path for HIGH-similarity regimes (near-dup, cosine >= ~0.7,
+where per-bit agreement >= 0.8 makes bucket collisions likely), ann1
+is the exact path whose one-pass broadcast shape is itself
+scale-correct for moderate corpora, and ann3's partition-probe shape
+is where a learned/centroid index (e.g. MLlib KMeans cells) slots in
+when neighbors are weak.
 """
 
 from __future__ import annotations
