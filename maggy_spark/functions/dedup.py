@@ -72,14 +72,57 @@ FROM documents GROUP BY md5(text)
 """
 
 
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh) with sh = distinct word-3-gram shingles, scan
+    fanned out to the session's cores (shingling + hashing is the
+    CPU-bound step of every operator below)."""
+    return load_table(spark, sf_dir, "documents", fan_out=True).select(
+        "doc_id", _shingles_expr().alias("sh")
+    )
+
+
+def _signature_cols():
+    """MinHash columns over a `sh` shingle-array column."""
+    return [
+        F.array_min(F.transform("sh", lambda s: F.md5(F.concat(F.lit(f"{k}|"), s)))).alias(f"mh{k}")
+        for k in range(N_HASHES)
+    ]
+
+
+def _band_keys(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_key) — 2 bands of 2 hashes from a signature
+    relation."""
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.concat(F.lit("b0:"), F.col("mh0"), F.col("mh1")),
+                F.concat(F.lit("b1:"), F.col("mh2"), F.col("mh3")),
+            )
+        ).alias("band_key"),
+    )
+
+
+def _candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Distinct co-bucketed (doc_a < doc_b) pairs from a band-key
+    relation. Callers persist `bands` first — the self-join must read
+    a materialized relation, not re-derive the minhash pipeline on
+    both sides."""
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, "band_key")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def dd2_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc MinHash signature: for seed k, min over shingles of
     md5(k || '|' || shingle). Map-side only — aggregate over the
     shingle array, no explode, no shuffle."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", _shingles_expr().alias("sh"))
-    cols = [F.array_min(F.transform("sh", lambda s: F.md5(F.concat(F.lit(f"{k}|"), s)))).alias(f"mh{k}")
-            for k in range(N_HASHES)]
-    return d.select("doc_id", *cols)
+    return _shingled(spark, sf_dir).select("doc_id", *_signature_cols())
 
 
 # shared SQL fragments: signature, banding, and candidate generation
@@ -115,28 +158,11 @@ def dd3_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding: 2 bands of 2 hashes; docs sharing a band key are
     near-dup candidates. Self-join on the band key only — the pair
     space never materializes beyond actual bucket collisions."""
-    sig = dd2_minhash_signature(spark, sf_dir)
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                F.concat(F.lit("b0:"), F.col("mh0"), F.col("mh1")),
-                F.concat(F.lit("b1:"), F.col("mh2"), F.col("mh3")),
-            )
-        ).alias("band_key"),
-    )
-    # materialize signatures once: in production this is the
+    # materialize band keys once: in production this is the
     # signatures table written to storage; without it the self-join
     # recomputes the full shingle+minhash pipeline on both sides
-    bands = bands.persist()
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(b, "band_key")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    bands = _band_keys(dd2_minhash_signature(spark, sf_dir)).persist()
+    return _candidate_pairs(bands)
 
 
 DD3_SQL = f"""
@@ -162,7 +188,7 @@ def dd4_ngram_jaccard(
     Pairs whose every common shingle is viral are below any useful
     similarity threshold anyway.
     """
-    d = load_table(spark, sf_dir, "documents").select("doc_id", _shingles_expr().alias("sh"))
+    d = _shingled(spark, sf_dir)
     sizes = d.select("doc_id", F.size("sh").alias("n_sh"))
     # join key is the 64-bit hash of the shingle, not the string:
     # narrow shuffle rows and cheap comparisons (engine-local detail —
@@ -349,7 +375,7 @@ def dd6_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc SimHash signature + its first band (one of the
     SIMHASH_BANDS blocking keys dd7 generates). Signature width is
     corpus-derived: bands * simhash_band_bits(n)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
     b = simhash_band_bits(corpus_count(spark, sf_dir, "documents"))
     t = SIMHASH_BANDS * b
     chunks = -(-t // 32)
@@ -461,9 +487,15 @@ def dd8_lsh_verified_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-shingle arrays. Work is proportional to the candidate
     count, not Σf² over shingle frequencies — this is the path that
     replaces dd4's exhaustive verification at corpus scale.
+
+    The shingle relation is computed ONCE and persisted; signatures,
+    band keys, and the verification arrays all derive from it, so the
+    text is scanned and shingled a single time (the naive composition
+    dd3 ∘ scan re-shingled the corpus for each side).
     """
-    sh = load_table(spark, sf_dir, "documents").select("doc_id", _shingles_expr().alias("sh")).persist()
-    cand = dd3_lsh_candidate_pairs(spark, sf_dir)
+    sh = _shingled(spark, sf_dir).persist()
+    bands = _band_keys(sh.select("doc_id", *_signature_cols())).persist()
+    cand = _candidate_pairs(bands)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     joined = cand.join(a, "doc_a").join(b, "doc_b")

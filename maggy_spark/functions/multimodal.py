@@ -43,7 +43,7 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize a media table from `documents`: text bytes as the
     opaque payload (binary), typed metadata alongside — the storage
     layout (binary + struct metadata) is the real design."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
     payload = F.encode(F.col("text"), "utf-8")
     return d.select(
         F.col("doc_id").alias("media_id"),

@@ -53,7 +53,7 @@ def pl1_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tx1/tx2 operators would tokenize the corpus twice and add a
     # corpus-wide shuffle join — Catalyst can't fuse two derivations
     # of the same table through a join)
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
     toks = F.split(F.col("text"), " ")
     n_toks = F.size(toks).cast("bigint")
     stats = d.select(

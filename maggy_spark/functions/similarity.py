@@ -107,7 +107,7 @@ def ann1_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     by similarity desc with vec_id tie-break."""
     from pyspark.sql.window import Window
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True)
     q = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
         F.sqrt(_dot("embedding", "embedding")).alias("qn"),
@@ -166,7 +166,7 @@ def _bucketed(spark: SparkSession, sf_dir: str, target: int = TARGET_BUCKET_VECS
         if df.storageLevel == StorageLevel.NONE:
             df.persist()  # re-pin if an external clearCache() dropped it
         return df, n_planes
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True)
     n_planes = ann_planes(corpus_count(spark, sf_dir, "embeddings"), target)
     anchors = e.where(F.col("vec_id") < n_planes).select("vec_id", "embedding").orderBy("vec_id").collect()
     # literal planes: float32 -> Python float is exact widening and
@@ -297,7 +297,7 @@ def ann3_ivf_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     partition scan."""
     from pyspark.sql.window import Window
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True)
     rep_ids = e.groupBy("label").agg(F.min("vec_id").alias("rep_id")).select(
         F.col("label").alias("rep_label"), "rep_id"
     )

@@ -98,7 +98,7 @@ FROM t
 def tx3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language scoring with deterministic argmax
     (fixed tie-break order en > de > fr > es > unknown)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
     toks = _tokens()
     scores = {}
     for lang, markers in LANG_MARKERS.items():
@@ -150,7 +150,7 @@ def tx4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapsed whitespace), a 64-bit-prefix hex fingerprint, and a
     shard bucket — the partitioning key a 100 TB dedup would bucket
     its corpus by."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
     norm = F.lower(F.regexp_replace(F.col("text"), " +", " "))
     h = F.md5(norm)
     return d.select(
@@ -181,7 +181,7 @@ def tx5_ngram_stats(spark: SparkSession, sf_dir: str, top_k: int = 50) -> DataFr
     top-k is a partial-aggregated count + single ordered limit."""
     from pyspark.sql.window import Window
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
     w = F.split(F.col("text"), " ")
     grams = F.when(
         F.size(w) >= 2,
@@ -229,7 +229,7 @@ def tx6_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape BPE vocabularies are trained over. Verified identical
     between Java regex (Spark) and RE2 (DuckDB) for this pattern.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
     toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_REGEX), 0)
     return d.select(
         "doc_id",

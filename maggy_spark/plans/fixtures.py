@@ -89,8 +89,26 @@ def with_fixtures(sql: str) -> str:
 # -- Spark side --------------------------------------------------------
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, *, fan_out: bool = False
+) -> DataFrame:
+    """Read a source table; with ``fan_out``, guarantee the scan's
+    parallelism matches the session's cores before CPU-heavy per-row
+    expressions (shingling, minhash, simhash folds).
+
+    A small table is one parquet file -> one input split, so an
+    expression-bound operator would run on a single core no matter how
+    wide the cluster is. The repartition is CONDITIONAL on the scan
+    having fewer splits than ``defaultParallelism``: at real scale the
+    scan already has >= cores splits (maxPartitionBytes splitting), the
+    condition self-disables, and no shuffle of the wide text column is
+    ever added where the data is large."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if fan_out:
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
+    return df
 
 
 def corpus_count(spark: SparkSession, sf_dir: str, name: str) -> int:
