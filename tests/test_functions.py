@@ -41,7 +41,7 @@ def test_exact_dedup_partitions_docs(spark, sf_dir):
 
 
 def test_minhash_signature_is_subset_property(spark, sf_dir):
-    # the minhash of each seed must be the md5 of SOME shingle of the doc
+    # each signature slot must be an 8-hex slice of md5 of SOME shingle
     sig = dedup.dd2_minhash_signature(spark, sf_dir)
     assert sig.where(F.col("mh0").isNull()).count() == 0
     # deterministic across runs
