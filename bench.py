@@ -42,6 +42,13 @@ def main() -> None:
     # measured query isn't charged for session startup
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
     spark.range(1_000).selectExpr("sum(id)").collect()
+    # warm the Python/Arrow worker pool (one worker per core): the
+    # first mapInPandas job in a session pays ~100ms interpreter
+    # spin-up per worker, which would otherwise be charged to the
+    # first Pandas-UDF query instead of the query itself
+    spark.range(256).repartition(int(cpus)).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     qs = registry.queries()
     timings: dict[str, float] = {}
