@@ -4,12 +4,20 @@
 Each query is forced end-to-end with the `noop` sink (full JVM-side
 execution, no Python row transfer) so timings measure the Spark plan,
 not py4j serialization. Compare against BASELINE.md §3 targets.
+
+Each query runs $SPARK_GRAFT_BENCH_REPS times (default 3) and the
+MEDIAN is reported: single-shot timings on a loaded 32-core box swing
+up to 12x run-to-run (r3 vs r4 measured identical code at 1.4s vs
+14s), which would drown any real regression signal. The cache is
+cleared between reps so no rep reads a prior rep's persisted
+relations.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -50,18 +58,25 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     qs = registry.queries()
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name, fn in qs.items():
-        t0 = time.time()
+        samples: list[float] = []
         try:
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
-            spark.catalog.clearCache()  # drop per-query persists
+            for _ in range(reps):
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(time.time() - t0)
+                spark.catalog.clearCache()  # drop per-query persists
+            timings[name] = round(statistics.median(samples), 3)
+            spreads[name] = round(max(samples) - min(samples), 3)
         except Exception as e:  # a failed query must not hide the rest
             timings[name] = -1.0
             print(f"BENCH ERROR {name}: {e}", file=sys.stderr)
+            spark.catalog.clearCache()
 
     # experiment-level targets from BASELINE.md §3: 16-trial no-op
     # random search wall time (target <= 35 s) and median per-trial
@@ -83,9 +98,12 @@ def main() -> None:
             searchspace=Searchspace(x=("DOUBLE", [0.0, 1.0])),
             direction="max", es_policy="none", seed=1,
         ), spark)  # warm python workers
-        t0 = time.time()
-        res = lagom(_noop, cfg, spark)
-        timings["exp_random16_noop"] = round(time.time() - t0, 3)
+        exp_samples = []
+        for _ in range(reps):
+            t0 = time.time()
+            lagom(_noop, cfg, spark)
+            exp_samples.append(time.time() - t0)
+        timings["exp_random16_noop"] = round(statistics.median(exp_samples), 3)
         # median per-trial overhead: wall / trials-per-slot for a no-op fn
         timings["exp_per_trial_overhead"] = round(timings["exp_random16_noop"] / (16 / 4), 3)
     except Exception as e:  # noqa: BLE001
@@ -99,6 +117,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "rep_spread": spreads,
+                "reps": reps,
                 "sf": sf,
                 "n_queries": len(timings),
                 "cpus": int(cpus),

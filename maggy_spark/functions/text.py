@@ -177,8 +177,12 @@ def tx5_ngram_stats(spark: SparkSession, sf_dir: str, top_k: int = 50) -> DataFr
     """Corpus bigram statistics: global top-k bigrams by document
     frequency, with total occurrences — the vocabulary/contamination
     profile a corpus audit starts from. Explode -> two-level
-    aggregate; at 100 TB the bigram key is uniform (no skew) and the
-    top-k is a partial-aggregated count + single ordered limit."""
+    aggregate; the top-k is `orderBy().limit(k)`, which Catalyst
+    plans as TakeOrderedAndProject: each task keeps a k-row heap and
+    only k rows per partition reach the driver-side merge — a
+    billion-bigram vocabulary at 100 TB never funnels through one
+    task. Rank is then a row_number over ONLY the k surviving rows
+    (bounded input, no global-window scale hazard)."""
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents", fan_out=True)
@@ -195,10 +199,12 @@ def tx5_ngram_stats(spark: SparkSession, sf_dir: str, top_k: int = 50) -> DataFr
         F.count("*").alias("n_occurrences"),
         F.countDistinct("doc_id").alias("doc_freq"),
     )
-    wrank = Window.orderBy(F.col("doc_freq").desc(), F.col("n_occurrences").desc(), F.col("bigram"))
-    return stats.select(
+    order = [F.col("doc_freq").desc(), F.col("n_occurrences").desc(), F.col("bigram")]
+    topk = stats.orderBy(*order).limit(top_k)
+    wrank = Window.orderBy(*order)
+    return topk.select(
         "bigram", "n_occurrences", "doc_freq", F.row_number().over(wrank).cast("bigint").alias("rank")
-    ).where(F.col("rank") <= top_k)
+    )
 
 
 TX5_SQL = """

@@ -61,6 +61,13 @@ def c3_median_rule(spark: SparkSession, sf_dir: str, step_limit: int = 3) -> Dat
     each finished trial's mean of its first s metrics; the median of
     those is the bar; stop the checked trial if its best (max)
     observed metric is below the bar.
+
+    The output also carries ONE explicit `__median_bar__` row holding
+    the bar aggregate itself — the A8 median-of-prefix-averages
+    threshold (`medianrule.py:44-51`) — so the driver's value-hash
+    gate verifies the A8 semantics directly (not only as a repeated
+    column on running-trial rows, which would vanish if no trial is
+    running).
     """
     # Single scan of metrics, single join with trial status, single
     # groupBy computing both the prefix-average inputs (finalized
@@ -85,7 +92,7 @@ def c3_median_rule(spark: SparkSession, sf_dir: str, step_limit: int = 3) -> Dat
         (F.col("psum").cast("double") / F.col("pcnt")).alias("pavg")
     )
     median = pavg.agg(F.round(F.percentile("pavg", F.lit(0.5)), 4).alias("median_bar"))
-    return (
+    decisions = (
         per_trial.where(F.col("status") == "RUNNING")
         .crossJoin(F.broadcast(median))
         .select(
@@ -95,6 +102,16 @@ def c3_median_rule(spark: SparkSession, sf_dir: str, step_limit: int = 3) -> Dat
             (F.col("best_metric") < F.col("median_bar")).alias("should_stop"),
         )
     )
+    # A8: the bar itself as one sentinel row (1-row union, no shuffle)
+    bar_row = median.select(
+        F.lit("__median_bar__").alias("trial_id"),
+        F.lit(None).cast("double").alias("best_metric"),
+        F.col("median_bar"),
+        # false, not NULL: a null in a boolean column degrades the
+        # oracle's pandas dtype to object and trips the schema gate
+        F.lit(False).alias("should_stop"),
+    )
+    return decisions.unionAll(bar_row)
 
 
 C3_SQL = with_fixtures(
@@ -117,6 +134,9 @@ best AS (
 SELECT b.trial_id, b.best_metric, med.median_bar,
        (b.best_metric < med.median_bar) AS should_stop
 FROM best b CROSS JOIN med
+UNION ALL
+SELECT '__median_bar__', CAST(NULL AS DOUBLE), median_bar, FALSE
+FROM med
 """
 )
 

@@ -23,7 +23,21 @@ from pyspark.sql.window import Window
 
 from maggy_spark.plans.fixtures import load_table, trials_df, with_fixtures
 
-# -- G1: seeded random sampler (rows-only check: RNG is engine-local) --
+# -- G1: seeded random sampler (hash-derived, oracle-checkable) --------
+
+_TWO_POW_52 = 4503599627370496.0  # 13 hex chars = 52 mantissa-exact bits
+
+
+def _hash_uniform(seed: int, seq, name: str):
+    """Deterministic uniform in [0,1): the top 52 bits of
+    md5("{seed}:{seq}:{name}") divided by 2^52. 52 bits fit a double
+    mantissa exactly, and md5/substr/hex-to-int/divide evaluate
+    bit-identically in Spark and DuckDB — so the sampler is
+    cross-engine reproducible, unlike engine-local `rand(seed)`
+    (same design as the md5 trial-id scheme, reference
+    `maggy/trial.py:132-134`)."""
+    h = F.md5(F.concat_ws(":", F.lit(str(seed)), seq.cast("string"), F.lit(name)))
+    return F.conv(F.substring(h, 1, 13), 16, 10).cast("bigint").cast("double") / F.lit(_TWO_POW_52)
 
 
 def g1_random_sample(spark: SparkSession, sf_dir: str, num: int = 256, seed: int = 42) -> DataFrame:
@@ -31,19 +45,41 @@ def g1_random_sample(spark: SparkSession, sf_dir: str, num: int = 256, seed: int
 
     Reference: `Searchspace.get_random_parameter_values`
     (`searchspace.py:180-208`): DOUBLE -> uniform(lo,hi), INTEGER ->
-    randint inclusive, CATEGORICAL -> choice. Expressed as column
-    math over `rand(seed)` so it is deterministic per (seed, row)
-    within Spark; the DuckDB oracle is omitted (engine-local RNG),
-    driver records the rows-only check.
+    randint inclusive, CATEGORICAL -> choice. Draws come from
+    counter-mode hashing (`_hash_uniform`) rather than `rand(seed)`
+    so the DuckDB oracle reproduces them bit-exactly; the RNG-based
+    API twin lives in `Searchspace.get_random_parameter_values` for
+    reference parity. At scale this is embarrassingly parallel:
+    spark.range partitions the counter space, no shuffle, no state.
     """
+    seq = F.col("id")
     domain = F.array(F.lit("red"), F.lit("green"), F.lit("blue"))
-    df = spark.range(num).select(
-        F.col("id").alias("trial_seq"),
-        (F.rand(seed) * (0.99 - 0.01) + 0.01).alias("dropout"),
-        (F.floor(F.rand(seed + 1) * (8 - 2 + 1)) + 2).cast("bigint").alias("kernel"),
-        F.element_at(domain, (F.floor(F.rand(seed + 2) * 3) + 1).cast("int")).alias("color"),
+    return spark.range(num).select(
+        seq.alias("trial_seq"),
+        (_hash_uniform(seed, seq, "dropout") * F.lit(0.98) + F.lit(0.01)).alias("dropout"),
+        (F.floor(_hash_uniform(seed, seq, "kernel") * F.lit(7.0)) + F.lit(2)).cast("bigint").alias("kernel"),
+        F.element_at(
+            domain, (F.floor(_hash_uniform(seed, seq, "color") * F.lit(3.0)) + 1).cast("int")
+        ).alias("color"),
     )
-    return df
+
+
+G1_SQL = """
+WITH t AS (SELECT cast(i AS BIGINT) AS trial_seq FROM range(0, 256) r(i)),
+u AS (
+    SELECT trial_seq,
+        cast(cast(('0x' || substr(md5('42:' || cast(trial_seq AS VARCHAR) || ':dropout'), 1, 13)) AS BIGINT) AS DOUBLE) / 4503599627370496.0 AS u_dropout,
+        cast(cast(('0x' || substr(md5('42:' || cast(trial_seq AS VARCHAR) || ':kernel'), 1, 13)) AS BIGINT) AS DOUBLE) / 4503599627370496.0 AS u_kernel,
+        cast(cast(('0x' || substr(md5('42:' || cast(trial_seq AS VARCHAR) || ':color'), 1, 13)) AS BIGINT) AS DOUBLE) / 4503599627370496.0 AS u_color
+    FROM t
+)
+SELECT trial_seq,
+       u_dropout * cast(0.98 AS DOUBLE) + cast(0.01 AS DOUBLE) AS dropout,
+       cast(floor(u_kernel * 7.0) + 2 AS BIGINT) AS kernel,
+       CASE cast(floor(u_color * 3.0) AS INTEGER)
+           WHEN 0 THEN 'red' WHEN 1 THEN 'green' ELSE 'blue' END AS color
+FROM u
+"""
 
 
 # -- G3: grid search Cartesian product ---------------------------------
@@ -375,7 +411,7 @@ SELECT 1, 2, 9, orig, new_tid, true FROM r1b
 # 3d1cc9fdb1d4d001) but is unregistered: the driver checks only the
 # first 50 registry entries, and its slot goes to the pipeline capstones.
 OPERATORS = [
-    ("g1_random_sample", g1_random_sample, None),  # engine-local RNG: rows-only check
+    ("g1_random_sample", g1_random_sample, G1_SQL),
     ("g3_grid_search", g3_grid_search, G3_SQL),
     ("g4_single_run", g4_single_run, G4_SQL),
     ("g5_asha_promotion", g5_asha_promotion, G5_SQL),

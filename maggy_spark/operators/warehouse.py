@@ -61,8 +61,12 @@ GROUP BY l_returnflag, l_linestatus
 
 def k2_top_customers(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     """Top-k customers by order spend: orders groupBy (map-side
-    combined) -> broadcast-joined to customer -> rank window over the
-    k-sized aggregate, never a sort of the fact table."""
+    combined) -> `orderBy().limit(k)` (TakeOrderedAndProject: per-task
+    k-row heaps, never a global sort or un-partitioned window over
+    |customers| rows) -> rank window over ONLY the k survivors ->
+    the k-row result broadcast into the customer join (customer is a
+    dimension locally but a 15M-row table at SF100k; the k-row side
+    is the one that must broadcast)."""
     from pyspark.sql.window import Window
 
     o = load_table(spark, sf_dir, "orders")
@@ -71,11 +75,14 @@ def k2_top_customers(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame
         F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_spend"),
         F.count("*").alias("n_orders"),
     )
-    w = Window.orderBy(F.col("total_spend").desc(), F.col("o_custkey"))
-    topk = spend.select("o_custkey", "total_spend", "n_orders", F.row_number().over(w).cast("bigint").alias("rank")).where(
-        F.col("rank") <= k
+    order = [F.col("total_spend").desc(), F.col("o_custkey")]
+    w = Window.orderBy(*order)
+    topk = (
+        spend.orderBy(*order)
+        .limit(k)
+        .select("o_custkey", "total_spend", "n_orders", F.row_number().over(w).cast("bigint").alias("rank"))
     )
-    return topk.join(c, topk.o_custkey == c.c_custkey).select(
+    return c.join(F.broadcast(topk), topk.o_custkey == c.c_custkey).select(
         F.col("c_custkey").alias("custkey"), "c_name", "c_mktsegment", "total_spend", "n_orders", "rank"
     )
 

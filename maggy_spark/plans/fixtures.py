@@ -128,14 +128,24 @@ def corpus_count(spark: SparkSession, sf_dir: str, name: str) -> int:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`events` is written with TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects unless nanos are surfaced as long
-    (`spark.sql.legacy.parquet.nanosAsLong`); convert to a proper
-    timestamp with exact integer division (ns -> us)."""
+    """Normalize `events.ts` to a proper TIMESTAMP whatever the reader
+    surfaces:
+
+    - TIMESTAMP(NANOS) parquet + ``nanosAsLong`` -> ``bigint`` nanos;
+      convert with exact integer division (ns -> us).
+    - isAdjustedToUTC=false parquet -> ``timestamp_ntz``; interpret the
+      naive wall-clock as UTC via ``to_utc_timestamp(ts, 'UTC')``.
+      This matches DuckDB's naive-timestamp semantics on ANY session
+      timezone (a plain ``cast('timestamp')`` would shift with
+      spark.sql.session.timeZone), and gives downstream consumers a
+      watermark-eligible TimestampType column (streaming C1/C2)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = load_table(spark, sf_dir, "events")
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
     return df
 
 

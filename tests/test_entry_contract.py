@@ -28,8 +28,10 @@ def test_every_oracle_has_a_query():
     # the driver checks the first 50 entries, so the registry must
     # never exceed 50
     assert len(qs) <= 50
+    # every registered query is oracle-checked (g1 became
+    # hash-derived + deterministic in round 5)
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {"g1_random_sample"}
+    assert rows_only == set()
 
 
 def test_query_callables_take_spark_and_sfdir(spark):

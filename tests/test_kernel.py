@@ -65,7 +65,13 @@ def test_c3_median_rule_decision_shape(spark, sf_dir):
     assert len(rows) > 0
     bars = {r.median_bar for r in rows}
     assert len(bars) == 1  # single global bar
+    # exactly one A8 sentinel row exposing the bar aggregate itself
+    sentinels = [r for r in rows if r.trial_id == "__median_bar__"]
+    assert len(sentinels) == 1
+    assert sentinels[0].best_metric is None and sentinels[0].should_stop is False
     for r in rows:
+        if r.trial_id == "__median_bar__":
+            continue
         assert r.should_stop == (r.best_metric < r.median_bar)
 
 
@@ -137,3 +143,16 @@ def test_k2_top_customers_ranked(spark, sf_dir):
     spends = [r.total_spend for r in rows]
     assert spends == sorted(spends, reverse=True)
     assert all(r.n_orders >= 1 for r in rows)
+
+
+def test_load_events_yields_watermarkable_timestamp(spark, sf_dir):
+    # events.parquet may surface ts as bigint nanos (nanosAsLong) or
+    # TIMESTAMP_NTZ depending on reader path; load_events must always
+    # hand consumers a plain TimestampType column — ev2's unix_micros
+    # and the streaming watermark both reject NTZ (two rounds of
+    # CORRECTNESS failures pinned here)
+    from maggy_spark.plans.fixtures import load_events
+
+    df = load_events(spark, sf_dir)
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert df.where(F.col("ts").isNull()).count() == 0

@@ -106,3 +106,29 @@ def test_mm3_never_scans_text_payload(spark, sf_dir):
     plan = _plan(multimodal.mm3_metadata_stats(spark, sf_dir))
     scan_line = next(l for l in plan.splitlines() if "FileScan" in l or "Scan parquet" in l.lower())
     assert "lang" not in scan_line and "n_chars" not in scan_line
+
+
+def test_global_topk_is_take_ordered_not_window(spark, sf_dir):
+    # tx5 / k2 rank a full relation (bigram vocabulary, per-customer
+    # spend). A row_number over an un-partitioned Window funnels the
+    # whole relation through one task; the fix is orderBy().limit(k)
+    # -> TakeOrderedAndProject (per-task k-row heaps) with rank
+    # derived over only the k survivors. Pin both properties.
+    from maggy_spark.functions import text
+    from maggy_spark.operators import warehouse
+
+    for q in (text.tx5_ngram_stats, warehouse.k2_top_customers):
+        plan = _plan(q(spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, q.__name__
+        # nothing funnels the full relation into one task: the only
+        # single-partition consumer is the bounded k-row rank window
+        assert "Exchange SinglePartition" not in plan, q.__name__
+
+
+def test_k2_broadcasts_topk_side(spark, sf_dir):
+    # the k-row aggregate side must broadcast into the customer join
+    # (customer is 15M rows at SF100k — never the build side)
+    from maggy_spark.operators import warehouse
+
+    plan = _plan(warehouse.k2_top_customers(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
