@@ -565,22 +565,35 @@ class GP(BaseAsyncBO):
 class TPE(BaseAsyncBO):
     """Tree-structured Parzen estimator (reference bayes/tpe.py).
 
-    Mixed-vartype KDEs over the [0,1]-transformed values, the shape of
-    the reference's statsmodels KDEMultivariate with vartype string
-    'c...u...' (tpe.py:223-251): continuous/ordinal dims use a
-    per-dim Gaussian kernel (Scott bandwidth, floored at min_bw=1e-3
-    from HpBandSter via tpe.py:72); CATEGORICAL dims use the
-    Aitchison-Aitken kernel on the category index. Sampling draws
-    around good observations (tpe.py:84-118): continuous dims from a
-    TRUNCATED normal with x`bw_factor`-widened bandwidth, categorical
-    dims keep the observed category with prob (1 - lambda) and re-roll
-    uniformly otherwise. EI = pdf_good/pdf_bad over n_samples draws.
+    Mixed-vartype KDEs over the [0,1]-transformed values — a numpy
+    re-implementation of the reference's statsmodels KDEMultivariate
+    with vartype string 'c...u...' (tpe.py:223-251), exact in the
+    non-degenerate case (statsmodels itself is absent from this
+    environment):
 
-    statsmodels is not in this environment, so the categorical
-    bandwidth lambda is a plug-in normal-reference-style decay
-    min((c-1)/c, n^(-2/(d+4))) rather than statsmodels' estimate —
-    same kernel family and limits (lambda -> 0 concentrates on
-    observed categories; lambda = (c-1)/c is uniform).
+    - bandwidth 'normal_reference' (statsmodels _kernel_base.py):
+      bw_j = 1.06 * std(col_j) * n^(-1/(4+q)) with q = TOTAL dims —
+      one shared exponent, not per-dim Scott. For CATEGORICAL dims
+      the same formula on the RAW INDEX column gives the
+      Aitchison-Aitken lambda (the reference transforms with
+      normalize_categorical=False, tpe.py:168-172, so statsmodels
+      sees indices 0..c-1).
+    - pdf (statsmodels gpke): product over dims of gaussian((x-Xi)/h)
+      for 'c' and AA(1-lam / lam/(levels-1)) for 'u' with `levels` =
+      distinct values OBSERVED in the KDE data (statsmodels
+      aitchison_aitken's num_levels default), summed over data and
+      divided by n and the product of the CONTINUOUS bandwidths only.
+    - degenerate guard (deviation): a constant column gives bw 0 and
+      statsmodels returns nan/inf; we floor the pdf bandwidth at
+      min_bw=1e-3 and treat a single-level categorical as a constant
+      factor instead.
+
+    Sampling draws around good observations (tpe.py:84-118):
+    continuous dims from a TRUNCATED normal with bandwidth
+    max(bw, min_bw=1e-3 from HpBandSter) * bw_factor, categorical
+    dims keep the observed category with prob (1 - lambda) (lambda
+    unclipped, per tpe.py:114) and re-roll uniformly over the FULL
+    domain otherwise. EI = pdf_good/pdf_bad over n_samples draws.
     """
 
     def __init__(self, gamma: float = 0.15, n_samples: int = DEFAULT_TPE_SAMPLES, bw_factor: float = 3.0, **kw):
@@ -604,47 +617,59 @@ class TPE(BaseAsyncBO):
         order = np.argsort(y, kind="stable")
         return X[order[:n_good]], X[order[n_good:n_good + n_bad]]
 
-    @staticmethod
-    def _scott_bw(x: np.ndarray) -> float:
-        n = max(len(x), 2)
-        s = float(x.std()) or 0.1
-        return 1.059 * s * n ** (-0.2)
-
     def _dim_specs(self) -> list[tuple[str, int]]:
         """Per-dim (kind, n_choices): 'u' for CATEGORICAL (unordered),
         'c' otherwise — the reference's statsmodels vartype string
         (tpe.py:223-251; DOUBLE/INTEGER -> 'c', CATEGORICAL -> 'u';
-        DISCRETE is ordinal and keeps the continuous kernel)."""
+        DISCRETE is ordinal and keeps the continuous kernel — the
+        reference raises NotImplementedError for it, tpe.py:252)."""
         out = []
         for _name, t, region in self.searchspace.items():
             out.append(("u", len(region)) if t == CATEGORICAL else ("c", 0))
         return out
 
-    @staticmethod
-    def _cat_lambda(n: int, d: int, c: int) -> float:
-        """Aitchison-Aitken bandwidth: normal-reference-style decay in
-        n, capped at the uniform-kernel limit (c-1)/c."""
-        return float(min((c - 1) / c, n ** (-2.0 / (d + 4))))
+    def _normal_reference_bw(self, data: np.ndarray) -> np.ndarray:
+        """statsmodels `bw='normal_reference'` (_kernel_base.py):
+        1.06 * column std * n^(-1/(4+q)), q = total dims. Categorical
+        columns are internally stored normalized (idx/(c-1)); the
+        reference feeds statsmodels raw indices, so their lambda is
+        recovered exactly by scaling the std back: std(idx) =
+        std(col) * (c-1)."""
+        n, q = data.shape
+        factor = 1.06 * max(n, 1) ** (-1.0 / (4 + q))
+        bw = np.empty(q)
+        for j, (kind, c) in enumerate(self._dim_specs()):
+            s = float(np.std(data[:, j]))
+            if kind == "u" and c > 1:
+                s *= c - 1  # back to the reference's raw-index scale
+            bw[j] = factor * s
+        return bw
 
     def _kde_pdf(self, data: np.ndarray, q: np.ndarray) -> np.ndarray:
-        """Product of per-dim kernel pdfs at query points: Gaussian
-        for continuous dims, Aitchison-Aitken over category indices
-        for CATEGORICAL dims (mixed KDEMultivariate shape)."""
+        """statsmodels KDEMultivariate.pdf (gpke): product over dims
+        of gaussian((x-Xi)/h) for 'c' dims and Aitchison-Aitken over
+        category indices for 'u' dims, summed over the data and
+        normalized by n and the product of the CONTINUOUS bandwidths
+        (the AA kernel is a pmf; its lambda does not rescale)."""
         n, ndim = data.shape
-        pdf = np.ones(len(q))
+        bw = self._normal_reference_bw(data)
+        kprod = np.ones((len(q), n))
+        cont_bw_prod = 1.0
         for j, (kind, c) in enumerate(self._dim_specs()):
-            if kind == "u" and c > 1:
-                lam = self._cat_lambda(n, ndim, c)
-                di = np.rint(data[:, j] * (c - 1)).astype(int)
-                qi = np.rint(q[:, j] * (c - 1)).astype(int)
-                k = np.where(qi[:, None] == di[None, :], 1.0 - lam, lam / (c - 1))
-                pdf *= k.mean(axis=1)
-            elif kind != "u":
-                bw = max(self._scott_bw(data[:, j]), self.min_bw)
-                z = (q[:, j, None] - data[None, :, j]) / bw
-                pdf *= _norm_pdf(z).mean(axis=1) / bw
-            # kind == 'u' with c == 1: constant dim, pdf factor 1
-        return pdf
+            if kind == "u":
+                di = np.rint(data[:, j] * max(c - 1, 1)).astype(int)
+                levels = np.unique(di).size  # statsmodels num_levels default
+                if levels <= 1:
+                    continue  # degenerate: constant factor (see docstring)
+                lam = bw[j]
+                qi = np.rint(q[:, j] * max(c - 1, 1)).astype(int)
+                kprod *= np.where(qi[:, None] == di[None, :], 1.0 - lam, lam / (levels - 1))
+            else:
+                h = max(float(bw[j]), self.min_bw)  # degenerate guard only
+                cont_bw_prod *= h
+                z = (q[:, j, None] - data[None, :, j]) / h
+                kprod *= _norm_pdf(z)
+        return kprod.sum(axis=1) / cont_bw_prod / n
 
     def suggest_model_params(self) -> dict:
         # multi-fidelity: same biggest-sufficient-budget rule as GP
@@ -659,19 +684,21 @@ class TPE(BaseAsyncBO):
         # observed category with prob (1 - lambda), else re-roll
         idx = self._nprng.integers(0, len(good), size=self.n_samples)
         samples = np.empty((self.n_samples, X.shape[1]))
+        good_bw = self._normal_reference_bw(good)
         for j, (kind, c) in enumerate(self._dim_specs()):
             means = good[idx, j]
             if kind == "u":
                 if c <= 1:
                     samples[:, j] = 0.0
                     continue
-                lam = self._cat_lambda(len(good), X.shape[1], c)
-                keep = self._nprng.random(self.n_samples) < (1.0 - lam)
+                # keep prob (1 - lambda), lambda UNCLIPPED (tpe.py:114);
+                # re-roll uniform over the FULL domain (tpe.py:116-118)
+                keep = self._nprng.random(self.n_samples) < (1.0 - good_bw[j])
                 rerolled = self._nprng.integers(0, c, size=self.n_samples)
                 cats = np.where(keep, np.rint(means * (c - 1)).astype(int), rerolled)
                 samples[:, j] = cats / (c - 1)
             else:
-                bw = max(self._scott_bw(good[:, j]), self.min_bw) * self.bw_factor
+                bw = max(float(good_bw[j]), self.min_bw) * self.bw_factor  # tpe.py:101
                 samples[:, j] = _truncnorm_rvs(means, bw, 0.0, 1.0, self._nprng)
         ei = self._kde_pdf(good, samples) / np.maximum(self._kde_pdf(bad, samples), EI_CLIP)
         best = samples[int(np.argmax(ei))]

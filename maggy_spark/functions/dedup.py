@@ -540,6 +540,73 @@ JOIN sh sb ON c.doc_b = sb.doc_id
 """
 
 
+def dd9_decontaminate(
+    spark: SparkSession, sf_dir: str, eval_mod: int = 100, min_containment: float = 0.5
+) -> DataFrame:
+    """Benchmark decontamination: find training documents whose
+    3-gram shingle sets CONTAIN a large fraction of any held-out
+    eval document's shingles (the GPT-3-style n-gram overlap test a
+    training pipeline must run before every release).
+
+    Here the eval set is the deterministic `doc_id % eval_mod == 0`
+    slice; in production it is the benchmark suite. Containment —
+    |train ∩ eval| / |eval| — not Jaccard: a 100-word eval prompt
+    embedded verbatim in a 10k-word web page has tiny Jaccard but
+    containment 1.0.
+
+    Scale shape: the corpus is shingled ONCE (shared persisted
+    relation); the exploded EVAL side is broadcast — benchmarks are
+    MBs while the corpus is 100 TB, so the contamination probe is a
+    map-side broadcast join + one aggregation keyed by
+    (train_doc, eval_doc): candidate-bounded, never corpus x corpus.
+    Not in the driver registry (50-entry cap); parity is enforced by
+    tests/test_offline_oracles.py with the same three-way compare.
+    """
+    sh = _shingled(spark, sf_dir).persist()
+    is_eval = F.col("doc_id") % eval_mod == 0
+    ev = sh.where(is_eval).select(
+        F.col("doc_id").alias("eval_doc"),
+        F.explode("sh").alias("s"),
+        F.size("sh").alias("n_eval"),
+    )
+    tr = sh.where(~is_eval).select(F.col("doc_id").alias("train_doc"), F.explode("sh").alias("s"))
+    hits = (
+        tr.join(F.broadcast(ev), "s")
+        .groupBy("train_doc", "eval_doc", "n_eval")
+        .agg(F.count("*").alias("n_common"))  # shingles are distinct per doc
+    )
+    containment = F.col("n_common").cast("double") / F.col("n_eval").cast("double")
+    return hits.where(containment >= min_containment).select(
+        "train_doc",
+        "eval_doc",
+        F.col("n_common").cast("bigint").alias("n_common"),
+        containment.alias("containment"),
+    )
+
+
+DD9_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+ev AS (
+    SELECT doc_id AS eval_doc, unnest(shingles) AS s, len(shingles) AS n_eval
+    FROM sh WHERE doc_id % 100 = 0
+),
+tr AS (
+    SELECT doc_id AS train_doc, unnest(shingles) AS s
+    FROM sh WHERE doc_id % 100 != 0
+),
+hits AS (
+    SELECT t.train_doc, e.eval_doc, e.n_eval, count(*) AS n_common
+    FROM tr t JOIN ev e ON t.s = e.s
+    GROUP BY t.train_doc, e.eval_doc, e.n_eval
+)
+SELECT train_doc, eval_doc,
+       cast(n_common AS BIGINT) AS n_common,
+       cast(n_common AS DOUBLE) / cast(n_eval AS DOUBLE) AS containment
+FROM hits
+WHERE cast(n_common AS DOUBLE) / cast(n_eval AS DOUBLE) >= 0.5
+"""
+
+
 OPERATORS = [
     ("dd1_exact_dedup", dd1_exact_dedup, DD1_SQL),
     ("dd2_minhash_signature", dd2_minhash_signature, DD2_SQL),

@@ -28,6 +28,7 @@ CASES = [
     ("a8_median_prefix", "A8_SQL", "maggy_spark.operators.aggregations"),
     ("a10b_interim_xy", "A10B_SQL", "maggy_spark.operators.aggregations"),
     ("trial_id_golden", "GOLDEN_SQL", "maggy_spark.operators.generators"),
+    ("dd9_decontaminate", "DD9_SQL", "maggy_spark.functions.dedup"),
 ]
 
 

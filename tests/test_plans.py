@@ -132,3 +132,13 @@ def test_k2_broadcasts_topk_side(spark, sf_dir):
 
     plan = _plan(warehouse.k2_top_customers(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_dd9_broadcasts_eval_side(spark, sf_dir):
+    # decontamination joins the 100-TB train corpus against a
+    # benchmark-sized eval set: the exploded eval shingles must be
+    # the broadcast side, never a shuffle of the train side's shingles
+    from maggy_spark.functions import dedup
+
+    plan = _plan(dedup.dd9_decontaminate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan

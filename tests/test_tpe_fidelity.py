@@ -53,22 +53,43 @@ def _mixed_tpe(seed=2):
     return t, sp
 
 
-def test_categorical_kde_is_a_pmf():
+def test_categorical_kde_matches_statsmodels_formula():
+    # hand-computed statsmodels KDEMultivariate semantics
+    # (normal_reference + aitchison_aitken with num_levels from the
+    # OBSERVED data): data has 8 obs in category 0, 2 in category 2
+    # (encoded /2), so observed levels = 2 and the raw-index column is
+    # [0]*8 + [2]*2 with std 0.8
     t, _sp = _mixed_tpe()
-    # data: 8 obs in category 0, 2 in category 2 (encoded /2)
     data = np.array([[0.5, 0.0]] * 8 + [[0.5, 1.0]] * 2)
     cats = np.array([[0.5, 0.0], [0.5, 0.5], [0.5, 1.0]])
     pdf = t._kde_pdf(data, cats)
-    cont = pdf / pdf.sum()
-    # the categorical factor alone must sum to 1 over categories: the
-    # continuous factor is identical across the three queries
-    lam = t._cat_lambda(10, 2, 3)
-    expect = np.array([0.8 * (1 - lam) + 0.2 * lam / 2,
-                       lam / 2,  # 0.8*lam/2 + 0.2*lam/2
-                       0.2 * (1 - lam) + 0.8 * lam / 2])
-    assert np.allclose(cont, expect / expect.sum(), atol=1e-9)
-    # observed-heavy category dominates
-    assert pdf[0] > pdf[2] > pdf[1]
+    lam = 1.06 * 0.8 * 10 ** (-1.0 / 6.0)  # 1.06*std(idx)*n^(-1/(4+q))
+    # AA kernel, levels=2: match -> 1-lam, mismatch -> lam/(2-1)
+    expect_cat = np.array(
+        [0.8 * (1 - lam) + 0.2 * lam,  # category 0 (8 matches)
+         lam,                           # category 1 (unobserved: all mismatch)
+         0.2 * (1 - lam) + 0.8 * lam]  # category 2 (2 matches)
+    )
+    cont = pdf / pdf.sum()  # continuous factor cancels (same x=0.5)
+    assert np.allclose(cont, expect_cat / expect_cat.sum(), atol=1e-9)
+    # at this n the lambda exceeds 0.5, so smoothing INVERTS the
+    # ordering (unobserved category 1 outweighs the 8-obs category 0)
+    # — faithful statsmodels behavior, pinned deliberately
+    assert lam > 0.5
+    assert pdf[1] == pdf.max()
+
+
+def test_continuous_bw_uses_shared_exponent():
+    # statsmodels normal_reference: bw = 1.06*std*n^(-1/(4+q)) with
+    # q = TOTAL dims (2 here), not the per-dim Scott n^(-1/5)
+    t, _sp = _mixed_tpe()
+    rng = np.random.default_rng(7)
+    col = rng.random(20)
+    data = np.column_stack([col, np.repeat([0.0, 0.5, 1.0], 20)[:20]])
+    bw = t._normal_reference_bw(data)
+    assert abs(bw[0] - 1.06 * col.std() * 20 ** (-1.0 / 6.0)) < 1e-12
+    # categorical lambda on the raw-index scale: std(col*2)
+    assert abs(bw[1] - 1.06 * (data[:, 1] * 2).std() * 20 ** (-1.0 / 6.0)) < 1e-12
 
 
 def test_good_samples_concentrate_per_dim():
