@@ -252,6 +252,88 @@ FROM documents
 """
 
 
+def tx7_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition-quality signals per document: fraction
+    of the document made of its single most frequent word / bigram,
+    and the type-token (distinct/total) ratio. High top-fraction or
+    low type-token marks boilerplate and degenerate generations — the
+    filters a pretraining corpus pass applies after tx2's surface
+    stats.
+
+    Scale shape: one explode per n-gram order, aggregations keyed by
+    (doc_id[, gram]) — doc-local keys, uniform (no skew), partial
+    aggregation before each shuffle; no UDFs, no windows. Not in the
+    driver registry (50-entry cap); DuckDB parity enforced in
+    tests/test_offline_oracles.py.
+    """
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    w = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = d.select("doc_id", F.size(w).alias("n_words"), w.alias("w"), grams.alias("g"))
+
+    def top_frac(col: str, out: str) -> DataFrame:
+        ex = base.select("doc_id", F.explode(col).alias("gram"))
+        per_gram = ex.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+        return per_gram.groupBy("doc_id").agg(
+            F.max("c").alias(f"_max_{out}"), F.count("*").alias(f"_distinct_{out}")
+        )
+
+    uni = top_frac("w", "uni")
+    bi = top_frac("g", "bi")
+    return (
+        base.select("doc_id", "n_words")
+        .join(uni, "doc_id")
+        .join(bi, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_words").cast("bigint").alias("n_words"),
+            (F.col("_max_uni").cast("double") / F.col("n_words")).alias("top_word_frac"),
+            (F.col("_distinct_uni").cast("double") / F.col("n_words")).alias("type_token_ratio"),
+            F.coalesce(
+                F.col("_max_bi").cast("double") / (F.col("n_words") - 1), F.lit(0.0)
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+TX7_SQL = """
+WITH base AS (
+    SELECT doc_id, str_split(text, ' ') AS w FROM documents
+),
+ex_u AS (SELECT doc_id, unnest(w) AS gram FROM base),
+uni AS (
+    SELECT doc_id, max(c) AS max_uni, count(*) AS distinct_uni
+    FROM (SELECT doc_id, gram, count(*) AS c FROM ex_u GROUP BY doc_id, gram)
+    GROUP BY doc_id
+),
+ex_b AS (
+    SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+        THEN list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])
+        ELSE [] END) AS gram
+    FROM base
+),
+bi AS (
+    SELECT doc_id, max(c) AS max_bi
+    FROM (SELECT doc_id, gram, count(*) AS c FROM ex_b GROUP BY doc_id, gram)
+    GROUP BY doc_id
+)
+SELECT b.doc_id,
+       cast(len(b.w) AS BIGINT) AS n_words,
+       cast(u.max_uni AS DOUBLE) / len(b.w) AS top_word_frac,
+       cast(u.distinct_uni AS DOUBLE) / len(b.w) AS type_token_ratio,
+       coalesce(cast(bi.max_bi AS DOUBLE) / (len(b.w) - 1), 0.0) AS top_bigram_frac
+FROM base b
+JOIN uni u ON b.doc_id = u.doc_id
+LEFT JOIN bi ON b.doc_id = bi.doc_id
+"""
+
+
 OPERATORS = [
     ("tx1_token_count", tx1_token_count, TX1_SQL),
     ("tx5_ngram_stats", tx5_ngram_stats, TX5_SQL),

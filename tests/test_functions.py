@@ -233,3 +233,16 @@ def test_regex_tokens_superset_of_words(spark, sf_dir):
         # regex tokens split punctuation off, so never fewer than words
         assert r.n_regex_tokens >= base[r.doc_id]
         assert 1 <= r.n_distinct_tokens <= r.n_regex_tokens
+
+
+def test_dd9_decontaminate_semantics(spark, sf_dir):
+    from maggy_spark.functions import dedup
+
+    rows = dedup.dd9_decontaminate(spark, sf_dir).collect()
+    assert rows  # the sf0.001 fixture contains contaminated pairs
+    for r in rows:
+        # sides respect the eval/train split and the threshold
+        assert r.eval_doc % 100 == 0
+        assert r.train_doc % 100 != 0
+        assert 0.5 <= r.containment <= 1.0
+        assert r.n_common >= 1
