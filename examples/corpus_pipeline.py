@@ -1,6 +1,7 @@
 """Training-data pipeline over the synthetic corpus: dedup ->
-near-dup -> quality filter -> stratified sample -> worker-aligned
-shards — the LLM-data-prep extensions composed end-to-end.
+near-dup -> quality filter -> repetition filter -> benchmark
+decontamination -> stratified sample -> worker-aligned shards — the
+LLM-data-prep extensions composed end-to-end.
 
 Run: python examples/corpus_pipeline.py [sf_dir]
 """
@@ -30,6 +31,20 @@ def main():
     kept = pl1_corpus_prep(spark, sf_dir)
     print(f"survivors after dedup+quality: {kept.count()}")
     kept.orderBy(F.desc("bpe_tokens")).show(5)
+
+    # round-5 stages: drop repetitive boilerplate and anything that
+    # leaks a held-out benchmark document into the training split
+    from maggy_spark.functions.dedup import dd9_decontaminate
+    from maggy_spark.functions.text import tx7_repetition
+
+    rep = tx7_repetition(spark, sf_dir)
+    repetitive = rep.where((F.col("top_word_frac") > 0.2) | (F.col("type_token_ratio") < 0.3))
+    contaminated = dd9_decontaminate(spark, sf_dir).select(
+        F.col("train_doc").alias("doc_id")
+    ).distinct()
+    drop = repetitive.select("doc_id").union(contaminated).distinct()
+    kept = kept.join(F.broadcast(drop), "doc_id", "left_anti")
+    print(f"after repetition + decontamination filters: {kept.count()}")
 
     sample = pl2_stratified_sample(spark, sf_dir)
     sample.groupBy("lang").count().orderBy("lang").show()
