@@ -1,3 +1,8 @@
+from maggy_spark.streaming.documents_stream import (
+    contamination_alert_stream,
+    dedup_document_stream,
+    fingerprint_document_stream,
+)
 from maggy_spark.streaming.metrics_stream import (
     dedup_metric_stream,
     early_stop_decisions_stream,
@@ -6,8 +11,11 @@ from maggy_spark.streaming.metrics_stream import (
 )
 
 __all__ = [
+    "contamination_alert_stream",
+    "dedup_document_stream",
     "dedup_metric_stream",
     "early_stop_decisions_stream",
+    "fingerprint_document_stream",
     "stateful_trial_tracker",
     "windowed_metric_aggregates",
 ]

@@ -185,3 +185,72 @@ def test_stateful_tracker_accumulates_across_batches(spark, tmp_path):
     # t1's FIRST emission (batch 1) must have flagged it below the bar
     t1_rows = [r for r in rows if r.trial_id == "t1"]
     assert any(r.n_reports == 1 and r.should_stop for r in t1_rows)
+
+
+DOC_SCHEMA = "doc_id bigint, text string, ts timestamp"
+
+
+def _feed_docs(spark, rows):
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="maggy_docstream_")
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    df.write.mode("overwrite").parquet(d)
+    return spark.readStream.schema(DOC_SCHEMA).parquet(d)
+
+
+def test_document_stream_dedup_by_content(spark):
+    from maggy_spark.streaming import dedup_document_stream
+
+    rows = [
+        (1, "alpha beta gamma", _ts(0)),
+        (2, "Alpha  beta GAMMA", _ts(1)),  # same after normalize: dropped
+        (3, "delta epsilon zeta", _ts(2)),
+        (4, "delta epsilon zeta", _ts(3)),  # exact dup: dropped
+    ]
+    q = (
+        dedup_document_stream(_feed_docs(spark, rows))
+        .writeStream.format("memory")
+        .queryName("doc_dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT doc_id FROM doc_dedup_out").collect()
+    kept = sorted(r.doc_id for r in out)
+    assert len(kept) == 2
+    assert kept[0] in (1, 2) and kept[1] in (3, 4)
+
+
+def test_contamination_alert_stream_flags_eval_overlap(spark):
+    from pyspark.sql import functions as SF
+
+    from maggy_spark.streaming import contamination_alert_stream
+
+    # static benchmark: one eval doc, four 3-gram shingles
+    eval_doc = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over")], "eval_doc bigint, text string"
+    )
+    from maggy_spark.functions.dedup import _shingles_expr
+
+    eval_shingles = eval_doc.select(
+        "eval_doc", SF.explode(_shingles_expr()).alias("s"), SF.size(_shingles_expr()).alias("n_eval")
+    )
+    rows = [
+        (1, "prefix the quick brown fox jumps over suffix", _ts(0)),  # contains all
+        (2, "totally unrelated words here only", _ts(1)),             # no overlap
+        (3, "the quick brown cat sleeps now", _ts(2)),                # 1/4 shingles
+    ]
+    q = (
+        contamination_alert_stream(_feed_docs(spark, rows), eval_shingles)
+        .writeStream.format("memory")
+        .queryName("contam_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM contam_out").collect()
+    assert [r.doc_id for r in out] == [1]
+    assert out[0].eval_doc == 100 and out[0].containment == 1.0
