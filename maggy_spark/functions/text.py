@@ -260,45 +260,55 @@ def tx7_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters a pretraining corpus pass applies after tx2's surface
     stats.
 
-    Scale shape: one explode per n-gram order, aggregations keyed by
-    (doc_id[, gram]) — doc-local keys, uniform (no skew), partial
-    aggregation before each shuffle; no UDFs, no windows. Not in the
-    driver registry (50-entry cap); DuckDB parity enforced in
+    Scale shape: ONE scan of the text column — unigrams and bigrams
+    explode together as (order, gram) structs, so the 100-TB corpus is
+    read and tokenized once (the naive per-order composition scans it
+    per n-gram order). All aggregations are keyed by doc_id (+ gram /
+    order) — doc-local keys, uniform (no skew), partial aggregation
+    before each shuffle; no UDFs, no windows, no joins (the per-order
+    stats pivot back with conditional aggregates). n_words is
+    recovered as the unigram occurrence total and the bigram total is
+    exactly n_words-1, so no separate length pass is needed. Not in
+    the driver registry (50-entry cap); DuckDB parity enforced in
     tests/test_offline_oracles.py.
     """
     d = load_table(spark, sf_dir, "documents", fan_out=True)
     w = F.split(F.col("text"), " ")
-    grams = F.when(
+    grams2 = F.when(
         F.size(w) >= 2,
         F.transform(
             F.sequence(F.lit(1), F.size(w) - 1),
             lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    base = d.select("doc_id", F.size(w).alias("n_words"), w.alias("w"), grams.alias("g"))
-
-    def top_frac(col: str, out: str) -> DataFrame:
-        ex = base.select("doc_id", F.explode(col).alias("gram"))
-        per_gram = ex.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
-        return per_gram.groupBy("doc_id").agg(
-            F.max("c").alias(f"_max_{out}"), F.count("*").alias(f"_distinct_{out}")
-        )
-
-    uni = top_frac("w", "uni")
-    bi = top_frac("g", "bi")
-    return (
-        base.select("doc_id", "n_words")
-        .join(uni, "doc_id")
-        .join(bi, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("n_words").cast("bigint").alias("n_words"),
-            (F.col("_max_uni").cast("double") / F.col("n_words")).alias("top_word_frac"),
-            (F.col("_distinct_uni").cast("double") / F.col("n_words")).alias("type_token_ratio"),
-            F.coalesce(
-                F.col("_max_bi").cast("double") / (F.col("n_words") - 1), F.lit(0.0)
-            ).alias("top_bigram_frac"),
-        )
+    tagged = F.concat(
+        F.transform(w, lambda x: F.struct(F.lit(1).alias("ord"), x.alias("gram"))),
+        F.transform(grams2, lambda x: F.struct(F.lit(2).alias("ord"), x.alias("gram"))),
+    )
+    ex = d.select("doc_id", F.explode(tagged).alias("t")).select(
+        "doc_id", F.col("t.ord").alias("ord"), F.col("t.gram").alias("gram")
+    )
+    per_gram = ex.groupBy("doc_id", "ord", "gram").agg(F.count("*").alias("c"))
+    per_ord = per_gram.groupBy("doc_id", "ord").agg(
+        F.max("c").alias("max_c"),
+        F.count("*").alias("n_distinct"),
+        F.sum("c").alias("total"),
+    )
+    out = per_ord.groupBy("doc_id").agg(
+        F.max(F.when(F.col("ord") == 1, F.col("total"))).alias("n_words"),
+        F.max(F.when(F.col("ord") == 1, F.col("max_c"))).alias("_max_uni"),
+        F.max(F.when(F.col("ord") == 1, F.col("n_distinct"))).alias("_distinct_uni"),
+        F.max(F.when(F.col("ord") == 2, F.col("max_c"))).alias("_max_bi"),
+        F.max(F.when(F.col("ord") == 2, F.col("total"))).alias("_total_bi"),
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        (F.col("_max_uni").cast("double") / F.col("n_words")).alias("top_word_frac"),
+        (F.col("_distinct_uni").cast("double") / F.col("n_words")).alias("type_token_ratio"),
+        F.coalesce(
+            F.col("_max_bi").cast("double") / F.col("_total_bi"), F.lit(0.0)
+        ).alias("top_bigram_frac"),
     )
 
 
