@@ -152,6 +152,84 @@ WHERE sample_bucket < (CASE {_QUOTA_CASE} ELSE 0 END)
 """
 
 
+# target token share per language for the training mixture — the
+# up/down-weighting recipe knob (weights need not sum to 1; they are
+# shares of the token budget)
+MIX_WEIGHTS = {"en": 0.5, "de": 0.2, "fr": 0.15, "es": 0.1, "zh": 0.05}
+
+
+def pl3_token_budget_mix(spark: SparkSession, sf_dir: str, budget_share: float = 0.5) -> DataFrame:
+    """Language-weighted token budgeting: sample the corpus down to
+    `budget_share` of its total tokens, split across languages by
+    MIX_WEIGHTS — the mixture-reweighting step of a pre-training data
+    recipe (desired_l = weight_l * budget; keep fraction_l =
+    min(1, desired_l / available_l) of language l's documents).
+
+    Selection is hash-uniform per doc (md5 counter like g1/pl2), so
+    the sample is reproducible across runs, engines, partitionings,
+    and retries, and the expected kept-token mass per language hits
+    the quota without any global sort or per-language accounting
+    state.
+
+    Scale shape: one low-cardinality groupBy(lang) over a pruned
+    (lang, n_tokens) projection builds the per-language totals; the
+    corpus total derives from THAT |langs|-row relation (sum of
+    sums — never a second corpus aggregation), the per-language
+    fractions broadcast back, and the doc-level decision is a
+    map-side filter riding the scan. Two corpus passes total (stats,
+    then selection) and the corpus is never shuffled.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens")
+    )
+    # consumed twice (fractions + corpus total): materialize the
+    # |langs|-row aggregate so the corpus stats pass runs ONCE
+    avail = toks.groupBy("lang").agg(F.sum("n_tokens").alias("avail")).persist()
+    total = avail.agg(F.sum("avail").alias("total"))
+    weight = F.coalesce(
+        *[F.when(F.col("lang") == lang, F.lit(wt)) for lang, wt in MIX_WEIGHTS.items()],
+        F.lit(0.0),
+    )
+    frac = F.least(
+        F.lit(1.0),
+        (weight * F.lit(budget_share) * F.col("total").cast("double")) / F.col("avail").cast("double"),
+    )
+    fracs = avail.crossJoin(F.broadcast(total)).select("lang", frac.alias("keep_frac"))
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("pl3:"), F.col("doc_id").cast("string"))), 1, 13), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / F.lit(4503599627370496.0)  # 2^52
+    )
+    return (
+        toks.join(F.broadcast(fracs), "lang")
+        .where(u < F.col("keep_frac"))
+        .select("doc_id", "lang", "n_tokens", "keep_frac")
+    )
+
+
+_MIX_CASE = " ".join(f"WHEN lang = '{lang}' THEN {wt}" for lang, wt in MIX_WEIGHTS.items())
+PL3_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, lang, cast(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+avail AS (SELECT lang, sum(n_tokens) AS avail FROM toks GROUP BY lang),
+total AS (SELECT sum(avail) AS total FROM avail),
+fracs AS (
+    SELECT lang,
+           least(1.0, ((CASE {_MIX_CASE} ELSE 0.0 END) * 0.5 * cast(total AS DOUBLE))
+                      / cast(avail AS DOUBLE)) AS keep_frac
+    FROM avail CROSS JOIN total
+)
+SELECT t.doc_id, t.lang, t.n_tokens, f.keep_frac
+FROM toks t JOIN fracs f ON t.lang = f.lang
+WHERE cast(cast(('0x' || substr(md5('pl3:' || cast(t.doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS DOUBLE)
+      / 4503599627370496.0 < f.keep_frac
+"""
+
+
 OPERATORS = [
     ("pl1_corpus_prep", pl1_corpus_prep, PL1_SQL),
     ("pl2_stratified_sample", pl2_stratified_sample, PL2_SQL),

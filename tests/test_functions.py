@@ -246,3 +246,23 @@ def test_dd9_decontaminate_semantics(spark, sf_dir):
         assert r.train_doc % 100 != 0
         assert 0.5 <= r.containment <= 1.0
         assert r.n_common >= 1
+
+
+def test_pl3_token_budget_mix_respects_quotas(spark, sf_dir):
+    from pyspark.sql import functions as SF
+
+    from maggy_spark.functions import pipeline
+
+    kept = pipeline.pl3_token_budget_mix(spark, sf_dir)
+    rows = kept.groupBy("lang").agg(
+        SF.sum("n_tokens").alias("kept"), SF.max("keep_frac").alias("frac")
+    ).collect()
+    assert rows
+    langs = {r.lang for r in rows}
+    # only mixture languages are sampled, fractions are valid probs
+    assert langs <= set(pipeline.MIX_WEIGHTS)
+    for r in rows:
+        assert 0.0 < r.frac <= 1.0
+    # hash-deterministic: same rows on a second run
+    again = pipeline.pl3_token_budget_mix(spark, sf_dir)
+    assert kept.exceptAll(again).count() == 0 and again.exceptAll(kept).count() == 0

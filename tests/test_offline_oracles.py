@@ -30,6 +30,7 @@ CASES = [
     ("trial_id_golden", "GOLDEN_SQL", "maggy_spark.operators.generators"),
     ("dd9_decontaminate", "DD9_SQL", "maggy_spark.functions.dedup"),
     ("tx7_repetition", "TX7_SQL", "maggy_spark.functions.text"),
+    ("pl3_token_budget_mix", "PL3_SQL", "maggy_spark.functions.pipeline"),
 ]
 
 
