@@ -42,8 +42,10 @@ def main():
     contaminated = dd9_decontaminate(spark, sf_dir).select(
         F.col("train_doc").alias("doc_id")
     ).distinct()
+    # NOT broadcast: the repetitive set is a constant fraction of the
+    # corpus (unbounded at scale), so the anti-join must shuffle
     drop = repetitive.select("doc_id").union(contaminated).distinct()
-    kept = kept.join(F.broadcast(drop), "doc_id", "left_anti")
+    kept = kept.join(drop, "doc_id", "left_anti")
     print(f"after repetition + decontamination filters: {kept.count()}")
 
     sample = pl2_stratified_sample(spark, sf_dir)

@@ -583,10 +583,16 @@ class TPE(BaseAsyncBO):
       distinct values OBSERVED in the KDE data (statsmodels
       aitchison_aitken's num_levels default), summed over data and
       divided by n and the product of the CONTINUOUS bandwidths only.
-    - degenerate guard (deviation): a constant column gives bw 0 and
-      statsmodels returns nan/inf; we floor the pdf bandwidth at
+    - degenerate guards (deviations): a constant column gives bw 0
+      and statsmodels returns nan/inf — we floor the pdf bandwidth at
       min_bw=1e-3 and treat a single-level categorical as a constant
-      factor instead.
+      factor instead. The pdf-side lambda is additionally clipped at
+      the AA validity limit (levels-1)/levels: the raw
+      normal-reference value exceeds 1 for wide-spread indices at
+      small n, which statsmodels happily turns into NEGATIVE kernel
+      weights (and so negative 'pdf' values that corrupt the EI
+      argmax); beyond the limit the kernel is uniform anyway, so the
+      clip changes nothing in the valid regime.
 
     Sampling draws around good observations (tpe.py:84-118):
     continuous dims from a TRUNCATED normal with bandwidth
@@ -661,7 +667,9 @@ class TPE(BaseAsyncBO):
                 levels = np.unique(di).size  # statsmodels num_levels default
                 if levels <= 1:
                     continue  # degenerate: constant factor (see docstring)
-                lam = bw[j]
+                # validity clip: lam > (levels-1)/levels makes the AA
+                # kernel weights negative (see docstring)
+                lam = min(float(bw[j]), (levels - 1) / levels)
                 qi = np.rint(q[:, j] * max(c - 1, 1)).astype(int)
                 kprod *= np.where(qi[:, None] == di[None, :], 1.0 - lam, lam / (levels - 1))
             else:

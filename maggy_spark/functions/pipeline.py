@@ -28,7 +28,7 @@ from maggy_spark.functions.dedup import (
     dd5_dedup_clusters,
     dd8_lsh_verified_jaccard,
 )
-from maggy_spark.plans.fixtures import load_table
+from maggy_spark.plans.fixtures import hash_uniform, load_table
 
 MIN_TOKENS = 10
 MIN_RICHNESS = 0.3
@@ -196,12 +196,7 @@ def pl3_token_budget_mix(spark: SparkSession, sf_dir: str, budget_share: float =
         (weight * F.lit(budget_share) * F.col("total").cast("double")) / F.col("avail").cast("double"),
     )
     fracs = avail.crossJoin(F.broadcast(total)).select("lang", frac.alias("keep_frac"))
-    u = (
-        F.conv(F.substring(F.md5(F.concat(F.lit("pl3:"), F.col("doc_id").cast("string"))), 1, 13), 16, 10)
-        .cast("bigint")
-        .cast("double")
-        / F.lit(4503599627370496.0)  # 2^52
-    )
+    u = hash_uniform("pl3", F.col("doc_id").cast("string"))
     return (
         toks.join(F.broadcast(fracs), "lang")
         .where(u < F.col("keep_frac"))

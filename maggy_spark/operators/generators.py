@@ -25,19 +25,14 @@ from maggy_spark.plans.fixtures import load_table, trials_df, with_fixtures
 
 # -- G1: seeded random sampler (hash-derived, oracle-checkable) --------
 
-_TWO_POW_52 = 4503599627370496.0  # 13 hex chars = 52 mantissa-exact bits
-
 
 def _hash_uniform(seed: int, seq, name: str):
-    """Deterministic uniform in [0,1): the top 52 bits of
-    md5("{seed}:{seq}:{name}") divided by 2^52. 52 bits fit a double
-    mantissa exactly, and md5/substr/hex-to-int/divide evaluate
-    bit-identically in Spark and DuckDB — so the sampler is
-    cross-engine reproducible, unlike engine-local `rand(seed)`
-    (same design as the md5 trial-id scheme, reference
-    `maggy/trial.py:132-134`)."""
-    h = F.md5(F.concat_ws(":", F.lit(str(seed)), seq.cast("string"), F.lit(name)))
-    return F.conv(F.substring(h, 1, 13), 16, 10).cast("bigint").cast("double") / F.lit(_TWO_POW_52)
+    """md5("{seed}:{seq}:{name}")-derived uniform — the shared
+    `fixtures.hash_uniform` primitive with the sampler's tag layout
+    (cross-engine reproducible, unlike engine-local `rand(seed)`)."""
+    from maggy_spark.plans.fixtures import hash_uniform
+
+    return hash_uniform(seed, seq.cast("string"), name)
 
 
 def g1_random_sample(spark: SparkSession, sf_dir: str, num: int = 256, seed: int = 42) -> DataFrame:

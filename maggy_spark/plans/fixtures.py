@@ -86,6 +86,31 @@ def with_fixtures(sql: str) -> str:
     return DUCKDB_FIXTURE_CTES + sql
 
 
+# -- cross-engine deterministic uniforms -------------------------------
+
+TWO_POW_52 = 4503599627370496.0  # 13 hex chars = 52 mantissa-exact bits
+
+
+def hash_uniform(*parts):
+    """Deterministic uniform in [0,1): the top 52 bits of
+    md5(parts joined by ':') divided by 2^52. 52 bits fit a double
+    mantissa exactly, and md5/substr/hex-to-int/divide evaluate
+    bit-identically in Spark and DuckDB — the engine's reproducible
+    sampling primitive (g1 draws, pl3 selection; same design as the
+    md5 trial-id scheme, reference `maggy/trial.py:132-134`).
+    DuckDB twin per column c and tag t:
+    ``cast(cast(('0x' || substr(md5('t:' || c), 1, 13)) AS BIGINT)
+    AS DOUBLE) / 4503599627370496.0``.
+    Non-Column parts are stringified literals; Column parts must
+    already be strings (cast explicitly so both engines hash the
+    same bytes)."""
+    from pyspark.sql import Column
+
+    cols = [p if isinstance(p, Column) else F.lit(str(p)) for p in parts]
+    h = F.md5(F.concat_ws(":", *cols))
+    return F.conv(F.substring(h, 1, 13), 16, 10).cast("bigint").cast("double") / F.lit(TWO_POW_52)
+
+
 # -- Spark side --------------------------------------------------------
 
 
@@ -133,19 +158,26 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     - TIMESTAMP(NANOS) parquet + ``nanosAsLong`` -> ``bigint`` nanos;
       convert with exact integer division (ns -> us).
-    - isAdjustedToUTC=false parquet -> ``timestamp_ntz``; interpret the
-      naive wall-clock as UTC via ``to_utc_timestamp(ts, 'UTC')``.
-      This matches DuckDB's naive-timestamp semantics on ANY session
-      timezone (a plain ``cast('timestamp')`` would shift with
-      spark.sql.session.timeZone), and gives downstream consumers a
-      watermark-eligible TimestampType column (streaming C1/C2)."""
+    - isAdjustedToUTC=false parquet -> ``timestamp_ntz``; PIN the
+      session timezone to UTC, then cast. The pin is load-bearing:
+      every NTZ->TIMESTAMP conversion in Spark (cast, and
+      to_utc_timestamp too, which implicitly session-casts its NTZ
+      input first) goes through spark.sql.session.timeZone, so on a
+      non-UTC machine the instants would shift by the zone offset vs
+      DuckDB's naive-timestamp semantics and the oracle value-hashes
+      would diverge. Pinning UTC for event-time work is the standard
+      warehouse posture; it makes the conversion machine-invariant
+      and gives downstream consumers a watermark-eligible
+      TimestampType column (streaming C1/C2). Invariance is pinned by
+      test_load_events_is_session_timezone_invariant."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = load_table(spark, sf_dir, "events")
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif ts_type == "timestamp_ntz":
-        df = df.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -28,10 +28,14 @@ from maggy_spark.functions.dedup import _shingles_expr
 
 
 def fingerprint_document_stream(doc_stream: DataFrame) -> DataFrame:
-    """Stateless stage: whitespace-collapsed lowercase md5
-    fingerprint per incoming document (the dd1/tx4 key)."""
-    norm = F.lower(F.regexp_replace(F.col("text"), " +", " "))
-    return doc_stream.withColumn("fingerprint", F.md5(norm))
+    """Stateless stage: raw-content md5 fingerprint per incoming
+    document — EXACTLY dd1's dedup key (functions/dedup.py:62), so the
+    streaming phase and the batch compaction phase dedup by one
+    consistent relation (a doc's survival must not depend on arrival
+    timing). tx4's normalized fingerprint is a different, looser key;
+    a pipeline that wants normalized dedup must use it in BOTH
+    phases."""
+    return doc_stream.withColumn("fingerprint", F.md5(F.col("text")))
 
 
 def dedup_document_stream(doc_stream: DataFrame, watermark: str = "1 hour") -> DataFrame:

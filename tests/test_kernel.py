@@ -156,3 +156,25 @@ def test_load_events_yields_watermarkable_timestamp(spark, sf_dir):
     df = load_events(spark, sf_dir)
     assert dict(df.dtypes)["ts"] == "timestamp"
     assert df.where(F.col("ts").isNull()).count() == 0
+
+
+def test_load_events_is_session_timezone_invariant(spark, sf_dir):
+    # the NTZ->TIMESTAMP conversion must yield DuckDB's naive-epoch
+    # instants on ANY machine timezone: to_utc_timestamp and a bare
+    # cast both shift with spark.sql.session.timeZone (the round-5
+    # review reproduced an 8h divergence under America/Los_Angeles),
+    # which load_events neutralizes by pinning the session to UTC
+    import duckdb
+
+    from maggy_spark.plans.fixtures import load_events
+
+    oracle = duckdb.sql(
+        f"SELECT min(epoch_us(ts)) FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchone()[0]
+    prior = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        got = load_events(spark, sf_dir).select(F.min(F.unix_micros("ts"))).collect()[0][0]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prior)
+    assert got == oracle

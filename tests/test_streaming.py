@@ -204,7 +204,7 @@ def test_document_stream_dedup_by_content(spark):
 
     rows = [
         (1, "alpha beta gamma", _ts(0)),
-        (2, "Alpha  beta GAMMA", _ts(1)),  # same after normalize: dropped
+        (2, "Alpha  beta GAMMA", _ts(1)),  # differs raw: KEPT (dd1 key, not tx4)
         (3, "delta epsilon zeta", _ts(2)),
         (4, "delta epsilon zeta", _ts(3)),  # exact dup: dropped
     ]
@@ -219,8 +219,8 @@ def test_document_stream_dedup_by_content(spark):
     q.awaitTermination(120)
     out = spark.sql("SELECT doc_id FROM doc_dedup_out").collect()
     kept = sorted(r.doc_id for r in out)
-    assert len(kept) == 2
-    assert kept[0] in (1, 2) and kept[1] in (3, 4)
+    assert kept[:2] == [1, 2]  # raw-content key keeps case-variants, like batch dd1
+    assert len(kept) == 3 and kept[2] in (3, 4)
 
 
 def test_contamination_alert_stream_flags_eval_overlap(spark):

@@ -56,27 +56,25 @@ def _mixed_tpe(seed=2):
 def test_categorical_kde_matches_statsmodels_formula():
     # hand-computed statsmodels KDEMultivariate semantics
     # (normal_reference + aitchison_aitken with num_levels from the
-    # OBSERVED data): data has 8 obs in category 0, 2 in category 2
-    # (encoded /2), so observed levels = 2 and the raw-index column is
-    # [0]*8 + [2]*2 with std 0.8
+    # OBSERVED data): 6/2/2 obs across categories 0/1/2 (encoded /2),
+    # raw-index column [0]*6+[1]*2+[2]*2 with std 0.8 and observed
+    # levels = 3, so lam = 1.06*0.8*10^(-1/6) ~ 0.578 sits INSIDE the
+    # (levels-1)/levels = 2/3 validity limit (no clip engaged)
     t, _sp = _mixed_tpe()
-    data = np.array([[0.5, 0.0]] * 8 + [[0.5, 1.0]] * 2)
+    data = np.array([[0.5, 0.0]] * 6 + [[0.5, 0.5]] * 2 + [[0.5, 1.0]] * 2)
     cats = np.array([[0.5, 0.0], [0.5, 0.5], [0.5, 1.0]])
     pdf = t._kde_pdf(data, cats)
     lam = 1.06 * 0.8 * 10 ** (-1.0 / 6.0)  # 1.06*std(idx)*n^(-1/(4+q))
-    # AA kernel, levels=2: match -> 1-lam, mismatch -> lam/(2-1)
+    assert lam < 2 / 3  # the un-clipped regime is what's being pinned
+    # AA kernel, levels=3: match -> 1-lam, mismatch -> lam/(3-1)
     expect_cat = np.array(
-        [0.8 * (1 - lam) + 0.2 * lam,  # category 0 (8 matches)
-         lam,                           # category 1 (unobserved: all mismatch)
-         0.2 * (1 - lam) + 0.8 * lam]  # category 2 (2 matches)
+        [0.6 * (1 - lam) + 0.4 * lam / 2,  # category 0 (6 matches)
+         0.2 * (1 - lam) + 0.8 * lam / 2,  # category 1 (2 matches)
+         0.2 * (1 - lam) + 0.8 * lam / 2]  # category 2 (2 matches)
     )
     cont = pdf / pdf.sum()  # continuous factor cancels (same x=0.5)
     assert np.allclose(cont, expect_cat / expect_cat.sum(), atol=1e-9)
-    # at this n the lambda exceeds 0.5, so smoothing INVERTS the
-    # ordering (unobserved category 1 outweighs the 8-obs category 0)
-    # — faithful statsmodels behavior, pinned deliberately
-    assert lam > 0.5
-    assert pdf[1] == pdf.max()
+    assert pdf[0] == pdf.max()  # majority category carries the mass
 
 
 def test_continuous_bw_uses_shared_exponent():
@@ -181,3 +179,23 @@ def test_tpe_beats_random_on_mixed_space():
         wins += tb >= rb
     assert wins >= 3
     assert all(b > -0.6 for b in tpe_bests)  # in the basin, sgd found, every seed
+
+
+def test_kde_pdf_never_negative():
+    # wide-spread category indices at small n push the raw
+    # normal-reference lambda past 1; unclipped that turns the AA
+    # kernel weights negative and poisons the EI argmax — the pdf
+    # must clip to the (levels-1)/levels validity limit instead
+    sp = Searchspace(
+        x=("DOUBLE", [0.0, 1.0]),
+        opt=("CATEGORICAL", ["a", "b", "c", "d", "e"]),
+    )
+    t = TPE(num_warmup_trials=4, random_fraction=0.0)
+    t.initialize(sp, 40, "max", 0)
+    # 6 obs pinned to the extreme indices 0 and 4 (std = 2 on raw scale)
+    data = np.array([[0.5, 0.0]] * 3 + [[0.5, 1.0]] * 3)
+    lam_raw = t._normal_reference_bw(data)[1]
+    assert lam_raw > 0.8  # the hazardous regime is actually exercised
+    q = np.array([[0.5, i / 4] for i in range(5)])
+    pdf = t._kde_pdf(data, q)
+    assert (pdf >= 0).all()
