@@ -63,6 +63,7 @@ def main() -> None:
     qs = registry.queries()
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    partials: dict[str, int] = {}  # name -> reps that succeeded before a failure
     for name, fn in qs.items():
         samples: list[float] = []
         try:
@@ -83,9 +84,12 @@ def main() -> None:
             spreads[name] = round(max(samples) - min(samples), 3)
         except Exception as e:  # a failed query must not hide the rest
             if samples:  # a transient late-rep failure: the earlier
-                # successful measurements are still the real signal
+                # successful measurements are still the real signal —
+                # but the failure must stay visible to JSON consumers,
+                # not only on stderr
                 timings[name] = round(statistics.median(samples), 3)
                 spreads[name] = round(max(samples) - min(samples), 3)
+                partials[name] = len(samples)
                 print(f"BENCH PARTIAL {name} ({len(samples)} reps): {e}", file=sys.stderr)
             else:
                 timings[name] = -1.0
@@ -132,6 +136,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "rep_spread": spreads,
+                "partial": partials,
                 "reps": reps,
                 "sf": sf,
                 "n_queries": len(timings),

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from maggy_spark.plans.fixtures import load_table, trials_df, with_fixtures
+from maggy_spark.plans.fixtures import hash_uniform, load_table, trials_df, with_fixtures
 
 # -- G1: seeded random sampler (hash-derived, oracle-checkable) --------
 
@@ -30,8 +30,6 @@ def _hash_uniform(seed: int, seq, name: str):
     """md5("{seed}:{seq}:{name}")-derived uniform — the shared
     `fixtures.hash_uniform` primitive with the sampler's tag layout
     (cross-engine reproducible, unlike engine-local `rand(seed)`)."""
-    from maggy_spark.plans.fixtures import hash_uniform
-
     return hash_uniform(seed, seq.cast("string"), name)
 
 

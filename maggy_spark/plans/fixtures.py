@@ -31,7 +31,7 @@ no shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # -- DuckDB side: CTE block prepended to every oracle query ------------
@@ -103,11 +103,15 @@ def hash_uniform(*parts):
     AS DOUBLE) / 4503599627370496.0``.
     Non-Column parts are stringified literals; Column parts must
     already be strings (cast explicitly so both engines hash the
-    same bytes)."""
-    from pyspark.sql import Column
-
+    same bytes). Joined with F.concat + ':' literals, NOT concat_ws:
+    concat_ws SKIPS null parts while DuckDB's || propagates them, so
+    a null key column must yield a null uniform (row filtered) on
+    both engines, not a constant hash of the surviving parts."""
     cols = [p if isinstance(p, Column) else F.lit(str(p)) for p in parts]
-    h = F.md5(F.concat_ws(":", *cols))
+    pieces = [cols[0]]
+    for c in cols[1:]:
+        pieces += [F.lit(":"), c]
+    h = F.md5(F.concat(*pieces))
     return F.conv(F.substring(h, 1, 13), 16, 10).cast("bigint").cast("double") / F.lit(TWO_POW_52)
 
 
@@ -158,16 +162,16 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     - TIMESTAMP(NANOS) parquet + ``nanosAsLong`` -> ``bigint`` nanos;
       convert with exact integer division (ns -> us).
-    - isAdjustedToUTC=false parquet -> ``timestamp_ntz``; PIN the
-      session timezone to UTC, then cast. The pin is load-bearing:
-      every NTZ->TIMESTAMP conversion in Spark (cast, and
-      to_utc_timestamp too, which implicitly session-casts its NTZ
-      input first) goes through spark.sql.session.timeZone, so on a
-      non-UTC machine the instants would shift by the zone offset vs
-      DuckDB's naive-timestamp semantics and the oracle value-hashes
-      would diverge. Pinning UTC for event-time work is the standard
-      warehouse posture; it makes the conversion machine-invariant
-      and gives downstream consumers a watermark-eligible
+    - isAdjustedToUTC=false parquet -> ``timestamp_ntz``; convert via
+      pure wall-clock arithmetic: ``timestampdiff(MICROSECOND,
+      ntz_epoch, ts)`` (NTZ operands, timezone-free by definition)
+      -> ``timestamp_micros`` (defines the instant directly). Every
+      session-tz-mediated alternative is machine-dependent — a plain
+      cast shifts with spark.sql.session.timeZone, and so does
+      to_utc_timestamp, which implicitly session-casts its NTZ input
+      first — which would diverge from DuckDB's naive-timestamp
+      semantics on any non-UTC box. This expression-level form
+      touches no session state and yields a watermark-eligible
       TimestampType column (streaming C1/C2). Invariance is pinned by
       test_load_events_is_session_timezone_invariant."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -176,8 +180,8 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif ts_type == "timestamp_ntz":
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        naive_micros = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+        df = df.withColumn("ts", F.timestamp_micros(naive_micros))
     return df
 
 

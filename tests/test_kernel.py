@@ -175,6 +175,9 @@ def test_load_events_is_session_timezone_invariant(spark, sf_dir):
     try:
         spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
         got = load_events(spark, sf_dir).select(F.min(F.unix_micros("ts"))).collect()[0][0]
+        # the conversion is expression-level: it must not reach for
+        # the session timezone, and must not mutate it either
+        assert spark.conf.get("spark.sql.session.timeZone") == "America/Los_Angeles"
     finally:
         spark.conf.set("spark.sql.session.timeZone", prior)
     assert got == oracle
