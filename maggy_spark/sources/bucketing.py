@@ -141,3 +141,41 @@ def salted_join(
     salted_right = right.select("*", salts)
     out = salted_left.join(salted_right, on=[key, "_salt"], how=how)
     return out.drop("_salt")
+
+
+def compact_document_store(
+    spark: SparkSession, sf_dir: str, table: str = "documents_store", buckets: int = 16
+) -> str:
+    """The batch-compaction half of the streaming ingest split
+    (streaming/documents_stream.py): materialize the corpus bucketed
+    by its dd1 content fingerprint, so the long-tail exact dedup the
+    watermark horizon can't see runs SHUFFLE-FREE over the store.
+
+    At 100 TB this is the periodic job that rewrites landed ingest
+    into the canonical store layout; every later fingerprint-keyed
+    pass (dedup sweeps, re-ingest reconciliation) reads the bucketed
+    table and skips the corpus-wide exchange."""
+    from maggy_spark.plans.fixtures import load_table
+
+    _reset_table(spark, table)
+    (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("fingerprint", F.md5(F.col("text")))
+        .write.mode("overwrite")
+        .bucketBy(buckets, "fingerprint")
+        .sortBy("fingerprint")
+        .saveAsTable(table)
+    )
+    return table
+
+
+def dedup_over_document_store(spark: SparkSession, table: str = "documents_store") -> DataFrame:
+    """dd1 over the compacted store: group by the bucket key, keep the
+    lowest doc_id — no Exchange in the plan (bucketing already
+    co-locates equal fingerprints), verified by
+    test_document_store_dedup_is_shuffle_free."""
+    return (
+        spark.table(table)
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )

@@ -11,8 +11,10 @@ State scale: dedup state is one fingerprint key per doc inside the
 watermark horizon. Exact corpus-wide dedup needs unbounded state by
 definition; the production pattern is this stream doing
 WITHIN-HORIZON dedup (dropping the bursty crawl re-fetches that
-dominate duplicate volume) feeding periodic batch compaction (dd1
-over the bucketed store) for the long tail — the same
+dominate duplicate volume) feeding periodic batch compaction
+(`sources.bucketing.compact_document_store` +
+`dedup_over_document_store`: the store is bucketed by this same
+fingerprint, so the long-tail sweep is shuffle-free) — the same
 bounded-state-plus-compaction split the reference applies to stale
 metric steps (`maggy/core/reporter.py` stale-step rejection).
 Contamination state is (window, doc, eval_doc) counts — bounded by

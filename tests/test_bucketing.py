@@ -95,3 +95,23 @@ def test_colocated_join_has_no_shuffle(spark, sf_dir, bucketed):
         .agg(F.count("*").alias("n_steps"), F.max("value").alias("best_value"))
     )
     assert {tuple(r) for r in rows} == {tuple(r) for r in base.collect()}
+
+
+def test_document_store_dedup_is_shuffle_free(spark, sf_dir):
+    from maggy_spark.sources.bucketing import (
+        compact_document_store,
+        dedup_over_document_store,
+    )
+
+    table = compact_document_store(spark, sf_dir, table="documents_store_t")
+    dd = dedup_over_document_store(spark, table)
+    plan = dd._jdf.queryExecution().executedPlan().toString()
+    # the bucket layout co-locates equal fingerprints: the dd1 sweep
+    # over the store must not exchange
+    assert "Exchange" not in plan.split("== Initial Plan ==")[0]
+    # same dedup relation as batch dd1 over the raw corpus
+    from maggy_spark.functions.dedup import dd1_exact_dedup
+
+    raw = dd1_exact_dedup(spark, sf_dir).select("keep_id", "n_copies")
+    store = dd.select("keep_id", "n_copies")
+    assert raw.exceptAll(store).count() == 0 and store.exceptAll(raw).count() == 0
