@@ -127,7 +127,11 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         print(f"BENCH ERROR experiment metrics: {e}", file=sys.stderr)
 
-    total = round(sum(v for v in timings.values() if v >= 0), 3)
+    # headline total counts only FULLY-measured queries: a partial
+    # (crashed-after-rep-1) or errored query must shrink measured
+    # coverage, not fold a possibly-bogus sample into the number the
+    # regression gate compares round over round
+    total = round(sum(v for k, v in timings.items() if v >= 0 and k not in partials), 3)
     print(
         json.dumps(
             {
@@ -137,6 +141,7 @@ def main() -> None:
                 "queries": timings,
                 "rep_spread": spreads,
                 "partial": partials,
+                "n_partial": len(partials),
                 "reps": reps,
                 "sf": sf,
                 "n_queries": len(timings),

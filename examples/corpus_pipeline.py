@@ -46,6 +46,10 @@ def main():
     # corpus (unbounded at scale), so the anti-join must shuffle
     drop = repetitive.select("doc_id").union(contaminated).distinct()
     kept = kept.join(drop, "doc_id", "left_anti")
+    # the benchmark slice itself must never train: dd9 flags TRAIN
+    # docs that contain an eval doc, but the eval docs (doc_id % 100
+    # == 0 here) also have to leave the training split
+    kept = kept.where(F.col("doc_id") % 100 != 0)
     print(f"after repetition + decontamination filters: {kept.count()}")
 
     sample = pl2_stratified_sample(spark, sf_dir)

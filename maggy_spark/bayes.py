@@ -651,14 +651,17 @@ class TPE(BaseAsyncBO):
             bw[j] = factor * s
         return bw
 
-    def _kde_pdf(self, data: np.ndarray, q: np.ndarray) -> np.ndarray:
+    def _kde_pdf(self, data: np.ndarray, q: np.ndarray, bw: np.ndarray | None = None) -> np.ndarray:
         """statsmodels KDEMultivariate.pdf (gpke): product over dims
         of gaussian((x-Xi)/h) for 'c' dims and Aitchison-Aitken over
         category indices for 'u' dims, summed over the data and
         normalized by n and the product of the CONTINUOUS bandwidths
-        (the AA kernel is a pmf; its lambda does not rescale)."""
+        (the AA kernel is a pmf; its lambda does not rescale).
+        `bw` lets the caller reuse a bandwidth vector it already
+        computed for `data` (one source of truth per KDE fit)."""
         n, ndim = data.shape
-        bw = self._normal_reference_bw(data)
+        if bw is None:
+            bw = self._normal_reference_bw(data)
         kprod = np.ones((len(q), n))
         cont_bw_prod = 1.0
         for j, (kind, c) in enumerate(self._dim_specs()):
@@ -708,6 +711,8 @@ class TPE(BaseAsyncBO):
             else:
                 bw = max(float(good_bw[j]), self.min_bw) * self.bw_factor  # tpe.py:101
                 samples[:, j] = _truncnorm_rvs(means, bw, 0.0, 1.0, self._nprng)
-        ei = self._kde_pdf(good, samples) / np.maximum(self._kde_pdf(bad, samples), EI_CLIP)
+        ei = self._kde_pdf(good, samples, bw=good_bw) / np.maximum(
+            self._kde_pdf(bad, samples), EI_CLIP
+        )
         best = samples[int(np.argmax(ei))]
         return self.searchspace.inverse_transform(best.tolist())
