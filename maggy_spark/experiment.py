@@ -37,12 +37,20 @@ from maggy_spark.trial import Trial
 DEC = "decimal(18,4)"
 
 
-def lagom(train_fn: Callable, config: BaseConfig, spark: SparkSession | None = None) -> dict:
+def lagom(train_fn: Callable, config: BaseConfig | None = None, spark: SparkSession | None = None) -> dict:
     """Run an experiment; returns the result dict (best/worst/avg...).
 
-    Public API preserved from the reference (`experiment.lagom`).
+    Public API preserved from the reference (`experiment.lagom`):
+    `config` is optional exactly like the reference entry point
+    (`experiment/experiment.py:21-41`), defaulting to a single
+    no-hparam run under the default BaseConfig — the README
+    quick-start shape `experiment.lagom(train_fn=fn)` runs unchanged.
     """
     spark = spark or SparkSession.builder.getOrCreate()
+    if config is None:
+        config = BaseConfig(
+            name="maggy_experiment", description="experiment without config object"
+        )
     if isinstance(config, HyperparameterOptConfig):
         return _run_hpo(train_fn, config, spark)
     if isinstance(config, AblationConfig):

@@ -155,3 +155,20 @@ def test_tensorboard_logdir_inside_train_fn(spark):
     )
     res = experiment.lagom(fn, config, spark)
     assert res["best_val"] == 1.0 and res["worst_val"] == 1.0
+
+
+def test_lagom_config_is_optional_like_reference(spark):
+    """The reference entry point defaults config=None to a base
+    single-run (`experiment/experiment.py:21-41`), so the README
+    quick-start `experiment.lagom(train_fn=fn)` must run unchanged."""
+    from maggy import experiment
+
+    def train_fn(reporter):
+        acc = 0.0
+        for _ in range(3):
+            acc += 0.3
+            reporter.broadcast(metric=acc)
+        return acc
+
+    res = experiment.lagom(train_fn=train_fn)
+    assert abs(res["test result"] - 0.9) < 1e-9
