@@ -75,20 +75,35 @@ class AblationConfig(BaseConfig):
 @dataclass
 class TorchDistributedConfig(BaseConfig):
     """Gang-scheduled distributed training (reference
-    `config/torch_distributed.py`); executed barrier-mode."""
+    `config/torch_distributed.py:33-45`); executed barrier-mode.
+    Carries every reference constructor field (module, dataset,
+    hparams, backend torch|deepspeed, mixed_precision, zero_lvl,
+    deepspeed_config) so reference call sites construct unchanged;
+    train_set/test_set/num_workers are this engine's additions."""
 
     module: Any = None
+    dataset: Any = None
+    hparams: dict | None = None
+    backend: str = "torch"  # reference BACKENDS = ["torch", "deepspeed"]
+    mixed_precision: bool = False
+    zero_lvl: int = 0
+    deepspeed_config: dict | None = None
     train_set: Any = None
     test_set: Any = None
     num_workers: int = 2
-    backend: str = "gloo"
 
 
 @dataclass
 class TfDistributedConfig(BaseConfig):
-    """Reference `config/tf_distributed.py`."""
+    """Reference `config/tf_distributed.py:27-37`. Carries every
+    reference constructor field (model, dataset, process_data,
+    mixed_precision, hparams); train_set/test_set/num_workers are
+    this engine's additions."""
 
     model: Any = None
+    dataset: Any = None
+    hparams: dict | None = None
+    mixed_precision: bool = False
     train_set: Any = None
     test_set: Any = None
     num_workers: int = 2

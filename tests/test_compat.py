@@ -172,3 +172,26 @@ def test_lagom_config_is_optional_like_reference(spark):
 
     res = experiment.lagom(train_fn=train_fn)
     assert abs(res["test result"] - 0.9) < 1e-9
+
+
+def test_distributed_config_reference_constructor_shapes():
+    """Every constructor field from the reference's distributed
+    configs (`config/tf_distributed.py:27-37`,
+    `config/torch_distributed.py:33-45`) must be accepted, so doc
+    and notebook call sites construct unchanged (execution is
+    import-gated on the frameworks)."""
+    from maggy.config import TfDistributedConfig, TorchDistributedConfig
+
+    tf_c = TfDistributedConfig(
+        model=object, dataset=["train", "test"], process_data=None,
+        mixed_precision=True, name="tfDist", hb_interval=1,
+        description="", hparams={"nlayers": 2},
+    )
+    assert tf_c.hparams == {"nlayers": 2} and tf_c.mixed_precision
+
+    t_c = TorchDistributedConfig(
+        module=object, dataset=["train"], hparams={"lr": 0.1},
+        backend="deepspeed", mixed_precision=False, zero_lvl=2,
+        deepspeed_config={"train_batch_size": 8}, name="torchDist",
+    )
+    assert t_c.backend == "deepspeed" and t_c.zero_lvl == 2
