@@ -37,7 +37,12 @@ from maggy_spark.trial import Trial
 DEC = "decimal(18,4)"
 
 
-def lagom(train_fn: Callable, config: BaseConfig | None = None, spark: SparkSession | None = None) -> dict:
+def lagom(
+    train_fn: Callable,
+    config: BaseConfig | None = None,
+    spark: SparkSession | None = None,
+    **base_kwargs,
+) -> dict:
     """Run an experiment; returns the result dict (best/worst/avg...).
 
     Public API preserved from the reference (`experiment.lagom`):
@@ -45,11 +50,21 @@ def lagom(train_fn: Callable, config: BaseConfig | None = None, spark: SparkSess
     (`experiment/experiment.py:21-41`), defaulting to a single
     no-hparam run under the default BaseConfig — the README
     quick-start shape `experiment.lagom(train_fn=fn)` runs unchanged.
+    Extra keyword args (name/description/hb_interval/...) feed that
+    default config, so the reference README's
+    `lagom(train_fn=fn, name='MNIST')` also runs verbatim (the
+    reference code itself rejects that stale doc shape; accepting it
+    is a strict superset). Passing both `config` and extras is a
+    user error and raises.
     """
     spark = spark or SparkSession.builder.getOrCreate()
     if config is None:
-        config = BaseConfig(
-            name="maggy_experiment", description="experiment without config object"
+        defaults = {"name": "maggy_experiment", "description": "experiment without config object"}
+        config = BaseConfig(**{**defaults, **base_kwargs})
+    elif base_kwargs:
+        raise TypeError(
+            f"lagom() got config= AND extra kwargs {sorted(base_kwargs)}; "
+            "put them on the config object instead"
         )
     if isinstance(config, HyperparameterOptConfig):
         return _run_hpo(train_fn, config, spark)

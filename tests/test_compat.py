@@ -195,3 +195,21 @@ def test_distributed_config_reference_constructor_shapes():
         deepspeed_config={"train_batch_size": 8}, name="torchDist",
     )
     assert t_c.backend == "deepspeed" and t_c.zero_lvl == 2
+
+
+def test_lagom_readme_name_kwarg(spark):
+    """The reference README's `lagom(train_fn=fn, name='MNIST')` —
+    extras feed the default BaseConfig when no config is given."""
+    import pytest
+
+    from maggy import experiment
+    from maggy.config import BaseConfig
+
+    def train_fn(reporter):
+        reporter.broadcast(metric=1.0)
+        return 1.0
+
+    res = experiment.lagom(train_fn=train_fn, name="MNIST")
+    assert res["test result"] == 1.0
+    with pytest.raises(TypeError):
+        experiment.lagom(train_fn=train_fn, config=BaseConfig(), name="clash")
