@@ -213,3 +213,27 @@ def test_lagom_readme_name_kwarg(spark):
     assert res["test result"] == 1.0
     with pytest.raises(TypeError):
         experiment.lagom(train_fn=train_fn, config=BaseConfig(), name="clash")
+
+
+def test_legacy_experiment_config_import_path(spark):
+    """The reference's published Databricks notebooks import from the
+    pre-rename path `maggy.experiment_config` with the old class name
+    `OptimizationConfig`; the shim keeps them runnable."""
+    from maggy import Searchspace, experiment
+    from maggy.experiment_config import OptimizationConfig
+    from maggy.experiment_config.tf_distributed import TfDistributedConfig
+
+    assert TfDistributedConfig(name="tf_test", model=object, hparams={}).name == "tf_test"
+
+    sp = Searchspace(number_layers=("INTEGER", [2, 8]))
+    config = OptimizationConfig(
+        num_trials=4, optimizer="randomsearch", searchspace=sp,
+        direction="max", es_interval=1, es_min=5, name="hp_tuning_test",
+    )
+
+    def hpo_function(number_layers, reporter):
+        reporter.broadcast(metric=float(number_layers))
+        return float(number_layers)
+
+    result = experiment.lagom(train_fn=hpo_function, config=config)
+    assert result["num_trials"] == 4 and result["best_val"] is not None
