@@ -25,11 +25,11 @@ from maggy_spark.trial import Trial, trial_id_for_params
 __version__ = "0.1.0"
 
 
-def lagom(train_fn, config, spark=None):
+def lagom(train_fn, config=None, spark=None, **base_kwargs):
     """Run an experiment (see maggy_spark.experiment.lagom)."""
     from maggy_spark.experiment import lagom as _lagom
 
-    return _lagom(train_fn, config, spark)
+    return _lagom(train_fn, config, spark, **base_kwargs)
 
 
 __all__ = [

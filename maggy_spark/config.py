@@ -81,16 +81,30 @@ class TorchDistributedConfig(BaseConfig):
     deepspeed_config) so reference call sites construct unchanged;
     train_set/test_set/num_workers are this engine's additions."""
 
+    BACKENDS = ("torch", "deepspeed")  # reference torch_distributed.py:31
+
     module: Any = None
     dataset: Any = None
     hparams: dict | None = None
-    backend: str = "torch"  # reference BACKENDS = ["torch", "deepspeed"]
+    # reference semantics: WHICH WRAPPER runs the training (torch vs
+    # deepspeed), NOT the torch.distributed process-group backend —
+    # that is `process_group_backend` below
+    backend: str = "torch"
     mixed_precision: bool = False
     zero_lvl: int = 0
     deepspeed_config: dict | None = None
     train_set: Any = None
     test_set: Any = None
     num_workers: int = 2
+    process_group_backend: str = "gloo"  # valid init_process_group value
+
+    def __post_init__(self):
+        if self.backend not in self.BACKENDS:
+            raise ValueError(
+                f"backend must be one of {self.BACKENDS}, got {self.backend!r} "
+                "(the torch.distributed process group backend is "
+                "process_group_backend)"
+            )
 
 
 @dataclass

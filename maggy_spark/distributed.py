@@ -40,9 +40,15 @@ def run_distributed_training(
     # the task closure, so large datasets should be paths/handles
     config_extras = {
         k: getattr(config, k)
-        for k in ("module", "model", "train_set", "test_set", "process_data")
+        for k in ("module", "model", "dataset", "train_set", "test_set", "process_data")
         if getattr(config, k, None) is not None
     }
+    # config.hparams is the reference's model-init interface
+    # (tf_distributed.py:36,48-49): delivered as THE hparams dict, so
+    # `def train_fn(model, hparams, ...)` receives it and individual
+    # names inject too (build_kwargs' hparams branch outranks extras,
+    # so it must not be passed as an extra)
+    hparams_cfg = dict(getattr(config, "hparams", None) or {})
 
     from pathlib import Path
 
@@ -97,7 +103,7 @@ def run_distributed_training(
         extras["cluster"] = cluster
         extras.update(config_extras)
         try:
-            kwargs = build_kwargs(fn, {}, reporter, extras)
+            kwargs = build_kwargs(fn, hparams_cfg, reporter, extras)
             ret = fn(**kwargs)
             metric = None if ret is None else normalize_return(ret, metric_key)
             err = None

@@ -57,15 +57,17 @@ def lagom(
     is a strict superset). Passing both `config` and extras is a
     user error and raises.
     """
-    spark = spark or SparkSession.builder.getOrCreate()
     if config is None:
         defaults = {"name": "maggy_experiment", "description": "experiment without config object"}
         config = BaseConfig(**{**defaults, **base_kwargs})
     elif base_kwargs:
+        # validate BEFORE building a SparkSession: a bad call must not
+        # pay (and leak) JVM startup just to raise
         raise TypeError(
             f"lagom() got config= AND extra kwargs {sorted(base_kwargs)}; "
             "put them on the config object instead"
         )
+    spark = spark or SparkSession.builder.getOrCreate()
     if isinstance(config, HyperparameterOptConfig):
         return _run_hpo(train_fn, config, spark)
     if isinstance(config, AblationConfig):

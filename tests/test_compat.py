@@ -237,3 +237,52 @@ def test_legacy_experiment_config_import_path(spark):
 
     result = experiment.lagom(train_fn=hpo_function, config=config)
     assert result["num_trials"] == 4 and result["best_val"] is not None
+
+
+def test_distributed_hparams_delivered_to_train_fn(spark):
+    """config.hparams is the reference's model-init interface
+    (`tf_distributed.py:36,48-49`): the dict must reach a train_fn
+    declaring `hparams`, and individual names must inject too."""
+    from maggy import experiment
+    from maggy.config import TfDistributedConfig
+
+    def train_fn(model, hparams, reporter):
+        assert hparams == {"nlayers": 3}
+        return float(hparams["nlayers"])
+
+    res = experiment.lagom(
+        train_fn, TfDistributedConfig(model="M", hparams={"nlayers": 3}, num_workers=2), spark
+    )
+    assert res["errors"] is None and res["test result"] == 3.0
+
+    def by_name(model, nlayers, reporter):
+        return float(nlayers)
+
+    res2 = experiment.lagom(
+        by_name, TfDistributedConfig(model="M", hparams={"nlayers": 4}, num_workers=2), spark
+    )
+    assert res2["errors"] is None and res2["test result"] == 4.0
+
+
+def test_torch_backend_validation():
+    import pytest
+
+    from maggy.config import TorchDistributedConfig
+    from maggy.experiment_config.torch_distributed import TorchDistributedConfig as LegacyTorch
+
+    assert LegacyTorch is TorchDistributedConfig
+    assert TorchDistributedConfig(backend="deepspeed").process_group_backend == "gloo"
+    with pytest.raises(ValueError):
+        TorchDistributedConfig(backend="gloo")  # PG backend is a different knob
+
+
+def test_package_level_lagom_matches_experiment_signature(spark):
+    """maggy_spark.lagom (the package's own advertised entry point)
+    must accept the same optional-config/kwargs shapes."""
+    import maggy_spark
+
+    def train_fn(reporter):
+        reporter.broadcast(metric=2.0)
+        return 2.0
+
+    assert maggy_spark.lagom(train_fn, name="pkg_entry")["test result"] == 2.0
