@@ -51,6 +51,11 @@ class _IncludeSet:
     def list_all(self) -> list[str]:
         return list(self._items)
 
+    @property
+    def included_features(self) -> set[str]:
+        """Reference attribute shape (`ablationstudy.py:162`)."""
+        return set(self._items)
+
     def __len__(self) -> int:
         return len(self._items)
 
@@ -68,6 +73,11 @@ class _Layers(_IncludeSet):
 
     def include_groups(self, *groups, prefix: str | None = None) -> None:
         if prefix is not None:
+            if not isinstance(prefix, str):
+                raise ValueError(
+                    "`prefix` argument of layers.include_groups() should either be "
+                    f"a `NoneType` or a `str`, got {prefix!r}"
+                )
             if prefix not in self._prefixes:
                 self._prefixes.append(prefix)
         for g in groups:
@@ -77,35 +87,136 @@ class _Layers(_IncludeSet):
             if fs not in self._groups:
                 self._groups.append(fs)
 
+    def exclude_groups(self, *groups, prefix: str | None = None) -> None:
+        """Remove previously-included groups / prefix groups
+        (reference `ablationstudy.py:349-385`)."""
+        if prefix is not None:
+            if not isinstance(prefix, str):
+                raise ValueError(
+                    "`prefix` argument of layers.exclude_groups() should either be "
+                    f"a `NoneType` or a `str`, got {prefix!r}"
+                )
+            if prefix in self._prefixes:
+                self._prefixes.remove(prefix)
+        for g in groups:
+            if not isinstance(g, (list, tuple, set, frozenset)):
+                raise ValueError("layers.exclude_groups() takes lists of layer names")
+            fs = frozenset(g)
+            if fs in self._groups:
+                self._groups.remove(fs)
+
     def list_groups(self) -> list[list[str]]:
         return [sorted(g) for g in self._groups]
 
     def list_prefixes(self) -> list[str]:
         return list(self._prefixes)
 
+    @property
+    def included_layers(self) -> set[str]:
+        """Reference attribute shape (`ablationstudy.py:255`)."""
+        return set(self._items)
+
+    @property
+    def included_groups(self) -> set[frozenset]:
+        """Reference encoding (`ablationstudy.py:256,306-347`): each
+        explicit group is a frozenset of layer names; a prefix group
+        is a singleton frozenset holding the prefix."""
+        return set(self._groups) | {frozenset([p]) for p in self._prefixes}
+
+    def print_all(self) -> None:
+        """(reference `ablationstudy.py:387-394`)"""
+        if self._items:
+            print("Included single layers are: \n")
+            for layer in self._items:
+                print(layer)
+        else:
+            print("There are no single layers in this ablation study configuration.")
+
+    def print_all_groups(self) -> None:
+        """(reference `ablationstudy.py:396-408`)"""
+        if self._groups or self._prefixes:
+            print("Included layer groups are: \n")
+            for group in self._groups:
+                print("--- Layer group " + str(sorted(group)))
+            for prefix in self._prefixes:
+                print(f'---- All layers prefixed "{prefix}"')
+        else:
+            print("There are no layer groups in this ablation study configuration.")
+
+
+class _Model:
+    """Model-side ablation declarations (reference
+    `ablationstudy.py:228-250`): layer sets plus base/custom model
+    generators."""
+
+    def __init__(self) -> None:
+        self.layers = _Layers()
+        self.base_model_generator: Callable | None = None
+        self.custom_model_generators: list[tuple[Callable, str]] = []
+
+    def set_base_model_generator(self, base_model_generator: Callable) -> None:
+        self.base_model_generator = base_model_generator
+
+    def add_custom_model_generator(self, custom_model_generator: Callable, model_identifier: str) -> None:
+        self.custom_model_generators.append((custom_model_generator, model_identifier))
+
 
 class AblationStudy:
     """Declares what to ablate (reference `ablationstudy.py:18-157`).
 
-    `training_dataset_path` points at a parquet table; feature trials
-    read it with the ablated column pruned.
+    Constructor takes the reference's positional shape
+    ``(training_dataset_name, training_dataset_version, label_name)``;
+    in this engine the dataset name doubles as a parquet path (or pass
+    ``training_dataset_path=`` explicitly) and feature trials read it
+    with the ablated column pruned.
     """
 
     def __init__(
         self,
-        training_dataset_path: str | None = None,
+        training_dataset_name: str | None = None,
+        training_dataset_version: int | None = None,
         label_name: str | None = None,
-        **_kw,
+        *,
+        training_dataset_path: str | None = None,
+        **kwargs,
     ) -> None:
         self.features = _IncludeSet()
-        self.model = type("Model", (), {})()
-        self.model.layers = _Layers()
+        self.model = _Model()
         self.custom_model_generators: dict[str, Callable] = {}
-        self.training_dataset_path = training_dataset_path
+        self.hops_training_dataset_name = training_dataset_name
+        self.hops_training_dataset_version = training_dataset_version
         self.label_name = label_name
+        self.training_dataset_path = training_dataset_path or training_dataset_name
+        self.custom_dataset_generator = kwargs.get("dataset_generator", False)
+
+    def set_dataset_generator(self, dataset_generator: Callable) -> None:
+        """(reference `ablationstudy.py:151-157`)"""
+        self.custom_dataset_generator = dataset_generator
 
     def add_custom_model_generator(self, name: str, generator: Callable) -> None:
+        """Engine-native registration (name -> generator); the
+        reference's Model-level form is `model.add_custom_model_generator`."""
         self.custom_model_generators[name] = generator
+
+    def _custom_model_names(self) -> list[str]:
+        """Union of engine-native and reference-style registrations,
+        insertion-ordered and de-duplicated."""
+        names = list(self.custom_model_generators)
+        for _, identifier in self.model.custom_model_generators:
+            if identifier not in names:
+                names.append(identifier)
+        return names
+
+    def to_dict(self) -> dict:
+        """(reference `ablationstudy.py:130-149`)"""
+        return {
+            "training_dataset_name": self.hops_training_dataset_name,
+            "training_dataset_version": self.hops_training_dataset_version,
+            "label_name": self.label_name,
+            "included_features": list(self.features.list_all()),
+            "included_layers": sorted(self.model.layers.included_layers),
+            "custom_dataset_generator": bool(self.custom_dataset_generator),
+        }
 
 
 def loco_trials(study: AblationStudy) -> list[Trial]:
@@ -127,7 +238,7 @@ def loco_trials(study: AblationStudy) -> list[Trial]:
     for prefix in study.model.layers.list_prefixes():
         trials.append(Trial({"ablated": f"layer_prefix:{prefix}"}, trial_type="ablation",
                             info_dict={"component": "layer_prefix", "name": prefix}))
-    for name in study.custom_model_generators:
+    for name in study._custom_model_names():
         trials.append(Trial({"ablated": f"custom:{name}"}, trial_type="ablation",
                             info_dict={"component": "custom_model", "name": name}))
     return trials
@@ -140,7 +251,7 @@ def components_df(spark: SparkSession, study: AblationStudy):
         + [("layer", l, [l]) for l in study.model.layers]
         + [("layer_group", "group:" + ",".join(g), list(g)) for g in study.model.layers.list_groups()]
         + [("layer_group", "prefix:" + p, [p]) for p in study.model.layers.list_prefixes()]
-        + [("custom_model", "custom:" + n, [n]) for n in study.custom_model_generators]
+        + [("custom_model", "custom:" + n, [n]) for n in study._custom_model_names()]
     )
     return spark.createDataFrame(rows, "kind string, name string, members array<string>")
 
@@ -176,6 +287,8 @@ def run_ablation(train_fn: Callable, config: AblationConfig, spark: SparkSession
     path = study.training_dataset_path
     label = study.label_name
     custom_gens = dict(study.custom_model_generators)
+    for gen, identifier in study.model.custom_model_generators:
+        custom_gens.setdefault(identifier, gen)
     # Serialize the USER fn by value here: `wrapped` (a local function)
     # is always pickled by value, but a closure cell holding train_fn
     # would be pickled by REFERENCE to train_fn's module — exactly the

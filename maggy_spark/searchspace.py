@@ -253,6 +253,21 @@ class Searchspace:
                 params[name] = region[max(0, min(idx, len(region) - 1))]
         return params
 
+    @staticmethod
+    def dict_to_list(hparams: dict) -> list:
+        """One config, dict -> positional list (reference
+        `searchspace.py:446-457`; order is the dict's insertion
+        order, matching `keys()` for engine-produced configs)."""
+        return list(hparams.values())
+
+    def list_to_dict(self, hparams: list) -> dict:
+        """One config, positional list -> dict keyed by the declared
+        hyperparameter order (reference `searchspace.py:459-479`)."""
+        names = self.keys()
+        if len(names) != len(hparams):
+            raise ValueError("hparam_names and hparams have to have same length (and order!)")
+        return dict(zip(names, hparams))
+
     # -- Spark export ----------------------------------------------------
 
     def to_dataframe(self, spark):

@@ -123,19 +123,85 @@ class Trial:
             sort_keys=True,
         )
 
+    # -- reference serialization shape (`maggy/trial.py:83-176`) ---------
+
+    def get_early_stop(self) -> bool:
+        """Early-stop flag accessor (reference `trial.py:83-86`)."""
+        return self.early_stop
+
+    def set_early_stop(self) -> None:
+        """Latch the early-stop flag (reference `trial.py:88-91`)."""
+        self.early_stop = True
+
+    @property
+    def metric_dict(self) -> dict[int, float]:
+        """step -> value view of the metric history (reference keeps
+        this as a parallel dict, `trial.py:93-108`; here it is derived
+        so the two can never diverge)."""
+        return dict(zip(self.step_history, self.metric_history))
+
+    def to_dict(self) -> dict:
+        """Reference-shaped state dict (`trial.py:141-150`): every
+        field except the non-serializable lock/start bookkeeping,
+        tagged with ``__class__`` for `from_json` round-trips."""
+        return {
+            "__class__": self.__class__.__name__,
+            "trial_type": self.trial_type,
+            "trial_id": self.trial_id,
+            "params": {k: v for k, v in self.params.items() if not callable(v)},
+            "status": self.status,
+            "early_stop": self.early_stop,
+            "final_metric": self.final_metric,
+            "metric_history": list(self.metric_history),
+            "step_history": list(self.step_history),
+            "metric_dict": self.metric_dict,
+            "duration": self.duration,
+            "info_dict": dict(self.info_dict),
+        }
+
+    def to_json(self) -> str:
+        """`json.dumps(to_dict())` (reference `trial.py:138-139`);
+        numpy scalars/arrays coerced like the reference's encoder."""
+        return json.dumps(self.to_dict(), default=_json_default)
+
     @classmethod
     def from_json(cls, payload: str) -> "Trial":
+        """Rebuild from `json()` or the reference's `to_json()` shape
+        (`trial.py:152-176`: a tagged payload must carry the Trial
+        class marker)."""
         d = json.loads(payload)
-        t = cls(d["params"])
+        if "__class__" in d and d["__class__"] != cls.__name__:
+            raise ValueError(f"payload is not a {cls.__name__} object")
+        t = cls(d["params"], trial_type=d.get("trial_type", "optimization"),
+                info_dict=d.get("info_dict"))
+        if d.get("trial_id"):
+            t.trial_id = d["trial_id"]
         t.status = d.get("status", PENDING)
         t.final_metric = d.get("final_metric")
         t.metric_history = list(d.get("metric_history", []))
         t.step_history = list(d.get("step_history", []))
         t.early_stop = bool(d.get("early_stop", False))
+        t.duration = d.get("duration")
         return t
 
     def __repr__(self) -> str:
         return f"Trial({self.trial_id}, status={self.status}, params={self.params!r})"
+
+
+def _json_default(obj):
+    """Coerce numpy scalars/arrays to JSON (reference
+    `util.py:97-107` json_default_numpy, used by Trial.to_json)."""
+    try:
+        import numpy as np
+    except ImportError:  # pragma: no cover - numpy is baked in
+        raise TypeError(f"Object of type {type(obj)} is not JSON serializable")
+    if isinstance(obj, np.integer):
+        return int(obj)
+    if isinstance(obj, np.floating):
+        return float(obj)
+    if isinstance(obj, np.ndarray):
+        return obj.tolist()
+    raise TypeError(f"Object of type {type(obj)} is not JSON serializable")
 
 
 def _canonical_str(v: Any) -> str:
