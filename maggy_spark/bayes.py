@@ -86,6 +86,13 @@ class BaseAsyncBO(AbstractOptimizer):
         y = np.array([self.metric_for_min(t.final_metric) for t in rows])
         return X, y
 
+    def get_XY(self, budget: int = 0, interim_results: bool = False, interim_results_interval: int = 10):
+        """Reference-named alias of `get_xy` (`base.py:459-641`);
+        budget 0 means all fidelities, matching the reference default.
+        Interim-result augmentation is handled by the engine's
+        interim-selection relation (A10) rather than here."""
+        return self.get_xy(budget=budget or None)
+
     def model_budget(self) -> int | None:
         """The fidelity whose surrogate to use: the LARGEST budget with
         enough finalized observations (reference reuses the

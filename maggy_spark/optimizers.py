@@ -25,7 +25,8 @@ import itertools
 import json
 import math
 import random
-from abc import ABC, abstractmethod
+import time
+from abc import ABC
 
 from maggy_spark.searchspace import CATEGORICAL, DISCRETE, DOUBLE, INTEGER, Searchspace
 from maggy_spark.trial import Trial
@@ -53,6 +54,9 @@ class AbstractOptimizer(ABC):
         self._pruner_spec = pruner
         self._pruner_kwargs = dict(pruner_kwargs or {})
         self.pruner = None
+        # reference bookkeeping (`abstractoptimizer.py:29-52`): the
+        # sampling-time stopwatch consumed by create_trial
+        self.sampling_time_start: float = 0.0
 
     def initialize(self, searchspace: Searchspace, num_trials: int, direction: str, seed: int | None) -> None:
         self.searchspace = searchspace
@@ -120,9 +124,19 @@ class AbstractOptimizer(ABC):
             return self._next_batch_pruned(max_trials)
         return self._next_batch(max_trials)
 
-    @abstractmethod
     def _next_batch(self, max_trials: int) -> list[Trial]:
-        """Single-fidelity batch emission (no pruner attached)."""
+        """Single-fidelity batch emission (no pruner attached).
+
+        Engine controllers override this. Deliberately NOT
+        @abstractmethod: a custom optimizer written against the
+        reference's subclassing contract (no-arg initialize +
+        get_suggestion) must stay instantiable — get_controller wraps
+        such instances in ReferenceOptimizerAdapter, which drives
+        get_suggestion and never reaches this base body."""
+        raise NotImplementedError(
+            f"{type(self).__name__} implements neither the engine contract "
+            "(_next_batch) nor the reference contract (get_suggestion)"
+        )
 
     def _suggest_one(self) -> tuple[dict, str] | None:
         """One (params, sample_type) suggestion for a pruner-allocated
@@ -204,7 +218,11 @@ class AbstractOptimizer(ABC):
         clean = {k: v for k, v in params.items() if k != "budget" and not callable(v)}
         return json.dumps(clean, sort_keys=True, default=str)
 
-    def hparams_exist(self, params: dict) -> bool:
+    def hparams_exist(self, params) -> bool:
+        """Duplicate-config guard; accepts a params dict (engine) or a
+        Trial (reference `abstractoptimizer.py:254-295`)."""
+        if isinstance(params, Trial):
+            params = params.params
         return self._params_key(params) in self._seen_params
 
     def _register(self, trial: Trial) -> Trial:
@@ -216,6 +234,114 @@ class AbstractOptimizer(ABC):
     def metric_for_min(self, value: float) -> float:
         """Normalize to a minimization problem (abstractoptimizer.py:186-213)."""
         return -value if self.direction == "max" else value
+
+    # -- reference helper surface (`abstractoptimizer.py:81-444`) -------
+    #
+    # The helpers reference custom optimizers call from get_suggestion:
+    # finalized-trial views (hparams/metrics as dicts/arrays), the
+    # y-statistics in min-space, trial construction, and pruner setup.
+    # All read engine state (final_store / direction / searchspace)
+    # directly — no duplicated bookkeeping.
+
+    def name(self) -> str:
+        """(reference `abstractoptimizer.py:81-82`)"""
+        return str(type(self).__name__)
+
+    def get_hparams_dict(self, trial_ids="all") -> dict:
+        """{trial_id: params} over finalized trials
+        (`abstractoptimizer.py:136-157`)."""
+        include = lambda x: trial_ids == "all" or x == trial_ids or x in trial_ids  # noqa: E731
+        return {t.trial_id: t.params for t in self.final_store if include(t.trial_id)}
+
+    def get_hparams_array(self, budget: int = 0):
+        """Finalized hparams as an array in final_store order,
+        optionally filtered by budget (`abstractoptimizer.py:158-185`)."""
+        import numpy as np
+
+        return np.array(
+            [
+                Searchspace.dict_to_list(t.params)
+                for t in self.final_store
+                if not budget or t.params.get("budget") == budget
+            ]
+        )
+
+    def get_metrics_dict(self, trial_ids="all") -> dict:
+        """{trial_id: final_metric} in min-space — `max` problems are
+        negated (`abstractoptimizer.py:186-214`)."""
+        include = lambda x: trial_ids == "all" or x == trial_ids or x in trial_ids  # noqa: E731
+        return {
+            t.trial_id: self.metric_for_min(t.final_metric)
+            for t in self.final_store
+            if include(t.trial_id)
+        }
+
+    def get_metrics_array(self, budget: int = 0, interim_metrics: bool = False):
+        """Final metrics (or metric histories) in final_store order,
+        min-space (`abstractoptimizer.py:215-253`)."""
+        import numpy as np
+
+        metrics = []
+        for t in self.final_store:
+            if not budget or t.params.get("budget") == budget:
+                metrics.append(np.array(t.metric_history) if interim_metrics else t.final_metric)
+        arr = np.array(metrics)
+        return -arr if self.direction == "max" else arr
+
+    def ybest(self, budget: int = 0) -> float:
+        """Best (min-space) finalized metric (`abstractoptimizer.py:402-415`)."""
+        import numpy as np
+
+        return float(np.min(self.get_metrics_array(budget=budget)))
+
+    def yworst(self, budget: int = 0) -> float:
+        """Worst (min-space) finalized metric (`abstractoptimizer.py:416-429`)."""
+        import numpy as np
+
+        return float(np.max(self.get_metrics_array(budget=budget)))
+
+    def ymean(self, budget: int = 0) -> float:
+        """Mean (min-space) finalized metric (`abstractoptimizer.py:430-444`)."""
+        import numpy as np
+
+        return float(np.mean(self.get_metrics_array(budget=budget)))
+
+    def get_max_budget(self) -> int:
+        """Experiment max budget: from the pruner when attached, else
+        the first finalized trial's history length
+        (`abstractoptimizer.py:378-401`)."""
+        if self.pruner is not None:
+            return self.pruner.max_budget
+        if not self.final_store:
+            raise ValueError("At least one finalized Trial is necessary to calculate max budget")
+        return len(self.final_store[0].metric_history)
+
+    def init_pruner(self, pruner, pruner_kwargs: dict | None = None):
+        """Declare a pruner (reference `abstractoptimizer.py:297-316`);
+        the rung ledger itself is (re)built at initialize() so a
+        controller instance can be reused across experiments."""
+        if pruner not in ("hyperband",):
+            raise ValueError(f"expected pruner to be in ['hyperband'], got {pruner}")
+        self._pruner_spec = pruner
+        self._pruner_kwargs = dict(pruner_kwargs or {})
+        return self._pruner_spec
+
+    def create_trial(self, hparams: dict, sample_type: str, run_budget: int = 0, model_budget=None) -> Trial:
+        """Construct a Trial with the reference's sample-type
+        vocabulary and budget handling (`abstractoptimizer.py:317-377`)."""
+        allowed = ["random", "random_forced", "model", "promoted", "grid"]
+        if sample_type not in allowed:
+            raise ValueError(f"expected sample_type to be in {allowed}, got {sample_type}")
+        if sample_type == "model" and model_budget is None:
+            raise ValueError("expected `model_budget` because sample_type==`model`, got None")
+        sampling_time = time.time() - self.sampling_time_start if self.sampling_time_start else 0.0
+        self.sampling_time_start = 0.0
+        info = {"run_budget": run_budget, "sample_type": sample_type, "sampling_time": sampling_time}
+        if model_budget is not None:
+            info["model_budget"] = model_budget
+        if run_budget > 0:
+            hparams = {**hparams, "budget": run_budget}
+        return Trial(hparams, trial_type="optimization", info_dict=info)
 
 
 class RandomSearch(AbstractOptimizer):
@@ -401,11 +527,102 @@ CONTROLLERS = {
 }
 
 
+class ReferenceOptimizerAdapter(AbstractOptimizer):
+    """Drives a reference-protocol custom optimizer — an object
+    implementing the reference's subclassing contract
+    (`abstractoptimizer.py:54-80`): no-arg ``initialize()``,
+    ``get_suggestion(trial=None) -> Trial | None``, and
+    ``finalize_experiment(trials)`` — inside the engine's batch loop.
+
+    The reference driver hands each finished trial to the next
+    `get_suggestion` call (`optimization_driver.py:341-370`); here
+    finished trials queue up during a wave and drain one per
+    suggestion. `final_store` is shared by reference (the same list
+    object) so the wrapped optimizer's helper calls see every
+    finalized trial without copying."""
+
+    def __init__(self, wrapped) -> None:
+        super().__init__()
+        for required in ("initialize", "get_suggestion", "finalize_experiment"):
+            if not callable(getattr(wrapped, required, None)):
+                raise TypeError(
+                    f"custom optimizer {type(wrapped).__name__} lacks the reference "
+                    f"protocol method {required}()"
+                )
+        self.wrapped = wrapped
+
+    def initialize(self, searchspace, num_trials, direction, seed) -> None:
+        super().initialize(searchspace, num_trials, direction, seed)
+        w = self.wrapped
+        w.searchspace = searchspace
+        w.num_trials = num_trials
+        w.direction = direction
+        w.trial_store = {}
+        w.final_store = self.final_store  # alias, not copy
+        self._finished_queue: list[Trial] = []
+        self._exhausted = False
+        self._finalized = False
+        w.initialize()
+
+    def _next_batch(self, max_trials: int) -> list[Trial]:
+        out: list[Trial] = []
+        while len(out) < max_trials and not self._exhausted:
+            last = self._finished_queue.pop(0) if self._finished_queue else None
+            self.wrapped.sampling_time_start = time.time()
+            t = self.wrapped.get_suggestion(last)
+            if t is None:
+                self._exhausted = True
+                break
+            self.wrapped.trial_store[t.trial_id] = t
+            out.append(self._register(t))
+        return out
+
+    def finalize_trial(self, trial: Trial) -> None:
+        super().finalize_trial(trial)
+        self.wrapped.trial_store.pop(trial.trial_id, None)
+        self._finished_queue.append(trial)
+
+    def done(self) -> bool:
+        finished = (
+            self._exhausted and not getattr(self.wrapped, "trial_store", None)
+        ) or super().done()
+        if finished and not getattr(self, "_finalized", False):
+            self._finalized = True
+            self.wrapped.finalize_experiment(self.final_store)
+        return finished
+
+
+def _is_reference_protocol(spec) -> bool:
+    """True when `spec` implements the reference custom-optimizer
+    contract rather than the engine's batch contract: its
+    ``initialize`` takes no arguments beyond self (the reference's
+    abstract hook), and it exposes ``get_suggestion``."""
+    import inspect
+
+    if not callable(getattr(spec, "get_suggestion", None)):
+        return False
+    try:
+        params = [
+            p
+            for p in inspect.signature(type(spec).initialize).parameters.values()
+            if p.name != "self" and p.kind not in (p.VAR_POSITIONAL, p.VAR_KEYWORD)
+        ]
+    except (TypeError, ValueError):
+        return False
+    return all(p.default is not p.empty for p in params)
+
+
 def get_controller(spec, **kwargs) -> AbstractOptimizer:
     """Resolve a controller name or instance (reference
-    `optimization_driver.py:612-655` controller_dict)."""
+    `optimization_driver.py:612-655` controller_dict). A custom
+    optimizer written against the reference's AbstractOptimizer
+    contract is wrapped in ReferenceOptimizerAdapter."""
     if isinstance(spec, AbstractOptimizer):
+        if type(spec).initialize is not AbstractOptimizer.initialize and _is_reference_protocol(spec):
+            return ReferenceOptimizerAdapter(spec)
         return spec
+    if not isinstance(spec, str) and _is_reference_protocol(spec):
+        return ReferenceOptimizerAdapter(spec)
     name = str(spec).lower()
     if name in ("gp", "tpe"):
         from maggy_spark.bayes import GP, TPE
