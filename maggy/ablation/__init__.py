@@ -1,5 +1,7 @@
-"""`from maggy.ablation import AblationStudy`."""
+"""`from maggy.ablation import AblationStudy` (+ ablator submodule)."""
 
-from maggy_spark.ablation import AblationStudy
+from maggy_spark.ablation import LOCO, AblationStudy, AbstractAblator
 
-__all__ = ["AblationStudy"]
+from maggy.ablation import ablator  # noqa: F401  (module-shaped alias)
+
+__all__ = ["AblationStudy", "AbstractAblator", "LOCO"]

@@ -17,6 +17,7 @@ dataset_function contract, `loco.py:222-230`).
 
 from __future__ import annotations
 
+from abc import ABC, abstractmethod
 from typing import Any, Callable
 
 from pyspark.sql import SparkSession
@@ -219,6 +220,156 @@ class AblationStudy:
         }
 
 
+class AbstractAblator(ABC):
+    """The reference's custom-ablator extension point
+    (`ablation/ablator/abstractablator.py:20-86`): an ablation policy
+    that buffers/creates trials and hands them out one at a time.
+
+    Custom ablators written against the reference subclass this and
+    are passed via ``AblationConfig(ablator=instance)``; the engine
+    drains `get_trial` into execution waves."""
+
+    def __init__(self, ablation_study, final_store=None) -> None:
+        self.ablation_study = ablation_study
+        self.final_store = final_store if final_store is not None else []
+        self.trial_buffer: list[Trial] = []
+
+    @abstractmethod
+    def get_number_of_trials(self) -> int:
+        """Total trial count including the base trial."""
+
+    @abstractmethod
+    def get_dataset_generator(self, ablated_feature, dataset_type: str = "parquet"):
+        """Executor-side dataset loader with `ablated_feature` pruned."""
+
+    @abstractmethod
+    def get_model_generator(self, ablated_layer):
+        """Model factory with `ablated_layer` removed."""
+
+    @abstractmethod
+    def initialize(self) -> None:
+        """Fill (or warm-start) `trial_buffer`."""
+
+    @abstractmethod
+    def get_trial(self, ablation_trial=None):
+        """Next Trial to run, or None when exhausted; receives each
+        finished trial reference-style."""
+
+    @abstractmethod
+    def finalize_experiment(self, trials) -> None:
+        """Post-experiment hook (cleanup / extra logging)."""
+
+    def name(self) -> str:
+        return str(self.__class__.__name__)
+
+
+class LOCO(AbstractAblator):
+    """Leave-one-component-out as a reference-protocol ablator
+    (`ablation/ablator/loco.py:27-261`): pre-generates base + one
+    trial per included component into `trial_buffer`. Trials carry
+    the reference param shape (`ablated_feature`/`ablated_layer` plus
+    dataset/model callables), so trial ids hash the ablated labels
+    exactly like the reference (`trial.py:62-67`).
+
+    The engine's relational LOCO path (loco_trials/components_df)
+    stays the scale-native default; this class exists so reference
+    user code subclassing or instantiating LOCO runs unchanged."""
+
+    def get_number_of_trials(self) -> int:
+        study = self.ablation_study
+        return (
+            1
+            + len(study.features.list_all())
+            + len(study.model.layers.list_all())
+            + len(study.model.layers.list_groups())
+            + len(study.model.layers.list_prefixes())
+            + len(study._custom_model_names())
+        )
+
+    def get_dataset_generator(self, ablated_feature, dataset_type: str = "parquet"):
+        study = self.ablation_study
+        return make_dataset_function(study.training_dataset_path, study.label_name, ablated_feature)
+
+    def get_model_generator(self, ablated_layer=None, custom_model_generator=None):
+        if custom_model_generator is not None:
+            return custom_model_generator
+        base = self.ablation_study.model.base_model_generator
+        if base is None or ablated_layer is None:
+            return base
+
+        def model_generator():
+            # layer surgery needs a framework model object; outside a
+            # TF/Keras environment the base model is returned and the
+            # ablated layer name travels with the trial for the user
+            # function to apply (the container ships no frameworks)
+            model = base()
+            try:
+                import tensorflow as tf  # noqa: F401
+
+                from maggy_spark.frameworks import ablate_keras_layer
+
+                return ablate_keras_layer(model, ablated_layer)
+            except ImportError:
+                return model
+
+        return model_generator
+
+    def initialize(self) -> None:
+        study = self.ablation_study
+        self.trial_buffer.append(Trial(self.create_trial_dict(None, None), trial_type="ablation"))
+        for f in study.features.list_all():
+            self.trial_buffer.append(Trial(self.create_trial_dict(f, None), trial_type="ablation"))
+        for layer in study.model.layers.list_all():
+            self.trial_buffer.append(Trial(self.create_trial_dict(None, layer), trial_type="ablation"))
+        for group in study.model.layers.list_groups():
+            self.trial_buffer.append(Trial(self.create_trial_dict(None, set(group)), trial_type="ablation"))
+        for prefix in study.model.layers.list_prefixes():
+            self.trial_buffer.append(Trial(self.create_trial_dict(None, {prefix}), trial_type="ablation"))
+        for gen, identifier in study.model.custom_model_generators:
+            self.trial_buffer.append(
+                Trial(
+                    self.create_trial_dict(None, None, custom_model_generator=(gen, identifier)),
+                    trial_type="ablation",
+                )
+            )
+
+    def get_trial(self, ablation_trial=None):
+        if self.trial_buffer:
+            return self.trial_buffer.pop()
+        return None
+
+    def finalize_experiment(self, trials) -> None:
+        return None
+
+    def create_trial_dict(self, ablated_feature=None, layer_identifier=None, custom_model_generator=None) -> dict:
+        """Reference-shaped trial params (`loco.py:205-261`): the
+        ablated labels plus the dataset/model callables."""
+        trial_dict: dict = {}
+        if ablated_feature is None:
+            trial_dict["dataset_function"] = self.get_dataset_generator(None)
+            trial_dict["ablated_feature"] = "None"
+        else:
+            trial_dict["dataset_function"] = self.get_dataset_generator(ablated_feature)
+            trial_dict["ablated_feature"] = ablated_feature
+
+        if layer_identifier is None and custom_model_generator is None:
+            trial_dict["model_function"] = self.ablation_study.model.base_model_generator
+            trial_dict["ablated_layer"] = "None"
+        elif layer_identifier is not None:
+            trial_dict["model_function"] = self.get_model_generator(ablated_layer=layer_identifier)
+            if isinstance(layer_identifier, str):
+                trial_dict["ablated_layer"] = layer_identifier
+            elif len(layer_identifier) > 1:
+                trial_dict["ablated_layer"] = str(sorted(layer_identifier))
+            else:
+                trial_dict["ablated_layer"] = "Layers prefixed " + next(iter(layer_identifier))
+        else:
+            gen, identifier = custom_model_generator
+            trial_dict["model_function"] = self.get_model_generator(custom_model_generator=gen)
+            trial_dict["ablated_layer"] = "custom model: " + identifier
+        return trial_dict
+
+
 def loco_trials(study: AblationStudy) -> list[Trial]:
     """The LOCO trial list: base + one per component
     (`loco.py:138-194`; count `loco.py:31-39` =
@@ -275,13 +426,26 @@ def make_dataset_function(path: str | None, label: str | None, ablated_feature: 
 
 
 def run_ablation(train_fn: Callable, config: AblationConfig, spark: SparkSession) -> dict:
-    """Execute the LOCO study; early stopping forced off
-    (`ablation_driver.py:52`)."""
+    """Execute the ablation study; early stopping forced off
+    (`ablation_driver.py:52`). The default "loco" ablator runs the
+    engine's relational path; a custom AbstractAblator instance
+    (reference `ablation_driver.py:65-77`) is drained through
+    `get_trial` reference-style."""
     from maggy_spark.experiment import _aggregate_result
 
     study: AblationStudy = config.ablation_study
     if study is None:
         raise ValueError("AblationConfig.ablation_study is required")
+    ablator_spec = getattr(config, "ablator", "loco")
+    if not isinstance(ablator_spec, str):
+        if not callable(getattr(ablator_spec, "get_trial", None)):
+            raise TypeError(
+                "ablator should be 'loco' or an instance of AbstractAblator, got "
+                f"{type(ablator_spec).__name__}"
+            )
+        return _run_custom_ablator(train_fn, config, spark, ablator_spec)
+    if ablator_spec.lower() != "loco":
+        raise ValueError(f"unknown ablator {ablator_spec!r}; only 'loco' is built in")
     trials = loco_trials(study)
 
     path = study.training_dataset_path
@@ -343,4 +507,106 @@ def run_ablation(train_fn: Callable, config: AblationConfig, spark: SparkSession
         # "BEST Config Excludes ..." (ablation_driver.py:153-183)
         result["best_excludes"] = best.params.get("ablated", "None")
     result["n_components"] = len(trials) - 1
+    return result
+
+
+def _run_custom_ablator(train_fn: Callable, config: AblationConfig, spark: SparkSession, ablator) -> dict:
+    """Drive a reference-protocol ablator (`abstractablator.py:20-86`)
+    through the engine's wave executor.
+
+    The reference driver hands each finished trial to the next
+    `get_trial` call; here finished trials queue during a wave and
+    drain one per call. Per-trial dataset/model callables cannot ride
+    the relational params payload (run_trial_wave strips callables
+    before shipping), so they are cloudpickled by value into a
+    trial_id-keyed map captured by the wave closure."""
+    from maggy_spark.executor import _dumps_by_value, build_kwargs  # noqa: F401
+    from maggy_spark.experiment import _aggregate_result
+
+    study: AblationStudy = config.ablation_study
+    final_store: list[Trial] = []
+    ablator.ablation_study = study
+    ablator.final_store = final_store
+    ablator.trial_buffer = list(getattr(ablator, "trial_buffer", []))
+    ablator.initialize()
+
+    train_fn_bytes = _dumps_by_value(train_fn)
+    label = study.label_name
+    finished_q: list[Trial] = []
+    done: list[Trial] = []
+
+    while True:
+        batch: list[Trial] = []
+        while True:
+            last = finished_q.pop(0) if finished_q else None
+            t = ablator.get_trial(last)
+            if t is None:
+                break
+            batch.append(t)
+        if not batch:
+            break
+
+        fn_map = {
+            t.trial_id: _dumps_by_value(
+                (t.params.get("dataset_function"), t.params.get("model_function"))
+            )
+            for t in batch
+        }
+
+        def wrapped(hparams: dict, reporter: Any = None, **_kw) -> Any:
+            from pyspark import cloudpickle as _cp
+
+            user_fn = _cp.loads(train_fn_bytes)
+            tid = hparams.get("__trial_id__")
+            dataset_fn = model_fn = None
+            if tid in fn_map:
+                dataset_fn, model_fn = _cp.loads(fn_map[tid])
+            extras = {
+                "ablated_feature": hparams.get("ablated_feature"),
+                "ablated_layer": hparams.get("ablated_layer"),
+                "label_name": label,
+            }
+            if dataset_fn is not None:
+                extras["dataset_function"] = dataset_fn
+            if model_fn is not None:
+                extras["model_function"] = model_fn
+            kwargs = build_kwargs(user_fn, {}, reporter, extras)
+            return user_fn(**kwargs)
+
+        pending = [
+            {
+                "trial_id": t.trial_id,
+                "params": {
+                    **{k: v for k, v in t.params.items() if not callable(v)},
+                    "__trial_id__": t.trial_id,
+                },
+                "budget": 0,
+            }
+            for t in batch
+        ]
+        by_id = {t.trial_id: t for t in batch}
+        results = run_trial_wave(spark, pending, wrapped, optimization_key=config.optimization_key)
+        for r in results:
+            t = by_id[r["trial_id"]]
+            if r["error"]:
+                t.status = Trial.ERROR
+                t.info_dict["error"] = r["error"]
+            else:
+                t.status = Trial.FINALIZED
+                t.final_metric = r["final_metric"]
+            t.info_dict["seq"] = len(done)
+            done.append(t)
+            final_store.append(t)
+            finished_q.append(t)
+
+    ablator.finalize_experiment(done)
+    result = _aggregate_result(spark, done, config.direction)
+    best = next((t for t in done if t.trial_id == result.get("best_id")), None)
+    if best is not None:
+        result["best_config"] = {k: v for k, v in best.params.items() if not callable(v)}
+        result["best_excludes"] = {
+            "ablated_feature": best.params.get("ablated_feature", "None"),
+            "ablated_layer": best.params.get("ablated_layer", "None"),
+        }
+    result["n_components"] = len(done) - 1
     return result

@@ -67,7 +67,9 @@ class AblationConfig(BaseConfig):
     (`ablation_driver.py:52`)."""
 
     ablation_study: Any = None
-    ablator: str = "loco"
+    # "loco" (relational engine path) or a reference-protocol
+    # AbstractAblator instance (`ablation_driver.py:65-77`)
+    ablator: Any = "loco"
     direction: str = "max"
     optimization_key: str = "metric"
 

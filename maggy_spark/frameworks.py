@@ -127,3 +127,44 @@ def sanitize_ds_config(ds_config: dict, zero_lvl: int | None = None) -> dict:
             raise ValueError("only Adam is supported with DeepSpeed here (reference guard)")
         opt.setdefault("params", {})["torch_adam"] = True
     return ds_config
+
+
+# -- Keras layer ablation (LOCO model surgery) --------------------------
+
+
+def ablate_keras_layer(model, layer_identifier):
+    """Rebuild a Keras model with the identified layer(s) removed
+    (reference `ablation/ablator/loco.py:99-137`): a string removes
+    one layer by name; a multi-element set removes the group; a
+    singleton set is a name prefix. Input and output layers are never
+    removed. Requires tensorflow at call time."""
+    try:
+        import tensorflow as tf
+    except ImportError:
+        _need("tensorflow", "ablate_keras_layer")
+    import json as _json
+
+    spec = _json.loads(model.to_json())
+    layers = list(spec["config"]["layers"])
+    interior = layers[1:-1]
+
+    def matches(layer) -> bool:
+        name = layer["config"]["name"]
+        if isinstance(layer_identifier, str):
+            return name == layer_identifier
+        if len(layer_identifier) > 1:
+            return name in layer_identifier
+        return name.lower().startswith(next(iter(layer_identifier)).lower())
+
+    if isinstance(layer_identifier, str):
+        # single layer: remove only the first match, scanning interior
+        for layer in interior:
+            if matches(layer):
+                layers.remove(layer)
+                break
+    else:
+        for layer in interior:
+            if matches(layer):
+                layers.remove(layer)
+    spec["config"]["layers"] = layers
+    return tf.keras.models.model_from_json(_json.dumps(spec))

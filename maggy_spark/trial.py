@@ -56,7 +56,20 @@ class Trial:
         self.params = dict(params)
         self.trial_type = trial_type
         self.info_dict = dict(info_dict or {})
-        self.trial_id = trial_id_for_params(self.params)
+        if trial_type == "ablation" and (
+            "ablated_feature" in self.params or "ablated_layer" in self.params
+        ):
+            # reference-shaped ablation trials (`trial.py:62-67`) hash
+            # ONLY the ablated component labels — the dataset/model
+            # callables in params must not (and cannot) contribute
+            basis = {
+                "ablated_feature": self.params.get("ablated_feature"),
+                "ablated_layer": self.params.get("ablated_layer"),
+            }
+            payload = json.dumps(basis, sort_keys=True)
+            self.trial_id = hashlib.md5(payload.encode("utf-8")).hexdigest()[:16]
+        else:
+            self.trial_id = trial_id_for_params(self.params)
         self.status = PENDING
         self.final_metric: float | None = None
         self.metric_history: list[float] = []
