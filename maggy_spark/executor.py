@@ -295,9 +295,10 @@ def _make_stop_check(stop_src: str | None):
     refresh_path = state.get("refresh_path")
     holder = {
         "histories": state.get("prefix_histories", []),
+        "finalized": state.get("finalized", []),
         "mtime": None,
     }
-    if not holder["histories"] and not refresh_path:
+    if not holder["histories"] and not holder["finalized"] and not refresh_path:
         return None
 
     def _maybe_refresh() -> None:
@@ -315,9 +316,55 @@ def _make_stop_check(stop_src: str | None):
             with open(refresh_path) as f:
                 fresh = json.load(f)
             holder["histories"] = fresh.get("prefix_histories", holder["histories"])
+            holder["finalized"] = fresh.get("finalized", holder["finalized"])
             holder["mtime"] = mt
         except (OSError, json.JSONDecodeError, ValueError):
             pass  # concurrent replace: keep the previous bar, retry next check
+
+    rule_b64 = state.get("custom_rule")
+    if rule_b64:
+        # custom reference-contract rule (`abstractearlystop.py:20-40`):
+        # rebuild the user's earlystop_check and feed it Trial-shaped
+        # views of the checked trial + finalized snapshots; any
+        # non-None return means stop (the reference driver treats the
+        # returned trial_id as the stop set, optimization_driver.py:456-471)
+        import base64
+        import types
+
+        from pyspark import cloudpickle as _cp
+
+        rule_fn = _cp.loads(base64.b64decode(rule_b64))
+
+        def custom_check(step_history: list[int], metric_history: list[float]) -> bool:
+            s = len(metric_history)
+            if s == 0 or s % es_interval != 0:
+                return False
+            _maybe_refresh()
+            fins = holder.get("finalized") or []
+            if not fins:
+                return False
+            to_check = types.SimpleNamespace(
+                trial_id="__checked__",
+                metric_history=list(metric_history),
+                step_history=list(step_history),
+                metric_dict=dict(zip(step_history, metric_history)),
+            )
+            finalized = [
+                types.SimpleNamespace(
+                    trial_id=f.get("trial_id"),
+                    metric_history=list(f.get("metric_history", [])),
+                    final_metric=f.get("final_metric"),
+                )
+                for f in fins
+            ]
+            try:
+                return rule_fn(to_check, finalized, direction) is not None
+            except Exception:
+                # reference logs rule exceptions and keeps running
+                # (optimization_driver.py:466-469)
+                return False
+
+        return custom_check
 
     def check(step_history: list[int], metric_history: list[float]) -> bool:
         s = len(metric_history)

@@ -96,11 +96,26 @@ def _run_base(train_fn: Callable, config: BaseConfig, spark: SparkSession) -> di
     return {"test result": metric, "logs": reporter.logs}
 
 
+def _es_custom_rule(config):
+    """The user's `earlystop_check` for a custom rule (a class or
+    instance implementing the reference's AbstractEarlyStop contract,
+    `abstractearlystop.py:20-40`), or None for built-in policies."""
+    policy = config.es_policy
+    if policy is None or isinstance(policy, str):
+        return None
+    if getattr(policy, "POLICY", None) in ("median", "none"):
+        return None  # facade built-ins select by name
+    fn = getattr(policy, "earlystop_check", None)
+    return fn if callable(fn) else None
+
+
 def _es_enabled(config) -> bool:
-    """Early stopping runs only for the median policy; None or "none"
-    disable it. Anything else is rejected up front rather than being
-    silently treated as median (custom rule objects are not supported
-    in the UDF-local check — SURVEY §7.3a)."""
+    """Early stopping runs for the median policy or a custom
+    reference-contract rule; None or "none" disable it. Anything else
+    is rejected up front rather than being silently treated as
+    median."""
+    if _es_custom_rule(config) is not None:
+        return True
     policy = config.es_policy
     # facade rule classes/instances (maggy.earlystop) carry a POLICY
     # string; strings pass through unchanged
@@ -110,7 +125,8 @@ def _es_enabled(config) -> bool:
     if isinstance(policy, str) and policy.lower() == "median":
         return True
     raise ValueError(
-        f"unsupported es_policy {policy!r}: expected 'median', 'none', or None"
+        f"unsupported es_policy {policy!r}: expected 'median', 'none', None, "
+        "or a rule implementing earlystop_check"
     )
 
 
@@ -129,16 +145,39 @@ def _log_progress(controller, settled: int) -> None:
 
 
 def _bar_payload(controller, config) -> dict:
-    """Current median-rule bar state: histories appear only once
-    es_min trials have finalized (medianrule.py min-completed gate)."""
+    """Current early-stop state: histories appear only once es_min
+    trials have finalized (medianrule.py min-completed gate). For a
+    custom rule, the rule's check function travels cloudpickled (by
+    value — user rules live in un-importable notebook modules) with
+    richer finalized-trial snapshots for its Trial-shaped arguments."""
     histories = []
-    if len(controller.final_store) >= config.es_min:
+    finalized = []
+    past_gate = len(controller.final_store) >= config.es_min
+    if past_gate:
         histories = [t.metric_history for t in controller.final_store if t.metric_history]
-    return {
+    payload = {
         "direction": config.direction,
         "es_interval": config.es_interval,
         "prefix_histories": histories,
     }
+    rule_fn = _es_custom_rule(config)
+    if rule_fn is not None:
+        import base64
+
+        from maggy_spark.executor import _dumps_by_value
+
+        if past_gate:
+            finalized = [
+                {
+                    "trial_id": t.trial_id,
+                    "metric_history": list(t.metric_history),
+                    "final_metric": t.final_metric,
+                }
+                for t in controller.final_store
+            ]
+        payload["custom_rule"] = base64.b64encode(_dumps_by_value(rule_fn)).decode("ascii")
+        payload["finalized"] = finalized
+    return payload
 
 
 def _stop_source(controller, config, refresh_path: str | None = None) -> str | None:
@@ -150,7 +189,7 @@ def _stop_source(controller, config, refresh_path: str | None = None) -> str | N
         # as it tightens, so even a trial submitted BEFORE es_min
         # finishers gets a stop source (empty bar now, live bar later)
         payload["refresh_path"] = refresh_path
-    elif not payload["prefix_histories"]:
+    elif not payload["prefix_histories"] and not payload.get("finalized"):
         return None
     return json.dumps(payload)
 

@@ -225,3 +225,75 @@ def test_populate_and_finalize_experiment(tmp_path):
     assert out["state"] == "FINISHED" and out["metric"] == 0.7
     saved = json.loads((tmp_path / "experiment.json").read_text())
     assert saved["optimization_key"] == "metric"
+
+
+# -- custom early-stop rules (reference abstractearlystop.py:20-40) ------
+
+
+def test_builtin_rule_earlystop_check_semantics():
+    import types
+
+    from maggy.earlystop import MedianStoppingRule, NoStoppingRule
+
+    fin = [
+        types.SimpleNamespace(metric_history=[1.0, 1.0], trial_id="a"),
+        types.SimpleNamespace(metric_history=[3.0, 3.0], trial_id="b"),
+    ]
+    weak = types.SimpleNamespace(metric_history=[0.5, 0.6], trial_id="w")
+    strong = types.SimpleNamespace(metric_history=[5.0, 6.0], trial_id="s")
+    assert MedianStoppingRule.earlystop_check(weak, fin, "max") == "w"
+    assert MedianStoppingRule.earlystop_check(strong, fin, "max") is None
+    assert MedianStoppingRule.earlystop_check(strong, fin, "min") == "s"
+    assert NoStoppingRule.earlystop_check(weak, fin, "max") is None
+
+
+def test_custom_rule_stops_trials_e2e(spark):
+    """A user rule subclassing AbstractEarlyStop runs trial-locally."""
+    from maggy import Searchspace, experiment
+    from maggy.config import HyperparameterOptConfig
+    from maggy.earlystop import AbstractEarlyStop
+
+    class StopWeakRule(AbstractEarlyStop):
+        @staticmethod
+        def earlystop_check(to_check, finalized_trials, direction):
+            # stop anything whose first metric is below the best
+            # finalized final_metric minus 0.5
+            best = max(t.final_metric for t in finalized_trials)
+            if to_check.metric_history and to_check.metric_history[0] < best - 0.5:
+                return to_check.trial_id
+            return None
+
+    def fn(x, reporter):
+        for step in range(40):
+            reporter.broadcast(x, step)
+        return x
+
+    config = HyperparameterOptConfig(
+        num_trials=6,
+        optimizer="gridsearch",
+        # grid order is deterministic: the strong configs run in wave 1
+        # (parallelism=2), then 0.1/0.05 land in wave 2 with the bar up
+        searchspace=Searchspace(x=("DISCRETE", [0.9, 0.85, 0.1, 0.05, 0.8, 0.75])),
+        direction="max",
+        es_policy=StopWeakRule,
+        es_min=2,
+        es_interval=1,
+        parallelism=2,
+    )
+    res = experiment.lagom(fn, config, spark)
+    assert res["num_trials"] == 6
+    # the weak wave-2 trials must be stopped by the custom rule
+    assert res.get("early_stopped", 0) >= 1
+    assert res["best_val"] == 0.9
+
+
+def test_unknown_es_policy_still_rejected(spark):
+    from maggy_spark.config import HyperparameterOptConfig
+    from maggy_spark.experiment import _es_enabled
+
+    config = HyperparameterOptConfig(
+        num_trials=1, optimizer="randomsearch", searchspace=None,
+        direction="max", es_policy="aggressive",
+    )
+    with pytest.raises(ValueError):
+        _es_enabled(config)
