@@ -225,6 +225,151 @@ WHERE cast(cast(('0x' || substr(md5('pl3:' || cast(t.doc_id AS VARCHAR)), 1, 13)
 """
 
 
+# pl4 rule thresholds (Gopher-style surface filters)
+FUNNEL_MIN_TOKENS = 10
+FUNNEL_MIN_RICHNESS = 0.3
+FUNNEL_MAX_MEAN_WORD_LEN = 12.0
+FUNNEL_MIN_MEAN_WORD_LEN = 2.0
+
+
+def pl4_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule drop accounting for the quality-filter chain — the
+    "filter funnel" report a corpus-curation run publishes so each
+    rule's bite is visible before committing to a recipe.
+
+    Output: one row per rule with how many documents fail it in
+    isolation (`n_failing`) and how many survive the chain up to and
+    including it (`n_surviving_cum`, rules applied in seq order).
+
+    Scale shape: ONE corpus scan computes every per-doc predicate in a
+    single projection; a single 1-row aggregate (partial map-side
+    sums) collapses them, and `stack` pivots that one row to the
+    4-row report — no joins, no window, no second scan, report size
+    O(rules) regardless of corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    toks = F.split(F.col("text"), " ")
+    n_toks = F.size(toks).cast("bigint")
+    mean_wlen = (
+        F.aggregate(toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t).cast("bigint")).cast("double")
+        / n_toks.cast("double")
+    )
+    richness = F.size(F.array_distinct(toks)).cast("double") / n_toks.cast("double")
+    flags = d.select(
+        (n_toks < FUNNEL_MIN_TOKENS).cast("bigint").alias("f_short"),
+        (richness < FUNNEL_MIN_RICHNESS).cast("bigint").alias("f_rich"),
+        ((mean_wlen > FUNNEL_MAX_MEAN_WORD_LEN) | (mean_wlen < FUNNEL_MIN_MEAN_WORD_LEN))
+        .cast("bigint")
+        .alias("f_wlen"),
+        (F.col("lang") == "unknown").cast("bigint").alias("f_lang"),
+    )
+    agg = flags.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("f_short").alias("d1"),
+        F.sum("f_rich").alias("d2"),
+        F.sum("f_wlen").alias("d3"),
+        F.sum("f_lang").alias("d4"),
+        F.sum("f_short").alias("c1"),
+        F.sum(F.greatest("f_short", "f_rich").cast("bigint")).alias("c2"),
+        F.sum(F.greatest("f_short", "f_rich", "f_wlen").cast("bigint")).alias("c3"),
+        F.sum(F.greatest("f_short", "f_rich", "f_wlen", "f_lang").cast("bigint")).alias("c4"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, "
+            "1, 'min_tokens',    d1, n_docs - c1, "
+            "2, 'min_richness',  d2, n_docs - c2, "
+            "3, 'mean_word_len', d3, n_docs - c3, "
+            "4, 'lang_known',    d4, n_docs - c4) "
+            "AS (seq, rule, n_failing, n_surviving_cum)"
+        )
+    )
+
+
+PL4_SQL = f"""
+WITH flags AS (
+    SELECT
+        CASE WHEN cast(len(str_split(text, ' ')) AS BIGINT) < {FUNNEL_MIN_TOKENS} THEN 1 ELSE 0 END AS f_short,
+        CASE WHEN cast(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+                  / cast(len(str_split(text, ' ')) AS DOUBLE) < {FUNNEL_MIN_RICHNESS} THEN 1 ELSE 0 END AS f_rich,
+        CASE WHEN (cast(list_sum(list_transform(str_split(text, ' '), t -> cast(length(t) AS BIGINT))) AS DOUBLE)
+                   / cast(len(str_split(text, ' ')) AS DOUBLE)) > {FUNNEL_MAX_MEAN_WORD_LEN}
+               OR (cast(list_sum(list_transform(str_split(text, ' '), t -> cast(length(t) AS BIGINT))) AS DOUBLE)
+                   / cast(len(str_split(text, ' ')) AS DOUBLE)) < {FUNNEL_MIN_MEAN_WORD_LEN} THEN 1 ELSE 0 END AS f_wlen,
+        CASE WHEN lang = 'unknown' THEN 1 ELSE 0 END AS f_lang
+    FROM documents
+),
+agg AS (
+    SELECT count(*) AS n_docs,
+           sum(f_short) AS d1, sum(f_rich) AS d2, sum(f_wlen) AS d3, sum(f_lang) AS d4,
+           sum(f_short) AS c1,
+           sum(greatest(f_short, f_rich)) AS c2,
+           sum(greatest(f_short, f_rich, f_wlen)) AS c3,
+           sum(greatest(f_short, f_rich, f_wlen, f_lang)) AS c4
+    FROM flags
+)
+SELECT 1 AS seq, 'min_tokens' AS rule,    cast(d1 AS BIGINT) AS n_failing, cast(n_docs - c1 AS BIGINT) AS n_surviving_cum FROM agg
+UNION ALL
+SELECT 2, 'min_richness',  cast(d2 AS BIGINT), cast(n_docs - c2 AS BIGINT) FROM agg
+UNION ALL
+SELECT 3, 'mean_word_len', cast(d3 AS BIGINT), cast(n_docs - c3 AS BIGINT) FROM agg
+UNION ALL
+SELECT 4, 'lang_known',    cast(d4 AS BIGINT), cast(n_docs - c4 AS BIGINT) FROM agg
+"""
+
+
+# pl5 split quotas: [0,80) train, [80,90) val, [90,100) test
+SPLIT_QUOTAS = (("train", 0, 80), ("val", 80, 90), ("test", 90, 100))
+
+
+def pl5_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test split: every document is assigned
+    the split of its exact-dup CLUSTER REPRESENTATIVE, so duplicate
+    copies can never straddle the train/eval boundary (the classic
+    contamination path when splitting at the doc level).
+
+    The split decision is hash-deterministic on the representative id
+    (md5 counter like pl2/g1): reproducible across runs, engines,
+    partitionings, and retries, and stable under corpus growth — a new
+    duplicate of an existing document lands in its cluster's split.
+
+    Scale shape: the dd5 cluster relation (one md5 groupBy) joined
+    back on doc_id; the split expression is map-side arithmetic on the
+    joined rep — one shuffle total, inherited from dd5.
+    """
+    clusters = dd5_dedup_clusters(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("pl5:"), F.col("cluster_rep").cast("string"))), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    split = F.coalesce(
+        *[
+            F.when((bucket >= lo) & (bucket < hi), F.lit(name))
+            for name, lo, hi in SPLIT_QUOTAS
+        ]
+    )
+    return clusters.select(
+        "doc_id", "cluster_rep", "is_duplicate", split.alias("split")
+    )
+
+
+_SPLIT_CASE = " ".join(
+    f"WHEN bucket >= {lo} AND bucket < {hi} THEN '{name}'" for name, lo, hi in SPLIT_QUOTAS
+)
+PL5_SQL = f"""
+WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+reps AS (SELECT h, min(doc_id) AS cluster_rep FROM d GROUP BY h),
+joined AS (
+    SELECT d.doc_id, reps.cluster_rep, (d.doc_id != reps.cluster_rep) AS is_duplicate,
+           cast(('0x' || substr(md5('pl5:' || cast(reps.cluster_rep AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+    FROM d JOIN reps ON d.h = reps.h
+)
+SELECT doc_id, cluster_rep, is_duplicate, (CASE {_SPLIT_CASE} END) AS split
+FROM joined
+"""
+
+
 OPERATORS = [
     ("pl1_corpus_prep", pl1_corpus_prep, PL1_SQL),
     ("pl2_stratified_sample", pl2_stratified_sample, PL2_SQL),

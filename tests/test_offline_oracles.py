@@ -31,6 +31,8 @@ CASES = [
     ("dd9_decontaminate", "DD9_SQL", "maggy_spark.functions.dedup"),
     ("tx7_repetition", "TX7_SQL", "maggy_spark.functions.text"),
     ("pl3_token_budget_mix", "PL3_SQL", "maggy_spark.functions.pipeline"),
+    ("pl4_filter_funnel", "PL4_SQL", "maggy_spark.functions.pipeline"),
+    ("pl5_leakage_split", "PL5_SQL", "maggy_spark.functions.pipeline"),
 ]
 
 
