@@ -573,6 +573,11 @@ class ReferenceOptimizerAdapter(AbstractOptimizer):
             if t is None:
                 self._exhausted = True
                 break
+            if isinstance(t, str):
+                # "IDLE": a pruner-managed optimizer has no startable
+                # slot right now (reference randomsearch.py:26-35) —
+                # stop filling this wave, ask again after finishes
+                break
             self.wrapped.trial_store[t.trial_id] = t
             out.append(self._register(t))
         return out
