@@ -194,3 +194,47 @@ def test_get_XY_alias(spark=None):
     gp.finalize_trial(_finalized({"x": 5.0}, 1.0))
     X, y = gp.get_XY()
     assert X.shape == (1, 1) and y.tolist() == [1.0]
+
+
+def test_async_scheduling_with_custom_optimizer_and_rule(spark):
+    """The reference-protocol adapter and a custom early-stop rule
+    both survive the async (per-trial refill) scheduler, including
+    the bar-file republish path."""
+    from maggy.earlystop import AbstractEarlyStop
+    from maggy_spark.config import HyperparameterOptConfig
+    from maggy_spark.experiment import lagom
+
+    class AlwaysStopLate(AbstractEarlyStop):
+        @staticmethod
+        def earlystop_check(to_check, finalized_trials, direction):
+            # once anything finalized, stop any trial that has
+            # reported at least 3 metrics
+            if finalized_trials and len(to_check.metric_history) >= 3:
+                return to_check.trial_id
+            return None
+
+    opt = SequenceOptimizer([float(v) for v in range(1, 9)])
+
+    def train_fn(x, reporter=None):
+        for step in range(30):
+            reporter.broadcast(x, step)
+        return x
+
+    config = HyperparameterOptConfig(
+        num_trials=8,
+        optimizer=opt,
+        searchspace=make_space(),
+        direction="max",
+        scheduling="async",
+        parallelism=2,
+        es_policy=AlwaysStopLate,
+        es_min=1,
+        es_interval=1,
+        name="async-custom",
+    )
+    res = lagom(train_fn, config, spark)
+    assert res["num_trials"] == 8
+    assert res["best_val"] == 8.0
+    assert opt.finalized_with is not None and len(opt.finalized_with) == 8
+    # late trials saw the republished bar and stopped mid-stream
+    assert res.get("early_stopped", 0) >= 1
