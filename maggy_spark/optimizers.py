@@ -587,6 +587,12 @@ class ReferenceOptimizerAdapter(AbstractOptimizer):
         self.wrapped.trial_store.pop(trial.trial_id, None)
         self._finished_queue.append(trial)
 
+    def report_error(self, trial: Trial) -> None:
+        # an ERROR trial never finalizes: drop it from the wrapped
+        # optimizer's in-flight store so exhaustion can complete
+        super().report_error(trial)
+        self.wrapped.trial_store.pop(trial.trial_id, None)
+
     def done(self) -> bool:
         finished = (
             self._exhausted and not getattr(self.wrapped, "trial_store", None)

@@ -238,3 +238,30 @@ def test_async_scheduling_with_custom_optimizer_and_rule(spark):
     assert opt.finalized_with is not None and len(opt.finalized_with) == 8
     # late trials saw the republished bar and stopped mid-stream
     assert res.get("early_stopped", 0) >= 1
+
+
+def test_adapter_survives_trial_errors(spark):
+    """An ERROR trial (train_fn raises) is dropped from the wrapped
+    optimizer's in-flight store and the experiment completes."""
+    from maggy_spark.config import HyperparameterOptConfig
+    from maggy_spark.experiment import lagom
+
+    opt = SequenceOptimizer([1.0, 2.0, 3.0])
+
+    def train_fn(x, reporter=None):
+        if x == 2.0:
+            raise RuntimeError("boom")
+        return float(x)
+
+    res = lagom(
+        train_fn,
+        HyperparameterOptConfig(
+            num_trials=3, optimizer=opt, searchspace=make_space(),
+            direction="max", name="err-opt",
+        ),
+        spark,
+    )
+    assert res["best_val"] == 3.0
+    assert res["errors"] == 1
+    assert res["num_trials"] == 2  # finalized only; the ERROR row is separate
+    assert opt.trial_store == {}  # errored trial evicted
