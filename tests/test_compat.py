@@ -286,3 +286,18 @@ def test_package_level_lagom_matches_experiment_signature(spark):
         return 2.0
 
     assert maggy_spark.lagom(train_fn, name="pkg_entry")["test result"] == 2.0
+
+
+def test_experiment_submodule_paths():
+    """Reference module paths under maggy.experiment resolve."""
+    import pytest
+
+    from maggy.experiment import lagom as l0
+    from maggy.experiment.experiment import lagom as l1
+    from maggy.experiment.experiment_pyspark import lagom as l2
+    from maggy.experiment.experiment_pyspark import lagom_driver
+    from maggy.experiment.experiment_python import lagom as l3
+
+    assert l0 is l1 is l2 is l3
+    with pytest.raises(TypeError):
+        lagom_driver("not-a-config")
