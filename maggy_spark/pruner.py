@@ -224,3 +224,116 @@ class HyperbandPruner:
             "iteration int, rung int, budget int, original_trial_id string, "
             "trial_id string, promoted boolean",
         )
+
+
+class SHIteration:
+    """One synchronous SuccessiveHalving iteration, exposed with the
+    reference's public class surface (`pruner/hyperband.py:304-527`):
+    `get_next_run` hands out (trial_id, budget) slots, `report_trial`
+    binds the optimizer's emitted trial ids, `promotable`/`promote`
+    advance the best 1/eta of a settled rung, `finished` closes the
+    iteration. The engine's HyperbandPruner runs the same algorithm on
+    its internal ledger; this class exists for reference user code
+    (custom pruners, tests) that drives iterations directly.
+
+    `trial_metric_getter(ids) -> {trial_id: metric}` must return
+    entries only for FINISHED trials (lower is better)."""
+
+    INIT = "INIT"
+    RUNNING = "RUNNING"
+    FINISHED = "FINISHED"
+
+    def __init__(self, n_configs, budgets, iteration_id=0, trial_metric_getter=None, logger=None):
+        if len(n_configs) != len(budgets):
+            raise ValueError("n_configs and budgets must align rung-for-rung")
+        self.iteration_id = iteration_id
+        self.state = SHIteration.INIT
+        self.n_configs = list(n_configs)
+        self.budgets = list(budgets)
+        self.n_rungs = len(self.n_configs)
+        self.current_rung = 0
+        self.actual_n_configs = [0] * self.n_rungs
+        self.configs = {rung: [] for rung in range(self.n_rungs)}
+        self.trial_metric_getter = trial_metric_getter
+        self._logger = logger
+
+    def _metrics(self, ids):
+        if self.trial_metric_getter is None:
+            return {}
+        return dict(self.trial_metric_getter(ids) or {})
+
+    def get_next_run(self):
+        """{"trial_id": None|promoted_id, "budget": b} for the next
+        slot, or None when waiting on running trials / finished."""
+        self.state = SHIteration.RUNNING
+        rung = self.current_rung
+        if self.actual_n_configs[rung] < self.n_configs[rung]:
+            if rung == 0:
+                self.actual_n_configs[0] += 1
+                return {"trial_id": None, "budget": self.budgets[0]}
+            for cfg in self.configs[rung]:
+                if cfg["actual_trial_id"] is None:
+                    self.actual_n_configs[rung] += 1
+                    return {"trial_id": cfg["original_trial_id"], "budget": self.budgets[rung]}
+            return None  # promotions awaiting report_trial
+        if self.promotable():
+            if self.current_rung + 1 < self.n_rungs:
+                self.promote()
+                return self.get_next_run()
+            self.state = SHIteration.FINISHED
+            return None
+        return None
+
+    def report_trial(self, original_trial_id, new_trial_id):
+        """Bind the trial the optimizer actually started to its slot."""
+        rung = self.current_rung
+        if original_trial_id is None:
+            self.configs[rung].append(
+                {"original_trial_id": new_trial_id, "actual_trial_id": new_trial_id}
+            )
+        else:
+            for cfg in self.configs[rung]:
+                if cfg["original_trial_id"] == original_trial_id and cfg["actual_trial_id"] is None:
+                    cfg["actual_trial_id"] = new_trial_id
+                    break
+
+    def promotable(self):
+        """True when every slot of the current rung is bound AND
+        finished (its metric is available)."""
+        rung = self.current_rung
+        if self.actual_n_configs[rung] < self.n_configs[rung]:
+            return False
+        actual = [c["actual_trial_id"] for c in self.configs[rung]]
+        if len(actual) < self.n_configs[rung] or any(a is None for a in actual):
+            return False
+        return len(self._metrics(actual)) == len(actual)
+
+    def promote(self):
+        """Advance the best 1/eta of the settled rung; returns the
+        promoted trial ids (ascending metric, stable ties)."""
+        rung = self.current_rung
+        actual = [c["actual_trial_id"] for c in self.configs[rung]]
+        metrics = self._metrics(actual)
+        keep = self.n_configs[rung + 1]
+        ranked = sorted(actual, key=lambda tid: metrics[tid])[:keep]
+        self.current_rung = rung + 1
+        for tid in ranked:
+            self.configs[self.current_rung].append(
+                {"original_trial_id": tid, "actual_trial_id": None}
+            )
+        return ranked
+
+    def finished(self):
+        """True once the last rung has fully settled."""
+        last = self.n_rungs - 1
+        if self.current_rung != last:
+            return False
+        if self.actual_n_configs[last] < self.n_configs[last]:
+            return False
+        actual = [c["actual_trial_id"] for c in self.configs[last]]
+        if len(actual) < self.n_configs[last] or any(a is None for a in actual):
+            return False
+        if len(self._metrics(actual)) == len(actual):
+            self.state = SHIteration.FINISHED
+            return True
+        return False
