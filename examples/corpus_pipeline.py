@@ -55,6 +55,23 @@ def main():
     sample = pl2_stratified_sample(spark, sf_dir)
     sample.groupBy("lang").count().orderBy("lang").show()
 
+    # publish the filter funnel (how much each rule bites) and carve
+    # leakage-free train/val/test splits before sharding
+    from maggy_spark.functions.pipeline import pl4_filter_funnel, pl5_leakage_split
+
+    pl4_filter_funnel(spark, sf_dir).orderBy("seq").show()
+    splits = pl5_leakage_split(spark, sf_dir)
+    splits.groupBy("split").count().orderBy("split").show()
+    # invariant: a dup pair can never straddle splits — its members
+    # share the cluster rep, and the split hashes the rep
+    leaks = (
+        splits.alias("a")
+        .join(splits.alias("b"), F.col("a.cluster_rep") == F.col("b.cluster_rep"))
+        .where(F.col("a.split") != F.col("b.split"))
+        .count()
+    )
+    print(f"cross-split duplicate leaks: {leaks} (must be 0)")
+
     out = "/tmp/maggy_example_corpus"
     corpus_to_shards(spark, sf_dir, out, n_shards=4)
     for rank in range(4):
