@@ -104,6 +104,148 @@ WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECE
 """
 
 
+def ev4_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) join: each purchase attributed to the
+    same user's most recent click at or before the purchase instant —
+    the feature-store correctness primitive (no future leakage) that
+    Spark has no native operator for.
+
+    Scale shape: NOT a range join (a time-bounded theta join explodes
+    on active users). Both event slices union into one relation and a
+    single user-partitioned running window carries the last-seen
+    click forward; purchases then read it. One shuffle on user_id,
+    state bounded by one row per user per window frame — the same
+    plan holds with billions of rows per user-day. Same-instant ties
+    order clicks before purchases (at-or-before includes them) and
+    break by event_id, so the result is engine-independent.
+    Inner-as-of semantics: purchases with no preceding click are
+    dropped (their attribution is undefined).
+
+    The DuckDB twin deliberately uses a DIFFERENT algorithm — the
+    native ASOF JOIN — so the oracle cross-checks the window
+    construction against an independent implementation.
+    """
+    from pyspark.sql.window import Window
+
+    e = load_events(spark, sf_dir)
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"), F.col("value").alias("click_value"),
+        F.lit(1).alias("is_click"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id"),
+        F.lit(None).cast("bigint").alias("click_id"),
+        F.lit(None).cast("double").alias("click_value"),
+        F.lit(0).alias("is_click"),
+    )
+    tagged = clicks.select(
+        "user_id", "ts", F.lit(None).cast("bigint").alias("purchase_id"),
+        "click_id", "click_value", "is_click",
+    ).unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_click").desc(), F.coalesce("click_id", "purchase_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.select(
+        "user_id", "ts", "purchase_id",
+        F.last("click_id", ignorenulls=True).over(w).alias("last_click_id"),
+        F.last("click_value", ignorenulls=True).over(w).alias("last_click_value"),
+        F.last(F.when(F.col("is_click") == 1, F.col("ts")), ignorenulls=True).over(w).alias("last_click_ts"),
+    )
+    return (
+        carried.where(F.col("purchase_id").isNotNull() & F.col("last_click_id").isNotNull())
+        .select(
+            "user_id",
+            "purchase_id",
+            F.unix_micros("ts").alias("purchase_us"),
+            F.col("last_click_id").alias("click_id"),
+            F.col("last_click_value").alias("click_value"),
+            (F.unix_micros("ts") - F.unix_micros("last_click_ts")).alias("gap_us"),
+        )
+    )
+
+
+EV4_SQL = """
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       epoch_us(p.ts) AS purchase_us,
+       c.event_id AS click_id,
+       c.value AS click_value,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity closes a session
+
+
+def ev5_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: split each user's event stream at >30-minute
+    inactivity gaps and aggregate per session — the session-window
+    shape, built from the lag-gap-cumsum idiom so the batch path
+    needs no stateful operator.
+
+    Scale shape: one shuffle on user_id; the gap flags and the
+    running session counter ride a single user-partitioned sort, and
+    the per-session rollup reuses the same partitioning (no second
+    shuffle of the full relation — Catalyst sees the groupBy keys
+    prefix-match the window partitioning). Deterministic ordering via
+    (ts, event_id) ties."""
+    from pyspark.sql.window import Window
+
+    e = load_events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    order = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gapped = e.withColumn(
+        "new_session",
+        F.when(
+            F.lag("us").over(order).isNull()
+            | ((F.col("us") - F.lag("us").over(order)) > SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    run = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = gapped.withColumn("session_id", F.sum("new_session").over(run))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+        F.sum((F.col("event_type") == "purchase").cast("bigint")).alias("n_purchases"),
+    )
+
+
+EV5_SQL = f"""
+WITH gapped AS (
+    SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+sessions AS (
+    SELECT *, cast(sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+    FROM gapped
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       min(us) AS start_us,
+       max(us) AS end_us,
+       max(us) - min(us) AS duration_us,
+       cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
 OPERATORS = [
     ("ev1_type_rollup", ev1_type_rollup, EV1_SQL),
     ("ev2_daily_activity", ev2_daily_activity, EV2_SQL),
