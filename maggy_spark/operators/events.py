@@ -246,6 +246,60 @@ GROUP BY user_id, session_id
 """
 
 
+TRAIL_WINDOW_US = 3 * 24 * 3600 * 1_000_000  # 3-day trailing feature window
+
+
+def ev6_trailing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing time-range features at label time: for each purchase,
+    the same user's click count and click-value sum over the previous
+    3 days up to the purchase instant — the leakage-free rolling
+    aggregate every point-in-time feature pipeline computes.
+
+    Scale shape: a RANGE-framed window over microsecond epochs, one
+    shuffle on user_id; the frame is time-bounded so window state is
+    capped by events-per-user-per-3-days regardless of corpus size.
+    Conditional aggregation inside the frame (clicks only) avoids a
+    self-join of the events relation against itself. Value sums route
+    through decimal for bit-exact cross-engine doubles."""
+    from pyspark.sql.window import Window
+
+    e = load_events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "value", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us").rangeBetween(-TRAIL_WINDOW_US, Window.currentRow)
+    feats = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "us",
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).over(w).alias("n_clicks_3d"),
+        F.sum(F.when(F.col("event_type") == "click", F.col("value").cast(DEC4))).over(w)
+        .cast("double")
+        .alias("click_value_3d"),
+    )
+    return feats.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("us").alias("purchase_us"),
+        "n_clicks_3d",
+        "click_value_3d",
+    )
+
+
+EV6_SQL = f"""
+WITH feats AS (
+    SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+           cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER w AS BIGINT) AS n_clicks_3d,
+           cast(sum(CASE WHEN event_type = 'click' THEN cast(value AS DECIMAL(18,4)) END) OVER w AS DOUBLE) AS click_value_3d
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN {TRAIL_WINDOW_US} PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id AS purchase_id, us AS purchase_us, n_clicks_3d, click_value_3d
+FROM feats WHERE event_type = 'purchase'
+"""
+
+
 OPERATORS = [
     ("ev1_type_rollup", ev1_type_rollup, EV1_SQL),
     ("ev2_daily_activity", ev2_daily_activity, EV2_SQL),

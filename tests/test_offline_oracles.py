@@ -35,6 +35,7 @@ CASES = [
     ("pl5_leakage_split", "PL5_SQL", "maggy_spark.functions.pipeline"),
     ("ev4_asof_attribution", "EV4_SQL", "maggy_spark.operators.events"),
     ("ev5_sessionize", "EV5_SQL", "maggy_spark.operators.events"),
+    ("ev6_trailing_features", "EV6_SQL", "maggy_spark.operators.events"),
 ]
 
 
