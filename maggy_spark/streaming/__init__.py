@@ -3,6 +3,10 @@ from maggy_spark.streaming.documents_stream import (
     dedup_document_stream,
     fingerprint_document_stream,
 )
+from maggy_spark.streaming.events_stream import (
+    daily_activity_stream,
+    sessionize_event_stream,
+)
 from maggy_spark.streaming.metrics_stream import (
     dedup_metric_stream,
     early_stop_decisions_stream,
@@ -12,10 +16,12 @@ from maggy_spark.streaming.metrics_stream import (
 
 __all__ = [
     "contamination_alert_stream",
+    "daily_activity_stream",
     "dedup_document_stream",
     "dedup_metric_stream",
     "early_stop_decisions_stream",
     "fingerprint_document_stream",
+    "sessionize_event_stream",
     "stateful_trial_tracker",
     "windowed_metric_aggregates",
 ]

@@ -254,3 +254,77 @@ def test_contamination_alert_stream_flags_eval_overlap(spark):
     out = spark.sql("SELECT * FROM contam_out").collect()
     assert [r.doc_id for r in out] == [1]
     assert out[0].eval_doc == 100 and out[0].containment == 1.0
+
+
+def test_session_stream_matches_batch_ev5(spark):
+    """Streaming session_window sessions must agree with the batch
+    lag-gap-cumsum twin (ev5) on the same events: identical session
+    starts, event counts, purchase counts, and durations per user."""
+    import tempfile
+
+    from maggy_spark.operators.events import ev5_sessionize
+    from maggy_spark.plans.fixtures import load_events
+    from maggy_spark.streaming import sessionize_event_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    static = load_events(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="maggy_session_stream_")
+    static.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(static.schema).parquet(d)
+    q = (
+        sessionize_event_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.user_id, r.start_us): (r.n_events, r.n_purchases, r.duration_us)
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    batch = {
+        (r.user_id, r.start_us): (r.n_events, r.n_purchases, r.duration_us)
+        for r in ev5_sessionize(spark, sf_dir).collect()
+    }
+    # append mode only emits sessions the watermark has CLOSED: the
+    # feed's final horizon stays open, so streamed is a strict-value
+    # subset covering everything but the tail
+    assert streamed, "no sessions emitted"
+    for key, vals in streamed.items():
+        assert batch[key] == vals, f"session {key} diverged: {vals} vs {batch[key]}"
+    assert len(streamed) >= 0.9 * len(batch)
+
+
+def test_daily_activity_stream_counts(spark):
+    """Streaming tumbling-day volumes match the exact batch ev2 event
+    counts (distinct users are approximate by design)."""
+    import tempfile
+
+    from maggy_spark.operators.events import ev2_daily_activity
+    from maggy_spark.plans.fixtures import load_events
+    from maggy_spark.streaming import daily_activity_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    static = load_events(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="maggy_daily_stream_")
+    static.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(static.schema).parquet(d)
+    q = (
+        daily_activity_stream(stream)
+        .writeStream.format("memory")
+        .queryName("daily_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {r.day: r.n_events for r in spark.sql("SELECT * FROM daily_out").collect()}
+    batch = {r.day: r.n_events for r in ev2_daily_activity(spark, sf_dir).collect()}
+    # append mode withholds windows still inside the 1-day watermark:
+    # the last day(s) stay open; every emitted day must match exactly
+    assert streamed, "no windows emitted"
+    for day, n in streamed.items():
+        assert batch[day] == n
+    assert len(streamed) >= len(batch) - 2
