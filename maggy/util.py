@@ -151,7 +151,10 @@ def handle_return_val(return_val, log_dir=None, optimization_key="metric", log_f
 
     if not optimization_key:
         raise ValueError("Optimization key cannot be None.")
-    if not return_val:
+    # `is None` / empty-dict, NOT falsiness: a metric of 0 / 0.0 is a
+    # legitimate return (the reference's `if not return_val` guard
+    # rejects it — a bug this engine's normalize_return already avoids)
+    if return_val is None or (isinstance(return_val, dict) and not return_val):
         raise TypeError(
             f"Training function cannot return None or empty (optimization key "
             f"{optimization_key!r}, got {return_val!r})."

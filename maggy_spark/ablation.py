@@ -546,9 +546,18 @@ def _run_custom_ablator(train_fn: Callable, config: AblationConfig, spark: Spark
         if not batch:
             break
 
+        # serialize EACH callable through _dumps_by_value: passing the
+        # tuple would defeat by-value module registration (getmodule on
+        # a tuple is None) and pickle the user's notebook functions by
+        # reference — the executor-side ModuleNotFoundError this path
+        # exists to prevent
+        def _ser(fn):
+            return None if fn is None else _dumps_by_value(fn)
+
         fn_map = {
-            t.trial_id: _dumps_by_value(
-                (t.params.get("dataset_function"), t.params.get("model_function"))
+            t.trial_id: (
+                _ser(t.params.get("dataset_function")),
+                _ser(t.params.get("model_function")),
             )
             for t in batch
         }
@@ -560,7 +569,9 @@ def _run_custom_ablator(train_fn: Callable, config: AblationConfig, spark: Spark
             tid = hparams.get("__trial_id__")
             dataset_fn = model_fn = None
             if tid in fn_map:
-                dataset_fn, model_fn = _cp.loads(fn_map[tid])
+                ds_bytes, mf_bytes = fn_map[tid]
+                dataset_fn = _cp.loads(ds_bytes) if ds_bytes is not None else None
+                model_fn = _cp.loads(mf_bytes) if mf_bytes is not None else None
             extras = {
                 "ablated_feature": hparams.get("ablated_feature"),
                 "ablated_layer": hparams.get("ablated_layer"),

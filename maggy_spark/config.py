@@ -100,7 +100,15 @@ class TorchDistributedConfig(BaseConfig):
     num_workers: int = 2
     process_group_backend: str = "gloo"  # valid init_process_group value
 
+    # torch.distributed process-group names callers used when
+    # `backend` still meant the process group (pre reference-parity
+    # rename): accept and route them so old call sites keep working
+    _LEGACY_PG_BACKENDS = ("gloo", "nccl", "mpi")
+
     def __post_init__(self):
+        if self.backend in self._LEGACY_PG_BACKENDS:
+            self.process_group_backend = self.backend
+            self.backend = "torch"
         if self.backend not in self.BACKENDS:
             raise ValueError(
                 f"backend must be one of {self.BACKENDS}, got {self.backend!r} "

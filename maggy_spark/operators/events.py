@@ -147,21 +147,25 @@ def ev4_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ts"), F.col("is_click").desc(), F.coalesce("click_id", "purchase_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # ONE struct per click carried atomically: separate last() columns
+    # with ignorenulls would desynchronize when the nearest click has
+    # a NULL value (its id would pair with an older click's value)
+    click_struct = F.when(
+        F.col("is_click") == 1, F.struct(F.col("ts"), F.col("click_id"), F.col("click_value"))
+    )
     carried = tagged.select(
         "user_id", "ts", "purchase_id",
-        F.last("click_id", ignorenulls=True).over(w).alias("last_click_id"),
-        F.last("click_value", ignorenulls=True).over(w).alias("last_click_value"),
-        F.last(F.when(F.col("is_click") == 1, F.col("ts")), ignorenulls=True).over(w).alias("last_click_ts"),
+        F.last(click_struct, ignorenulls=True).over(w).alias("lc"),
     )
     return (
-        carried.where(F.col("purchase_id").isNotNull() & F.col("last_click_id").isNotNull())
+        carried.where(F.col("purchase_id").isNotNull() & F.col("lc").isNotNull())
         .select(
             "user_id",
             "purchase_id",
             F.unix_micros("ts").alias("purchase_us"),
-            F.col("last_click_id").alias("click_id"),
-            F.col("last_click_value").alias("click_value"),
-            (F.unix_micros("ts") - F.unix_micros("last_click_ts")).alias("gap_us"),
+            F.col("lc.click_id").alias("click_id"),
+            F.col("lc.click_value").alias("click_value"),
+            (F.unix_micros("ts") - F.unix_micros("lc.ts")).alias("gap_us"),
         )
     )
 

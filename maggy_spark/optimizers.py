@@ -285,7 +285,15 @@ class AbstractOptimizer(ABC):
         for t in self.final_store:
             if not budget or t.params.get("budget") == budget:
                 metrics.append(np.array(t.metric_history) if interim_metrics else t.final_metric)
-        arr = np.array(metrics)
+        if interim_metrics and len({len(m) for m in metrics}) > 1:
+            # ragged histories (early-stopped trials): numpy >= 1.24
+            # refuses implicit object promotion, so request it — the
+            # reference documents exactly this ragged-array shape
+            arr = np.empty(len(metrics), dtype=object)
+            for i, m in enumerate(metrics):
+                arr[i] = m
+        else:
+            arr = np.array(metrics)
         return -arr if self.direction == "max" else arr
 
     def ybest(self, budget: int = 0) -> float:
@@ -575,8 +583,13 @@ class ReferenceOptimizerAdapter(AbstractOptimizer):
                 break
             if isinstance(t, str):
                 # "IDLE": a pruner-managed optimizer has no startable
-                # slot right now (reference randomsearch.py:26-35) —
-                # stop filling this wave, ask again after finishes
+                # slot right now (reference randomsearch.py:26-35).
+                # Keep draining queued finishers — the optimizer may
+                # unblock once it has seen all of them (e.g. a rung
+                # promotion needs every report); only stop filling the
+                # wave when there is nothing left to feed it
+                if self._finished_queue:
+                    continue
                 break
             self.wrapped.trial_store[t.trial_id] = t
             out.append(self._register(t))

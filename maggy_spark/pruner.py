@@ -256,6 +256,11 @@ class SHIteration:
         self.configs = {rung: [] for rung in range(self.n_rungs)}
         self.trial_metric_getter = trial_metric_getter
         self._logger = logger
+        # promoted slots handed to the caller but not yet bound via
+        # report_trial — without this, two get_next_run() calls before
+        # a report would hand the SAME promotion out twice and leave
+        # another slot permanently unstarted
+        self._handed_out: set = set()
 
     def _metrics(self, ids):
         if self.trial_metric_getter is None:
@@ -272,8 +277,9 @@ class SHIteration:
                 self.actual_n_configs[0] += 1
                 return {"trial_id": None, "budget": self.budgets[0]}
             for cfg in self.configs[rung]:
-                if cfg["actual_trial_id"] is None:
+                if cfg["actual_trial_id"] is None and cfg["original_trial_id"] not in self._handed_out:
                     self.actual_n_configs[rung] += 1
+                    self._handed_out.add(cfg["original_trial_id"])
                     return {"trial_id": cfg["original_trial_id"], "budget": self.budgets[rung]}
             return None  # promotions awaiting report_trial
         if self.promotable():
@@ -295,6 +301,7 @@ class SHIteration:
             for cfg in self.configs[rung]:
                 if cfg["original_trial_id"] == original_trial_id and cfg["actual_trial_id"] is None:
                     cfg["actual_trial_id"] = new_trial_id
+                    self._handed_out.discard(original_trial_id)
                     break
 
     def promotable(self):

@@ -272,8 +272,12 @@ def test_torch_backend_validation():
 
     assert LegacyTorch is TorchDistributedConfig
     assert TorchDistributedConfig(backend="deepspeed").process_group_backend == "gloo"
+    # a process-group name in `backend` (this engine's own pre-rename
+    # field meaning) remaps instead of breaking old call sites
+    legacy = TorchDistributedConfig(backend="nccl")
+    assert legacy.backend == "torch" and legacy.process_group_backend == "nccl"
     with pytest.raises(ValueError):
-        TorchDistributedConfig(backend="gloo")  # PG backend is a different knob
+        TorchDistributedConfig(backend="horovod")  # unknown stays rejected
 
 
 def test_package_level_lagom_matches_experiment_signature(spark):

@@ -265,3 +265,70 @@ def test_adapter_survives_trial_errors(spark):
     assert res["errors"] == 1
     assert res["num_trials"] == 2  # finalized only; the ERROR row is separate
     assert opt.trial_store == {}  # errored trial evicted
+
+
+def test_get_metrics_array_ragged_histories():
+    """interim_metrics=True must survive different history lengths
+    (early-stopped trials) on numpy >= 1.24."""
+    from maggy_spark.optimizers import RandomSearch
+
+    ctrl = RandomSearch()
+    ctrl.initialize(make_space(), num_trials=5, direction="max", seed=1)
+    ctrl.finalize_trial(_finalized({"x": 1.0}, 0.5, history=(0.1, 0.2, 0.3)))
+    ctrl.finalize_trial(_finalized({"x": 2.0}, 0.9, history=(0.4,)))
+    arr = ctrl.get_metrics_array(interim_metrics=True)
+    assert len(arr) == 2
+    np.testing.assert_array_equal(arr[0], [-0.1, -0.2, -0.3])
+    np.testing.assert_array_equal(arr[1], [-0.4])
+
+
+def test_adapter_idle_drains_finished_queue():
+    """IDLE with queued finishers must keep feeding get_suggestion
+    instead of ending the wave (and the experiment) early."""
+    from maggy_spark.optimizers import AbstractOptimizer
+
+    class NeedsAllReports(AbstractOptimizer):
+        """Refuses to emit rung-2 trials until it has seen BOTH
+        rung-1 finishers."""
+
+        def initialize(self):
+            self.seen = []
+            self.emitted = 0
+
+        def get_suggestion(self, trial=None):
+            if trial is not None:
+                self.seen.append(trial.trial_id)
+            if self.emitted < 2:
+                self.emitted += 1
+                return self.create_trial({"x": float(self.emitted)}, sample_type="random")
+            if len(self.seen) < 2:
+                return "IDLE"
+            if self.emitted < 3:
+                self.emitted += 1
+                return self.create_trial({"x": 30.0}, sample_type="promoted")
+            return None
+
+        def finalize_experiment(self, trials):
+            pass
+
+    ctrl = get_controller(NeedsAllReports())
+    ctrl.initialize(make_space(), num_trials=3, direction="min", seed=0)
+    wave1 = ctrl.next_batch(4)
+    assert len(wave1) == 2
+    for t in wave1:
+        t.finalize(1.0)
+        ctrl.finalize_trial(t)
+    # first call after the wave: optimizer answers IDLE until it has
+    # drained both finishers from the queue, then emits the promotion
+    wave2 = ctrl.next_batch(4)
+    assert [t.params["x"] for t in wave2] == [30.0]
+
+
+def test_legacy_process_group_backend_value_accepted():
+    from maggy_spark.config import TorchDistributedConfig
+
+    cfg = TorchDistributedConfig(module=object, backend="gloo")
+    assert cfg.backend == "torch"
+    assert cfg.process_group_backend == "gloo"
+    cfg2 = TorchDistributedConfig(module=object, backend="nccl")
+    assert cfg2.process_group_backend == "nccl"

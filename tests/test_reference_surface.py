@@ -297,3 +297,12 @@ def test_unknown_es_policy_still_rejected(spark):
     )
     with pytest.raises(ValueError):
         _es_enabled(config)
+
+
+def test_handle_return_val_accepts_zero_metric(tmp_path):
+    from maggy import util
+
+    assert util.handle_return_val(0.0, str(tmp_path), "metric", "l") == 0.0
+    assert util.handle_return_val({"metric": 0}, str(tmp_path), "metric", "l") == 0
+    with pytest.raises(TypeError):
+        util.handle_return_val({}, str(tmp_path), "metric", "l")  # empty dict still invalid

@@ -97,3 +97,26 @@ def test_adapter_runs_every_value_exactly_once(values):
     assert seen == list(values)  # exactly once, emission order
     assert ctrl.done()
     assert len(ctrl.wrapped.done_trials) == len(values)
+
+
+def test_sh_iteration_no_double_handout_before_report():
+    """Two get_next_run() calls before report_trial must hand out TWO
+    DIFFERENT promotions, and the iteration must still terminate."""
+    from maggy_spark.pruner import SHIteration
+
+    metrics: dict[str, float] = {}
+    it = SHIteration([4, 2], [1, 2], trial_metric_getter=lambda ids: {
+        t: metrics[t] for t in ids if t in metrics
+    })
+    for i in range(4):
+        assert it.get_next_run() == {"trial_id": None, "budget": 1}
+        it.report_trial(None, f"t{i}")
+    metrics.update({"t0": 0.1, "t1": 0.2, "t2": 0.9, "t3": 0.8})
+    r1 = it.get_next_run()
+    r2 = it.get_next_run()  # BEFORE reporting r1
+    assert {r1["trial_id"], r2["trial_id"]} == {"t0", "t1"}  # distinct slots
+    assert it.get_next_run() is None  # rung fully handed out
+    it.report_trial(r1["trial_id"], r1["trial_id"] + "b")
+    it.report_trial(r2["trial_id"], r2["trial_id"] + "b")
+    metrics.update({"t0b": 0.05, "t1b": 0.06})
+    assert it.finished()
