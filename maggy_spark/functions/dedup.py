@@ -475,19 +475,25 @@ def dd7_simhash_near_dup(spark: SparkSession, sf_dir: str, max_hamming: int = MA
 # The oracle generates candidates the same banded way (cheap at gate
 # scale); because pigeonhole banding is lossless, this is exactly the
 # set of pairs within MAX_HAMMING — any Spark-side blocking bug that
-# drops a band or mis-slices a key shows up as missing rows.
-DD7_SQL = f"""
-WITH p AS ({_SIMHASH_PARAMS_SQL}),
-sig AS ({_SIMHASH_SIG_SQL}),
-bands AS (
+# drops a band or mis-slices a key shows up as missing rows. The
+# band/candidate CTE bodies are shared with DD10's oracle, which
+# clusters the same pair relation.
+_SIMHASH_BANDS_SQL = f"""
     SELECT doc_id, simhash, t,
            CAST(i AS VARCHAR) || ':' || substr(simhash, i * b + 1, b) AS band_key
     FROM sig CROSS JOIN generate_series(0, {SIMHASH_BANDS - 1}) gs(i)
-),
-cand AS (
+"""
+
+_SIMHASH_CAND_SQL = """
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS ha, b.simhash AS hb, a.t AS t
     FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-)
+"""
+
+DD7_SQL = f"""
+WITH p AS ({_SIMHASH_PARAMS_SQL}),
+sig AS ({_SIMHASH_SIG_SQL}),
+bands AS ({_SIMHASH_BANDS_SQL}),
+cand AS ({_SIMHASH_CAND_SQL})
 SELECT doc_a, doc_b,
        CAST(list_sum(list_transform(generate_series(1, t),
             i -> CASE WHEN substr(ha, i, 1) != substr(hb, i, 1) THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
@@ -607,6 +613,149 @@ WHERE cast(n_common AS DOUBLE) / cast(n_eval AS DOUBLE) >= 0.5
 """
 
 
+# -- dd10: near-duplicate connected components -------------------------
+#
+# Pair relations (dd7/dd8) are NOT the keep/drop decision: near-dup
+# similarity is not transitive, so a corpus pipeline clusters the pair
+# graph into connected components and keeps one representative per
+# component (the fuzzy twin of dd5's exact-hash clusters). At 100 TB
+# the pair graph doesn't fit one machine, so this is the alternating
+# large-star / small-star MapReduce algorithm (Kiveris et al.,
+# "Connected Components in MapReduce and Beyond", SoCC'14): O(log^2 n)
+# rounds, each round a constant number of groupBy/join/distinct
+# shuffles over a 2-long-column edge relation.
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round over an undirected edge set stored as
+    (hi, lo): every node u links each STRICTLY LARGER neighbor v to
+    m = min(neighborhood(u) + {u}). High-degree hubs (the skew risk
+    of any CC algorithm) cost one map-side partial min plus one
+    equi-join on u — the neighbor list is never materialized."""
+    sym = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionAll(
+        e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("hi"), F.least("mv", "u").alias("lo"))
+        .where(F.col("hi") != F.col("lo"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: edges are already oriented (hi, lo) with
+    hi > lo; every node hi links all its smaller neighbors AND itself
+    to m = min of those neighbors."""
+    mins = e.groupBy("hi").agg(F.min("lo").alias("m"))
+    relink = e.join(mins, "hi").select(F.col("lo").alias("child"), F.col("m").alias("parent"))
+    selfl = mins.select(F.col("hi").alias("child"), F.col("m").alias("parent"))
+    return (
+        relink.unionAll(selfl)
+        .where(F.col("child") != F.col("parent"))
+        .select(F.col("child").alias("hi"), F.col("parent").alias("lo"))
+        .distinct()
+    )
+
+
+def dd10_near_dup_components(spark: SparkSession, sf_dir: str, max_iter: int = 15) -> DataFrame:
+    """Connected components over the dd7 SimHash near-dup pair graph:
+    every document mapped to its component representative (the min
+    doc_id reachable through near-dup edges), the component size, and
+    the keep/drop decision — the fuzzy-dedup capstone that turns pair
+    evidence into a deduplicated corpus.
+
+    Iterates large-star/small-star to fixpoint (provably O(log^2 n)
+    rounds; real near-dup graphs converge in a handful because
+    components are band-blocked and shallow). Convergence is detected
+    by an order-insensitive checksum of the edge set — one count +
+    xxhash64 sum per round, the only driver-side action in the loop
+    (1 row each; the edge relation itself never leaves the cluster).
+
+    Each round ends in an EAGER localCheckpoint: one star round
+    references the previous edge relation three times, so carrying raw
+    lineage would grow the logical plan (and Catalyst analysis time)
+    exponentially with the round count — the checkpoint pins the round
+    to a materialized 2-long-column relation and keeps every round's
+    plan constant-size. On a real cluster with executor loss to
+    tolerate, swap in `df.checkpoint()` against a reliable dir — same
+    shape, durable blocks.
+
+    Singletons (docs with no near-dup edge) come back as their own
+    representative via a left join against the corpus — the output has
+    exactly one row per document, like dd5.
+    """
+    pairs = dd7_simhash_near_dup(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_b").alias("hi"), F.col("doc_a").alias("lo"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        # checksum sums 64-bit hashes: accumulate in decimal(38,0) so
+        # ANSI mode can't overflow the long accumulator
+        row = edges.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("hi", "lo").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"connected components did not converge in {max_iter} rounds")
+
+    reps = edges.groupBy("hi").agg(F.min("lo").alias("rep")).withColumnRenamed("hi", "doc_id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    comp = docs.join(reps, "doc_id", "left").select(
+        "doc_id", F.coalesce("rep", "doc_id").alias("cluster_rep")
+    )
+    sizes = comp.groupBy("cluster_rep").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, "cluster_rep").select(
+        "doc_id",
+        "cluster_rep",
+        "cluster_size",
+        (F.col("doc_id") != F.col("cluster_rep")).alias("is_duplicate"),
+    )
+
+
+# Oracle: an INDEPENDENT algorithm — transitive closure by recursive
+# CTE (min reachable id per node), feasible at gate scale. Any
+# star-round bug (a lost edge, a wrong orientation, premature
+# convergence) splits or merges a component and shows up as a
+# cluster_rep / cluster_size mismatch.
+DD10_SQL = f"""
+WITH RECURSIVE p AS ({_SIMHASH_PARAMS_SQL}),
+sig AS ({_SIMHASH_SIG_SQL}),
+bands AS ({_SIMHASH_BANDS_SQL}),
+cand AS ({_SIMHASH_CAND_SQL}),
+pairs AS (
+    SELECT doc_a, doc_b FROM cand
+    WHERE list_sum(list_transform(generate_series(1, t),
+            i -> CASE WHEN substr(ha, i, 1) != substr(hb, i, 1) THEN 1 ELSE 0 END)) <= {MAX_HAMMING}
+),
+sym AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION ALL
+    SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(node, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT s.u, reach.r FROM reach JOIN sym s ON reach.node = s.v
+),
+comp AS (SELECT node AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY node),
+sizes AS (SELECT cluster_rep, count(*) AS cluster_size FROM comp GROUP BY cluster_rep)
+SELECT c.doc_id, c.cluster_rep, cast(s.cluster_size AS BIGINT) AS cluster_size,
+       c.doc_id != c.cluster_rep AS is_duplicate
+FROM comp c JOIN sizes s USING (cluster_rep)
+"""
+
+
 OPERATORS = [
     ("dd1_exact_dedup", dd1_exact_dedup, DD1_SQL),
     ("dd2_minhash_signature", dd2_minhash_signature, DD2_SQL),
@@ -616,4 +765,5 @@ OPERATORS = [
     ("dd6_simhash", dd6_simhash, DD6_SQL),
     ("dd7_simhash_near_dup", dd7_simhash_near_dup, DD7_SQL),
     ("dd8_lsh_verified_jaccard", dd8_lsh_verified_jaccard, DD8_SQL),
+    ("dd10_near_dup_components", dd10_near_dup_components, DD10_SQL),
 ]

@@ -304,8 +304,12 @@ FROM feats WHERE event_type = 'purchase'
 """
 
 
+# ev3 is NOT in the driver registry (50-entry cap): its shape — a
+# per-key running prefix mean — is already hard-verified by the
+# registered a7_prefix_avg, so its slot went to the dd10 fuzzy-dedup
+# capstone. ev3's own parity stays enforced offline
+# (tests/test_offline_oracles.py, same three-way compare).
 OPERATORS = [
     ("ev1_type_rollup", ev1_type_rollup, EV1_SQL),
     ("ev2_daily_activity", ev2_daily_activity, EV2_SQL),
-    ("ev3_user_metric_history", ev3_user_metric_history, EV3_SQL),
 ]

@@ -266,3 +266,43 @@ def test_pl3_token_budget_mix_respects_quotas(spark, sf_dir):
     # hash-deterministic: same rows on a second run
     again = pipeline.pl3_token_budget_mix(spark, sf_dir)
     assert kept.exceptAll(again).count() == 0 and again.exceptAll(kept).count() == 0
+
+
+def test_star_contraction_on_crafted_graph(spark):
+    """The large/small-star rounds on a known graph: a 5-node chain
+    (worst case for naive label propagation), a 3-clique, and an
+    isolated edge must contract to their component minima."""
+    from maggy_spark.functions.dedup import _large_star, _small_star
+
+    edges = [  # (hi, lo): chain 1-2-3-4-5, clique {10,11,12}, edge (20,21)
+        (2, 1), (3, 2), (4, 3), (5, 4),
+        (11, 10), (12, 10), (12, 11),
+        (21, 20),
+    ]
+    e = spark.createDataFrame(edges, "hi long, lo long").localCheckpoint()
+    prev = None
+    for _ in range(10):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        sig = sorted(map(tuple, e.collect()))
+        if sig == prev:
+            break
+        prev = sig
+    assert prev == sorted(
+        [(2, 1), (3, 1), (4, 1), (5, 1), (11, 10), (12, 10), (21, 20)]
+    )
+
+
+def test_dd10_components_refine_dd7_pairs(spark, sf_dir):
+    """Every dd7 near-dup pair must land in one component, and every
+    multi-doc component must be connected through dd7 edges (size
+    consistency between the pair relation and the clustering)."""
+    from maggy_spark.functions.dedup import dd7_simhash_near_dup, dd10_near_dup_components
+
+    comp = {r.doc_id: r.cluster_rep for r in dd10_near_dup_components(spark, sf_dir).collect()}
+    pairs = dd7_simhash_near_dup(spark, sf_dir).collect()
+    for p in pairs:
+        assert comp[p.doc_a] == comp[p.doc_b]
+    # representatives are component minima
+    for doc, rep in comp.items():
+        assert rep <= doc
+        assert comp[rep] == rep
