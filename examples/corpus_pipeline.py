@@ -52,6 +52,16 @@ def main():
     kept = kept.where(F.col("doc_id") % 100 != 0)
     print(f"after repetition + decontamination filters: {kept.count()}")
 
+    # fuzzy dedup: collapse SimHash near-dup CLUSTERS (pair evidence
+    # isn't transitive — dd10 runs connected components over the pair
+    # graph) and keep one representative per cluster
+    from maggy_spark.functions.dedup import dd10_near_dup_components
+
+    comps = dd10_near_dup_components(spark, sf_dir)
+    kept = kept.join(comps.where(~F.col("is_duplicate")).select("doc_id"), "doc_id")
+    n_clusters = comps.where(F.col("cluster_size") > 1).select("cluster_rep").distinct().count()
+    print(f"after near-dup component dedup: {kept.count()} ({n_clusters} multi-doc clusters collapsed)")
+
     sample = pl2_stratified_sample(spark, sf_dir)
     sample.groupBy("lang").count().orderBy("lang").show()
 

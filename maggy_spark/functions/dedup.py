@@ -660,19 +660,17 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
-def dd10_near_dup_components(spark: SparkSession, sf_dir: str, max_iter: int = 15) -> DataFrame:
-    """Connected components over the dd7 SimHash near-dup pair graph:
-    every document mapped to its component representative (the min
-    doc_id reachable through near-dup edges), the component size, and
-    the keep/drop decision — the fuzzy-dedup capstone that turns pair
-    evidence into a deduplicated corpus.
+def star_components(edges: DataFrame, max_iter: int = 15) -> DataFrame:
+    """Contract an undirected edge relation (columns `hi`, `lo`) to
+    star edges (node -> component minimum) by alternating large-star /
+    small-star rounds to fixpoint.
 
-    Iterates large-star/small-star to fixpoint (provably O(log^2 n)
-    rounds; real near-dup graphs converge in a handful because
-    components are band-blocked and shallow). Convergence is detected
-    by an order-insensitive checksum of the edge set — one count +
-    xxhash64 sum per round, the only driver-side action in the loop
-    (1 row each; the edge relation itself never leaves the cluster).
+    Provably O(log^2 n) rounds; real near-dup graphs converge in a
+    handful because components are band-blocked and shallow.
+    Convergence is detected by an order-insensitive checksum of the
+    edge set — one count + xxhash64 sum per round, the only
+    driver-side action in the loop (1 row each; the edge relation
+    itself never leaves the cluster).
 
     Each round ends in an EAGER localCheckpoint: one star round
     references the previous edge relation three times, so carrying raw
@@ -682,17 +680,8 @@ def dd10_near_dup_components(spark: SparkSession, sf_dir: str, max_iter: int = 1
     plan constant-size. On a real cluster with executor loss to
     tolerate, swap in `df.checkpoint()` against a reliable dir — same
     shape, durable blocks.
-
-    Singletons (docs with no near-dup edge) come back as their own
-    representative via a left join against the corpus — the output has
-    exactly one row per document, like dd5.
     """
-    pairs = dd7_simhash_near_dup(spark, sf_dir)
-    edges = (
-        pairs.select(F.col("doc_b").alias("hi"), F.col("doc_a").alias("lo"))
-        .distinct()
-        .localCheckpoint()
-    )
+    edges = edges.localCheckpoint()
     prev_sig = None
     for _ in range(max_iter):
         edges = _small_star(_large_star(edges)).localCheckpoint()
@@ -704,23 +693,42 @@ def dd10_near_dup_components(spark: SparkSession, sf_dir: str, max_iter: int = 1
         ).collect()[0]
         sig = (row["n"], row["h"])
         if sig == prev_sig:
-            break
+            return edges
         prev_sig = sig
-    else:
-        raise RuntimeError(f"connected components did not converge in {max_iter} rounds")
+    raise RuntimeError(f"connected components did not converge in {max_iter} rounds")
 
-    reps = edges.groupBy("hi").agg(F.min("lo").alias("rep")).withColumnRenamed("hi", "doc_id")
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    comp = docs.join(reps, "doc_id", "left").select(
-        "doc_id", F.coalesce("rep", "doc_id").alias("cluster_rep")
+
+def components_over(universe: DataFrame, id_col: str, stars: DataFrame) -> DataFrame:
+    """Materialize per-row cluster assignments from a star edge set:
+    one row per `universe` row with (id, cluster_rep, cluster_size,
+    is_duplicate). Singletons (rows with no edge) come back as their
+    own representative via the left join."""
+    reps = stars.groupBy("hi").agg(F.min("lo").alias("rep")).withColumnRenamed("hi", id_col)
+    comp = universe.join(reps, id_col, "left").select(
+        id_col, F.coalesce("rep", id_col).alias("cluster_rep")
     )
     sizes = comp.groupBy("cluster_rep").agg(F.count("*").alias("cluster_size"))
     return comp.join(sizes, "cluster_rep").select(
-        "doc_id",
+        id_col,
         "cluster_rep",
         "cluster_size",
-        (F.col("doc_id") != F.col("cluster_rep")).alias("is_duplicate"),
+        (F.col(id_col) != F.col("cluster_rep")).alias("is_duplicate"),
     )
+
+
+def dd10_near_dup_components(spark: SparkSession, sf_dir: str, max_iter: int = 15) -> DataFrame:
+    """Connected components over the dd7 SimHash near-dup pair graph:
+    every document mapped to its component representative (the min
+    doc_id reachable through near-dup edges), the component size, and
+    the keep/drop decision — the fuzzy-dedup capstone that turns pair
+    evidence into a deduplicated corpus. See `star_components` for the
+    round mechanics and scale design.
+    """
+    pairs = dd7_simhash_near_dup(spark, sf_dir)
+    edges = pairs.select(F.col("doc_b").alias("hi"), F.col("doc_a").alias("lo")).distinct()
+    stars = star_components(edges, max_iter)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return components_over(docs, "doc_id", stars)
 
 
 # Oracle: an INDEPENDENT algorithm — transitive closure by recursive

@@ -421,6 +421,56 @@ SELECT src, dst AS nearest, cosine FROM (
 """
 
 
+def ann6_semantic_dedup(spark: SparkSession, sf_dir: str, threshold: float = 0.3) -> DataFrame:
+    """Semantic deduplication (the SemDeDup shape, Abbas et al. 2023):
+    cluster the ann4 embedding-cosine near-dup pair graph into
+    connected components and emit one row per vector with its
+    component representative, size, and keep/drop flag — the
+    embedding-space twin of dd10's SimHash-text components, sharing
+    the same alternating-star contraction (`dedup.star_components`,
+    O(log^2 n) rounds, constant-size per-round plans).
+
+    Pair generation stays LSH-bucket-blocked (linear in n), so the
+    end-to-end semantic-dedup pipeline — sign → bucket → pair → CC →
+    keep-set — never materializes anything super-linear in the corpus.
+    Not in the driver registry (50-entry cap); parity is enforced by
+    tests/test_offline_oracles.py against an independent DuckDB
+    recursive-CTE transitive closure.
+    """
+    from maggy_spark.functions.dedup import components_over, star_components
+
+    pairs = ann4_embedding_near_dup(spark, sf_dir, threshold)
+    edges = pairs.select(F.col("id_b").alias("hi"), F.col("id_a").alias("lo")).distinct()
+    stars = star_components(edges)
+    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    return components_over(vecs, "vec_id", stars)
+
+
+ANN6_SQL = f"""
+WITH RECURSIVE {_BUCKET_PAIR_SQL},
+pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_cos_sql("a.emb", "b.emb")} >= 0.3
+),
+sym AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION ALL
+    SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(node, r) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT s.u, reach.r FROM reach JOIN sym s ON reach.node = s.v
+),
+comp AS (SELECT node AS vec_id, min(r) AS cluster_rep FROM reach GROUP BY node),
+sizes AS (SELECT cluster_rep, count(*) AS cluster_size FROM comp GROUP BY cluster_rep)
+SELECT c.vec_id, c.cluster_rep, cast(s.cluster_size AS BIGINT) AS cluster_size,
+       c.vec_id != c.cluster_rep AS is_duplicate
+FROM comp c JOIN sizes s USING (cluster_rep)
+"""
+
+
 OPERATORS = [
     ("ann1_bruteforce_topk", ann1_bruteforce_topk, ANN1_SQL),
     ("ann5_knn_graph", ann5_knn_graph, ANN5_SQL),
