@@ -423,9 +423,6 @@ def dd7_simhash_near_dup(spark: SparkSession, sf_dir: str, max_hamming: int = MA
     inequality guard) — no DISTINCT, so nothing reshuffles the
     candidate stream, and the shuffled rows are three longs wide.
     """
-    from functools import reduce
-    from operator import and_
-
     if max_hamming > MAX_HAMMING:
         # pigeonhole banding is lossless only for distances < bands:
         # dd6 signatures carry SIMHASH_BANDS = MAX_HAMMING + 1 bands,
@@ -434,35 +431,10 @@ def dd7_simhash_near_dup(spark: SparkSession, sf_dir: str, max_hamming: int = MA
             f"max_hamming={max_hamming} exceeds the banding's exact-recall "
             f"radius {MAX_HAMMING} (SIMHASH_BANDS={SIMHASH_BANDS})"
         )
-    b = simhash_band_bits(corpus_count(spark, sf_dir, "documents"))
-    t = SIMHASH_BANDS * b
-    mask = (1 << b) - 1
-    sig = dd6_simhash(spark, sf_dir).select(
-        "doc_id", F.conv("simhash", 2, 10).cast("long").alias("sigint")
-    )
-
-    def bval(col, i: int):
-        # simhash[ i*b+1 .. (i+1)*b ] as an int: the string's leftmost
-        # bit is the integer's most significant
-        return F.shiftrightunsigned(col, t - (i + 1) * b).bitwiseAND(F.lit(mask))
-
-    bands = sig.select(
-        "doc_id",
-        "sigint",
-        F.explode(
-            F.array(*[F.lit(i << b) + bval(F.col("sigint"), i) for i in range(SIMHASH_BANDS)])
-        ).alias("band_key"),
-    ).persist()
+    bands, b, t = _simhash_band_relation(spark, sf_dir)
     a = bands.select(F.col("doc_id").alias("doc_a"), F.col("sigint").alias("sa"), "band_key")
     bb = bands.select(F.col("doc_id").alias("doc_b"), F.col("sigint").alias("sb"), "band_key")
-    band_idx = F.shiftrightunsigned(F.col("band_key"), b)
-    first_match = band_idx == 0
-    for j in range(1, SIMHASH_BANDS):
-        prior_diff = reduce(
-            and_, [bval(F.col("sa"), jj) != bval(F.col("sb"), jj) for jj in range(j)]
-        )
-        first_match = first_match | ((band_idx == j) & prior_diff)
-    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    first_match, ham = _first_match_and_hamming(b, t)
     return (
         a.join(bb, "band_key")
         .where(F.col("doc_a") < F.col("doc_b"))
@@ -470,6 +442,53 @@ def dd7_simhash_near_dup(spark: SparkSession, sf_dir: str, max_hamming: int = MA
         .where(first_match)
         .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
     )
+
+
+def _bval(col, i: int, b: int, t: int):
+    # simhash[ i*b+1 .. (i+1)*b ] as an int: the string's leftmost
+    # bit is the integer's most significant
+    return F.shiftrightunsigned(col, t - (i + 1) * b).bitwiseAND(F.lit((1 << b) - 1))
+
+
+def _simhash_band_relation(spark: SparkSession, sf_dir: str):
+    """(bands, band_bits, total_bits): the persisted SimHash signature
+    relation exploded to one (doc_id, sigint, band_key) row per band —
+    the production 'signatures table' every near-dup pass joins
+    against. Band key is one long (band index in the high bits, value
+    in the low)."""
+    b = simhash_band_bits(corpus_count(spark, sf_dir, "documents"))
+    t = SIMHASH_BANDS * b
+    sig = dd6_simhash(spark, sf_dir).select(
+        "doc_id", F.conv("simhash", 2, 10).cast("long").alias("sigint")
+    )
+    bands = sig.select(
+        "doc_id",
+        "sigint",
+        F.explode(
+            F.array(*[F.lit(i << b) + _bval(F.col("sigint"), i, b, t) for i in range(SIMHASH_BANDS)])
+        ).alias("band_key"),
+    ).persist()
+    return bands, b, t
+
+
+def _first_match_and_hamming(b: int, t: int):
+    """(first_match, hamming) expressions over join columns sa/sb/
+    band_key: a pair sharing several bands is emitted only by its
+    FIRST matching band (statically-unrolled shift/mask prefix-
+    inequality guard) — no DISTINCT, so nothing reshuffles the
+    candidate stream. Both expressions are symmetric in sa/sb."""
+    from functools import reduce
+    from operator import and_
+
+    band_idx = F.shiftrightunsigned(F.col("band_key"), b)
+    first_match = band_idx == 0
+    for j in range(1, SIMHASH_BANDS):
+        prior_diff = reduce(
+            and_, [_bval(F.col("sa"), jj, b, t) != _bval(F.col("sb"), jj, b, t) for jj in range(j)]
+        )
+        first_match = first_match | ((band_idx == j) & prior_diff)
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return first_match, ham
 
 
 # The oracle generates candidates the same banded way (cheap at gate
@@ -761,6 +780,70 @@ sizes AS (SELECT cluster_rep, count(*) AS cluster_size FROM comp GROUP BY cluste
 SELECT c.doc_id, c.cluster_rep, cast(s.cluster_size AS BIGINT) AS cluster_size,
        c.doc_id != c.cluster_rep AS is_duplicate
 FROM comp c JOIN sizes s USING (cluster_rep)
+"""
+
+
+def dd11_incremental_near_dup(
+    spark: SparkSession, sf_dir: str, delta_mod: int = 10, max_hamming: int = MAX_HAMMING
+) -> DataFrame:
+    """Incremental near-dup: the pairs a NEWLY INGESTED batch
+    introduces against the existing corpus — the production ingest
+    path, where the signature store is long-lived and each arriving
+    batch probes it instead of re-running store x store.
+
+    The delta here is the deterministic `doc_id % delta_mod == 0`
+    slice; in production it is the landed batch. Only the DELTA side's
+    band keys enter the join's left side, so work is
+    |delta| x bucket_population — INDEPENDENT of the store size beyond
+    the bucket lookup, which is what makes per-batch dedup affordable
+    against a 100 TB corpus. Emits exactly the dd7 pairs touching a
+    delta doc (verified by test_dd11_equals_filtered_dd7): banding is
+    pigeonhole-lossless, delta-internal pairs keep the a < b guard,
+    and delta-vs-store pairs carry a symmetric first-match guard so no
+    pair is emitted twice. Not in the driver registry (50-entry cap);
+    DuckDB parity in tests/test_offline_oracles.py.
+    """
+    if max_hamming > MAX_HAMMING:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the banding's exact-recall "
+            f"radius {MAX_HAMMING} (SIMHASH_BANDS={SIMHASH_BANDS})"
+        )
+    bands, b, t = _simhash_band_relation(spark, sf_dir)
+    is_delta = F.col("doc_id") % delta_mod == 0
+    a = bands.where(is_delta).select(
+        F.col("doc_id").alias("doc_a"), F.col("sigint").alias("sa"), "band_key"
+    )
+    bb = bands.select(F.col("doc_id").alias("doc_b"), F.col("sigint").alias("sb"), "band_key")
+    first_match, ham = _first_match_and_hamming(b, t)
+    both_delta = F.col("doc_b") % delta_mod == 0
+    return (
+        a.join(bb, "band_key")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        # a delta-delta pair is reachable from both sides: keep the
+        # a < b orientation only, like dd7
+        .where(~both_delta | (F.col("doc_a") < F.col("doc_b")))
+        .where(ham <= max_hamming)
+        .where(first_match)
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+    )
+
+
+DD11_SQL = f"""
+WITH p AS ({_SIMHASH_PARAMS_SQL}),
+sig AS ({_SIMHASH_SIG_SQL}),
+bands AS ({_SIMHASH_BANDS_SQL}),
+cand AS ({_SIMHASH_CAND_SQL})
+SELECT doc_a, doc_b,
+       CAST(list_sum(list_transform(generate_series(1, t),
+            i -> CASE WHEN substr(ha, i, 1) != substr(hb, i, 1) THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
+FROM cand
+WHERE list_sum(list_transform(generate_series(1, t),
+        i -> CASE WHEN substr(ha, i, 1) != substr(hb, i, 1) THEN 1 ELSE 0 END)) <= {MAX_HAMMING}
+  AND (doc_a % 10 = 0 OR doc_b % 10 = 0)
 """
 
 

@@ -306,3 +306,20 @@ def test_dd10_components_refine_dd7_pairs(spark, sf_dir):
     for doc, rep in comp.items():
         assert rep <= doc
         assert comp[rep] == rep
+
+
+def test_dd11_equals_filtered_dd7(spark, sf_dir):
+    """The incremental path must emit exactly the dd7 pairs touching a
+    delta doc — no duplicates from the two-sided probe, no lost
+    delta-internal pairs."""
+    from pyspark.sql import functions as SF
+
+    from maggy_spark.functions.dedup import dd7_simhash_near_dup, dd11_incremental_near_dup
+
+    full = dd7_simhash_near_dup(spark, sf_dir).where(
+        (SF.col("doc_a") % 10 == 0) | (SF.col("doc_b") % 10 == 0)
+    )
+    inc = dd11_incremental_near_dup(spark, sf_dir)
+    assert inc.count() == full.count()
+    assert inc.exceptAll(full).count() == 0
+    assert full.exceptAll(inc).count() == 0

@@ -31,6 +31,7 @@ CASES = [
     ("dd9_decontaminate", "DD9_SQL", "maggy_spark.functions.dedup"),
     ("ev3_user_metric_history", "EV3_SQL", "maggy_spark.operators.events"),
     ("ann6_semantic_dedup", "ANN6_SQL", "maggy_spark.functions.similarity"),
+    ("dd11_incremental_near_dup", "DD11_SQL", "maggy_spark.functions.dedup"),
     ("tx7_repetition", "TX7_SQL", "maggy_spark.functions.text"),
     ("pl3_token_budget_mix", "PL3_SQL", "maggy_spark.functions.pipeline"),
     ("pl4_filter_funnel", "PL4_SQL", "maggy_spark.functions.pipeline"),

@@ -142,3 +142,23 @@ def test_dd9_broadcasts_eval_side(spark, sf_dir):
 
     plan = _plan(dedup.dd9_decontaminate(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_star_rounds_shuffle_only_narrow_keys(spark):
+    # one CC star round over a 100-TB pair graph must stay
+    # min-aggregations (map-side partial before the shuffle) and
+    # equi-joins — a nested-loop join or a missing partial_min turns
+    # the round quadratic / hub-bound
+    from pyspark.sql import functions as F
+
+    from maggy_spark.functions.dedup import _large_star, _small_star
+
+    e = spark.createDataFrame(
+        [(i + 1, i) for i in range(50)], "hi long, lo long"
+    ).localCheckpoint()
+    for round_fn in (_large_star, _small_star):
+        plan = _plan(round_fn(e))
+        assert "partial_min" in plan, round_fn.__name__
+        assert "CartesianProduct" not in plan, round_fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, round_fn.__name__
+        assert "Exchange SinglePartition" not in plan, round_fn.__name__
