@@ -450,25 +450,37 @@ def _bval(col, i: int, b: int, t: int):
     return F.shiftrightunsigned(col, t - (i + 1) * b).bitwiseAND(F.lit((1 << b) - 1))
 
 
-def _simhash_band_relation(spark: SparkSession, sf_dir: str):
-    """(bands, band_bits, total_bits): the persisted SimHash signature
-    relation exploded to one (doc_id, sigint, band_key) row per band —
-    the production 'signatures table' every near-dup pass joins
-    against. Band key is one long (band index in the high bits, value
-    in the low)."""
-    b = simhash_band_bits(corpus_count(spark, sf_dir, "documents"))
+def simhash_bands_for(docs: DataFrame, n_docs: int, *, persist: bool = True):
+    """(bands, band_bits, total_bits) over ANY (doc_id, text) relation
+    — including a STREAMING one, since every expression is map-side:
+    one (doc_id, sigint, band_key) row per band, band key as one long
+    (band index in the high bits, value in the low). `n_docs` shapes
+    the banding geometry and must describe the relation the bands will
+    be JOINED against (for a stream probing a store, the store)."""
+    b = simhash_band_bits(n_docs)
     t = SIMHASH_BANDS * b
-    sig = dd6_simhash(spark, sf_dir).select(
-        "doc_id", F.conv("simhash", 2, 10).cast("long").alias("sigint")
+    chunks = -(-t // 32)
+    sig = docs.withColumn(
+        "sigint", F.conv(_simhash_expr(t, chunks), 2, 10).cast("long")
     )
     bands = sig.select(
-        "doc_id",
+        *[c for c in docs.columns if c != "text"],
         "sigint",
         F.explode(
             F.array(*[F.lit(i << b) + _bval(F.col("sigint"), i, b, t) for i in range(SIMHASH_BANDS)])
         ).alias("band_key"),
-    ).persist()
+    )
+    if persist:
+        bands = bands.persist()
     return bands, b, t
+
+
+def _simhash_band_relation(spark: SparkSession, sf_dir: str):
+    """The persisted SimHash signatures table over the corpus — the
+    production relation every near-dup pass (dd7 full sweep, dd11
+    ingest probe, streaming alerts) joins against."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id", "text")
+    return simhash_bands_for(docs, corpus_count(spark, sf_dir, "documents"))
 
 
 def _first_match_and_hamming(b: int, t: int):

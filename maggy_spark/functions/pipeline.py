@@ -370,6 +370,84 @@ FROM joined
 """
 
 
+def pl6_fuzzy_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pl5's leakage-free split hardened against NEAR duplicates:
+    every document inherits the split of its dd10 near-dup COMPONENT
+    representative, so a lightly-edited copy of a training document
+    can never land in eval (exact-dup splitting — pl5 — misses it; a
+    one-word edit changes the md5). On this synthetic corpus the giant
+    near-dup component makes the assignment lopsided, which is the
+    semantics working as intended: documents that are near-copies of
+    each other must share a split whatever their count.
+
+    Scale shape: dd10's component relation (star contraction, see
+    SCALING.md) + map-side hash arithmetic on the representative —
+    nothing beyond dd10's own cost. Not in the driver registry
+    (50-entry cap); DuckDB parity (recursive-closure components +
+    the same split hash) in tests/test_offline_oracles.py.
+    """
+    from maggy_spark.functions.dedup import dd10_near_dup_components
+
+    comps = dd10_near_dup_components(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("pl6:"), F.col("cluster_rep").cast("string"))), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    split = F.coalesce(
+        *[
+            F.when((bucket >= lo) & (bucket < hi), F.lit(name))
+            for name, lo, hi in SPLIT_QUOTAS
+        ]
+    )
+    return comps.select("doc_id", "cluster_rep", "is_duplicate", split.alias("split"))
+
+
+def _pl6_sql() -> str:
+    from maggy_spark.functions.dedup import (
+        MAX_HAMMING,
+        _SIMHASH_BANDS_SQL,
+        _SIMHASH_CAND_SQL,
+        _SIMHASH_PARAMS_SQL,
+        _SIMHASH_SIG_SQL,
+    )
+
+    return f"""
+WITH RECURSIVE p AS ({_SIMHASH_PARAMS_SQL}),
+sig AS ({_SIMHASH_SIG_SQL}),
+bands AS ({_SIMHASH_BANDS_SQL}),
+cand AS ({_SIMHASH_CAND_SQL}),
+pairs AS (
+    SELECT doc_a, doc_b FROM cand
+    WHERE list_sum(list_transform(generate_series(1, t),
+            i -> CASE WHEN substr(ha, i, 1) != substr(hb, i, 1) THEN 1 ELSE 0 END)) <= {MAX_HAMMING}
+),
+sym AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION ALL
+    SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(node, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT s.u, reach.r FROM reach JOIN sym s ON reach.node = s.v
+),
+comp AS (
+    SELECT node AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY node
+),
+withb AS (
+    SELECT doc_id, cluster_rep, (doc_id != cluster_rep) AS is_duplicate,
+           cast(('0x' || substr(md5('pl6:' || cast(cluster_rep AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+    FROM comp
+)
+SELECT doc_id, cluster_rep, is_duplicate, (CASE {_SPLIT_CASE} END) AS split
+FROM withb
+"""
+
+
+PL6_SQL = _pl6_sql()
+
+
 OPERATORS = [
     ("pl1_corpus_prep", pl1_corpus_prep, PL1_SQL),
     ("pl2_stratified_sample", pl2_stratified_sample, PL2_SQL),

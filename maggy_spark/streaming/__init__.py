@@ -2,6 +2,7 @@ from maggy_spark.streaming.documents_stream import (
     contamination_alert_stream,
     dedup_document_stream,
     fingerprint_document_stream,
+    near_dup_alert_stream,
 )
 from maggy_spark.streaming.events_stream import (
     daily_activity_stream,
@@ -21,6 +22,7 @@ __all__ = [
     "dedup_metric_stream",
     "early_stop_decisions_stream",
     "fingerprint_document_stream",
+    "near_dup_alert_stream",
     "sessionize_event_stream",
     "stateful_trial_tracker",
     "windowed_metric_aggregates",

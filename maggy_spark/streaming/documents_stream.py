@@ -82,3 +82,59 @@ def contamination_alert_stream(
     return counts.where(containment >= min_containment).select(
         "doc_id", "eval_doc", "n_common", containment.alias("containment")
     )
+
+
+def near_dup_alert_stream(
+    doc_stream: DataFrame,
+    store_bands: DataFrame,
+    band_bits: int,
+    max_hamming: int | None = None,
+) -> DataFrame:
+    """dd11 in streaming form: every micro-batch of incoming documents
+    probes the STATIC SimHash signature store and alerts on near-dups
+    (hamming <= max_hamming) against already-landed content.
+
+    `store_bands` is `dedup.simhash_bands_for(...)` over the store
+    (the persisted signatures table); `band_bits` is the band width it
+    was built with — the stream side must sign with the SAME geometry
+    or band keys never collide. The whole operator is STATELESS:
+    signing and band expansion are per-row expressions, and the
+    stream-static equi-join re-probes the store per micro-batch, so
+    there is no watermark and no state store growth. New-vs-new pairs
+    inside the ingest horizon are deliberately out of scope here —
+    they are picked up when accepted docs land in the store (the same
+    bounded-state-plus-compaction split as the exact-dedup stream
+    above).
+    """
+    from maggy_spark.functions.dedup import (
+        MAX_HAMMING,
+        SIMHASH_BANDS,
+        _first_match_and_hamming,
+        simhash_bands_for,
+    )
+
+    if max_hamming is None:
+        max_hamming = MAX_HAMMING
+    if max_hamming > MAX_HAMMING:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the banding's exact-recall "
+            f"radius {MAX_HAMMING} (SIMHASH_BANDS={SIMHASH_BANDS})"
+        )
+    # n_docs only shapes geometry; pass one that reproduces band_bits
+    probe, b, t = simhash_bands_for(doc_stream, 8 << band_bits, persist=False)
+    if b != band_bits:
+        raise ValueError(f"geometry mismatch: store built with {band_bits} band bits, derived {b}")
+    a = probe.select(
+        F.col("doc_id").alias("doc_id"), F.col("sigint").alias("sa"), "band_key", "ts"
+    )
+    bb = store_bands.select(
+        F.col("doc_id").alias("store_doc"), F.col("sigint").alias("sb"), "band_key"
+    )
+    first_match, ham = _first_match_and_hamming(b, t)
+    return (
+        a.join(bb, "band_key")
+        .where(F.col("doc_id") != F.col("store_doc"))
+        .where(ham <= max_hamming)
+        .where(first_match)
+        .select("doc_id", "store_doc", ham.cast("int").alias("hamming"), "ts")
+    )

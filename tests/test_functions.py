@@ -323,3 +323,16 @@ def test_dd11_equals_filtered_dd7(spark, sf_dir):
     assert inc.count() == full.count()
     assert inc.exceptAll(full).count() == 0
     assert full.exceptAll(inc).count() == 0
+
+
+def test_pl6_near_dups_never_straddle_splits(spark, sf_dir):
+    """The invariant pl5 cannot give: even NEAR duplicates (dd7
+    pairs, not just exact md5 copies) always share a split."""
+    from maggy_spark.functions.dedup import dd7_simhash_near_dup
+    from maggy_spark.functions.pipeline import pl6_fuzzy_leakage_split
+
+    split = {r.doc_id: r.split for r in pl6_fuzzy_leakage_split(spark, sf_dir).collect()}
+    pairs = dd7_simhash_near_dup(spark, sf_dir).collect()
+    assert pairs
+    for p in pairs:
+        assert split[p.doc_a] == split[p.doc_b]

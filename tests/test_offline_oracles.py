@@ -36,6 +36,7 @@ CASES = [
     ("pl3_token_budget_mix", "PL3_SQL", "maggy_spark.functions.pipeline"),
     ("pl4_filter_funnel", "PL4_SQL", "maggy_spark.functions.pipeline"),
     ("pl5_leakage_split", "PL5_SQL", "maggy_spark.functions.pipeline"),
+    ("pl6_fuzzy_leakage_split", "PL6_SQL", "maggy_spark.functions.pipeline"),
     ("ev4_asof_attribution", "EV4_SQL", "maggy_spark.operators.events"),
     ("ev5_sessionize", "EV5_SQL", "maggy_spark.operators.events"),
     ("ev6_trailing_features", "EV6_SQL", "maggy_spark.operators.events"),

@@ -328,3 +328,36 @@ def test_daily_activity_stream_counts(spark):
     for day, n in streamed.items():
         assert batch[day] == n
     assert len(streamed) >= len(batch) - 2
+
+
+def test_near_dup_alert_stream_probes_static_store(spark):
+    """Streaming dd11: an incoming doc identical to a landed one must
+    alert with hamming 0; vocabulary-disjoint docs must not alert.
+    The store side is the same simhash_bands_for relation the batch
+    path joins, so stream and batch agree by construction."""
+    from maggy_spark.functions.dedup import simhash_band_bits, simhash_bands_for
+    from maggy_spark.streaming import near_dup_alert_stream
+
+    store_rows = [(i, f"store doc number {i} with words w{i} x{i} y{i} z{i}") for i in range(2, 10)]
+    store_rows.append((1, "the quick brown fox jumps over the lazy dog again"))
+    store = spark.createDataFrame(store_rows, "doc_id bigint, text string")
+    bands, b, t = simhash_bands_for(store, len(store_rows))
+    assert b == simhash_band_bits(len(store_rows))
+
+    rows = [
+        (100, "the quick brown fox jumps over the lazy dog again", _ts(0)),  # exact store twin
+        (101, "completely different vocabulary entirely unrelated tokens", _ts(1)),
+    ]
+    q = (
+        near_dup_alert_stream(_feed_docs(spark, rows), bands, b)
+        .writeStream.format("memory")
+        .queryName("near_dup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM near_dup_out").collect()
+    assert (100, 1, 0) in {(r.doc_id, r.store_doc, r.hamming) for r in out}
+    assert all(r.doc_id != 101 for r in out)
+    assert all(r.hamming <= 3 for r in out)
