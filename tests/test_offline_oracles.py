@@ -1,11 +1,12 @@
 """Oracle parity for queries NOT in the driver registry.
 
 The driver's correctness gate checks only the first 50 registry
-entries, so three supplementary views were de-registered to make room
-for the pipeline capstones (pl1/pl2) and the pruner ledger (hb1):
-`a8_median_prefix`, `a10b_interim_xy`, `trial_id_golden`. Their
-Spark-vs-DuckDB parity stays enforced here with the same
-row-count + schema + value-hash compare the driver uses.
+entries; everything beyond the cap — de-registered supplementary
+views (`a8_median_prefix`, `a10b_interim_xy`, `trial_id_golden`,
+`ev3_user_metric_history`) and the round-5 extension operators
+(dd9/dd11, ann6, tx7, pl3-pl6, ev4-ev6) — keeps its Spark-vs-DuckDB
+parity enforced here with the same row-count + schema + value-hash
+compare the driver uses.
 """
 
 import sys
