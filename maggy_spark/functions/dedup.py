@@ -478,9 +478,26 @@ def simhash_bands_for(docs: DataFrame, n_docs: int, *, persist: bool = True):
 def _simhash_band_relation(spark: SparkSession, sf_dir: str):
     """The persisted SimHash signatures table over the corpus — the
     production relation every near-dup pass (dd7 full sweep, dd11
-    ingest probe, streaming alerts) joins against."""
+    ingest probe, streaming alerts) joins against. Session-cached per
+    sf_dir (like similarity's `_bucketed` signatures table) so
+    passes that compose — dd10 runs dd7's join, dd11 probes the same
+    bands — sign the corpus ONCE per session, and re-pinned if an
+    external clearCache() dropped the blocks."""
+    from pyspark import StorageLevel
+
+    cache = getattr(spark, "_maggy_simhash_bands", None)
+    if cache is None:
+        cache = {}
+        spark._maggy_simhash_bands = cache
+    if sf_dir in cache:
+        bands, b, t = cache[sf_dir]
+        if bands.storageLevel == StorageLevel.NONE:
+            bands.persist()
+        return bands, b, t
     docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id", "text")
-    return simhash_bands_for(docs, corpus_count(spark, sf_dir, "documents"))
+    out = simhash_bands_for(docs, corpus_count(spark, sf_dir, "documents"))
+    cache[sf_dir] = out
+    return out
 
 
 def _first_match_and_hamming(b: int, t: int):
