@@ -336,3 +336,42 @@ def test_pl6_near_dups_never_straddle_splits(spark, sf_dir):
     assert pairs
     for p in pairs:
         assert split[p.doc_a] == split[p.doc_b]
+
+
+def test_star_contraction_matches_union_find_on_random_graphs(spark):
+    """Cross-algorithm check: star contraction vs a driver-side
+    union-find on seeded pseudo-random graphs (mixed cliques, chains,
+    hubs, singletons arise naturally at these densities)."""
+    import random
+
+    from pyspark.sql import functions as SF
+
+    from maggy_spark.functions.dedup import components_over, star_components
+
+    for seed, n, m in ((7, 200, 80), (11, 300, 300), (13, 64, 400)):
+        rng = random.Random(seed)
+        raw = {(a, b) for a, b in ((rng.randrange(n), rng.randrange(n)) for _ in range(m)) if a != b}
+        edges = [(max(a, b), min(a, b)) for a, b in raw]
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {x: find(x) for x in range(n)}
+
+        e = spark.createDataFrame(sorted(set(edges)), "hi long, lo long")
+        stars = star_components(e)
+        universe = spark.range(n).select(SF.col("id").alias("node_id"))
+        got = {
+            r.node_id: r.cluster_rep
+            for r in components_over(universe, "node_id", stars).collect()
+        }
+        assert got == expected, f"seed={seed}"
