@@ -54,11 +54,17 @@ def main():
 
     # fuzzy dedup: collapse SimHash near-dup CLUSTERS (pair evidence
     # isn't transitive — dd10 runs connected components over the pair
-    # graph) and keep one representative per cluster
+    # graph) and keep one representative per cluster. The winner is
+    # the min SURVIVING doc per cluster, not dd10's global min: the
+    # global representative may already have fallen to an earlier
+    # filter, and dropping the whole cluster with it would lose
+    # content no surviving copy duplicates.
     from maggy_spark.functions.dedup import dd10_near_dup_components
 
     comps = dd10_near_dup_components(spark, sf_dir)
-    kept = kept.join(comps.where(~F.col("is_duplicate")).select("doc_id"), "doc_id")
+    tagged = kept.join(comps.select("doc_id", "cluster_rep"), "doc_id")
+    winners = tagged.groupBy("cluster_rep").agg(F.min("doc_id").alias("doc_id"))
+    kept = tagged.join(winners, ["cluster_rep", "doc_id"]).drop("cluster_rep")
     n_clusters = comps.where(F.col("cluster_size") > 1).select("cluster_rep").distinct().count()
     print(f"after near-dup component dedup: {kept.count()} ({n_clusters} multi-doc clusters collapsed)")
 

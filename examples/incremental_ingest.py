@@ -33,13 +33,13 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     from maggy_spark.functions.dedup import (
-        _simhash_band_relation,
+        simhash_band_relation,
         dd10_near_dup_components,
         dd11_incremental_near_dup,
     )
 
     # the signature store: signed once per session, shared by every path
-    bands, band_bits, total_bits = _simhash_band_relation(spark, sf_dir)
+    bands, band_bits, total_bits = simhash_band_relation(spark, sf_dir)
     print(f"signature store: {bands.count()} band rows, {band_bits}-bit bands, {total_bits}-bit signatures")
 
     # 1. batch probe: pairs the 10%-delta batch introduces

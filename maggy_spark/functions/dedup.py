@@ -431,7 +431,7 @@ def dd7_simhash_near_dup(spark: SparkSession, sf_dir: str, max_hamming: int = MA
             f"max_hamming={max_hamming} exceeds the banding's exact-recall "
             f"radius {MAX_HAMMING} (SIMHASH_BANDS={SIMHASH_BANDS})"
         )
-    bands, b, t = _simhash_band_relation(spark, sf_dir)
+    bands, b, t = simhash_band_relation(spark, sf_dir)
     a = bands.select(F.col("doc_id").alias("doc_a"), F.col("sigint").alias("sa"), "band_key")
     bb = bands.select(F.col("doc_id").alias("doc_b"), F.col("sigint").alias("sb"), "band_key")
     first_match, ham = _first_match_and_hamming(b, t)
@@ -475,7 +475,7 @@ def simhash_bands_for(docs: DataFrame, n_docs: int, *, persist: bool = True):
     return bands, b, t
 
 
-def _simhash_band_relation(spark: SparkSession, sf_dir: str):
+def simhash_band_relation(spark: SparkSession, sf_dir: str):
     """The persisted SimHash signatures table over the corpus — the
     production relation every near-dup pass (dd7 full sweep, dd11
     ingest probe, streaming alerts) joins against. Session-cached per
@@ -732,7 +732,12 @@ def star_components(edges: DataFrame, max_iter: int = 15) -> DataFrame:
     edges = edges.localCheckpoint()
     prev_sig = None
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint()
+        nxt = _small_star(_large_star(edges)).localCheckpoint()
+        # the eager checkpoint above fully materialized nxt, so the
+        # previous round's blocks are dead — free them now instead of
+        # waiting for JVM GC, bounding storage to two edge-set copies
+        edges.unpersist()
+        edges = nxt
         # checksum sums 64-bit hashes: accumulate in decimal(38,0) so
         # ANSI mode can't overflow the long accumulator
         row = edges.agg(
@@ -783,32 +788,51 @@ def dd10_near_dup_components(spark: SparkSession, sf_dir: str, max_iter: int = 1
 # CTE (min reachable id per node), feasible at gate scale. Any
 # star-round bug (a lost edge, a wrong orientation, premature
 # convergence) splits or merges a component and shows up as a
-# cluster_rep / cluster_size mismatch.
+# cluster_rep / cluster_size mismatch. The closure block is shared by
+# every components oracle (dd10, ann6, pl6) so the algorithm can't
+# silently diverge between them.
+
+
+def cc_closure_sql(universe_table: str, id_col: str, pair_a: str = "doc_a", pair_b: str = "doc_b") -> str:
+    """CTE block (for a WITH RECURSIVE list) computing `comp`
+    (id, cluster_rep) and `sizes` from a preceding `pairs` CTE with
+    columns (pair_a, pair_b), over every row of `universe_table`."""
+    return f"""sym AS (
+    SELECT {pair_a} AS u, {pair_b} AS v FROM pairs
+    UNION ALL
+    SELECT {pair_b} AS u, {pair_a} AS v FROM pairs
+),
+reach(node, r) AS (
+    SELECT {id_col}, {id_col} FROM {universe_table}
+    UNION
+    SELECT s.u, reach.r FROM reach JOIN sym s ON reach.node = s.v
+),
+comp AS (SELECT node AS {id_col}, min(r) AS cluster_rep FROM reach GROUP BY node),
+sizes AS (SELECT cluster_rep, count(*) AS cluster_size FROM comp GROUP BY cluster_rep)"""
+
+
+def cc_select_sql(id_col: str) -> str:
+    """The standard components projection over cc_closure_sql's
+    `comp`/`sizes` — the SQL twin of `components_over`."""
+    return f"""SELECT c.{id_col}, c.cluster_rep, cast(s.cluster_size AS BIGINT) AS cluster_size,
+       c.{id_col} != c.cluster_rep AS is_duplicate
+FROM comp c JOIN sizes s USING (cluster_rep)"""
+
+
+_SIMHASH_PAIRS_CTE = f"""
+    SELECT doc_a, doc_b FROM cand
+    WHERE list_sum(list_transform(generate_series(1, t),
+            i -> CASE WHEN substr(ha, i, 1) != substr(hb, i, 1) THEN 1 ELSE 0 END)) <= {MAX_HAMMING}
+"""
+
 DD10_SQL = f"""
 WITH RECURSIVE p AS ({_SIMHASH_PARAMS_SQL}),
 sig AS ({_SIMHASH_SIG_SQL}),
 bands AS ({_SIMHASH_BANDS_SQL}),
 cand AS ({_SIMHASH_CAND_SQL}),
-pairs AS (
-    SELECT doc_a, doc_b FROM cand
-    WHERE list_sum(list_transform(generate_series(1, t),
-            i -> CASE WHEN substr(ha, i, 1) != substr(hb, i, 1) THEN 1 ELSE 0 END)) <= {MAX_HAMMING}
-),
-sym AS (
-    SELECT doc_a AS u, doc_b AS v FROM pairs
-    UNION ALL
-    SELECT doc_b AS u, doc_a AS v FROM pairs
-),
-reach(node, r) AS (
-    SELECT doc_id, doc_id FROM documents
-    UNION
-    SELECT s.u, reach.r FROM reach JOIN sym s ON reach.node = s.v
-),
-comp AS (SELECT node AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY node),
-sizes AS (SELECT cluster_rep, count(*) AS cluster_size FROM comp GROUP BY cluster_rep)
-SELECT c.doc_id, c.cluster_rep, cast(s.cluster_size AS BIGINT) AS cluster_size,
-       c.doc_id != c.cluster_rep AS is_duplicate
-FROM comp c JOIN sizes s USING (cluster_rep)
+pairs AS ({_SIMHASH_PAIRS_CTE}),
+{cc_closure_sql("documents", "doc_id")}
+{cc_select_sql("doc_id")}
 """
 
 
@@ -837,7 +861,7 @@ def dd11_incremental_near_dup(
             f"max_hamming={max_hamming} exceeds the banding's exact-recall "
             f"radius {MAX_HAMMING} (SIMHASH_BANDS={SIMHASH_BANDS})"
         )
-    bands, b, t = _simhash_band_relation(spark, sf_dir)
+    bands, b, t = simhash_band_relation(spark, sf_dir)
     is_delta = F.col("doc_id") % delta_mod == 0
     a = bands.where(is_delta).select(
         F.col("doc_id").alias("doc_a"), F.col("sigint").alias("sa"), "band_key"

@@ -338,19 +338,27 @@ def pl5_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined rep — one shuffle total, inherited from dd5.
     """
     clusters = dd5_dedup_clusters(spark, sf_dir)
+    return clusters.select(
+        "doc_id", "cluster_rep", "is_duplicate", _rep_split_expr("pl5").alias("split")
+    )
+
+
+def _rep_split_expr(salt: str):
+    """SPLIT_QUOTAS bucket decision, hash-deterministic on the
+    `cluster_rep` column — one expression shared by the exact (pl5)
+    and fuzzy (pl6) splits so the quota arithmetic can't diverge; the
+    salt keeps the two splits' hash streams independent."""
     bucket = (
-        F.conv(F.substring(F.md5(F.concat(F.lit("pl5:"), F.col("cluster_rep").cast("string"))), 1, 8), 16, 10)
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{salt}:"), F.col("cluster_rep").cast("string"))), 1, 8),
+            16,
+            10,
+        )
         .cast("bigint")
         % 100
     )
-    split = F.coalesce(
-        *[
-            F.when((bucket >= lo) & (bucket < hi), F.lit(name))
-            for name, lo, hi in SPLIT_QUOTAS
-        ]
-    )
-    return clusters.select(
-        "doc_id", "cluster_rep", "is_duplicate", split.alias("split")
+    return F.coalesce(
+        *[F.when((bucket >= lo) & (bucket < hi), F.lit(name)) for name, lo, hi in SPLIT_QUOTAS]
     )
 
 
@@ -389,27 +397,19 @@ def pl6_fuzzy_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from maggy_spark.functions.dedup import dd10_near_dup_components
 
     comps = dd10_near_dup_components(spark, sf_dir)
-    bucket = (
-        F.conv(F.substring(F.md5(F.concat(F.lit("pl6:"), F.col("cluster_rep").cast("string"))), 1, 8), 16, 10)
-        .cast("bigint")
-        % 100
+    return comps.select(
+        "doc_id", "cluster_rep", "is_duplicate", _rep_split_expr("pl6").alias("split")
     )
-    split = F.coalesce(
-        *[
-            F.when((bucket >= lo) & (bucket < hi), F.lit(name))
-            for name, lo, hi in SPLIT_QUOTAS
-        ]
-    )
-    return comps.select("doc_id", "cluster_rep", "is_duplicate", split.alias("split"))
 
 
 def _pl6_sql() -> str:
     from maggy_spark.functions.dedup import (
-        MAX_HAMMING,
         _SIMHASH_BANDS_SQL,
         _SIMHASH_CAND_SQL,
+        _SIMHASH_PAIRS_CTE,
         _SIMHASH_PARAMS_SQL,
         _SIMHASH_SIG_SQL,
+        cc_closure_sql,
     )
 
     return f"""
@@ -417,24 +417,8 @@ WITH RECURSIVE p AS ({_SIMHASH_PARAMS_SQL}),
 sig AS ({_SIMHASH_SIG_SQL}),
 bands AS ({_SIMHASH_BANDS_SQL}),
 cand AS ({_SIMHASH_CAND_SQL}),
-pairs AS (
-    SELECT doc_a, doc_b FROM cand
-    WHERE list_sum(list_transform(generate_series(1, t),
-            i -> CASE WHEN substr(ha, i, 1) != substr(hb, i, 1) THEN 1 ELSE 0 END)) <= {MAX_HAMMING}
-),
-sym AS (
-    SELECT doc_a AS u, doc_b AS v FROM pairs
-    UNION ALL
-    SELECT doc_b AS u, doc_a AS v FROM pairs
-),
-reach(node, r) AS (
-    SELECT doc_id, doc_id FROM documents
-    UNION
-    SELECT s.u, reach.r FROM reach JOIN sym s ON reach.node = s.v
-),
-comp AS (
-    SELECT node AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY node
-),
+pairs AS ({_SIMHASH_PAIRS_CTE}),
+{cc_closure_sql("documents", "doc_id")},
 withb AS (
     SELECT doc_id, cluster_rep, (doc_id != cluster_rep) AS is_duplicate,
            cast(('0x' || substr(md5('pl6:' || cast(cluster_rep AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket

@@ -446,29 +446,22 @@ def ann6_semantic_dedup(spark: SparkSession, sf_dir: str, threshold: float = 0.3
     return components_over(vecs, "vec_id", stars)
 
 
-ANN6_SQL = f"""
+def _ann6_sql() -> str:
+    from maggy_spark.functions.dedup import cc_closure_sql, cc_select_sql
+
+    return f"""
 WITH RECURSIVE {_BUCKET_PAIR_SQL},
 pairs AS (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b
     FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE {_cos_sql("a.emb", "b.emb")} >= 0.3
 ),
-sym AS (
-    SELECT id_a AS u, id_b AS v FROM pairs
-    UNION ALL
-    SELECT id_b AS u, id_a AS v FROM pairs
-),
-reach(node, r) AS (
-    SELECT vec_id, vec_id FROM embeddings
-    UNION
-    SELECT s.u, reach.r FROM reach JOIN sym s ON reach.node = s.v
-),
-comp AS (SELECT node AS vec_id, min(r) AS cluster_rep FROM reach GROUP BY node),
-sizes AS (SELECT cluster_rep, count(*) AS cluster_size FROM comp GROUP BY cluster_rep)
-SELECT c.vec_id, c.cluster_rep, cast(s.cluster_size AS BIGINT) AS cluster_size,
-       c.vec_id != c.cluster_rep AS is_duplicate
-FROM comp c JOIN sizes s USING (cluster_rep)
+{cc_closure_sql("embeddings", "vec_id", "id_a", "id_b")}
+{cc_select_sql("vec_id")}
 """
+
+
+ANN6_SQL = _ann6_sql()
 
 
 OPERATORS = [
