@@ -708,7 +708,7 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
-def star_components(edges: DataFrame, max_iter: int = 15) -> DataFrame:
+def star_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
     """Contract an undirected edge relation (columns `hi`, `lo`) to
     star edges (node -> component minimum) by alternating large-star /
     small-star rounds to fixpoint.
@@ -769,7 +769,7 @@ def components_over(universe: DataFrame, id_col: str, stars: DataFrame) -> DataF
     )
 
 
-def dd10_near_dup_components(spark: SparkSession, sf_dir: str, max_iter: int = 15) -> DataFrame:
+def dd10_near_dup_components(spark: SparkSession, sf_dir: str, max_iter: int = 30) -> DataFrame:
     """Connected components over the dd7 SimHash near-dup pair graph:
     every document mapped to its component representative (the min
     doc_id reachable through near-dup edges), the component size, and
