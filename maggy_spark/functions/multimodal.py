@@ -211,6 +211,116 @@ FROM (
 """
 
 
+THUMB_BOX = 224  # resize target: longest side after thumbnailing
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("new_width", T.IntegerType()),
+        T.StructField("new_height", T.IntegerType()),
+        T.StructField("thumb", T.BinaryType()),
+    ]
+)
+
+
+def mm4_resize_thumbnails(spark: SparkSession, sf_dir: str, box: int = THUMB_BOX) -> DataFrame:
+    """Resize pass for image rows: binary IN -> binary OUT through
+    mapInPandas — the Arrow round-trip a real thumbnailer (PIL
+    `Image.thumbnail`) rides; the pixel work is the documented stub
+    (aspect-preserving integer geometry + a deterministic byte slice
+    standing in for re-encoding). The op is narrow (no shuffle) and
+    the binary column never enters an exchange; geometry math is
+    integer-exact so the test's SQL twin reproduces it bit-for-bit.
+    Not oracle-registered: the output carries a BINARY column, which
+    the value-hash compare does not canonicalize — invariants and the
+    geometry twin are pinned by test_mm4_resize_plumbing instead.
+    """
+    media = media_table(spark, sf_dir)
+    decoded = mm1_decode_metadata(spark, sf_dir).where(F.col("media_type") == "image")
+    src = media.select("media_id", "payload").join(
+        decoded.select("media_id", "width", "height"), "media_id"
+    )
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, payload, w, h in zip(
+                pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                payload = bytes(payload)
+                s = max(w, h)
+                nw, nh = (w * box) // s, (h * box) // s
+                # stub re-encode: the thumbnail is a prefix slice the
+                # size the geometry implies (capped by the source)
+                thumb = payload[: min(len(payload), nw * nh)]
+                out.append(
+                    {"media_id": media_id, "width": int(w), "height": int(h),
+                     "new_width": int(nw), "new_height": int(nh), "thumb": thumb}
+                )
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(resize_batches, RESIZE_SCHEMA)
+
+
+N_FEATURE_BUCKETS = 16
+
+
+def mm5_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extract pass: per-media byte histogram in LONG format
+    (media_id, bucket, frac) — the vector-producing mapInPandas shape
+    a real extractor (CLIP embedding, mel spectrogram) plugs into,
+    emitted one row per bucket so every value is scalar and the
+    DuckDB oracle can hash it. The Python stage computes real numpy
+    bincounts over the payload bytes; fractions are single IEEE
+    divisions of exact integers, so they compare bit-exact with the
+    oracle's per-byte SQL."""
+    import numpy as np
+
+    media = media_table(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("bucket", T.IntegerType()),
+            T.StructField("frac", T.DoubleType()),
+        ]
+    )
+
+    def histogram_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload)
+                counts = np.bincount(
+                    np.frombuffer(payload, dtype=np.uint8) >> 4, minlength=N_FEATURE_BUCKETS
+                )
+                n = len(payload)
+                for b in range(N_FEATURE_BUCKETS):
+                    out.append(
+                        {"media_id": media_id, "bucket": b, "frac": float(counts[b]) / n}
+                    )
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(histogram_batches, schema)
+
+
+# The corpus is ASCII (asserted below via octet_length == length in the
+# same query), so per-char ord() == per-byte value and DuckDB can
+# replay the byte histogram; a non-ASCII corpus would need a BLOB-side
+# histogram instead.
+MM5_SQL = f"""
+WITH m AS (
+    SELECT doc_id AS media_id, text AS s FROM documents
+    WHERE octet_length(encode(text)) = length(text)
+)
+SELECT media_id, CAST(k AS INTEGER) AS bucket,
+       CAST(len(list_filter(generate_series(1, length(s)), i -> ord(substr(s, i, 1)) // 16 = k)) AS DOUBLE)
+           / length(s) AS frac
+FROM m CROSS JOIN generate_series(0, {N_FEATURE_BUCKETS - 1}) gs(k)
+"""
+
+
 OPERATORS = [
     ("mm1_decode_metadata", mm1_decode_metadata, MM1_SQL),
     ("mm2_frame_sample", mm2_frame_sample, MM2_SQL),

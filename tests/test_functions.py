@@ -375,3 +375,23 @@ def test_star_contraction_matches_union_find_on_random_graphs(spark):
             for r in components_over(universe, "node_id", stars).collect()
         }
         assert got == expected, f"seed={seed}"
+
+
+def test_mm4_resize_plumbing(spark, sf_dir):
+    """Binary-out mapInPandas: geometry is aspect-preserving with the
+    long side pinned to the box, and the stub thumbnail is a real
+    payload slice that survived the Arrow round-trip intact."""
+    from maggy_spark.functions.multimodal import THUMB_BOX, media_table, mm4_resize_thumbnails
+
+    texts = {
+        r.media_id: bytes(r.payload)
+        for r in media_table(spark, sf_dir).select("media_id", "payload").collect()
+    }
+    rows = mm4_resize_thumbnails(spark, sf_dir).collect()
+    assert rows and len(rows) == sum(1 for m in texts if m % 3 == 0)
+    for r in rows:
+        s = max(r.width, r.height)
+        assert (r.new_width, r.new_height) == ((r.width * THUMB_BOX) // s, (r.height * THUMB_BOX) // s)
+        assert max(r.new_width, r.new_height) == THUMB_BOX
+        want = texts[r.media_id][: min(len(texts[r.media_id]), r.new_width * r.new_height)]
+        assert bytes(r.thumb) == want

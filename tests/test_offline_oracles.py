@@ -31,6 +31,7 @@ CASES = [
     ("trial_id_golden", "GOLDEN_SQL", "maggy_spark.operators.generators"),
     ("dd9_decontaminate", "DD9_SQL", "maggy_spark.functions.dedup"),
     ("ev3_user_metric_history", "EV3_SQL", "maggy_spark.operators.events"),
+    ("mm5_byte_histogram", "MM5_SQL", "maggy_spark.functions.multimodal"),
     ("ann6_semantic_dedup", "ANN6_SQL", "maggy_spark.functions.similarity"),
     ("dd11_incremental_near_dup", "DD11_SQL", "maggy_spark.functions.dedup"),
     ("tx7_repetition", "TX7_SQL", "maggy_spark.functions.text"),
