@@ -755,7 +755,17 @@ def components_over(universe: DataFrame, id_col: str, stars: DataFrame) -> DataF
     """Materialize per-row cluster assignments from a star edge set:
     one row per `universe` row with (id, cluster_rep, cluster_size,
     is_duplicate). Singletons (rows with no edge) come back as their
-    own representative via the left join."""
+    own representative via the left join.
+
+    Skew note: `cluster_rep` is inherently skewed — a boilerplate-
+    heavy corpus has giant components (95% of the synthetic corpus
+    shares one; see SCALING.md) — so the sizes join deliberately
+    stays a plain equi-join and leans on AQE skew-join splitting
+    (`spark.sql.adaptive.enabled`, on by default): the build side is
+    ONE row per key, which splits for free across the subdivided
+    probe partitions. The sizes relation is O(#components) — up to
+    one row per doc when all are singletons — so a broadcast hint
+    here would be a scale bug, not an optimization."""
     reps = stars.groupBy("hi").agg(F.min("lo").alias("rep")).withColumnRenamed("hi", id_col)
     comp = universe.join(reps, id_col, "left").select(
         id_col, F.coalesce("rep", id_col).alias("cluster_rep")
