@@ -74,12 +74,39 @@ FROM documents GROUP BY md5(text)
 """
 
 
+def _session_cached(spark: SparkSession, key: tuple, build) -> DataFrame:
+    """Session-scoped persisted relation: built once per key, shared
+    by every operator that composes on it (the production pattern of
+    a long-lived signatures/postings table), re-pinned if an external
+    clearCache() dropped the blocks. Mirrors similarity._bucketed."""
+    from pyspark import StorageLevel
+
+    cache = getattr(spark, "_maggy_dedup_cache", None)
+    if cache is None:
+        cache = {}
+        spark._maggy_dedup_cache = cache
+    if key in cache:
+        df = cache[key]
+        if df.storageLevel == StorageLevel.NONE:
+            df.persist()
+        return df
+    df = build().persist()
+    cache[key] = df
+    return df
+
+
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sh) with sh = distinct word-3-gram shingles, scan
     fanned out to the session's cores (shingling + hashing is the
-    CPU-bound step of every operator below)."""
-    return load_table(spark, sf_dir, "documents", fan_out=True).select(
-        "doc_id", _shingles_expr().alias("sh")
+    CPU-bound step of every operator below). Session-cached and
+    persisted: dd3/dd4/dd8/dd9/pl1 all derive from this one
+    materialization instead of re-shingling the corpus per call."""
+    return _session_cached(
+        spark,
+        (sf_dir, "shingles"),
+        lambda: load_table(spark, sf_dir, "documents", fan_out=True).select(
+            "doc_id", _shingles_expr().alias("sh")
+        ),
     )
 
 
@@ -177,8 +204,18 @@ def dd3_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize band keys once: in production this is the
     # signatures table written to storage; without it the self-join
     # recomputes the full shingle+minhash pipeline on both sides
-    bands = _band_keys(dd2_minhash_signature(spark, sf_dir)).persist()
-    return _candidate_pairs(bands)
+    return _candidate_pairs(_minhash_bands(spark, sf_dir))
+
+
+def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The session-persisted MinHash band-key relation — one signing
+    pass shared by dd3's candidate join and dd8's verification path
+    (both sides of each self-join read this one materialization)."""
+    return _session_cached(
+        spark,
+        (sf_dir, "minhash_bands"),
+        lambda: _band_keys(dd2_minhash_signature(spark, sf_dir)),
+    )
 
 
 DD3_SQL = f"""
@@ -222,12 +259,10 @@ def dd4_ngram_jaccard(
     # the shingle pipeline.
     from pyspark.sql.window import Window
 
-    ex = (
-        ex.withColumn("f", F.count("*").over(Window.partitionBy("sid")))
-        .where(F.col("f") <= max_doc_freq)
-        .drop("f")
-        .persist()
-    )
+    pruned = ex.withColumn("f", F.count("*").over(Window.partitionBy("sid"))).where(
+        F.col("f") <= max_doc_freq
+    ).drop("f")
+    ex = _session_cached(spark, (sf_dir, "dd4_postings", max_doc_freq), lambda: pruned)
     a = ex.alias("a")
     b = ex.alias("b")
     inter = (
@@ -563,9 +598,8 @@ def dd8_lsh_verified_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     text is scanned and shingled a single time (the naive composition
     dd3 ∘ scan re-shingled the corpus for each side).
     """
-    sh = _shingled(spark, sf_dir).persist()
-    bands = _band_keys(_hashed(sh).select("doc_id", *_signature_cols())).persist()
-    cand = _candidate_pairs(bands)
+    sh = _shingled(spark, sf_dir)
+    cand = _candidate_pairs(_minhash_bands(spark, sf_dir))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     joined = cand.join(a, "doc_a").join(b, "doc_b")
@@ -616,7 +650,7 @@ def dd9_decontaminate(
     Not in the driver registry (50-entry cap); parity is enforced by
     tests/test_offline_oracles.py with the same three-way compare.
     """
-    sh = _shingled(spark, sf_dir).persist()
+    sh = _shingled(spark, sf_dir)
     is_eval = F.col("doc_id") % eval_mod == 0
     ev = sh.where(is_eval).select(
         F.col("doc_id").alias("eval_doc"),
@@ -708,6 +742,24 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Release the storage blocks behind a localCheckpoint'd frame.
+
+    `DataFrame.unpersist` only clears CacheManager entries and never
+    touches the RDD a localCheckpoint pinned (verified on this Spark:
+    the checkpointed RDD stays in storage after unpersist), so the
+    contraction loop frees the PREVIOUS round through the LogicalRDD
+    plan node instead. Best-effort: if the plan shape ever changes,
+    the ContextCleaner still frees the blocks on GC — this just makes
+    the bound deterministic."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 - py4j access is version-sensitive
+        pass
+
+
 def star_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
     """Contract an undirected edge relation (columns `hi`, `lo`) to
     star edges (node -> component minimum) by alternating large-star /
@@ -736,7 +788,7 @@ def star_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
         # the eager checkpoint above fully materialized nxt, so the
         # previous round's blocks are dead — free them now instead of
         # waiting for JVM GC, bounding storage to two edge-set copies
-        edges.unpersist()
+        _free_local_checkpoint(edges)
         edges = nxt
         # checksum sums 64-bit hashes: accumulate in decimal(38,0) so
         # ANSI mode can't overflow the long accumulator

@@ -237,19 +237,21 @@ def mm4_resize_thumbnails(spark: SparkSession, sf_dir: str, box: int = THUMB_BOX
     the value-hash compare does not canonicalize — invariants and the
     geometry twin are pinned by test_mm4_resize_plumbing instead.
     """
-    media = media_table(spark, sf_dir)
-    decoded = mm1_decode_metadata(spark, sf_dir).where(F.col("media_type") == "image")
-    src = media.select("media_id", "payload").join(
-        decoded.select("media_id", "width", "height"), "media_id"
+    # decode happens INSIDE the resize stage (a real thumbnailer reads
+    # dimensions from the payload it is already holding) — joining the
+    # mm1 relation here would decode the corpus a second time and, at
+    # scale, drag the binary payload through a shuffle
+    src = media_table(spark, sf_dir).where(F.col("media_type") == "image").select(
+        "media_id", "payload"
     )
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for media_id, payload, w, h in zip(
-                pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"]
-            ):
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 payload = bytes(payload)
+                d = _fake_decode(payload, "image")
+                w, h = d["width"], d["height"]
                 s = max(w, h)
                 nw, nh = (w * box) // s, (h * box) // s
                 # stub re-encode: the thumbnail is a prefix slice the
@@ -296,6 +298,10 @@ def mm5_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                     np.frombuffer(payload, dtype=np.uint8) >> 4, minlength=N_FEATURE_BUCKETS
                 )
                 n = len(payload)
+                if n == 0:
+                    # empty payload: no histogram rows, matching the
+                    # oracle's length(s) > 0 filter (0/0 has no answer)
+                    continue
                 for b in range(N_FEATURE_BUCKETS):
                     out.append(
                         {"media_id": media_id, "bucket": b, "frac": float(counts[b]) / n}
@@ -312,7 +318,7 @@ def mm5_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 MM5_SQL = f"""
 WITH m AS (
     SELECT doc_id AS media_id, text AS s FROM documents
-    WHERE octet_length(encode(text)) = length(text)
+    WHERE octet_length(encode(text)) = length(text) AND length(text) > 0
 )
 SELECT media_id, CAST(k AS INTEGER) AS bucket,
        CAST(len(list_filter(generate_series(1, length(s)), i -> ord(substr(s, i, 1)) // 16 = k)) AS DOUBLE)

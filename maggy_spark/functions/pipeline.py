@@ -10,9 +10,10 @@ driver round-trips. The final relation is what a pre-training run
 would read; `corpus_to_shards` writes it worker-aligned.
 
 At 100 TB: every stage is bucket/band-blocked (inherited from its
-operator), the keep-set anti-joins are broadcast-able (the drop side
-is pairs, orders of magnitude smaller than the corpus), and the
-output is column-pruned to the training schema at the scan.
+operator); the keep-set anti-joins carry no broadcast hints — the
+drop side is a corpus FRACTION on duplicate-heavy data, so the join
+shuffles on its key and AQE broadcasts only when it measures small;
+and the output is column-pruned to the training schema at the scan.
 """
 
 from __future__ import annotations
@@ -64,8 +65,13 @@ def pl1_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("bigint")
         ).alias("bpe_tokens"),
     )
+    # no broadcast hint on near_drop: it is O(duplicate docs) — a
+    # constant FRACTION of the corpus on duplicate-heavy data (95% on
+    # the synthetic corpus, SCALING.md), so forcing it through the
+    # driver is a scale bug; the anti-join shuffles on the doc_id key
+    # and AQE still broadcasts it at runtime when it measures small
     return (
-        exact.join(F.broadcast(near_drop), "doc_id", "left_anti")
+        exact.join(near_drop, "doc_id", "left_anti")
         .join(stats, "doc_id")
         .where((F.col("n_tokens") >= MIN_TOKENS) & (F.col("richness") >= MIN_RICHNESS))
         .select("doc_id", "n_tokens", "bpe_tokens", "richness")

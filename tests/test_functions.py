@@ -395,3 +395,23 @@ def test_mm4_resize_plumbing(spark, sf_dir):
         assert max(r.new_width, r.new_height) == THUMB_BOX
         want = texts[r.media_id][: min(len(texts[r.media_id]), r.new_width * r.new_height)]
         assert bytes(r.thumb) == want
+
+
+def test_star_contraction_frees_round_checkpoints(spark):
+    """Each round's localCheckpoint must be freed once the next round
+    materializes (DataFrame.unpersist alone is a no-op for checkpoint
+    blocks) — only the returned fixpoint relation may stay cached."""
+    from maggy_spark.functions.dedup import star_components
+
+    def cached_rdds():
+        return {i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+
+    before = cached_rdds()
+    edges = spark.createDataFrame(
+        [(i + 1, i) for i in range(64)] + [(200, 100), (300, 100)], "hi long, lo long"
+    )
+    stars = star_components(edges)
+    stars.count()
+    leaked = cached_rdds() - before
+    # ran >= 3 rounds (chain of 65), so without freeing this would be >= 4
+    assert len(leaked) <= 1, f"checkpoint RDDs left cached: {leaked}"
