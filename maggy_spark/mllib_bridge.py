@@ -42,12 +42,17 @@ def searchspace_to_param_grid(
             values = list(region)
         elif hp_type == DOUBLE:
             lo, hi = float(region[0]), float(region[1])
-            values = [lo + (hi - lo) * i / (num_points - 1) for i in range(num_points)]
+            if num_points == 1:
+                values = [lo]  # single-point lattice, not a 0/0
+            else:
+                values = [lo + (hi - lo) * i / (num_points - 1) for i in range(num_points)]
         elif hp_type == INTEGER:
             lo, hi = int(region[0]), int(region[1])
             n = hi - lo + 1
             if n <= num_points:
                 values = list(range(lo, hi + 1))
+            elif num_points == 1:
+                values = [lo]
             else:
                 values = sorted({lo + round((n - 1) * i / (num_points - 1)) for i in range(num_points)})
         else:  # pragma: no cover
@@ -130,6 +135,11 @@ def fit_with_lagom(
                 controller.finalize_trial(t)
                 results.append(t)
 
+    if not results:
+        raise ValueError(
+            "controller produced no trials (num_trials=0 or done() was "
+            "immediately true) — nothing to fit"
+        )
     sign = -1.0 if direction == "min" else 1.0
     ordered = sorted(results, key=lambda t: sign * t.final_metric, reverse=True)
     best, worst = ordered[0], ordered[-1]
@@ -166,7 +176,15 @@ def minhash_lsh_near_dup(
     )
     lsh = MinHashLSH(inputCol="_features", outputCol="_hashes", numHashTables=num_hash_tables, seed=42)
     model = lsh.fit(featured)
-    joined = model.approxSimilarityJoin(featured, featured, 1.0 - jaccard_threshold, distCol="jaccard_dist")
+    # approxSimilarityJoin keeps dist < threshold STRICTLY; widen the
+    # LSH cut by an epsilon and re-filter inclusively so a pair at
+    # exactly jaccard_threshold (distance exactly 1-threshold) is kept
+    # — the distCol is the exact jaccard distance, so the post-filter
+    # is precise, not approximate
+    dist_cut = 1.0 - jaccard_threshold
+    joined = model.approxSimilarityJoin(
+        featured, featured, min(1.0, dist_cut + 1e-9), distCol="jaccard_dist"
+    ).where(F.col("jaccard_dist") <= dist_cut)
     return (
         joined.where(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
         .select(

@@ -192,6 +192,13 @@ def ev5_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape, built from the lag-gap-cumsum idiom so the batch path
     needs no stateful operator.
 
+    Boundary semantics: a gap of EXACTLY the timeout stays in the
+    session (split on strictly-greater gaps). This matches Structured
+    Streaming's `session_window`, which merges touching windows — an
+    event at exactly prev+gap extends the session (verified
+    empirically; pinned by test_session_boundary_gap_exactly_timeout
+    so the streaming twin can never silently diverge at the edge).
+
     Scale shape: one shuffle on user_id; the gap flags and the
     running session counter ride a single user-partitioned sort, and
     the per-session rollup reuses the same partitioning (no second

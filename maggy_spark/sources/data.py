@@ -65,9 +65,24 @@ def shard_parquet_reader(
 
     if not 0 <= rank < world_size:
         raise ValueError(f"rank {rank} outside world of {world_size}")
+    files = [(fname, pq.ParquetFile(fname)) for fname in _parquet_files(path)]
+    total_groups = sum(pf.num_row_groups for _, pf in files)
+    if total_groups < world_size:
+        # not an error (reading an under-sharded dataset is legal and
+        # the shards stay disjoint+exhaustive), but a DDP gang with
+        # zero-batch ranks hangs at its first allreduce — say so
+        # loudly instead of silently yielding nothing
+        import warnings
+
+        warnings.warn(
+            f"dataset at {path} has {total_groups} row groups < world_size "
+            f"{world_size}: ranks >= {total_groups} get ZERO batches — a "
+            "distributed training gang will hang; rewrite with more shards "
+            "(corpus_to_shards(n_shards=...)) or shrink the world",
+            stacklevel=2,
+        )
     gid = 0
-    for fname in _parquet_files(path):
-        pf = pq.ParquetFile(fname)
+    for _fname, pf in files:
         for rg in range(pf.num_row_groups):
             if gid % world_size == rank:
                 table = pf.read_row_group(rg, columns=columns)

@@ -24,11 +24,9 @@ from pyspark.sql import functions as F
 
 from maggy_spark.trial import Trial
 
-TRIALS_SCHEMA = (
-    "trial_id string, seq bigint, params map<string,string>, budget int, "
-    "sample_type string, status string, direction string, final_metric double, "
-    "early_stop boolean, duration_ms bigint"
-)
+# the trials row shape lives with its one producer,
+# experiment.trials_to_df (FIXTURES.md F2); this store appends through
+# that function, so there is deliberately no second schema copy here
 METRICS_SCHEMA = "trial_id string, step bigint, value double"
 
 
@@ -60,9 +58,16 @@ class ExperimentStore:
         base = self._next_seq()
         from maggy_spark.experiment import trials_to_df  # single source of the row shape
 
-        for i, t in enumerate(trials):
-            t.info_dict.setdefault("seq", base + i + 1)
-        self._seq_counter = max(self._seq_counter, max(t.info_dict["seq"] for t in trials))
+        # REBASE onto the store's counter rather than setdefault: every
+        # real caller presets a 1-based per-run seq, so keeping it
+        # verbatim would collide when a second run appends into an
+        # existing store. Caller seq only decides ORDER within the
+        # batch; the stored value is base+1..base+n — identical to the
+        # caller's numbering on a fresh store, unique on a reused one.
+        order = sorted(range(len(trials)), key=lambda i: trials[i].info_dict.get("seq", i))
+        for pos, i in enumerate(order):
+            trials[i].info_dict["seq"] = base + pos + 1
+        self._seq_counter = base + len(trials)
         trials_to_df(self.spark, trials, self.direction).coalesce(1).write.mode("append").parquet(
             self._trials_path
         )
@@ -115,10 +120,16 @@ class ExperimentStore:
         )
 
     def promotable(self, eta: int = 2) -> DataFrame:
-        """G5: top floor(n/eta) per budget-rung, direction-aware."""
+        """G5: top floor(n/eta) per budget-rung, direction-aware.
+
+        Metric-less finalized trials are excluded up front: under
+        direction='min' a null would sort FIRST (asc is nulls-first)
+        and a broken trial would win the rung."""
         from pyspark.sql.window import Window
 
-        t = self.trials().where(F.col("status") == "FINALIZED")
+        t = self.trials().where(
+            (F.col("status") == "FINALIZED") & F.col("final_metric").isNotNull()
+        )
         order = F.col("final_metric").desc() if self.direction == "max" else F.col("final_metric").asc()
         w = Window.partitionBy("budget").orderBy(order, F.col("seq"))
         ranked = t.select(

@@ -64,7 +64,17 @@ def daily_activity_stream(event_stream: DataFrame, watermark: str = "1 day") -> 
             F.approx_count_distinct("user_id").alias("active_users_approx"),
         )
         .select(
-            F.col("w.start").cast("date").cast("string").alias("day"),
+            # epoch-day arithmetic, NOT w.start.cast("date"): the cast
+            # renders through spark.sql.session.timeZone and would
+            # shift every day label by -1 in negative-UTC-offset
+            # sessions, diverging from batch ev2's tz-free day key
+            # (see operators/events.py ev2)
+            F.date_add(
+                F.lit("1970-01-01").cast("date"),
+                F.floor(F.unix_micros(F.col("w.start")) / F.lit(86_400_000_000)).cast("int"),
+            )
+            .cast("string")
+            .alias("day"),
             "n_events",
             "active_users_approx",
         )

@@ -73,3 +73,17 @@ def test_dataframe_to_batches(spark):
     batches = list(dataframe_to_batches(df, batch_size=100))
     assert sum(len(b) for b in batches) == 250
     assert max(len(b) for b in batches) <= 100
+
+
+def test_shard_reader_warns_when_world_exceeds_row_groups(spark, tmp_path):
+    import warnings
+
+    from maggy_spark.sources.data import shard_parquet_reader
+
+    p = str(tmp_path / "tiny")
+    spark.range(10).coalesce(1).write.parquet(p)  # 1 file, 1 row group
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        batches = list(shard_parquet_reader(p, rank=3, world_size=4))
+    assert batches == []  # still legal: disjoint + exhaustive
+    assert any("ZERO batches" in str(w.message) for w in caught)

@@ -95,3 +95,33 @@ def test_minhash_lsh_finds_planted_dup(spark):
     pairs = {(r.doc_a, r.doc_b) for r in minhash_lsh_near_dup(df, jaccard_threshold=0.5).collect()}
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_param_grid_single_point(spark):
+    from pyspark.ml.classification import LogisticRegression
+
+    from maggy_spark.mllib_bridge import searchspace_to_param_grid
+    from maggy_spark.searchspace import Searchspace
+
+    lr = LogisticRegression()
+    ss = Searchspace(regParam=("DOUBLE", [0.1, 0.9]), maxIter=("INTEGER", [5, 50]))
+    grid = searchspace_to_param_grid(
+        ss, {"regParam": lr.regParam, "maxIter": lr.maxIter}, num_points=1
+    )
+    assert len(grid) == 1
+    vals = list(grid[0].values())
+    assert 0.1 in vals and 5 in vals  # low end, no ZeroDivisionError
+
+
+def test_fit_with_lagom_zero_trials_raises(spark):
+    import pytest as _pytest
+
+    from maggy_spark.mllib_bridge import fit_with_lagom
+    from maggy_spark.searchspace import Searchspace
+
+    ss = Searchspace(x=("DOUBLE", [0, 1]))
+    df = spark.range(1)
+    with _pytest.raises(ValueError, match="no trials"):
+        fit_with_lagom(
+            lambda params: None, None, ss, df, df, optimizer="randomsearch", num_trials=0
+        )

@@ -139,3 +139,29 @@ def test_streaming_run_keeps_single_dir(spark, tmp_path):
     assert os.path.isdir(f"{res['log_dir']}/live")
     assert os.path.exists(f"{res['log_dir']}/result.json")
     assert not os.path.isdir(f"{tmp_path}/single_dir_1")
+
+
+def test_promotable_min_direction_ignores_null_metrics(spark, tmp_path):
+    s = ExperimentStore(spark, str(tmp_path / "minp"), direction="min")
+    broken = Trial({"x": 99})
+    broken.finalize(None)  # finalized, no metric: must never win a rung
+    broken.info_dict["seq"] = 3
+    s.append_trials([_trial(1, 10.0, budget=1), _trial(2, 5.0, budget=1), broken])
+    promo = s.promotable(eta=2).collect()
+    assert [r.trial_id for r in promo] != []
+    # min direction, rung budget=1, floor(2/2)=1 slot: metric 5.0
+    # wins and the null-metric trial is excluded everywhere
+    t = {r.seq: r.trial_id for r in s.trials().collect()}
+    assert [r.trial_id for r in promo if r.rung == 1] == [t[2]]
+    assert all(r.final_metric is not None for r in promo)
+
+
+def test_append_rebases_preset_seq_across_handles(spark, tmp_path):
+    path = str(tmp_path / "tworuns")
+    s1 = ExperimentStore(spark, path, direction="max")
+    s1.append_trials([_trial(1, 1.0), _trial(2, 2.0)])
+    # a SECOND run (fresh handle) appends its own 1-based seqs
+    s2 = ExperimentStore(spark, path, direction="max")
+    s2.append_trials([_trial(1, 3.0), _trial(2, 4.0)])
+    seqs = sorted(r.seq for r in s2.trials().collect())
+    assert seqs == [1, 2, 3, 4]  # unique and monotone, not 1,1,2,2

@@ -361,3 +361,76 @@ def test_near_dup_alert_stream_probes_static_store(spark):
     assert (100, 1, 0) in {(r.doc_id, r.store_doc, r.hamming) for r in out}
     assert all(r.doc_id != 101 for r in out)
     assert all(r.hamming <= 3 for r in out)
+
+
+def test_session_boundary_gap_exactly_timeout(spark):
+    """A gap of EXACTLY the timeout stays in the session; only a
+    strictly-greater gap splits — session_window merges touching
+    windows (verified here), and batch ev5's lag-gap rule uses the
+    matching strict `>` so the twins agree at the boundary."""
+    from datetime import datetime, timedelta
+
+    from maggy_spark.streaming import sessionize_event_stream
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, "click", t0),
+        (1, "click", t0 + timedelta(minutes=30)),        # exact gap: SAME session
+        (1, "purchase", t0 + timedelta(minutes=90, seconds=1)),  # > gap: NEW session
+        # far-future flush event: advances the watermark so user 1's
+        # sessions CLOSE and append mode emits them
+        (99, "click", t0 + timedelta(days=10)),
+    ]
+    d = spark.createDataFrame(rows, "user_id bigint, event_type string, ts timestamp")
+    import tempfile
+
+    p = tempfile.mkdtemp(prefix="maggy_sess_edge_")
+    d.write.mode("overwrite").parquet(p)
+    stream = spark.readStream.schema(d.schema).parquet(p)
+    q = (
+        sessionize_event_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sess_edge")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM sess_edge WHERE user_id = 1 ORDER BY start_us").collect()
+    assert [r.n_events for r in out] == [2, 1]
+    # the split happened at the >gap jump, not the exact-gap step
+    from maggy_spark.operators.events import SESSION_GAP_US
+
+    assert out[1].start_us - out[0].start_us == 3 * SESSION_GAP_US + 1_000_000
+
+
+def test_daily_activity_stream_day_label_is_timezone_free(spark):
+    """The day key must come from epoch-day arithmetic: a cast through
+    a negative-UTC-offset session timezone would shift every label."""
+    from datetime import datetime
+
+    from maggy_spark.streaming import daily_activity_stream
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        rows = [(1, "click", datetime(2024, 3, 5, 0, 30, 0))]
+        d = spark.createDataFrame(rows, "user_id bigint, event_type string, ts timestamp")
+        import tempfile
+
+        p = tempfile.mkdtemp(prefix="maggy_day_tz_")
+        d.write.mode("overwrite").parquet(p)
+        stream = spark.readStream.schema(d.schema).parquet(p)
+        q = (
+            daily_activity_stream(stream)
+            .writeStream.format("memory")
+            .queryName("day_tz")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.sql("SELECT day FROM day_tz").collect()
+        assert [r.day for r in out] == ["2024-03-05"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
