@@ -62,7 +62,11 @@ class BaseAsyncBO(AbstractOptimizer):
         # reset per-run state (instances may be reused across lagom calls)
         self._emitted = 0
         self._draws = 0
-        self.num_warmup_trials = min(self.num_warmup_trials, self.num_trials)
+        # effective warmup for THIS run: clamp a copy, not the
+        # configured value — a reused controller initialized for a
+        # small run must not carry the smaller warmup into a later,
+        # larger run
+        self._warmup = min(self.num_warmup_trials, self.num_trials)
 
     def report_error(self, trial) -> None:
         """A failed trial frees its emission slot so a replacement can
@@ -134,7 +138,7 @@ class BaseAsyncBO(AbstractOptimizer):
         dedup guard (base.py:232-301); None = searchspace exhausted.
         Shared by the single-fidelity loop and pruner slot fills."""
         n_done = len(self.final_store)
-        if self._emitted < self.num_warmup_trials or n_done < self.min_model_trials():
+        if self._emitted < self._warmup or n_done < self.min_model_trials():
             params, stype = self._random_params(), "random"
         elif self._rng.random() < self.random_fraction:
             params, stype = self._random_params(), "random"

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from maggy_spark.plans.fixtures import corpus_count, load_table
+from maggy_spark.plans.fixtures import corpus_count, load_table, session_cached as _session_cached
 
 N_HASHES = 4
 
@@ -74,25 +74,6 @@ FROM documents GROUP BY md5(text)
 """
 
 
-def _session_cached(spark: SparkSession, key: tuple, build) -> DataFrame:
-    """Session-scoped persisted relation: built once per key, shared
-    by every operator that composes on it (the production pattern of
-    a long-lived signatures/postings table), re-pinned if an external
-    clearCache() dropped the blocks. Mirrors similarity._bucketed."""
-    from pyspark import StorageLevel
-
-    cache = getattr(spark, "_maggy_dedup_cache", None)
-    if cache is None:
-        cache = {}
-        spark._maggy_dedup_cache = cache
-    if key in cache:
-        df = cache[key]
-        if df.storageLevel == StorageLevel.NONE:
-            df.persist()
-        return df
-    df = build().persist()
-    cache[key] = df
-    return df
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:

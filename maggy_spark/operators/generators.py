@@ -191,9 +191,9 @@ def g10_hyperband_ladder(
     n_configs [9,3,1], iteration 1 -> [3,1].
     n(i, r) = eta^(smax - r) for r in i..smax.
     """
-    import math
+    from maggy_spark.optimizers import exact_smax
 
-    smax = int(math.floor(math.log(max_budget / min_budget) / math.log(eta)))
+    smax = exact_smax(min_budget, max_budget, eta)
     iters = spark.range(n_iterations).select(F.col("id").cast("int").alias("iteration"))
     rungs = spark.range(smax + 1).select(F.col("id").cast("int").alias("rung"))
     return (

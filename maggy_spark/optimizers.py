@@ -34,6 +34,19 @@ from maggy_spark.trial import Trial
 MAX_DEDUP_RETRIES = 3
 
 
+def exact_smax(min_budget: int, max_budget: int, eta: int) -> int:
+    """Largest s with min_budget * eta^s <= max_budget, by exact
+    integer search. The float form int(floor(log(max/min)/log(eta)))
+    silently DROPS the top rung for exact powers — log(1000)/log(10)
+    evaluates to 2.9999999999999996 — so every ladder consumer
+    (Hyperband, Asha, g10) derives its geometry from this one
+    function (same fix the pruner applied at pruner.py:71-79)."""
+    s = 0
+    while min_budget * eta ** (s + 1) <= max_budget:
+        s += 1
+    return s
+
+
 class AbstractOptimizer(ABC):
     """Controller base: holds searchspace + finalized-trial feed.
 
@@ -443,7 +456,7 @@ class Asha(AbstractOptimizer):
         self.resource_min = resource_min
         self.resource_max = resource_max
         # max rung: largest k with min*eta^k <= max  (asha.py:78-83)
-        self.max_rung = int(math.floor(math.log(resource_max / resource_min) / math.log(reduction_factor)))
+        self.max_rung = exact_smax(resource_min, resource_max, reduction_factor)
         self._promoted: dict[int, set[str]] = {r: set() for r in range(self.max_rung + 1)}
         self._rng = None
         self._emitted_rung0 = 0

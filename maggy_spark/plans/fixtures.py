@@ -140,6 +140,28 @@ def load_table(
     return df
 
 
+def session_cached(spark: SparkSession, key: tuple, build) -> DataFrame:
+    """Session-scoped persisted relation: built once per key, shared
+    by every operator that composes on it (the production pattern of
+    a long-lived signatures/postings table), re-pinned if an external
+    clearCache() dropped the blocks. Replaces per-call persist()s
+    that leaked one cached copy per invocation."""
+    from pyspark import StorageLevel
+
+    cache = getattr(spark, "_maggy_session_cache", None)
+    if cache is None:
+        cache = {}
+        spark._maggy_session_cache = cache
+    if key in cache:
+        df = cache[key]
+        if df.storageLevel == StorageLevel.NONE:
+            df.persist()
+        return df
+    df = build().persist()
+    cache[key] = df
+    return df
+
+
 def corpus_count(spark: SparkSession, sf_dir: str, name: str) -> int:
     """Memoized `count(*)` of a source table, used to derive
     scale-aware blocking parameters (SimHash band bits, ANN plane

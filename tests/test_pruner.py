@@ -139,3 +139,40 @@ def test_lagom_hyperband_composition_e2e(spark, optimizer):
     res = lagom(hb_train_fn, config, spark)
     assert res["num_trials"] == 17
     assert res["best_val"] >= res["worst_val"]
+
+
+def test_exact_smax_keeps_top_rung_for_exact_powers():
+    """Float-log ladder math drops the max-budget rung for exact
+    powers (log(1000)/log(10) = 2.999...); every consumer shares the
+    exact integer search."""
+    from maggy_spark.hyperband import Hyperband
+    from maggy_spark.optimizers import Asha, exact_smax
+
+    assert exact_smax(1, 1000, 10) == 3
+    assert exact_smax(1, 243, 3) == 5
+    assert exact_smax(1, 9, 3) == 2
+    hb = Hyperband(min_budget=1, max_budget=1000, eta=10, n_iterations=1)
+    assert hb.budgets == [1, 10, 100, 1000]
+    asha = Asha(resource_min=1, resource_max=243, reduction_factor=3)
+    assert asha.max_rung == 5
+
+
+def test_hyperband_promotion_skips_metricless_trials():
+    """A trial finalized with final_metric=None (train_fn raised
+    EarlyStopException without reporting) must not crash or win a
+    promotion sort."""
+    from maggy_spark.hyperband import Hyperband
+    from maggy_spark.searchspace import Searchspace
+
+    hb = Hyperband(min_budget=1, max_budget=9, eta=3, n_iterations=1)
+    hb.initialize(
+        searchspace=Searchspace(x=("DOUBLE", [0, 1])), num_trials=100, direction="max", seed=7
+    )
+    wave = hb.next_batch(16)
+    assert wave
+    for i, t in enumerate(wave):
+        t.finalize(None if i == 0 else float(i))
+        hb.finalize_trial(t)
+    nxt = hb.next_batch(16)  # promotion sort must not TypeError
+    promoted_src = {t.info_dict.get("original_trial_id") for t in nxt}
+    assert wave[0].trial_id not in promoted_src
