@@ -288,6 +288,10 @@ class LOCO(AbstractAblator):
 
     def get_dataset_generator(self, ablated_feature, dataset_type: str = "parquet"):
         study = self.ablation_study
+        # a user-supplied generator wins, returned AS-IS like the
+        # reference (`loco.py:45-47`) — it owns the ablation logic
+        if study.custom_dataset_generator:
+            return study.custom_dataset_generator
         return make_dataset_function(study.training_dataset_path, study.label_name, ablated_feature)
 
     def get_model_generator(self, ablated_layer=None, custom_model_generator=None):
@@ -296,23 +300,7 @@ class LOCO(AbstractAblator):
         base = self.ablation_study.model.base_model_generator
         if base is None or ablated_layer is None:
             return base
-
-        def model_generator():
-            # layer surgery needs a framework model object; outside a
-            # TF/Keras environment the base model is returned and the
-            # ablated layer name travels with the trial for the user
-            # function to apply (the container ships no frameworks)
-            model = base()
-            try:
-                import tensorflow as tf  # noqa: F401
-
-                from maggy_spark.frameworks import ablate_keras_layer
-
-                return ablate_keras_layer(model, ablated_layer)
-            except ImportError:
-                return model
-
-        return model_generator
+        return ablating_model_generator(base, ablated_layer)
 
     def initialize(self) -> None:
         study = self.ablation_study
@@ -325,7 +313,24 @@ class LOCO(AbstractAblator):
             self.trial_buffer.append(Trial(self.create_trial_dict(None, set(group)), trial_type="ablation"))
         for prefix in study.model.layers.list_prefixes():
             self.trial_buffer.append(Trial(self.create_trial_dict(None, {prefix}), trial_type="ablation"))
+        # both registration surfaces, de-duplicated by identifier, so
+        # the buffer agrees with get_number_of_trials (which counts
+        # the union via _custom_model_names)
+        buffered = set()
         for gen, identifier in study.model.custom_model_generators:
+            if identifier in buffered:
+                continue
+            buffered.add(identifier)
+            self.trial_buffer.append(
+                Trial(
+                    self.create_trial_dict(None, None, custom_model_generator=(gen, identifier)),
+                    trial_type="ablation",
+                )
+            )
+        for identifier, gen in study.custom_model_generators.items():
+            if identifier in buffered:
+                continue
+            buffered.add(identifier)
             self.trial_buffer.append(
                 Trial(
                     self.create_trial_dict(None, None, custom_model_generator=(gen, identifier)),
@@ -407,6 +412,30 @@ def components_df(spark: SparkSession, study: AblationStudy):
     return spark.createDataFrame(rows, "kind string, name string, members array<string>")
 
 
+def ablating_model_generator(base: Callable, ablated_layer):
+    """Model generator with one layer (or layer set/prefix) removed.
+
+    Layer surgery needs a framework model object; outside a TF/Keras
+    environment the base model is returned and the ablated layer name
+    travels with the trial for the user function to apply (the
+    container ships no frameworks). Module-level — not a method
+    closure — so by-value serialization registers the USER's module
+    for `base` when a trial ships it to executors."""
+
+    def model_generator():
+        model = base()
+        try:
+            import tensorflow as tf  # noqa: F401
+
+            from maggy_spark.frameworks import ablate_keras_layer
+
+            return ablate_keras_layer(model, ablated_layer)
+        except ImportError:
+            return model
+
+    return model_generator
+
+
 def make_dataset_function(path: str | None, label: str | None, ablated_feature: str | None):
     """Executor-side dataset loader with the ablated column pruned —
     the `dataset_function` contract (`loco.py:222-230`). Reads
@@ -453,6 +482,12 @@ def run_ablation(train_fn: Callable, config: AblationConfig, spark: SparkSession
     custom_gens = dict(study.custom_model_generators)
     for gen, identifier in study.model.custom_model_generators:
         custom_gens.setdefault(identifier, gen)
+    # a user-set dataset generator replaces the parquet reader for
+    # every trial (reference loco.py:45-47 — the generator owns the
+    # ablation logic); the base model generator is injected for every
+    # non-custom trial, with layer trials getting the ablating wrapper
+    custom_dataset_gen = study.custom_dataset_generator or None
+    base_model_gen = study.model.base_model_generator
     # Serialize the USER fn by value here: `wrapped` (a local function)
     # is always pickled by value, but a closure cell holding train_fn
     # would be pickled by REFERENCE to train_fn's module — exactly the
@@ -472,7 +507,9 @@ def run_ablation(train_fn: Callable, config: AblationConfig, spark: SparkSession
         from maggy_spark.executor import build_kwargs
 
         extras = {
-            "dataset_function": make_dataset_function(path, label, ablated_feature),
+            "dataset_function": custom_dataset_gen
+            if custom_dataset_gen is not None
+            else make_dataset_function(path, label, ablated_feature),
             "ablated_feature": ablated_feature,
             "ablated_layer": ablated_layer,
             "label_name": label,
@@ -482,6 +519,12 @@ def run_ablation(train_fn: Callable, config: AblationConfig, spark: SparkSession
         # parameter default (build_kwargs prefers extras over defaults)
         if kind == "custom" and custom_gens.get(name) is not None:
             extras["model_function"] = custom_gens[name]
+        elif kind != "custom" and base_model_gen is not None:
+            extras["model_function"] = (
+                base_model_gen
+                if ablated_layer is None
+                else ablating_model_generator(base_model_gen, ablated_layer)
+            )
         kwargs = build_kwargs(user_fn, {}, reporter, extras)
         return user_fn(**kwargs)
 
@@ -535,14 +578,28 @@ def _run_custom_ablator(train_fn: Callable, config: AblationConfig, spark: Spark
     finished_q: list[Trial] = []
     done: list[Trial] = []
 
+    first_wave = True
     while True:
         batch: list[Trial] = []
-        while True:
-            last = finished_q.pop(0) if finished_q else None
-            t = ablator.get_trial(last)
-            if t is None:
-                break
-            batch.append(t)
+        if first_wave:
+            # initial drain: the reference driver requests trials with
+            # no finished reference until the ablator runs dry
+            first_wave = False
+            while True:
+                t = ablator.get_trial(None)
+                if t is None:
+                    break
+                batch.append(t)
+        else:
+            # EVERY finished trial is handed to get_trial, even when an
+            # earlier one returned None — stopping at the first None
+            # would drop queued finished trials and an adaptive ablator
+            # would never see them (the reference driver feeds each
+            # finished trial regardless of prior returns)
+            while finished_q:
+                t = ablator.get_trial(finished_q.pop(0))
+                if t is not None:
+                    batch.append(t)
         if not batch:
             break
 

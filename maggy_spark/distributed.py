@@ -43,6 +43,11 @@ def run_distributed_training(
         for k in ("module", "model", "dataset", "train_set", "test_set", "process_data")
         if getattr(config, k, None) is not None
     }
+    # ship config-carried classes/callables by VALUE like train_fn: a
+    # user-script class (TorchDistributedConfig(module=MyNet)) riding
+    # the barrier closure as a plain reference dies unpickling on every
+    # worker with ModuleNotFoundError for the driver's script module
+    config_extras_bytes = _dumps_by_value(config_extras)
     # config.hparams is the reference's model-init interface
     # (tf_distributed.py:36,48-49): delivered as THE hparams dict, so
     # `def train_fn(model, hparams, ...)` receives it and individual
@@ -77,7 +82,19 @@ def run_distributed_training(
         sock.bind(("", 0))
         port = sock.getsockname()[1]
         sock.close()
-        host = socket.gethostbyname(socket.gethostname())
+        # routable-address discovery via the UDP-connect trick (no
+        # packet is sent): gethostbyname(gethostname()) resolves to
+        # 127.0.0.1 on hosts whose /etc/hosts maps the hostname to
+        # loopback, and advertising loopback as MASTER_ADDR hangs
+        # every cross-host rendezvous
+        probe = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        try:
+            probe.connect(("10.255.255.255", 1))
+            host = probe.getsockname()[0]
+        except OSError:
+            host = socket.gethostbyname(socket.gethostname())
+        finally:
+            probe.close()
         gathered = ctx.allGather(json.dumps({"rank": rank, "host": host, "port": port}))
         infos = sorted((json.loads(g) for g in gathered), key=lambda d: d["rank"])
         master = infos[0]
@@ -101,7 +118,7 @@ def run_distributed_training(
         reporter = Reporter()
         extras = dict(cluster)
         extras["cluster"] = cluster
-        extras.update(config_extras)
+        extras.update(_cp.loads(config_extras_bytes))
         try:
             kwargs = build_kwargs(fn, hparams_cfg, reporter, extras)
             ret = fn(**kwargs)

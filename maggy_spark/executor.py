@@ -235,10 +235,54 @@ def run_trial_wave(
 _PICKLE_LOCK = __import__("threading").Lock()
 
 
-def _dumps_by_value(fn: Callable) -> bytes:
-    """cloudpickle the function with its defining module registered for
-    by-value pickling (unless it is an installed/importable package
-    like maggy_spark itself), then restore the registry.
+def _by_value_modules(obj, depth: int = 0, seen: set | None = None) -> set:
+    """Modules that must pickle by value for `obj` to unpickle on an
+    executor without the user's script on sys.path: the object's own
+    defining module plus — recursively, to a small depth — those of
+    callables reachable through closure cells, defaults, and plain
+    containers. Without the recursion, a library-defined wrapper
+    closing over a user function (LOCO.get_model_generator, the
+    ablation wave closures, distributed config extras) registers only
+    the LIBRARY module and the user function silently pickles by
+    reference — the exact ModuleNotFoundError this machinery exists
+    to prevent."""
+    out: set = set()
+    if obj is None or depth > 3:
+        return out
+    if seen is None:
+        seen = set()
+    if id(obj) in seen:
+        return out
+    seen.add(id(obj))
+    if callable(obj) or inspect.isclass(obj):
+        mod = inspect.getmodule(obj)
+        if (
+            mod is not None
+            and mod.__name__ not in ("__main__", "builtins")
+            and not mod.__name__.startswith(("maggy_spark", "maggy", "pyspark", "numpy", "pandas"))
+        ):
+            out.add(mod)
+    if inspect.isfunction(obj):
+        for cell in obj.__closure__ or ():
+            try:
+                out |= _by_value_modules(cell.cell_contents, depth + 1, seen)
+            except ValueError:  # empty cell
+                pass
+        for d in obj.__defaults__ or ():
+            out |= _by_value_modules(d, depth + 1, seen)
+    elif isinstance(obj, dict):
+        for v in obj.values():
+            out |= _by_value_modules(v, depth + 1, seen)
+    elif isinstance(obj, (list, tuple, set, frozenset)):
+        for v in obj:
+            out |= _by_value_modules(v, depth + 1, seen)
+    return out
+
+
+def _dumps_by_value(fn) -> bytes:
+    """cloudpickle the object with every reachable user module
+    registered for by-value pickling (see `_by_value_modules`), then
+    restore the registry.
 
     Serialized under a lock: the register/unregister pair mutates
     cloudpickle's GLOBAL registry, and _drive_async calls this from a
@@ -247,21 +291,19 @@ def _dumps_by_value(fn: Callable) -> bytes:
     """
     from pyspark import cloudpickle as cp
 
-    mod = inspect.getmodule(fn)
+    mods = _by_value_modules(fn)
     with _PICKLE_LOCK:
-        registered = False
-        if mod is not None and mod.__name__ not in ("__main__", "builtins") and not (
-            mod.__name__.startswith(("maggy_spark", "pyspark", "numpy", "pandas"))
-        ):
+        registered = []
+        for mod in mods:
             try:
                 cp.register_pickle_by_value(mod)
-                registered = True
+                registered.append(mod)
             except Exception:  # noqa: BLE001 - fall back to by-reference
                 pass
         try:
             return cp.dumps(fn)
         finally:
-            if registered:
+            for mod in registered:
                 try:
                     cp.unregister_pickle_by_value(mod)
                 except Exception:  # noqa: BLE001

@@ -56,8 +56,18 @@ def read_experiment(spark: SparkSession, log_dir: str) -> DataFrame:
 def read_trial_summaries(spark: SparkSession, log_dir: str) -> DataFrame:
     """S9 summary scan: per-trial params + final metric + status,
     sorted best-first — the reference's `build_summary_json`
-    "combinations" array as a DataFrame."""
+    "combinations" array as a DataFrame. "Best" follows the rows'
+    own `direction` column: plain metric-desc would put the WORST
+    trial first for a minimization experiment."""
     t = read_experiment(spark, log_dir)
-    return t.select(
-        "trial_id", "params", "status", "final_metric", "early_stop", "duration_ms"
-    ).orderBy(F.col("final_metric").desc_nulls_last())
+    signed = F.when(F.col("direction") == "min", -F.col("final_metric")).otherwise(
+        F.col("final_metric")
+    )
+    return (
+        t.select(
+            "trial_id", "params", "status", "final_metric", "early_stop", "duration_ms",
+            signed.alias("__signed__"),
+        )
+        .orderBy(F.col("__signed__").desc_nulls_last())
+        .drop("__signed__")
+    )

@@ -76,6 +76,11 @@ def write_tensorboard_hparams(log_dir: str, searchspace, trials: list) -> str | 
             for t in trials:
                 with tf.summary.create_file_writer(os.path.join(log_dir, t.trial_id)).as_default():
                     hp.hparams({h.name: t.params.get(h.name) for h in hparams})
+                    # the metric scalar is what the HParams dashboard
+                    # joins against hp.Metric("metric"); without it the
+                    # comparison view shows an empty metric column
+                    if t.final_metric is not None:
+                        tf.summary.scalar("metric", float(t.final_metric), step=1)
         return None
     except ImportError:
         path = os.path.join(log_dir, "hparams.jsonl")

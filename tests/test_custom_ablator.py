@@ -190,3 +190,99 @@ def test_ablate_keras_layer_surgery_gated():
 
     with pytest.raises(ImportError):
         ablate_keras_layer(object(), "dense_1")
+
+
+def test_custom_dataset_generator_is_honored(parquet_ds):
+    study = make_study(parquet_ds)
+
+    def my_gen():
+        return "custom-dataset"
+
+    study.set_dataset_generator(my_gen)
+    loco = LOCO(study, [])
+    assert loco.get_dataset_generator("f1") is my_gen  # reference loco.py:45-47
+
+
+def test_run_ablation_injects_custom_dataset_and_base_model(spark, parquet_ds):
+    from maggy_spark.ablation import run_ablation
+    from maggy_spark.config import AblationConfig
+
+    study = make_study(parquet_ds)
+    study.set_dataset_generator(lambda: "custom-dataset")
+    study.model.set_base_model_generator(lambda: "base-model")
+
+    def train_fn(dataset_function, model_function, ablated_feature):
+        # every trial must see the USER generator and the base model
+        ok = dataset_function() == "custom-dataset" and model_function() == "base-model"
+        return 1.0 if ok else 0.0
+
+    res = run_ablation(train_fn, AblationConfig(ablation_study=study), spark)
+    assert res["num_trials"] == 3  # base + f1 + f2
+    assert res["best_val"] == 1.0 and res["worst_val"] == 1.0  # all trials saw both
+
+
+def test_custom_ablator_sees_every_finished_trial(spark, parquet_ds):
+    """get_trial returning None for one finished trial must not stop
+    delivery of the other queued finished trials (an adaptive ablator
+    reacts to specific results)."""
+    from maggy_spark.ablation import run_ablation
+    from maggy_spark.config import AblationConfig
+
+    class Reactive(AbstractAblator):
+        def __init__(self, study):
+            super().__init__(study, [])
+            self.initial = [
+                Trial({"ablated_feature": f, "ablated_layer": "None"}, trial_type="ablation")
+                for f in ("a", "b", "c")
+            ]
+            self.seen_finished = []
+            self.spawned = False
+
+        def get_number_of_trials(self):
+            return 4
+
+        def get_dataset_generator(self, ablated_feature, dataset_type="parquet"):
+            return None
+
+        def get_model_generator(self, ablated_layer=None, custom_model_generator=None):
+            return None
+
+        def initialize(self):
+            pass
+
+        def get_trial(self, ablation_trial=None):
+            if ablation_trial is not None:
+                self.seen_finished.append(ablation_trial.params.get("ablated_feature"))
+                # only trial 'b' triggers a follow-up; 'a' returns None
+                if ablation_trial.params.get("ablated_feature") == "b" and not self.spawned:
+                    self.spawned = True
+                    return Trial(
+                        {"ablated_feature": "b_followup", "ablated_layer": "None"},
+                        trial_type="ablation",
+                    )
+                return None
+            if self.initial:
+                return self.initial.pop(0)
+            return None
+
+        def finalize_experiment(self, trials):
+            pass
+
+    study = make_study(parquet_ds)
+    abl = Reactive(study)
+    res = run_ablation(
+        lambda ablated_feature: 1.0, AblationConfig(ablation_study=study, ablator=abl), spark
+    )
+    assert sorted(abl.seen_finished[:3]) == ["a", "b", "c"]  # every finished delivered
+    assert abl.spawned and res["num_trials"] == 4  # the follow-up ran
+
+
+def test_loco_buffers_engine_native_custom_generators(parquet_ds):
+    study = make_study(parquet_ds)
+    study.add_custom_model_generator("narrow", lambda: "narrow-model")  # engine-native dict
+    study.model.add_custom_model_generator(lambda: "wide-model", "wide")  # reference list
+    loco = LOCO(study, [])
+    loco.initialize()
+    assert len(loco.trial_buffer) == loco.get_number_of_trials()
+    labels = {t.params["ablated_layer"] for t in loco.trial_buffer}
+    assert "custom model: narrow" in labels and "custom model: wide" in labels

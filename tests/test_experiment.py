@@ -162,3 +162,34 @@ def test_randomsearch_requires_continuous():
     r = RandomSearch()
     with pytest.raises(ValueError):
         r.initialize(Searchspace(c=("CATEGORICAL", ["a", "b"])), 5, "max", None)
+
+
+def test_by_value_modules_reaches_closures_and_containers():
+    """User callables hidden inside closures, defaults, and dicts must
+    register their modules for by-value pickling — otherwise a
+    library wrapper ships the user function by reference and executors
+    die with ModuleNotFoundError."""
+    import sys
+    import types
+
+    from maggy_spark.executor import _by_value_modules
+
+    usermod = types.ModuleType("fake_user_script_xyz")
+    exec("def user_fn():\n    return 42\n", usermod.__dict__)
+    sys.modules["fake_user_script_xyz"] = usermod
+    try:
+        user_fn = usermod.user_fn
+
+        def wrapper():
+            return user_fn()
+
+        assert usermod in _by_value_modules(user_fn)
+        assert usermod in _by_value_modules(wrapper)          # closure cell
+        assert usermod in _by_value_modules({"module": user_fn})  # config dict
+
+        def with_default(f=user_fn):
+            return f()
+
+        assert usermod in _by_value_modules(with_default)     # default arg
+    finally:
+        del sys.modules["fake_user_script_xyz"]

@@ -150,3 +150,22 @@ def test_gp_mixed_searchspace(spark):
     assert isinstance(best["layers"], int) and 1 <= best["layers"] <= 8
     assert best["act"] in ("relu", "tanh")
     assert res["best_val"] < 0.3
+
+
+def test_trial_summaries_best_first_respects_direction(spark, tmp_path):
+    """direction='min': the LOWEST metric is best-first — metric-desc
+    alone would return the worst trial at the head."""
+    from maggy_spark.experiment import trials_to_df
+    from maggy_spark.sources import read_trial_summaries, write_trial_artifacts
+    from maggy_spark.trial import Trial
+
+    trials = []
+    for i, m in enumerate([3.0, 1.0, 2.0]):
+        t = Trial({"x": i})
+        t.finalize(m)
+        t.info_dict["seq"] = i
+        trials.append(t)
+    log_dir = str(tmp_path / "minexp")
+    write_trial_artifacts(trials_to_df(spark, trials, "min"), log_dir, buckets=2)
+    summ = read_trial_summaries(spark, log_dir).collect()
+    assert [r.final_metric for r in summ] == [1.0, 2.0, 3.0]
