@@ -106,6 +106,7 @@ def run_trial_wave(
     stop_check_source: str | None = None,
     extras: dict | None = None,
     tb_base_dir: str | None = None,
+    fn_bytes: bytes | None = None,
 ) -> list[dict]:
     """Execute one wave of pending trials as a grouped pandas UDF.
 
@@ -135,7 +136,11 @@ def run_trial_wave(
     # modules (notebooks, test files, scripts) that executor Python
     # workers cannot re-import; plain closure capture would pickle them
     # by reference and fail with ModuleNotFoundError on the worker.
-    fn_bytes = _dumps_by_value(train_fn)
+    # Callers that dispatch MANY single-trial waves (the async driver)
+    # pass pre-serialized bytes so the closure walk + registry dance
+    # runs once per experiment, not once per trial.
+    if fn_bytes is None:
+        fn_bytes = _dumps_by_value(train_fn)
     opt_key = optimization_key
     stop_src = stop_check_source
     extra_static = extras or {}
@@ -333,7 +338,9 @@ def _make_stop_check(stop_src: str | None):
         return None
     state = json.loads(stop_src)
     direction = state.get("direction", "max")
-    es_interval = int(state.get("es_interval", 1))
+    # clamp to >= 1: a 0 would turn every reporter.broadcast into a
+    # ZeroDivisionError -> ERROR row ("check every step" is 1)
+    es_interval = max(1, int(state.get("es_interval", 1)))
     refresh_path = state.get("refresh_path")
     holder = {
         "histories": state.get("prefix_histories", []),

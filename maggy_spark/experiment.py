@@ -175,7 +175,17 @@ def _bar_payload(controller, config) -> dict:
                 }
                 for t in controller.final_store
             ]
-        payload["custom_rule"] = base64.b64encode(_dumps_by_value(rule_fn)).decode("ascii")
+        # the rule function is static for the experiment: pickle it
+        # once and memoize on the function object — _bar_payload runs
+        # per bar refresh and, in the async path, per trial submission
+        cached = getattr(rule_fn, "_maggy_rule_b64", None)
+        if cached is None:
+            cached = base64.b64encode(_dumps_by_value(rule_fn)).decode("ascii")
+            try:
+                rule_fn._maggy_rule_b64 = cached
+            except AttributeError:  # non-function callable without __dict__
+                pass
+        payload["custom_rule"] = cached
         payload["finalized"] = finalized
     return payload
 
@@ -314,6 +324,12 @@ def _drive_waves(train_fn, config, spark, controller, parallelism, store=None) -
     while not controller.done():
         wave = controller.next_batch(parallelism)
         if not wave:
+            # the controller exhausted at a wave boundary (e.g. a
+            # custom optimizer out of suggestions before num_trials):
+            # ask done() one last time — it is the hook that fires a
+            # reference optimizer's finalize_experiment, which must run
+            # on EVERY exit path, not only the done()-gated one
+            controller.done()
             break
         stop_src = _stop_source(controller, config)
         pending = [
@@ -356,6 +372,13 @@ def _drive_async(train_fn, config, spark, controller, parallelism, store=None) -
     all_trials: list[Trial] = []
     seq = 0
     jobs = 0
+    # serialize the train_fn ONCE: the async path dispatches one wave
+    # per trial, and per-call _dumps_by_value would redo the closure
+    # walk + cloudpickle registry dance (under a global lock) for
+    # every single trial
+    from maggy_spark.executor import _dumps_by_value
+
+    fn_bytes = _dumps_by_value(train_fn)
 
     def run_one(trial: Trial, stop_src: str | None) -> tuple[Trial, dict]:
         spark.sparkContext.setLocalProperty("spark.scheduler.pool", "maggy")
@@ -367,6 +390,7 @@ def _drive_async(train_fn, config, spark, controller, parallelism, store=None) -
             optimization_key=config.optimization_key,
             stop_check_source=stop_src,
             tb_base_dir=_tb_base(config),
+            fn_bytes=fn_bytes,
         )
         return trial, res[0]
 

@@ -65,11 +65,29 @@ def wrap_torch_ddp(module, device_id: int | None = None):
 
 
 def wrap_torch_fsdp(module, zero_lvl: int = 3, mixed_precision: bool = True):
+    """FSDP wrap with the ZeRO level mapped to a sharding strategy
+    (2 -> SHARD_GRAD_OP, 3 -> FULL_SHARD, like DeepSpeed's stages) and
+    an fp16 MixedPrecision policy when requested — previously both
+    parameters were accepted and silently ignored."""
     try:
-        from torch.distributed.fsdp import FullyShardedDataParallel
+        import torch
+        from torch.distributed.fsdp import FullyShardedDataParallel, ShardingStrategy
     except ImportError:
         _need("torch (>=1.12 with FSDP)", "wrap_torch_fsdp")
-    return FullyShardedDataParallel(module)
+    strategy = ShardingStrategy.SHARD_GRAD_OP if zero_lvl == 2 else ShardingStrategy.FULL_SHARD
+    mp = None
+    if mixed_precision:
+        try:
+            from torch.distributed.fsdp import MixedPrecision
+
+            mp = MixedPrecision(
+                param_dtype=torch.float16,
+                reduce_dtype=torch.float16,
+                buffer_dtype=torch.float16,
+            )
+        except ImportError:
+            pass  # older FSDP without the policy class: full precision
+    return FullyShardedDataParallel(module, sharding_strategy=strategy, mixed_precision=mp)
 
 
 def wrap_deepspeed(module, ds_config: dict, **kwargs):
@@ -94,7 +112,11 @@ def distributed_dataloader(dataset, batch_size: int, rank: int, world_size: int,
     except ImportError:
         _need("torch", "distributed_dataloader")
     sampler = DistributedSampler(dataset, num_replicas=world_size, rank=rank)
-    kwargs.pop("shuffle", None)
+    # the reference patch forcibly overrides these (dataloader.py:57-72
+    # warns and replaces) — pop them so a caller porting reference code
+    # gets the documented override, not a duplicate-keyword TypeError
+    for forced in ("shuffle", "sampler", "num_workers"):
+        kwargs.pop(forced, None)
     return DataLoader(dataset, batch_size=batch_size, sampler=sampler, num_workers=0, **kwargs)
 
 

@@ -41,6 +41,10 @@ def exact_smax(min_budget: int, max_budget: int, eta: int) -> int:
     evaluates to 2.9999999999999996 — so every ladder consumer
     (Hyperband, Asha, g10) derives its geometry from this one
     function (same fix the pruner applied at pruner.py:71-79)."""
+    if min_budget <= 0:
+        # a non-positive floor makes the search condition always true
+        # (0 * anything <= max) — an infinite loop, not a ladder
+        raise ValueError(f"min_budget must be > 0, got {min_budget}")
     s = 0
     while min_budget * eta ** (s + 1) <= max_budget:
         s += 1
@@ -452,6 +456,10 @@ class Asha(AbstractOptimizer):
         super().__init__()
         if reduction_factor < 2:
             raise ValueError("reduction_factor must be >= 2 (asha.py guard)")
+        if not 0 < resource_min <= resource_max:
+            raise ValueError(
+                f"need 0 < resource_min <= resource_max, got {resource_min}, {resource_max}"
+            )
         self.eta = reduction_factor
         self.resource_min = resource_min
         self.resource_max = resource_max
@@ -639,12 +647,16 @@ def _is_reference_protocol(spec) -> bool:
     if not callable(getattr(spec, "get_suggestion", None)):
         return False
     try:
+        # getattr on the INSTANCE, not type(spec): passing a class as
+        # spec makes type(spec) the metaclass, where .initialize raises
+        # a raw AttributeError instead of the clean ValueError below
+        init = inspect.unwrap(getattr(spec, "initialize"))
         params = [
             p
-            for p in inspect.signature(type(spec).initialize).parameters.values()
+            for p in inspect.signature(init).parameters.values()
             if p.name != "self" and p.kind not in (p.VAR_POSITIONAL, p.VAR_KEYWORD)
         ]
-    except (TypeError, ValueError):
+    except (TypeError, ValueError, AttributeError):
         return False
     return all(p.default is not p.empty for p in params)
 
@@ -654,6 +666,16 @@ def get_controller(spec, **kwargs) -> AbstractOptimizer:
     `optimization_driver.py:612-655` controller_dict). A custom
     optimizer written against the reference's AbstractOptimizer
     contract is wrapped in ReferenceOptimizerAdapter."""
+    import inspect as _inspect
+
+    if _inspect.isclass(spec):
+        # a natural mistake (the protocol methods are visible on the
+        # class too); without this the class would fall through to the
+        # name lookup or wrap un-instantiated
+        raise TypeError(
+            f"optimizer should be an INSTANCE of {spec.__name__}, not the class — "
+            f"pass {spec.__name__}() instead"
+        )
     if isinstance(spec, AbstractOptimizer):
         if type(spec).initialize is not AbstractOptimizer.initialize and _is_reference_protocol(spec):
             return ReferenceOptimizerAdapter(spec)

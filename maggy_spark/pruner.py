@@ -69,14 +69,12 @@ class HyperbandPruner:
         self.n_iterations = n_iterations
         self.trial_metric_getter = trial_metric_getter
         # same ladder semantics as the reference (hyperband.py:115-124):
-        # R = largest k with min*eta^k <= max, plus 1. Exact integer
-        # search — the float-log/int() version dropped the min-budget
-        # rung for exact powers (e.g. 1/100/10 gave [10,100] not
-        # [1,10,100]) because log(1/100)/log(10) lands at -1.9999....
-        k = 0
-        while min_budget * eta ** (k + 1) <= max_budget:
-            k += 1
-        self.n_budgets = k + 1
+        # R = largest k with min*eta^k <= max, plus 1 — via the shared
+        # exact-integer search (float-log dropped rungs for exact
+        # powers; see optimizers.exact_smax)
+        from maggy_spark.optimizers import exact_smax
+
+        self.n_budgets = exact_smax(min_budget, max_budget, eta) + 1
         self.budgets = [max_budget // eta ** (self.n_budgets - 1 - j) for j in range(self.n_budgets)]
         self._iters = [self._plan_iteration(i) for i in range(n_iterations)]
         self._started = 0  # iterations set live so far

@@ -57,7 +57,12 @@ def windowed_metric_aggregates(
         F.window("ts", window).alias("w"), F.col("trial_id")
     ).agg(
         F.count("value").alias("n_reports"),
-        (F.sum(F.col("value").cast(DEC)).cast("double") / F.count("value")).alias("mean_value"),
+        # plain double mean: USER metrics have arbitrary scale — the
+        # decimal(18,4) accumulator (which exists for cross-engine
+        # parity on the fixtures) rounds a 4e-5 loss to 0 and overflows
+        # to null past 1e14 (same reasoning as summarize_finalized,
+        # experiment.py)
+        F.avg("value").alias("mean_value"),
         F.max("value").alias("max_value"),
     )
 

@@ -284,3 +284,70 @@ def test_ablation_respects_model_function_default(spark):
 
     res = lagom(train_fn, AblationConfig(ablation_study=study, direction="max"), spark)
     assert res["num_trials"] == 4  # no NoneType-not-callable errors
+
+
+def test_ladder_guards_reject_nonpositive_min():
+    """exact_smax must raise, not loop forever, for min_budget <= 0;
+    Asha validates its resources up front."""
+    from maggy_spark.optimizers import exact_smax
+
+    with pytest.raises(ValueError, match="min_budget"):
+        exact_smax(0, 4, 2)
+    with pytest.raises(ValueError, match="resource_min"):
+        Asha(resource_min=0, resource_max=4)
+
+
+def test_get_controller_rejects_class_spec():
+    from maggy_spark.optimizers import RandomSearch, get_controller
+
+    with pytest.raises(TypeError, match="INSTANCE"):
+        get_controller(RandomSearch)
+
+
+def test_reference_finalize_fires_on_wave_boundary_exhaustion(spark):
+    """A custom reference-protocol optimizer that runs out of
+    suggestions before num_trials must still get its
+    finalize_experiment hook (it previously only fired through the
+    done()-gated loop entry, not the empty-wave break)."""
+
+    class Tiny:
+        def __init__(self):
+            self.finalized_with = None
+            self._left = 3
+
+        def initialize(self):
+            pass
+
+        def get_suggestion(self, trial=None):
+            if self._left == 0:
+                return None
+            self._left -= 1
+            from maggy_spark.trial import Trial
+
+            return Trial({"x": float(self._left)})
+
+        def finalize_experiment(self, trials):
+            self.finalized_with = list(trials)
+
+    opt = Tiny()
+    config = HyperparameterOptConfig(
+        optimizer=opt, searchspace=Searchspace(x=("DOUBLE", [0.0, 1.0])),
+        direction="max", es_policy="none", seed=3, parallelism=2, num_trials=10,
+    )
+    res = lagom(lambda x: x, config, spark)
+    assert res["num_trials"] == 3
+    assert opt.finalized_with is not None and len(opt.finalized_with) == 3
+
+
+def test_stop_check_clamps_zero_interval():
+    """es_interval=0 in the serialized stop state must not turn every
+    broadcast into a ZeroDivisionError ERROR row."""
+    import json
+
+    from maggy_spark.executor import _make_stop_check
+
+    src = json.dumps(
+        {"direction": "max", "es_interval": 0, "prefix_histories": [[1.0], [2.0], [3.0]]}
+    )
+    check = _make_stop_check(src)
+    assert check([0], [0.1]) in (True, False)  # no ZeroDivisionError
