@@ -321,6 +321,77 @@ FROM feats WHERE event_type = 'purchase'
 """
 
 
+def ev7_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: per user, the first view, the first
+    click AT OR AFTER that view, and the first purchase at or after
+    that click — then user counts per deepest stage reached. The
+    ordering constraint is what separates a funnel from three plain
+    counts: a purchase BEFORE any view does not convert.
+
+    Scale shape: ONE shuffle on user_id. Each user's click/purchase
+    instants aggregate into sorted arrays (state bounded by
+    events-per-user, like ev6's window) and the stage chain is pure
+    array arithmetic — no self-joins, no window over the full feed,
+    no re-scan per stage. Not in the driver registry (50-entry cap);
+    DuckDB parity in tests/test_offline_oracles.py.
+    """
+    e = load_events(spark, sf_dir).select(
+        "user_id", F.col("event_type").alias("et"), F.unix_micros("ts").alias("us")
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("et") == "view", F.col("us"))).alias("v"),
+        F.sort_array(F.collect_list(F.when(F.col("et") == "click", F.col("us")))).alias("cs"),
+        F.sort_array(F.collect_list(F.when(F.col("et") == "purchase", F.col("us")))).alias("ps"),
+    )
+    c = F.array_min(F.filter("cs", lambda x: x >= F.col("v")))
+    staged = per_user.withColumn("c", c).withColumn(
+        "p", F.array_min(F.filter("ps", lambda x: x >= F.col("c")))
+    )
+    stage = (
+        F.when(F.col("p").isNotNull(), F.lit(3))
+        .when(F.col("c").isNotNull(), F.lit(2))
+        .when(F.col("v").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    name = F.element_at(
+        F.array(F.lit("no_view"), F.lit("viewed"), F.lit("clicked"), F.lit("purchased")),
+        stage + 1,
+    )
+    return staged.groupBy(stage.cast("bigint").alias("stage"), name.alias("stage_name")).agg(
+        F.count("*").alias("n_users")
+    )
+
+
+EV7_SQL = """
+WITH per_user AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v,
+           list_sort(list(epoch_us(ts)) FILTER (WHERE event_type = 'click')) AS cs,
+           list_sort(list(epoch_us(ts)) FILTER (WHERE event_type = 'purchase')) AS ps
+    FROM events GROUP BY user_id
+),
+with_c AS (
+    SELECT user_id, v, ps, list_min(list_filter(cs, x -> x >= v)) AS c FROM per_user
+),
+with_p AS (
+    SELECT user_id, v, c, list_min(list_filter(ps, x -> x >= c)) AS p FROM with_c
+),
+staged AS (
+    SELECT CASE WHEN p IS NOT NULL THEN 3
+                WHEN c IS NOT NULL THEN 2
+                WHEN v IS NOT NULL THEN 1
+                ELSE 0 END AS stage
+    FROM with_p
+)
+SELECT cast(stage AS BIGINT) AS stage,
+       (CASE stage WHEN 0 THEN 'no_view' WHEN 1 THEN 'viewed'
+                   WHEN 2 THEN 'clicked' ELSE 'purchased' END) AS stage_name,
+       count(*) AS n_users
+FROM staged
+GROUP BY stage
+"""
+
+
 # ev3 is NOT in the driver registry (50-entry cap): its shape — a
 # per-key running prefix mean — is already hard-verified by the
 # registered a7_prefix_avg, so its slot went to the dd10 fuzzy-dedup

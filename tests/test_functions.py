@@ -415,3 +415,29 @@ def test_star_contraction_frees_round_checkpoints(spark):
     leaked = cached_rdds() - before
     # ran >= 3 rounds (chain of 65), so without freeing this would be >= 4
     assert len(leaked) <= 1, f"checkpoint RDDs left cached: {leaked}"
+
+
+def test_ev7_funnel_ordering_constraint(spark, sf_dir):
+    """The funnel is ORDERED: a purchase before any view must not
+    count as a conversion, and stage totals cover every user."""
+    from pyspark.sql import functions as SF
+
+    from maggy_spark.operators.events import ev7_conversion_funnel
+    from maggy_spark.plans.fixtures import load_events
+
+    out = {r.stage: r.n_users for r in ev7_conversion_funnel(spark, sf_dir).collect()}
+    total_users = load_events(spark, sf_dir).select("user_id").distinct().count()
+    assert sum(out.values()) == total_users
+    # purchasers (stage 3) must be a subset of users who purchased at
+    # all AND viewed at all — the ordering can only shrink the set
+    e = load_events(spark, sf_dir)
+    both = (
+        e.groupBy("user_id")
+        .agg(
+            SF.max((SF.col("event_type") == "view").cast("int")).alias("v"),
+            SF.max((SF.col("event_type") == "purchase").cast("int")).alias("p"),
+        )
+        .where((SF.col("v") == 1) & (SF.col("p") == 1))
+        .count()
+    )
+    assert out.get(3, 0) <= both

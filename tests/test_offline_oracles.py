@@ -42,6 +42,7 @@ CASES = [
     ("ev4_asof_attribution", "EV4_SQL", "maggy_spark.operators.events"),
     ("ev5_sessionize", "EV5_SQL", "maggy_spark.operators.events"),
     ("ev6_trailing_features", "EV6_SQL", "maggy_spark.operators.events"),
+    ("ev7_conversion_funnel", "EV7_SQL", "maggy_spark.operators.events"),
 ]
 
 
