@@ -45,12 +45,19 @@ class BaseAsyncBO(AbstractOptimizer):
         random_fraction: float = DEFAULT_RANDOM_FRACTION,
         pruner=None,
         pruner_kwargs: dict | None = None,
+        interim_results: bool = False,
+        interim_results_interval: int = 10,
     ):
         # pruner/pruner_kwargs mirror the reference's optimizer-level
-        # attachment (abstractoptimizer.py:29-46)
+        # attachment (abstractoptimizer.py:29-46); interim_results /
+        # interim_results_interval mirror base.py:88-93 — when on, the
+        # surrogate trains on budget-augmented interim metrics
+        # z = [x, n/N] rather than final metrics only (base.py:536-641)
         super().__init__(pruner=pruner, pruner_kwargs=pruner_kwargs)
         self.num_warmup_trials = num_warmup_trials
         self.random_fraction = random_fraction
+        self.interim_results = bool(interim_results)
+        self.interim_results_interval = int(interim_results_interval)
         self._rng: random.Random | None = None
         self._nprng: np.random.Generator | None = None
         self._emitted = 0
@@ -90,12 +97,72 @@ class BaseAsyncBO(AbstractOptimizer):
         y = np.array([self.metric_for_min(t.final_metric) for t in rows])
         return X, y
 
-    def get_XY(self, budget: int = 0, interim_results: bool = False, interim_results_interval: int = 10):
-        """Reference-named alias of `get_xy` (`base.py:459-641`);
+    @staticmethod
+    def get_interim_result_idx(metric_history, interval: int = 10) -> list[int]:
+        """Indices of a trial's metric history that feed the
+        multi-fidelity surrogate: every `interval`-th result (1-based)
+        plus always the final one; [last] when the history is shorter
+        than one interval (reference base.py:643-668)."""
+        max_budget = len(metric_history)
+        idx = [i for i in range(max_budget) if (i + 1) % interval == 0]
+        if not idx:
+            idx = [max_budget - 1]
+        if idx[-1] != max_budget - 1:
+            idx.append(max_budget - 1)
+        return idx
+
+    def _augmented_max_budget(self) -> int:
+        """N for the z = [x, n/N] budget feature. Reference
+        `get_max_budget` (abstractoptimizer.py:378-401) returns the
+        FIRST finalized trial's history length, assuming uniform
+        histories; with ragged histories (early-stopped trials) the
+        max over finalized histories is the safe generalization and
+        agrees with the reference whenever its assumption holds."""
+        if self.pruner is not None:
+            return int(self.pruner.max_budget)
+        lens = [len(t.metric_history) for t in self.final_store if t.metric_history]
+        if not lens:
+            raise ValueError("At least one finalized Trial is necessary to calculate max budget")
+        return max(lens)
+
+    def get_XY(
+        self,
+        budget: int = 0,
+        interim_results: bool = False,
+        interim_results_interval: int | None = None,
+    ):
+        """Surrogate training data (reference get_XY, base.py:459-641);
         budget 0 means all fidelities, matching the reference default.
-        Interim-result augmentation is handled by the engine's
-        interim-selection relation (A10) rather than here."""
-        return self.get_xy(budget=budget or None)
+
+        With `interim_results=True` (the multi-fidelity BO path,
+        base.py:536-641): every `interval`-th interim metric (plus the
+        final one) of each finalized trial becomes a training row with
+        the hparam vector augmented by the normalized budget
+        z = [x, idx/(N-1)] (searchspace._normalize_integer over
+        [0, N-1]); y is min-space like the final-metric path. The
+        relational twin of this matrix is
+        `operators.aggregations.a10b_interim_xy`, which is
+        DuckDB-oracle-checked; `tests/test_bo.py` pins this method's
+        rows to that relation."""
+        if not interim_results:
+            return self.get_xy(budget=budget or None)
+        interval = self.interim_results_interval if interim_results_interval is None else int(interim_results_interval)
+        rows = [t for t in self.final_store if t.final_metric is not None and t.metric_history]
+        if budget:
+            rows = [t for t in rows if int(t.info_dict.get("budget", 0)) == budget]
+        d = len(self.searchspace)
+        if not rows:
+            return np.zeros((0, d + 1)), np.zeros(0)
+        n_max = self._augmented_max_budget()
+        denom = float(max(n_max - 1, 1))
+        X_parts, y_parts = [], []
+        for t in rows:
+            x = np.asarray(self.searchspace.transform(t.params), dtype=float)
+            hist = t.metric_history
+            for i in self.get_interim_result_idx(hist, interval):
+                X_parts.append(np.append(x, i / denom))
+                y_parts.append(self.metric_for_min(hist[i]))
+        return np.array(X_parts), np.array(y_parts)
 
     def model_budget(self) -> int | None:
         """The fidelity whose surrogate to use: the LARGEST budget with
@@ -385,10 +452,19 @@ class GP(BaseAsyncBO):
 
     def suggest_model_params(self) -> dict:
         # multi-fidelity: train on the biggest budget with enough data;
-        # otherwise pool every finalized trial (single-fidelity)
-        X, y = self.get_xy(self.model_budget())
-        if len(y) < self.min_model_trials():
-            X, y = self.get_xy()
+        # otherwise pool every finalized trial (single-fidelity). With
+        # interim_results, the training matrix is the budget-augmented
+        # z = [x, n/N] relation (get_XY, reference base.py:536-641) and
+        # everything downstream — busy imputation, candidates — carries
+        # the extra budget column, scored at z = 1 (gp.py:200-204).
+        if self.interim_results:
+            X, y = self.get_XY(budget=self.model_budget() or 0, interim_results=True)
+            if len(y) == 0:
+                X, y = self.get_XY(interim_results=True)
+        else:
+            X, y = self.get_xy(self.model_budget())
+            if len(y) < self.min_model_trials():
+                X, y = self.get_xy()
         # busy-location imputation (gp.py:329-373): busy param vectors
         # get pseudo-observations — constant liar (ybest/yworst/ymean)
         # or kriging believer (posterior mean of a model fit on the
@@ -396,6 +472,10 @@ class GP(BaseAsyncBO):
         busy = [p for _, p in self._busy]
         if busy:
             Xb = np.array([self.searchspace.transform(p) for p in busy])
+            if self.interim_results:
+                # busy trials are imputed at full budget: z = [x, 1]
+                # (reference base.py:601-640)
+                Xb = np.hstack([Xb, np.ones((len(Xb), 1))])
             if self.liar_strategy == "kb":
                 believer = _GPModel()
                 believer.fit(X, y)
@@ -408,11 +488,17 @@ class GP(BaseAsyncBO):
         model = _GPModel()
         model.fit(X, y)
         y_best = float(y.min())
-        if self.acq_fun == "EI" and self.distributed_scoring and self.spark is not None:
+        if self.acq_fun == "EI" and self.distributed_scoring and self.spark is not None and not self.interim_results:
             best = self._argmax_ei_distributed(model, y_best)
         else:
             n_cand = min(self.n_points, self.MAX_TS_CANDIDATES) if self.acq_fun == "asy_ts" else self.n_points
             cand = self._nprng.random((n_cand, len(self.searchspace)))
+            if self.interim_results:
+                # acquire at max budget: candidates are [x, z=1]
+                # (reference gp.py:200-204); lbfgs then refines over
+                # the augmented box like the reference's bounds list
+                # (gp.py:224-232)
+                cand = np.hstack([cand, np.ones((n_cand, 1))])
             util = self._utility(model, cand, y_best)
             if self.acq_optimizer == "lbfgs" and self.acq_fun != "asy_ts":
                 # asy_ts re-draws a fresh posterior sample per evaluation
@@ -423,6 +509,9 @@ class GP(BaseAsyncBO):
                 best = self._refine(model, starts, y_best)
             else:
                 best = cand[int(np.argmax(util))]
+        # inverse_transform drops the augmented budget column, like the
+        # reference's inverse_transform after clipping (gp.py:256-261)
+        best = best[: len(self.searchspace)]
         return self.searchspace.inverse_transform(list(best))
 
     def _utility(self, model: "_GPModel", X: np.ndarray, y_best: float) -> np.ndarray:

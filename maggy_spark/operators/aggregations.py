@@ -407,34 +407,59 @@ def a10b_interim_xy(spark: SparkSession, sf_dir: str, interval: int = 2) -> Data
     per-budget surrogates; selection rule as in A10
     (`base.py:643-668`), transform per §1.4.
     """
+    from pyspark.sql import Window
+
     m = metrics_df(spark, sf_dir)
     t = trials_df(spark, sf_dir, statuses=["FINALIZED"]).select("trial_id", "p1")
-    mx = m.groupBy("trial_id").agg(F.max("step").alias("max_step"))
+    m = m.join(t.select("trial_id"), "trial_id")
+    # histories are step->value SEQUENCES: the budget of an interim
+    # result is its 1-based position in the trial's history (row_number
+    # over step), not the raw step label — fixture steps have gaps
+    w = Window.partitionBy("trial_id").orderBy("step")
+    pos = m.withColumn("rn", F.row_number().over(w))
+    mx = pos.groupBy("trial_id").agg(F.max("rn").alias("hist_len"))
+    # global max budget N over finalized history lengths;
+    # z = (rn-1)/(N-1) matches the reference's
+    # _normalize_integer([0, N-1], idx) over 0-based history positions
+    # (base.py:589-599); greatest(.,1) guards a single-step corpus the
+    # same way get_XY does
+    g = mx.agg(F.max("hist_len").alias("gmax"))
     sel = (
-        m.join(mx, "trial_id")
-        .where((F.col("step") % interval == 0) | (F.col("step") == F.col("max_step")))
+        pos.join(mx, "trial_id")
+        .where((F.col("rn") % interval == 0) | (F.col("rn") == F.col("hist_len")))
         .join(t, "trial_id")
+        .crossJoin(F.broadcast(g))
     )
     return sel.select(
         "trial_id",
         "step",
         (F.col("p1").cast("double") / F.lit(49.0)).alias("x1"),
-        (F.col("step").cast("double") / F.col("max_step").cast("double")).alias("z_budget"),
+        (
+            (F.col("rn") - 1).cast("double")
+            / F.greatest(F.col("gmax") - 1, F.lit(1)).cast("double")
+        ).alias("z_budget"),
         (-F.col("value")).alias("y"),
     )
 
 
 A10B_SQL = with_fixtures(
     """
-, mx AS (SELECT trial_id, max(step) AS max_step FROM metrics GROUP BY trial_id)
+, ft AS (SELECT trial_id, p1 FROM trials WHERE status = 'FINALIZED')
+, fm AS (
+    SELECT m.*, row_number() OVER (PARTITION BY m.trial_id ORDER BY m.step) AS rn
+    FROM metrics m JOIN ft ON m.trial_id = ft.trial_id
+)
+, mx AS (SELECT trial_id, max(rn) AS hist_len FROM fm GROUP BY trial_id)
+, g AS (SELECT max(hist_len) AS gmax FROM mx)
 SELECT m.trial_id, m.step,
        cast(t.p1 AS DOUBLE) / 49.0 AS x1,
-       cast(m.step AS DOUBLE) / cast(mx.max_step AS DOUBLE) AS z_budget,
+       cast(m.rn - 1 AS DOUBLE) / cast(greatest(g.gmax - 1, 1) AS DOUBLE) AS z_budget,
        -m.value AS y
-FROM metrics m
+FROM fm m
 JOIN mx ON m.trial_id = mx.trial_id
-JOIN trials t ON m.trial_id = t.trial_id AND t.status = 'FINALIZED'
-WHERE m.step % 2 = 0 OR m.step = mx.max_step
+JOIN ft t ON m.trial_id = t.trial_id
+CROSS JOIN g
+WHERE m.rn % 2 = 0 OR m.rn = mx.hist_len
 """
 )
 
