@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from maggy_spark.functions.dedup import (
     _BANDS_SQL,
     _CAND_SQL,
+    _MH_PARAMS_SQL,
     _SHINGLES_SQL,
     _SIG_SQL,
     dd5_dedup_clusters,
@@ -79,7 +80,8 @@ def pl1_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PL1_SQL = f"""
-WITH sh AS ({_SHINGLES_SQL}),
+WITH p AS ({_MH_PARAMS_SQL}),
+sh AS ({_SHINGLES_SQL}),
 sig AS ({_SIG_SQL}),
 bands AS ({_BANDS_SQL}),
 cand AS ({_CAND_SQL}),

@@ -400,4 +400,10 @@ GROUP BY stage
 OPERATORS = [
     ("ev1_type_rollup", ev1_type_rollup, EV1_SQL),
     ("ev2_daily_activity", ev2_daily_activity, EV2_SQL),
+    # rotated INTO the driver registry in round 6 (slots freed by
+    # g4/g10 — see generators.py and COVERAGE.md): the as-of join and
+    # sessionization are the two event operators a pipeline user hits
+    # most, so they belong under the driver's sf0.01 hard gate
+    ("ev4_asof_attribution", ev4_asof_attribution, EV4_SQL),
+    ("ev5_sessionize", ev5_sessionize, EV5_SQL),
 ]

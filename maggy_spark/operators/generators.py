@@ -406,10 +406,14 @@ SELECT 1, 2, 9, orig, new_tid, true FROM r1b
 OPERATORS = [
     ("g1_random_sample", g1_random_sample, G1_SQL),
     ("g3_grid_search", g3_grid_search, G3_SQL),
-    ("g4_single_run", g4_single_run, G4_SQL),
     ("g5_asha_promotion", g5_asha_promotion, G5_SQL),
-    ("g10_hyperband_ladder", g10_hyperband_ladder, G10_SQL),
     ("hb1_pruner_rungs", hb1_pruner_rungs, HB1_SQL),
     ("g12_dedup_guard", g12_dedup_guard, G12_SQL),
     ("g13_trial_factory", g13_trial_factory, G13_SQL),
 ]
+
+# g4_single_run and g10_hyperband_ladder were ROTATED OUT of the
+# driver registry in round 6 (they are constant 16- and 5-row
+# relations whose logic hb1 + the pruner tests already pin) to free
+# gate slots for the ev4/ev5 event capstones; their DuckDB parity
+# stays enforced by tests/test_offline_oracles.py. See COVERAGE.md.

@@ -3,10 +3,11 @@
 The driver's correctness gate checks only the first 50 registry
 entries; everything beyond the cap — de-registered supplementary
 views (`a8_median_prefix`, `a10b_interim_xy`, `trial_id_golden`,
-`ev3_user_metric_history`) and the round-5 extension operators
-(dd9/dd11, ann6, tx7, pl3-pl6, ev4-ev6) — keeps its Spark-vs-DuckDB
-parity enforced here with the same row-count + schema + value-hash
-compare the driver uses.
+`ev3_user_metric_history`, and since round 6 `g4_single_run` /
+`g10_hyperband_ladder`) and the extension operators (dd9/dd11, ann6,
+tx7, pl3-pl6, ev6/ev7) — keeps its Spark-vs-DuckDB parity enforced
+here with the same row-count + schema + value-hash compare the
+driver uses, at the gate's own sf0.01.
 """
 
 import sys
@@ -39,11 +40,22 @@ CASES = [
     ("pl4_filter_funnel", "PL4_SQL", "maggy_spark.functions.pipeline"),
     ("pl5_leakage_split", "PL5_SQL", "maggy_spark.functions.pipeline"),
     ("pl6_fuzzy_leakage_split", "PL6_SQL", "maggy_spark.functions.pipeline"),
-    ("ev4_asof_attribution", "EV4_SQL", "maggy_spark.operators.events"),
-    ("ev5_sessionize", "EV5_SQL", "maggy_spark.operators.events"),
+    # ev4/ev5 rotated INTO the driver registry round 6; g4/g10 rotated
+    # out here (constant relations, logic also pinned by hb1 + tests)
+    ("g4_single_run", "G4_SQL", "maggy_spark.operators.generators"),
+    ("g10_hyperband_ladder", "G10_SQL", "maggy_spark.operators.generators"),
     ("ev6_trailing_features", "EV6_SQL", "maggy_spark.operators.events"),
     ("ev7_conversion_funnel", "EV7_SQL", "maggy_spark.operators.events"),
 ]
+
+
+@pytest.fixture(scope="module")
+def sf_dir():
+    """De-registered operators keep parity at the SAME scale the
+    driver gate checks (sf0.01), not the suite default sf0.001 —
+    otherwise rotation out of the registry would silently weaken the
+    scale at which an operator is verified."""
+    return "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="module")
