@@ -35,6 +35,10 @@ from pyspark.sql import types as T
 
 from maggy_spark.reporter import EarlyStopException, Reporter
 
+# Result rows are control-plane: per-trial logs above this line count
+# ride the S7 file sink (run_trial_wave log_dir), not the collect()
+MAX_RESULT_LOG_LINES = 200
+
 RESULT_SCHEMA = T.StructType(
     [
         T.StructField("trial_id", T.StringType()),
@@ -107,6 +111,7 @@ def run_trial_wave(
     extras: dict | None = None,
     tb_base_dir: str | None = None,
     fn_bytes: bytes | None = None,
+    log_dir: str | None = None,
 ) -> list[dict]:
     """Execute one wave of pending trials as a grouped pandas UDF.
 
@@ -114,6 +119,14 @@ def run_trial_wave(
     `stop_check_source` is an optional serialized early-stop state
     (JSON) evaluated trial-locally at each broadcast — cooperative
     cancellation, SURVEY.md §7.3a.
+
+    Results are the CONTROL PLANE (one row per trial), so the `logs`
+    column is capped at MAX_RESULT_LOG_LINES tail lines per trial — a
+    chatty train_fn printing MBs across 10k trials must not become
+    driver memory. With `log_dir` set, each task writes its trial's
+    FULL print capture to <log_dir>/trial_logs/<trial_id>.log before
+    truncating (S7 log sink; like any Spark file sink this expects a
+    driver-visible shared filesystem on a real cluster).
     """
     if not pending:
         return []
@@ -145,6 +158,7 @@ def run_trial_wave(
     stop_src = stop_check_source
     extra_static = extras or {}
     tb_base = tb_base_dir
+    log_base = log_dir
 
     # Captured as a plain string so the UDF closure below carries NO
     # references to maggy_spark module globals: python workers do not
@@ -210,6 +224,25 @@ def run_trial_wave(
         finally:
             if buf.getvalue():
                 reporter.logs.extend(buf.getvalue().rstrip("\n").split("\n"))
+        logs = reporter.logs
+        if log_base and logs:
+            # full print capture -> per-trial artifact; the result row
+            # only carries the bounded tail below
+            import os as _os
+
+            ldir = _os.path.join(log_base, "trial_logs")
+            _os.makedirs(ldir, exist_ok=True)
+            full_path = _os.path.join(ldir, f"{trial_id}.log")
+            with open(full_path, "w") as fh:
+                fh.write("\n".join(logs) + "\n")
+        else:
+            full_path = None
+        if len(logs) > MAX_RESULT_LOG_LINES:
+            dropped = len(logs) - MAX_RESULT_LOG_LINES
+            marker = f"... [{dropped} earlier lines truncated" + (
+                f"; full log: {full_path}]" if full_path else "]"
+            )
+            logs = [marker] + logs[-MAX_RESULT_LOG_LINES:]
         return _pd.DataFrame(
             [
                 {
@@ -219,7 +252,7 @@ def run_trial_wave(
                     "step_history": reporter.step_history,
                     "early_stop": early,
                     "error": error,
-                    "logs": reporter.logs,
+                    "logs": logs,
                     "duration_ms": int((_time.time() - t0) * 1000),
                 }
             ]

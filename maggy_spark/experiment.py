@@ -259,19 +259,24 @@ def _run_hpo(train_fn: Callable, config: HyperparameterOptConfig, spark: SparkSe
 
     store = None
     exp_dir = None
-    if getattr(config, "stream_artifacts", False) and config.log_dir:
-        from maggy_spark.store import ExperimentStore
+    if config.log_dir:
+        # the experiment dir is resolved eagerly (not at persist time)
+        # so trial tasks can stream their FULL print captures to
+        # <exp_dir>/trial_logs/ while result rows carry a bounded tail
         from maggy_spark.util import next_run_id, register_environment
 
         run_id = next_run_id(config.log_dir, config.name)
         exp_dir = register_environment(config.name, run_id, config.log_dir)
-        store = ExperimentStore(spark, exp_dir + "/live", direction=config.direction)
+        if getattr(config, "stream_artifacts", False):
+            from maggy_spark.store import ExperimentStore
+
+            store = ExperimentStore(spark, exp_dir + "/live", direction=config.direction)
 
     t_start = time.time()
     if config.scheduling == "async":
-        all_trials, waves = _drive_async(train_fn, config, spark, controller, parallelism, store)
+        all_trials, waves = _drive_async(train_fn, config, spark, controller, parallelism, store, exp_dir)
     else:
-        all_trials, waves = _drive_waves(train_fn, config, spark, controller, parallelism, store)
+        all_trials, waves = _drive_waves(train_fn, config, spark, controller, parallelism, store, exp_dir)
 
     result = _aggregate_result(spark, all_trials, config.direction)
     result["duration_sec"] = round(time.time() - t_start, 3)
@@ -316,7 +321,7 @@ def _tb_base(config) -> str:
     return os.path.join(base, f"{config.name}_tb")
 
 
-def _drive_waves(train_fn, config, spark, controller, parallelism, store=None) -> tuple[list[Trial], int]:
+def _drive_waves(train_fn, config, spark, controller, parallelism, store=None, exp_dir=None) -> tuple[list[Trial], int]:
     """Batch-synchronous scheduling: waves of `parallelism` trials."""
     all_trials: list[Trial] = []
     seq = 0
@@ -342,6 +347,7 @@ def _drive_waves(train_fn, config, spark, controller, parallelism, store=None) -
             optimization_key=config.optimization_key,
             stop_check_source=stop_src,
             tb_base_dir=_tb_base(config),
+            log_dir=exp_dir,
         )
         done_wave = []
         for r in results:
@@ -360,7 +366,7 @@ def _drive_waves(train_fn, config, spark, controller, parallelism, store=None) -
     return all_trials, waves
 
 
-def _drive_async(train_fn, config, spark, controller, parallelism, store=None) -> tuple[list[Trial], int]:
+def _drive_async(train_fn, config, spark, controller, parallelism, store=None, exp_dir=None) -> tuple[list[Trial], int]:
     """Per-trial scheduling: a driver thread pool keeps `parallelism`
     single-trial Spark jobs in flight and refills a slot the moment a
     trial finishes — the reference's asynchrony
@@ -391,6 +397,7 @@ def _drive_async(train_fn, config, spark, controller, parallelism, store=None) -
             stop_check_source=stop_src,
             tb_base_dir=_tb_base(config),
             fn_bytes=fn_bytes,
+            log_dir=exp_dir,
         )
         return trial, res[0]
 

@@ -193,3 +193,79 @@ def test_by_value_modules_reaches_closures_and_containers():
         assert usermod in _by_value_modules(with_default)     # default arg
     finally:
         del sys.modules["fake_user_script_xyz"]
+
+
+# -- bounded trial-log transport (round-6 verdict item 4) ---------------
+
+
+def test_chatty_trial_logs_bounded_and_full_log_sunk(spark, tmp_path):
+    """A train_fn printing ~10 MB must yield a BOUNDED result row
+    (tail + truncation marker) while the full capture lands under
+    <log_dir>/trial_logs/<trial_id>.log."""
+    from maggy_spark.executor import MAX_RESULT_LOG_LINES, run_trial_wave
+
+    n_lines = 250_000  # ~10 MB at ~42 chars/line
+
+    def chatty(x):
+        for i in range(250_000):
+            print(f"step {i}: loss=0.123456789 acc=0.98765 x={x}")
+        return 1.0
+
+    res = run_trial_wave(
+        spark, [{"trial_id": "t_chatty", "params": {"x": 1}}], chatty, log_dir=str(tmp_path)
+    )
+    row = res[0]
+    assert len(row["logs"]) == MAX_RESULT_LOG_LINES + 1  # tail + marker
+    assert "truncated" in row["logs"][0] and "trial_logs" in row["logs"][0]
+    assert row["logs"][-1].startswith(f"step {n_lines - 1}:")
+    full = (tmp_path / "trial_logs" / "t_chatty.log").read_text().rstrip("\n").split("\n")
+    assert len(full) == n_lines
+    assert full[-1] == row["logs"][-1]
+    assert full[0].startswith("step 0:")
+
+
+def test_quiet_trial_logs_pass_through_unchanged(spark, tmp_path):
+    from maggy_spark.executor import run_trial_wave
+
+    def quiet(x):
+        print("hello")
+        return float(x)
+
+    res = run_trial_wave(
+        spark, [{"trial_id": "t_q", "params": {"x": 2}}], quiet, log_dir=str(tmp_path)
+    )
+    assert res[0]["logs"] == ["hello"]
+    assert (tmp_path / "trial_logs" / "t_q.log").read_text() == "hello\n"
+
+
+def test_lagom_full_logs_under_experiment_dir(spark, tmp_path):
+    """e2e: with log_dir configured, every trial's full print capture
+    lands under the EXPERIMENT dir (not the log_dir root), and the
+    persisted trials relation carries only bounded log arrays."""
+    from maggy_spark.executor import MAX_RESULT_LOG_LINES
+
+    def noisy(x, reporter):
+        for i in range(MAX_RESULT_LOG_LINES + 50):
+            print(f"line {i}")
+        reporter.broadcast(float(x), 0)
+        return float(x)
+
+    config = HyperparameterOptConfig(
+        num_trials=3,
+        optimizer="randomsearch",
+        searchspace=Searchspace(x=("DOUBLE", [0.0, 1.0])),
+        direction="max",
+        es_policy="none",
+        seed=3,
+        name="exp_logs",
+        log_dir=str(tmp_path),
+    )
+    res = lagom(noisy, config, spark)
+    import os
+
+    ldir = os.path.join(res["log_dir"], "trial_logs")
+    log_files = os.listdir(ldir)
+    assert len(log_files) == 3
+    for f in log_files:
+        lines = open(os.path.join(ldir, f)).read().rstrip("\n").split("\n")
+        assert len(lines) == MAX_RESULT_LOG_LINES + 50  # nothing truncated in the sink
