@@ -825,7 +825,7 @@ def _free_local_checkpoint(df: DataFrame) -> None:
         pass
 
 
-def star_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+def star_components(edges: DataFrame, max_iter: int = 30, checkpoint_dir: str | None = None) -> DataFrame:
     """Contract an undirected edge relation (columns `hi`, `lo`) to
     star edges (node -> component minimum) by alternating large-star /
     small-star rounds to fixpoint.
@@ -837,23 +837,43 @@ def star_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
     driver-side action in the loop (1 row each; the edge relation
     itself never leaves the cluster).
 
-    Each round ends in an EAGER localCheckpoint: one star round
-    references the previous edge relation three times, so carrying raw
-    lineage would grow the logical plan (and Catalyst analysis time)
+    Each round ends in an EAGER checkpoint: one star round references
+    the previous edge relation three times, so carrying raw lineage
+    would grow the logical plan (and Catalyst analysis time)
     exponentially with the round count — the checkpoint pins the round
     to a materialized 2-long-column relation and keeps every round's
-    plan constant-size. On a real cluster with executor loss to
-    tolerate, swap in `df.checkpoint()` against a reliable dir — same
-    shape, durable blocks.
+    plan constant-size.
+
+    Checkpoint durability: by default rounds pin executor-local blocks
+    (`localCheckpoint` — fastest, but lost with an executor). On a real
+    cluster with executor loss to tolerate, pass `checkpoint_dir` (or
+    set the session conf `spark.maggy.checkpointDir`) and rounds go
+    through RELIABLE `df.checkpoint()` against that directory — same
+    loop shape, durable files, nothing pinned in block storage (round
+    files are cleaned by Spark's ContextCleaner with
+    `spark.cleaner.referenceTracking.cleanCheckpoints=true`, or by
+    deleting the directory after the job).
     """
-    edges = edges.localCheckpoint()
+    spark = edges.sparkSession
+    if checkpoint_dir is None:
+        checkpoint_dir = spark.conf.get("spark.maggy.checkpointDir", None)
+    durable = bool(checkpoint_dir)
+    if durable:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        ckpt = lambda df: df.checkpoint(eager=True)  # noqa: E731
+    else:
+        ckpt = lambda df: df.localCheckpoint()  # noqa: E731
+    edges = ckpt(edges)
     prev_sig = None
     for _ in range(max_iter):
-        nxt = _small_star(_large_star(edges)).localCheckpoint()
+        nxt = ckpt(_small_star(_large_star(edges)))
         # the eager checkpoint above fully materialized nxt, so the
         # previous round's blocks are dead — free them now instead of
         # waiting for JVM GC, bounding storage to two edge-set copies
-        _free_local_checkpoint(edges)
+        # (local mode only: reliable checkpoints live as files, not
+        # pinned blocks, so there is nothing to free here)
+        if not durable:
+            _free_local_checkpoint(edges)
         edges = nxt
         # checksum sums 64-bit hashes: accumulate in decimal(38,0) so
         # ANSI mode can't overflow the long accumulator

@@ -305,11 +305,17 @@ def a8_median_prefix(spark: SparkSession, sf_dir: str, step_limit: int = 3) -> D
     Reference: `MedianStoppingRule` threshold `medianrule.py:44-51`.
     Rounded to 4 decimals to absorb last-ulp interpolation diffs.
     """
+    from pyspark.sql import Window
+
     m = metrics_df(spark, sf_dir)
     t = trials_df(spark, sf_dir, statuses=["FINALIZED"]).select("trial_id")
+    # positional prefix (first s observations), like c3 and the
+    # trial-local check — the reference indexes metric arrays
+    w = Window.partitionBy("trial_id").orderBy("step")
     pavg = (
-        m.where(F.col("step") <= step_limit)
-        .join(t, "trial_id")
+        m.join(t, "trial_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= step_limit)
         .groupBy("trial_id")
         .agg(_exact_avg("value").alias("pavg"))
     )
@@ -318,13 +324,18 @@ def a8_median_prefix(spark: SparkSession, sf_dir: str, step_limit: int = 3) -> D
 
 A8_SQL = with_fixtures(
     """
-, pavg AS (
-    SELECT m.trial_id,
-           cast(sum(cast(m.value AS DECIMAL(18,4))) AS DOUBLE) / count(m.value) AS pavg
+, pos AS (
+    SELECT m.trial_id, m.value,
+           row_number() OVER (PARTITION BY m.trial_id ORDER BY m.step) AS rn
     FROM metrics m
     JOIN trials t ON m.trial_id = t.trial_id AND t.status = 'FINALIZED'
-    WHERE m.step <= 3
-    GROUP BY m.trial_id
+),
+pavg AS (
+    SELECT trial_id,
+           cast(sum(cast(value AS DECIMAL(18,4))) AS DOUBLE) / count(value) AS pavg
+    FROM pos
+    WHERE rn <= 3
+    GROUP BY trial_id
 )
 SELECT round(quantile_cont(pavg, 0.5), 4) AS median_prefix_avg FROM pavg
 """

@@ -75,16 +75,29 @@ def c3_median_rule(spark: SparkSession, sf_dir: str, step_limit: int = 3) -> Dat
     # a 1-row broadcast-joined aggregate. Two shuffles total — the
     # shape that holds at 1000 executors.
     def build_per_trial():
+        from pyspark.sql import Window
+
         m = metrics_df(spark, sf_dir)
         t = trials_df(spark, sf_dir, statuses=["FINALIZED", "RUNNING"]).select(
             "trial_id", "status"
         )
+        # "first s" is POSITIONAL (the first s observations of the
+        # history, row_number over step order), matching the reference,
+        # which indexes interim-metric ARRAYS (medianrule.py:44-51),
+        # and the trial-local predicate (executor._make_stop_check) —
+        # fixture histories have step-label gaps, so filtering on the
+        # label would silently diverge (pinned by
+        # tests/test_earlystop_parity.py). The window's trial_id
+        # partitioning is the SAME one the groupBy needs: still one
+        # exchange total.
+        w = Window.partitionBy("trial_id").orderBy("step")
         return (
             m.join(t, "trial_id")
+            .withColumn("rn", F.row_number().over(w))
             .groupBy("trial_id", "status")
             .agg(
-                F.sum(F.when(F.col("step") <= step_limit, F.col("value").cast(DEC))).alias("psum"),
-                F.count(F.when(F.col("step") <= step_limit, F.col("value"))).alias("pcnt"),
+                F.sum(F.when(F.col("rn") <= step_limit, F.col("value").cast(DEC))).alias("psum"),
+                F.count(F.when(F.col("rn") <= step_limit, F.col("value"))).alias("pcnt"),
                 F.max("value").alias("best_metric"),
             )
         )
@@ -124,13 +137,18 @@ def c3_median_rule(spark: SparkSession, sf_dir: str, step_limit: int = 3) -> Dat
 
 C3_SQL = with_fixtures(
     """
-, pavg AS (
-    SELECT m.trial_id,
-           cast(sum(cast(m.value AS DECIMAL(18,4))) AS DOUBLE) / count(m.value) AS pavg
+, pos AS (
+    SELECT m.trial_id, m.value,
+           row_number() OVER (PARTITION BY m.trial_id ORDER BY m.step) AS rn
     FROM metrics m
     JOIN trials t ON m.trial_id = t.trial_id AND t.status = 'FINALIZED'
-    WHERE m.step <= 3
-    GROUP BY m.trial_id
+),
+pavg AS (
+    SELECT trial_id,
+           cast(sum(cast(value AS DECIMAL(18,4))) AS DOUBLE) / count(value) AS pavg
+    FROM pos
+    WHERE rn <= 3
+    GROUP BY trial_id
 ),
 med AS (SELECT round(quantile_cont(pavg, 0.5), 4) AS median_bar FROM pavg),
 best AS (

@@ -455,6 +455,35 @@ def test_star_contraction_frees_round_checkpoints(spark):
     assert len(leaked) <= 1, f"checkpoint RDDs left cached: {leaked}"
 
 
+def test_star_contraction_durable_checkpoint_dir(spark, tmp_path):
+    """With a reliable checkpoint dir (arg or session conf), rounds go
+    through df.checkpoint(): identical components, checkpoint FILES
+    under the dir, and no localCheckpoint RDDs pinned in storage."""
+    from maggy_spark.functions.dedup import star_components
+
+    edges = spark.createDataFrame(
+        [(i + 1, i) for i in range(40)] + [(200, 100), (300, 100)], "hi long, lo long"
+    )
+    base = {tuple(r) for r in star_components(edges).collect()}
+
+    def cached_rdds():
+        return {i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+
+    before = cached_rdds()
+    ck = tmp_path / "ck"
+    got = {tuple(r) for r in star_components(edges, checkpoint_dir=str(ck)).collect()}
+    assert got == base
+    assert cached_rdds() - before == set(), "durable path must pin no block storage"
+    assert any(ck.rglob("*")), "reliable checkpoint files should exist"
+    # session-conf route (what dd10 callers on a real cluster set)
+    spark.conf.set("spark.maggy.checkpointDir", str(tmp_path / "ck2"))
+    try:
+        got2 = {tuple(r) for r in star_components(edges).collect()}
+    finally:
+        spark.conf.unset("spark.maggy.checkpointDir")
+    assert got2 == base
+
+
 def test_ev7_funnel_ordering_constraint(spark, sf_dir):
     """The funnel is ORDERED: a purchase before any view must not
     count as a conversion, and stage totals cover every user."""
