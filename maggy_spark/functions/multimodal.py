@@ -91,6 +91,75 @@ def _fake_decode(payload: bytes, media_type: str) -> dict:
             "duration_sec": (1 + seed % 300) / 30.0, "checksum": h}
 
 
+def _media_decoders() -> dict:
+    """REAL decoders by media type, import-guarded like
+    frameworks.py gates torch/tf: PIL for images, soundfile for
+    audio — whichever is installed on the executor. Empty dict when
+    neither is (this container). Resolved lazily inside the
+    mapInPandas stage, so the guard runs on the WORKER's environment,
+    not the driver's."""
+    decs: dict = {}
+    try:
+        from PIL import Image  # noqa: F401
+
+        def _img(payload: bytes) -> dict:
+            import hashlib
+            import io
+
+            from PIL import Image as _I
+
+            with _I.open(io.BytesIO(payload)) as im:
+                return {
+                    "width": int(im.width),
+                    "height": int(im.height),
+                    "n_frames": int(getattr(im, "n_frames", 1)),
+                    "duration_sec": 0.0,
+                    "checksum": hashlib.md5(payload).hexdigest(),
+                }
+
+        decs["image"] = _img
+    except ImportError:
+        pass
+    try:
+        import soundfile  # noqa: F401
+
+        def _aud(payload: bytes) -> dict:
+            import hashlib
+            import io
+
+            import soundfile as _sf
+
+            data, rate = _sf.read(io.BytesIO(payload))
+            return {
+                "width": 0,
+                "height": 0,
+                "n_frames": int(len(data)),
+                "duration_sec": float(len(data)) / float(rate),
+                "checksum": hashlib.md5(payload).hexdigest(),
+            }
+
+        decs["audio"] = _aud
+    except ImportError:
+        pass
+    return decs
+
+
+def _decode(payload: bytes, media_type: str, decoders: dict | None = None) -> dict:
+    """Decode one payload: the REAL decoder when its library is
+    present and the bytes actually parse, else the deterministic
+    stub. The synthetic corpus's payloads are utf-8 text, so they
+    never parse as real media and the gate oracle (which replicates
+    the stub) stays deterministic whether or not PIL/soundfile are
+    installed."""
+    dec = (decoders or {}).get(media_type)
+    if dec is not None:
+        try:
+            return dec(payload)
+        except Exception:  # noqa: BLE001 - undecodable bytes -> stub
+            pass
+    return _fake_decode(payload, media_type)
+
+
 def mm1_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode pass over media payloads via mapInPandas: Arrow batches
     in, metadata rows out; binary stays executor-local (narrow op,
@@ -98,6 +167,7 @@ def mm1_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_table(spark, sf_dir)
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decoders = _media_decoders()  # worker-side import guard
         for pdf in batches:
             out = []
             # zip over column arrays, not iterrows: decode is per-item
@@ -107,7 +177,7 @@ def mm1_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pdf["media_id"], pdf["payload"], pdf["media_type"]
             ):
                 payload = bytes(payload)
-                d = _fake_decode(payload, media_type)
+                d = _decode(payload, media_type, decoders)
                 out.append({"media_id": media_id, "media_type": media_type,
                             "n_bytes": len(payload), **d})
             yield pd.DataFrame(out)
@@ -246,11 +316,12 @@ def mm4_resize_thumbnails(spark: SparkSession, sf_dir: str, box: int = THUMB_BOX
     )
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decoders = _media_decoders()  # worker-side import guard (PIL)
         for pdf in batches:
             out = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 payload = bytes(payload)
-                d = _fake_decode(payload, "image")
+                d = _decode(payload, "image", decoders)
                 w, h = d["width"], d["height"]
                 s = max(w, h)
                 nw, nh = (w * box) // s, (h * box) // s

@@ -508,3 +508,85 @@ def test_ev7_funnel_ordering_constraint(spark, sf_dir):
         .count()
     )
     assert out.get(3, 0) <= both
+
+
+# -- import-guarded real media decoders (round-6 verdict item 7) --------
+
+
+def test_media_decoders_absent_in_this_container():
+    """No PIL/soundfile here -> resolver returns no real decoders and
+    _decode is exactly the deterministic stub (what the mm1 oracle
+    replicates)."""
+    from maggy_spark.functions.multimodal import _decode, _fake_decode, _media_decoders
+
+    decs = _media_decoders()
+    assert "image" not in decs and "audio" not in decs
+    p = b"some text payload"
+    for mt in ("image", "audio", "video"):
+        assert _decode(p, mt, decs) == _fake_decode(p, mt)
+
+
+def test_media_decoders_used_when_libs_present(monkeypatch):
+    """With PIL/soundfile importable (faked here), the resolver picks
+    them up and _decode routes parseable payloads through them."""
+    import sys
+    import types
+
+    class _Img:
+        width, height, n_frames = 320, 200, 1
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    pil = types.ModuleType("PIL")
+    pil_image = types.ModuleType("PIL.Image")
+    pil_image.open = lambda bio: _Img()
+    pil.Image = pil_image
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", pil_image)
+
+    sf_mod = types.ModuleType("soundfile")
+    sf_mod.read = lambda bio: ([0.0] * 32_000, 16_000)
+    monkeypatch.setitem(sys.modules, "soundfile", sf_mod)
+
+    from maggy_spark.functions.multimodal import _decode, _media_decoders
+
+    decs = _media_decoders()
+    assert set(decs) >= {"image", "audio"}
+    img = _decode(b"fake-png-bytes", "image", decs)
+    assert (img["width"], img["height"]) == (320, 200)
+    aud = _decode(b"fake-wav-bytes", "audio", decs)
+    assert aud["n_frames"] == 32_000 and aud["duration_sec"] == 2.0
+    # video has no real decoder -> stub
+    from maggy_spark.functions.multimodal import _fake_decode
+
+    assert _decode(b"x", "video", decs) == _fake_decode(b"x", "video")
+
+
+def test_media_decoder_failure_falls_back_to_stub(monkeypatch):
+    """A present-but-rejecting real decoder (bytes that do not parse,
+    e.g. this corpus's utf-8 text payloads) must fall back to the
+    stub, keeping the gate oracle deterministic with libs installed."""
+    import sys
+    import types
+
+    pil = types.ModuleType("PIL")
+    pil_image = types.ModuleType("PIL.Image")
+
+    def _boom(bio):
+        raise OSError("cannot identify image file")
+
+    pil_image.open = _boom
+    pil.Image = pil_image
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", pil_image)
+
+    from maggy_spark.functions.multimodal import _decode, _fake_decode, _media_decoders
+
+    decs = _media_decoders()
+    assert "image" in decs
+    p = b"not an image"
+    assert _decode(p, "image", decs) == _fake_decode(p, "image")
