@@ -175,16 +175,17 @@ def _bar_payload(controller, config) -> dict:
                 }
                 for t in controller.final_store
             ]
-        # the rule function is static for the experiment: pickle it
-        # once and memoize on the function object — _bar_payload runs
-        # per bar refresh and, in the async path, per trial submission
-        cached = getattr(rule_fn, "_maggy_rule_b64", None)
+        # the rule function is static WITHIN one experiment: pickle it
+        # once per run and memoize on the CONTROLLER (reset at
+        # initialize) — _bar_payload runs per bar refresh and, in the
+        # async path, per trial submission. Memoizing on the function
+        # object itself would live for the whole process: a rule
+        # reused across experiments whose closure state was mutated
+        # between runs would ship the stale first pickle forever.
+        cached = getattr(controller, "_maggy_rule_b64", None)
         if cached is None:
             cached = base64.b64encode(_dumps_by_value(rule_fn)).decode("ascii")
-            try:
-                rule_fn._maggy_rule_b64 = cached
-            except AttributeError:  # non-function callable without __dict__
-                pass
+            controller._maggy_rule_b64 = cached
         payload["custom_rule"] = cached
         payload["finalized"] = finalized
     return payload
@@ -255,6 +256,7 @@ def _run_hpo(train_fn: Callable, config: HyperparameterOptConfig, spark: SparkSe
         seed=config.seed,
     )
     controller.spark = spark  # controllers may fan work out (e.g. GP distributed scoring)
+    controller._maggy_rule_b64 = None  # per-run custom-rule pickle memo (_bar_payload)
     parallelism = config.parallelism or spark.sparkContext.defaultParallelism
 
     store = None

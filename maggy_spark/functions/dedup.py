@@ -577,26 +577,25 @@ def simhash_bands_for(docs: DataFrame, n_docs: int, *, persist: bool = True):
 def simhash_band_relation(spark: SparkSession, sf_dir: str):
     """The persisted SimHash signatures table over the corpus — the
     production relation every near-dup pass (dd7 full sweep, dd11
-    ingest probe, streaming alerts) joins against. Session-cached per
-    sf_dir (like similarity's `_bucketed` signatures table) so
-    passes that compose — dd10 runs dd7's join, dd11 probes the same
-    bands — sign the corpus ONCE per session, and re-pinned if an
-    external clearCache() dropped the blocks."""
-    from pyspark import StorageLevel
-
-    cache = getattr(spark, "_maggy_simhash_bands", None)
-    if cache is None:
-        cache = {}
-        spark._maggy_simhash_bands = cache
-    if sf_dir in cache:
-        bands, b, t = cache[sf_dir]
-        if bands.storageLevel == StorageLevel.NONE:
-            bands.persist()
-        return bands, b, t
-    docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id", "text")
-    out = simhash_bands_for(docs, corpus_count(spark, sf_dir, "documents"))
-    cache[sf_dir] = out
-    return out
+    ingest probe, streaming alerts) joins against. Goes through the
+    SHARED session cache (plans.fixtures.session_cached, same
+    immutable-fixture-dir contract) so passes that compose — dd10
+    runs dd7's join, dd11 probes the same bands — sign the corpus
+    ONCE per session; the geometry (band_bits, total_bits) re-derives
+    from the memoized corpus count."""
+    n = corpus_count(spark, sf_dir, "documents")
+    b = simhash_band_bits(n)
+    t = SIMHASH_BANDS * b
+    bands = _session_cached(
+        spark,
+        (sf_dir, "simhash_bands"),
+        lambda: simhash_bands_for(
+            load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id", "text"),
+            n,
+            persist=False,
+        )[0],
+    )
+    return bands, b, t
 
 
 def _first_match_and_hamming(b: int, t: int):
@@ -1032,7 +1031,12 @@ def dd11_incremental_near_dup(
     )
 
 
-DD11_SQL = f"""
+def dd11_sql(delta_mod: int = 10, max_hamming: int = MAX_HAMMING) -> str:
+    """DD11's DuckDB twin, generated from the SAME parameters the
+    Spark operator takes (like cc_closure_sql) — a parity run with
+    non-default delta_mod/max_hamming compares like with like instead
+    of silently falling back to the defaults."""
+    return f"""
 WITH p AS ({_SIMHASH_PARAMS_SQL}),
 sig AS ({_SIMHASH_SIG_SQL}),
 bands AS ({_SIMHASH_BANDS_SQL}),
@@ -1042,9 +1046,12 @@ SELECT doc_a, doc_b,
             i -> CASE WHEN substr(ha, i, 1) != substr(hb, i, 1) THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
 FROM cand
 WHERE list_sum(list_transform(generate_series(1, t),
-        i -> CASE WHEN substr(ha, i, 1) != substr(hb, i, 1) THEN 1 ELSE 0 END)) <= {MAX_HAMMING}
-  AND (doc_a % 10 = 0 OR doc_b % 10 = 0)
+        i -> CASE WHEN substr(ha, i, 1) != substr(hb, i, 1) THEN 1 ELSE 0 END)) <= {max_hamming}
+  AND (doc_a % {delta_mod} = 0 OR doc_b % {delta_mod} = 0)
 """
+
+
+DD11_SQL = dd11_sql()  # default-argument twin for the offline oracle table
 
 
 OPERATORS = [

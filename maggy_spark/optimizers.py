@@ -45,6 +45,13 @@ def exact_smax(min_budget: int, max_budget: int, eta: int) -> int:
         # a non-positive floor makes the search condition always true
         # (0 * anything <= max) — an infinite loop, not a ladder
         raise ValueError(f"min_budget must be > 0, got {min_budget}")
+    if eta < 2:
+        # eta <= 1 never grows the budget — the while loop would spin
+        # forever (the old float-log form at least raised on log(1)=0).
+        # Guarded HERE so every consumer inherits it: the ladder
+        # constructors check their own eta, but g10_hyperband_ladder
+        # forwards a caller-supplied eta straight into this function.
+        raise ValueError(f"eta must be >= 2, got {eta}")
     s = 0
     while min_budget * eta ** (s + 1) <= max_budget:
         s += 1

@@ -145,7 +145,13 @@ def session_cached(spark: SparkSession, key: tuple, build) -> DataFrame:
     by every operator that composes on it (the production pattern of
     a long-lived signatures/postings table), re-pinned if an external
     clearCache() dropped the blocks. Replaces per-call persist()s
-    that leaked one cached copy per invocation."""
+    that leaked one cached copy per invocation.
+
+    CONTRACT: keys embed the fixture dir, and fixture dirs are
+    IMMUTABLE for the life of the session — regenerating data under
+    the same path would silently serve the stale relation. A writer
+    that must do that in-session calls `invalidate_session_cache`
+    first (tests that rewrite temp fixtures do)."""
     from pyspark import StorageLevel
 
     cache = getattr(spark, "_maggy_session_cache", None)
@@ -160,6 +166,22 @@ def session_cached(spark: SparkSession, key: tuple, build) -> DataFrame:
     df = build().persist()
     cache[key] = df
     return df
+
+
+def invalidate_session_cache(spark: SparkSession, sf_dir: str | None = None) -> int:
+    """Drop session-cached relations (and memoized corpus counts)
+    whose key mentions `sf_dir` — or ALL of them when sf_dir is None.
+    The escape hatch for the immutable-fixture-dir contract above;
+    returns how many cached relations were dropped."""
+    n = 0
+    cache = getattr(spark, "_maggy_session_cache", None) or {}
+    for key in [k for k in cache if sf_dir is None or sf_dir in k]:
+        cache.pop(key).unpersist()
+        n += 1
+    counts = getattr(spark, "_maggy_corpus_counts", None) or {}
+    for key in [k for k in counts if sf_dir is None or sf_dir in k]:
+        counts.pop(key)
+    return n
 
 
 def corpus_count(spark: SparkSession, sf_dir: str, name: str) -> int:

@@ -64,7 +64,17 @@ class ExperimentStore:
         # existing store. Caller seq only decides ORDER within the
         # batch; the stored value is base+1..base+n — identical to the
         # caller's numbering on a fresh store, unique on a reused one.
-        order = sorted(range(len(trials)), key=lambda i: trials[i].info_dict.get("seq", i))
+        # NB: the rebase mutates the caller's Trial objects' seq in
+        # place (deliberate — the driver's Trial list and the store
+        # must agree on numbering for read-back joins).
+        # Seq-less trials sort AFTER all preset ones in batch order:
+        # the old `.get("seq", i)` fallback mixed 1-based presets with
+        # 0-based indices, interleaving a mixed batch unpredictably.
+        def _order_key(i: int):
+            s = trials[i].info_dict.get("seq")
+            return (s is None, 0 if s is None else s, i)
+
+        order = sorted(range(len(trials)), key=_order_key)
         for pos, i in enumerate(order):
             trials[i].info_dict["seq"] = base + pos + 1
         self._seq_counter = base + len(trials)

@@ -351,3 +351,111 @@ def test_stop_check_clamps_zero_interval():
     )
     check = _make_stop_check(src)
     assert check([0], [0.1]) in (True, False)  # no ZeroDivisionError
+
+
+# -- round-6 ADVICE fixes ----------------------------------------------
+
+
+def test_exact_smax_rejects_degenerate_eta():
+    """eta <= 1 never grows the budget: exact_smax must raise, not
+    hang (g10_hyperband_ladder forwards caller eta straight in)."""
+    from maggy_spark.optimizers import exact_smax
+
+    assert exact_smax(1, 27, 3) == 3
+    for bad in (1, 0, -2):
+        with pytest.raises(ValueError, match="eta"):
+            exact_smax(1, 27, bad)
+
+
+def test_invalidate_session_cache_drops_by_dir(spark, tmp_path):
+    from maggy_spark.plans.fixtures import invalidate_session_cache, session_cached
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    session_cached(spark, (a, "x"), lambda: spark.range(3))
+    session_cached(spark, (b, "x"), lambda: spark.range(4))
+    assert invalidate_session_cache(spark, a) == 1
+    cache = spark._maggy_session_cache
+    assert (a, "x") not in cache and (b, "x") in cache
+    # rebuild after invalidation really re-runs the builder
+    calls = []
+    session_cached(spark, (a, "x"), lambda: (calls.append(1), spark.range(5))[1])
+    assert calls == [1]
+    invalidate_session_cache(spark)  # leave no leftovers for other tests
+
+
+def test_append_trials_mixed_seq_orders_presets_first(spark, tmp_path):
+    """A batch mixing preset and missing seq values: presets keep
+    their relative order FIRST, seq-less trials follow in batch
+    order (the old fallback interleaved them unpredictably)."""
+    from maggy_spark.store import ExperimentStore
+    from maggy_spark.trial import Trial
+
+    store = ExperimentStore(spark, str(tmp_path / "live"), direction="max")
+    t_preset2 = Trial({"x": 1}); t_preset2.info_dict["seq"] = 2; t_preset2.finalize(1.0)
+    t_noseq = Trial({"x": 2}); t_noseq.finalize(2.0)
+    t_preset1 = Trial({"x": 3}); t_preset1.info_dict["seq"] = 1; t_preset1.finalize(3.0)
+    store.append_trials([t_preset2, t_noseq, t_preset1])
+    stored = {r["trial_id"]: r["seq"] for r in store.trials().collect()}
+    assert stored[t_preset1.trial_id] == 1
+    assert stored[t_preset2.trial_id] == 2
+    assert stored[t_noseq.trial_id] == 3  # seq-less lands after presets
+
+
+def test_custom_rule_repickled_per_experiment(spark):
+    """A rule object reused across experiments with MUTATED closure
+    state must ship the fresh state, not the first run's pickle."""
+    from maggy_spark.experiment import _bar_payload
+
+    class Rule:
+        POLICY = "custom"
+
+        def __init__(self):
+            self.threshold = -1e9
+
+        def earlystop_check(self, to_check, finalized, direction):
+            return None
+
+    rule = Rule()
+    cfg = HyperparameterOptConfig(
+        num_trials=2, optimizer="randomsearch",
+        searchspace=Searchspace(x=("DOUBLE", [0.0, 1.0])),
+        direction="max", es_policy=rule, es_min=1, seed=5,
+    )
+
+    class Ctl:  # minimal controller shape for _bar_payload
+        final_store = []
+        _maggy_rule_b64 = None
+
+    c1 = Ctl()
+    first = _bar_payload(c1, cfg)["custom_rule"]
+    assert _bar_payload(c1, cfg)["custom_rule"] is first  # memoized within a run
+    rule.threshold = 42.0  # mutate closure state between experiments
+    c2 = Ctl()
+    second = _bar_payload(c2, cfg)["custom_rule"]
+    assert second != first  # fresh pickle for the new run
+
+    import base64
+
+    from pyspark import cloudpickle
+
+    rebuilt = cloudpickle.loads(base64.b64decode(second))
+    assert rebuilt.__self__.threshold == 42.0
+
+
+def test_dd11_sql_parameterized_matches_operator(spark):
+    """dd11's oracle is generated from the operator's own arguments:
+    a NON-default delta_mod run must still compare equal."""
+    import duckdb
+
+    from maggy_spark.functions.dedup import dd11_incremental_near_dup, dd11_sql
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        tuple(r) for r in dd11_incremental_near_dup(spark, sf, delta_mod=7).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = sorted(tuple(r) for r in con.execute(dd11_sql(delta_mod=7)).fetchall())
+    con.close()
+    assert got == want
