@@ -1065,3 +1065,63 @@ OPERATORS = [
     ("dd8_lsh_verified_jaccard", dd8_lsh_verified_jaccard, DD8_SQL),
     ("dd10_near_dup_components", dd10_near_dup_components, DD10_SQL),
 ]
+
+
+# -- DD12: per-doc duplicated-content profile ---------------------------
+
+
+def dd12_boilerplate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-content profile: for each doc, how many
+    of its distinct 3-gram shingles occur in MORE THAN ONE document
+    (corpus doc-frequency > 1) and the resulting shared fraction —
+    the C4/RefinedWeb-style "duplicated mass" diagnostic a pipeline
+    runs to pick its dedup thresholds and to monitor boilerplate
+    creep between crawl snapshots.
+
+    Scale shape: shingles come from the session-shared materialization
+    (_shingled); the doc-frequency is a COUNT window over the exploded
+    postings keyed by the 64-bit shingle hash — the same uniform key
+    dd4 shuffles on, and the per-doc rollup is one further groupBy.
+    Two shuffles total, both on uniform keys; no self-join, so viral
+    shingles cost rows, never row-pairs. Not in the driver registry
+    (50-entry cap); DuckDB parity in tests/test_offline_oracles.py.
+    """
+    from pyspark.sql import Window
+
+    sh = _shingled(spark, sf_dir)
+    ex = sh.select("doc_id", F.explode("sh").alias("shingle")).select(
+        "doc_id", F.xxhash64("shingle").alias("sid")
+    )
+    # shingles are DISTINCT per doc, so count-over-sid IS the doc
+    # frequency; the window's sid partitioning replaces a groupBy +
+    # join-back (one shuffle instead of two, as in dd4's df cap)
+    tagged = ex.withColumn("df", F.count("*").over(Window.partitionBy("sid")))
+    n_shared = F.sum(F.when(F.col("df") > 1, 1).otherwise(0))
+    return (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            n_shared.alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_shared",
+            (F.col("n_shared").cast("double") / F.col("n_shingles").cast("double")).alias(
+                "shared_frac"
+            ),
+        )
+    )
+
+
+DD12_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+tagged AS (SELECT doc_id, count(*) OVER (PARTITION BY s) AS df FROM ex)
+SELECT doc_id,
+       count(*) AS n_shingles,
+       cast(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       cast(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / cast(count(*) AS DOUBLE) AS shared_frac
+FROM tagged
+GROUP BY doc_id
+"""

@@ -440,6 +440,82 @@ FROM withb
 PL6_SQL = _pl6_sql()
 
 
+# -- PL7: sequence-packing plan ----------------------------------------
+
+PACK_CTX = 512     # context window length (tokens)
+PACK_SHARDS = 8    # output shards; production = number of output files
+
+
+def pl7_sequence_pack_plan(
+    spark: SparkSession, sf_dir: str, ctx: int = PACK_CTX, shards: int = PACK_SHARDS
+) -> DataFrame:
+    """Concatenate-and-chunk packing plan: assign every document its
+    token span and the context windows it lands in when the corpus is
+    concatenated shard-by-shard and sliced into fixed `ctx`-token
+    training sequences — the sample-packing step between a prepared
+    corpus and a pretraining dataloader.
+
+    Scale shape: packing is PER SHARD (doc_id mod `shards`; production
+    uses the output-file assignment), so the running token cumsum is a
+    window partitioned by shard — there is NO global-order cumsum,
+    which would funnel the corpus through one task. With thousands of
+    shards at 100 TB every partition packs independently, and each
+    doc's plan row is (shard, tok_start, window_start, window_end).
+    Token counts are tx1's deterministic BPE proxy. Not in the driver
+    registry (50-entry cap); DuckDB parity in
+    tests/test_offline_oracles.py.
+    """
+    from pyspark.sql import Window
+
+    from maggy_spark.functions.text import tx1_token_count
+
+    toks = tx1_token_count(spark, sf_dir).select("doc_id", "bpe_tokens")
+    t = toks.withColumn("shard", (F.col("doc_id") % shards).cast("int"))
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    c = t.withColumn("cum_end", F.sum("bpe_tokens").over(w))
+    tok_start = F.col("cum_end") - F.col("bpe_tokens")
+    win_start = F.floor(tok_start / F.lit(ctx))
+    win_end = F.floor((F.col("cum_end") - 1) / F.lit(ctx))
+    return c.select(
+        "doc_id",
+        "shard",
+        "bpe_tokens",
+        tok_start.alias("tok_start"),
+        win_start.alias("window_start"),
+        win_end.alias("window_end"),
+        (win_end - win_start + 1).alias("n_windows"),
+    )
+
+
+def pl7_sql(ctx: int = PACK_CTX, shards: int = PACK_SHARDS) -> str:
+    """PL7's DuckDB twin, generated from the operator's parameters
+    (dd11_sql pattern). DuckDB sums BIGINT into HUGEINT, hence the
+    explicit BIGINT casts; `//` on non-negative ints == floor."""
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           cast(list_sum(list_transform(str_split(text, ' '),
+                t -> cast(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_tokens
+    FROM documents
+),
+t AS (SELECT doc_id, cast(doc_id % {shards} AS INTEGER) AS shard, bpe_tokens FROM toks),
+c AS (
+    SELECT doc_id, shard, bpe_tokens,
+           cast(sum(bpe_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum_end
+    FROM t
+)
+SELECT doc_id, shard, bpe_tokens,
+       cum_end - bpe_tokens AS tok_start,
+       (cum_end - bpe_tokens) // {ctx} AS window_start,
+       (cum_end - 1) // {ctx} AS window_end,
+       (cum_end - 1) // {ctx} - (cum_end - bpe_tokens) // {ctx} + 1 AS n_windows
+FROM c
+"""
+
+
+PL7_SQL = pl7_sql()
+
+
 OPERATORS = [
     ("pl1_corpus_prep", pl1_corpus_prep, PL1_SQL),
     ("pl2_stratified_sample", pl2_stratified_sample, PL2_SQL),

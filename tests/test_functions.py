@@ -590,3 +590,47 @@ def test_media_decoder_failure_falls_back_to_stub(monkeypatch):
     assert "image" in decs
     p = b"not an image"
     assert _decode(p, "image", decs) == _fake_decode(p, "image")
+
+
+# -- round-6 operators: dd12 boilerplate profile, pl7 pack plan ---------
+
+
+def test_dd12_profile_invariants(spark, sf_dir):
+    """n_shared <= n_shingles; exact duplicates (dd1 n_copies > 1)
+    must profile as fully shared; fractions bounded."""
+    from maggy_spark.functions.dedup import dd1_exact_dedup, dd12_boilerplate_profile
+
+    prof = {r.doc_id: r for r in dd12_boilerplate_profile(spark, sf_dir).collect()}
+    assert prof
+    for r in prof.values():
+        assert 0 <= r.n_shared <= r.n_shingles
+        assert 0.0 <= r.shared_frac <= 1.0
+    # a doc with an exact copy shares EVERY shingle
+    dupes = dd1_exact_dedup(spark, sf_dir).where("n_copies > 1").collect()
+    if dupes:
+        dup_ids = {r.keep_id for r in dupes}
+        assert all(prof[i].shared_frac == 1.0 for i in dup_ids if i in prof)
+
+
+def test_pl7_pack_plan_is_gapless_per_shard(spark, sf_dir):
+    """Within each shard the token spans tile [0, total) with no gaps
+    or overlaps, window indices are consistent with the spans, and
+    total windows = ceil(shard_tokens / ctx)."""
+    from maggy_spark.functions.pipeline import PACK_CTX, pl7_sequence_pack_plan
+
+    rows = pl7_sequence_pack_plan(spark, sf_dir).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert len(by_shard) == 8
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r.doc_id)
+        pos = 0
+        for r in rs:
+            assert r.tok_start == pos, f"gap in shard {shard}"
+            assert r.window_start == pos // PACK_CTX
+            assert r.window_end == (pos + r.bpe_tokens - 1) // PACK_CTX
+            assert r.n_windows == r.window_end - r.window_start + 1
+            pos += r.bpe_tokens
+        total_windows = rs[-1].window_end + 1
+        assert total_windows == -(-pos // PACK_CTX)  # ceil

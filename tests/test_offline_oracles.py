@@ -46,6 +46,9 @@ CASES = [
     ("g10_hyperband_ladder", "G10_SQL", "maggy_spark.operators.generators"),
     ("ev6_trailing_features", "EV6_SQL", "maggy_spark.operators.events"),
     ("ev7_conversion_funnel", "EV7_SQL", "maggy_spark.operators.events"),
+    # round-6 additions
+    ("dd12_boilerplate_profile", "DD12_SQL", "maggy_spark.functions.dedup"),
+    ("pl7_sequence_pack_plan", "PL7_SQL", "maggy_spark.functions.pipeline"),
 ]
 
 
