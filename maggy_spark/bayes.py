@@ -488,7 +488,7 @@ class GP(BaseAsyncBO):
         model = _GPModel()
         model.fit(X, y)
         y_best = float(y.min())
-        if self.acq_fun == "EI" and self.distributed_scoring and self.spark is not None and not self.interim_results:
+        if self.acq_fun == "EI" and self.distributed_scoring and self.spark is not None:
             best = self._argmax_ei_distributed(model, y_best)
         else:
             n_cand = min(self.n_points, self.MAX_TS_CANDIDATES) if self.acq_fun == "asy_ts" else self.n_points
@@ -593,6 +593,9 @@ class GP(BaseAsyncBO):
             "alpha": model._alpha.tolist(), "ls": model.ls,
             "y_mean": model.y_mean, "y_std": model.y_std,
             "seed": seed_base, "per_part": per_part, "d": d, "y_best": y_best,
+            # multi-fidelity: candidates carry the budget column at
+            # z = 1 (acquire at max budget, gp.py:200-204)
+            "aug": bool(self.interim_results),
         }
 
         from pathlib import Path
@@ -615,6 +618,8 @@ class GP(BaseAsyncBO):
                 for pid in pdf["id"]:
                     rng = _np.random.default_rng(state["seed"] + int(pid))
                     cand = rng.random((state["per_part"], state["d"]))
+                    if state["aug"]:
+                        cand = _np.hstack([cand, _np.ones((len(cand), 1))])
                     Ks = matern52(cand, Xtr, state["ls"])
                     mu = Ks @ alpha * state["y_std"] + state["y_mean"]
                     v = _np.linalg.solve(L, Ks.T)

@@ -135,3 +135,28 @@ def test_gp_interim_e2e(spark):
     res = lagom(train, cfg, spark)
     assert res["num_trials"] == 10
     assert res["best_val"] < 0.1
+
+
+def test_gp_interim_distributed_scoring(spark):
+    """distributed_scoring with interim_results: workers score
+    budget-augmented candidates at z = 1 and the suggestion still
+    decodes to the plain searchspace box."""
+    gp = GP(
+        n_points=256,
+        num_warmup_trials=0,
+        interim_results=True,
+        interim_results_interval=2,
+        distributed_scoring=True,
+    )
+    gp.initialize(Searchspace(x=("DOUBLE", [0.0, 1.0])), 10, "min", 5)
+    gp.spark = spark
+    rng = np.random.default_rng(4)
+    for i in range(4):
+        t = Trial({"x": float(rng.random())})
+        t.metric_history = [float(3 - s + 0.1 * i) for s in range(4)]
+        t.step_history = [0, 1, 2, 3]
+        t.finalize(t.metric_history[-1])
+        gp.finalize_trial(t)
+    params = gp.suggest_model_params()
+    assert set(params) == {"x"}
+    assert 0.0 <= params["x"] <= 1.0
