@@ -397,6 +397,61 @@ GROUP BY stage
 # registered a7_prefix_avg, so its slot went to the dd10 fuzzy-dedup
 # capstone. ev3's own parity stays enforced offline
 # (tests/test_offline_oracles.py, same three-way compare).
+def ev8_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by their FIRST active
+    day; for each (cohort, day offset) the distinct users active that
+    day and the retained fraction of the cohort — the engagement view
+    a data pipeline publishes next to daily activity (ev2).
+
+    Scale shape: the corpus-sized events relation is touched ONCE, by
+    the user-day DISTINCT; everything downstream (first-day groupBy,
+    cohort sizes, the retention rollup) runs on the |users x days|
+    relation, orders of magnitude smaller. Day bucketing uses the
+    same tz-free epoch-day arithmetic as ev2, so no session-timezone
+    dependence on either engine. Not in the driver registry (50-entry
+    cap); DuckDB parity in tests/test_offline_oracles.py.
+    """
+    e = load_events(spark, sf_dir)
+    epoch_day = F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)).cast("int")
+    ud = e.select("user_id", epoch_day.alias("d")).distinct()
+    first = ud.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    sizes = first.groupBy("cohort_d").agg(F.count("*").alias("cohort_size"))
+    act = (
+        ud.join(first, "user_id")
+        .groupBy("cohort_d", (F.col("d") - F.col("cohort_d")).alias("day_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    day = F.date_add(F.lit("1970-01-01").cast("date"), F.col("cohort_d")).cast("string")
+    return act.join(sizes, "cohort_d").select(
+        day.alias("cohort_day"),
+        "day_offset",
+        "n_active",
+        "cohort_size",
+        (F.col("n_active").cast("double") / F.col("cohort_size").cast("double")).alias("retention"),
+    )
+
+
+EV8_SQL = """
+WITH ud AS (
+    SELECT DISTINCT user_id,
+           CAST(floor(epoch_us(ts) / 86400000000.0) AS INTEGER) AS d
+    FROM events
+),
+first AS (SELECT user_id, min(d) AS cohort_d FROM ud GROUP BY user_id),
+sizes AS (SELECT cohort_d, count(*) AS cohort_size FROM first GROUP BY cohort_d),
+act AS (
+    SELECT f.cohort_d, ud.d - f.cohort_d AS day_offset,
+           count(DISTINCT ud.user_id) AS n_active
+    FROM ud JOIN first f USING (user_id)
+    GROUP BY f.cohort_d, ud.d - f.cohort_d
+)
+SELECT strftime(DATE '1970-01-01' + a.cohort_d, '%Y-%m-%d') AS cohort_day,
+       a.day_offset, a.n_active, s.cohort_size,
+       cast(a.n_active AS DOUBLE) / cast(s.cohort_size AS DOUBLE) AS retention
+FROM act a JOIN sizes s USING (cohort_d)
+"""
+
+
 OPERATORS = [
     ("ev1_type_rollup", ev1_type_rollup, EV1_SQL),
     ("ev2_daily_activity", ev2_daily_activity, EV2_SQL),

@@ -634,3 +634,22 @@ def test_pl7_pack_plan_is_gapless_per_shard(spark, sf_dir):
             pos += r.bpe_tokens
         total_windows = rs[-1].window_end + 1
         assert total_windows == -(-pos // PACK_CTX)  # ceil
+
+
+def test_ev8_cohort_retention_invariants(spark, sf_dir):
+    """Day-0 retention is exactly 1.0 for every cohort (everyone in a
+    cohort is active on their first day); retention never exceeds 1;
+    cohort sizes partition the user base."""
+    from maggy_spark.operators.events import ev8_cohort_retention
+    from maggy_spark.plans.fixtures import load_events
+
+    rows = ev8_cohort_retention(spark, sf_dir).collect()
+    assert rows
+    day0 = [r for r in rows if r.day_offset == 0]
+    cohorts = {r.cohort_day for r in rows}
+    assert {r.cohort_day for r in day0} == cohorts
+    for r in day0:
+        assert r.n_active == r.cohort_size and r.retention == 1.0
+    assert all(0.0 < r.retention <= 1.0 and r.day_offset >= 0 for r in rows)
+    total_users = load_events(spark, sf_dir).select("user_id").distinct().count()
+    assert sum(r.cohort_size for r in day0) == total_users

@@ -49,6 +49,7 @@ CASES = [
     # round-6 additions
     ("dd12_boilerplate_profile", "DD12_SQL", "maggy_spark.functions.dedup"),
     ("pl7_sequence_pack_plan", "PL7_SQL", "maggy_spark.functions.pipeline"),
+    ("ev8_cohort_retention", "EV8_SQL", "maggy_spark.operators.events"),
 ]
 
 
