@@ -57,6 +57,13 @@ class BaseAsyncBO(AbstractOptimizer):
         self.num_warmup_trials = num_warmup_trials
         self.random_fraction = random_fraction
         self.interim_results = bool(interim_results)
+        if int(interim_results_interval) < 1:
+            # validated up front like exact_smax's eta guard: a 0 would
+            # surface as a ZeroDivisionError mid-experiment inside
+            # get_interim_result_idx's modulo
+            raise ValueError(
+                f"interim_results_interval must be >= 1, got {interim_results_interval}"
+            )
         self.interim_results_interval = int(interim_results_interval)
         self._rng: random.Random | None = None
         self._nprng: np.random.Generator | None = None
@@ -147,6 +154,8 @@ class BaseAsyncBO(AbstractOptimizer):
         if not interim_results:
             return self.get_xy(budget=budget or None)
         interval = self.interim_results_interval if interim_results_interval is None else int(interim_results_interval)
+        if interval < 1:
+            raise ValueError(f"interim_results_interval must be >= 1, got {interval}")
         rows = [t for t in self.final_store if t.final_metric is not None and t.metric_history]
         if budget:
             rows = [t for t in rows if int(t.info_dict.get("budget", 0)) == budget]
@@ -457,10 +466,20 @@ class GP(BaseAsyncBO):
         # z = [x, n/N] relation (get_XY, reference base.py:536-641) and
         # everything downstream — busy imputation, candidates — carries
         # the extra budget column, scored at z = 1 (gp.py:200-204).
-        if self.interim_results:
+        interim_fit = self.interim_results
+        if interim_fit:
             X, y = self.get_XY(budget=self.model_budget() or 0, interim_results=True)
             if len(y) == 0:
                 X, y = self.get_XY(interim_results=True)
+            if len(y) == 0:
+                # no finalized trial carries a metric history (train_fn
+                # never broadcast): fall back to the final-metric
+                # matrix — everything downstream must then run
+                # UN-augmented, or y.min() dies on a zero-size array
+                interim_fit = False
+                X, y = self.get_xy(self.model_budget())
+                if len(y) < self.min_model_trials():
+                    X, y = self.get_xy()
         else:
             X, y = self.get_xy(self.model_budget())
             if len(y) < self.min_model_trials():
@@ -472,7 +491,7 @@ class GP(BaseAsyncBO):
         busy = [p for _, p in self._busy]
         if busy:
             Xb = np.array([self.searchspace.transform(p) for p in busy])
-            if self.interim_results:
+            if interim_fit:
                 # busy trials are imputed at full budget: z = [x, 1]
                 # (reference base.py:601-640)
                 Xb = np.hstack([Xb, np.ones((len(Xb), 1))])
@@ -489,11 +508,11 @@ class GP(BaseAsyncBO):
         model.fit(X, y)
         y_best = float(y.min())
         if self.acq_fun == "EI" and self.distributed_scoring and self.spark is not None:
-            best = self._argmax_ei_distributed(model, y_best)
+            best = self._argmax_ei_distributed(model, y_best, augmented=interim_fit)
         else:
             n_cand = min(self.n_points, self.MAX_TS_CANDIDATES) if self.acq_fun == "asy_ts" else self.n_points
             cand = self._nprng.random((n_cand, len(self.searchspace)))
-            if self.interim_results:
+            if interim_fit:
                 # acquire at max budget: candidates are [x, z=1]
                 # (reference gp.py:200-204); lbfgs then refines over
                 # the augmented box like the reference's bounds list
@@ -506,7 +525,11 @@ class GP(BaseAsyncBO):
                 # reason, gp.py:220-227); gradient steps on noise are
                 # meaningless, so TS stays pure-sampling here
                 starts = cand[np.argsort(-util)[: self.n_restarts_optimizer]]
-                best = self._refine(model, starts, y_best)
+                # the budget coordinate is NOT free: trials always run
+                # at full budget, so refinement must hold z = 1 (else
+                # gradient ascent optimizes EI at a lower fidelity and
+                # the z it chose is silently dropped)
+                best = self._refine(model, starts, y_best, n_free=len(self.searchspace))
             else:
                 best = cand[int(np.argmax(util))]
         # inverse_transform drops the augmented budget column, like the
@@ -526,14 +549,22 @@ class GP(BaseAsyncBO):
             return probability_of_improvement(mu, sigma, y_best, self.acq_fun_kwargs.get("xi", 0.01))
         return lower_confidence_bound(mu, sigma, self.acq_fun_kwargs.get("kappa", 1.96))
 
-    def _refine(self, model: "_GPModel", starts: np.ndarray, y_best: float) -> np.ndarray:
+    def _refine(
+        self, model: "_GPModel", starts: np.ndarray, y_best: float, n_free: int | None = None
+    ) -> np.ndarray:
         """acq_optimizer='lbfgs' (gp.py:183-264): bounded refinement of
         the top sampled candidates. scipy's fmin_l_bfgs_b is not in the
         environment, so this is a projected-gradient ascent — central-
         difference gradient, backtracking step, <= 20 iterations (the
         reference's maxiter), clipped to [0,1]. Ascent is monotone, so
-        the result can only improve on the sampled argmax."""
+        the result can only improve on the sampled argmax.
+
+        `n_free` limits the ascent to the FIRST n_free coordinates:
+        the multi-fidelity budget column is pinned at its start value
+        (z = 1), since the trial will run at full budget regardless."""
         eps = 1e-4
+        if n_free is None:
+            n_free = starts.shape[1]
 
         def u(x: np.ndarray) -> float:
             return float(self._utility(model, x[None, :], y_best)[0])
@@ -545,7 +576,7 @@ class GP(BaseAsyncBO):
             step = 0.1
             for _ in range(20):
                 g = np.zeros_like(x)
-                for d in range(len(x)):
+                for d in range(n_free):
                     xp, xm = x.copy(), x.copy()
                     xp[d] = min(x[d] + eps, 1.0)
                     xm[d] = max(x[d] - eps, 0.0)
@@ -569,7 +600,7 @@ class GP(BaseAsyncBO):
                 best_x, best_u = x, ux
         return best_x
 
-    def _argmax_ei_distributed(self, model: "_GPModel", y_best: float, n_parts: int = 16):
+    def _argmax_ei_distributed(self, model: "_GPModel", y_best: float, n_parts: int = 16, augmented: bool = False):
         """EI argmax over the candidate pool as a Spark job: each task
         draws its deterministic slice of candidates (seeded by slice
         id), scores them vectorized, and emits only its local argmax;
@@ -595,7 +626,7 @@ class GP(BaseAsyncBO):
             "seed": seed_base, "per_part": per_part, "d": d, "y_best": y_best,
             # multi-fidelity: candidates carry the budget column at
             # z = 1 (acquire at max budget, gp.py:200-204)
-            "aug": bool(self.interim_results),
+            "aug": bool(augmented),
         }
 
         from pathlib import Path

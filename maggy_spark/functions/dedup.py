@@ -857,34 +857,44 @@ def star_components(edges: DataFrame, max_iter: int = 30, checkpoint_dir: str | 
     if checkpoint_dir is None:
         checkpoint_dir = spark.conf.get("spark.maggy.checkpointDir", None)
     durable = bool(checkpoint_dir)
+    prev_ckpt_dir = None
     if durable:
+        # setCheckpointDir is SparkContext-GLOBAL: remember any dir the
+        # session had configured and restore it on exit, so this call
+        # never redirects unrelated checkpoints elsewhere in the app
+        opt = spark.sparkContext._jsc.sc().getCheckpointDir()
+        prev_ckpt_dir = opt.get() if opt.isDefined() else None
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
         ckpt = lambda df: df.checkpoint(eager=True)  # noqa: E731
     else:
         ckpt = lambda df: df.localCheckpoint()  # noqa: E731
-    edges = ckpt(edges)
-    prev_sig = None
-    for _ in range(max_iter):
-        nxt = ckpt(_small_star(_large_star(edges)))
-        # the eager checkpoint above fully materialized nxt, so the
-        # previous round's blocks are dead — free them now instead of
-        # waiting for JVM GC, bounding storage to two edge-set copies
-        # (local mode only: reliable checkpoints live as files, not
-        # pinned blocks, so there is nothing to free here)
-        if not durable:
-            _free_local_checkpoint(edges)
-        edges = nxt
-        # checksum sums 64-bit hashes: accumulate in decimal(38,0) so
-        # ANSI mode can't overflow the long accumulator
-        row = edges.agg(
-            F.count("*").alias("n"),
-            F.sum(F.xxhash64("hi", "lo").cast("decimal(38,0)")).alias("h"),
-        ).collect()[0]
-        sig = (row["n"], row["h"])
-        if sig == prev_sig:
-            return edges
-        prev_sig = sig
-    raise RuntimeError(f"connected components did not converge in {max_iter} rounds")
+    try:
+        edges = ckpt(edges)
+        prev_sig = None
+        for _ in range(max_iter):
+            nxt = ckpt(_small_star(_large_star(edges)))
+            # the eager checkpoint above fully materialized nxt, so the
+            # previous round's blocks are dead — free them now instead
+            # of waiting for JVM GC, bounding storage to two edge-set
+            # copies (local mode only: reliable checkpoints live as
+            # files, not pinned blocks, so there is nothing to free)
+            if not durable:
+                _free_local_checkpoint(edges)
+            edges = nxt
+            # checksum sums 64-bit hashes: accumulate in decimal(38,0)
+            # so ANSI mode can't overflow the long accumulator
+            row = edges.agg(
+                F.count("*").alias("n"),
+                F.sum(F.xxhash64("hi", "lo").cast("decimal(38,0)")).alias("h"),
+            ).collect()[0]
+            sig = (row["n"], row["h"])
+            if sig == prev_sig:
+                return edges
+            prev_sig = sig
+        raise RuntimeError(f"connected components did not converge in {max_iter} rounds")
+    finally:
+        if durable and prev_ckpt_dir is not None:
+            spark.sparkContext.setCheckpointDir(prev_ckpt_dir)
 
 
 def components_over(universe: DataFrame, id_col: str, stars: DataFrame) -> DataFrame:

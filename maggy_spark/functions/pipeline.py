@@ -490,7 +490,12 @@ def pl7_sequence_pack_plan(
 def pl7_sql(ctx: int = PACK_CTX, shards: int = PACK_SHARDS) -> str:
     """PL7's DuckDB twin, generated from the operator's parameters
     (dd11_sql pattern). DuckDB sums BIGINT into HUGEINT, hence the
-    explicit BIGINT casts; `//` on non-negative ints == floor."""
+    explicit BIGINT casts. Division uses floor() of a DOUBLE quotient,
+    NOT `//`: DuckDB's integer `//` truncates toward zero, which
+    diverges from Spark's F.floor for a zero-token document at the
+    head of a shard (cum_end - 1 = -1 -> floor gives -1, n_windows 0;
+    `//` would give 0). Quotients are tiny integers over a 2^53-exact
+    range, so floor(double) is exact on both engines."""
     return f"""
 WITH toks AS (
     SELECT doc_id,
@@ -506,9 +511,10 @@ c AS (
 )
 SELECT doc_id, shard, bpe_tokens,
        cum_end - bpe_tokens AS tok_start,
-       (cum_end - bpe_tokens) // {ctx} AS window_start,
-       (cum_end - 1) // {ctx} AS window_end,
-       (cum_end - 1) // {ctx} - (cum_end - bpe_tokens) // {ctx} + 1 AS n_windows
+       cast(floor((cum_end - bpe_tokens) / {ctx}.0) AS BIGINT) AS window_start,
+       cast(floor((cum_end - 1) / {ctx}.0) AS BIGINT) AS window_end,
+       cast(floor((cum_end - 1) / {ctx}.0) AS BIGINT)
+         - cast(floor((cum_end - bpe_tokens) / {ctx}.0) AS BIGINT) + 1 AS n_windows
 FROM c
 """
 

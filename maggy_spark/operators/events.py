@@ -419,7 +419,11 @@ def ev8_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     act = (
         ud.join(first, "user_id")
         .groupBy("cohort_d", (F.col("d") - F.col("cohort_d")).alias("day_offset"))
-        .agg(F.countDistinct("user_id").alias("n_active"))
+        # ud is DISTINCT (user, day) and cohort_d is a function of the
+        # user, so each user contributes exactly one row per group:
+        # count(*) equals countDistinct(user) without the extra
+        # distinct-aggregate expand pass
+        .agg(F.count("*").alias("n_active"))
     )
     day = F.date_add(F.lit("1970-01-01").cast("date"), F.col("cohort_d")).cast("string")
     return act.join(sizes, "cohort_d").select(
@@ -441,7 +445,7 @@ first AS (SELECT user_id, min(d) AS cohort_d FROM ud GROUP BY user_id),
 sizes AS (SELECT cohort_d, count(*) AS cohort_size FROM first GROUP BY cohort_d),
 act AS (
     SELECT f.cohort_d, ud.d - f.cohort_d AS day_offset,
-           count(DISTINCT ud.user_id) AS n_active
+           count(*) AS n_active
     FROM ud JOIN first f USING (user_id)
     GROUP BY f.cohort_d, ud.d - f.cohort_d
 )

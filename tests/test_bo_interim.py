@@ -160,3 +160,50 @@ def test_gp_interim_distributed_scoring(spark):
     params = gp.suggest_model_params()
     assert set(params) == {"x"}
     assert 0.0 <= params["x"] <= 1.0
+
+
+# -- round-6 review-fix regressions -------------------------------------
+
+
+def test_gp_interim_falls_back_when_no_histories():
+    """interim_results=True with a train_fn that never broadcast:
+    every history is empty, so the fit must fall back to the
+    final-metric matrix instead of dying on a zero-size y.min()."""
+    gp = GP(num_warmup_trials=0, n_points=64, interim_results=True)
+    gp.initialize(Searchspace(x=("DOUBLE", [0, 1])), 10, "min", 5)
+    for i in range(4):
+        t = Trial({"x": i / 4})
+        t.finalize(float(i))  # no metric_history at all
+        gp.finalize_trial(t)
+    params = gp.suggest_model_params()
+    assert 0.0 <= params["x"] <= 1.0
+
+
+def test_refine_freezes_budget_coordinate():
+    """lbfgs refinement must hold z = 1: trials run at full budget, so
+    optimizing EI at a lower fidelity and then dropping z would return
+    an x tuned for the wrong budget."""
+    gp = GP(num_warmup_trials=0, n_points=64, interim_results=True, acq_optimizer="lbfgs")
+    gp.initialize(Searchspace(x=("DOUBLE", [0, 1])), 10, "min", 5)
+    rng = np.random.default_rng(0)
+    X = np.hstack([rng.random((12, 1)), rng.random((12, 1))])  # [x, z]
+    y = np.sin(3 * X[:, 0]) + 0.3 * X[:, 1]
+    from maggy_spark.bayes import _GPModel
+
+    m = _GPModel()
+    m.fit(X, y)
+    starts = np.array([[0.2, 1.0], [0.8, 1.0]])
+    best = gp._refine(m, starts, float(y.min()), n_free=1)
+    assert best[1] == 1.0  # z untouched
+    # without the freeze the ascent moves z (sanity that the test bites)
+    free = gp._refine(m, starts, float(y.min()))
+    assert free.shape == (2,)
+
+
+def test_interim_interval_validated():
+    with pytest.raises(ValueError, match="interim_results_interval"):
+        GP(interim_results=True, interim_results_interval=0)
+    gp = GP(interim_results=True)
+    gp.initialize(Searchspace(x=("DOUBLE", [0, 1])), 10, "min", 5)
+    with pytest.raises(ValueError, match="interim_results_interval"):
+        gp.get_XY(interim_results=True, interim_results_interval=-1)

@@ -125,18 +125,23 @@ def main() -> None:
         mb, mr = dedup.minhash_geometry(n_docs)
         bands = dedup._band_keys(dedup.dd2_minhash_signature(spark, sf_dir), mb, mr)
         cand = int(pairs_in_buckets(bands, "band_key"))
+        # timing measures the distributed operator (count), matching
+        # every other probe row — NOT a driver-side collect
         t0 = time.time()
-        cand_pairs = {(r_.doc_a, r_.doc_b) for r_ in dedup.dd3_lsh_candidate_pairs(spark, sf_dir).collect()}
+        out_count = dedup.dd3_lsh_candidate_pairs(spark, sf_dir).count()
         sec = round(time.time() - t0, 2)
         # recall against dd4's exact-jaccard ground truth at the
-        # near-dup threshold (the quantity the geometry targets)
-        truth = {
-            (r_.doc_a, r_.doc_b)
-            for r_ in dedup.dd4_ngram_jaccard(spark, sf_dir)
-            .where(F.col("jaccard") >= dedup.NEAR_DUP_JACCARD)
-            .collect()
-        }
-        recall = round(len(truth & cand_pairs) / len(truth), 3) if truth else None
+        # near-dup threshold (the quantity the geometry targets),
+        # computed OUTSIDE the timed region as a distributed anti-join
+        # count so the probe itself scales past the local SFs
+        truth = dedup.dd4_ngram_jaccard(spark, sf_dir).where(
+            F.col("jaccard") >= dedup.NEAR_DUP_JACCARD
+        ).select("doc_a", "doc_b")
+        n_truth = truth.count()
+        n_missed = truth.join(
+            dedup.dd3_lsh_candidate_pairs(spark, sf_dir), ["doc_a", "doc_b"], "left_anti"
+        ).count()
+        recall = round((n_truth - n_missed) / n_truth, 3) if n_truth else None
         spark.catalog.clearCache()
         rows.append(
             {
@@ -146,9 +151,9 @@ def main() -> None:
                 "params": {"bands": mb, "rows": mr},
                 "candidates": cand,
                 "cand_per_doc": round(cand / n_docs, 2),
-                "output": len(cand_pairs),
+                "output": out_count,
                 "recall_at_threshold": recall,
-                "n_true_pairs": len(truth),
+                "n_true_pairs": n_truth,
                 "sec": sec,
             }
         )
