@@ -141,6 +141,42 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+def _plane_literals(spark: SparkSession, sf_dir: str, n_planes: int) -> list:
+    """The first `n_planes` corpus embeddings as LITERAL array
+    expressions (the sign-LSH hyperplanes). Collected to the driver
+    once (<= 16 tiny rows via a pushed-down vec_id filter); float32 ->
+    Python float is exact widening and repr() round-trips doubles, so
+    the dot product sees the same doubles the oracle's ::DOUBLE[] cast
+    does; one parsed expr per plane instead of a py4j call per
+    element. Shared by the batch bucketing (_bucketed) and the
+    streaming probe (streaming.ann_alert_stream), which MUST project
+    with identical planes or buckets never collide."""
+    e = load_table(spark, sf_dir, "embeddings")
+    anchors = (
+        e.where(F.col("vec_id") < n_planes).select("vec_id", "embedding").orderBy("vec_id").collect()
+    )
+    return [
+        F.expr("array(" + ",".join(f"{float(v)!r}D" for v in r.embedding) + ")") for r in anchors
+    ]
+
+
+def _bucket_expr(planes: list, col: str = "emb"):
+    """Sign-LSH bucket string over an embedding column: one '0'/'1'
+    per hyperplane by dot-product sign — a pure map-side projection."""
+    return F.concat(*[
+        F.when(
+            F.aggregate(
+                F.zip_with(F.col(col), p, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for p in planes
+    ])
+
+
 def _bucketed(spark: SparkSession, sf_dir: str, target: int = TARGET_BUCKET_VECS) -> tuple[DataFrame, int]:
     """Corpus with sign-LSH buckets, plus the plane count that shaped
     them (callers like ann2 need the bucket-string width and must stay
@@ -168,26 +204,7 @@ def _bucketed(spark: SparkSession, sf_dir: str, target: int = TARGET_BUCKET_VECS
         return df, n_planes
     e = load_table(spark, sf_dir, "embeddings", fan_out=True)
     n_planes = ann_planes(corpus_count(spark, sf_dir, "embeddings"), target)
-    anchors = e.where(F.col("vec_id") < n_planes).select("vec_id", "embedding").orderBy("vec_id").collect()
-    # literal planes: float32 -> Python float is exact widening and
-    # repr() round-trips doubles, so the dot product sees the same
-    # doubles the oracle's ::DOUBLE[] cast does; one parsed expr per
-    # plane instead of a py4j call per element
-    planes = [
-        F.expr("array(" + ",".join(f"{float(v)!r}D" for v in r.embedding) + ")") for r in anchors
-    ]
-    bucket = F.concat(*[
-        F.when(
-            F.aggregate(
-                F.zip_with(F.col("emb"), p, lambda x, y: x.cast("double") * y),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            >= 0,
-            F.lit("1"),
-        ).otherwise(F.lit("0"))
-        for p in planes
-    ])
+    bucket = _bucket_expr(_plane_literals(spark, sf_dir, n_planes))
     df = e.select(F.col("vec_id"), F.col("label"), F.col("embedding").alias("emb")).select(
         "vec_id", "label", "emb",
         F.sqrt(_dot("emb", "emb")).alias("norm"),

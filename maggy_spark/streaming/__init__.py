@@ -4,6 +4,7 @@ from maggy_spark.streaming.documents_stream import (
     fingerprint_document_stream,
     near_dup_alert_stream,
 )
+from maggy_spark.streaming.embeddings_stream import ann_alert_stream
 from maggy_spark.streaming.events_stream import (
     daily_activity_stream,
     sessionize_event_stream,
@@ -16,6 +17,7 @@ from maggy_spark.streaming.metrics_stream import (
 )
 
 __all__ = [
+    "ann_alert_stream",
     "contamination_alert_stream",
     "daily_activity_stream",
     "dedup_document_stream",

@@ -653,3 +653,24 @@ def test_ev8_cohort_retention_invariants(spark, sf_dir):
     assert all(0.0 < r.retention <= 1.0 and r.day_offset >= 0 for r in rows)
     total_users = load_events(spark, sf_dir).select("user_id").distinct().count()
     assert sum(r.cohort_size for r in day0) == total_users
+
+
+def test_minhash_geometry_sql_python_parity():
+    """The SQL params CTE and minhash_geometry must derive IDENTICAL
+    (bands, rows) from any corpus size — float log/ceil agreement
+    across engines at every decade (the simhash band-bits test's
+    MinHash twin)."""
+    import duckdb
+
+    from maggy_spark.functions.dedup import _MH_PARAMS_SQL, minhash_geometry
+
+    con = duckdb.connect()
+    for n in (1, 7, 8, 9, 80, 500, 4999, 5000, 50_000, 10**6, 10**8, 10**9):
+        sql = _MH_PARAMS_SQL.replace(
+            "(SELECT count(*) AS n FROM documents)", f"(SELECT {n} AS n)"
+        )
+        r, b, nh, nd = con.execute(sql).fetchone()
+        pb, pr = minhash_geometry(n)
+        assert (b, r) == (pb, pr), f"n={n}: sql ({b},{r}) vs python ({pb},{pr})"
+        assert nh == pb * pr and nd == (pb * pr + 3) // 4
+    con.close()

@@ -434,3 +434,35 @@ def test_daily_activity_stream_day_label_is_timezone_free(spark):
         assert [r.day for r in out] == ["2024-03-05"]
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_ann_alert_stream_probes_static_corpus(spark, sf_dir, tmp_path):
+    """Streaming ann4: a query vector COPIED from the corpus must
+    alert against its source vec_id with cosine ~1.0; results agree
+    with the batch bucket-probe semantics (same bucket, threshold)."""
+    from maggy_spark.functions.similarity import TARGET_BUCKET_PAIR_VECS, _bucketed
+    from maggy_spark.streaming import ann_alert_stream
+
+    store, _ = _bucketed(spark, sf_dir, TARGET_BUCKET_PAIR_VECS)
+    src = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where("vec_id IN (17, 23)").collect()
+    rows = [(1000 + r.vec_id, list(r.embedding), _ts(i)) for i, r in enumerate(src)]
+    qdf = spark.createDataFrame(rows, "query_id bigint, embedding array<float>, ts timestamp")
+    d = str(tmp_path / "queries")
+    qdf.write.parquet(d)
+    stream = spark.readStream.schema(qdf.schema).parquet(d)
+
+    q = (
+        ann_alert_stream(stream, spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName("ann_alerts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM ann_alerts").collect()
+    hits = {(r.query_id, r.vec_id): r.cosine for r in out}
+    for vid in (17, 23):
+        assert hits[(1000 + vid, vid)] == pytest.approx(1.0)  # self-match in own bucket
+    # every alert is above the threshold and bucket-local by construction
+    assert all(r.cosine >= 0.3 for r in out)
