@@ -193,3 +193,75 @@ def minhash_lsh_near_dup(
             (1.0 - F.col("jaccard_dist")).alias("jaccard_sim"),
         )
     )
+
+
+def train_validation_split(
+    estimator,
+    evaluator,
+    searchspace: Searchspace,
+    param_map: dict[str, Any],
+    train_df,
+    train_ratio: float = 0.75,
+    parallelism: int = 4,
+    seed: int = 42,
+):
+    """Spark-native single-split tuning over the searchspace (MLlib
+    TrainValidationSplit) — the cheaper sibling of `cross_validate`
+    for when one fold is enough (SURVEY §7.2 step 9 names both)."""
+    from pyspark.ml.tuning import TrainValidationSplit
+
+    grid = searchspace_to_param_grid(searchspace, param_map)
+    tvs = TrainValidationSplit(
+        estimator=estimator,
+        estimatorParamMaps=grid,
+        evaluator=evaluator,
+        trainRatio=train_ratio,
+        parallelism=parallelism,
+        seed=seed,
+    )
+    return tvs.fit(train_df)
+
+
+def brp_lsh_near_dup(
+    vecs_df,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    distance_threshold: float = 1.0,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+):
+    """MLlib-native Euclidean near-dup: BucketedRandomProjectionLSH
+    approxSimilarityJoin over a vector column — the library-managed
+    alternative to the SQL-level ann4 bucket probe, for when the
+    corpus wants MLlib's multi-table banded joins (SURVEY §7.2 step 9
+    names BucketedRandomProjectionLSH explicitly).
+
+    Emits ordered (id_a < id_b) pairs with exact euclidean distance
+    <= `distance_threshold`; the distCol is exact, so the final cut
+    is precise even though candidate generation is approximate."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    featured = vecs_df.select(
+        F.col(id_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("_vec")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="_vec",
+        outputCol="_hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=42,
+    )
+    model = lsh.fit(featured)
+    joined = model.approxSimilarityJoin(
+        featured, featured, distance_threshold + 1e-9, distCol="euclidean_dist"
+    ).where(F.col("euclidean_dist") <= distance_threshold)
+    return (
+        joined.where(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
+        .select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            "euclidean_dist",
+        )
+    )

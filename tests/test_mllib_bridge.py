@@ -125,3 +125,38 @@ def test_fit_with_lagom_zero_trials_raises(spark):
         fit_with_lagom(
             lambda params: None, None, ss, df, df, optimizer="randomsearch", num_trials=0
         )
+
+
+def test_train_validation_split_runs(spark, train_df):
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    from maggy_spark.mllib_bridge import train_validation_split
+    from maggy_spark.searchspace import Searchspace
+
+    lr = LogisticRegression(maxIter=5)
+    model = train_validation_split(
+        lr,
+        BinaryClassificationEvaluator(),
+        Searchspace(regParam=("DISCRETE", [0.01, 0.1])),
+        {"regParam": lr.regParam},
+        train_df,
+        parallelism=2,
+    )
+    assert len(model.validationMetrics) == 2
+    assert model.bestModel is not None
+
+
+def test_brp_lsh_finds_planted_euclidean_dup(spark):
+    from maggy_spark.mllib_bridge import brp_lsh_near_dup
+
+    base = [float(i % 7) for i in range(16)]
+    near = list(base)
+    near[0] += 0.1  # distance 0.1
+    far = [v + 50.0 for v in base]
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "vec_id bigint, embedding array<float>"
+    )
+    pairs = {(r.id_a, r.id_b): r.euclidean_dist for r in brp_lsh_near_dup(df, distance_threshold=1.0).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == pytest.approx(0.1, abs=1e-6)
+    assert all(k == (1, 2) for k in pairs)  # the far vector never pairs
