@@ -861,7 +861,10 @@ def star_components(edges: DataFrame, max_iter: int = 30, checkpoint_dir: str | 
     if durable:
         # setCheckpointDir is SparkContext-GLOBAL: remember any dir the
         # session had configured and restore it on exit, so this call
-        # never redirects unrelated checkpoints elsewhere in the app
+        # never redirects unrelated checkpoints elsewhere in the app.
+        # (If NO dir was set before, ours necessarily stays set after —
+        # Spark has no unset — which is harmless: other code that never
+        # called checkpoint() keeps not calling it.)
         opt = spark.sparkContext._jsc.sc().getCheckpointDir()
         prev_ckpt_dir = opt.get() if opt.isDefined() else None
         spark.sparkContext.setCheckpointDir(checkpoint_dir)

@@ -57,13 +57,17 @@ def ann_alert_stream(
         _bucket_expr(planes, "qemb").alias("bucket"),
     )
     s = store.select("vec_id", "emb", "norm", "bucket")
+    # project the cosine ONCE, then filter on the named column —
+    # repeating the expression in Filter and Project would run the
+    # dot product twice per candidate pair (CollapseProject does not
+    # dedupe across a Filter)
     return (
         q.join(s, "bucket")
-        .where(_cosine_pre("qemb", "emb", "qnorm", "norm") >= threshold)
         .select(
             "query_id",
             "vec_id",
             _cosine_pre("qemb", "emb", "qnorm", "norm").alias("cosine"),
             "ts",
         )
+        .where(F.col("cosine") >= threshold)
     )
