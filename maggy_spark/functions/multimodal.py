@@ -398,6 +398,81 @@ FROM m CROSS JOIN generate_series(0, {N_FEATURE_BUCKETS - 1}) gs(k)
 """
 
 
+# -- MM6: perceptual-hash near-dup over media payloads ------------------
+
+PHASH_BITS = 60      # 15 hex chars -> fits a signed 64-bit int, like dd6
+PHASH_BANDS = 4      # pigeonhole: exact recall for hamming <= PHASH_BANDS-1
+PHASH_BAND_BITS = PHASH_BITS // PHASH_BANDS
+PHASH_MAX_HAMMING = PHASH_BANDS - 1
+
+
+def mm6_phash_near_dup(spark: SparkSession, sf_dir: str, max_hamming: int = PHASH_MAX_HAMMING) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs over IMAGE payloads — the
+    multimodal twin of the dd6/dd7 SimHash pipeline: a 60-bit pHash
+    per payload, pigeonhole-banded candidate join (4 bands of 15 bits
+    — lossless for hamming <= 3), exact hamming verification. This is
+    how an image-heavy training corpus dedups re-encoded copies
+    without ever comparing pixels pairwise.
+
+    The HASH itself is the documented stub (top 60 bits of
+    md5(payload) — no image codecs in this container; a real pHash is
+    a DCT over the decoded thumbnail, one function swap). Everything
+    around it — banding, the skew-free candidate join, first-match
+    de-dup of multi-band pairs, the hamming filter — is the real
+    production shape and reuses dd7's machinery.
+    """
+    from maggy_spark.functions.dedup import _bval, _first_match_and_hamming
+
+    if max_hamming > PHASH_MAX_HAMMING:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the banding's exact-recall "
+            f"radius {PHASH_MAX_HAMMING} (PHASH_BANDS={PHASH_BANDS})"
+        )
+    b, t = PHASH_BAND_BITS, PHASH_BITS
+    img = media_table(spark, sf_dir).where(F.col("media_type") == "image")
+    ph = F.conv(F.substring(F.md5("payload"), 1, 15), 16, 10).cast("long")
+    sig = img.select("media_id", ph.alias("sigint"))
+    bands = sig.select(
+        "media_id",
+        "sigint",
+        F.explode(
+            F.array(*[F.lit(i << b) + _bval(F.col("sigint"), i, b, t) for i in range(PHASH_BANDS)])
+        ).alias("band_key"),
+    )
+    a = bands.select(F.col("media_id").alias("id_a"), F.col("sigint").alias("sa"), "band_key")
+    bb = bands.select(F.col("media_id").alias("id_b"), F.col("sigint").alias("sb"), "band_key")
+    first_match, ham = _first_match_and_hamming(b, t)
+    return (
+        a.join(bb, "band_key")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(ham <= max_hamming)
+        .where(first_match)
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+    )
+
+
+# NB: _first_match_and_hamming unrolls over dedup.SIMHASH_BANDS, which
+# must equal PHASH_BANDS for the reuse above to be sound — pinned by
+# test_mm6_band_geometry_matches_dedup.
+
+MM6_SQL = f"""
+WITH img AS (
+    SELECT doc_id AS media_id, md5(text) AS h FROM documents WHERE doc_id % 3 = 0
+),
+sig AS (SELECT media_id, CAST(('0x' || substr(h, 1, 15)) AS BIGINT) AS sigint FROM img),
+bands AS (
+    SELECT media_id, sigint,
+           (i * {1 << PHASH_BAND_BITS}) +
+           ((sigint >> ({PHASH_BITS} - (i + 1) * {PHASH_BAND_BITS})) & {(1 << PHASH_BAND_BITS) - 1}) AS band_key
+    FROM sig CROSS JOIN generate_series(0, {PHASH_BANDS - 1}) gs(i)
+)
+SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.sigint, b.sigint)) AS INTEGER) AS hamming
+FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.media_id < b.media_id
+WHERE bit_count(xor(a.sigint, b.sigint)) <= {PHASH_MAX_HAMMING}
+"""
+
+
 OPERATORS = [
     ("mm1_decode_metadata", mm1_decode_metadata, MM1_SQL),
     ("mm2_frame_sample", mm2_frame_sample, MM2_SQL),

@@ -344,6 +344,74 @@ LEFT JOIN bi ON b.doc_id = bi.doc_id
 """
 
 
+# -- TX8: corpus token-distribution (Zipf) profile ----------------------
+
+
+def tx8_token_zipf(spark: SparkSession, sf_dir: str, top_k: int = 10) -> DataFrame:
+    """Corpus-level token-distribution health stats: total and
+    distinct token counts, hapax (frequency-1) fraction of the
+    vocabulary, and the occurrence mass captured by the `top_k` most
+    frequent tokens — the Zipf-profile dashboard a data pipeline
+    watches across crawl snapshots (a collapsing head or vanishing
+    hapax tail signals template spam or tokenizer drift).
+
+    Scale shape: one explode + one groupBy on the token (uniform
+    key); the head mass rides orderBy().limit(k) — Catalyst plans
+    TakeOrderedAndProject (per-task k-row heaps, no single-partition
+    funnel; same plan family as tx5/k2, pinned there). Ties at the
+    k-th rank break by token text so the mass is engine-independent.
+    Output is ONE row. Not in the driver registry (50-entry cap);
+    DuckDB parity in tests/test_offline_oracles.py.
+    """
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    counts = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = counts.agg(
+        F.sum("n").alias("total_tokens"),
+        F.count("*").alias("distinct_tokens"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("hapax_tokens"),
+    )
+    topk = (
+        counts.orderBy(F.desc("n"), F.asc("tok"))
+        .limit(top_k)
+        .agg(F.sum("n").alias("topk_n"))
+    )
+    return tot.crossJoin(topk).select(
+        "total_tokens",
+        "distinct_tokens",
+        "hapax_tokens",
+        (F.col("hapax_tokens").cast("double") / F.col("distinct_tokens").cast("double")).alias(
+            "hapax_frac"
+        ),
+        (F.col("topk_n").cast("double") / F.col("total_tokens").cast("double")).alias(
+            "top_mass_frac"
+        ),
+    )
+
+
+TX8_SQL = """
+WITH tok AS (SELECT unnest(str_split(text, ' ')) AS tok FROM documents),
+counts AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+tot AS (
+    SELECT cast(sum(n) AS BIGINT) AS total_tokens,
+           count(*) AS distinct_tokens,
+           cast(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_tokens
+    FROM counts
+),
+topk AS (
+    SELECT cast(sum(n) AS BIGINT) AS topk_n
+    FROM (SELECT n FROM counts ORDER BY n DESC, tok ASC LIMIT 10)
+)
+SELECT total_tokens, distinct_tokens, hapax_tokens,
+       cast(hapax_tokens AS DOUBLE) / cast(distinct_tokens AS DOUBLE) AS hapax_frac,
+       cast(topk_n AS DOUBLE) / cast(total_tokens AS DOUBLE) AS top_mass_frac
+FROM tot CROSS JOIN topk
+"""
+
+
 OPERATORS = [
     ("tx1_token_count", tx1_token_count, TX1_SQL),
     ("tx5_ngram_stats", tx5_ngram_stats, TX5_SQL),

@@ -674,3 +674,42 @@ def test_minhash_geometry_sql_python_parity():
         assert (b, r) == (pb, pr), f"n={n}: sql ({b},{r}) vs python ({pb},{pr})"
         assert nh == pb * pr and nd == (pb * pr + 3) // 4
     con.close()
+
+
+def test_mm6_band_geometry_matches_dedup():
+    """mm6 reuses dedup._first_match_and_hamming, whose band unroll is
+    over SIMHASH_BANDS — the two constants must stay equal."""
+    assert dedup.SIMHASH_BANDS == multimodal.PHASH_BANDS
+    assert multimodal.PHASH_BANDS * multimodal.PHASH_BAND_BITS == multimodal.PHASH_BITS
+
+
+def test_mm6_finds_exact_payload_dups(spark, sf_dir):
+    """Image payloads with identical bytes must pair at hamming 0;
+    every emitted pair is ordered and within the radius."""
+    import hashlib
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id % 3 = 0").collect()
+    by_hash = {}
+    for r in docs:
+        by_hash.setdefault(hashlib.md5(r.text.encode()).hexdigest(), []).append(r.doc_id)
+    expected_zero = {
+        (a, b)
+        for ids in by_hash.values()
+        for i, a in enumerate(sorted(ids))
+        for b in sorted(ids)[i + 1 :]
+    }
+    got = {(r.id_a, r.id_b): r.hamming for r in multimodal.mm6_phash_near_dup(spark, sf_dir).collect()}
+    for pair in expected_zero:
+        assert got.get(pair) == 0, f"exact dup {pair} missing or nonzero"
+    assert all(a < b and 0 <= h <= multimodal.PHASH_MAX_HAMMING for (a, b), h in got.items())
+
+
+def test_tx8_zipf_profile_sanity(spark, sf_dir):
+    rows = text.tx8_token_zipf(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.total_tokens >= r.distinct_tokens >= r.hapax_tokens >= 0
+    assert 0.0 <= r.hapax_frac <= 1.0
+    assert 0.0 < r.top_mass_frac <= 1.0
+    # word-soup corpus from a small vocabulary: the head carries real mass
+    assert r.top_mass_frac > 10 * 10.0 / r.total_tokens  # far above uniform

@@ -50,6 +50,8 @@ CASES = [
     ("dd12_boilerplate_profile", "DD12_SQL", "maggy_spark.functions.dedup"),
     ("pl7_sequence_pack_plan", "PL7_SQL", "maggy_spark.functions.pipeline"),
     ("ev8_cohort_retention", "EV8_SQL", "maggy_spark.operators.events"),
+    ("mm6_phash_near_dup", "MM6_SQL", "maggy_spark.functions.multimodal"),
+    ("tx8_token_zipf", "TX8_SQL", "maggy_spark.functions.text"),
 ]
 
 
