@@ -465,11 +465,18 @@ def pl7_sequence_pack_plan(
     registry (50-entry cap); DuckDB parity in
     tests/test_offline_oracles.py.
     """
-    from pyspark.sql import Window
-
     from maggy_spark.functions.text import tx1_token_count
 
-    toks = tx1_token_count(spark, sf_dir).select("doc_id", "bpe_tokens")
+    return pack_plan(tx1_token_count(spark, sf_dir).select("doc_id", "bpe_tokens"), ctx, shards)
+
+
+def pack_plan(toks: DataFrame, ctx: int = PACK_CTX, shards: int = PACK_SHARDS) -> DataFrame:
+    """The packing core over ANY (doc_id, bpe_tokens) relation —
+    factored out so property tests can drive it with synthetic token
+    tables (including zero-token documents, whose window_end is
+    window_start - 1, i.e. n_windows = 0)."""
+    from pyspark.sql import Window
+
     t = toks.withColumn("shard", (F.col("doc_id") % shards).cast("int"))
     w = Window.partitionBy("shard").orderBy("doc_id")
     c = t.withColumn("cum_end", F.sum("bpe_tokens").over(w))

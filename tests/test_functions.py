@@ -713,3 +713,34 @@ def test_tx8_zipf_profile_sanity(spark, sf_dir):
     assert 0.0 < r.top_mass_frac <= 1.0
     # word-soup corpus from a small vocabulary: the head carries real mass
     assert r.top_mass_frac > 10 * 10.0 / r.total_tokens  # far above uniform
+
+
+def test_pack_plan_matches_python_reference_including_zero_tokens(spark):
+    """Property-style check of the packing core against a direct
+    Python replay on a synthetic token table with awkward shapes:
+    zero-token docs (also at the head of a shard), single-token docs,
+    and docs spanning multiple windows."""
+    from maggy_spark.functions.pipeline import pack_plan
+
+    ctx, shards = 7, 3
+    rows = [(0, 0), (1, 1), (2, 20), (3, 0), (4, 7), (5, 6), (6, 8), (7, 0), (8, 13), (9, 2)]
+    toks = spark.createDataFrame(rows, "doc_id bigint, bpe_tokens bigint")
+    got = {r.doc_id: r for r in pack_plan(toks, ctx=ctx, shards=shards).collect()}
+
+    import math
+
+    pos = {}
+    for doc_id, n in rows:  # doc_id order == per-shard order here
+        shard = doc_id % shards
+        start = pos.get(shard, 0)
+        end = start + n
+        r = got[doc_id]
+        assert (r.shard, r.tok_start) == (shard, start)
+        assert r.window_start == start // ctx
+        assert r.window_end == math.floor((end - 1) / ctx)  # -1 for n=0 at head
+        assert r.n_windows == r.window_end - r.window_start + 1
+        assert r.n_windows == (0 if n == 0 and start % ctx == 0 else
+                               math.floor((end - 1) / ctx) - start // ctx + 1)
+        pos[shard] = end
+    # doc 0: zero tokens at the head of shard 0 -> spans no windows
+    assert got[0].n_windows == 0 and got[0].window_end == -1
