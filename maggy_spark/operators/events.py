@@ -411,22 +411,36 @@ def ev8_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     dependence on either engine. Not in the driver registry (50-entry
     cap); DuckDB parity in tests/test_offline_oracles.py.
     """
+    from pyspark.sql import Window
+
     e = load_events(spark, sf_dir)
     epoch_day = F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)).cast("int")
     ud = e.select("user_id", epoch_day.alias("d")).distinct()
-    first = ud.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
-    sizes = first.groupBy("cohort_d").agg(F.count("*").alias("cohort_size"))
+    # cohort day as a window MIN over the user-day relation (no
+    # groupBy + join-back: one pass, and the window's user partition
+    # is what the distinct above already produced)
+    wu = Window.partitionBy("user_id")
+    wd = ud.withColumn("cohort_d", F.min("d").over(wu))
     act = (
-        ud.join(first, "user_id")
-        .groupBy("cohort_d", (F.col("d") - F.col("cohort_d")).alias("day_offset"))
+        wd.groupBy("cohort_d", (F.col("d") - F.col("cohort_d")).alias("day_offset"))
         # ud is DISTINCT (user, day) and cohort_d is a function of the
         # user, so each user contributes exactly one row per group:
         # count(*) equals countDistinct(user) without the extra
         # distinct-aggregate expand pass
         .agg(F.count("*").alias("n_active"))
     )
+    # cohort size IS the day-0 row of the same aggregate (every cohort
+    # member is active on its first day): read it with a window over
+    # `act` rather than a self-join — one linear subtree, the corpus
+    # is scanned exactly once, and the window runs on the already-tiny
+    # |cohorts x offsets| relation
+    wc = Window.partitionBy("cohort_d")
+    sized = act.withColumn(
+        "cohort_size",
+        F.max(F.when(F.col("day_offset") == 0, F.col("n_active"))).over(wc),
+    )
     day = F.date_add(F.lit("1970-01-01").cast("date"), F.col("cohort_d")).cast("string")
-    return act.join(sizes, "cohort_d").select(
+    return sized.select(
         day.alias("cohort_day"),
         "day_offset",
         "n_active",
