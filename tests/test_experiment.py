@@ -269,3 +269,33 @@ def test_lagom_full_logs_under_experiment_dir(spark, tmp_path):
     for f in log_files:
         lines = open(os.path.join(ldir, f)).read().rstrip("\n").split("\n")
         assert len(lines) == MAX_RESULT_LOG_LINES + 50  # nothing truncated in the sink
+
+
+def test_async_scheduling_also_sinks_full_logs(spark, tmp_path):
+    """The async (per-trial FAIR-pool) dispatch path passes the
+    experiment dir to the executor exactly like the wave path."""
+    def chatty(x, reporter):
+        for i in range(250):
+            print(f"l{i}")
+        reporter.broadcast(float(x), 0)
+        return float(x)
+
+    config = HyperparameterOptConfig(
+        num_trials=3,
+        optimizer="randomsearch",
+        searchspace=Searchspace(x=("DOUBLE", [0.0, 1.0])),
+        direction="max",
+        es_policy="none",
+        seed=9,
+        name="exp_async_logs",
+        log_dir=str(tmp_path),
+        scheduling="async",
+        parallelism=2,
+    )
+    res = lagom(chatty, config, spark)
+    import os
+
+    ldir = os.path.join(res["log_dir"], "trial_logs")
+    assert len(os.listdir(ldir)) == 3
+    for f in os.listdir(ldir):
+        assert open(os.path.join(ldir, f)).read().count("\n") == 250
