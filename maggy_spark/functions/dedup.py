@@ -1138,3 +1138,10 @@ SELECT doc_id,
 FROM tagged
 GROUP BY doc_id
 """
+
+
+# Registered at the END of the module (dd12 is defined below the main
+# OPERATORS list): the registry slot was freed by the round-6 ev1
+# rotation (see operators/events.py) so the duplicated-mass
+# diagnostic sits under the driver's hard gate.
+OPERATORS.append(("dd12_boilerplate_profile", dd12_boilerplate_profile, DD12_SQL))

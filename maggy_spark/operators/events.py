@@ -470,8 +470,11 @@ FROM act a JOIN sizes s USING (cohort_d)
 """
 
 
+# ev1_type_rollup ROTATED OUT of the driver registry in round 6 (its
+# low-cardinality groupBy + decimal-avg shape is a strict subset of
+# the registered ev2_daily_activity); parity stays enforced offline.
+# The freed slot hard-gates dd12_boilerplate_profile. See COVERAGE.md.
 OPERATORS = [
-    ("ev1_type_rollup", ev1_type_rollup, EV1_SQL),
     ("ev2_daily_activity", ev2_daily_activity, EV2_SQL),
     # rotated INTO the driver registry in round 6 (slots freed by
     # g4/g10 — see generators.py and COVERAGE.md): the as-of join and

@@ -46,8 +46,8 @@ CASES = [
     ("g10_hyperband_ladder", "G10_SQL", "maggy_spark.operators.generators"),
     ("ev6_trailing_features", "EV6_SQL", "maggy_spark.operators.events"),
     ("ev7_conversion_funnel", "EV7_SQL", "maggy_spark.operators.events"),
-    # round-6 additions
-    ("dd12_boilerplate_profile", "DD12_SQL", "maggy_spark.functions.dedup"),
+    # round-6 additions (dd12 moved INTO the registry via ev1 rotation)
+    ("ev1_type_rollup", "EV1_SQL", "maggy_spark.operators.events"),
     ("pl7_sequence_pack_plan", "PL7_SQL", "maggy_spark.functions.pipeline"),
     ("ev8_cohort_retention", "EV8_SQL", "maggy_spark.operators.events"),
     ("mm6_phash_near_dup", "MM6_SQL", "maggy_spark.functions.multimodal"),
