@@ -1099,10 +1099,16 @@ def dd12_boilerplate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles cost rows, never row-pairs. Not in the driver registry
     (50-entry cap); DuckDB parity in tests/test_offline_oracles.py.
     """
+    return boilerplate_profile(_shingled(spark, sf_dir))
+
+
+def boilerplate_profile(sh_df: DataFrame) -> DataFrame:
+    """The profiling core over ANY (doc_id, sh) distinct-shingle
+    relation — factored out so property tests can drive it with
+    synthetic corpora (pack_plan pattern)."""
     from pyspark.sql import Window
 
-    sh = _shingled(spark, sf_dir)
-    ex = sh.select("doc_id", F.explode("sh").alias("shingle")).select(
+    ex = sh_df.select("doc_id", F.explode("sh").alias("shingle")).select(
         "doc_id", F.xxhash64("shingle").alias("sid")
     )
     # shingles are DISTINCT per doc, so count-over-sid IS the doc

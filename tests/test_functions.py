@@ -744,3 +744,28 @@ def test_pack_plan_matches_python_reference_including_zero_tokens(spark):
         pos[shard] = end
     # doc 0: zero tokens at the head of shard 0 -> spans no windows
     assert got[0].n_windows == 0 and got[0].window_end == -1
+
+
+def test_boilerplate_profile_matches_python_reference(spark):
+    """dd12's core against a direct Python replay on a synthetic
+    shingle corpus with full-dup, partial-overlap, and unique docs."""
+    from collections import Counter
+
+    from maggy_spark.functions.dedup import boilerplate_profile
+
+    corpus = {
+        1: ["a b c", "b c d", "c d e"],
+        2: ["a b c", "b c d", "c d e"],        # exact dup of 1
+        3: ["a b c", "x y z", "p q r"],        # 1/3 shared
+        4: ["unique one two", "unique two three"],
+    }
+    df = spark.createDataFrame(list(corpus.items()), "doc_id bigint, sh array<string>")
+    got = {r.doc_id: r for r in boilerplate_profile(df).collect()}
+
+    freq = Counter(s for shs in corpus.values() for s in shs)
+    for doc_id, shs in corpus.items():
+        shared = sum(1 for s in shs if freq[s] > 1)
+        r = got[doc_id]
+        assert (r.n_shingles, r.n_shared) == (len(shs), shared)
+        assert r.shared_frac == shared / len(shs)
+    assert got[1].shared_frac == 1.0 and got[4].shared_frac == 0.0
