@@ -1151,3 +1151,135 @@ GROUP BY doc_id
 # rotation (see operators/events.py) so the duplicated-mass
 # diagnostic sits under the driver's hard gate.
 OPERATORS.append(("dd12_boilerplate_profile", dd12_boilerplate_profile, DD12_SQL))
+
+
+# --- dd13: exact duplicated-span mass (substring dedup) -----------------
+
+SPAN_W = 8  # tokens per window; the testdata docs run ~30 tokens, so 8
+# plays the role Lee et al.'s 50-token window plays on real corpora
+
+
+def dd13_span_dedup(spark: SparkSession, sf_dir: str, w: int = SPAN_W) -> DataFrame:
+    """Exact duplicated-SPAN mass per document: slide a ``w``-token
+    window over every doc, find windows whose exact text occurs in
+    >= 2 distinct documents, merge each doc's overlapping duplicated
+    windows into maximal spans (gaps-and-islands), and report the
+    token mass those spans cover — the quantity the substring-dedup
+    pass of Lee et al. 2021 ("Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499) would actually REMOVE
+    from the corpus. dd12 profiles bag-of-shingles overlap; dd13 is
+    the contiguous-span counterpart: only verbatim runs count, and
+    overlapping windows are merged so mass is never double-counted.
+
+    Reference parity note: the reference engine has no substring
+    dedup; this is a §7.2-step-9 extension operator (SURVEY.md).
+
+    Scale shape: suffix arrays don't distribute; the windowed-hash
+    formulation does. One scan + one explode (~n_tokens rows/doc,
+    16-byte md5 keys — bodies never cross a shuffle); duplicated
+    windows via groupBy on the window hash (uniform key) with a
+    count(distinct doc) HAVING — NOT collect_list, so a boilerplate
+    span appearing in millions of docs costs rows, never a hot-key
+    array; join-back on the same hash (exchange reuse); island
+    merging is one per-doc sort window. No self-join anywhere, so
+    viral spans never become row-pairs.
+    """
+    return span_dedup_profile(load_table(spark, sf_dir, "documents", fan_out=True), w)
+
+
+def span_dedup_profile(d: DataFrame, w: int = SPAN_W) -> DataFrame:
+    """The span-dedup core over ANY (doc_id, text) relation —
+    factored out so property tests can drive it with synthetic
+    corpora (boilerplate_profile pattern)."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    idx = F.when(n >= w, F.sequence(F.lit(1), n - F.lit(w - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    wins = d.select("doc_id", toks.alias("toks"), F.explode(idx).alias("pos")).select(
+        "doc_id",
+        "pos",
+        F.md5(F.concat_ws(" ", F.slice(F.col("toks"), F.col("pos"), w))).alias("whash"),
+    )
+    dup = (
+        wins.groupBy("whash")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("whash")
+    )
+    from pyspark.sql import Window
+
+    dw = wins.join(dup, "whash").select("doc_id", "pos", (F.col("pos") + (w - 1)).alias("endp"))
+    order = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max("endp").over(order.rowsBetween(Window.unboundedPreceding, -1))
+    brk = F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+    islands = dw.withColumn("gid", F.sum(brk).over(order.rowsBetween(Window.unboundedPreceding, 0)))
+    per_island = islands.groupBy("doc_id", "gid").agg(
+        (F.max("endp") - F.min("pos") + 1).alias("covered")
+    )
+    per_doc = per_island.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_spans"), F.sum("covered").alias("dup_tokens")
+    )
+    base = d.select("doc_id", n.cast("bigint").alias("n_tokens"))
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("bigint").alias("n_dup_spans"),
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("bigint").alias("dup_tokens"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double")
+            / F.col("n_tokens").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_token_frac"),
+    )
+
+
+def dd13_sql(w: int = SPAN_W) -> str:
+    """DuckDB twin, parameterized like dd11_sql so a non-default
+    window width compares like with like."""
+    return f"""
+WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+w AS (
+    SELECT doc_id, cast(i AS INTEGER) AS pos,
+           md5(array_to_string(list_slice(toks, cast(i AS INTEGER), cast(i AS INTEGER) + {w - 1}), ' ')) AS whash
+    FROM t, unnest(range(1, greatest(len(toks) - {w - 1}, 0) + 1)) AS u(i)
+),
+dup AS (SELECT whash FROM w GROUP BY whash HAVING count(DISTINCT doc_id) >= 2),
+dw AS (SELECT doc_id, pos, pos + {w - 1} AS endp FROM w JOIN dup USING (whash)),
+marked AS (
+    SELECT doc_id, pos, endp,
+           CASE WHEN max(endp) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  OR pos > max(endp) OVER (PARTITION BY doc_id ORDER BY pos
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                THEN 1 ELSE 0 END AS brk
+    FROM dw
+),
+islands AS (
+    SELECT doc_id, pos, endp,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS gid
+    FROM marked
+),
+per_island AS (
+    SELECT doc_id, gid, max(endp) - min(pos) + 1 AS covered
+    FROM islands GROUP BY doc_id, gid
+),
+per_doc AS (
+    SELECT doc_id, cast(count(*) AS BIGINT) AS n_dup_spans,
+           cast(sum(covered) AS BIGINT) AS dup_tokens
+    FROM per_island GROUP BY doc_id
+),
+base AS (SELECT doc_id, cast(len(str_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents)
+SELECT b.doc_id, b.n_tokens,
+       coalesce(pd.n_dup_spans, 0) AS n_dup_spans,
+       coalesce(pd.dup_tokens, 0) AS dup_tokens,
+       CASE WHEN b.n_tokens > 0
+            THEN cast(coalesce(pd.dup_tokens, 0) AS DOUBLE) / cast(b.n_tokens AS DOUBLE)
+            ELSE 0.0 END AS dup_token_frac
+FROM base b LEFT JOIN per_doc pd USING (doc_id)
+"""
+
+
+DD13_SQL = dd13_sql()

@@ -533,3 +533,58 @@ OPERATORS = [
     ("pl1_corpus_prep", pl1_corpus_prep, PL1_SQL),
     ("pl2_stratified_sample", pl2_stratified_sample, PL2_SQL),
 ]
+
+
+# --- pl8: source-mix rebalancing ----------------------------------------
+
+
+def pl8_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus to a uniform source mixture by downsampling
+    every source to the size of the smallest one — the deterministic
+    skeleton of the domain-reweighting step every pre-training mix
+    runs (fixed-weight DoReMi/Pile-style mixing with equal targets).
+    Selection is hash-uniform per doc (md5 counter like pl2/g1), with
+    the KEEP RATE DERIVED FROM CORPUS STATS rather than fixed quotas
+    — pl2's fixed-quota sampler can't equalize a drifting mix; pl8
+    re-derives rates every snapshot.
+
+    Keep rule (exact integer arithmetic, no float rate): doc kept iff
+    ``bucket(doc_id) * n_source < n_min * 10000`` with bucket in
+    [0, 10000): the kept fraction of each source is within 1e-4 of
+    n_min/n_source, the smallest source keeps everything, and the
+    decision is reproducible across runs, engines and partitionings.
+
+    Scale shape: per-source counts are a groupBy on `source` whose
+    result is dims-sized (sources are a handful even at 100 TB), so
+    the rate relation broadcast-joins back onto the scan and the keep
+    decision rides the scan as a filter — the corpus never shuffles.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_source"))
+    n_min = counts.agg(F.min("n_source").alias("n_min"))
+    rates = F.broadcast(counts.crossJoin(F.broadcast(n_min)))
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("pl8:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 10000
+    )
+    return (
+        d.join(rates, "source")
+        .where(bucket * F.col("n_source") < F.col("n_min") * 10000)
+        .select("doc_id", "source", "n_source", "n_min")
+    )
+
+
+PL8_SQL = """
+WITH c AS (SELECT source, cast(count(*) AS BIGINT) AS n_source FROM documents GROUP BY source),
+m AS (SELECT min(n_source) AS n_min FROM c)
+SELECT d.doc_id, d.source, c.n_source, m.n_min
+FROM documents d
+JOIN c USING (source)
+CROSS JOIN m
+WHERE (cast(('0x' || substr(md5('pl8:' || cast(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000)
+      * c.n_source < m.n_min * 10000
+"""

@@ -420,3 +420,89 @@ OPERATORS = [
     ("tx3_lang_id", tx3_lang_id, TX3_SQL),
     ("tx4_fingerprint", tx4_fingerprint, TX4_SQL),
 ]
+
+
+# --- tx9: Gopher-rule quality filter ------------------------------------
+
+GOPHER_MIN_WORDS = 10
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_WORD_LEN = 2.0
+GOPHER_MAX_WORD_LEN = 10.0
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MAX_TOP_TOKEN_FRAC = 0.2
+
+
+def tx9_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality filter (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1): per-document booleans for the word-count
+    band, mean-word-length band, minimum distinct stopwords, and a
+    repetition cap (mass of the single most frequent token), plus the
+    conjunctive ``keep``. tx2 emits the continuous scores; tx9 is the
+    DECISION relation a pipeline materializes and audits — each rule
+    gets its own column so drop reasons are countable (feeds pl4's
+    funnel pattern). Symbol/bullet/ellipsis rules are omitted: the
+    synthetic corpus is bare words (no punctuation to count).
+
+    Thresholds are scaled to the corpus (10-word minimum vs Gopher's
+    50) but keep the published structure. Scale shape: pure column
+    expressions riding the scan — the repetition rule is a per-row
+    nested higher-order function (distinct x count scan, O(v*n) on
+    ~30-token docs), no explode, no shuffle, no UDF.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n = F.size(toks).cast("bigint")
+    mean_len = (F.length("text") - n + 1).cast("double") / n.cast("double")
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.array_intersect(toks, sw)).cast("bigint")
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    ).cast("bigint")
+    top_frac = top_cnt.cast("double") / n.cast("double")
+    p_wc = (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
+    p_wl = (mean_len >= GOPHER_MIN_WORD_LEN) & (mean_len <= GOPHER_MAX_WORD_LEN)
+    p_sw = n_stop >= GOPHER_MIN_STOPWORDS
+    p_rep = top_frac <= GOPHER_MAX_TOP_TOKEN_FRAC
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        mean_len.alias("mean_word_len"),
+        n_stop.alias("n_stop_distinct"),
+        top_frac.alias("top_token_frac"),
+        p_wc.alias("passes_word_count"),
+        p_wl.alias("passes_word_len"),
+        p_sw.alias("passes_stopword"),
+        p_rep.alias("passes_repetition"),
+        (p_wc & p_wl & p_sw & p_rep).alias("keep"),
+    )
+
+
+_SW_LIST = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+TX9_SQL = f"""
+WITH t AS (
+    SELECT doc_id, text, str_split(text, ' ') AS toks FROM documents
+),
+m AS (
+    SELECT doc_id,
+           cast(len(toks) AS BIGINT) AS n_tokens,
+           cast(length(text) - len(toks) + 1 AS DOUBLE) / cast(len(toks) AS DOUBLE) AS mean_word_len,
+           cast(len(list_intersect(toks, {_SW_LIST})) AS BIGINT) AS n_stop_distinct,
+           cast(list_max(list_transform(list_distinct(toks),
+                         t2 -> len(list_filter(toks, x -> x = t2)))) AS BIGINT) AS top_cnt
+    FROM t
+)
+SELECT doc_id, n_tokens, mean_word_len, n_stop_distinct,
+       cast(top_cnt AS DOUBLE) / cast(n_tokens AS DOUBLE) AS top_token_frac,
+       (n_tokens >= {GOPHER_MIN_WORDS} AND n_tokens <= {GOPHER_MAX_WORDS}) AS passes_word_count,
+       (mean_word_len >= {GOPHER_MIN_WORD_LEN} AND mean_word_len <= {GOPHER_MAX_WORD_LEN}) AS passes_word_len,
+       (n_stop_distinct >= {GOPHER_MIN_STOPWORDS}) AS passes_stopword,
+       (cast(top_cnt AS DOUBLE) / cast(n_tokens AS DOUBLE) <= {GOPHER_MAX_TOP_TOKEN_FRAC}) AS passes_repetition,
+       (n_tokens >= {GOPHER_MIN_WORDS} AND n_tokens <= {GOPHER_MAX_WORDS}
+        AND mean_word_len >= {GOPHER_MIN_WORD_LEN} AND mean_word_len <= {GOPHER_MAX_WORD_LEN}
+        AND n_stop_distinct >= {GOPHER_MIN_STOPWORDS}
+        AND cast(top_cnt AS DOUBLE) / cast(n_tokens AS DOUBLE) <= {GOPHER_MAX_TOP_TOKEN_FRAC}) AS keep
+FROM m
+"""

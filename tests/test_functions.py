@@ -769,3 +769,70 @@ def test_boilerplate_profile_matches_python_reference(spark):
         assert (r.n_shingles, r.n_shared) == (len(shs), shared)
         assert r.shared_frac == shared / len(shs)
     assert got[1].shared_frac == 1.0 and got[4].shared_frac == 0.0
+
+
+def test_span_dedup_matches_python_reference(spark):
+    """dd13's core against a direct Python replay: overlapping
+    duplicated windows must merge into maximal spans (no
+    double-counted mass), within-doc repeats must NOT count, and a
+    doc shorter than the window must yield zero windows."""
+    from maggy_spark.functions.dedup import span_dedup_profile
+
+    w = 3
+    shared = "alpha beta gamma delta"          # 4 tokens -> 2 overlapping windows
+    corpus = {
+        1: f"{shared} one two three four five",
+        2: f"zero {shared} six seven eight",    # shared run sits mid-doc
+        3: "a b c a b c a b c",                 # within-doc repeats only
+        4: "tiny doc",                          # shorter than the window
+        5: "nine ten eleven twelve thirteen",   # fully unique
+    }
+    df = spark.createDataFrame(list(corpus.items()), "doc_id bigint, text string")
+    got = {r.doc_id: r for r in span_dedup_profile(df, w).collect()}
+
+    def windows(text):
+        t = text.split(" ")
+        return [(i, " ".join(t[i : i + w])) for i in range(len(t) - w + 1)]
+
+    docs_of = {}
+    for doc_id, txt in corpus.items():
+        for _, win in windows(txt):
+            docs_of.setdefault(win, set()).add(doc_id)
+    for doc_id, txt in corpus.items():
+        hits = [(i, i + w - 1) for i, win in windows(txt) if len(docs_of[win]) >= 2]
+        spans = []
+        for s, e in sorted(hits):
+            if spans and s <= spans[-1][1]:
+                spans[-1] = (spans[-1][0], max(spans[-1][1], e))
+            else:
+                spans.append((s, e))
+        mass = sum(e - s + 1 for s, e in spans)
+        r = got[doc_id]
+        assert (r.n_tokens, r.n_dup_spans, r.dup_tokens) == (
+            len(txt.split(" ")),
+            len(spans),
+            mass,
+        ), doc_id
+        assert r.dup_token_frac == (mass / r.n_tokens if r.n_tokens else 0.0)
+    assert got[1].dup_tokens == 4 and got[2].dup_tokens == 4  # merged, not 2*w
+    assert got[3].dup_tokens == 0 and got[4].n_tokens == 2 and got[5].dup_tokens == 0
+
+
+def test_pl8_equalizes_source_mix(spark, sf_dir):
+    """Every source's kept count lands within the hash-quantization
+    band of n_min (bucket granularity 1e-4), and the smallest source
+    keeps ALL of its docs (rate 1.0 by construction)."""
+    from maggy_spark.functions.pipeline import pl8_source_mix
+
+    kept = pl8_source_mix(spark, sf_dir).groupBy("source", "n_source", "n_min").count().collect()
+    assert kept
+    n_min = kept[0].n_min
+    for r in kept:
+        assert r.n_min == n_min
+        if r.n_source == n_min:
+            assert r["count"] == n_min  # smallest source: keep-all
+        else:
+            # hash buckets are ~uniform; the kept fraction tracks
+            # n_min/n_source to within the md5-counter's variance
+            assert 0 < r["count"] <= r.n_source
+            assert abs(r["count"] - n_min) <= max(10, 0.25 * n_min)

@@ -52,6 +52,9 @@ CASES = [
     ("ev8_cohort_retention", "EV8_SQL", "maggy_spark.operators.events"),
     ("mm6_phash_near_dup", "MM6_SQL", "maggy_spark.functions.multimodal"),
     ("tx8_token_zipf", "TX8_SQL", "maggy_spark.functions.text"),
+    ("dd13_span_dedup", "DD13_SQL", "maggy_spark.functions.dedup"),
+    ("tx9_gopher_quality", "TX9_SQL", "maggy_spark.functions.text"),
+    ("pl8_source_mix", "PL8_SQL", "maggy_spark.functions.pipeline"),
 ]
 
 
