@@ -506,3 +506,92 @@ SELECT doc_id, n_tokens, mean_word_len, n_stop_distinct,
         AND cast(top_cnt AS DOUBLE) / cast(n_tokens AS DOUBLE) <= {GOPHER_MAX_TOP_TOKEN_FRAC}) AS keep
 FROM m
 """
+
+
+# --- tx10: unigram-LM perplexity proxy ----------------------------------
+
+UNIGRAM_VOCAB = 4096
+
+
+def tx10_unigram_logprob(spark: SparkSession, sf_dir: str, vocab_size: int = UNIGRAM_VOCAB) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's
+    own unigram LM — the language-model quality filter of CCNet
+    (Wenzek et al. 2019, arXiv:1911.00359) with the KenLM swapped for
+    the distributable order-1 model: rare-token word salad scores
+    low, template spam scores high, and both tails get cut. The
+    vocabulary is capped at the ``vocab_size`` most frequent tokens
+    (ties broken by token text); out-of-vocabulary tokens take a
+    floor probability of 0.5/total, the standard small-count backoff.
+
+    Cross-engine determinism: each token's log-prob is rounded into
+    decimal(18,6) BEFORE aggregation, so the per-doc sum is an exact
+    decimal sum — order-free across partitions — and only the final
+    division returns to double (ev2's decimal-routing pattern;
+    float sums are partition-order-dependent otherwise).
+
+    Scale shape: two passes over the exploded tokens. Pass 1 builds
+    the model (groupBy token — uniform-ish key; the Zipf head is
+    collapsed by partial aggregation before the shuffle); the capped
+    vocab relation is tiny BY CONSTRUCTION, so pass 2 scores via a
+    broadcast join — the Zipf-skewed token key never drives a
+    shuffle, and the per-doc rollup shuffles one decimal + two longs
+    per doc after map-side combine.
+    """
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    ex = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    counts = ex.groupBy("tok").agg(F.count("*").alias("cnt"))
+    tot = counts.agg(F.sum("cnt").cast("bigint").alias("total"))
+    vocab = (
+        counts.orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(vocab_size)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            F.log(F.col("cnt").cast("double") / F.col("total").cast("double"))
+            .cast("decimal(18,6)")
+            .alias("lp"),
+        )
+    )
+    floor_lp = F.log(F.lit(0.5) / F.col("total").cast("double")).cast("decimal(18,6)")
+    scored = (
+        ex.join(F.broadcast(vocab), "tok", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("lp"), floor_lp).alias("lp2"),
+            F.when(F.col("lp").isNull(), 1).otherwise(0).alias("oov"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("oov").cast("bigint").alias("n_oov"),
+        (F.sum("lp2").cast("double") / F.count("*").cast("double")).alias("avg_logprob"),
+    )
+
+
+def tx10_sql(vocab_size: int = UNIGRAM_VOCAB) -> str:
+    """DuckDB twin, parameterized like dd11_sql/dd13_sql."""
+    return f"""
+WITH ex AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents),
+counts AS (SELECT tok, cast(count(*) AS BIGINT) AS cnt FROM ex GROUP BY tok),
+tot AS (SELECT cast(sum(cnt) AS BIGINT) AS total FROM counts),
+vocab AS (
+    SELECT tok, cast(ln(cast(cnt AS DOUBLE) / cast(total AS DOUBLE)) AS DECIMAL(18,6)) AS lp
+    FROM (SELECT tok, cnt FROM counts ORDER BY cnt DESC, tok ASC LIMIT {vocab_size})
+    CROSS JOIN tot
+),
+scored AS (
+    SELECT e.doc_id,
+           coalesce(v.lp, cast(ln(0.5 / cast(t.total AS DOUBLE)) AS DECIMAL(18,6))) AS lp2,
+           CASE WHEN v.lp IS NULL THEN 1 ELSE 0 END AS oov
+    FROM ex e LEFT JOIN vocab v USING (tok) CROSS JOIN tot t
+)
+SELECT doc_id,
+       cast(count(*) AS BIGINT) AS n_tokens,
+       cast(sum(oov) AS BIGINT) AS n_oov,
+       cast(sum(lp2) AS DOUBLE) / cast(count(*) AS DOUBLE) AS avg_logprob
+FROM scored GROUP BY doc_id
+"""
+
+
+TX10_SQL = tx10_sql()

@@ -836,3 +836,20 @@ def test_pl8_equalizes_source_mix(spark, sf_dir):
             # n_min/n_source to within the md5-counter's variance
             assert 0 < r["count"] <= r.n_source
             assert abs(r["count"] - n_min) <= max(10, 0.25 * n_min)
+
+
+def test_tx10_vocab_cap_and_oov_floor(spark, sf_dir):
+    """Full vocab -> zero OOV on this corpus; a 2-token vocab forces
+    OOV tokens onto the floor probability, which can only LOWER the
+    mean log-prob. Scores are strictly negative (probabilities < 1)."""
+    from maggy_spark.functions.text import tx10_unigram_logprob
+
+    full = {r.doc_id: r for r in tx10_unigram_logprob(spark, sf_dir).collect()}
+    tiny = {r.doc_id: r for r in tx10_unigram_logprob(spark, sf_dir, vocab_size=2).collect()}
+    assert full and set(full) == set(tiny)
+    assert all(r.n_oov == 0 for r in full.values())
+    assert sum(r.n_oov for r in tiny.values()) > 0
+    for doc_id, r in full.items():
+        t = tiny[doc_id]
+        assert r.n_tokens == t.n_tokens and r.avg_logprob < 0
+        assert t.avg_logprob <= r.avg_logprob + 1e-9

@@ -55,6 +55,7 @@ CASES = [
     ("dd13_span_dedup", "DD13_SQL", "maggy_spark.functions.dedup"),
     ("tx9_gopher_quality", "TX9_SQL", "maggy_spark.functions.text"),
     ("pl8_source_mix", "PL8_SQL", "maggy_spark.functions.pipeline"),
+    ("tx10_unigram_logprob", "TX10_SQL", "maggy_spark.functions.text"),
 ]
 
 
