@@ -32,6 +32,23 @@ def main():
     print(f"survivors after dedup+quality: {kept.count()}")
     kept.orderBy(F.desc("bpe_tokens")).show(5)
 
+    # round-6 quality stages: Gopher rule decisions, the unigram-LM
+    # perplexity band (cut BOTH tails — word salad scores low,
+    # template spam scores high), and the duplicated-span mass cap
+    # (docs that are mostly verbatim copies of other docs)
+    from maggy_spark.functions.dedup import dd13_span_dedup
+    from maggy_spark.functions.text import tx9_gopher_quality, tx10_unigram_logprob
+
+    gopher_keep = tx9_gopher_quality(spark, sf_dir).where("keep").select("doc_id")
+    lm = tx10_unigram_logprob(spark, sf_dir)
+    lo, hi = lm.approxQuantile("avg_logprob", [0.05, 0.95], 0.01)
+    lm_keep = lm.where(F.col("avg_logprob").between(lo, hi)).select("doc_id")
+    span_keep = dd13_span_dedup(spark, sf_dir).where(F.col("dup_token_frac") <= 0.8).select(
+        "doc_id"
+    )
+    kept = kept.join(gopher_keep, "doc_id").join(lm_keep, "doc_id").join(span_keep, "doc_id")
+    print(f"after Gopher rules + LM band + span-dedup cap: {kept.count()}")
+
     # round-5 stages: drop repetitive boilerplate and anything that
     # leaks a held-out benchmark document into the training split
     from maggy_spark.functions.dedup import dd9_decontaminate
@@ -70,6 +87,12 @@ def main():
 
     sample = pl2_stratified_sample(spark, sf_dir)
     sample.groupBy("lang").count().orderBy("lang").show()
+
+    # rebalance the source mixture to uniform — rates derived from
+    # the corpus itself, so a drifting crawl mix stays equalized
+    from maggy_spark.functions.pipeline import pl8_source_mix
+
+    pl8_source_mix(spark, sf_dir).groupBy("source").count().orderBy("source").show()
 
     # publish the filter funnel (how much each rule bites) and carve
     # leakage-free train/val/test splits before sharding
