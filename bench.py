@@ -132,23 +132,27 @@ def main() -> None:
     # coverage, not fold a possibly-bogus sample into the number the
     # regression gate compares round over round
     total = round(sum(v for k, v in timings.items() if v >= 0 and k not in partials), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "operator_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "rep_spread": spreads,
-                "partial": partials,
-                "n_partial": len(partials),
-                "reps": reps,
-                "sf": sf,
-                "n_queries": len(timings),
-                "cpus": int(cpus),
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "operator_suite_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "rep_spread": spreads,
+            "partial": partials,
+            "n_partial": len(partials),
+            "reps": reps,
+            "sf": sf,
+            "n_queries": len(timings),
+            "cpus": int(cpus),
+        }
     )
+    print(line)
+    # the driver keeps only the stdout TAIL of this process, which has
+    # truncated the JSON line two rounds running (BENCH_r5/r6 both show
+    # parsed: null) — persist the full line so the round artifact is
+    # self-contained (BASELINE.md §4)
+    (REPO / "BENCH_local.json").write_text(line + "\n")
 
 
 if __name__ == "__main__":

@@ -61,11 +61,13 @@ MH_MAX_HASHES = 96
 def minhash_geometry(n_docs: int, threshold: float = NEAR_DUP_JACCARD) -> tuple[int, int]:
     """(bands, rows) for a corpus of `n_docs` at `threshold`. The SQL
     twin (_MH_PARAMS_SQL) derives the identical values from count(*);
-    literals are shared so the two cannot drift."""
-    r = min(
-        MH_MAX_ROWS,
-        max(2, math.ceil(math.log(max(n_docs, 1) / MH_TARGET_BUCKET_DOCS) / math.log(MH_BG_INV))),
-    )
+    literals are shared so the two cannot drift. The log quotient is
+    snapped to 9 decimals BEFORE ceil in both engines: at corpus
+    sizes where n/C is an exact power of the background (n = C·10^k)
+    a last-ulp libm difference between Python's and DuckDB's ln would
+    otherwise flip r by 1 (same snap as simhash_band_bits)."""
+    q = round(math.log(max(n_docs, 1) / MH_TARGET_BUCKET_DOCS) / math.log(MH_BG_INV), 9)
+    r = min(MH_MAX_ROWS, max(2, math.ceil(q)))
     b = min(int(round((1.0 / threshold) ** r)), MH_MAX_HASHES // r)
     return b, r
 
@@ -78,7 +80,7 @@ _MH_PARAMS_SQL = f"""
            least(CAST(round(pow(1.0 / {NEAR_DUP_JACCARD}, r)) AS INTEGER), {MH_MAX_HASHES} // r) * r AS nh,
            (least(CAST(round(pow(1.0 / {NEAR_DUP_JACCARD}, r)) AS INTEGER), {MH_MAX_HASHES} // r) * r + 3) // 4 AS nd
     FROM (SELECT least({MH_MAX_ROWS}, greatest(2,
-              CAST(ceil(ln(greatest(n, 1) / {MH_TARGET_BUCKET_DOCS}.0) / ln({MH_BG_INV})) AS INTEGER))) AS r
+              CAST(ceil(round(ln(greatest(n, 1) / {MH_TARGET_BUCKET_DOCS}.0) / ln({MH_BG_INV}), 9)) AS INTEGER))) AS r
           FROM (SELECT count(*) AS n FROM documents))
 """
 
@@ -417,10 +419,13 @@ def simhash_band_bits(n_docs: int) -> int:
     in-bucket pair join LINEAR in n instead of quadratic. Clamped to
     [4, 15] — 15 keeps the total signature (4 bands) inside a signed
     64-bit int so hamming is one bit_count(xor). The SQL twin derives
-    the identical value from count(*)."""
+    the identical value from count(*); the log2 is snapped to 9
+    decimals before ceil in both engines so a last-ulp libm
+    difference cannot flip the band width at n = C·2^k corpus
+    sizes (same snap as minhash_geometry)."""
     import math
 
-    return min(15, max(4, math.ceil(math.log2(max(n_docs, 1) / TARGET_BUCKET_DOCS))))
+    return min(15, max(4, math.ceil(round(math.log2(max(n_docs, 1) / TARGET_BUCKET_DOCS), 9))))
 
 
 # SQL twin of the parameter derivation (total bits t = bands * b;
@@ -429,7 +434,7 @@ _SIMHASH_PARAMS_SQL = f"""
     SELECT b, {SIMHASH_BANDS} * b AS t, CAST(ceil(({SIMHASH_BANDS} * b) / 32.0) AS INTEGER) AS chunks
     FROM (
         SELECT GREATEST(4, LEAST(15,
-            CAST(ceil(log2(GREATEST(count(*), 1) / {TARGET_BUCKET_DOCS}.0)) AS INTEGER))) AS b
+            CAST(ceil(round(log2(GREATEST(count(*), 1) / {TARGET_BUCKET_DOCS}.0), 9)) AS INTEGER))) AS b
         FROM documents
     )
 """
@@ -1070,7 +1075,9 @@ DD11_SQL = dd11_sql()  # default-argument twin for the offline oracle table
 OPERATORS = [
     ("dd1_exact_dedup", dd1_exact_dedup, DD1_SQL),
     ("dd2_minhash_signature", dd2_minhash_signature, DD2_SQL),
-    ("dd3_lsh_candidate_pairs", dd3_lsh_candidate_pairs, DD3_SQL),
+    # dd3_lsh_candidate_pairs rotated OUT of the registry round 7 (it is a
+    # strict subset of the registered dd8 = dd3 + exact verify); parity
+    # continues in tests/test_offline_oracles.py at sf0.01.
     ("dd4_ngram_jaccard", dd4_ngram_jaccard, DD4_SQL),
     ("dd5_dedup_clusters", dd5_dedup_clusters, DD5_SQL),
     ("dd6_simhash", dd6_simhash, DD6_SQL),
@@ -1283,3 +1290,8 @@ FROM base b LEFT JOIN per_doc pd USING (doc_id)
 
 
 DD13_SQL = dd13_sql()
+
+# Registered round 7 in the slot freed by the dd3 rotation (dd3 is a
+# strict subset of dd8; dd13 is the far-higher-traffic production pass —
+# Lee-et-al substring dedup). Rotation documented in COVERAGE.md.
+OPERATORS.append(("dd13_span_dedup", dd13_span_dedup, DD13_SQL))

@@ -392,7 +392,10 @@ def tx8_token_zipf(spark: SparkSession, sf_dir: str, top_k: int = 10) -> DataFra
     )
 
 
-TX8_SQL = """
+def tx8_sql(top_k: int = 10) -> str:
+    """DuckDB twin, parameterized like dd11_sql/dd13_sql/tx10_sql so
+    a non-default top_k compares like with like (round-7 ADVICE)."""
+    return f"""
 WITH tok AS (SELECT unnest(str_split(text, ' ')) AS tok FROM documents),
 counts AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
 tot AS (
@@ -403,7 +406,7 @@ tot AS (
 ),
 topk AS (
     SELECT cast(sum(n) AS BIGINT) AS topk_n
-    FROM (SELECT n FROM counts ORDER BY n DESC, tok ASC LIMIT 10)
+    FROM (SELECT n FROM counts ORDER BY n DESC, tok ASC LIMIT {top_k})
 )
 SELECT total_tokens, distinct_tokens, hapax_tokens,
        cast(hapax_tokens AS DOUBLE) / cast(distinct_tokens AS DOUBLE) AS hapax_frac,
@@ -412,10 +415,15 @@ FROM tot CROSS JOIN topk
 """
 
 
+TX8_SQL = tx8_sql()  # default-argument twin for the offline oracle table
+
+
 OPERATORS = [
     ("tx1_token_count", tx1_token_count, TX1_SQL),
     ("tx5_ngram_stats", tx5_ngram_stats, TX5_SQL),
-    ("tx6_regex_tokens", tx6_regex_tokens, TX6_SQL),
+    # tx6_regex_tokens rotated OUT of the registry round 7 (its regex-token
+    # shape is subsumed by tx1/tx5); parity continues in
+    # tests/test_offline_oracles.py at sf0.01.
     ("tx2_quality_score", tx2_quality_score, TX2_SQL),
     ("tx3_lang_id", tx3_lang_id, TX3_SQL),
     ("tx4_fingerprint", tx4_fingerprint, TX4_SQL),
@@ -595,3 +603,8 @@ FROM scored GROUP BY doc_id
 
 
 TX10_SQL = tx10_sql()
+
+# Registered round 7 in the slot freed by the tx6 rotation (tx6's shape is
+# subsumed by tx1/tx5; tx10 is the CCNet-style perplexity filter a real
+# pipeline runs on every document). Rotation documented in COVERAGE.md.
+OPERATORS.append(("tx10_unigram_logprob", tx10_unigram_logprob, TX10_SQL))

@@ -1,6 +1,8 @@
 """LLM-pipeline operators: invariants at sf0.001 (oracle parity is
 covered by tools/check_oracle.py / driver t2)."""
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -665,7 +667,11 @@ def test_minhash_geometry_sql_python_parity():
     from maggy_spark.functions.dedup import _MH_PARAMS_SQL, minhash_geometry
 
     con = duckdb.connect()
-    for n in (1, 7, 8, 9, 80, 500, 4999, 5000, 50_000, 10**6, 10**8, 10**9):
+    # the 8*10^k sizes sit EXACTLY on the ceil boundary (n/8 a power of
+    # the background 10): the 9-decimal pre-ceil snap must keep both
+    # engines on the same side of it (round-7 ADVICE fix)
+    boundary = tuple(8 * 10**k for k in range(1, 9))
+    for n in (1, 7, 8, 9, 500, 4999, 5000, 50_000, 10**6, 10**8, 10**9) + boundary:
         sql = _MH_PARAMS_SQL.replace(
             "(SELECT count(*) AS n FROM documents)", f"(SELECT {n} AS n)"
         )
@@ -673,6 +679,25 @@ def test_minhash_geometry_sql_python_parity():
         pb, pr = minhash_geometry(n)
         assert (b, r) == (pb, pr), f"n={n}: sql ({b},{r}) vs python ({pb},{pr})"
         assert nh == pb * pr and nd == (pb * pr + 3) // 4
+    con.close()
+
+
+def test_simhash_band_bits_sql_python_parity():
+    """Same cross-engine derivation pin for the SimHash band width,
+    including the exact 8*2^k ceil-boundary sizes the 9-decimal snap
+    protects (round-7 ADVICE fix)."""
+    import duckdb
+
+    from maggy_spark.functions.dedup import _SIMHASH_PARAMS_SQL, simhash_band_bits
+
+    con = duckdb.connect()
+    sizes = (1, 7, 9, 100, 12_345, 10**6, 10**9) + tuple(8 * 2**k for k in range(0, 24, 3))
+    for n in sizes:
+        sql = _SIMHASH_PARAMS_SQL.replace("FROM documents", f"FROM (SELECT 1 FROM range({n}))")
+        b, t, chunks = con.execute(sql).fetchone()
+        pb = simhash_band_bits(n)
+        assert b == pb, f"n={n}: sql {b} vs python {pb}"
+        assert t == dedup.SIMHASH_BANDS * pb and chunks == math.ceil(t / 32.0)
     con.close()
 
 

@@ -52,10 +52,13 @@ CASES = [
     ("ev8_cohort_retention", "EV8_SQL", "maggy_spark.operators.events"),
     ("mm6_phash_near_dup", "MM6_SQL", "maggy_spark.functions.multimodal"),
     ("tx8_token_zipf", "TX8_SQL", "maggy_spark.functions.text"),
-    ("dd13_span_dedup", "DD13_SQL", "maggy_spark.functions.dedup"),
     ("tx9_gopher_quality", "TX9_SQL", "maggy_spark.functions.text"),
     ("pl8_source_mix", "PL8_SQL", "maggy_spark.functions.pipeline"),
-    ("tx10_unigram_logprob", "TX10_SQL", "maggy_spark.functions.text"),
+    # round-7 rotation: dd13/tx10 moved INTO the registry (high-traffic
+    # production passes); dd3/tx6 rotated out here (dd3 is a strict
+    # subset of the registered dd8, tx6's shape is subsumed by tx1/tx5)
+    ("dd3_lsh_candidate_pairs", "DD3_SQL", "maggy_spark.functions.dedup"),
+    ("tx6_regex_tokens", "TX6_SQL", "maggy_spark.functions.text"),
 ]
 
 

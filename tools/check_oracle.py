@@ -7,12 +7,20 @@ per-row value hash (floats compared bit-exact via repr, which is why
 the operators route double aggregation through exact decimals).
 
 Usage: python tools/check_oracle.py [sf_dir] [name ...]
+       python tools/check_oracle.py [sf_dir] --names 'dd1*' 'tx10*'
+
+Positional names are exact registry keys; ``--names`` switches the
+remaining arguments to shell-style globs (fnmatch), so one rotated
+gate row — or a whole family — can be replayed without typing every
+key: ``--names 'dd*'`` runs every dedup query at the gate's own
+sf0.01 on the gate's own local[8] compare.
 """
 
 from __future__ import annotations
 
 import sys
 import time
+from fnmatch import fnmatch
 from pathlib import Path
 
 import duckdb
@@ -77,8 +85,14 @@ def duck_dtypes(df: pd.DataFrame) -> dict:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    sf_dir = argv.pop(0) if argv and not argv[0].startswith("--") else "/root/testdata/sf0.01"
+    globs: list[str] = []
+    if argv and argv[0] == "--names":
+        globs = argv[1:]
+        only: set[str] = set()
+    else:
+        only = set(argv)
 
     import __spark_entry__ as entrymod
     from pyspark.sql import SparkSession
@@ -102,6 +116,8 @@ def main() -> int:
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if globs and not any(fnmatch(name, g) for g in globs):
             continue
         t0 = time.time()
         try:
