@@ -406,6 +406,110 @@ PHASH_BAND_BITS = PHASH_BITS // PHASH_BANDS
 PHASH_MAX_HAMMING = PHASH_BANDS - 1
 
 
+PHASH_SIDE = 32  # thumbnail side the DCT runs over (classic pHash geometry)
+
+
+def _dct_matrix(n: int):
+    """Orthonormal DCT-II basis matrix (type-II with the standard
+    ortho scaling), so C = D @ g @ D.T is the 2-D DCT of g. Pure
+    numpy — no scipy in this container."""
+    import numpy as np
+
+    k = np.arange(n, dtype=np.float64)
+    d = np.cos(np.pi * (2.0 * k[None, :] + 1.0) * k[:, None] / (2.0 * n))
+    d *= np.sqrt(2.0 / n)
+    d[0, :] *= np.sqrt(0.5)
+    return d
+
+
+def dct_phash_bits(gray) -> int:
+    """60-bit DCT sign hash of a square grayscale array: 2-D DCT,
+    top-left 8x8 block in row-major order minus the DC coefficient,
+    first PHASH_BITS AC coefficients, bit = sign(coef) packed MSB
+    first. Dropping DC makes the hash invariant to global brightness
+    shifts; signs (not median-threshold) keep it a pure per-pixel
+    function so two independently-decoded copies agree bit-for-bit.
+    PIL-free on purpose: the DCT core is testable without codecs."""
+    import numpy as np
+
+    g = np.asarray(gray, dtype=np.float64)
+    if g.ndim != 2 or g.shape[0] != g.shape[1]:
+        raise ValueError(f"dct_phash_bits wants a square 2-D array, got {g.shape}")
+    d = _dct_matrix(g.shape[0])
+    block = (d @ g @ d.T)[:8, :8].ravel()[1 : PHASH_BITS + 1]
+    bits = 0
+    for c in block:
+        bits = (bits << 1) | (1 if c > 0 else 0)
+    return bits
+
+
+def _phash_decoder():
+    """REAL perceptual hash, import-guarded like _media_decoders:
+    decode via PIL -> grayscale PHASH_SIDE x PHASH_SIDE thumbnail ->
+    dct_phash_bits. Returns None when PIL is absent (this
+    container). Resolved lazily inside the mapInPandas stage so the
+    guard runs on the WORKER's environment."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError:
+        return None
+
+    def _ph(payload: bytes) -> int:
+        import io
+
+        import numpy as np
+        from PIL import Image as _I
+
+        resample = getattr(getattr(_I, "Resampling", _I), "LANCZOS")
+        with _I.open(io.BytesIO(payload)) as im:
+            g = np.asarray(
+                im.convert("L").resize((PHASH_SIDE, PHASH_SIDE), resample), dtype=np.float64
+            )
+        return dct_phash_bits(g)
+
+    return _ph
+
+
+def _phash_stub(payload: bytes) -> int:
+    """STUB signature: top 60 bits of md5(payload) — the documented
+    fallback when no codec is installed or the bytes don't parse as
+    an image. Must stay the exact value MM6_SQL derives."""
+    import hashlib
+
+    return int(hashlib.md5(payload).hexdigest()[:15], 16)
+
+
+PHASH_SIG_SCHEMA = "media_id bigint, sigint bigint"
+
+
+def _phash_signatures(img: DataFrame) -> DataFrame:
+    """(media_id, sigint) over image rows via mapInPandas: real DCT
+    pHash when PIL is present AND the payload decodes, else the md5
+    stub — per payload, so a corpus mixing real images with
+    undecodable bytes still signs every row deterministically. The
+    binary payload stays executor-local (narrow stage, no shuffle);
+    only the 8-byte signature continues into the banded join."""
+
+    def sign_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        real = _phash_decoder()  # worker-side import guard
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload)
+                sig = None
+                if real is not None:
+                    try:
+                        sig = real(payload)
+                    except Exception:  # noqa: BLE001 - undecodable -> stub
+                        sig = None
+                if sig is None:
+                    sig = _phash_stub(payload)
+                out.append({"media_id": media_id, "sigint": sig})
+            yield pd.DataFrame(out)
+
+    return img.select("media_id", "payload").mapInPandas(sign_batches, PHASH_SIG_SCHEMA)
+
+
 def mm6_phash_near_dup(spark: SparkSession, sf_dir: str, max_hamming: int = PHASH_MAX_HAMMING) -> DataFrame:
     """Perceptual-hash near-duplicate pairs over IMAGE payloads — the
     multimodal twin of the dd6/dd7 SimHash pipeline: a 60-bit pHash
@@ -414,12 +518,15 @@ def mm6_phash_near_dup(spark: SparkSession, sf_dir: str, max_hamming: int = PHAS
     how an image-heavy training corpus dedups re-encoded copies
     without ever comparing pixels pairwise.
 
-    The HASH itself is the documented stub (top 60 bits of
-    md5(payload) — no image codecs in this container; a real pHash is
-    a DCT over the decoded thumbnail, one function swap). Everything
-    around it — banding, the skew-free candidate join, first-match
-    de-dup of multi-band pairs, the hamming filter — is the real
-    production shape and reuses dd7's machinery.
+    The hash is the REAL DCT pHash when PIL is installed on the
+    executors (decode -> 32x32 grayscale -> 2-D DCT -> sign bits of
+    the first 60 AC coefficients of the top-left 8x8 block; see
+    dct_phash_bits), falling back per payload to the documented md5
+    stub when the codec is absent or the bytes don't parse — which is
+    what keeps the oracle deterministic on this container's synthetic
+    utf-8 payloads. Banding, the skew-free candidate join, first-match
+    de-dup of multi-band pairs, and the hamming filter reuse dd7's
+    machinery unchanged.
     """
     from maggy_spark.functions.dedup import _bval, _first_match_and_hamming
 
@@ -430,8 +537,7 @@ def mm6_phash_near_dup(spark: SparkSession, sf_dir: str, max_hamming: int = PHAS
         )
     b, t = PHASH_BAND_BITS, PHASH_BITS
     img = media_table(spark, sf_dir).where(F.col("media_type") == "image")
-    ph = F.conv(F.substring(F.md5("payload"), 1, 15), 16, 10).cast("long")
-    sig = img.select("media_id", ph.alias("sigint"))
+    sig = _phash_signatures(img)
     bands = sig.select(
         "media_id",
         "sigint",

@@ -729,6 +729,95 @@ def test_mm6_finds_exact_payload_dups(spark, sf_dir):
     assert all(a < b and 0 <= h <= multimodal.PHASH_MAX_HAMMING for (a, b), h in got.items())
 
 
+def test_dct_phash_core_brightness_invariant_and_bounded():
+    """The DCT pHash core (PIL-free): a global brightness shift moves
+    only the DC coefficient, which the hash drops — identical bits;
+    the packed hash fits PHASH_BITS; a structurally different image
+    hashes differently."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    g = rng.uniform(0, 255, size=(multimodal.PHASH_SIDE, multimodal.PHASH_SIDE))
+    h = multimodal.dct_phash_bits(g)
+    assert 0 <= h < (1 << multimodal.PHASH_BITS)
+    assert multimodal.dct_phash_bits(g + 37.0) == h  # brightness shift
+    assert multimodal.dct_phash_bits(g) == h  # deterministic
+    assert multimodal.dct_phash_bits(g.T) != h  # different structure
+    with pytest.raises(ValueError):
+        multimodal.dct_phash_bits(np.zeros((4, 8)))
+
+
+def test_dct_phash_sign_structure():
+    """Pin the hash's bit order to the DCT definition: for
+    g[i,j] = cos(pi*(2j+1)/(2n)) the analytically-nonzero AC
+    coefficient is (0,1) (positive, ~22.6) — it must land in the MSB
+    (row-major ravel, DC dropped, MSB-first packing). The remaining
+    bits are float residues of analytic zeros, so pin the FULL hash
+    against an independent coefficient-by-coefficient replay instead
+    of assuming they pack to 0."""
+    import numpy as np
+
+    n = multimodal.PHASH_SIDE
+    j = np.arange(n, dtype=np.float64)
+    g = np.tile(np.cos(np.pi * (2.0 * j + 1.0) / (2.0 * n)), (n, 1))
+    h = multimodal.dct_phash_bits(g)
+    assert h >> (multimodal.PHASH_BITS - 1) == 1  # (0,1) bit is the MSB
+
+    d = multimodal._dct_matrix(n)
+    coefs = (d @ g @ d.T)[:8, :8].ravel()[1 : multimodal.PHASH_BITS + 1]
+    expected = 0
+    for c in coefs:
+        expected = (expected << 1) | (1 if c > 0 else 0)
+    assert h == expected
+
+
+def test_mm6_stub_signature_matches_md5_top_bits(spark, sf_dir):
+    """Without PIL (this container) the mapInPandas signing stage must
+    emit EXACTLY the md5-top-60-bit stub MM6_SQL replays."""
+    import hashlib
+
+    img = multimodal.media_table(spark, sf_dir).where(F.col("media_type") == "image")
+    got = {r.media_id: r.sigint for r in multimodal._phash_signatures(img).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id % 3 = 0").collect()
+    for r in docs:
+        want = int(hashlib.md5(r.text.encode()).hexdigest()[:15], 16)
+        assert got[r.doc_id] == want
+
+
+def test_mm6_real_phash_reencode_within_radius():
+    """With PIL present, a quality-shifted JPEG re-encode of the same
+    image must land within the banding's exact-recall radius
+    (hamming <= 3) of the original — the invariant that makes mm6 an
+    image near-dup pass rather than an exact-byte one. Skipped when
+    PIL is absent (this container)."""
+    import io
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import numpy as np
+
+    # smooth low-frequency scene: the 8x8 DCT block magnitudes are far
+    # from zero, where JPEG requantization cannot flip signs
+    n = 256
+    y, x = np.mgrid[0:n, 0:n].astype(np.float64)
+    scene = (
+        128
+        + 60 * np.sin(2 * np.pi * x / n)
+        + 40 * np.cos(2 * np.pi * y / n)
+        + 20 * np.sin(2 * np.pi * (x + y) / n)
+    )
+    im = PIL_Image.fromarray(np.clip(scene, 0, 255).astype("uint8"), mode="L")
+    payloads = []
+    for quality in (95, 60):
+        buf = io.BytesIO()
+        im.save(buf, format="JPEG", quality=quality)
+        payloads.append(buf.getvalue())
+
+    ph = multimodal._phash_decoder()
+    assert ph is not None
+    h95, h60 = ph(payloads[0]), ph(payloads[1])
+    assert bin(h95 ^ h60).count("1") <= multimodal.PHASH_MAX_HAMMING
+
+
 def test_tx8_zipf_profile_sanity(spark, sf_dir):
     rows = text.tx8_token_zipf(spark, sf_dir).collect()
     assert len(rows) == 1
