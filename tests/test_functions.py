@@ -818,6 +818,53 @@ def test_mm6_real_phash_reencode_within_radius():
     assert bin(h95 ^ h60).count("1") <= multimodal.PHASH_MAX_HAMMING
 
 
+def test_top_token_count_matches_counter_on_long_docs(spark):
+    """tx9's repetition rule against a direct Counter replay on
+    synthetic 5k-token docs (high-distinct worst case plus heavy-tail
+    and degenerate shapes), and a generous absolute time bound that
+    the old per-row-quadratic distinct-x-count scan (12.5M token
+    comparisons per doc here) could not meet."""
+    import random
+    import time
+    from collections import Counter
+
+    from maggy_spark.functions.text import _top_token_count
+
+    rng = random.Random(11)
+    docs = []
+    for i in range(200):
+        if i % 4 == 0:  # near-all-distinct: worst case for distinct x n
+            words = [f"w{i}_{j}" for j in range(5000)]
+            rng.shuffle(words)
+        elif i % 4 == 1:  # Zipf-ish heavy tail
+            words = [f"t{min(int(rng.paretovariate(1.2)), 400)}" for _ in range(5000)]
+        elif i % 4 == 2:  # single repeated token
+            words = ["spam"] * 5000
+        else:
+            words = [f"u{rng.randrange(2500)}" for _ in range(5000)]
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+
+    t0 = time.time()
+    got = {
+        r.doc_id: r.top
+        for r in df.select(
+            "doc_id", _top_token_count(F.split(F.col("text"), " ")).alias("top")
+        ).collect()
+    }
+    elapsed = time.time() - t0
+    for doc_id, txt in docs:
+        assert got[doc_id] == Counter(txt.split(" ")).most_common(1)[0][1], doc_id
+    # n log n over 1M total tokens finishes in well under this bound;
+    # the quadratic HOF (~2.5e9 comparisons) cannot
+    assert elapsed < 30.0, f"repetition rule took {elapsed:.1f}s on 5k-token docs"
+    # empty-array edge: fold yields 0, not NULL
+    empty = spark.createDataFrame([(1,)], "doc_id bigint").select(
+        _top_token_count(F.array().cast("array<string>")).alias("top")
+    )
+    assert empty.collect()[0].top == 0
+
+
 def test_tx8_zipf_profile_sanity(spark, sf_dir):
     rows = text.tx8_token_zipf(spark, sf_dir).collect()
     assert len(rows) == 1
