@@ -45,16 +45,24 @@ def ann_alert_stream(
     """
     store, n_planes = _bucketed(spark, sf_dir, target)
     planes = _plane_literals(spark, sf_dir, n_planes)
-    q = query_stream.select(
-        "query_id",
-        F.col("embedding").alias("qemb"),
-        "ts",
-    ).select(
-        "query_id",
-        "qemb",
-        "ts",
-        F.sqrt(_dot("qemb", "qemb")).alias("qnorm"),
-        _bucket_expr(planes, "qemb").alias("bucket"),
+    q = (
+        query_stream.select(
+            "query_id",
+            F.col("embedding").alias("qemb"),
+            "ts",
+        )
+        .select(
+            "query_id",
+            "qemb",
+            "ts",
+            F.sqrt(_dot("qemb", "qemb")).alias("qnorm"),
+            _bucket_expr(planes, "qemb").alias("bucket"),
+        )
+        # ingest feeds are untrusted: a zero vector has no direction, so
+        # cosine is undefined — drop it here rather than let the ANSI
+        # divide-by-zero kill the long-running query (batch ann* ops
+        # read the corpus table, which contains no zero vectors)
+        .where(F.col("qnorm") > 0)
     )
     s = store.select("vec_id", "emb", "norm", "bucket")
     # project the cosine ONCE, then filter on the named column —

@@ -466,3 +466,86 @@ def test_ann_alert_stream_probes_static_corpus(spark, sf_dir, tmp_path):
         assert hits[(1000 + vid, vid)] == pytest.approx(1.0)  # self-match in own bucket
     # every alert is above the threshold and bucket-local by construction
     assert all(r.cosine >= 0.3 for r in out)
+
+
+def test_alert_streams_sustain_with_zero_state(spark, sf_dir):
+    """Sustained-rate contract for the two ingest-screen streams
+    (round-7 verdict #7): drive near_dup_alert_stream and
+    ann_alert_stream from a rate source for ~20 s at a 1 s trigger
+    and assert, via lastProgress/recentProgress stateOperators, that
+    NEITHER keeps any state-store rows across batches — they are
+    stream-static joins by construction (no watermark, no growing
+    state), so a long-running ingest screen's memory is flat.
+    """
+    from maggy_spark.functions.dedup import simhash_bands_for
+    from maggy_spark.streaming import ann_alert_stream, near_dup_alert_stream
+
+    # static simhash store for the near-dup screen
+    store_rows = [(i, f"store doc number {i} with words w{i} x{i} y{i} z{i}") for i in range(64)]
+    store = spark.createDataFrame(store_rows, "doc_id bigint, text string")
+    bands, b, t = simhash_bands_for(store, len(store_rows))
+
+    rate_docs = (
+        spark.readStream.format("rate").option("rowsPerSecond", "50").load()
+        .select(
+            F.col("value").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit("w"), ((F.col("value") + i) % 97).cast("string"))
+                    for i in range(12)
+                ],
+            ).alias("text"),
+            F.col("timestamp").alias("ts"),
+        )
+    )
+    rate_vecs = (
+        spark.readStream.format("rate").option("rowsPerSecond", "50").load()
+        .select(
+            F.col("value").alias("query_id"),
+            # (value+1) keeps every vector nonzero EXCEPT value=0's
+            # sin(i)≠0 anyway; value*0 rows (all-zero vectors) are fed
+            # deliberately via value % 7 == 0 below to exercise the
+            # stream's zero-norm guard without killing the query
+            F.expr(
+                "CASE WHEN value % 7 = 0 THEN transform(sequence(1, 64), i -> cast(0.0 AS FLOAT))"
+                "     ELSE transform(sequence(1, 64), i -> cast(sin((value + 1) * i) AS FLOAT)) END"
+            ).alias("embedding"),
+            F.col("timestamp").alias("ts"),
+        )
+    )
+
+    q1 = (
+        near_dup_alert_stream(rate_docs, bands, b)
+        .writeStream.format("noop")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    q2 = (
+        ann_alert_stream(rate_vecs, spark, sf_dir)
+        .writeStream.format("noop")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            p1, p2 = q1.recentProgress, q2.recentProgress
+            if (
+                sum(1 for p in p1 if p["numInputRows"] > 0) >= 5
+                and sum(1 for p in p2 if p["numInputRows"] > 0) >= 5
+            ):
+                break
+            time.sleep(1)
+        p1, p2 = q1.recentProgress, q2.recentProgress
+    finally:
+        q1.stop()
+        q2.stop()
+
+    for name, progress in (("near_dup", p1), ("ann", p2)):
+        fed = [p for p in progress if p["numInputRows"] > 0]
+        assert len(fed) >= 5, f"{name}: only {len(fed)} fed batches"
+        for p in progress:
+            ops = p.get("stateOperators") or []
+            total_state = sum(op.get("numRowsTotal", 0) for op in ops)
+            assert total_state == 0, f"{name}: state rows {total_state} in batch {p['batchId']}"
