@@ -17,8 +17,17 @@ linearly (quadratic total). Output pairs are NOT bounded by blocking:
 dd7 has exact recall, so its output is the true number of near-dup
 pairs in the data, whatever that is.
 
-Usage: python tools/scaling_probe.py [out.json]
+Usage: python tools/scaling_probe.py [out.json] [--sf1]
 Writes one JSON line per (operator, sf) and a summary to stdout.
+
+``--sf1`` appends a fourth, SELF-GENERATED decade (50k docs / 20k
+vectors, tools/synth_scale.py — same observed generator recipe as the
+driver's tables, written to /tmp/maggy_sf1) so the flat-work claim is
+measured across 100x rather than extrapolated from 3 decades. The
+dd3 recall-vs-dd4 ground truth is skipped above RECALL_MAX_N docs:
+dd4 is the deliberately-quadratic exact baseline (Σf² shingle pairs)
+and at 50k word-soup docs its pair volume is ~100x the sf0.1 run —
+the probe's job there is the blocked operators' own work profile.
 """
 
 from __future__ import annotations
@@ -32,11 +41,18 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+RECALL_MAX_N = 10_000
 
 
 def main() -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
+
+    sf_dirs = list(SF_DIRS)
+    if "--sf1" in sys.argv:
+        from tools.synth_scale import ensure_scale_dir
+
+        sf_dirs.append(ensure_scale_dir())
 
     spark = (
         SparkSession.builder.master("local[32]")
@@ -63,8 +79,8 @@ def main() -> None:
         )
 
     rows = []
-    for sf_dir in SF_DIRS:
-        sf = sf_dir.rsplit("sf", 1)[-1]
+    for sf_dir in sf_dirs:
+        sf = "1.0(synth)" if "maggy_sf1" in sf_dir else sf_dir.rsplit("sf", 1)[-1]
         n_docs = corpus_count(spark, sf_dir, "documents")
         n_vecs = corpus_count(spark, sf_dir, "embeddings")
 
@@ -133,15 +149,20 @@ def main() -> None:
         # recall against dd4's exact-jaccard ground truth at the
         # near-dup threshold (the quantity the geometry targets),
         # computed OUTSIDE the timed region as a distributed anti-join
-        # count so the probe itself scales past the local SFs
-        truth = dedup.dd4_ngram_jaccard(spark, sf_dir).where(
-            F.col("jaccard") >= dedup.NEAR_DUP_JACCARD
-        ).select("doc_a", "doc_b")
-        n_truth = truth.count()
-        n_missed = truth.join(
-            dedup.dd3_lsh_candidate_pairs(spark, sf_dir), ["doc_a", "doc_b"], "left_anti"
-        ).count()
-        recall = round((n_truth - n_missed) / n_truth, 3) if n_truth else None
+        # count so the probe itself scales past the local SFs; skipped
+        # above RECALL_MAX_N because dd4 is the deliberately-quadratic
+        # exact baseline, not part of the blocked operators' scaling
+        if n_docs <= RECALL_MAX_N:
+            truth = dedup.dd4_ngram_jaccard(spark, sf_dir).where(
+                F.col("jaccard") >= dedup.NEAR_DUP_JACCARD
+            ).select("doc_a", "doc_b")
+            n_truth = truth.count()
+            n_missed = truth.join(
+                dedup.dd3_lsh_candidate_pairs(spark, sf_dir), ["doc_a", "doc_b"], "left_anti"
+            ).count()
+            recall = round((n_truth - n_missed) / n_truth, 3) if n_truth else None
+        else:
+            n_truth, recall = None, None
         spark.catalog.clearCache()
         rows.append(
             {
@@ -158,10 +179,75 @@ def main() -> None:
             }
         )
 
+        # --- dd13: duplicated-span mass (windowed hashes) ----------------
+        # per-doc work is the window count (~n_tokens rows/doc); the
+        # scale hazard a suffix-array/self-join formulation would have
+        # is pair blowup on viral spans — dd13's groupBy+HAVING costs
+        # ROWS per occurrence, so rows/doc flat == linear total work
+        from maggy_spark.functions.dedup import SPAN_W, span_dedup_profile
+        from maggy_spark.plans.fixtures import load_table as _lt
+
+        d = _lt(spark, sf_dir, "documents", fan_out=True)
+        toks = F.split(F.col("text"), " ")
+        n_windows = (
+            d.select(F.greatest(F.size(toks) - (SPAN_W - 1), F.lit(0)).alias("w"))
+            .agg(F.sum("w"))
+            .collect()[0][0]
+        )
+        t0 = time.time()
+        out = dedup.dd13_span_dedup(spark, sf_dir).count()
+        sec = round(time.time() - t0, 2)
+        spark.catalog.clearCache()
+        rows.append(
+            {
+                "op": "dd13_span_dedup",
+                "sf": sf,
+                "n": n_docs,
+                "params": {"window": SPAN_W},
+                "window_rows": int(n_windows),
+                "windows_per_doc": round(n_windows / n_docs, 2),
+                "output": out,
+                "sec": sec,
+            }
+        )
+
+        # --- tx10: unigram-LM log-prob (broadcast capped vocab) ----------
+        # per-doc work is the token count; the model side must stay
+        # TINY (capped vocab broadcast) no matter the corpus — a
+        # growing model relation would eventually force the Zipf-
+        # skewed token key into a shuffle join
+        from maggy_spark.functions.text import UNIGRAM_VOCAB
+
+        tok_rows = (
+            d.select(F.size(toks).alias("n")).agg(F.sum("n")).collect()[0][0]
+        )
+        vocab_actual = (
+            d.select(F.explode(toks).alias("t")).agg(F.count_distinct("t")).collect()[0][0]
+        )
+        t0 = time.time()
+        out = __import__("maggy_spark.functions.text", fromlist=["x"]).tx10_unigram_logprob(
+            spark, sf_dir
+        ).count()
+        sec = round(time.time() - t0, 2)
+        spark.catalog.clearCache()
+        rows.append(
+            {
+                "op": "tx10_unigram_logprob",
+                "sf": sf,
+                "n": n_docs,
+                "params": {"vocab_cap": UNIGRAM_VOCAB, "vocab_actual": int(vocab_actual)},
+                "token_rows": int(tok_rows),
+                "tokens_per_doc": round(tok_rows / n_docs, 2),
+                "output": out,
+                "sec": sec,
+            }
+        )
+
     for r in rows:
         print(json.dumps(r))
-    if len(sys.argv) > 1:
-        Path(sys.argv[1]).write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    outs = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if outs:
+        Path(outs[0]).write_text("\n".join(json.dumps(r) for r in rows) + "\n")
 
 
 if __name__ == "__main__":
