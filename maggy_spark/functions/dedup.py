@@ -1295,3 +1295,77 @@ DD13_SQL = dd13_sql()
 # strict subset of dd8; dd13 is the far-higher-traffic production pass —
 # Lee-et-al substring dedup). Rotation documented in COVERAGE.md.
 OPERATORS.append(("dd13_span_dedup", dd13_span_dedup, DD13_SQL))
+
+
+# --- dd14: near-dup cluster representative selection --------------------
+
+
+def dd14_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection over the dd10 near-dup components: per
+    cluster, KEEP the longest member (token count, ties to the lowest
+    doc_id) and mark every other member for drop — the policy step a
+    RefinedWeb-style pipeline runs between "we know the clusters" and
+    "write the deduplicated corpus" (dd10's is_duplicate keeps the
+    min-id member; real pipelines keep the most content-rich one).
+    The ranking keys are EXACT integers, so the choice is engine- and
+    partition-order-independent.
+
+    Reference parity note: the reference engine has no dedup at all;
+    §7.2-step-9 extension (SURVEY.md).
+
+    Scale shape: the winner per cluster comes from groupBy(cluster_rep)
+    + max(struct(n_tokens, -doc_id)) — partial aggregation collapses
+    the giant component map-side, so the hot cluster key arrives at
+    the shuffle as one pre-reduced row per input partition (a window
+    over partitionBy(cluster_rep) would funnel the whole component
+    through one task instead). The winner join-back carries ONE row
+    per cluster on the build side; probe-side skew on the giant
+    cluster is AQE's skew-join case.
+    """
+    comp = dd10_near_dup_components(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens")
+    )
+    j = comp.join(docs, "doc_id").select("doc_id", "cluster_rep", "cluster_size", "n_tokens")
+    winners = j.groupBy("cluster_rep").agg(
+        F.max(F.struct(F.col("n_tokens").alias("nt"), (-F.col("doc_id")).alias("neg_id"))).alias(
+            "w"
+        )
+    )
+    return j.join(winners, "cluster_rep").select(
+        "doc_id",
+        "cluster_rep",
+        "cluster_size",
+        "n_tokens",
+        ((F.col("n_tokens") == F.col("w.nt")) & (F.col("doc_id") == -F.col("w.neg_id"))).alias(
+            "keep"
+        ),
+    )
+
+
+DD14_SQL = f"""
+WITH RECURSIVE p AS ({_SIMHASH_PARAMS_SQL}),
+sig AS ({_SIMHASH_SIG_SQL}),
+bands AS ({_SIMHASH_BANDS_SQL}),
+cand AS ({_SIMHASH_CAND_SQL}),
+pairs AS ({_SIMHASH_PAIRS_CTE}),
+{cc_closure_sql("documents", "doc_id")},
+toks AS (SELECT doc_id, cast(len(str_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+membership AS (
+    SELECT c.doc_id, c.cluster_rep, cast(s.cluster_size AS BIGINT) AS cluster_size, t.n_tokens
+    FROM comp c JOIN sizes s USING (cluster_rep) JOIN toks t USING (doc_id)
+),
+winners AS (
+    SELECT cluster_rep, doc_id AS win_id, n_tokens AS win_nt
+    FROM (SELECT *, row_number() OVER (PARTITION BY cluster_rep
+                                       ORDER BY n_tokens DESC, doc_id ASC) AS rn
+          FROM membership)
+    WHERE rn = 1
+)
+SELECT m.doc_id, m.cluster_rep, m.cluster_size, m.n_tokens,
+       m.doc_id = w.win_id AS keep
+FROM membership m JOIN winners w USING (cluster_rep)
+"""
+
+# Not in the driver registry (50-entry cap); DuckDB parity in
+# tests/test_offline_oracles.py at the gate's own sf0.01.

@@ -588,3 +588,82 @@ CROSS JOIN m
 WHERE (cast(('0x' || substr(md5('pl8:' || cast(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000)
       * c.n_source < m.n_min * 10000
 """
+
+
+# --- pl9: deterministic epoch-shuffle plan ------------------------------
+
+SHUFFLE_EPOCHS = 3
+SHUFFLE_SHARDS = 8
+SHUFFLE_SEED = 42
+
+
+def pl9_epoch_shuffle_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    epochs: int = SHUFFLE_EPOCHS,
+    shards: int = SHUFFLE_SHARDS,
+    seed: int = SHUFFLE_SEED,
+) -> DataFrame:
+    """Deterministic per-epoch training-order shuffle: for each epoch,
+    every document gets a (shard, pos) slot derived from
+    md5(seed:epoch:doc_id) — a different reproducible permutation per
+    epoch with NO RNG state and NO global sort. This is the ordering
+    step between a packed corpus and the dataloader: epoch boundaries
+    reshuffle, any worker can recompute its own shard's order, and
+    resume-from-step is exact because the plan is a pure function.
+
+    Scale shape: the hash is a per-row expression; shard = hash mod
+    `shards` spreads uniformly BY CONSTRUCTION (md5 is uniform), so
+    the position window partitions by (epoch, shard) — per-shard
+    row_number, never a global-order window. At 100 TB with thousands
+    of shards every partition orders independently; the only shuffle
+    is the (epoch, shard) hash partitioning a real run needs anyway
+    to write shard files. Not in the driver registry (50-entry cap);
+    DuckDB parity in tests/test_offline_oracles.py.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
+    e = spark.range(epochs).select(F.col("id").cast("int").alias("epoch"))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit(str(seed)), F.col("epoch").cast("string"), F.col("doc_id").cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    hashed = d.crossJoin(F.broadcast(e)).select(
+        "epoch", "doc_id", h.alias("hv"), (h % shards).cast("int").alias("shard")
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("hv", "doc_id")
+    return hashed.select(
+        "epoch",
+        "doc_id",
+        "shard",
+        (F.row_number().over(w) - 1).cast("bigint").alias("pos"),
+    )
+
+
+def pl9_sql(epochs: int = SHUFFLE_EPOCHS, shards: int = SHUFFLE_SHARDS, seed: int = SHUFFLE_SEED) -> str:
+    """DuckDB twin, parameterized like pl7_sql/dd13_sql."""
+    return f"""
+WITH e AS (SELECT unnest(range({epochs})) AS epoch),
+h AS (
+    SELECT cast(e.epoch AS INTEGER) AS epoch, d.doc_id,
+           CAST(('0x' || substr(md5('{seed}' || ':' || cast(e.epoch AS VARCHAR) || ':'
+                                || cast(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+    FROM documents d CROSS JOIN e
+)
+SELECT epoch, doc_id, cast(hv % {shards} AS INTEGER) AS shard,
+       cast(row_number() OVER (PARTITION BY epoch, hv % {shards} ORDER BY hv, doc_id) - 1 AS BIGINT) AS pos
+FROM h
+"""
+
+
+PL9_SQL = pl9_sql()

@@ -629,3 +629,86 @@ TX10_SQL = tx10_sql()
 # subsumed by tx1/tx5; tx10 is the CCNet-style perplexity filter a real
 # pipeline runs on every document). Rotation documented in COVERAGE.md.
 OPERATORS.append(("tx10_unigram_logprob", tx10_unigram_logprob, TX10_SQL))
+
+
+# --- tx11: per-source token-distribution drift --------------------------
+
+
+def tx11_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence of the token distribution against the
+    whole corpus — the mix-drift monitor a pipeline runs across crawl
+    snapshots and ingestion sources: a source whose KL jumps is
+    emitting template spam, a new language, or a scraper bug, and the
+    per-source rows feed the same dashboards as tx8's corpus profile.
+
+    KL(P_s || P_corpus) is well-defined here because every token of a
+    source is by construction also in the corpus (P_corpus > 0
+    wherever P_s > 0). Cross-engine determinism: each token's
+    contribution p_s·ln(p_s/p_c) is a pure function of four exact
+    integers, rounded into decimal(18,6) BEFORE the per-source sum
+    (tx10's pattern) so the sum is order-free across partitions.
+
+    Scale shape: one explode + one groupBy on (source, token) — the
+    composite key spreads the Zipf head across sources; the corpus
+    marginals come from windows over that pre-aggregated relation
+    (per-token partition holds at most |sources| rows, per-source
+    partition at most |vocab| rows — both bounded, never corpus-sized;
+    dd12's window-over-postings pattern). The final rollup emits one
+    row per source. Not in the driver registry (50-entry cap); DuckDB
+    parity in tests/test_offline_oracles.py.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    ts = (
+        d.select("source", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("cnt_st"))
+    )
+    tot_s = F.sum("cnt_st").over(Window.partitionBy("source"))
+    cnt_ct = F.sum("cnt_st").over(Window.partitionBy("tok"))
+    tagged = ts.select(
+        "source",
+        "tok",
+        "cnt_st",
+        tot_s.alias("tot_s"),
+        cnt_ct.alias("cnt_ct"),
+    )
+    tot_c = d.select(F.explode(F.split(F.col("text"), " ")).alias("t")).agg(
+        F.count("*").cast("bigint").alias("tot_c")
+    )
+    p_s = F.col("cnt_st").cast("double") / F.col("tot_s").cast("double")
+    p_c = F.col("cnt_ct").cast("double") / F.col("tot_c").cast("double")
+    term = (p_s * F.log(p_s / p_c)).cast("decimal(18,6)")
+    return (
+        tagged.crossJoin(F.broadcast(tot_c))
+        .select("source", "cnt_st", term.alias("term"))
+        .groupBy("source")
+        .agg(
+            F.sum("cnt_st").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("n_distinct_tokens"),
+            F.sum("term").cast("double").alias("kl_vs_corpus"),
+        )
+    )
+
+
+TX11_SQL = """
+WITH ex AS (SELECT source, unnest(str_split(text, ' ')) AS tok FROM documents),
+ts AS (SELECT source, tok, cast(count(*) AS BIGINT) AS cnt_st FROM ex GROUP BY source, tok),
+tagged AS (
+    SELECT source, tok, cnt_st,
+           cast(sum(cnt_st) OVER (PARTITION BY source) AS BIGINT) AS tot_s,
+           cast(sum(cnt_st) OVER (PARTITION BY tok) AS BIGINT) AS cnt_ct
+    FROM ts
+),
+tot AS (SELECT cast(count(*) AS BIGINT) AS tot_c FROM ex)
+SELECT source,
+       cast(sum(cnt_st) AS BIGINT) AS n_tokens,
+       cast(count(*) AS BIGINT) AS n_distinct_tokens,
+       cast(sum(cast((cast(cnt_st AS DOUBLE) / cast(tot_s AS DOUBLE))
+                     * ln((cast(cnt_st AS DOUBLE) / cast(tot_s AS DOUBLE))
+                          / (cast(cnt_ct AS DOUBLE) / cast(tot_c AS DOUBLE)))
+                AS DECIMAL(18,6))) AS DOUBLE) AS kl_vs_corpus
+FROM tagged CROSS JOIN tot
+GROUP BY source
+"""

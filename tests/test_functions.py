@@ -1014,3 +1014,82 @@ def test_tx10_vocab_cap_and_oov_floor(spark, sf_dir):
         t = tiny[doc_id]
         assert r.n_tokens == t.n_tokens and r.avg_logprob < 0
         assert t.avg_logprob <= r.avg_logprob + 1e-9
+
+
+def test_dd14_one_survivor_per_cluster(spark, sf_dir):
+    """dd14 policy invariants: exactly one keep per cluster, the kept
+    member has the cluster's max token count (lowest doc_id on ties),
+    singletons keep themselves, and membership matches dd10."""
+    rows = dedup.dd14_cluster_representatives(spark, sf_dir).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_rep, []).append(r)
+    comp = {r.doc_id: r.cluster_rep for r in dedup.dd10_near_dup_components(spark, sf_dir).collect()}
+    assert {r.doc_id: r.cluster_rep for r in rows} == comp
+    for rep, members in by_cluster.items():
+        assert len(members) == members[0].cluster_size
+        kept = [m for m in members if m.keep]
+        assert len(kept) == 1, f"cluster {rep}: {len(kept)} survivors"
+        want = min(members, key=lambda m: (-m.n_tokens, m.doc_id))
+        assert kept[0].doc_id == want.doc_id
+        if len(members) == 1:
+            assert kept[0].doc_id == rep
+
+
+def test_pl9_each_epoch_is_a_distinct_permutation(spark, sf_dir):
+    """pl9 invariants: every epoch covers each doc exactly once,
+    positions are dense 0..k-1 within each (epoch, shard), epochs
+    produce DIFFERENT orders, and the plan is deterministic."""
+    from maggy_spark.functions.pipeline import SHUFFLE_EPOCHS, pl9_epoch_shuffle_plan
+
+    rows = pl9_epoch_shuffle_plan(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, []).append(r)
+    assert set(by_epoch) == set(range(SHUFFLE_EPOCHS))
+    orders = []
+    for _, members in sorted(by_epoch.items()):
+        assert len(members) == n_docs
+        assert {m.doc_id for m in members} == set(range(n_docs))
+        by_shard = {}
+        for m in members:
+            by_shard.setdefault(m.shard, []).append(m.pos)
+        for shard, poss in by_shard.items():
+            assert sorted(poss) == list(range(len(poss))), f"shard {shard} positions not dense"
+        orders.append(tuple(m.doc_id for m in sorted(members, key=lambda x: (x.shard, x.pos))))
+    assert len(set(orders)) == len(orders), "epochs must shuffle differently"
+    again = pl9_epoch_shuffle_plan(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_tx11_drift_nonnegative_and_python_parity(spark, sf_dir):
+    """KL >= 0 (Gibbs), zero only for a source whose distribution
+    equals the corpus's; totals must partition the corpus; and the
+    decimal-routed sum must match a direct Python replay to the
+    operator's own 1e-6 quantization."""
+    from collections import Counter
+
+    rows = text.tx11_source_drift(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    corpus = Counter()
+    per_source = {}
+    for d in docs:
+        toks = d.text.split(" ")
+        corpus.update(toks)
+        per_source.setdefault(d.source, Counter()).update(toks)
+    tot_c = sum(corpus.values())
+    assert {r.source for r in rows} == set(per_source)
+    assert sum(r.n_tokens for r in rows) == tot_c
+    import math as m
+
+    for r in rows:
+        cnt = per_source[r.source]
+        tot_s = sum(cnt.values())
+        assert r.n_tokens == tot_s and r.n_distinct_tokens == len(cnt)
+        want = sum(
+            round((c / tot_s) * m.log((c / tot_s) / (corpus[t] / tot_c)), 6)
+            for t, c in cnt.items()
+        )
+        assert r.kl_vs_corpus == pytest.approx(want, abs=2e-6)
+        assert r.kl_vs_corpus >= -1e-4  # decimal-quantized Gibbs bound

@@ -59,6 +59,10 @@ CASES = [
     # subset of the registered dd8, tx6's shape is subsumed by tx1/tx5)
     ("dd3_lsh_candidate_pairs", "DD3_SQL", "maggy_spark.functions.dedup"),
     ("tx6_regex_tokens", "TX6_SQL", "maggy_spark.functions.text"),
+    # round-7 additions
+    ("dd14_cluster_representatives", "DD14_SQL", "maggy_spark.functions.dedup"),
+    ("pl9_epoch_shuffle_plan", "PL9_SQL", "maggy_spark.functions.pipeline"),
+    ("tx11_source_drift", "TX11_SQL", "maggy_spark.functions.text"),
 ]
 
 
