@@ -483,3 +483,95 @@ OPERATORS = [
     ("ev4_asof_attribution", ev4_asof_attribution, EV4_SQL),
     ("ev5_sessionize", ev5_sessionize, EV5_SQL),
 ]
+
+
+# --- ev9: conversion-lag histogram --------------------------------------
+
+
+def ev9_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution over ev7's ordered funnel: for
+    every user who progressed, the view→click, click→purchase and
+    view→purchase lags, bucketed to whole hours — the latency
+    histogram an events pipeline publishes next to the funnel counts
+    (quantiles are read off the histogram downstream).
+
+    A histogram, deliberately NOT exact quantiles: per-kind exact
+    quantiles need a total order over all converting users (one task
+    per kind at any scale), while the hour bucketing is a per-row
+    expression and the (kind, bucket) groupBy is a uniform bounded
+    key — the shape that survives 100 TB. All lags are exact integer
+    microseconds, so every histogram row is engine-exact.
+
+    Scale shape: reuses ev7's one-shuffle per-user chain (sorted
+    instant arrays, state bounded by events-per-user); the explode
+    emits at most 3 rows per converting user. Not in the driver
+    registry (50-entry cap); DuckDB parity in
+    tests/test_offline_oracles.py.
+    """
+    e = load_events(spark, sf_dir).select(
+        "user_id", F.col("event_type").alias("et"), F.unix_micros("ts").alias("us")
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("et") == "view", F.col("us"))).alias("v"),
+        F.sort_array(F.collect_list(F.when(F.col("et") == "click", F.col("us")))).alias("cs"),
+        F.sort_array(F.collect_list(F.when(F.col("et") == "purchase", F.col("us")))).alias("ps"),
+    )
+    c = F.array_min(F.filter("cs", lambda x: x >= F.col("v")))
+    staged = per_user.withColumn("c", c).withColumn(
+        "p", F.array_min(F.filter("ps", lambda x: x >= F.col("c")))
+    )
+    lag_rows = staged.select(
+        F.explode(
+            F.filter(
+                F.array(
+                    F.struct(
+                        F.lit("view_to_click").alias("lag_kind"),
+                        (F.col("c") - F.col("v")).alias("lag_us"),
+                    ),
+                    F.struct(
+                        F.lit("click_to_purchase").alias("lag_kind"),
+                        (F.col("p") - F.col("c")).alias("lag_us"),
+                    ),
+                    F.struct(
+                        F.lit("view_to_purchase").alias("lag_kind"),
+                        (F.col("p") - F.col("v")).alias("lag_us"),
+                    ),
+                ),
+                lambda s: s["lag_us"].isNotNull(),
+            )
+        ).alias("l")
+    )
+    hours = F.floor(F.col("l.lag_us") / F.lit(3_600_000_000.0)).cast("bigint")
+    return (
+        lag_rows.groupBy(F.col("l.lag_kind").alias("lag_kind"), hours.alias("lag_hours"))
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )
+
+
+EV9_SQL = """
+WITH per_user AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v,
+           list_sort(list(epoch_us(ts)) FILTER (WHERE event_type = 'click')) AS cs,
+           list_sort(list(epoch_us(ts)) FILTER (WHERE event_type = 'purchase')) AS ps
+    FROM events GROUP BY user_id
+),
+with_c AS (
+    SELECT user_id, v, ps, list_min(list_filter(cs, x -> x >= v)) AS c FROM per_user
+),
+with_p AS (
+    SELECT user_id, v, c, list_min(list_filter(ps, x -> x >= c)) AS p FROM with_c
+),
+lags AS (
+    SELECT 'view_to_click' AS lag_kind, c - v AS lag_us FROM with_p WHERE c IS NOT NULL
+    UNION ALL
+    SELECT 'click_to_purchase', p - c FROM with_p WHERE p IS NOT NULL
+    UNION ALL
+    SELECT 'view_to_purchase', p - v FROM with_p WHERE p IS NOT NULL
+)
+SELECT lag_kind,
+       cast(floor(lag_us / 3600000000.0) AS BIGINT) AS lag_hours,
+       cast(count(*) AS BIGINT) AS n_users
+FROM lags
+GROUP BY lag_kind, lag_hours
+"""

@@ -1093,3 +1093,24 @@ def test_tx11_drift_nonnegative_and_python_parity(spark, sf_dir):
         )
         assert r.kl_vs_corpus == pytest.approx(want, abs=2e-6)
         assert r.kl_vs_corpus >= -1e-4  # decimal-quantized Gibbs bound
+
+
+def test_ev9_lag_histogram_consistency(spark, sf_dir):
+    """ev9's histogram totals must agree with ev7's funnel counts
+    (every clicked user contributes one view_to_click lag, every
+    purchased user one click_to_purchase AND one view_to_purchase),
+    buckets are non-negative, and view_to_purchase mass sits at or
+    above view_to_click per user by construction."""
+    from maggy_spark.operators.events import ev7_conversion_funnel, ev9_conversion_lag
+
+    hist = ev9_conversion_lag(spark, sf_dir).collect()
+    funnel = {r.stage_name: r.n_users for r in ev7_conversion_funnel(spark, sf_dir).collect()}
+    totals = {}
+    for r in hist:
+        assert r.lag_hours >= 0 and r.n_users > 0
+        totals[r.lag_kind] = totals.get(r.lag_kind, 0) + r.n_users
+    n_clicked = funnel.get("clicked", 0) + funnel.get("purchased", 0)
+    n_purchased = funnel.get("purchased", 0)
+    assert totals.get("view_to_click", 0) == n_clicked
+    assert totals.get("click_to_purchase", 0) == n_purchased
+    assert totals.get("view_to_purchase", 0) == n_purchased

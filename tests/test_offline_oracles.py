@@ -63,6 +63,7 @@ CASES = [
     ("dd14_cluster_representatives", "DD14_SQL", "maggy_spark.functions.dedup"),
     ("pl9_epoch_shuffle_plan", "PL9_SQL", "maggy_spark.functions.pipeline"),
     ("tx11_source_drift", "TX11_SQL", "maggy_spark.functions.text"),
+    ("ev9_conversion_lag", "EV9_SQL", "maggy_spark.operators.events"),
 ]
 
 

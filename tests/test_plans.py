@@ -162,3 +162,41 @@ def test_star_rounds_shuffle_only_narrow_keys(spark):
         assert "CartesianProduct" not in plan, round_fn.__name__
         assert "BroadcastNestedLoopJoin" not in plan, round_fn.__name__
         assert "Exchange SinglePartition" not in plan, round_fn.__name__
+
+
+def test_pl9_window_is_shard_partitioned(spark, sf_dir):
+    # pl9's position window must partition by (epoch, shard) — an
+    # un-partitioned (global-order) window would funnel every epoch's
+    # whole corpus through one task
+    from maggy_spark.functions.pipeline import pl9_epoch_shuffle_plan
+
+    plan = _plan(pl9_epoch_shuffle_plan(spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan
+    assert "row_number()" in plan
+    # the window's partition spec names both keys
+    assert "epoch" in plan and "shard" in plan
+
+
+def test_tx11_no_single_partition_funnel(spark, sf_dir):
+    # tx11's corpus marginals are windows over the (source, token)
+    # aggregate; the only 1-row relation is the broadcast total
+    from maggy_spark.functions.text import tx11_source_drift
+
+    plan = _plan(tx11_source_drift(spark, sf_dir))
+    assert "BroadcastExchange" in plan  # the 1-row corpus total
+    # the big exploded relation never collapses to one partition
+    # (the total's own 1-row aggregation is a bounded SinglePartition;
+    # count them: exactly the one from that scalar aggregate pair)
+    assert plan.count("Exchange SinglePartition") <= 2
+
+
+def test_dd14_winner_via_partial_aggregation(spark, sf_dir):
+    # dd14's per-cluster winner must come from a groupBy (partial
+    # aggregation collapses the giant near-dup component map-side),
+    # NOT from a window over partitionBy(cluster_rep), which would
+    # put the whole component in one task
+    from maggy_spark.functions.dedup import dd14_cluster_representatives
+
+    plan = _plan(dd14_cluster_representatives(spark, sf_dir))
+    assert "partial_max" in plan.lower() or "partial" in plan.lower()
+    assert "windowspecdefinition(cluster_rep" not in plan
