@@ -1190,24 +1190,46 @@ def dd13_span_dedup(spark: SparkSession, sf_dir: str, w: int = SPAN_W) -> DataFr
     array; join-back on the same hash (exchange reuse); island
     merging is one per-doc sort window. No self-join anywhere, so
     viral spans never become row-pairs.
+
+    The (doc_id, pos, whash) windows relation is session-cached (the
+    long-lived signatures-table pattern, like _shingled): it feeds
+    BOTH the duplicated-hash aggregate and the join-back, and without
+    the materialization Catalyst re-scanned and re-hashed the corpus
+    on each side (plan audit: the two consumers now read
+    InMemoryTableScans; the tokenize+md5 explode runs once).
     """
-    return span_dedup_profile(load_table(spark, sf_dir, "documents", fan_out=True), w)
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    wins = _session_cached(
+        spark, (sf_dir, "span_windows", w), lambda: _span_windows(d, w)
+    )
+    return span_dedup_profile(d, w, wins=wins)
 
 
-def span_dedup_profile(d: DataFrame, w: int = SPAN_W) -> DataFrame:
-    """The span-dedup core over ANY (doc_id, text) relation —
-    factored out so property tests can drive it with synthetic
-    corpora (boilerplate_profile pattern)."""
+def _span_windows(d: DataFrame, w: int) -> DataFrame:
+    """(doc_id, pos, whash): every w-token sliding window's position
+    and exact-text hash."""
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     idx = F.when(n >= w, F.sequence(F.lit(1), n - F.lit(w - 1))).otherwise(
         F.array().cast("array<int>")
     )
-    wins = d.select("doc_id", toks.alias("toks"), F.explode(idx).alias("pos")).select(
+    return d.select("doc_id", toks.alias("toks"), F.explode(idx).alias("pos")).select(
         "doc_id",
         "pos",
         F.md5(F.concat_ws(" ", F.slice(F.col("toks"), F.col("pos"), w))).alias("whash"),
     )
+
+
+def span_dedup_profile(d: DataFrame, w: int = SPAN_W, wins: DataFrame | None = None) -> DataFrame:
+    """The span-dedup core over ANY (doc_id, text) relation —
+    factored out so property tests can drive it with synthetic
+    corpora (boilerplate_profile pattern). `wins` optionally supplies
+    a pre-materialized _span_windows relation (dd13 passes the
+    session-cached one)."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    if wins is None:
+        wins = _span_windows(d, w)
     dup = (
         wins.groupBy("whash")
         .agg(F.count_distinct("doc_id").alias("n_docs"))
