@@ -111,6 +111,26 @@ def main():
     )
     print(f"cross-split duplicate leaks: {leaks} (must be 0)")
 
+    # round-7 stages: per-cluster survivor POLICY (keep the longest
+    # member, not the min id), per-source distribution drift, the
+    # packing plan that turns surviving docs into fixed-context
+    # training sequences, and the deterministic epoch shuffle the
+    # dataloader replays
+    from maggy_spark.functions.dedup import dd14_cluster_representatives
+    from maggy_spark.functions.pipeline import pl7_sequence_pack_plan, pl9_epoch_shuffle_plan
+    from maggy_spark.functions.text import tx11_source_drift
+
+    dd14_cluster_representatives(spark, sf_dir).where("keep AND cluster_size > 1").orderBy(
+        F.desc("cluster_size")
+    ).show(5)
+    tx11_source_drift(spark, sf_dir).orderBy(F.desc("kl_vs_corpus")).show(5)
+    pack = pl7_sequence_pack_plan(spark, sf_dir)
+    n_windows = pack.agg(F.max("window_end")).collect()[0][0]
+    print(f"packing plan: {pack.count()} doc spans -> {n_windows + 1} context windows")
+    pl9_epoch_shuffle_plan(spark, sf_dir).groupBy("epoch", "shard").count().orderBy(
+        "epoch", "shard"
+    ).show(6)
+
     out = "/tmp/maggy_example_corpus"
     corpus_to_shards(spark, sf_dir, out, n_shards=4)
     for rank in range(4):
