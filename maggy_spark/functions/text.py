@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from maggy_spark.plans.fixtures import load_table
+from maggy_spark.plans.fixtures import load_table, session_cached as _session_cached
 
 STOPWORDS = ["a", "the"]
 # tiny per-language stopword lists for the n-gram/stopword heuristic
@@ -347,6 +347,26 @@ LEFT JOIN bi ON b.doc_id = bi.doc_id
 # -- TX8: corpus token-distribution (Zipf) profile ----------------------
 
 
+def _token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(tok, cnt) corpus unigram counts — session-cached and shared by
+    tx8 (Zipf profile) and tx10 (unigram LM): the one explode+groupBy
+    over the corpus that every token-distribution operator starts
+    from (the _shingled pattern). Without the materialization each
+    consumer subtree re-scans and re-explodes the corpus (tx10's plan
+    had FOUR FileScans: counts->vocab, counts->total, the OOV floor's
+    total, and the scoring pass)."""
+    return _session_cached(
+        spark,
+        (sf_dir, "token_counts"),
+        lambda: (
+            load_table(spark, sf_dir, "documents", fan_out=True)
+            .select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count("*").alias("cnt"))
+        ),
+    )
+
+
 def tx8_token_zipf(spark: SparkSession, sf_dir: str, top_k: int = 10) -> DataFrame:
     """Corpus-level token-distribution health stats: total and
     distinct token counts, hapax (frequency-1) fraction of the
@@ -363,12 +383,7 @@ def tx8_token_zipf(spark: SparkSession, sf_dir: str, top_k: int = 10) -> DataFra
     Output is ONE row. Not in the driver registry (50-entry cap);
     DuckDB parity in tests/test_offline_oracles.py.
     """
-    d = load_table(spark, sf_dir, "documents", fan_out=True)
-    counts = (
-        d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count("*").alias("n"))
-    )
+    counts = _token_counts(spark, sf_dir).select("tok", F.col("cnt").alias("n"))
     tot = counts.agg(
         F.sum("n").alias("total_tokens"),
         F.count("*").alias("distinct_tokens"),
@@ -568,7 +583,10 @@ def tx10_unigram_logprob(spark: SparkSession, sf_dir: str, vocab_size: int = UNI
     """
     d = load_table(spark, sf_dir, "documents", fan_out=True)
     ex = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
-    counts = ex.groupBy("tok").agg(F.count("*").alias("cnt"))
+    # the model side rides the session-cached corpus unigram counts
+    # (shared with tx8): one materialized explode+groupBy instead of
+    # three independent corpus re-scans for vocab/total/OOV-floor
+    counts = _token_counts(spark, sf_dir)
     tot = counts.agg(F.sum("cnt").cast("bigint").alias("total"))
     vocab = (
         counts.orderBy(F.desc("cnt"), F.asc("tok"))
