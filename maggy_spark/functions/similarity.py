@@ -315,11 +315,14 @@ def ann3_ivf_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     from pyspark.sql.window import Window
 
     e = load_table(spark, sf_dir, "embeddings", fan_out=True)
-    rep_ids = e.groupBy("label").agg(F.min("vec_id").alias("rep_id")).select(
-        F.col("label").alias("rep_label"), "rep_id"
-    )
-    reps = rep_ids.join(e, rep_ids.rep_id == e.vec_id).select(
-        "rep_label", F.col("embedding").alias("rep_emb")
+    # deterministic medoid (min-vec_id member) in ONE aggregation:
+    # min_by collapses partially map-side, where the earlier
+    # groupBy(min) + join-back re-scanned the corpus a second time
+    # to fetch the representative's embedding
+    reps = (
+        e.groupBy("label")
+        .agg(F.min_by("embedding", "vec_id").alias("rep_emb"))
+        .select(F.col("label").alias("rep_label"), "rep_emb")
     )
     q = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
