@@ -499,6 +499,14 @@ def tx9_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, no UDF.
     """
     d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", *gopher_decision_columns())
+
+
+def gopher_decision_columns() -> list:
+    """The tx9 decision columns as pure expressions over a `text`
+    column — shared by the batch operator above and the streaming
+    ingest gate (streaming/documents_stream.quality_gate_stream), so
+    the two paths cannot drift."""
     toks = _tokens()
     n = F.size(toks).cast("bigint")
     mean_len = (F.length("text") - n + 1).cast("double") / n.cast("double")
@@ -510,8 +518,7 @@ def tx9_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_wl = (mean_len >= GOPHER_MIN_WORD_LEN) & (mean_len <= GOPHER_MAX_WORD_LEN)
     p_sw = n_stop >= GOPHER_MIN_STOPWORDS
     p_rep = top_frac <= GOPHER_MAX_TOP_TOKEN_FRAC
-    return d.select(
-        "doc_id",
+    return [
         n.alias("n_tokens"),
         mean_len.alias("mean_word_len"),
         n_stop.alias("n_stop_distinct"),
@@ -521,7 +528,7 @@ def tx9_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_sw.alias("passes_stopword"),
         p_rep.alias("passes_repetition"),
         (p_wc & p_wl & p_sw & p_rep).alias("keep"),
-    )
+    ]
 
 
 _SW_LIST = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"

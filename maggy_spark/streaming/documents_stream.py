@@ -138,3 +138,21 @@ def near_dup_alert_stream(
         .where(first_match)
         .select("doc_id", "store_doc", ham.cast("int").alias("hamming"), "ts")
     )
+
+
+def quality_gate_stream(doc_stream: DataFrame) -> DataFrame:
+    """Streaming tx9: the Gopher-rule quality DECISION applied to the
+    incoming corpus feed at ingest, before anything lands in the
+    training store — the first screen of the crawl pipeline, ahead of
+    the dedup/contamination stages above.
+
+    STATELESS by construction: the rule columns come from
+    `text.gopher_decision_columns()` — the SAME expressions the batch
+    operator selects, so stream and batch decisions cannot drift —
+    and they are all per-row (no watermark, no state store, no
+    cross-document aggregation). Per-batch cost is |batch| x O(n log
+    n) tokens per doc, independent of everything already ingested.
+    """
+    from maggy_spark.functions.text import gopher_decision_columns
+
+    return doc_stream.select("doc_id", "ts", *gopher_decision_columns())

@@ -549,3 +549,37 @@ def test_alert_streams_sustain_with_zero_state(spark, sf_dir):
             ops = p.get("stateOperators") or []
             total_state = sum(op.get("numRowsTotal", 0) for op in ops)
             assert total_state == 0, f"{name}: state rows {total_state} in batch {p['batchId']}"
+
+
+def test_quality_gate_stream_matches_batch_tx9(spark, sf_dir):
+    """Streaming tx9 parity: gate decisions on a streamed feed of the
+    documents table must equal the batch operator's rows exactly
+    (shared expression list), and the query must be stateless."""
+    import tempfile
+
+    from maggy_spark.functions.text import tx9_gopher_quality
+    from maggy_spark.streaming import quality_gate_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", F.lit(_ts(0)).alias("ts")
+    )
+    d = tempfile.mkdtemp(prefix="maggy_qgate_")
+    docs.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(docs.schema).parquet(d)
+    q = (
+        quality_gate_stream(stream)
+        .writeStream.format("memory")
+        .queryName("qgate_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert all(not (p.get("stateOperators") or []) or
+               sum(op.get("numRowsTotal", 0) for op in p["stateOperators"]) == 0
+               for p in q.recentProgress)
+    got = {r.doc_id: (r.n_tokens, r.keep, r.passes_repetition)
+           for r in spark.sql("SELECT * FROM qgate_out").collect()}
+    want = {r.doc_id: (r.n_tokens, r.keep, r.passes_repetition)
+            for r in tx9_gopher_quality(spark, sf_dir).collect()}
+    assert got == want
