@@ -1,0 +1,104 @@
+"""Replay the OFFLINE oracle suite (tests/test_offline_oracles.CASES)
+at an arbitrary scale factor — the out-of-registry twin of
+check_oracle.py, so the extension operators' parity can be verified
+above the suite's sf0.01 (e.g. at sf0.1, or the synthetic sf1).
+
+Usage: python tools/check_offline.py [sf_dir] [--names GLOB ...]
+
+Heavy oracle sides to know about: dd14/ann6/pl6 wrap the DuckDB
+recursive-CTE transitive closure (dd10's oracle took ~31 min at
+sf0.1), and dd11's twin re-signs the corpus — use --names to skip
+them for a quick sweep.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from fnmatch import fnmatch
+from pathlib import Path
+
+import duckdb
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from tools.check_oracle import (  # noqa: E402
+    TABLES,
+    duck_dtypes,
+    frame_signature,
+    spark_dtypes,
+    to_pandas_spark,
+)
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+    sf_dir = argv.pop(0) if argv and not argv[0].startswith("--") else "/root/testdata/sf0.01"
+    globs = argv[1:] if argv and argv[0] == "--names" else []
+
+    import importlib
+
+    from pyspark.sql import SparkSession
+
+    from tests.test_offline_oracles import CASES
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("offline-oracle-check")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if Path(p).exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    failures = []
+    for name, sql_const, mod_name in CASES:
+        if globs and not any(fnmatch(name, g) for g in globs):
+            continue
+        mod = importlib.import_module(mod_name)
+        fn, sql = getattr(mod, name), getattr(mod, sql_const)
+        t0 = time.time()
+        try:
+            spark_pd = to_pandas_spark(fn(spark, sf_dir))
+            duck_pd = con.execute(sql).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: {e}")
+            continue
+        status = []
+        if len(spark_pd) != len(duck_pd):
+            status.append(f"rowcount {len(spark_pd)} vs {len(duck_pd)}")
+        sc, srows = frame_signature(spark_pd)
+        dc, drows = frame_signature(duck_pd)
+        if sc != dc:
+            status.append(f"columns {sc} vs {dc}")
+        st, dt = spark_dtypes(fn(spark, sf_dir)), duck_dtypes(duck_pd)
+        mismatched = {
+            c: (st.get(c), dt.get(c))
+            for c in st
+            if st.get(c) != dt.get(c)
+            and (dt.get(c) != "str" or st.get(c) not in ("str", "date", "ts"))
+        }
+        if mismatched:
+            status.append(f"dtypes {mismatched}")
+        if srows != drows:
+            status.append("values differ")
+        if status:
+            failures.append(name)
+            print(f"FAIL {name}: " + "; ".join(status))
+        else:
+            print(f"ok   {name}: MATCH ({len(spark_pd)} rows, {time.time()-t0:.1f}s)")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
