@@ -1344,11 +1344,20 @@ def dd14_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     per cluster on the build side; probe-side skew on the giant
     cluster is AQE's skew-join case.
     """
-    comp = dd10_near_dup_components(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens")
-    )
-    j = comp.join(docs, "doc_id").select("doc_id", "cluster_rep", "cluster_size", "n_tokens")
+    def _membership() -> DataFrame:
+        comp = dd10_near_dup_components(spark, sf_dir)
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens")
+        )
+        return comp.join(docs, "doc_id").select(
+            "doc_id", "cluster_rep", "cluster_size", "n_tokens"
+        )
+
+    # session-cached: the membership relation feeds BOTH the winner
+    # aggregate and the final probe join — unmaterialized, Catalyst
+    # re-runs the components join and re-tokenizes the corpus on each
+    # side (dd13's two-consumer lesson)
+    j = _session_cached(spark, (sf_dir, "dd14_membership"), _membership)
     winners = j.groupBy("cluster_rep").agg(
         F.max(F.struct(F.col("n_tokens").alias("nt"), (-F.col("doc_id")).alias("neg_id"))).alias(
             "w"

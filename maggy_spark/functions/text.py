@@ -699,9 +699,9 @@ def tx11_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         tot_s.alias("tot_s"),
         cnt_ct.alias("cnt_ct"),
     )
-    tot_c = d.select(F.explode(F.split(F.col("text"), " ")).alias("t")).agg(
-        F.count("*").cast("bigint").alias("tot_c")
-    )
+    # the scalar corpus total comes from the session-cached unigram
+    # counts (shared with tx8/tx10) — not a second corpus scan
+    tot_c = _token_counts(spark, sf_dir).agg(F.sum("cnt").cast("bigint").alias("tot_c"))
     p_s = F.col("cnt_st").cast("double") / F.col("tot_s").cast("double")
     p_c = F.col("cnt_ct").cast("double") / F.col("tot_c").cast("double")
     term = (p_s * F.log(p_s / p_c)).cast("decimal(18,6)")

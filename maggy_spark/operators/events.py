@@ -321,20 +321,13 @@ FROM feats WHERE event_type = 'purchase'
 """
 
 
-def ev7_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered conversion funnel: per user, the first view, the first
-    click AT OR AFTER that view, and the first purchase at or after
-    that click — then user counts per deepest stage reached. The
-    ordering constraint is what separates a funnel from three plain
-    counts: a purchase BEFORE any view does not convert.
-
-    Scale shape: ONE shuffle on user_id. Each user's click/purchase
-    instants aggregate into sorted arrays (state bounded by
-    events-per-user, like ev6's window) and the stage chain is pure
-    array arithmetic — no self-joins, no window over the full feed,
-    no re-scan per stage. Not in the driver registry (50-entry cap);
-    DuckDB parity in tests/test_offline_oracles.py.
-    """
+def _funnel_instants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered-funnel instants (user_id, v, cs, ps, c, p):
+    first view, first click AT OR AFTER it, first purchase at or
+    after that click — the staging chain SHARED by ev7 (stage counts)
+    and ev9 (lag histogram), factored so the ordering rule cannot
+    drift between them. ONE shuffle on user_id; per-user state is the
+    sorted instant arrays (bounded by events-per-user)."""
     e = load_events(spark, sf_dir).select(
         "user_id", F.col("event_type").alias("et"), F.unix_micros("ts").alias("us")
     )
@@ -344,9 +337,42 @@ def ev7_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_list(F.when(F.col("et") == "purchase", F.col("us")))).alias("ps"),
     )
     c = F.array_min(F.filter("cs", lambda x: x >= F.col("v")))
-    staged = per_user.withColumn("c", c).withColumn(
+    return per_user.withColumn("c", c).withColumn(
         "p", F.array_min(F.filter("ps", lambda x: x >= F.col("c")))
     )
+
+
+# the matching SQL staging chain (CTE list fragment), shared by
+# EV7_SQL and EV9_SQL for the same no-drift reason
+_FUNNEL_STAGE_SQL = """per_user AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v,
+           list_sort(list(epoch_us(ts)) FILTER (WHERE event_type = 'click')) AS cs,
+           list_sort(list(epoch_us(ts)) FILTER (WHERE event_type = 'purchase')) AS ps
+    FROM events GROUP BY user_id
+),
+with_c AS (
+    SELECT user_id, v, ps, list_min(list_filter(cs, x -> x >= v)) AS c FROM per_user
+),
+with_p AS (
+    SELECT user_id, v, c, list_min(list_filter(ps, x -> x >= c)) AS p FROM with_c
+)"""
+
+
+def ev7_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: per user, the first view, the first
+    click AT OR AFTER that view, and the first purchase at or after
+    that click — then user counts per deepest stage reached. The
+    ordering constraint is what separates a funnel from three plain
+    counts: a purchase BEFORE any view does not convert.
+
+    Scale shape: see _funnel_instants (one user_id shuffle); the
+    stage rollup is pure array arithmetic — no self-joins, no window
+    over the full feed, no re-scan per stage. Not in the driver
+    registry (50-entry cap); DuckDB parity in
+    tests/test_offline_oracles.py.
+    """
+    staged = _funnel_instants(spark, sf_dir)
     stage = (
         F.when(F.col("p").isNotNull(), F.lit(3))
         .when(F.col("c").isNotNull(), F.lit(2))
@@ -362,20 +388,8 @@ def ev7_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EV7_SQL = """
-WITH per_user AS (
-    SELECT user_id,
-           min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v,
-           list_sort(list(epoch_us(ts)) FILTER (WHERE event_type = 'click')) AS cs,
-           list_sort(list(epoch_us(ts)) FILTER (WHERE event_type = 'purchase')) AS ps
-    FROM events GROUP BY user_id
-),
-with_c AS (
-    SELECT user_id, v, ps, list_min(list_filter(cs, x -> x >= v)) AS c FROM per_user
-),
-with_p AS (
-    SELECT user_id, v, c, list_min(list_filter(ps, x -> x >= c)) AS p FROM with_c
-),
+EV7_SQL = f"""
+WITH {_FUNNEL_STAGE_SQL},
 staged AS (
     SELECT CASE WHEN p IS NOT NULL THEN 3
                 WHEN c IS NOT NULL THEN 2
@@ -502,24 +516,14 @@ def ev9_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     key — the shape that survives 100 TB. All lags are exact integer
     microseconds, so every histogram row is engine-exact.
 
-    Scale shape: reuses ev7's one-shuffle per-user chain (sorted
-    instant arrays, state bounded by events-per-user); the explode
-    emits at most 3 rows per converting user. Not in the driver
-    registry (50-entry cap); DuckDB parity in
+    Scale shape: reuses ev7's one-shuffle per-user chain
+    (_funnel_instants — the SAME staging code, so the funnel
+    ordering rule cannot drift between the counts and the lags); the
+    explode emits at most 3 rows per converting user. Not in the
+    driver registry (50-entry cap); DuckDB parity in
     tests/test_offline_oracles.py.
     """
-    e = load_events(spark, sf_dir).select(
-        "user_id", F.col("event_type").alias("et"), F.unix_micros("ts").alias("us")
-    )
-    per_user = e.groupBy("user_id").agg(
-        F.min(F.when(F.col("et") == "view", F.col("us"))).alias("v"),
-        F.sort_array(F.collect_list(F.when(F.col("et") == "click", F.col("us")))).alias("cs"),
-        F.sort_array(F.collect_list(F.when(F.col("et") == "purchase", F.col("us")))).alias("ps"),
-    )
-    c = F.array_min(F.filter("cs", lambda x: x >= F.col("v")))
-    staged = per_user.withColumn("c", c).withColumn(
-        "p", F.array_min(F.filter("ps", lambda x: x >= F.col("c")))
-    )
+    staged = _funnel_instants(spark, sf_dir)
     lag_rows = staged.select(
         F.explode(
             F.filter(
@@ -548,20 +552,8 @@ def ev9_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EV9_SQL = """
-WITH per_user AS (
-    SELECT user_id,
-           min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v,
-           list_sort(list(epoch_us(ts)) FILTER (WHERE event_type = 'click')) AS cs,
-           list_sort(list(epoch_us(ts)) FILTER (WHERE event_type = 'purchase')) AS ps
-    FROM events GROUP BY user_id
-),
-with_c AS (
-    SELECT user_id, v, ps, list_min(list_filter(cs, x -> x >= v)) AS c FROM per_user
-),
-with_p AS (
-    SELECT user_id, v, c, list_min(list_filter(ps, x -> x >= c)) AS p FROM with_c
-),
+EV9_SQL = f"""
+WITH {_FUNNEL_STAGE_SQL},
 lags AS (
     SELECT 'view_to_click' AS lag_kind, c - v AS lag_us FROM with_p WHERE c IS NOT NULL
     UNION ALL

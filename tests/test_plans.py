@@ -198,5 +198,8 @@ def test_dd14_winner_via_partial_aggregation(spark, sf_dir):
     from maggy_spark.functions.dedup import dd14_cluster_representatives
 
     plan = _plan(dd14_cluster_representatives(spark, sf_dir))
-    assert "partial_max" in plan.lower() or "partial" in plan.lower()
+    assert "partial_max(struct(nt" in plan  # the winner aggregate itself
     assert "windowspecdefinition(cluster_rep" not in plan
+    # the membership relation is session-cached: both consumers read
+    # the materialization instead of re-running the components join
+    assert plan.count("InMemoryTableScan") >= 2

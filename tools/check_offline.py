@@ -3,7 +3,8 @@ at an arbitrary scale factor — the out-of-registry twin of
 check_oracle.py, so the extension operators' parity can be verified
 above the suite's sf0.01 (e.g. at sf0.1, or the synthetic sf1).
 
-Usage: python tools/check_offline.py [sf_dir] [--names GLOB ...]
+Usage: python tools/check_offline.py [sf_dir] [case ...]
+       python tools/check_offline.py [sf_dir] --names GLOB ...
 
 Heavy oracle sides to know about: dd14/ann6/pl6 wrap the DuckDB
 recursive-CTE transitive closure (dd10's oracle took ~31 min at
@@ -25,9 +26,7 @@ sys.path.insert(0, str(REPO))
 
 from tools.check_oracle import (  # noqa: E402
     TABLES,
-    duck_dtypes,
-    frame_signature,
-    spark_dtypes,
+    compare_frames,
     to_pandas_spark,
 )
 
@@ -35,7 +34,12 @@ from tools.check_oracle import (  # noqa: E402
 def main() -> int:
     argv = sys.argv[1:]
     sf_dir = argv.pop(0) if argv and not argv[0].startswith("--") else "/root/testdata/sf0.01"
-    globs = argv[1:] if argv and argv[0] == "--names" else []
+    if argv and argv[0] == "--names":
+        globs = argv[1:]
+        only: set[str] = set()
+    else:
+        globs = []
+        only = set(argv)
 
     import importlib
 
@@ -59,43 +63,34 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     failures = []
+    n_ran = 0
     for name, sql_const, mod_name in CASES:
+        if only and name not in only:
+            continue
         if globs and not any(fnmatch(name, g) for g in globs):
             continue
+        n_ran += 1
         mod = importlib.import_module(mod_name)
         fn, sql = getattr(mod, name), getattr(mod, sql_const)
         t0 = time.time()
         try:
-            spark_pd = to_pandas_spark(fn(spark, sf_dir))
+            sdf = fn(spark, sf_dir)  # build ONCE: dtypes + collect share it
+            spark_pd = to_pandas_spark(sdf)
             duck_pd = con.execute(sql).fetchdf()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: {e}")
             continue
-        status = []
-        if len(spark_pd) != len(duck_pd):
-            status.append(f"rowcount {len(spark_pd)} vs {len(duck_pd)}")
-        sc, srows = frame_signature(spark_pd)
-        dc, drows = frame_signature(duck_pd)
-        if sc != dc:
-            status.append(f"columns {sc} vs {dc}")
-        st, dt = spark_dtypes(fn(spark, sf_dir)), duck_dtypes(duck_pd)
-        mismatched = {
-            c: (st.get(c), dt.get(c))
-            for c in st
-            if st.get(c) != dt.get(c)
-            and (dt.get(c) != "str" or st.get(c) not in ("str", "date", "ts"))
-        }
-        if mismatched:
-            status.append(f"dtypes {mismatched}")
-        if srows != drows:
-            status.append("values differ")
+        status = compare_frames(sdf, spark_pd, duck_pd)
         if status:
             failures.append(name)
             print(f"FAIL {name}: " + "; ".join(status))
         else:
             print(f"ok   {name}: MATCH ({len(spark_pd)} rows, {time.time()-t0:.1f}s)")
 
+    if n_ran == 0:
+        print(f"no offline case matches {sorted(only) or globs} — nothing ran")
+        return 1
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 

@@ -84,6 +84,39 @@ def duck_dtypes(df: pd.DataFrame) -> dict:
     return {c: _NUMPY_TO_CANON.get(str(df[c].dtype), str(df[c].dtype)) for c in df.columns}
 
 
+def compare_frames(sdf, spark_pd, duck_pd) -> list[str]:
+    """The gate's comparison: rowcount, sorted columns, canonical
+    dtypes (with the object-column exemption), order-insensitive
+    value multiset — returns human-readable mismatch descriptions
+    (empty = MATCH). Shared by check_offline.py so the two tools
+    cannot drift."""
+    status: list[str] = []
+    if len(spark_pd) != len(duck_pd):
+        status.append(f"rowcount {len(spark_pd)} vs {len(duck_pd)}")
+    sc, srows = frame_signature(spark_pd)
+    dc, drows = frame_signature(duck_pd)
+    if sc != dc:
+        status.append(f"columns {sc} vs {dc}")
+    st, dt = spark_dtypes(sdf), duck_dtypes(duck_pd)
+    mismatched = {c: (st.get(c), dt.get(c)) for c in st if st.get(c) != dt.get(c)}
+    # object columns on the duckdb side can hold anything; only
+    # flag clear numeric-width/type disagreements
+    mismatched = {c: v for c, v in mismatched.items()
+                  if v[1] != "str" or v[0] not in ("str", "date", "ts")}
+    if mismatched:
+        status.append(f"dtypes {mismatched}")
+    if srows != drows:
+        n_mismatch = sum((srows.get(k, 0) - drows.get(k, 0)) != 0 for k in set(srows) | set(drows))
+        status.append(f"values ({n_mismatch} differing row-keys)")
+        sonly = [k for k in srows if k not in drows][:3]
+        donly = [k for k in drows if k not in srows][:3]
+        if sonly:
+            status.append(f"spark-only e.g. {sonly}")
+        if donly:
+            status.append(f"duck-only e.g. {donly}")
+    return status
+
+
 def main() -> int:
     argv = sys.argv[1:]
     sf_dir = argv.pop(0) if argv and not argv[0].startswith("--") else "/root/testdata/sf0.01"
@@ -136,30 +169,7 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
             continue
-        sc, srows = frame_signature(spark_pd)
-        dc, drows = frame_signature(duck_pd)
-        status = []
-        if len(spark_pd) != len(duck_pd):
-            status.append(f"rowcount {len(spark_pd)} vs {len(duck_pd)}")
-        if sc != dc:
-            status.append(f"columns {sc} vs {dc}")
-        st, dt = spark_dtypes(sdf), duck_dtypes(duck_pd)
-        mismatched = {c: (st.get(c), dt.get(c)) for c in st if st.get(c) != dt.get(c)}
-        # object columns on the duckdb side can hold anything; only
-        # flag clear numeric-width/type disagreements
-        mismatched = {c: v for c, v in mismatched.items()
-                      if v[1] != "str" or v[0] not in ("str", "date", "ts")}
-        if mismatched:
-            status.append(f"dtypes {mismatched}")
-        if srows != drows:
-            n_mismatch = sum((srows.get(k, 0) - drows.get(k, 0)) != 0 for k in set(srows) | set(drows))
-            status.append(f"values ({n_mismatch} differing row-keys)")
-            sonly = [k for k in srows if k not in drows][:3]
-            donly = [k for k in drows if k not in srows][:3]
-            if sonly:
-                status.append(f"spark-only e.g. {sonly}")
-            if donly:
-                status.append(f"duck-only e.g. {donly}")
+        status = compare_frames(sdf, spark_pd, duck_pd)
         if status:
             failures.append(name)
             print(f"FAIL {name}: " + "; ".join(status))

@@ -184,7 +184,7 @@ def main() -> None:
         # scale hazard a suffix-array/self-join formulation would have
         # is pair blowup on viral spans — dd13's groupBy+HAVING costs
         # ROWS per occurrence, so rows/doc flat == linear total work
-        from maggy_spark.functions.dedup import SPAN_W, span_dedup_profile
+        from maggy_spark.functions.dedup import SPAN_W
         from maggy_spark.plans.fixtures import load_table as _lt
 
         d = _lt(spark, sf_dir, "documents", fan_out=True)
@@ -216,7 +216,7 @@ def main() -> None:
         # TINY (capped vocab broadcast) no matter the corpus — a
         # growing model relation would eventually force the Zipf-
         # skewed token key into a shuffle join
-        from maggy_spark.functions.text import UNIGRAM_VOCAB
+        from maggy_spark.functions.text import UNIGRAM_VOCAB, tx10_unigram_logprob
 
         tok_rows = (
             d.select(F.size(toks).alias("n")).agg(F.sum("n")).collect()[0][0]
@@ -225,9 +225,7 @@ def main() -> None:
             d.select(F.explode(toks).alias("t")).agg(F.count_distinct("t")).collect()[0][0]
         )
         t0 = time.time()
-        out = __import__("maggy_spark.functions.text", fromlist=["x"]).tx10_unigram_logprob(
-            spark, sf_dir
-        ).count()
+        out = tx10_unigram_logprob(spark, sf_dir).count()
         sec = round(time.time() - t0, 2)
         spark.catalog.clearCache()
         rows.append(

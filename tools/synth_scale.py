@@ -45,7 +45,12 @@ def ensure_scale_dir(
 
     out = Path(out_dir)
     dp, ep = out / "documents.parquet", out / "embeddings.parquet"
-    if dp.exists() and ep.exists():
+    # recipe stamp: row counts alone would silently reuse data written
+    # by an older/modified generator, skewing the probe's 4th-decade
+    # numbers against an undocumented corpus
+    recipe = f"seed={SEED};docs={n_docs};vecs={n_vecs};vocab={len(VOCAB)};dim={EMB_DIM};v2"
+    marker = out / "RECIPE.txt"
+    if dp.exists() and ep.exists() and marker.exists() and marker.read_text() == recipe:
         con = duckdb.connect()
         nd = con.execute(f"SELECT count(*) FROM '{dp}'").fetchone()[0]
         ne = con.execute(f"SELECT count(*) FROM '{ep}'").fetchone()[0]
@@ -90,6 +95,7 @@ def ensure_scale_dir(
         }
     )
     pq.write_table(etbl, ep)
+    marker.write_text(recipe)
     return str(out)
 
 
