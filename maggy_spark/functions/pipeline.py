@@ -667,3 +667,79 @@ FROM h
 
 
 PL9_SQL = pl9_sql()
+
+
+# --- pl10: quality-weighted upsample plan -------------------------------
+
+UPSAMPLE_RICH = 0.70   # vocab_richness >= this -> 2 copies
+UPSAMPLE_POOR = 0.35   # vocab_richness < this  -> dropped
+
+
+def pl10_quality_upsample_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    rich: float = UPSAMPLE_RICH,
+    poor: float = UPSAMPLE_POOR,
+) -> DataFrame:
+    """Quality-weighted repeat plan: high-quality documents appear
+    TWICE in the training mix, mid-quality once, low-quality not at
+    all — the FineWeb-Edu/phi-style upsampling step between quality
+    scoring and the epoch shuffle (pl9 then permutes the emitted
+    copies). Thresholds are FIXED constants on tx2's vocab-richness
+    score, not data-derived quantiles: rank-based quantiles need a
+    global order (one-task funnel at any scale) and make every doc's
+    fate depend on the whole corpus — fixed published cutoffs are
+    what the production recipes actually ship.
+
+    Output: one row per (doc_id, copy) with the copy index and the
+    doc's repeat count — the exploded relation a dataloader unions
+    into its sample stream. Deterministic, no RNG. Scale shape: the
+    score is a per-row expression over the scan and the explode emits
+    <= 2 rows/doc; no shuffle at all. Not in the driver registry
+    (50-entry cap); DuckDB parity in tests/test_offline_oracles.py.
+    """
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    toks = F.split(F.col("text"), " ")
+    richness = F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast("double")
+    n_copies = (
+        F.when(richness >= rich, F.lit(2)).when(richness < poor, F.lit(0)).otherwise(F.lit(1))
+    )
+    return (
+        d.select(
+            "doc_id",
+            richness.alias("vocab_richness"),
+            n_copies.cast("int").alias("n_copies"),
+        )
+        .where(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "vocab_richness",
+            "n_copies",
+            F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_idx"),
+        )
+    )
+
+
+def pl10_sql(rich: float = UPSAMPLE_RICH, poor: float = UPSAMPLE_POOR) -> str:
+    """DuckDB twin, parameterized like pl9_sql."""
+    return f"""
+WITH scored AS (
+    SELECT doc_id,
+           cast(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+               / cast(len(str_split(text, ' ')) AS DOUBLE) AS vocab_richness
+    FROM documents
+),
+planned AS (
+    SELECT doc_id, vocab_richness,
+           CASE WHEN vocab_richness >= {rich} THEN 2
+                WHEN vocab_richness < {poor} THEN 0
+                ELSE 1 END AS n_copies
+    FROM scored
+)
+SELECT doc_id, vocab_richness, cast(n_copies AS INTEGER) AS n_copies,
+       cast(unnest(range(1, n_copies + 1)) AS INTEGER) AS copy_idx
+FROM planned WHERE n_copies > 0
+"""
+
+
+PL10_SQL = pl10_sql()

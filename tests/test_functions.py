@@ -1114,3 +1114,33 @@ def test_ev9_lag_histogram_consistency(spark, sf_dir):
     assert totals.get("view_to_click", 0) == n_clicked
     assert totals.get("click_to_purchase", 0) == n_purchased
     assert totals.get("view_to_purchase", 0) == n_purchased
+
+
+def test_pl10_copy_counts_follow_thresholds(spark, sf_dir):
+    """pl10 invariants: copy indices dense 1..n_copies per doc, the
+    repeat count follows the fixed richness thresholds, dropped docs
+    are exactly the sub-threshold ones, and no shuffle exists in the
+    plan (pure per-row expressions + explode)."""
+    from maggy_spark.functions.pipeline import (
+        UPSAMPLE_POOR,
+        UPSAMPLE_RICH,
+        pl10_quality_upsample_plan,
+    )
+
+    df = pl10_quality_upsample_plan(spark, sf_dir)
+    rows = df.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    for d in docs:
+        toks = d.text.split(" ")
+        richness = len(set(toks)) / len(toks)
+        want = 2 if richness >= UPSAMPLE_RICH else (0 if richness < UPSAMPLE_POOR else 1)
+        got = by_doc.get(d.doc_id, [])
+        assert len(got) == want, f"doc {d.doc_id}: {len(got)} copies, want {want}"
+        if got:
+            assert sorted(r.copy_idx for r in got) == list(range(1, want + 1))
+            assert all(r.n_copies == want for r in got)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan  # no shuffle at all

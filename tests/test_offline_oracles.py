@@ -64,6 +64,7 @@ CASES = [
     ("pl9_epoch_shuffle_plan", "PL9_SQL", "maggy_spark.functions.pipeline"),
     ("tx11_source_drift", "TX11_SQL", "maggy_spark.functions.text"),
     ("ev9_conversion_lag", "EV9_SQL", "maggy_spark.operators.events"),
+    ("pl10_quality_upsample_plan", "PL10_SQL", "maggy_spark.functions.pipeline"),
 ]
 
 
