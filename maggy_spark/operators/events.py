@@ -567,3 +567,74 @@ SELECT lag_kind,
 FROM lags
 GROUP BY lag_kind, lag_hours
 """
+
+
+# --- ev10: RFM user segmentation ----------------------------------------
+
+RFM_RECENT_DAYS = 2     # recency <= this and frequent -> champion
+RFM_ACTIVE_DAYS = 7     # recency <= this -> active
+RFM_MIN_FREQUENT = 20   # events for the champion tier
+
+
+def ev10_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic RFM rollup: per user, Recency (days since last event,
+    relative to the corpus's last day), Frequency (events), Monetary
+    (purchase value sum) and a fixed-threshold segment label — the
+    user-tiering relation an events pipeline feeds to retention
+    dashboards next to ev8's cohort triangle.
+
+    Cross-engine determinism: days are tz-free epoch-day integers
+    (ev2's pattern) and the monetary sum routes through decimal(18,4)
+    so it is partition-order-free. Thresholds are fixed constants,
+    like pl10's — rank-derived tiers would need a global order.
+
+    Scale shape: one user_id groupBy with map-side combine plus a
+    1-row broadcast of the corpus max day (computed directly from
+    the feed, not by re-aggregating the per-user relation, so the
+    corpus groupBy runs once). Not in the driver registry (50-entry
+    cap); DuckDB parity in tests/test_offline_oracles.py.
+    """
+    e = load_events(spark, sf_dir)
+    epoch_day = F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)).cast("bigint")
+    per_user = e.groupBy("user_id").agg(
+        F.max(epoch_day).alias("last_day"),
+        F.count("*").alias("frequency"),
+        F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).cast(DEC4)).alias(
+            "m_dec"
+        ),
+    )
+    maxday = e.agg(F.max(epoch_day).alias("corpus_last_day"))
+    r = F.col("corpus_last_day") - F.col("last_day")
+    seg = (
+        F.when((r <= RFM_RECENT_DAYS) & (F.col("frequency") >= RFM_MIN_FREQUENT), "champion")
+        .when(r <= RFM_ACTIVE_DAYS, "active")
+        .otherwise("at_risk")
+    )
+    return per_user.crossJoin(F.broadcast(maxday)).select(
+        "user_id",
+        r.cast("bigint").alias("recency_days"),
+        F.col("frequency").cast("bigint").alias("frequency"),
+        F.coalesce(F.col("m_dec"), F.lit(0).cast(DEC4)).cast("double").alias("monetary"),
+        seg.alias("segment"),
+    )
+
+
+EV10_SQL = f"""
+WITH per_user AS (
+    SELECT user_id,
+           max(cast(floor(epoch_us(ts) / 86400000000.0) AS BIGINT)) AS last_day,
+           cast(count(*) AS BIGINT) AS frequency,
+           sum(cast(CASE WHEN event_type = 'purchase' THEN value END AS DECIMAL(18,4))) AS m_dec
+    FROM events GROUP BY user_id
+),
+md AS (SELECT max(cast(floor(epoch_us(ts) / 86400000000.0) AS BIGINT)) AS corpus_last_day FROM events)
+SELECT user_id,
+       cast(corpus_last_day - last_day AS BIGINT) AS recency_days,
+       frequency,
+       cast(coalesce(m_dec, 0) AS DOUBLE) AS monetary,
+       CASE WHEN corpus_last_day - last_day <= {RFM_RECENT_DAYS}
+                 AND frequency >= {RFM_MIN_FREQUENT} THEN 'champion'
+            WHEN corpus_last_day - last_day <= {RFM_ACTIVE_DAYS} THEN 'active'
+            ELSE 'at_risk' END AS segment
+FROM per_user CROSS JOIN md
+"""

@@ -1144,3 +1144,46 @@ def test_pl10_copy_counts_follow_thresholds(spark, sf_dir):
             assert all(r.n_copies == want for r in got)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan  # no shuffle at all
+
+
+def test_ev10_rfm_python_replay(spark, sf_dir):
+    """ev10 against a direct Python replay: recency from epoch-day
+    arithmetic, frequency counts, monetary decimal-rounded purchase
+    sums, and segment labels from the fixed thresholds."""
+    from decimal import Decimal
+
+    from maggy_spark.operators.events import (
+        RFM_ACTIVE_DAYS,
+        RFM_MIN_FREQUENT,
+        RFM_RECENT_DAYS,
+        ev10_rfm_segments,
+    )
+    from maggy_spark.plans.fixtures import load_events
+
+    got = {r.user_id: r for r in ev10_rfm_segments(spark, sf_dir).collect()}
+    events = load_events(spark, sf_dir).collect()
+    import calendar
+
+    def eday(ts):
+        return int(calendar.timegm(ts.timetuple()) // 86400)
+
+    per = {}
+    corpus_last = max(eday(e.ts) for e in events)
+    for e in events:
+        u = per.setdefault(e.user_id, {"last": -1, "n": 0, "m": Decimal(0)})
+        u["last"] = max(u["last"], eday(e.ts))
+        u["n"] += 1
+        if e.event_type == "purchase" and e.value is not None:
+            u["m"] += Decimal(str(round(e.value, 4)))
+    assert set(got) == set(per)
+    for uid, u in per.items():
+        r = got[uid]
+        rec = corpus_last - u["last"]
+        assert r.recency_days == rec and r.frequency == u["n"]
+        assert r.monetary == pytest.approx(float(u["m"]), abs=1e-9)
+        want_seg = (
+            "champion"
+            if rec <= RFM_RECENT_DAYS and u["n"] >= RFM_MIN_FREQUENT
+            else ("active" if rec <= RFM_ACTIVE_DAYS else "at_risk")
+        )
+        assert r.segment == want_seg, uid

@@ -65,6 +65,7 @@ CASES = [
     ("tx11_source_drift", "TX11_SQL", "maggy_spark.functions.text"),
     ("ev9_conversion_lag", "EV9_SQL", "maggy_spark.operators.events"),
     ("pl10_quality_upsample_plan", "PL10_SQL", "maggy_spark.functions.pipeline"),
+    ("ev10_rfm_segments", "EV10_SQL", "maggy_spark.operators.events"),
 ]
 
 
