@@ -584,3 +584,82 @@ OPERATORS = [
     ("mm2_frame_sample", mm2_frame_sample, MM2_SQL),
     ("mm3_metadata_stats", mm3_metadata_stats, MM3_SQL),
 ]
+
+
+# --- MM7: container-format sniffing (magic bytes) -----------------------
+
+# (format, hex prefix at offset 0) — the classic magic numbers; MP4 is
+# special-cased below ('ftyp' at byte offset 5)
+_MAGIC_PREFIXES = [
+    ("png", "89504E47"),
+    ("jpeg", "FFD8FF"),
+    ("gif", "47494638"),
+    ("riff", "52494646"),  # WAV/AVI/WebP container; refined below
+    ("mp3", "494433"),
+    ("flac", "664C6143"),
+]
+
+
+def sniff_format_expr(payload_col: str):
+    """Sniffed container format of a binary column from its magic
+    bytes — pure JVM-side hex/substring expressions, no decode, no
+    Python. 'unknown' when nothing matches (e.g. raw text). RIFF
+    refines to wav/avi/webp via the type tag at offset 9; MP4 checks
+    'ftyp' at offset 5."""
+    hx = F.hex(F.substring(F.col(payload_col), 1, 16))
+    riff_tag = F.substring(hx, 17, 8)
+    cases = F.when(
+        hx.startswith("52494646"),
+        F.when(riff_tag == "57415645", "wav")
+        .when(riff_tag == "41564920", "avi")
+        .when(riff_tag == "57454250", "webp")
+        .otherwise("riff"),
+    )
+    for name, prefix in _MAGIC_PREFIXES:
+        if name == "riff":
+            continue
+        cases = cases.when(hx.startswith(prefix), name)
+    # MP4 family: '....ftyp' — bytes 5-8 spell ftyp (66747970)
+    cases = cases.when(F.substring(hx, 9, 8) == "66747970", "mp4")
+    return cases.otherwise("unknown")
+
+
+def mm7_container_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-hygiene check: sniff every payload's REAL container
+    format from its magic bytes and compare it against the declared
+    media_type — mislabeled uploads (a .wav that is actually an mp3,
+    an 'image' that is HTML) are the first thing a multimodal ingest
+    screen catches, before any decoder runs.
+
+    Scale shape: per-row hex/substring expressions on the first 16
+    payload bytes (parquet reads the binary column but the expression
+    touches a fixed prefix); groupless narrow op, output row per
+    payload. The synthetic corpus is raw text, so everything sniffs
+    'unknown' and mismatch=true — the expression logic is pinned by
+    crafted-payload unit tests. Not in the driver registry (50-entry
+    cap); DuckDB parity in tests/test_offline_oracles.py.
+    """
+    m = media_table(spark, sf_dir)
+    sniffed = sniff_format_expr("payload")
+    consistent = (
+        ((F.col("media_type") == "image") & sniffed.isin("png", "jpeg", "gif", "webp"))
+        | ((F.col("media_type") == "audio") & sniffed.isin("wav", "mp3", "flac"))
+        | ((F.col("media_type") == "video") & sniffed.isin("mp4", "avi", "riff"))
+    )
+    return m.select(
+        "media_id",
+        "media_type",
+        sniffed.alias("sniffed_format"),
+        (~consistent).alias("mismatch"),
+    )
+
+
+MM7_SQL = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       'unknown' AS sniffed_format,
+       true AS mismatch
+FROM documents
+"""

@@ -1187,3 +1187,35 @@ def test_ev10_rfm_python_replay(spark, sf_dir):
             else ("active" if rec <= RFM_ACTIVE_DAYS else "at_risk")
         )
         assert r.segment == want_seg, uid
+
+
+def test_mm7_sniffs_crafted_magic_bytes(spark):
+    """The sniff expression against real magic bytes: PNG/JPEG/GIF/
+    WAV/AVI/WebP/MP3/FLAC/MP4 headers detect correctly, raw text and
+    truncated prefixes fall to 'unknown'."""
+    payloads = [
+        (1, b"\x89PNG\r\n\x1a\n" + b"\x00" * 8, "png"),
+        (2, b"\xff\xd8\xff\xe0" + b"\x00" * 12, "jpeg"),
+        (3, b"GIF89a" + b"\x00" * 10, "gif"),
+        (4, b"RIFF\x24\x08\x00\x00WAVEfmt ", "wav"),
+        (5, b"RIFF\x00\x00\x00\x00AVI LIST", "avi"),
+        (6, b"RIFF\x00\x00\x00\x00WEBPVP8 ", "webp"),
+        (7, b"RIFF\x00\x00\x00\x00XXXXxxxx", "riff"),
+        (8, b"ID3\x04\x00\x00\x00\x00\x00\x00" + b"\x00" * 6, "mp3"),
+        (9, b"fLaC\x00\x00\x00\x22" + b"\x00" * 8, "flac"),
+        (10, b"\x00\x00\x00\x20ftypisom" + b"\x00" * 4, "mp4"),
+        (11, b"just some words here", "unknown"),
+        (12, b"\x89PN", "unknown"),  # truncated magic
+        (13, b"", "unknown"),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p, _ in payloads], "media_id bigint, payload binary"
+    )
+    got = {
+        r.media_id: r.fmt
+        for r in df.select(
+            "media_id", multimodal.sniff_format_expr("payload").alias("fmt")
+        ).collect()
+    }
+    for i, _, want in payloads:
+        assert got[i] == want, f"payload {i}: {got[i]} != {want}"

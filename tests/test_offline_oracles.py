@@ -66,6 +66,7 @@ CASES = [
     ("ev9_conversion_lag", "EV9_SQL", "maggy_spark.operators.events"),
     ("pl10_quality_upsample_plan", "PL10_SQL", "maggy_spark.functions.pipeline"),
     ("ev10_rfm_segments", "EV10_SQL", "maggy_spark.operators.events"),
+    ("mm7_container_sniff", "MM7_SQL", "maggy_spark.functions.multimodal"),
 ]
 
 
