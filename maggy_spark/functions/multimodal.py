@@ -588,13 +588,18 @@ OPERATORS = [
 
 # --- MM7: container-format sniffing (magic bytes) -----------------------
 
-# (format, hex prefix at offset 0) — the classic magic numbers; MP4 is
-# special-cased below ('ftyp' at byte offset 5)
+# (format, hex prefix at offset 0) — the classic magic numbers. RIFF is
+# the container prefix whose real format comes from the type tag at
+# byte offset 9; MP4 is detected by 'ftyp' at byte offset 5. These
+# constants drive BOTH the Spark expression and the DuckDB twin, so
+# the two sniffers cannot drift.
+_RIFF_PREFIX = "52494646"
+_RIFF_TAGS = [("wav", "57415645"), ("avi", "41564920"), ("webp", "57454250")]
+_FTYP_HEX = "66747970"
 _MAGIC_PREFIXES = [
     ("png", "89504E47"),
     ("jpeg", "FFD8FF"),
     ("gif", "47494638"),
-    ("riff", "52494646"),  # WAV/AVI/WebP container; refined below
     ("mp3", "494433"),
     ("flac", "664C6143"),
 ]
@@ -603,24 +608,16 @@ _MAGIC_PREFIXES = [
 def sniff_format_expr(payload_col: str):
     """Sniffed container format of a binary column from its magic
     bytes — pure JVM-side hex/substring expressions, no decode, no
-    Python. 'unknown' when nothing matches (e.g. raw text). RIFF
-    refines to wav/avi/webp via the type tag at offset 9; MP4 checks
-    'ftyp' at offset 5."""
+    Python. 'unknown' when nothing matches (e.g. raw text)."""
     hx = F.hex(F.substring(F.col(payload_col), 1, 16))
     riff_tag = F.substring(hx, 17, 8)
-    cases = F.when(
-        hx.startswith("52494646"),
-        F.when(riff_tag == "57415645", "wav")
-        .when(riff_tag == "41564920", "avi")
-        .when(riff_tag == "57454250", "webp")
-        .otherwise("riff"),
-    )
+    riff = F.lit("riff")
+    for name, tag in _RIFF_TAGS:
+        riff = F.when(riff_tag == tag, name).otherwise(riff)
+    cases = F.when(hx.startswith(_RIFF_PREFIX), riff)
     for name, prefix in _MAGIC_PREFIXES:
-        if name == "riff":
-            continue
         cases = cases.when(hx.startswith(prefix), name)
-    # MP4 family: '....ftyp' — bytes 5-8 spell ftyp (66747970)
-    cases = cases.when(F.substring(hx, 9, 8) == "66747970", "mp4")
+    cases = cases.when(F.substring(hx, 9, 8) == _FTYP_HEX, "mp4")
     return cases.otherwise("unknown")
 
 
@@ -654,12 +651,44 @@ def mm7_container_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MM7_SQL = """
-SELECT doc_id AS media_id,
-       CASE WHEN doc_id % 3 = 0 THEN 'image'
-            WHEN doc_id % 3 = 1 THEN 'audio'
-            ELSE 'video' END AS media_type,
-       'unknown' AS sniffed_format,
-       true AS mismatch
-FROM documents
+def _mm7_sql() -> str:
+    """DuckDB twin GENERATED from the same magic constants as the
+    Spark expression (it really sniffs the payload hex — a corpus
+    whose text happens to start with an ASCII magic like 'ID3' or
+    carry 'ftyp' at bytes 5-8 compares correctly, and a constant
+    change cannot drift one engine)."""
+    riff = "'riff'"
+    for name, tag in _RIFF_TAGS:
+        riff = f"CASE WHEN substr(hx, 17, 8) = '{tag}' THEN '{name}' ELSE {riff} END"
+    prefix_whens = "\n            ".join(
+        f"WHEN hx LIKE '{p}%' THEN '{n}'" for n, p in _MAGIC_PREFIXES
+    )
+    image = "', '".join(n for n, _ in [("png", ""), ("jpeg", ""), ("gif", ""), ("webp", "")])
+    audio = "', '".join(["wav", "mp3", "flac"])
+    video = "', '".join(["mp4", "avi", "riff"])
+    return f"""
+WITH m AS (
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           upper(substr(hex(encode(text)), 1, 32)) AS hx
+    FROM documents
+),
+s AS (
+    SELECT media_id, media_type,
+           CASE WHEN hx LIKE '{_RIFF_PREFIX}%' THEN {riff}
+            {prefix_whens}
+            WHEN substr(hx, 9, 8) = '{_FTYP_HEX}' THEN 'mp4'
+            ELSE 'unknown' END AS sniffed_format
+    FROM m
+)
+SELECT media_id, media_type, sniffed_format,
+       NOT ((media_type = 'image' AND sniffed_format IN ('{image}'))
+         OR (media_type = 'audio' AND sniffed_format IN ('{audio}'))
+         OR (media_type = 'video' AND sniffed_format IN ('{video}'))) AS mismatch
+FROM s
 """
+
+
+MM7_SQL = _mm7_sql()

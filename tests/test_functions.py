@@ -1161,17 +1161,23 @@ def test_ev10_rfm_python_replay(spark, sf_dir):
     from maggy_spark.plans.fixtures import load_events
 
     got = {r.user_id: r for r in ev10_rfm_segments(spark, sf_dir).collect()}
-    events = load_events(spark, sf_dir).collect()
-    import calendar
+    # collect tz-free epoch micros, NOT naive datetimes: collected
+    # timestamps pass through the session/OS timezone, which would
+    # make the replay's epoch-day shift on non-UTC machines
+    events = (
+        load_events(spark, sf_dir)
+        .select("user_id", "event_type", "value", F.unix_micros("ts").alias("us"))
+        .collect()
+    )
 
-    def eday(ts):
-        return int(calendar.timegm(ts.timetuple()) // 86400)
+    def eday(us):
+        return us // 86_400_000_000
 
     per = {}
-    corpus_last = max(eday(e.ts) for e in events)
+    corpus_last = max(eday(e.us) for e in events)
     for e in events:
         u = per.setdefault(e.user_id, {"last": -1, "n": 0, "m": Decimal(0)})
-        u["last"] = max(u["last"], eday(e.ts))
+        u["last"] = max(u["last"], eday(e.us))
         u["n"] += 1
         if e.event_type == "purchase" and e.value is not None:
             u["m"] += Decimal(str(round(e.value, 4)))

@@ -33,7 +33,14 @@ from tools.check_oracle import (  # noqa: E402
 
 def main() -> int:
     argv = sys.argv[1:]
-    sf_dir = argv.pop(0) if argv and not argv[0].startswith("--") else "/root/testdata/sf0.01"
+    # the sf_dir positional is optional: only consume the first arg as
+    # a directory if it actually is one — otherwise a bare case name
+    # ('check_offline.py ev10_rfm_segments') would be swallowed as
+    # sf_dir and the whole suite would run against a missing path
+    if argv and not argv[0].startswith("--") and Path(argv[0]).is_dir():
+        sf_dir = argv.pop(0)
+    else:
+        sf_dir = "/root/testdata/sf0.01"
     if argv and argv[0] == "--names":
         globs = argv[1:]
         only: set[str] = set()
@@ -61,6 +68,13 @@ def main() -> int:
         p = f"{sf_dir}/{t}.parquet"
         if Path(p).exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    known = {name for name, _sql, _mod in CASES}
+    unknown = sorted(only - known)
+    if unknown:
+        # a typo'd case name must not silently verify nothing
+        print(f"unknown offline case(s): {unknown}; known: {sorted(known)}")
+        return 1
 
     failures = []
     n_ran = 0
