@@ -971,7 +971,7 @@ reach(node, r) AS (
     UNION
     SELECT s.u, reach.r FROM reach JOIN sym s ON reach.node = s.v
 ),
-comp AS (SELECT node AS {id_col}, min(r) AS cluster_rep FROM reach GROUP BY node),
+comp AS MATERIALIZED (SELECT node AS {id_col}, min(r) AS cluster_rep FROM reach GROUP BY node),
 sizes AS (SELECT cluster_rep, count(*) AS cluster_size FROM comp GROUP BY cluster_rep)"""
 
 
@@ -1382,7 +1382,7 @@ cand AS ({_SIMHASH_CAND_SQL}),
 pairs AS ({_SIMHASH_PAIRS_CTE}),
 {cc_closure_sql("documents", "doc_id")},
 toks AS (SELECT doc_id, cast(len(str_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
-membership AS (
+membership AS MATERIALIZED (
     SELECT c.doc_id, c.cluster_rep, cast(s.cluster_size AS BIGINT) AS cluster_size, t.n_tokens
     FROM comp c JOIN sizes s USING (cluster_rep) JOIN toks t USING (doc_id)
 ),
