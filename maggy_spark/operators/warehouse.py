@@ -109,3 +109,80 @@ OPERATORS = [
     ("k1_pricing_summary", k1_pricing_summary, K1_SQL),
     ("k2_top_customers", k2_top_customers, K2_SQL),
 ]
+
+
+def k3_shipping_priority(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """TPC-H Q3-shaped shipping priority: revenue of the not-yet-
+    shipped lineitems of BUILDING-segment customers' pre-cutoff
+    orders, top-k orders by revenue — the canonical dimension-
+    filtered multi-join: the filtered customer DIMENSION broadcasts
+    into the orders scan (no shuffle for the selective side), the
+    orders-lineitem FACT-FACT join shuffles on the uniform orderkey,
+    revenue sums ride k1's exact-decimal routing, and the global
+    top-k is orderBy().limit(k) (TakeOrderedAndProject — per-task
+    k-row heaps, never a one-task sort). Timestamps leave the result
+    as tz-free epoch micros.
+    """
+    from pyspark.sql.window import Window
+
+    # 1997-06-01T00:00 as tz-free epoch micros: the columns are
+    # TIMESTAMP_NTZ and the wall-clock timestampdiff is the session-
+    # timezone-independent comparison (fixtures.load_events' pattern)
+    # — a string-literal timestamp comparison parses the literal in
+    # session tz and would move boundary rows on non-UTC machines
+    # (this cutoff sits mid-data, unlike k1's select-everything
+    # filter)
+    cutoff_us = 865_123_200_000_000
+
+    def ntz_us(col: str):
+        return F.expr(f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})")
+
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").where(ntz_us("o_orderdate") < cutoff_us).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(ntz_us("l_shipdate") > cutoff_us).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).cast("decimal(18,6)")
+    agg = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+    order = [F.col("revenue").desc(), F.col("o_orderkey")]
+    w = Window.orderBy(*order)
+    return (
+        agg.orderBy(*order)
+        .limit(k)
+        .select(
+            "o_orderkey",
+            ntz_us("o_orderdate").alias("orderdate_us"),
+            "o_orderpriority",
+            "revenue",
+            F.row_number().over(w).cast("bigint").alias("rank"),
+        )
+    )
+
+
+K3_SQL = """
+WITH agg AS (
+    SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+           cast(sum(cast(round(l.l_extendedprice * (1 - l.l_discount), 6) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND epoch_us(o.o_orderdate) < 865123200000000
+      AND epoch_us(l.l_shipdate) > 865123200000000
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+)
+SELECT o_orderkey, epoch_us(o_orderdate) AS orderdate_us, o_orderpriority, revenue,
+       row_number() OVER (ORDER BY revenue DESC, o_orderkey) AS rank
+FROM agg
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""

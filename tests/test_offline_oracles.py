@@ -67,6 +67,7 @@ CASES = [
     ("pl10_quality_upsample_plan", "PL10_SQL", "maggy_spark.functions.pipeline"),
     ("ev10_rfm_segments", "EV10_SQL", "maggy_spark.operators.events"),
     ("mm7_container_sniff", "MM7_SQL", "maggy_spark.functions.multimodal"),
+    ("k3_shipping_priority", "K3_SQL", "maggy_spark.operators.warehouse"),
 ]
 
 
