@@ -186,3 +186,58 @@ FROM agg
 ORDER BY revenue DESC, o_orderkey
 LIMIT 10
 """
+
+
+def k4_local_supplier_volume(spark: SparkSession, sf_dir: str, region: str = "ASIA") -> DataFrame:
+    """TPC-H Q5-shaped local-supplier volume: revenue per nation from
+    lineitems where the supplier and the ordering customer share a
+    nation, restricted to one region — the canonical snowflake join
+    chain. The dimension side (region -> nation -> supplier/customer)
+    collapses to broadcast hash joins against the fact tables; the
+    only fact-fact shuffle is orders-lineitem on the uniform
+    orderkey; the "local" constraint is an equality on the two
+    broadcast-provided nation keys, applied as a post-join filter —
+    never a theta join. Revenue rides k1's exact-decimal routing.
+    """
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == region)
+    n = load_table(spark, sf_dir, "nation")
+    rn = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select("n_nationkey", "n_name")
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(rn), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_nationkey").alias("supp_nation"), "n_name")
+    c = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(rn.select("n_nationkey")), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_nationkey").alias("cust_nation"))
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).cast("decimal(18,6)")
+    j = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .where(F.col("supp_nation") == F.col("cust_nation"))
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+K4_SQL = """
+SELECT n.n_name,
+       cast(sum(cast(round(l.l_extendedprice * (1 - l.l_discount), 6) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       count(*) AS n_lineitems
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN supplier s ON s.s_nationkey = n.n_nationkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey AND l.l_suppkey = s.s_suppkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+"""

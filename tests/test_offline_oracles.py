@@ -68,6 +68,7 @@ CASES = [
     ("ev10_rfm_segments", "EV10_SQL", "maggy_spark.operators.events"),
     ("mm7_container_sniff", "MM7_SQL", "maggy_spark.functions.multimodal"),
     ("k3_shipping_priority", "K3_SQL", "maggy_spark.operators.warehouse"),
+    ("k4_local_supplier_volume", "K4_SQL", "maggy_spark.operators.warehouse"),
 ]
 
 
