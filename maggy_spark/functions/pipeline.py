@@ -743,3 +743,72 @@ FROM planned WHERE n_copies > 0
 
 
 PL10_SQL = pl10_sql()
+
+
+# --- pl11: per-document overlapping chunk plan --------------------------
+
+CHUNK_W = 32   # tokens per chunk
+CHUNK_S = 24   # stride (overlap = W - S)
+
+
+def pl11_chunk_plan(
+    spark: SparkSession, sf_dir: str, w: int = CHUNK_W, s: int = CHUNK_S
+) -> DataFrame:
+    """Per-document overlapping chunking plan: each doc is sliced into
+    `w`-token chunks at stride `s` (overlap w-s), the last chunk
+    clamped to the doc end — the RAG/embedding-index counterpart of
+    pl7's packing (pl7 concatenates docs into fixed training windows;
+    pl11 keeps document boundaries and overlaps for retrieval
+    context). Output is one row per (doc_id, chunk_idx) with the
+    token span; the downstream embedder maps chunks, not docs.
+
+    Chunk-count rule: ceil((n - w) / s) + 1 for n > w, else 1 — every
+    token is covered, the final chunk ends exactly at n, and a doc
+    shorter than one window is a single full-doc chunk.
+
+    Scale shape: a per-row sequence + explode (≤ n/s rows per doc),
+    no shuffle at all; the plan relation is what the embedding stage
+    feeds through mapInPandas. Not in the driver registry (50-entry
+    cap); DuckDB parity in tests/test_offline_oracles.py.
+    """
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    n = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    n_chunks = (
+        F.when(n > w, F.ceil((n - F.lit(w)).cast("double") / F.lit(float(s))).cast("bigint") + 1)
+        .otherwise(F.lit(1).cast("bigint"))
+    )
+    base = d.select("doc_id", n.alias("n_tokens"), n_chunks.alias("n_chunks"))
+    idx = F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("n_chunks") - 1)).alias("chunk_idx")
+    start = F.least(F.col("chunk_idx") * s, F.col("n_tokens") - F.lit(w))
+    start = F.greatest(start, F.lit(0).cast("bigint"))
+    return base.select("doc_id", "n_tokens", "n_chunks", idx).select(
+        "doc_id",
+        "n_tokens",
+        "chunk_idx",
+        start.alias("tok_start"),
+        F.least(start + w, F.col("n_tokens")).alias("tok_end"),
+    )
+
+
+def pl11_sql(w: int = CHUNK_W, s: int = CHUNK_S) -> str:
+    """DuckDB twin, parameterized like pl9_sql/pl10_sql."""
+    return f"""
+WITH base AS (
+    SELECT doc_id,
+           cast(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CASE WHEN len(str_split(text, ' ')) > {w}
+                THEN cast(ceil((len(str_split(text, ' ')) - {w}) / {s}.0) AS BIGINT) + 1
+                ELSE 1 END AS n_chunks
+    FROM documents
+),
+ex AS (
+    SELECT doc_id, n_tokens, cast(unnest(range(n_chunks)) AS BIGINT) AS chunk_idx FROM base
+)
+SELECT doc_id, n_tokens, chunk_idx,
+       greatest(least(chunk_idx * {s}, n_tokens - {w}), 0) AS tok_start,
+       least(greatest(least(chunk_idx * {s}, n_tokens - {w}), 0) + {w}, n_tokens) AS tok_end
+FROM ex
+"""
+
+
+PL11_SQL = pl11_sql()

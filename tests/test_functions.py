@@ -1225,3 +1225,34 @@ def test_mm7_sniffs_crafted_magic_bytes(spark):
     }
     for i, _, want in payloads:
         assert got[i] == want, f"payload {i}: {got[i]} != {want}"
+
+
+def test_pl11_chunks_cover_every_token_with_overlap(spark, sf_dir):
+    """pl11 invariants against a Python replay: chunk spans cover
+    [0, n) with no gaps, consecutive chunks overlap by exactly w-s
+    (except the clamped final chunk, which still ends at n), short
+    docs yield one full-doc chunk, and chunk widths never exceed w."""
+    import math as m
+
+    from maggy_spark.functions.pipeline import CHUNK_S, CHUNK_W, pl11_chunk_plan
+
+    rows = pl11_chunk_plan(spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    docs = {d.doc_id: len(d.text.split(" ")) for d in
+            spark.read.parquet(f"{sf_dir}/documents.parquet").collect()}
+    assert set(by_doc) == set(docs)
+    for doc_id, n in docs.items():
+        chunks = sorted(by_doc[doc_id], key=lambda r: r.chunk_idx)
+        want_n = m.ceil((n - CHUNK_W) / CHUNK_S) + 1 if n > CHUNK_W else 1
+        assert len(chunks) == want_n, doc_id
+        assert chunks[0].tok_start == 0
+        assert chunks[-1].tok_end == n
+        covered = set()
+        for c in chunks:
+            assert 0 < c.tok_end - c.tok_start <= CHUNK_W
+            covered.update(range(c.tok_start, c.tok_end))
+        assert covered == set(range(n)), doc_id
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.tok_start < a.tok_end  # overlap always positive

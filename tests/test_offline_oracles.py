@@ -69,6 +69,7 @@ CASES = [
     ("mm7_container_sniff", "MM7_SQL", "maggy_spark.functions.multimodal"),
     ("k3_shipping_priority", "K3_SQL", "maggy_spark.operators.warehouse"),
     ("k4_local_supplier_volume", "K4_SQL", "maggy_spark.operators.warehouse"),
+    ("pl11_chunk_plan", "PL11_SQL", "maggy_spark.functions.pipeline"),
 ]
 
 

@@ -203,3 +203,25 @@ def test_dd14_winner_via_partial_aggregation(spark, sf_dir):
     # the membership relation is session-cached: both consumers read
     # the materialization instead of re-running the components join
     assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_k3_takeordered_and_broadcast_dimension(spark, sf_dir):
+    # Q3 shape: the filtered customer dimension broadcasts; the global
+    # top-k plans as TakeOrderedAndProject (never a one-task sort of
+    # the full aggregate)
+    from maggy_spark.operators.warehouse import k3_shipping_priority
+
+    plan = _plan(k3_shipping_priority(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_k4_dimensions_broadcast_no_theta_join(spark, sf_dir):
+    # Q5 shape: every dimension join is a broadcast hash join and the
+    # local-supplier constraint is an equality filter, not a join
+    # condition that would force a theta/nested-loop join
+    from maggy_spark.operators.warehouse import k4_local_supplier_volume
+
+    plan = _plan(k4_local_supplier_volume(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4  # region/nation/supplier/customer sides
