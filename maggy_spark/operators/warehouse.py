@@ -192,12 +192,16 @@ def k4_local_supplier_volume(spark: SparkSession, sf_dir: str, region: str = "AS
     """TPC-H Q5-shaped local-supplier volume: revenue per nation from
     lineitems where the supplier and the ordering customer share a
     nation, restricted to one region — the canonical snowflake join
-    chain. The dimension side (region -> nation -> supplier/customer)
-    collapses to broadcast hash joins against the fact tables; the
-    only fact-fact shuffle is orders-lineitem on the uniform
-    orderkey; the "local" constraint is an equality on the two
-    broadcast-provided nation keys, applied as a post-join filter —
-    never a theta join. Revenue rides k1's exact-decimal routing.
+    chain. The "local" constraint is an equality on the two
+    join-provided nation keys, applied as a post-join filter — never
+    a theta join. Revenue rides k1's exact-decimal routing.
+
+    Broadcast policy: only the TINY region->nation relation carries
+    an explicit hint. Customer and supplier filtered to one region
+    are still ~20% of their tables — fact-scale at SF100k (k2's
+    customer rule) — so their join strategy is LEFT TO AQE, which
+    broadcasts them at bench scale and shuffle-joins on the uniform
+    custkey/suppkey when the measured size says otherwise.
     """
     r = load_table(spark, sf_dir, "region").where(F.col("r_name") == region)
     n = load_table(spark, sf_dir, "nation")
@@ -214,9 +218,9 @@ def k4_local_supplier_volume(spark: SparkSession, sf_dir: str, region: str = "AS
     )
     rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).cast("decimal(18,6)")
     j = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .where(F.col("supp_nation") == F.col("cust_nation"))
     )
     return (
@@ -228,7 +232,10 @@ def k4_local_supplier_volume(spark: SparkSession, sf_dir: str, region: str = "AS
     )
 
 
-K4_SQL = """
+def k4_sql(region: str = "ASIA") -> str:
+    """DuckDB twin, parameterized like pl11_sql so a non-default
+    region compares like with like."""
+    return f"""
 SELECT n.n_name,
        cast(sum(cast(round(l.l_extendedprice * (1 - l.l_discount), 6) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
        count(*) AS n_lineitems
@@ -238,6 +245,9 @@ JOIN supplier s ON s.s_nationkey = n.n_nationkey
 JOIN customer c ON c.c_nationkey = n.n_nationkey
 JOIN orders o ON o.o_custkey = c.c_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey AND l.l_suppkey = s.s_suppkey
-WHERE r.r_name = 'ASIA'
+WHERE r.r_name = '{region}'
 GROUP BY n.n_name
 """
+
+
+K4_SQL = k4_sql()
