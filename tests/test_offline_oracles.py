@@ -70,6 +70,7 @@ CASES = [
     ("k3_shipping_priority", "K3_SQL", "maggy_spark.operators.warehouse"),
     ("k4_local_supplier_volume", "K4_SQL", "maggy_spark.operators.warehouse"),
     ("pl11_chunk_plan", "PL11_SQL", "maggy_spark.functions.pipeline"),
+    ("pl12_split_audit", "PL12_SQL", "maggy_spark.functions.pipeline"),
 ]
 
 
