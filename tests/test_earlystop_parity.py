@@ -31,12 +31,16 @@ def _check_for(histories, direction="max", es_interval=1):
 )
 def test_trial_local_median_semantics_property(histories, checked):
     """Independent formulation of the rule: bar = statistics.median of
-    each finished history's fmean over its first min(s, len) values;
+    each finished history's mean over its first min(s, len) values;
     stop iff the checked trial's best is strictly below the bar. This
     pins both the even/odd median arithmetic and the short-history
-    averaging of the trial-local path."""
+    averaging of the trial-local path. The mean uses a plain
+    left-to-right float sum like the implementation (and the
+    reference rule) — fmean's exact fsum differs on catastrophic-
+    cancellation histories (e.g. [99.0, 2e-16, -99.0]), which is a
+    summation-primitive choice, not part of the pinned semantics."""
     s = len(checked)
-    bar = statistics.median(statistics.fmean(h[:s]) for h in histories)
+    bar = statistics.median(sum(h[:s]) / len(h[:s]) for h in histories)
     for direction, expected in (
         ("max", max(checked) < bar),
         ("min", min(checked) > bar),
