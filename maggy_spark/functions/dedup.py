@@ -1398,5 +1398,7 @@ SELECT m.doc_id, m.cluster_rep, m.cluster_size, m.n_tokens,
 FROM membership m JOIN winners w USING (cluster_rep)
 """
 
-# Not in the driver registry (50-entry cap); DuckDB parity in
-# tests/test_offline_oracles.py at the gate's own sf0.01.
+# Rotated INTO the driver registry round 8 (survivor selection is the
+# highest-traffic dedup step a production corpus build runs); t1/t2
+# rotated out to the offline suite to stay under the 50-entry cap.
+OPERATORS.append(("dd14_cluster_representatives", dd14_cluster_representatives, DD14_SQL))

@@ -668,6 +668,10 @@ FROM h
 
 PL9_SQL = pl9_sql()
 
+# Rotated INTO the driver registry round 8 (the dataloader ordering step
+# every training run replays); t1/t2 rotated out to the offline suite.
+OPERATORS.append(("pl9_epoch_shuffle_plan", pl9_epoch_shuffle_plan, PL9_SQL))
+
 
 # --- pl10: quality-weighted upsample plan -------------------------------
 

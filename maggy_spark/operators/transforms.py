@@ -75,7 +75,8 @@ FROM part
 """
 
 
-OPERATORS = [
-    ("t1_minmax_normalize", t1_minmax_normalize, T1_SQL),
-    ("t2_inverse_transform", t2_inverse_transform, T2_SQL),
-]
+# t1/t2 rotated OUT of the driver registry round 8 (trivial expression
+# pairs whose logic test_searchspace.py's transform tests also pin) to
+# make room for dd14/pl9 under the 50-entry cap; DuckDB parity
+# continues in tests/test_offline_oracles.py at the gate's own sf0.01.
+OPERATORS: list = []

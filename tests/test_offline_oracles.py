@@ -59,9 +59,7 @@ CASES = [
     # subset of the registered dd8, tx6's shape is subsumed by tx1/tx5)
     ("dd3_lsh_candidate_pairs", "DD3_SQL", "maggy_spark.functions.dedup"),
     ("tx6_regex_tokens", "TX6_SQL", "maggy_spark.functions.text"),
-    # round-7 additions
-    ("dd14_cluster_representatives", "DD14_SQL", "maggy_spark.functions.dedup"),
-    ("pl9_epoch_shuffle_plan", "PL9_SQL", "maggy_spark.functions.pipeline"),
+    # round-7 additions (dd14/pl9 rotated INTO the registry round 8)
     ("tx11_source_drift", "TX11_SQL", "maggy_spark.functions.text"),
     ("ev9_conversion_lag", "EV9_SQL", "maggy_spark.operators.events"),
     ("pl10_quality_upsample_plan", "PL10_SQL", "maggy_spark.functions.pipeline"),
@@ -71,6 +69,12 @@ CASES = [
     ("k4_local_supplier_volume", "K4_SQL", "maggy_spark.operators.warehouse"),
     ("pl11_chunk_plan", "PL11_SQL", "maggy_spark.functions.pipeline"),
     ("pl12_split_audit", "PL12_SQL", "maggy_spark.functions.pipeline"),
+    # round-8 rotation: dd14/pl9 moved INTO the registry (survivor
+    # selection + epoch ordering are the highest-traffic production
+    # steps); t1/t2 rotated out here (trivial expression pairs whose
+    # logic test_searchspace.py's transform tests also pin)
+    ("t1_minmax_normalize", "T1_SQL", "maggy_spark.operators.transforms"),
+    ("t2_inverse_transform", "T2_SQL", "maggy_spark.operators.transforms"),
 ]
 
 

@@ -7,13 +7,17 @@ per-row value hash (floats compared bit-exact via repr, which is why
 the operators route double aggregation through exact decimals).
 
 Usage: python tools/check_oracle.py [sf_dir] [name ...]
-       python tools/check_oracle.py [sf_dir] --names 'dd1*' 'tx10*'
+       python tools/check_oracle.py [sf_dir] [name ...] --names 'dd1*'
 
-Positional names are exact registry keys; ``--names`` switches the
-remaining arguments to shell-style globs (fnmatch), so one rotated
-gate row — or a whole family — can be replayed without typing every
-key: ``--names 'dd*'`` runs every dedup query at the gate's own
-sf0.01 on the gate's own local[8] compare.
+The first positional is treated as the sf_dir only if it is an
+existing directory (so a typo'd query name can't silently become a
+data path). Names before ``--names`` are exact registry keys —
+unknown keys abort with the known roster; everything after
+``--names`` is a shell-style glob (fnmatch), so one rotated gate row
+— or a whole family — can be replayed without typing every key:
+``--names 'dd*'`` runs every dedup query at the gate's own sf0.01 on
+the gate's own local[8] compare. A selection matching zero cases
+exits 1 (it verified nothing).
 """
 
 from __future__ import annotations
@@ -119,16 +123,31 @@ def compare_frames(sdf, spark_pd, duck_pd) -> list[str]:
 
 def main() -> int:
     argv = sys.argv[1:]
-    sf_dir = argv.pop(0) if argv and not argv[0].startswith("--") else "/root/testdata/sf0.01"
+    # The first positional is the sf_dir ONLY if it is an existing
+    # directory — `check_oracle.py dd14_...` must select the query,
+    # not silently read /root/repo/dd14_.../documents.parquet.
+    sf_dir = "/root/testdata/sf0.01"
+    if argv and not argv[0].startswith("--") and Path(argv[0]).is_dir():
+        sf_dir = argv.pop(0)
     globs: list[str] = []
-    if argv and argv[0] == "--names":
-        globs = argv[1:]
-        only: set[str] = set()
+    only: set[str] = set()
+    if "--names" in argv:
+        i = argv.index("--names")
+        only = set(argv[:i])
+        globs = argv[i + 1 :]
     else:
         only = set(argv)
 
     import __spark_entry__ as entrymod
     from pyspark.sql import SparkSession
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    unknown = sorted(n for n in only if n not in qs)
+    if unknown:
+        print(f"unknown registry names: {unknown}")
+        print(f"known: {sorted(qs)}")
+        return 1
 
     spark = (
         SparkSession.builder.master("local[8]")
@@ -144,14 +163,14 @@ def main() -> int:
         if Path(p).exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
     failures = []
+    n_ran = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
         if globs and not any(fnmatch(name, g) for g in globs):
             continue
+        n_ran += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -176,6 +195,11 @@ def main() -> int:
         else:
             print(f"ok   {name}: MATCH ({len(spark_pd)} rows, {time.time()-t0:.1f}s)")
 
+    if n_ran == 0:
+        # A selection that matches nothing verified nothing — never
+        # report success for it (check_offline.py's n_ran guard).
+        print("\n0 cases matched the selection — nothing verified")
+        return 1
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
