@@ -659,6 +659,18 @@ OPERATORS.append(("tx10_unigram_logprob", tx10_unigram_logprob, TX10_SQL))
 # --- tx11: per-source token-distribution drift --------------------------
 
 
+def kl_term(cnt_st, tot_s, cnt_ct, tot_c):
+    """Per-token KL contribution p_s·ln(p_s/p_c) from four exact
+    integer columns, rounded into decimal(38,18) so the per-source
+    sum is order-free across partitions (any fixed-point rounding
+    makes addition associative) without zeroing the Zipf tail the
+    way the original decimal(18,6) floor did — see tx11's docstring
+    for the cross-engine cast-parity analysis."""
+    p_s = cnt_st.cast("double") / tot_s.cast("double")
+    p_c = cnt_ct.cast("double") / tot_c.cast("double")
+    return (p_s * F.log(p_s / p_c)).cast("decimal(38,18)")
+
+
 def tx11_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source KL divergence of the token distribution against the
     whole corpus — the mix-drift monitor a pipeline runs across crawl
@@ -670,8 +682,20 @@ def tx11_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     source is by construction also in the corpus (P_corpus > 0
     wherever P_s > 0). Cross-engine determinism: each token's
     contribution p_s·ln(p_s/p_c) is a pure function of four exact
-    integers, rounded into decimal(18,6) BEFORE the per-source sum
-    (tx10's pattern) so the sum is order-free across partitions.
+    integers, rounded into decimal(38,18) BEFORE the per-source sum
+    (tx10's pattern, widened from decimal(18,6) round 8) so the sum
+    is order-free across partitions AND the Zipf tail survives: at a
+    1e9-token source a hapax's contribution is ~1e-8·ln(·) ~ 1e-7,
+    which a 1e-6 rounding floor zeroed term-by-term; 18 fractional
+    digits keeps ~1e-11 of relative tail mass (pinned by the
+    heavy-tail property test in tests/test_functions.py). The
+    decimal(38,18) parity trick: Spark's double→decimal cast rounds
+    the double's SHORTEST decimal repr while DuckDB's rounds the
+    exact binary expansion — they disagree beyond ~17 significant
+    digits, so the SQL twin routes through
+    cast(cast(x AS VARCHAR) AS DECIMAL(38,18)) (DuckDB's
+    double→varchar prints the shortest repr), making both engines
+    round the identical decimal string.
 
     Scale shape: one explode + one groupBy on (source, token) — the
     composite key spreads the Zipf head across sources; the corpus
@@ -702,9 +726,7 @@ def tx11_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the scalar corpus total comes from the session-cached unigram
     # counts (shared with tx8/tx10) — not a second corpus scan
     tot_c = _token_counts(spark, sf_dir).agg(F.sum("cnt").cast("bigint").alias("tot_c"))
-    p_s = F.col("cnt_st").cast("double") / F.col("tot_s").cast("double")
-    p_c = F.col("cnt_ct").cast("double") / F.col("tot_c").cast("double")
-    term = (p_s * F.log(p_s / p_c)).cast("decimal(18,6)")
+    term = kl_term(F.col("cnt_st"), F.col("tot_s"), F.col("cnt_ct"), F.col("tot_c"))
     return (
         tagged.crossJoin(F.broadcast(tot_c))
         .select("source", "cnt_st", term.alias("term"))
@@ -712,7 +734,13 @@ def tx11_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("cnt_st").cast("bigint").alias("n_tokens"),
             F.count("*").cast("bigint").alias("n_distinct_tokens"),
-            F.sum("term").cast("double").alias("kl_vs_corpus"),
+            # round(·,12) before the double cast: an 18-digit decimal
+            # sum has no unique nearest-double agreement across
+            # engines (Spark HALF_UPs the downscale, DuckDB
+            # truncates) — at 12 fractional digits the decimal→double
+            # conversion is exact-integer/exact-power and both
+            # engines produce the identical bit pattern
+            F.round(F.sum("term"), 12).cast("decimal(38,12)").cast("double").alias("kl_vs_corpus"),
         )
     )
 
@@ -730,10 +758,10 @@ tot AS (SELECT cast(count(*) AS BIGINT) AS tot_c FROM ex)
 SELECT source,
        cast(sum(cnt_st) AS BIGINT) AS n_tokens,
        cast(count(*) AS BIGINT) AS n_distinct_tokens,
-       cast(sum(cast((cast(cnt_st AS DOUBLE) / cast(tot_s AS DOUBLE))
+       cast(cast(round(sum(cast(cast((cast(cnt_st AS DOUBLE) / cast(tot_s AS DOUBLE))
                      * ln((cast(cnt_st AS DOUBLE) / cast(tot_s AS DOUBLE))
                           / (cast(cnt_ct AS DOUBLE) / cast(tot_c AS DOUBLE)))
-                AS DECIMAL(18,6))) AS DOUBLE) AS kl_vs_corpus
+                AS VARCHAR) AS DECIMAL(38,18))), 12) AS DECIMAL(38,12)) AS DOUBLE) AS kl_vs_corpus
 FROM tagged CROSS JOIN tot
 GROUP BY source
 """

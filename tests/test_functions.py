@@ -1066,8 +1066,9 @@ def test_pl9_each_epoch_is_a_distinct_permutation(spark, sf_dir):
 def test_tx11_drift_nonnegative_and_python_parity(spark, sf_dir):
     """KL >= 0 (Gibbs), zero only for a source whose distribution
     equals the corpus's; totals must partition the corpus; and the
-    decimal-routed sum must match a direct Python replay to the
-    operator's own 1e-6 quantization."""
+    decimal-routed sum must match a direct Python float64 replay to
+    well under the operator's own quantization (1e-18 per term +
+    1e-12 on the final sum since round 8)."""
     from collections import Counter
 
     rows = text.tx11_source_drift(spark, sf_dir).collect()
@@ -1088,11 +1089,53 @@ def test_tx11_drift_nonnegative_and_python_parity(spark, sf_dir):
         tot_s = sum(cnt.values())
         assert r.n_tokens == tot_s and r.n_distinct_tokens == len(cnt)
         want = sum(
-            round((c / tot_s) * m.log((c / tot_s) / (corpus[t] / tot_c)), 6)
+            (c / tot_s) * m.log((c / tot_s) / (corpus[t] / tot_c))
             for t, c in cnt.items()
         )
-        assert r.kl_vs_corpus == pytest.approx(want, abs=2e-6)
-        assert r.kl_vs_corpus >= -1e-4  # decimal-quantized Gibbs bound
+        assert r.kl_vs_corpus == pytest.approx(want, abs=1e-9)
+        assert r.kl_vs_corpus >= -1e-9  # decimal-quantized Gibbs bound
+
+
+def test_kl_term_heavy_tail_survives_decimal_floor(spark):
+    """Round-8 regression pin for tx11's precision floor: a synthetic
+    heavy-tail vocab of 1e5 tokens whose per-term KL contributions
+    are ~1e-8 (a hapax-dominated source at tot_s=1e9) must survive
+    the decimal routing — the summed tail mass from the
+    decimal(38,18) term path has to land within 1e-6 of a numpy
+    float64 reference. The old decimal(18,6) per-term floor zeroed
+    every one of these terms (also asserted, so the failure mode the
+    fix removed stays documented)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n = 100_000
+    tot_s, tot_c = 10**9, 2 * 10**9
+    cnt_st = rng.integers(1, 20, size=n)  # p_s in [1e-9, 2e-8]
+    cnt_ct = cnt_st + rng.integers(1, 100, size=n)  # p_c > p_s: negative terms
+    p_s = cnt_st / tot_s
+    p_c = cnt_ct / tot_c
+    ref = float(np.sum(p_s * np.log(p_s / p_c)))
+    assert abs(ref) > 1e-4  # the tail mass is real, not itself ~0
+
+    from maggy_spark.functions.text import kl_term
+
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(cnt_st, cnt_ct)], "cnt_st long, cnt_ct long"
+    )
+    term = kl_term(F.col("cnt_st"), F.lit(tot_s), F.col("cnt_ct"), F.lit(tot_c))
+    old_floor = (
+        (F.col("cnt_st").cast("double") / F.lit(float(tot_s)))
+        * F.log(
+            (F.col("cnt_st").cast("double") / F.lit(float(tot_s)))
+            / (F.col("cnt_ct").cast("double") / F.lit(float(tot_c)))
+        )
+    ).cast("decimal(18,6)")
+    got = df.agg(
+        F.sum(term).cast("double").alias("kl"),
+        F.sum(old_floor).cast("double").alias("kl_old"),
+    ).collect()[0]
+    assert got.kl == pytest.approx(ref, abs=1e-6)
+    assert got.kl_old == 0.0  # what decimal(18,6) did to the tail
 
 
 def test_ev9_lag_histogram_consistency(spark, sf_dir):
