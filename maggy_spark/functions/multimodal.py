@@ -443,22 +443,88 @@ def dct_phash_bits(gray) -> int:
     return bits
 
 
-def _phash_decoder():
-    """REAL perceptual hash, import-guarded like _media_decoders:
-    decode via PIL -> grayscale PHASH_SIDE x PHASH_SIDE thumbnail ->
-    dct_phash_bits. Returns None when PIL is absent (this
-    container). Resolved lazily inside the mapInPandas stage so the
-    guard runs on the WORKER's environment."""
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError:
+def decode_ppm_gray(payload: bytes):
+    """STRICT binary-PPM (P6, maxval <= 255) parser into a float64
+    grayscale array (ITU-R 601 luma weights) — the codec-free decode
+    path that lets decode -> DCT -> band run in environments without
+    PIL (this container). Pure stdlib + numpy.
+
+    Returns None unless the bytes are a WELL-FORMED P6 container:
+    the magic, exactly three decimal header fields (with optional
+    `#` comment lines), a single whitespace separator, and a raster
+    of exactly width*height*3 bytes. The strictness is load-bearing:
+    it makes an accidental decode of a synthetic text payload
+    practically impossible, which is what keeps mm6's md5-stub
+    oracle deterministic (pinned by the sf0.01 environment test)."""
+    import re
+
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
         return None
+    m = re.match(
+        rb"P6(?:[ \t\r\n]+(?:#[^\n]*\n[ \t\r\n]*)*)(\d+)"
+        rb"(?:[ \t\r\n]+(?:#[^\n]*\n[ \t\r\n]*)*)(\d+)"
+        rb"(?:[ \t\r\n]+(?:#[^\n]*\n[ \t\r\n]*)*)(\d+)"
+        rb"[ \t\r\n]",
+        payload,
+    )
+    if m is None:
+        return None
+    w, h, maxval = (int(g) for g in m.groups())
+    if not (0 < maxval <= 255) or w < PHASH_SIDE or h < PHASH_SIDE:
+        return None
+    raster = payload[m.end():]
+    if len(raster) != w * h * 3:
+        return None
+    rgb = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3).astype(np.float64)
+    gray = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]) * (
+        255.0 / maxval
+    )
+    return gray
+
+
+def area_resize(gray, side: int):
+    """Deterministic area-average downsample of a 2-D array to
+    side x side: integer bucket edges i*n//side, each output pixel
+    the mean of its source block. No interpolation kernels, so two
+    independent decodes of the same raster agree bit-for-bit."""
+    import numpy as np
+
+    g = np.asarray(gray, dtype=np.float64)
+    h, w = g.shape
+    ye = [y * h // side for y in range(side + 1)]
+    xe = [x * w // side for x in range(side + 1)]
+    out = np.empty((side, side), dtype=np.float64)
+    for i in range(side):
+        for j in range(side):
+            out[i, j] = g[ye[i]:ye[i + 1], xe[j]:xe[j + 1]].mean()
+    return out
+
+
+def _phash_decoder():
+    """REAL perceptual hash: decode -> grayscale PHASH_SIDE x
+    PHASH_SIDE thumbnail -> dct_phash_bits. Two decode paths, tried
+    in order per payload: the strict stdlib PPM parser (always
+    available), then PIL (import-guarded — absent in this
+    container). Raises on bytes neither path accepts, which the
+    signing stage catches into the md5 stub. Resolved lazily inside
+    the mapInPandas stage so the PIL guard runs on the WORKER's
+    environment."""
+    try:
+        from PIL import Image as _I
+    except ImportError:
+        _I = None
 
     def _ph(payload: bytes) -> int:
+        g = decode_ppm_gray(payload)
+        if g is not None:
+            return dct_phash_bits(area_resize(g, PHASH_SIDE))
+        if _I is None:
+            raise ValueError("payload is not a strict P6 PPM and no codec is installed")
         import io
 
         import numpy as np
-        from PIL import Image as _I
 
         resample = getattr(getattr(_I, "Resampling", _I), "LANCZOS")
         with _I.open(io.BytesIO(payload)) as im:
@@ -505,7 +571,9 @@ def _phash_signatures(img: DataFrame) -> DataFrame:
                 if sig is None:
                     sig = _phash_stub(payload)
                 out.append({"media_id": media_id, "sigint": sig})
-            yield pd.DataFrame(out)
+            # explicit columns: a zero-row Arrow batch would otherwise
+            # yield a column-less frame that fails schema conversion
+            yield pd.DataFrame(out, columns=["media_id", "sigint"])
 
     return img.select("media_id", "payload").mapInPandas(sign_batches, PHASH_SIG_SCHEMA)
 
@@ -518,13 +586,16 @@ def mm6_phash_near_dup(spark: SparkSession, sf_dir: str, max_hamming: int = PHAS
     how an image-heavy training corpus dedups re-encoded copies
     without ever comparing pixels pairwise.
 
-    The hash is the REAL DCT pHash when PIL is installed on the
-    executors (decode -> 32x32 grayscale -> 2-D DCT -> sign bits of
-    the first 60 AC coefficients of the top-left 8x8 block; see
-    dct_phash_bits), falling back per payload to the documented md5
-    stub when the codec is absent or the bytes don't parse — which is
-    what keeps the oracle deterministic on this container's synthetic
-    utf-8 payloads. Banding, the skew-free candidate join, first-match
+    The hash is the REAL DCT pHash when the payload decodes — via
+    the always-available strict PPM parser (decode_ppm_gray, round 8)
+    or PIL when installed on the executors (decode -> 32x32 grayscale
+    -> 2-D DCT -> sign bits of the first 60 AC coefficients of the
+    top-left 8x8 block; see dct_phash_bits), falling back per payload
+    to the documented md5 stub when nothing decodes the bytes — which
+    is what keeps the oracle deterministic on this container's
+    synthetic utf-8 payloads (environment-pinned by
+    test_mm6_oracle_environment_still_stub_only at the gate's own
+    sf0.01). Banding, the skew-free candidate join, first-match
     de-dup of multi-band pairs, and the hamming filter reuse dd7's
     machinery unchanged.
     """

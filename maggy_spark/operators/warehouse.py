@@ -168,7 +168,10 @@ def k3_shipping_priority(spark: SparkSession, sf_dir: str, k: int = 10) -> DataF
     )
 
 
-K3_SQL = """
+def k3_sql(k: int = 10) -> str:
+    """DuckDB twin, parameterized like k4_sql/tx8_sql so a parity run
+    with non-default k compares like with like."""
+    return f"""
 WITH agg AS (
     SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
            cast(sum(cast(round(l.l_extendedprice * (1 - l.l_discount), 6) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
@@ -184,8 +187,11 @@ SELECT o_orderkey, epoch_us(o_orderdate) AS orderdate_us, o_orderpriority, reven
        row_number() OVER (ORDER BY revenue DESC, o_orderkey) AS rank
 FROM agg
 ORDER BY revenue DESC, o_orderkey
-LIMIT 10
+LIMIT {k}
 """
+
+
+K3_SQL = k3_sql()
 
 
 def k4_local_supplier_volume(spark: SparkSession, sf_dir: str, region: str = "ASIA") -> DataFrame:

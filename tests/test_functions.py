@@ -784,38 +784,113 @@ def test_mm6_stub_signature_matches_md5_top_bits(spark, sf_dir):
         assert got[r.doc_id] == want
 
 
-def test_mm6_real_phash_reencode_within_radius():
-    """With PIL present, a quality-shifted JPEG re-encode of the same
-    image must land within the banding's exact-recall radius
-    (hamming <= 3) of the original — the invariant that makes mm6 an
-    image near-dup pass rather than an exact-byte one. Skipped when
-    PIL is absent (this container)."""
-    import io
+def _ppm_bytes(rgb) -> bytes:
+    """Encode an HxWx3 uint8 array as a binary PPM (P6) with pure
+    stdlib bytes — no codec library involved."""
+    h, w = rgb.shape[:2]
+    return b"P6\n# synthetic\n%d %d\n255\n" % (w, h) + rgb.tobytes()
 
-    PIL_Image = pytest.importorskip("PIL.Image")
+
+def _smooth_scene(n=256):
+    """Smooth low-frequency scene: the 8x8 DCT block magnitudes are
+    far from zero, where re-encode noise cannot flip signs."""
     import numpy as np
 
-    # smooth low-frequency scene: the 8x8 DCT block magnitudes are far
-    # from zero, where JPEG requantization cannot flip signs
-    n = 256
     y, x = np.mgrid[0:n, 0:n].astype(np.float64)
-    scene = (
+    return (
         128
         + 60 * np.sin(2 * np.pi * x / n)
         + 40 * np.cos(2 * np.pi * y / n)
         + 20 * np.sin(2 * np.pi * (x + y) / n)
     )
-    im = PIL_Image.fromarray(np.clip(scene, 0, 255).astype("uint8"), mode="L")
+
+
+def test_mm6_real_phash_reencode_within_radius():
+    """A lossily re-encoded copy of the same image must land within
+    the banding's exact-recall radius (hamming <= 3) of the original
+    — the invariant that makes mm6 an image near-dup pass rather
+    than an exact-byte one. Runs in EVERY environment since round 8:
+    the decode seam is exercised through stdlib-built PPM payloads
+    (5-bit requantization + a global brightness shift as the lossy
+    re-encode; brightness is DC, which the hash drops), and the JPEG
+    branch additionally runs when PIL is installed."""
+    import numpy as np
+
+    # synthesize the scene FROM its DCT: every hashed AC coefficient
+    # gets magnitude >= 30, so 5-bit requantization noise (coef
+    # perturbation std ~2) cannot flip a sign — the same
+    # far-from-zero property the JPEG branch's smooth scene has in
+    # its low frequencies, but guaranteed for all 60 hashed bits
+    n = multimodal.PHASH_SIDE
+    rng = np.random.default_rng(5)
+    coefs = np.zeros((n, n))
+    coefs[:8, :8] = rng.choice([-1.0, 1.0], (8, 8)) * rng.uniform(30, 60, (8, 8))
+    coefs[0, 0] = 0.0
+    d = multimodal._dct_matrix(n)
+    scene = np.clip(128.0 + d.T @ coefs @ d, 0, 255)
+    rgb = np.repeat(scene.astype("uint8")[..., None], 3, axis=2)
+    # lossy re-encode: quantize to 5 bits/channel and brighten by 6
+    requant = (rgb & 0xF8) | 0x04
+    reenc = np.clip(requant.astype(np.int16) + 6, 0, 255).astype("uint8")
+
+    ph = multimodal._phash_decoder()
+    h_orig = ph(_ppm_bytes(rgb))
+    h_re = ph(_ppm_bytes(reenc))
+    assert h_orig != multimodal._phash_stub(_ppm_bytes(rgb))  # real path ran
+    assert bin(h_orig ^ h_re).count("1") <= multimodal.PHASH_MAX_HAMMING
+
+    try:
+        import io
+
+        from PIL import Image as PIL_Image
+    except ImportError:
+        return  # PPM branch above already exercised decode->DCT->band
+    im = PIL_Image.fromarray(scene.astype("uint8"), mode="L")
     payloads = []
     for quality in (95, 60):
         buf = io.BytesIO()
         im.save(buf, format="JPEG", quality=quality)
         payloads.append(buf.getvalue())
-
-    ph = multimodal._phash_decoder()
-    assert ph is not None
     h95, h60 = ph(payloads[0]), ph(payloads[1])
     assert bin(h95 ^ h60).count("1") <= multimodal.PHASH_MAX_HAMMING
+
+
+def test_ppm_parser_rejects_malformed_and_text_payloads():
+    """decode_ppm_gray's strictness is what keeps mm6's md5-stub
+    oracle deterministic: anything short of a well-formed P6
+    container — wrong magic, truncated raster, oversized raster,
+    undersized dimensions, 16-bit maxval, or plain text that merely
+    starts with 'P6' — must return None (-> stub path)."""
+    import numpy as np
+
+    rgb = np.zeros((40, 40, 3), dtype="uint8")
+    good = _ppm_bytes(rgb)
+    assert multimodal.decode_ppm_gray(good) is not None
+    assert multimodal.decode_ppm_gray(good[:-1]) is None       # truncated
+    assert multimodal.decode_ppm_gray(good + b"x") is None     # trailing junk
+    assert multimodal.decode_ppm_gray(b"P5" + good[2:]) is None  # wrong magic
+    assert multimodal.decode_ppm_gray(b"P6 the corpus said") is None
+    assert multimodal.decode_ppm_gray(b"P6\n40 40\n65535\n" + b"\0" * 9600) is None
+    small = b"P6\n8 8\n255\n" + b"\0" * 192  # below PHASH_SIDE
+    assert multimodal.decode_ppm_gray(small) is None
+
+
+def test_mm6_oracle_environment_still_stub_only(spark):
+    """ADVICE r7 pin: MM6_SQL replays ONLY the md5 stub, so in the
+    oracle-checked environment no gate-corpus payload may reach a
+    real decode path (PPM or PIL). Asserted at the gate's own sf0.01
+    — if payloads ever become decodable images, this fails loudly
+    before the driver's parity does."""
+    import hashlib
+
+    sf = "/root/testdata/sf0.01"
+    img = multimodal.media_table(spark, sf).where(F.col("media_type") == "image")
+    got = {r.media_id: r.sigint for r in multimodal._phash_signatures(img).collect()}
+    docs = spark.read.parquet(f"{sf}/documents.parquet").where("doc_id % 3 = 0").collect()
+    assert len(got) == len(docs) and len(docs) > 0
+    for r in docs:
+        want = int(hashlib.md5(r.text.encode()).hexdigest()[:15], 16)
+        assert got[r.doc_id] == want
 
 
 def test_top_token_count_matches_counter_on_long_docs(spark):
