@@ -621,9 +621,23 @@ def pl9_epoch_shuffle_plan(
     to write shard files. Not in the driver registry (50-entry cap);
     DuckDB parity in tests/test_offline_oracles.py.
     """
+    d = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
+    return epoch_shuffle_plan(d, epochs=epochs, shards=shards, seed=seed)
+
+
+def epoch_shuffle_plan(
+    docs: DataFrame,
+    epochs: int = SHUFFLE_EPOCHS,
+    shards: int = SHUFFLE_SHARDS,
+    seed: int = SHUFFLE_SEED,
+) -> DataFrame:
+    """The ordering core over ANY (doc_id) relation — factored out
+    (pack_plan pattern) so pl13's composed build can order just its
+    surviving training docs and property tests can drive it with
+    synthetic ids."""
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
+    spark = docs.sparkSession
     e = spark.range(epochs).select(F.col("id").cast("int").alias("epoch"))
     h = F.conv(
         F.substring(
@@ -638,7 +652,7 @@ def pl9_epoch_shuffle_plan(
         16,
         10,
     ).cast("long")
-    hashed = d.crossJoin(F.broadcast(e)).select(
+    hashed = docs.select("doc_id").crossJoin(F.broadcast(e)).select(
         "epoch", "doc_id", h.alias("hv"), (h % shards).cast("int").alias("shard")
     )
     w = Window.partitionBy("epoch", "shard").orderBy("hv", "doc_id")
@@ -887,3 +901,322 @@ SELECT t.split_a, t.split_b,
        cast(coalesce(s.shared_fingerprints, 0) AS BIGINT) AS shared_fingerprints
 FROM tpl t LEFT JOIN shared s ON t.split_a = s.split_a AND t.split_b = s.split_b
 """
+
+
+# --- pl13: the end-to-end corpus-build ledger ----------------------------
+
+PL13_EVAL_MOD = 100          # dd9's eval slice: doc_id % mod == 0
+PL13_MIN_CONTAINMENT = 0.5   # dd9's contamination threshold
+
+
+def _pl13_doc_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document survival flags for every pl13 stage, session-cached
+    (two consumers: the ledger aggregate and the train-side pack/epoch
+    stages — unmaterialized, Catalyst would replay the dd10 component
+    build and the dd9 contamination probe once per consumer).
+
+    Columns: doc_id, bpe_tokens, split, s2 (passes the pl4 quality
+    chain), s3 (s2 AND is its dd14 near-dup-cluster representative),
+    s4 (s3 AND not in the held-out eval slice AND not dd9-contaminated).
+    Composition caveat, documented on purpose: the dedup/contamination
+    relations are the corpus-wide cached seams (dd14/dd9), so a cluster
+    whose dd14 winner fails the quality filter has no survivor — the
+    conservative policy for a training corpus (nothing from a cluster
+    whose best member is junk)."""
+    from maggy_spark.functions.dedup import (
+        dd9_decontaminate,
+        dd14_cluster_representatives,
+    )
+
+    def _build() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents", fan_out=True)
+        toks = F.split(F.col("text"), " ")
+        n_toks = F.size(toks).cast("bigint")
+        sum_len = F.aggregate(
+            toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t).cast("bigint")
+        )
+        mean_wlen = sum_len.cast("double") / n_toks.cast("double")
+        richness = F.size(F.array_distinct(toks)).cast("double") / n_toks.cast("double")
+        bpe = F.aggregate(
+            toks, F.lit(0).cast("bigint"), lambda a, t: a + F.ceil(F.length(t) / 4.0).cast("bigint")
+        )
+        base = d.select(
+            "doc_id",
+            bpe.alias("bpe_tokens"),
+            (
+                (n_toks >= FUNNEL_MIN_TOKENS)
+                & (richness >= FUNNEL_MIN_RICHNESS)
+                & (mean_wlen <= FUNNEL_MAX_MEAN_WORD_LEN)
+                & (mean_wlen >= FUNNEL_MIN_MEAN_WORD_LEN)
+                & (F.col("lang") != "unknown")
+            ).alias("pass_quality"),
+            (F.col("doc_id") % PL13_EVAL_MOD == 0).alias("is_eval"),
+        )
+        keep = dd14_cluster_representatives(spark, sf_dir).select("doc_id", "keep")
+        contam = (
+            dd9_decontaminate(spark, sf_dir, PL13_EVAL_MOD, PL13_MIN_CONTAINMENT)
+            .select(F.col("train_doc").alias("doc_id"))
+            .distinct()
+            .withColumn("contaminated", F.lit(True))
+        )
+        split = pl5_leakage_split(spark, sf_dir).select("doc_id", "split")
+        s2 = F.col("pass_quality")
+        s3 = s2 & F.col("keep")
+        s4 = s3 & ~F.col("is_eval") & ~F.coalesce(F.col("contaminated"), F.lit(False))
+        return (
+            base.join(keep, "doc_id")
+            .join(contam, "doc_id", "left")
+            .join(split, "doc_id")
+            .select(
+                "doc_id",
+                "bpe_tokens",
+                "split",
+                s2.alias("s2"),
+                s3.alias("s3"),
+                s4.alias("s4"),
+            )
+        )
+
+    from maggy_spark.plans.fixtures import session_cached
+
+    return session_cached(spark, (sf_dir, "pl13_doc_stages"), _build)
+
+
+def pl13_full_corpus_build(
+    spark: SparkSession,
+    sf_dir: str,
+    ctx: int = PACK_CTX,
+    shards: int = PACK_SHARDS,
+    epochs: int = SHUFFLE_EPOCHS,
+) -> DataFrame:
+    """The END-TO-END corpus build as one audited lineage: pl4's
+    quality chain -> dd14 near-dup survivor selection (over dd10
+    components) -> dd9 decontamination + eval-slice holdout -> pl5
+    leakage-free split -> pl7 packing of the train split -> pl9 epoch
+    ordering — returning the per-stage survivor/token LEDGER a corpus
+    release publishes (one row per stage: docs surviving, bpe tokens
+    surviving; for pack, the packed ctx-window token capacity; for
+    epoch_shuffle, the dataloader plan's row and token volume across
+    epochs).
+
+    The pack and epoch rows aggregate the ACTUAL derived plans
+    (pack_plan / epoch_shuffle_plan over the surviving train docs),
+    not arithmetic shortcuts — the DuckDB twin replays them
+    independently (cumsum windows / count arithmetic), so a drift in
+    the composed lineage shows up as a ledger mismatch.
+
+    Scale shape: every stage rides its operator's own 100-TB story
+    (cached shingle postings, banded components, broadcast eval side,
+    per-shard cumsum windows); the ledger itself is one conditional
+    aggregate over the session-cached per-doc stage relation, so the
+    corpus is never re-scanned per stage (pinned by the scan-audit
+    test in tests/test_plans.py). Not in the driver registry
+    (50-entry cap); DuckDB parity in tests/test_offline_oracles.py.
+    """
+    flags = _pl13_doc_stages(spark, sf_dir)
+    b = F.col("bpe_tokens")
+
+    def _n(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    def _t(cond):
+        return F.sum(F.when(cond, b).otherwise(0)).cast("bigint")
+
+    s2, s3, s4 = F.col("s2"), F.col("s3"), F.col("s4")
+    head = flags.agg(
+        F.count("*").cast("bigint").alias("n1"),
+        F.sum(b).cast("bigint").alias("t1"),
+        _n(s2).alias("n2"),
+        _t(s2).alias("t2"),
+        _n(s3).alias("n3"),
+        _t(s3).alias("t3"),
+        _n(s4).alias("n4"),
+        _t(s4).alias("t4"),
+        _n(s4 & (F.col("split") == "train")).alias("n5"),
+        _t(s4 & (F.col("split") == "train")).alias("t5"),
+        _n(s4 & (F.col("split") == "val")).alias("n6"),
+        _t(s4 & (F.col("split") == "val")).alias("t6"),
+        _n(s4 & (F.col("split") == "test")).alias("n7"),
+        _t(s4 & (F.col("split") == "test")).alias("t7"),
+    ).select(
+        F.expr(
+            "stack(7, "
+            "1, 'raw',            n1, t1, "
+            "2, 'quality_filter', n2, t2, "
+            "3, 'near_dedup',     n3, t3, "
+            "4, 'decontaminate',  n4, t4, "
+            "5, 'split:train',    n5, t5, "
+            "6, 'split:val',      n6, t6, "
+            "7, 'split:test',     n7, t7) "
+            "AS (seq, stage, n_docs, n_tokens)"
+        )
+    )
+
+    train = flags.where(s4 & (F.col("split") == "train")).select("doc_id", "bpe_tokens")
+    pack_row = (
+        pack_plan(train, ctx, shards)
+        .groupBy("shard")
+        .agg(F.max("window_end").alias("we"), F.count("*").alias("n"))
+        .agg(
+            F.lit(8).alias("seq"),
+            F.lit("pack").alias("stage"),
+            F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_docs"),
+            (F.coalesce(F.sum(F.col("we") + 1), F.lit(0)) * ctx).cast("bigint").alias("n_tokens"),
+        )
+    )
+    epoch_row = (
+        epoch_shuffle_plan(train, epochs=epochs)
+        .join(train, "doc_id")
+        .agg(
+            F.lit(9).alias("seq"),
+            F.lit("epoch_shuffle").alias("stage"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum("bpe_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        )
+    )
+    return head.unionAll(pack_row).unionAll(epoch_row)
+
+
+def pl13_sql(
+    ctx: int = PACK_CTX,
+    shards: int = PACK_SHARDS,
+    epochs: int = SHUFFLE_EPOCHS,
+    eval_mod: int = PL13_EVAL_MOD,
+    min_containment: float = PL13_MIN_CONTAINMENT,
+) -> str:
+    """pl13's DuckDB twin, generated from the operator's parameters.
+    Deliberately INDEPENDENT formulations where the Spark side derives
+    from actual plans: dd14's winner via row_number (not max-struct),
+    the epoch row via count arithmetic (not a replayed md5 plan), the
+    pack row via its own cumsum."""
+    from maggy_spark.functions.dedup import (
+        _SHINGLES_SQL,
+        _SIMHASH_BANDS_SQL,
+        _SIMHASH_CAND_SQL,
+        _SIMHASH_PAIRS_CTE,
+        _SIMHASH_PARAMS_SQL,
+        _SIMHASH_SIG_SQL,
+        cc_closure_sql,
+    )
+
+    return f"""
+WITH RECURSIVE p AS ({_SIMHASH_PARAMS_SQL}),
+sig AS ({_SIMHASH_SIG_SQL}),
+bands AS ({_SIMHASH_BANDS_SQL}),
+cand AS ({_SIMHASH_CAND_SQL}),
+pairs AS ({_SIMHASH_PAIRS_CTE}),
+{cc_closure_sql("documents", "doc_id")},
+toksn AS (SELECT doc_id, cast(len(str_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+membership AS MATERIALIZED (
+    SELECT c.doc_id, c.cluster_rep, t.n_tokens
+    FROM comp c JOIN toksn t USING (doc_id)
+),
+winners AS (
+    SELECT cluster_rep, doc_id AS win_id
+    FROM (SELECT *, row_number() OVER (PARTITION BY cluster_rep
+                                       ORDER BY n_tokens DESC, doc_id ASC) AS rn
+          FROM membership)
+    WHERE rn = 1
+),
+keepf AS (
+    SELECT m.doc_id, m.doc_id = w.win_id AS keep
+    FROM membership m JOIN winners w USING (cluster_rep)
+),
+sh AS ({_SHINGLES_SQL}),
+ev AS (
+    SELECT doc_id AS eval_doc, unnest(shingles) AS s, len(shingles) AS n_eval
+    FROM sh WHERE doc_id % {eval_mod} = 0
+),
+tr AS (
+    SELECT doc_id AS train_doc, unnest(shingles) AS s
+    FROM sh WHERE doc_id % {eval_mod} != 0
+),
+contam AS (
+    SELECT DISTINCT train_doc AS doc_id
+    FROM (SELECT t.train_doc, e.eval_doc, e.n_eval, count(*) AS n_common
+          FROM tr t JOIN ev e ON t.s = e.s
+          GROUP BY t.train_doc, e.eval_doc, e.n_eval)
+    WHERE cast(n_common AS DOUBLE) / cast(n_eval AS DOUBLE) >= {min_containment}
+),
+dh AS (SELECT doc_id, md5(text) AS h FROM documents),
+reps AS (SELECT h, min(doc_id) AS cluster_rep FROM dh GROUP BY h),
+splj AS (
+    SELECT dh.doc_id,
+           cast(('0x' || substr(md5('pl5:' || cast(reps.cluster_rep AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+    FROM dh JOIN reps ON dh.h = reps.h
+),
+splits AS (SELECT doc_id, (CASE {_SPLIT_CASE} END) AS split FROM splj),
+qual AS (
+    SELECT doc_id,
+           cast(list_sum(list_transform(str_split(text, ' '),
+                t -> cast(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_tokens,
+           (cast(len(str_split(text, ' ')) AS BIGINT) >= {FUNNEL_MIN_TOKENS}
+            AND cast(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+                / cast(len(str_split(text, ' ')) AS DOUBLE) >= {FUNNEL_MIN_RICHNESS}
+            AND (cast(list_sum(list_transform(str_split(text, ' '), t -> cast(length(t) AS BIGINT))) AS DOUBLE)
+                 / cast(len(str_split(text, ' ')) AS DOUBLE)) <= {FUNNEL_MAX_MEAN_WORD_LEN}
+            AND (cast(list_sum(list_transform(str_split(text, ' '), t -> cast(length(t) AS BIGINT))) AS DOUBLE)
+                 / cast(len(str_split(text, ' ')) AS DOUBLE)) >= {FUNNEL_MIN_MEAN_WORD_LEN}
+            AND lang != 'unknown') AS pass_quality,
+           (doc_id % {eval_mod} = 0) AS is_eval
+    FROM documents
+),
+docstage AS (
+    SELECT q.doc_id, q.bpe_tokens, s.split,
+           q.pass_quality AS s2,
+           (q.pass_quality AND k.keep) AS s3,
+           (q.pass_quality AND k.keep AND NOT q.is_eval AND c.doc_id IS NULL) AS s4
+    FROM qual q
+    JOIN keepf k USING (doc_id)
+    JOIN splits s USING (doc_id)
+    LEFT JOIN contam c USING (doc_id)
+),
+head AS (
+    SELECT cast(count(*) AS BIGINT) AS n1, cast(sum(bpe_tokens) AS BIGINT) AS t1,
+           cast(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+           cast(sum(CASE WHEN s2 THEN bpe_tokens ELSE 0 END) AS BIGINT) AS t2,
+           cast(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+           cast(sum(CASE WHEN s3 THEN bpe_tokens ELSE 0 END) AS BIGINT) AS t3,
+           cast(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+           cast(sum(CASE WHEN s4 THEN bpe_tokens ELSE 0 END) AS BIGINT) AS t4,
+           cast(sum(CASE WHEN s4 AND split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n5,
+           cast(sum(CASE WHEN s4 AND split = 'train' THEN bpe_tokens ELSE 0 END) AS BIGINT) AS t5,
+           cast(sum(CASE WHEN s4 AND split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n6,
+           cast(sum(CASE WHEN s4 AND split = 'val' THEN bpe_tokens ELSE 0 END) AS BIGINT) AS t6,
+           cast(sum(CASE WHEN s4 AND split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n7,
+           cast(sum(CASE WHEN s4 AND split = 'test' THEN bpe_tokens ELSE 0 END) AS BIGINT) AS t7
+    FROM docstage
+),
+train AS (SELECT doc_id, bpe_tokens FROM docstage WHERE s4 AND split = 'train'),
+packc AS (
+    SELECT doc_id, cast(doc_id % {shards} AS INTEGER) AS shard, bpe_tokens,
+           cast(sum(bpe_tokens) OVER (PARTITION BY doc_id % {shards} ORDER BY doc_id) AS BIGINT) AS cum_end
+    FROM train
+),
+packsh AS (
+    SELECT shard, max(cast(floor((cum_end - 1) / {ctx}.0) AS BIGINT)) AS we, count(*) AS n
+    FROM packc GROUP BY shard
+),
+packrow AS (
+    SELECT cast(coalesce(sum(n), 0) AS BIGINT) AS n_docs,
+           cast(coalesce(sum(we + 1), 0) * {ctx} AS BIGINT) AS n_tokens
+    FROM packsh
+),
+eprow AS (
+    SELECT cast(count(*) * {epochs} AS BIGINT) AS n_docs,
+           cast(coalesce(sum(bpe_tokens), 0) * {epochs} AS BIGINT) AS n_tokens
+    FROM train
+)
+SELECT 1 AS seq, 'raw' AS stage,          n1 AS n_docs, t1 AS n_tokens FROM head
+UNION ALL SELECT 2, 'quality_filter', n2, t2 FROM head
+UNION ALL SELECT 3, 'near_dedup',     n3, t3 FROM head
+UNION ALL SELECT 4, 'decontaminate',  n4, t4 FROM head
+UNION ALL SELECT 5, 'split:train',    n5, t5 FROM head
+UNION ALL SELECT 6, 'split:val',      n6, t6 FROM head
+UNION ALL SELECT 7, 'split:test',     n7, t7 FROM head
+UNION ALL SELECT 8, 'pack', n_docs, n_tokens FROM packrow
+UNION ALL SELECT 9, 'epoch_shuffle', n_docs, n_tokens FROM eprow
+"""
+
+
+PL13_SQL = pl13_sql()

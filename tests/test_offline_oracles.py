@@ -69,6 +69,8 @@ CASES = [
     ("k4_local_supplier_volume", "K4_SQL", "maggy_spark.operators.warehouse"),
     ("pl11_chunk_plan", "PL11_SQL", "maggy_spark.functions.pipeline"),
     ("pl12_split_audit", "PL12_SQL", "maggy_spark.functions.pipeline"),
+    # round-8 addition: the end-to-end corpus-build ledger
+    ("pl13_full_corpus_build", "PL13_SQL", "maggy_spark.functions.pipeline"),
     # round-8 rotation: dd14/pl9 moved INTO the registry (survivor
     # selection + epoch ordering are the highest-traffic production
     # steps); t1/t2 rotated out here (trivial expression pairs whose

@@ -225,3 +225,32 @@ def test_k4_dimensions_broadcast_no_theta_join(spark, sf_dir):
     plan = _plan(k4_local_supplier_volume(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 4  # region/nation/supplier/customer sides
+
+
+def test_pl13_ledger_reads_only_cached_seams(spark, sf_dir):
+    # the composed corpus build must not re-scan the corpus per stage:
+    # every documents access in the LEDGER plan routes through the
+    # session-cached seams (shingles / simhash bands / dd14 membership
+    # / the pl13 per-doc stage relation) — zero direct parquet leaves,
+    # and exactly one distinct cache feeds the ledger's aggregates
+    from maggy_spark.functions.pipeline import pl13_full_corpus_build
+
+    df = pl13_full_corpus_build(spark, sf_dir)
+    leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+    kinds, direct_scans, cache_ids = [], 0, set()
+    for i in range(leaves.size()):
+        node = leaves.apply(i)
+        name = node.nodeName()
+        kinds.append(name)
+        if name == "InMemoryRelation":
+            cache_ids.add(node.cacheBuilder().cachedPlan().id())
+        elif "documents.parquet" in node.toString():
+            direct_scans += 1
+    assert direct_scans == 0, f"ledger re-scans the corpus: {kinds}"
+    # nothing but cached seams + the pl9 epoch Range reaches the ledger
+    assert set(kinds) <= {"InMemoryRelation", "Range"}, kinds
+    assert len(cache_ids) == 1  # the single pl13_doc_stages seam
+    # the seams pl13 composed through are the shared session caches,
+    # not private per-call persists
+    keys = {k[1] for k in getattr(spark, "_maggy_session_cache", {}) if k[0] == sf_dir}
+    assert {"shingles", "dd14_membership", "pl13_doc_stages"} <= keys

@@ -241,6 +241,93 @@ def main() -> None:
             }
         )
 
+        # --- dd14: cluster survivor selection (r8) ------------------------
+        # the scale hazard is the giant near-dup component: a window
+        # over partitionBy(cluster_rep) would funnel it through one
+        # task, while dd14's groupBy+max(struct) pre-reduces it
+        # map-side — so wall time must track n, not max_cluster_size
+        t0 = time.time()
+        dd14_df = dedup.dd14_cluster_representatives(spark, sf_dir)
+        out = dd14_df.count()
+        sec = round(time.time() - t0, 2)
+        cstats = dd14_df.agg(
+            F.count_distinct("cluster_rep").alias("nc"), F.max("cluster_size").alias("mx")
+        ).collect()[0]
+        spark.catalog.clearCache()
+        rows.append(
+            {
+                "op": "dd14_cluster_representatives",
+                "sf": sf,
+                "n": n_docs,
+                "params": {"n_clusters": int(cstats.nc)},
+                "max_cluster_size": int(cstats.mx),
+                "giant_frac": round(cstats.mx / n_docs, 3),
+                "output": out,
+                "sec": sec,
+            }
+        )
+
+        # --- pl9: epoch-shuffle plan (r8) ---------------------------------
+        # per-shard position windows, never a global sort: with shards
+        # scaled ~n/1000 (the production knob — shards track output
+        # files), the max rows any window partition orders stays flat
+        # across decades; plan rows grow exactly epochs*n
+        from maggy_spark.functions.pipeline import SHUFFLE_EPOCHS, pl9_epoch_shuffle_plan
+
+        shards = max(8, n_docs // 1000)
+        t0 = time.time()
+        plan_df = pl9_epoch_shuffle_plan(spark, sf_dir, shards=shards)
+        out = plan_df.count()
+        sec = round(time.time() - t0, 2)
+        max_part = (
+            plan_df.groupBy("epoch", "shard").count().agg(F.max("count")).collect()[0][0]
+        )
+        spark.catalog.clearCache()
+        rows.append(
+            {
+                "op": "pl9_epoch_shuffle_plan",
+                "sf": sf,
+                "n": n_docs,
+                "params": {"epochs": SHUFFLE_EPOCHS, "shards": int(shards)},
+                "max_window_partition_rows": int(max_part),
+                "output": out,
+                "sec": sec,
+            }
+        )
+
+        # --- tx11: per-source drift KL (r8) -------------------------------
+        # marginals are windows over the (source, token) PRE-AGGREGATE:
+        # the per-token partition holds at most |sources| rows and the
+        # per-source partition at most |vocab| rows — both bounded, so
+        # the windowed relation (st_rows) grows with the vocab, not
+        # with corpus token volume
+        from maggy_spark.functions.text import tx11_source_drift
+
+        t0 = time.time()
+        out = tx11_source_drift(spark, sf_dir).count()
+        sec = round(time.time() - t0, 2)
+        st = (
+            d.select("source", F.explode(toks).alias("t"))
+            .groupBy("source", "t")
+            .count()
+        )
+        st_rows = st.count()
+        n_sources = int(st.select(F.count_distinct("source")).collect()[0][0])
+        spark.catalog.clearCache()
+        rows.append(
+            {
+                "op": "tx11_source_drift",
+                "sf": sf,
+                "n": n_docs,
+                "params": {"n_sources": n_sources, "vocab_actual": int(vocab_actual)},
+                "st_rows": int(st_rows),
+                "st_rows_per_token": round(st_rows / tok_rows, 4),
+                "max_token_partition_rows": n_sources,
+                "output": out,
+                "sec": sec,
+            }
+        )
+
     for r in rows:
         print(json.dumps(r))
     outs = [a for a in sys.argv[1:] if not a.startswith("--")]
