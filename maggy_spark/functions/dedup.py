@@ -1402,3 +1402,61 @@ FROM membership m JOIN winners w USING (cluster_rep)
 # highest-traffic dedup step a production corpus build runs); t1/t2
 # rotated out to the offline suite to stay under the 50-entry cap.
 OPERATORS.append(("dd14_cluster_representatives", dd14_cluster_representatives, DD14_SQL))
+
+
+# -- dd15: cross-source duplication matrix -------------------------------
+
+
+def dd15_cross_source_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where is the boilerplate COMING FROM: for every pair of
+    ingestion sources, how many distinct content fingerprints appear
+    in BOTH — the provenance matrix a curation team reads before
+    deciding which feed to fix (dd12 says how much duplicated mass a
+    doc carries; dd15 says which source pairs share it; pl12 is the
+    same shape applied to split leakage).
+
+    Reference parity note: the reference engine has no dedup at all;
+    §7.2-step-9 extension (SURVEY.md).
+
+    Scale shape: the (fingerprint, source) relation is DISTINCT —
+    at most |sources| rows per fingerprint — so the fingerprint
+    self-join is bounded per key (≤ C(|sources|,2) pairs per
+    fingerprint, sources are a handful even at 100 TB) and the rollup
+    emits at most |source pairs| rows. One md5 groupBy inherited from
+    dd1/dd5; viral fingerprints cost |sources| rows, never doc-pairs.
+    Output: (source_a < source_b, shared_fingerprints, shared_docs)
+    where shared_docs counts the documents on BOTH sides carrying a
+    shared fingerprint. Not in the driver registry (50-entry cap);
+    DuckDB parity in tests/test_offline_oracles.py.
+    """
+    d = load_table(spark, sf_dir, "documents", fan_out=True).select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+    hs = d.groupBy("h", "source").agg(F.count("*").alias("n_docs"))
+    a = hs.select("h", F.col("source").alias("source_a"), F.col("n_docs").alias("na"))
+    b = hs.select("h", F.col("source").alias("source_b"), F.col("n_docs").alias("nb"))
+    return (
+        a.join(b, "h")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("bigint").alias("shared_fingerprints"),
+            F.sum(F.col("na") + F.col("nb")).cast("bigint").alias("shared_docs"),
+        )
+    )
+
+
+DD15_SQL = """
+WITH hs AS (
+    SELECT md5(text) AS h, source, cast(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY md5(text), source
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       cast(count(*) AS BIGINT) AS shared_fingerprints,
+       cast(sum(a.n_docs + b.n_docs) AS BIGINT) AS shared_docs
+FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+GROUP BY a.source, b.source
+"""
+
+# Not in the driver registry (50-entry cap); DuckDB parity in
+# tests/test_offline_oracles.py at the gate's own sf0.01.

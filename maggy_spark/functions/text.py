@@ -765,3 +765,80 @@ SELECT source,
 FROM tagged CROSS JOIN tot
 GROUP BY source
 """
+
+
+# -- tx12: PII scan / redaction plan --------------------------------------
+#
+# Patterns are deliberately RE2-safe (character classes + bounded
+# quantifiers, no backreferences, no lookaround) so the Java regex
+# engine (Spark) and RE2 (DuckDB) count the identical non-overlapping
+# matches — the cross-engine contract the unit tests pin on crafted
+# payloads, since the synthetic corpus itself is PII-free word soup
+# (the offline oracle still verifies the all-zero relation end to end).
+
+PII_PATTERNS = {
+    "emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4s": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phones": r"\+?\d[\d -]{7,}\d",
+    "long_digit_runs": r"\d{9,}",
+}
+PII_REDACT_DENSITY = 0.01  # matches per token above which a doc is flagged
+
+
+def tx12_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII scan — the C4/RefinedWeb-style safety-filter
+    step between raw crawl and training corpus: count email / IPv4 /
+    phone-shaped / long-digit-run matches per document and flag docs
+    whose match density exceeds the redaction threshold. The output
+    is the REDACTION PLAN (counts + flag), not mutated text: a
+    production pass re-reads flagged docs and rewrites spans, so the
+    decision relation is what gets audited and versioned.
+
+    Scale shape: four regexp_count expressions riding the one corpus
+    scan (JVM-side, codegen) plus one tokenize for the density
+    denominator — no shuffle at all; the relation is one row per doc
+    with no wide columns. Not in the driver registry (50-entry cap);
+    DuckDB parity in tests/test_offline_oracles.py.
+    """
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    n_toks = F.size(_tokens()).cast("bigint")
+    counts = {k: F.regexp_count(F.col("text"), F.lit(p)).cast("bigint") for k, p in PII_PATTERNS.items()}
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    density = total.cast("double") / n_toks.cast("double")
+    return d.select(
+        "doc_id",
+        *[c.alias(f"n_{k}") for k, c in counts.items()],
+        total.alias("n_pii_total"),
+        density.alias("pii_density"),
+        (density > PII_REDACT_DENSITY).alias("needs_redaction"),
+    )
+
+
+def _pii_count_sql(pattern: str) -> str:
+    # DuckDB has no regexp_count; len(regexp_extract_all) counts the
+    # same non-overlapping leftmost matches RE2 emits
+    esc = pattern.replace("'", "''").replace("\\", "\\\\")
+    return f"cast(len(regexp_extract_all(text, '{esc}')) AS BIGINT)"
+
+
+TX12_SQL = f"""
+SELECT doc_id,
+       {_pii_count_sql(PII_PATTERNS["emails"])} AS n_emails,
+       {_pii_count_sql(PII_PATTERNS["ipv4s"])} AS n_ipv4s,
+       {_pii_count_sql(PII_PATTERNS["phones"])} AS n_phones,
+       {_pii_count_sql(PII_PATTERNS["long_digit_runs"])} AS n_long_digit_runs,
+       ({_pii_count_sql(PII_PATTERNS["emails"])} + {_pii_count_sql(PII_PATTERNS["ipv4s"])}
+        + {_pii_count_sql(PII_PATTERNS["phones"])} + {_pii_count_sql(PII_PATTERNS["long_digit_runs"])}) AS n_pii_total,
+       cast(({_pii_count_sql(PII_PATTERNS["emails"])} + {_pii_count_sql(PII_PATTERNS["ipv4s"])}
+        + {_pii_count_sql(PII_PATTERNS["phones"])} + {_pii_count_sql(PII_PATTERNS["long_digit_runs"])}) AS DOUBLE)
+           / cast(len(str_split(text, ' ')) AS DOUBLE) AS pii_density,
+       cast(({_pii_count_sql(PII_PATTERNS["emails"])} + {_pii_count_sql(PII_PATTERNS["ipv4s"])}
+        + {_pii_count_sql(PII_PATTERNS["phones"])} + {_pii_count_sql(PII_PATTERNS["long_digit_runs"])}) AS DOUBLE)
+           / cast(len(str_split(text, ' ')) AS DOUBLE) > {PII_REDACT_DENSITY} AS needs_redaction
+FROM documents
+"""
+
+# Not in the driver registry (50-entry cap); DuckDB parity in
+# tests/test_offline_oracles.py at the gate's own sf0.01.

@@ -1389,3 +1389,70 @@ def test_pl12_audit_reports_zero_leakage(spark, sf_dir):
         ("test", "train"), ("test", "val"), ("train", "val")
     }
     assert all(r.shared_fingerprints == 0 for r in rows)
+
+
+def test_tx12_pii_counts_match_python_and_duckdb_on_crafted_payloads(spark):
+    """The synthetic corpus is PII-free word soup, so the offline
+    oracle only proves the all-zero relation — the real semantics are
+    pinned here: Spark's Java regex, DuckDB's RE2, and Python's re
+    must count the SAME non-overlapping matches on payloads that
+    exercise every pattern (greedy-quantifier and word-boundary
+    corners included)."""
+    import re
+
+    import duckdb
+
+    from maggy_spark.functions.text import PII_PATTERNS
+
+    payloads = [
+        "contact a.b-c_d%x+1@mail-host.co.uk or admin@x.io today",
+        "server 10.0.0.1 peered with 192.168.255.254; not 1234.5.6.7 though",
+        "call +1 555-123-4567 or 5551234567 x 555 123 4567",
+        "ids 123456789 and 98765432109876 but not 12345678",
+        "mixed: bob@a.de at 8.8.8.8 phoned +49 170 1234567, ref 4000000001",
+        "no pii here at all, just words and the number 42",
+        "",
+        "edge@case.c",  # TLD below {2,} -> no email match
+        "1.2.3.4.5.6.7.8",  # overlapping ipv4 candidates
+    ]
+    df = spark.createDataFrame([(i, p) for i, p in enumerate(payloads)], "doc_id long, text string")
+    con = duckdb.connect()
+    for key, pat in PII_PATTERNS.items():
+        got = {
+            r.doc_id: r.n
+            for r in df.select(
+                "doc_id", F.regexp_count(F.col("text"), F.lit(pat)).cast("bigint").alias("n")
+            ).collect()
+        }
+        for i, p in enumerate(payloads):
+            want = len(re.findall(pat, p))
+            duck = con.execute(
+                "select len(regexp_extract_all(?, ?))", [p, pat]
+            ).fetchone()[0]
+            assert got[i] == want == duck, (key, i, p, got[i], want, duck)
+
+
+def test_dd15_matrix_consistent_with_exact_clusters(spark, sf_dir):
+    """dd15's shared-fingerprint counts replayed from a Python
+    Counter over (md5, source) — and the matrix must be symmetric-
+    free (source_a < source_b) with every count positive."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from maggy_spark.functions.dedup import dd15_cross_source_dup
+
+    rows = dd15_cross_source_dup(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    by_hash = defaultdict(Counter)
+    for d in docs:
+        by_hash[hashlib.md5(d.text.encode()).hexdigest()][d.source] += 1
+    want_fp, want_docs = Counter(), Counter()
+    for cnt in by_hash.values():
+        srcs = sorted(cnt)
+        for i, sa in enumerate(srcs):
+            for sb in srcs[i + 1:]:
+                want_fp[(sa, sb)] += 1
+                want_docs[(sa, sb)] += cnt[sa] + cnt[sb]
+    got = {(r.source_a, r.source_b): (r.shared_fingerprints, r.shared_docs) for r in rows}
+    assert got == {k: (want_fp[k], want_docs[k]) for k in want_fp}
+    assert all(a < b for a, b in got)
