@@ -254,3 +254,27 @@ def test_pl13_ledger_reads_only_cached_seams(spark, sf_dir):
     # not private per-call persists
     keys = {k[1] for k in getattr(spark, "_maggy_session_cache", {}) if k[0] == sf_dir}
     assert {"shingles", "dd14_membership", "pl13_doc_stages"} <= keys
+
+
+def test_tx12_rides_the_scan_no_shuffle(spark, sf_dir):
+    # the PII scan is per-row expressions over one corpus scan: no
+    # join, no window, no aggregation — the only Exchange allowed is
+    # load_table's conditional small-fixture fan-out repartition
+    # (which self-disables once the scan has >= cores splits)
+    from maggy_spark.functions.text import tx12_pii_scan
+
+    plan = _plan(tx12_pii_scan(spark, sf_dir))
+    assert "Join" not in plan and "Window" not in plan
+    assert "HashAggregate" not in plan and "Sort [" not in plan
+    assert plan.count("Exchange") <= 1  # fan-out only, never a keyed shuffle
+
+
+def test_dd15_bounded_join_with_partial_aggregation(spark, sf_dir):
+    # the source-pair matrix joins the DISTINCT (fingerprint, source)
+    # relation with itself — bounded per key by |sources| — and rolls
+    # up with map-side partial aggregation; no all-pairs shapes
+    from maggy_spark.functions.dedup import dd15_cross_source_dup
+
+    plan = _plan(dd15_cross_source_dup(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "partial_" in plan  # map-side combine before the rollup shuffle
