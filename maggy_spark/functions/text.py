@@ -818,8 +818,12 @@ def tx12_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pii_count_sql(pattern: str) -> str:
     # DuckDB has no regexp_count; len(regexp_extract_all) counts the
-    # same non-overlapping leftmost matches RE2 emits
-    esc = pattern.replace("'", "''").replace("\\", "\\\\")
+    # same non-overlapping leftmost matches RE2 emits. Standard SQL
+    # string literals keep backslashes LITERAL — doubling them would
+    # silently corrupt every \d/\b class (a corruption the PII-free
+    # fixture corpus cannot surface, which is why the crafted-payload
+    # test replays this generated SQL, not just the pattern)
+    esc = pattern.replace("'", "''")
     return f"cast(len(regexp_extract_all(text, '{esc}')) AS BIGINT)"
 
 

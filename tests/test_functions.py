@@ -1430,6 +1430,21 @@ def test_tx12_pii_counts_match_python_and_duckdb_on_crafted_payloads(spark):
                 "select len(regexp_extract_all(?, ?))", [p, pat]
             ).fetchone()[0]
             assert got[i] == want == duck, (key, i, p, got[i], want, duck)
+    # the GENERATED twin SQL must count identically too — this is the
+    # seam a literal-escaping bug corrupts (e.g. doubled backslashes
+    # turn \d into a literal-backslash class) without the PII-free
+    # fixture corpus ever noticing
+    from maggy_spark.functions.text import _pii_count_sql
+
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES "
+                + ", ".join(f"({i}, ?)" for i in range(len(payloads)))
+                + ") v(doc_id, text)", payloads)
+    for key, pat in PII_PATTERNS.items():
+        rows = con.execute(
+            f"SELECT doc_id, {_pii_count_sql(pat)} FROM t ORDER BY doc_id"
+        ).fetchall()
+        for i, n in rows:
+            assert n == len(re.findall(pat, payloads[i])), (key, i, n)
 
 
 def test_dd15_matrix_consistent_with_exact_clusters(spark, sf_dir):
