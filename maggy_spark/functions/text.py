@@ -801,19 +801,26 @@ def tx12_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB parity in tests/test_offline_oracles.py.
     """
     d = load_table(spark, sf_dir, "documents", fan_out=True)
+    return d.select("doc_id", *pii_decision_columns())
+
+
+def pii_decision_columns() -> list:
+    """The tx12 decision columns as one shared expression list — the
+    batch operator and `streaming.pii_gate_stream` both select
+    exactly these (gopher_decision_columns pattern), so the ingest
+    gate and the batch audit cannot drift."""
     n_toks = F.size(_tokens()).cast("bigint")
     counts = {k: F.regexp_count(F.col("text"), F.lit(p)).cast("bigint") for k, p in PII_PATTERNS.items()}
     total = None
     for c in counts.values():
         total = c if total is None else total + c
     density = total.cast("double") / n_toks.cast("double")
-    return d.select(
-        "doc_id",
+    return [
         *[c.alias(f"n_{k}") for k, c in counts.items()],
         total.alias("n_pii_total"),
         density.alias("pii_density"),
         (density > PII_REDACT_DENSITY).alias("needs_redaction"),
-    )
+    ]
 
 
 def _pii_count_sql(pattern: str) -> str:

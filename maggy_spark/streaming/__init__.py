@@ -3,6 +3,7 @@ from maggy_spark.streaming.documents_stream import (
     dedup_document_stream,
     fingerprint_document_stream,
     near_dup_alert_stream,
+    pii_gate_stream,
     quality_gate_stream,
 )
 from maggy_spark.streaming.embeddings_stream import ann_alert_stream
@@ -26,6 +27,7 @@ __all__ = [
     "early_stop_decisions_stream",
     "fingerprint_document_stream",
     "near_dup_alert_stream",
+    "pii_gate_stream",
     "quality_gate_stream",
     "sessionize_event_stream",
     "stateful_trial_tracker",

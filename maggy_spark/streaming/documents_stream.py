@@ -140,6 +140,25 @@ def near_dup_alert_stream(
     )
 
 
+def pii_gate_stream(doc_stream: DataFrame) -> DataFrame:
+    """Streaming tx12: the PII redaction DECISION applied to the
+    incoming corpus feed at ingest — documents carrying PII-shaped
+    spans get flagged before they land in the training store, the
+    point where redaction is still cheap (one doc) rather than a
+    corpus rewrite.
+
+    STATELESS by construction (quality_gate_stream's contract): the
+    decision columns come from `text.pii_decision_columns()` — the
+    SAME regexp_count expressions the batch operator selects, so the
+    ingest gate and the batch audit cannot drift — and they are all
+    per-row: no watermark, no state store, per-batch cost |batch|
+    regex scans regardless of what was already ingested.
+    """
+    from maggy_spark.functions.text import pii_decision_columns
+
+    return doc_stream.select("doc_id", "ts", *pii_decision_columns())
+
+
 def quality_gate_stream(doc_stream: DataFrame) -> DataFrame:
     """Streaming tx9: the Gopher-rule quality DECISION applied to the
     incoming corpus feed at ingest, before anything lands in the

@@ -583,3 +583,52 @@ def test_quality_gate_stream_matches_batch_tx9(spark, sf_dir):
     want = {r.doc_id: (r.n_tokens, r.keep, r.passes_repetition)
             for r in tx9_gopher_quality(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_pii_gate_stream_matches_batch_tx12(spark, sf_dir):
+    """Streaming tx12 parity: PII gate decisions on a streamed feed —
+    the fixture docs (all PII-free) plus crafted PII payloads — must
+    equal the batch expression list exactly, and the query must be
+    stateless."""
+    import tempfile
+
+    from maggy_spark.functions.text import pii_decision_columns
+    from maggy_spark.streaming import pii_gate_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", F.lit(_ts(0)).alias("ts")
+    )
+    crafted = spark.createDataFrame(
+        [
+            (100001, "mail bob@a.io and carol@b.org from 10.0.0.1", _ts(1)),
+            (100002, "ring +1 555-123-4567 ref 123456789012", _ts(2)),
+            (100003, "clean text with no personal data at all", _ts(3)),
+        ],
+        "doc_id long, text string, ts timestamp",
+    )
+    feed = docs.unionByName(crafted)
+    d = tempfile.mkdtemp(prefix="maggy_piigate_")
+    feed.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(feed.schema).parquet(d)
+    q = (
+        pii_gate_stream(stream)
+        .writeStream.format("memory")
+        .queryName("piigate_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert all(not (p.get("stateOperators") or []) or
+               sum(op.get("numRowsTotal", 0) for op in p["stateOperators"]) == 0
+               for p in q.recentProgress)
+    got = {r.doc_id: (r.n_pii_total, r.needs_redaction)
+           for r in spark.sql("SELECT * FROM piigate_out").collect()}
+    want = {r.doc_id: (r.n_pii_total, r.needs_redaction)
+            for r in feed.select("doc_id", *pii_decision_columns()).collect()}
+    assert got == want
+    assert got[100001][0] == 3 and got[100001][1]
+    # the 12-digit ref matches BOTH the phone shape and the long-digit
+    # run — over-flagging on purpose (a redaction pass reviews spans)
+    assert got[100002][0] == 3 and got[100002][1]
+    assert got[100003] == (0, False)
