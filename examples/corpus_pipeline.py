@@ -131,6 +131,19 @@ def main():
         "epoch", "shard"
     ).show(6)
 
+    # round-8: the whole lineage as ONE audited build — per-stage
+    # survivor/token ledger (what a corpus release publishes), the
+    # PII redaction plan, and the cross-source duplication matrix
+    from maggy_spark.functions.dedup import dd15_cross_source_dup
+    from maggy_spark.functions.pipeline import pl13_full_corpus_build
+    from maggy_spark.functions.text import tx12_pii_scan
+
+    print("corpus-build ledger:")
+    pl13_full_corpus_build(spark, sf_dir).orderBy("seq").show(truncate=False)
+    n_flagged = tx12_pii_scan(spark, sf_dir).where("needs_redaction").count()
+    print(f"documents flagged for PII redaction: {n_flagged}")
+    dd15_cross_source_dup(spark, sf_dir).orderBy(F.desc("shared_fingerprints")).show(5)
+
     out = "/tmp/maggy_example_corpus"
     corpus_to_shards(spark, sf_dir, out, n_shards=4)
     for rank in range(4):

@@ -328,6 +328,37 @@ def main() -> None:
             }
         )
 
+        # --- pl13: the composed corpus build (r8) -------------------------
+        # end-to-end wall of the full filter -> dedup -> decontaminate ->
+        # split -> pack -> shuffle lineage with COLD seams (session
+        # cache invalidated): the number a platform team budgets a
+        # corpus build by. The per-stage survivor ledger comes along
+        # for free and shows the stage survivors stay proportionate
+        # across decades (the dedup stages dominate on this
+        # duplicate-heavy synthetic corpus by design).
+        from maggy_spark.functions.pipeline import pl13_full_corpus_build
+        from maggy_spark.plans.fixtures import invalidate_session_cache
+
+        invalidate_session_cache(spark)
+        t0 = time.time()
+        ledger = {r["stage"]: (r["n_docs"], r["n_tokens"])
+                  for r in pl13_full_corpus_build(spark, sf_dir).collect()
+                  for r in [r.asDict()]}
+        sec = round(time.time() - t0, 2)
+        spark.catalog.clearCache()
+        rows.append(
+            {
+                "op": "pl13_full_corpus_build",
+                "sf": sf,
+                "n": n_docs,
+                "params": {},
+                "survivors": {k: v[0] for k, v in ledger.items()},
+                "train_tokens": ledger.get("split:train", (0, 0))[1],
+                "output": len(ledger),
+                "sec": sec,
+            }
+        )
+
     for r in rows:
         print(json.dumps(r))
     outs = [a for a in sys.argv[1:] if not a.startswith("--")]
