@@ -65,6 +65,8 @@ def main() -> None:
     spreads: dict[str, float] = {}
     partials: dict[str, int] = {}  # name -> reps that succeeded before a failure
     for name, fn in qs.items():
+        if name == "pl13_full_corpus_build":
+            continue  # timed below with cold seams (invalidate_session_cache)
         samples: list[float] = []
         try:
             while len(samples) < reps or (

@@ -652,7 +652,10 @@ WHERE bit_count(xor(a.sigint, b.sigint)) <= {PHASH_MAX_HAMMING}
 
 OPERATORS = [
     ("mm1_decode_metadata", mm1_decode_metadata, MM1_SQL),
-    ("mm2_frame_sample", mm2_frame_sample, MM2_SQL),
+    # mm2_frame_sample rotated OUT of the registry round 8 (derives
+    # entirely from the gate-green mm1 metadata relation) to make room
+    # for the pl13 corpus-build capstone under the 50-entry cap;
+    # parity continues in tests/test_offline_oracles.py.
     ("mm3_metadata_stats", mm3_metadata_stats, MM3_SQL),
 ]
 

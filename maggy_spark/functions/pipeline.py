@@ -1220,3 +1220,7 @@ UNION ALL SELECT 9, 'epoch_shuffle', n_docs, n_tokens FROM eprow
 
 
 PL13_SQL = pl13_sql()
+
+# Rotated INTO the driver registry round 8 (the corpus-build capstone);
+# mm2_frame_sample rotated out to the offline suite in exchange.
+OPERATORS.append(("pl13_full_corpus_build", pl13_full_corpus_build, PL13_SQL))

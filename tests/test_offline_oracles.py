@@ -69,11 +69,13 @@ CASES = [
     ("k4_local_supplier_volume", "K4_SQL", "maggy_spark.operators.warehouse"),
     ("pl11_chunk_plan", "PL11_SQL", "maggy_spark.functions.pipeline"),
     ("pl12_split_audit", "PL12_SQL", "maggy_spark.functions.pipeline"),
-    # round-8 additions: the end-to-end corpus-build ledger, the
-    # cross-source duplication matrix, and the PII redaction plan
-    ("pl13_full_corpus_build", "PL13_SQL", "maggy_spark.functions.pipeline"),
+    # round-8 additions: the cross-source duplication matrix and the
+    # PII redaction plan (pl13, also new in r8, went straight into the
+    # registry — mm2 rotated out here in exchange: it derives entirely
+    # from the gate-green mm1 metadata relation)
     ("dd15_cross_source_dup", "DD15_SQL", "maggy_spark.functions.dedup"),
     ("tx12_pii_scan", "TX12_SQL", "maggy_spark.functions.text"),
+    ("mm2_frame_sample", "MM2_SQL", "maggy_spark.functions.multimodal"),
     # round-8 rotation: dd14/pl9 moved INTO the registry (survivor
     # selection + epoch ordering are the highest-traffic production
     # steps); t1/t2 rotated out here (trivial expression pairs whose
