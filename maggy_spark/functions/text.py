@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from maggy_spark.plans.fixtures import load_table, session_cached as _session_cached
 
@@ -853,3 +854,145 @@ FROM documents
 
 # Not in the driver registry (50-entry cap); DuckDB parity in
 # tests/test_offline_oracles.py at the gate's own sf0.01.
+
+
+# --- tx13: BPE merge-pair statistics + distributed trainer --------------
+
+BPE_TOP_K = 40
+
+
+def tx13_bpe_pair_stats(spark: SparkSession, sf_dir: str, top_k: int = BPE_TOP_K) -> DataFrame:
+    """The statistics the FIRST byte-pair-encoding merge is chosen
+    from (Sennrich et al. 2016, arXiv:1508.07909): adjacent
+    character-pair frequencies over the corpus, weighted by word
+    frequency — ranked merge candidates for tokenizer training, the
+    step every from-scratch LLM data pipeline runs before anything
+    is tokenized.
+
+    Scale shape: rides the session-cached ``(tok, cnt)`` unigram
+    relation (shared with tx8/tx10/tx11) — the corpus's billions of
+    token OCCURRENCES collapse to |vocab| rows BEFORE any character
+    work, the classic BPE trick; pair extraction is then a per-word
+    O(len) array explode over vocab rows only, and the pair groupBy
+    partial-aggregates map-side into at most |charset|² keys. The
+    final ranking window runs on that charset²-bounded relation, so
+    the single-partition row_number is a constant-size sort at any
+    corpus scale.
+    """
+    counts = _token_counts(spark, sf_dir).where(F.length("tok") >= 2)
+    tok = F.col("tok")
+    pair_structs = F.transform(
+        F.sequence(F.lit(1), F.length(tok) - 1),
+        lambda i: F.struct(
+            tok.substr(i, F.lit(1)).alias("left_sym"),
+            tok.substr(i + F.lit(1), F.lit(1)).alias("right_sym"),
+        ),
+    )
+    agg = (
+        counts.select(F.explode(pair_structs).alias("p"), "cnt")
+        .groupBy(F.col("p.left_sym").alias("left_sym"), F.col("p.right_sym").alias("right_sym"))
+        .agg(F.sum("cnt").cast("bigint").alias("pair_count"))
+    )
+    w = Window.orderBy(F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym"))
+    return (
+        agg.select("*", F.row_number().over(w).cast("bigint").alias("rank"))
+        .where(F.col("rank") <= top_k)
+    )
+
+
+def tx13_sql(top_k: int = BPE_TOP_K) -> str:
+    """DuckDB twin, parameterized like tx8_sql/k3_sql so a
+    non-default ``top_k`` parity run compares like with like."""
+    return f"""
+WITH words AS (
+  SELECT tok, cast(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(str_split(text, ' ')) AS tok FROM documents)
+  WHERE length(tok) >= 2
+  GROUP BY tok
+),
+pairs AS (
+  SELECT substr(tok, i, 1) AS left_sym, substr(tok, i + 1, 1) AS right_sym, cnt
+  FROM words, unnest(generate_series(1, length(tok) - 1)) AS t(i)
+),
+agg AS (
+  SELECT left_sym, right_sym, cast(sum(cnt) AS BIGINT) AS pair_count
+  FROM pairs GROUP BY left_sym, right_sym
+),
+ranked AS (
+  SELECT *, cast(row_number() OVER (ORDER BY pair_count DESC, left_sym, right_sym) AS BIGINT) AS rank
+  FROM agg
+)
+SELECT left_sym, right_sym, pair_count, rank FROM ranked WHERE rank <= {top_k}
+"""
+
+
+TX13_SQL = tx13_sql()
+
+# Not in the driver registry (50-entry cap); DuckDB parity in
+# tests/test_offline_oracles.py at the gate's own sf0.01.
+
+
+def bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = 20) -> list:
+    """Distributed BPE tokenizer training: ``n_merges`` rounds of
+    (count adjacent symbol pairs over the word-frequency table,
+    pick the most frequent pair, merge its occurrences left-to-right
+    non-overlapping in every word). Returns the learned merge list
+    ``[(left, right, pair_count), ...]`` in merge order — the
+    artifact a tokenizer ships. Ties break lexicographically, so the
+    sequence is deterministic; ``tests/test_functions.py`` pins it
+    against an independent pure-Python BPE on the same corpus.
+
+    Scale shape: the corpus is scanned ONCE (the shared unigram
+    cache); every round after that touches only the |vocab|-row
+    symbol table — pair counting partial-aggregates into a
+    vocab²-bounded (in practice tiny) key space, and only the single
+    winning pair is collected per round. The per-word merge is a
+    JVM-side ``F.aggregate`` fold (no Python in the loop), and the
+    symbol table is ``localCheckpoint``-ed each round so the logical
+    plan stays constant-size across rounds (the star_components
+    pattern — without it Catalyst re-derives ``n_merges`` nested
+    folds).
+    """
+    vocab = (
+        _token_counts(spark, sf_dir)
+        .where(F.length("tok") >= 2)
+        # the empty pattern is Spark's one char-split spelling with no
+        # trailing "" (zero-width regexes keep it at any limit)
+        .select(F.split(F.col("tok"), "").alias("symbols"), "cnt")
+        .localCheckpoint()
+    )
+    merges = []
+    for _ in range(n_merges):
+        pair_structs = F.transform(
+            F.sequence(F.lit(1), F.size("symbols") - 1),
+            lambda i: F.struct(
+                F.element_at("symbols", i).alias("l"),
+                F.element_at("symbols", i + F.lit(1)).alias("r"),
+            ),
+        )
+        top = (
+            vocab.where(F.size("symbols") >= 2)
+            .select(F.explode(pair_structs).alias("p"), "cnt")
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["c"])
+        merges.append((left, right, cnt))
+        merged_sym = F.lit(left + right)
+        fold = F.aggregate(
+            F.col("symbols"),
+            F.expr("CAST(array() AS array<string>)"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (s == F.lit(right)),
+                F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(merged_sym)),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        vocab = vocab.select(fold.alias("symbols"), "cnt").localCheckpoint()
+    return merges

@@ -1471,3 +1471,64 @@ def test_dd15_matrix_consistent_with_exact_clusters(spark, sf_dir):
     got = {(r.source_a, r.source_b): (r.shared_fingerprints, r.shared_docs) for r in rows}
     assert got == {k: (want_fp[k], want_docs[k]) for k in want_fp}
     assert all(a < b for a, b in got)
+
+
+def _python_bpe(word_counts, n_merges):
+    """Independent pure-Python BPE (Sennrich alg. 1): the reference
+    bpe_train is pinned against — same tie-break (count desc, then
+    pair lexicographic), same left-to-right non-overlapping merge."""
+    from collections import Counter
+
+    vocab = {w: list(w) for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for w, syms in vocab.items():
+            c = word_counts[w]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        (left, right), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((left, right, cnt))
+        for w, syms in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            vocab[w] = out
+    return merges
+
+
+def test_tx13_bpe_train_matches_pure_python_reference(spark, sf_dir):
+    """bpe_train's merge SEQUENCE (not just pair stats) equals an
+    independent driver-side BPE on the same corpus — including
+    multi-character merges in later rounds, which exercise the
+    element_at(acc, -1) fold against freshly-merged symbols."""
+    from collections import Counter
+
+    from maggy_spark.functions.text import bpe_train
+
+    merges = bpe_train(spark, sf_dir, n_merges=8)
+    wc = Counter()
+    for row in spark.read.parquet(f"{sf_dir}/documents.parquet").select("text").collect():
+        for w in row.text.split(" "):
+            if len(w) >= 2:
+                wc[w] += 1
+    assert merges == _python_bpe(wc, 8)
+    # later rounds must have produced at least one multi-char side
+    assert any(len(l) > 1 or len(r) > 1 for l, r, _ in merges)
+
+
+def test_tx13_pair_stats_rank_is_contiguous_and_tiebroken(spark, sf_dir):
+    from maggy_spark.functions.text import tx13_bpe_pair_stats
+
+    rows = tx13_bpe_pair_stats(spark, sf_dir, top_k=15).orderBy("rank").collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    counts = [r.pair_count for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for a, b in zip(rows, rows[1:]):
+        if a.pair_count == b.pair_count:
+            assert (a.left_sym, a.right_sym) < (b.left_sym, b.right_sym)

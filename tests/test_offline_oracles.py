@@ -82,6 +82,9 @@ CASES = [
     # logic test_searchspace.py's transform tests also pin)
     ("t1_minmax_normalize", "T1_SQL", "maggy_spark.operators.transforms"),
     ("t2_inverse_transform", "T2_SQL", "maggy_spark.operators.transforms"),
+    # round-8 (cont.): BPE merge-pair statistics — the tokenizer-training
+    # counterpart of tx8/tx10's unigram passes
+    ("tx13_bpe_pair_stats", "TX13_SQL", "maggy_spark.functions.text"),
 ]
 
 
