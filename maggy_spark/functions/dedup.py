@@ -1458,5 +1458,9 @@ FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
 GROUP BY a.source, b.source
 """
 
-# Not in the driver registry (50-entry cap); DuckDB parity in
-# tests/test_offline_oracles.py at the gate's own sf0.01.
+# Not in the driver registry: at the gate's sf0.01 the synthetic
+# corpus has ZERO cross-source exact duplicates, so a gate row would
+# be an empty relation that verifies nothing. Parity runs where the
+# data has support — tests/test_offline_oracles.py at sf0.01 plus the
+# sf0.1 replay (8 shared fingerprints) and the crafted-payload
+# Python-replay unit test.

@@ -656,7 +656,9 @@ OPERATORS = [
     # entirely from the gate-green mm1 metadata relation) to make room
     # for the pl13 corpus-build capstone under the 50-entry cap;
     # parity continues in tests/test_offline_oracles.py.
-    ("mm3_metadata_stats", mm3_metadata_stats, MM3_SQL),
+    # mm3_metadata_stats followed it in late round 8 for the same
+    # reason (it is a 3-row rollup of that same mm1 relation); the
+    # slot went to dd15_cross_source_dup.
 ]
 
 

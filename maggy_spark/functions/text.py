@@ -852,8 +852,13 @@ SELECT doc_id,
 FROM documents
 """
 
-# Not in the driver registry (50-entry cap); DuckDB parity in
-# tests/test_offline_oracles.py at the gate's own sf0.01.
+# Rotated INTO the driver registry late round 8 (the PII redaction
+# plan is the compliance-audited decision relation of a production
+# corpus build, with a streaming twin at ingest); the slot came from
+# a2_direction_normalize, whose single-expression negation is a
+# literal sub-expression of the gate-green a3_get_xy's y column —
+# a2 keeps parity in the offline suite.
+OPERATORS.append(("tx12_pii_scan", tx12_pii_scan, TX12_SQL))
 
 
 # --- tx13: BPE merge-pair statistics + distributed trainer --------------
@@ -928,8 +933,12 @@ SELECT left_sym, right_sym, pair_count, rank FROM ranked WHERE rank <= {top_k}
 
 TX13_SQL = tx13_sql()
 
-# Not in the driver registry (50-entry cap); DuckDB parity in
-# tests/test_offline_oracles.py at the gate's own sf0.01.
+# Rotated INTO the driver registry late round 8 (tokenizer-training
+# statistics are a first-class production pass); the slot came from
+# mm3_metadata_stats, a 3-row rollup of the gate-green mm1 relation —
+# the same derives-entirely argument that rotated mm2 out. mm3 keeps
+# parity in the offline suite.
+OPERATORS.append(("tx13_bpe_pair_stats", tx13_bpe_pair_stats, TX13_SQL))
 
 
 def bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = 20) -> list:

@@ -482,7 +482,11 @@ WHERE m.rn % 2 = 0 OR m.rn = mx.hist_len
 # go to pl1/pl2 and hb1 instead.
 OPERATORS = [
     ("a1_result_summary", a1_result_summary, A1_SQL),
-    ("a2_direction_normalize", a2_direction_normalize, A2_SQL),
+    # a2_direction_normalize rotated OUT of the registry round 8 (its
+    # single-expression negation is a literal sub-expression of the
+    # gate-green a3_get_xy's y column) to make room for tx12_pii_scan
+    # under the 50-entry cap; parity continues in
+    # tests/test_offline_oracles.py.
     ("a3_get_xy", a3_get_xy, A3_SQL),
     ("a4_budget_stats", a4_budget_stats, A4_SQL),
     ("a5_topk_per_rung", a5_topk_per_rung, A5_SQL),

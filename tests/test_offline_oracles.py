@@ -82,9 +82,17 @@ CASES = [
     # logic test_searchspace.py's transform tests also pin)
     ("t1_minmax_normalize", "T1_SQL", "maggy_spark.operators.transforms"),
     ("t2_inverse_transform", "T2_SQL", "maggy_spark.operators.transforms"),
-    # round-8 (cont.): BPE merge-pair statistics — the tokenizer-training
-    # counterpart of tx8/tx10's unigram passes
-    ("tx13_bpe_pair_stats", "TX13_SQL", "maggy_spark.functions.text"),
+    # round-8 (cont.) rotation: tx12/tx13 moved INTO the registry (the
+    # PII redaction plan and the BPE merge statistics are production
+    # passes a corpus build audits; both have full data support at the
+    # gate's sf0.01, unlike dd15 whose cross-source dups only appear
+    # at sf0.1 — it stays here, where the data has support); a2
+    # rotated out (its negation is a literal sub-expression of
+    # gate-green a3's y column) and mm3 too (a 3-row rollup of the
+    # gate-green mm1 relation — the same argument that rotated mm2
+    # out).
+    ("a2_direction_normalize", "A2_SQL", "maggy_spark.operators.aggregations"),
+    ("mm3_metadata_stats", "MM3_SQL", "maggy_spark.functions.multimodal"),
 ]
 
 
