@@ -1005,3 +1005,68 @@ def bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = 20) -> list:
         )
         vocab = vocab.select(fold.alias("symbols"), "cnt").localCheckpoint()
     return merges
+
+
+def bpe_encode(spark: SparkSession, sf_dir: str, merges: list) -> DataFrame:
+    """Apply a trained BPE merge list (``bpe_train`` output) to every
+    document: whitespace pre-tokenize, split words to characters,
+    then repeatedly merge the lowest-rank pair present (all
+    occurrences, left-to-right non-overlapping) until no listed pair
+    remains — the standard rank-priority BPE encoder. Returns
+    ``(doc_id, n_words, n_bpe_tokens, tokens)``.
+
+    Scale shape: this is the legitimate Python seam — applying ranked
+    merges is a per-word priority loop no built-in expression covers
+    (one ``F.aggregate`` pass PER MERGE would nest n_merges folds
+    into the plan), so it ships as ``mapInPandas`` over Arrow batches
+    with the merge-rank dict closed over (tiny, serialized once per
+    task). Inside each batch a word→tokens memo bounds the loop work
+    by the batch's DISTINCT words, not its token occurrences — the
+    same vocab-collapse trick the trainer uses, applied batch-locally
+    so executors hold no corpus-sized state.
+    """
+    import pandas as pd
+
+    ranks = {(l, r): i for i, (l, r, _c) in enumerate(merges)}
+    schema = "doc_id bigint, n_words bigint, n_bpe_tokens bigint, tokens array<string>"
+
+    def _encode_word(word: str) -> list:
+        syms = list(word)
+        while len(syms) > 1:
+            best_rank, best_pair = None, None
+            for p in zip(syms, syms[1:]):
+                rk = ranks.get(p)
+                if rk is not None and (best_rank is None or rk < best_rank):
+                    best_rank, best_pair = rk, p
+            if best_pair is None:
+                break
+            left, right = best_pair
+            out = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            syms = out
+        return syms
+
+    def _batches(it):
+        for pdf in it:
+            memo: dict = {}
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks: list = []
+                words = [w for w in text.split(" ") if w]
+                for w in words:
+                    enc = memo.get(w)
+                    if enc is None:
+                        enc = _encode_word(w)
+                        memo[w] = enc
+                    toks.extend(enc)
+                rows.append((int(doc_id), len(words), len(toks), toks))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_words", "n_bpe_tokens", "tokens"]
+            )
+
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    return d.select("doc_id", "text").mapInPandas(_batches, schema=schema)

@@ -1532,3 +1532,44 @@ def test_tx13_pair_stats_rank_is_contiguous_and_tiebroken(spark, sf_dir):
     for a, b in zip(rows, rows[1:]):
         if a.pair_count == b.pair_count:
             assert (a.left_sym, a.right_sym) < (b.left_sym, b.right_sym)
+
+
+def test_bpe_encode_matches_sequential_application_and_roundtrips(spark, sf_dir):
+    """bpe_encode (rank-priority loop, mapInPandas) must agree with
+    an INDEPENDENT sequential encoder that applies merges in training
+    order as successive whole-word rewrites — equivalent for any
+    consistently-learned merge list because merging a pair can only
+    create adjacencies of later-learned (higher-rank) pairs — and the
+    concatenation of each doc's tokens must reproduce its words."""
+    from maggy_spark.functions.text import bpe_encode, bpe_train
+
+    merges = bpe_train(spark, sf_dir, n_merges=8)
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens, list(r.tokens))
+        for r in bpe_encode(spark, sf_dir, merges).collect()
+    }
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text").collect()
+    assert len(got) == len(docs)
+    for d in docs:
+        words = [w for w in d.text.split(" ") if w]
+        toks = []
+        for w in words:
+            syms = list(w)
+            for left, right, _c in merges:
+                out = []
+                for s in syms:
+                    if out and out[-1] == left and s == right:
+                        out[-1] = left + right
+                    else:
+                        out.append(s)
+                syms = out
+            toks.extend(syms)
+        n_words, n_bpe, tokens = got[d.doc_id]
+        assert (n_words, n_bpe) == (len(words), len(toks))
+        assert tokens == toks
+        assert "".join(tokens) == "".join(words)
+    # the merges must actually compress: fewer BPE tokens than chars
+    total_chars = sum(len(w) for d in docs for w in d.text.split(" ") if w)
+    total_bpe = sum(v[1] for v in got.values())
+    assert total_bpe < total_chars

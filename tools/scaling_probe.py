@@ -359,6 +359,39 @@ def main() -> None:
             }
         )
 
+        # --- tx13: BPE merge-pair stats (r8 cont.) ------------------------
+        # the BPE trick under measurement: corpus token OCCURRENCES
+        # collapse to |vocab| rows before any character work, so the
+        # per-decade character explode touches vocab_rows, not
+        # tok_rows, and the pair groupBy key space is bounded by the
+        # charset² regardless of corpus size
+        from maggy_spark.functions.text import tx13_bpe_pair_stats
+
+        t0 = time.time()
+        out = tx13_bpe_pair_stats(spark, sf_dir).count()
+        sec = round(time.time() - t0, 2)
+        pair_keys = int(
+            d.select(F.explode(toks).alias("t"))
+            .where(F.length("t") >= 2)
+            .select(F.explode(F.sequence(F.lit(1), F.length("t") - 1)).alias("i"), "t")
+            .select(F.col("t").substr(F.col("i"), F.lit(2)).alias("p"))
+            .distinct()
+            .count()
+        )
+        spark.catalog.clearCache()
+        rows.append(
+            {
+                "op": "tx13_bpe_pair_stats",
+                "sf": sf,
+                "n": n_docs,
+                "params": {"vocab_rows": int(vocab_actual)},
+                "vocab_per_token_occurrence": round(vocab_actual / tok_rows, 4),
+                "distinct_pair_keys": pair_keys,
+                "output": out,
+                "sec": sec,
+            }
+        )
+
     for r in rows:
         print(json.dumps(r))
     outs = [a for a in sys.argv[1:] if not a.startswith("--")]
