@@ -98,10 +98,10 @@ def main() -> None:
                 print(f"BENCH ERROR {name}: {e}", file=sys.stderr)
             spark.catalog.clearCache()
 
-    # the composed end-to-end corpus build (pl13) is benched OUTSIDE
-    # the registry (offline oracle, 50-entry gate cap): each rep pays
-    # the FULL pipeline including rebuilding its session-cached seams
-    # (clearCache drops them), which is the honest corpus-build wall
+    # the composed end-to-end corpus build (pl13, a gate row since
+    # round 8) is benched separately from the registry loop: each rep
+    # pays the FULL pipeline including rebuilding its session-cached
+    # seams (clearCache drops them) — the honest corpus-build wall
     try:
         from maggy_spark.functions.pipeline import pl13_full_corpus_build
         from maggy_spark.plans.fixtures import invalidate_session_cache
@@ -168,10 +168,16 @@ def main() -> None:
     # headline total counts only FULLY-measured queries: a partial
     # (crashed-after-rep-1) or errored query must shrink measured
     # coverage, not fold a possibly-bogus sample into the number the
-    # regression gate compares round over round. The two r8 overhead
-    # COMPONENTS decompose exp_random16_noop, which is already summed
-    # — adding them would double-count the same wall time
-    components = {"exp_submit_to_first_task", "exp_last_task_to_result"}
+    # regression gate compares round over round. Every key DERIVED
+    # from exp_random16_noop (the r8 submit/tail components AND the
+    # per-trial quotient) is excluded — exp_random16_noop is already
+    # summed, so adding any decomposition of it would double-count
+    # the same wall time
+    components = {
+        "exp_submit_to_first_task",
+        "exp_last_task_to_result",
+        "exp_per_trial_overhead",
+    }
     total = round(
         sum(v for k, v in timings.items() if v >= 0 and k not in partials and k not in components),
         3,

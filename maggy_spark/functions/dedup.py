@@ -1463,4 +1463,5 @@ GROUP BY a.source, b.source
 # be an empty relation that verifies nothing. Parity runs where the
 # data has support — tests/test_offline_oracles.py at sf0.01 plus the
 # sf0.1 replay (8 shared fingerprints) and the crafted-payload
-# Python-replay unit test.
+# three-way test (test_dd15_crafted_cross_source_duplicates: Spark ==
+# hand truth == DD15_SQL on a corpus with known cross-source dups).

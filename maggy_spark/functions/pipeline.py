@@ -240,6 +240,29 @@ FUNNEL_MAX_MEAN_WORD_LEN = 12.0
 FUNNEL_MIN_MEAN_WORD_LEN = 2.0
 
 
+def funnel_fail_flags() -> list[tuple[str, "F.Column"]]:
+    """The pl4 quality-rule FAIL predicates as one shared expression
+    list — pl4's funnel report and pl13's ledger both build from it
+    (the pii_decision_columns pattern: two gate-checked relations must
+    not be able to drift on a rule's expression)."""
+    toks = F.split(F.col("text"), " ")
+    n_toks = F.size(toks).cast("bigint")
+    mean_wlen = (
+        F.aggregate(toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t).cast("bigint")).cast("double")
+        / n_toks.cast("double")
+    )
+    richness = F.size(F.array_distinct(toks)).cast("double") / n_toks.cast("double")
+    return [
+        ("min_tokens", n_toks < FUNNEL_MIN_TOKENS),
+        ("min_richness", richness < FUNNEL_MIN_RICHNESS),
+        (
+            "mean_word_len",
+            (mean_wlen > FUNNEL_MAX_MEAN_WORD_LEN) | (mean_wlen < FUNNEL_MIN_MEAN_WORD_LEN),
+        ),
+        ("lang_known", F.col("lang") == "unknown"),
+    ]
+
+
 def pl4_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-rule drop accounting for the quality-filter chain — the
     "filter funnel" report a corpus-curation run publishes so each
@@ -256,20 +279,12 @@ def pl4_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(rules) regardless of corpus size.
     """
     d = load_table(spark, sf_dir, "documents", fan_out=True)
-    toks = F.split(F.col("text"), " ")
-    n_toks = F.size(toks).cast("bigint")
-    mean_wlen = (
-        F.aggregate(toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t).cast("bigint")).cast("double")
-        / n_toks.cast("double")
-    )
-    richness = F.size(F.array_distinct(toks)).cast("double") / n_toks.cast("double")
+    rules = funnel_fail_flags()
     flags = d.select(
-        (n_toks < FUNNEL_MIN_TOKENS).cast("bigint").alias("f_short"),
-        (richness < FUNNEL_MIN_RICHNESS).cast("bigint").alias("f_rich"),
-        ((mean_wlen > FUNNEL_MAX_MEAN_WORD_LEN) | (mean_wlen < FUNNEL_MIN_MEAN_WORD_LEN))
-        .cast("bigint")
-        .alias("f_wlen"),
-        (F.col("lang") == "unknown").cast("bigint").alias("f_lang"),
+        rules[0][1].cast("bigint").alias("f_short"),
+        rules[1][1].cast("bigint").alias("f_rich"),
+        rules[2][1].cast("bigint").alias("f_wlen"),
+        rules[3][1].cast("bigint").alias("f_lang"),
     )
     agg = flags.agg(
         F.count("*").alias("n_docs"),
@@ -618,8 +633,8 @@ def pl9_epoch_shuffle_plan(
     row_number, never a global-order window. At 100 TB with thousands
     of shards every partition orders independently; the only shuffle
     is the (epoch, shard) hash partitioning a real run needs anyway
-    to write shard files. Not in the driver registry (50-entry cap);
-    DuckDB parity in tests/test_offline_oracles.py.
+    to write shard files. Driver-gate row since round 8 (rotated in
+    with dd14; t1/t2 out — COVERAGE.md).
     """
     d = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
     return epoch_shuffle_plan(d, epochs=epochs, shards=shards, seed=seed)
@@ -929,27 +944,20 @@ def _pl13_doc_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _build() -> DataFrame:
+        from maggy_spark.functions.text import bpe_token_estimate
+
         d = load_table(spark, sf_dir, "documents", fan_out=True)
-        toks = F.split(F.col("text"), " ")
-        n_toks = F.size(toks).cast("bigint")
-        sum_len = F.aggregate(
-            toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t).cast("bigint")
-        )
-        mean_wlen = sum_len.cast("double") / n_toks.cast("double")
-        richness = F.size(F.array_distinct(toks)).cast("double") / n_toks.cast("double")
-        bpe = F.aggregate(
-            toks, F.lit(0).cast("bigint"), lambda a, t: a + F.ceil(F.length(t) / 4.0).cast("bigint")
-        )
+        # the SAME rule expressions pl4's funnel report publishes —
+        # pass_quality is "fails none of them", so a rule change
+        # reaches both gate-checked relations or neither
+        fails = [flag for _name, flag in funnel_fail_flags()]
+        pass_quality = ~fails[0]
+        for f_rule in fails[1:]:
+            pass_quality = pass_quality & ~f_rule
         base = d.select(
             "doc_id",
-            bpe.alias("bpe_tokens"),
-            (
-                (n_toks >= FUNNEL_MIN_TOKENS)
-                & (richness >= FUNNEL_MIN_RICHNESS)
-                & (mean_wlen <= FUNNEL_MAX_MEAN_WORD_LEN)
-                & (mean_wlen >= FUNNEL_MIN_MEAN_WORD_LEN)
-                & (F.col("lang") != "unknown")
-            ).alias("pass_quality"),
+            bpe_token_estimate(F.split(F.col("text"), " ")).alias("bpe_tokens"),
+            pass_quality.alias("pass_quality"),
             (F.col("doc_id") % PL13_EVAL_MOD == 0).alias("is_eval"),
         )
         keep = dd14_cluster_representatives(spark, sf_dir).select("doc_id", "keep")
@@ -1010,8 +1018,8 @@ def pl13_full_corpus_build(
     per-shard cumsum windows); the ledger itself is one conditional
     aggregate over the session-cached per-doc stage relation, so the
     corpus is never re-scanned per stage (pinned by the scan-audit
-    test in tests/test_plans.py). Not in the driver registry
-    (50-entry cap); DuckDB parity in tests/test_offline_oracles.py.
+    test in tests/test_plans.py). Driver-gate row since round 8
+    (rotated in for mm2 — COVERAGE.md).
     """
     flags = _pl13_doc_stages(spark, sf_dir)
     b = F.col("bpe_tokens")

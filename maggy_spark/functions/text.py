@@ -29,6 +29,16 @@ def _tokens():
     return F.split(F.col("text"), " ")
 
 
+def bpe_token_estimate(toks) -> "F.Column":
+    """ceil(len/4) sub-token budget per whitespace token — ONE shared
+    expression for every consumer of the proxy token count (tx1's
+    per-doc relation, pl13's ledger), so the budget formula cannot
+    drift between the published stats and the corpus-build audit."""
+    return F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("bigint")
+    )
+
+
 def tx1_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace tokenization + char/token counts + mean token length.
 
@@ -39,9 +49,7 @@ def tx1_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _tokens()
     n_toks = F.size(toks).cast("bigint")
     n_chars = F.length("text").cast("bigint")
-    bpe = F.aggregate(
-        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("bigint")
-    )
+    bpe = bpe_token_estimate(toks)
     return d.select(
         "doc_id",
         n_chars.alias("n_chars"),
@@ -798,8 +806,9 @@ def tx12_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: four regexp_count expressions riding the one corpus
     scan (JVM-side, codegen) plus one tokenize for the density
     denominator — no shuffle at all; the relation is one row per doc
-    with no wide columns. Not in the driver registry (50-entry cap);
-    DuckDB parity in tests/test_offline_oracles.py.
+    with no wide columns. Driver-gate row since round 8 (rotated in
+    with tx13 for a2/mm3 — COVERAGE.md); the crafted-payload PII
+    regex parity test also pins each pattern across engines.
     """
     d = load_table(spark, sf_dir, "documents", fan_out=True)
     return d.select("doc_id", *pii_decision_columns())

@@ -1447,10 +1447,76 @@ def test_tx12_pii_counts_match_python_and_duckdb_on_crafted_payloads(spark):
             assert n == len(re.findall(pat, payloads[i])), (key, i, n)
 
 
+def test_pl13_quality_stage_equals_pl4_survivors(spark, sf_dir):
+    """pl13's quality_filter ledger row counts exactly the documents
+    that survive pl4's whole funnel — the two relations build from the
+    ONE shared funnel_fail_flags() expression list, and this pins the
+    composition (ledger 'fails none' == funnel's final cumulative
+    survivor count)."""
+    from maggy_spark.functions.pipeline import (
+        pl4_filter_funnel,
+        pl13_full_corpus_build,
+    )
+
+    funnel = {r.rule: r.n_surviving_cum for r in pl4_filter_funnel(spark, sf_dir).collect()}
+    ledger = {r.stage: r.n_docs for r in pl13_full_corpus_build(spark, sf_dir).collect()}
+    assert ledger["quality_filter"] == funnel["lang_known"]
+
+
+def test_dd15_crafted_cross_source_duplicates(spark, tmp_path):
+    """dd15 on a crafted corpus with KNOWN cross-source duplicates —
+    the fixture corpora below sf0.1 have zero cross-source exact dups,
+    so only a crafted payload gives the matrix math real support.
+    Three-way: Spark result == hand-computed truth == DD15_SQL twin
+    on the same parquet."""
+    import duckdb
+    import pandas as pd
+
+    from maggy_spark.functions.dedup import DD15_SQL, dd15_cross_source_dup
+
+    rows = [
+        # text A: s1×2, s2×1 → pair (s1,s2) fp+1 docs+3
+        (0, "A", "s1"), (1, "A", "s1"), (2, "A", "s2"),
+        # text B: s1×1, s2×2, s3×1 → (s1,s2) fp+1 docs+3; (s1,s3) fp+1
+        # docs+2; (s2,s3) fp+1 docs+3
+        (3, "B", "s1"), (4, "B", "s2"), (5, "B", "s2"), (6, "B", "s3"),
+        # single-source texts: never in the matrix
+        (7, "C", "s3"), (8, "C", "s3"), (9, "D", "s2"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    pdf["lang"] = "en"
+    pdf["n_chars"] = pdf["text"].str.len().astype("int64")
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    want = {
+        ("s1", "s2"): (2, 6),
+        ("s1", "s3"): (1, 2),
+        ("s2", "s3"): (1, 3),
+    }
+    got = {
+        (r.source_a, r.source_b): (r.shared_fingerprints, r.shared_docs)
+        for r in dd15_cross_source_dup(spark, str(tmp_path)).collect()
+    }
+    assert got == want
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path / 'documents.parquet'}'"
+    )
+    duck = {
+        (sa, sb): (fp, nd)
+        for sa, sb, fp, nd in con.execute(DD15_SQL).fetchall()
+    }
+    assert duck == want
+
+
 def test_dd15_matrix_consistent_with_exact_clusters(spark, sf_dir):
     """dd15's shared-fingerprint counts replayed from a Python
     Counter over (md5, source) — and the matrix must be symmetric-
-    free (source_a < source_b) with every count positive."""
+    free (source_a < source_b) with every count positive. (At
+    sf0.001/sf0.01 the fixture has zero cross-source dups, so this
+    is a no-false-positive check; the crafted-payload test above
+    carries the positive-support math.)"""
     import hashlib
     from collections import Counter, defaultdict
 

@@ -41,9 +41,12 @@ def main() -> int:
         sf_dir = argv.pop(0)
     else:
         sf_dir = "/root/testdata/sf0.01"
-    if argv and argv[0] == "--names":
-        globs = argv[1:]
-        only: set[str] = set()
+    # --names may appear anywhere; positional names and globs UNION
+    # (same contract as check_oracle.py)
+    if "--names" in argv:
+        i = argv.index("--names")
+        only: set[str] = set(argv[:i])
+        globs = argv[i + 1 :]
     else:
         globs = []
         only = set(argv)
@@ -79,10 +82,9 @@ def main() -> int:
     failures = []
     n_ran = 0
     for name, sql_const, mod_name in CASES:
-        if only and name not in only:
-            continue
-        if globs and not any(fnmatch(name, g) for g in globs):
-            continue
+        if only or globs:
+            if not (name in only or any(fnmatch(name, g) for g in globs)):
+                continue
         n_ran += 1
         mod = importlib.import_module(mod_name)
         fn, sql = getattr(mod, name), getattr(mod, sql_const)

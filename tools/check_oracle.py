@@ -16,8 +16,9 @@ unknown keys abort with the known roster; everything after
 ``--names`` is a shell-style glob (fnmatch), so one rotated gate row
 — or a whole family — can be replayed without typing every key:
 ``--names 'dd*'`` runs every dedup query at the gate's own sf0.01 on
-the gate's own local[8] compare. A selection matching zero cases
-exits 1 (it verified nothing).
+the gate's own local[8] compare. Positional names and globs combine
+as a UNION (run everything named OR matched). A selection matching
+zero cases exits 1 (it verified nothing).
 """
 
 from __future__ import annotations
@@ -166,10 +167,14 @@ def main() -> int:
     failures = []
     n_ran = 0
     for name, fn in qs.items():
-        if only and name not in only:
-            continue
-        if globs and not any(fnmatch(name, g) for g in globs):
-            continue
+        # Positional names and --names globs UNION (the documented
+        # "these names plus this family" usage); intersecting them
+        # would make the positionals undeliverable whenever any glob
+        # is present.
+        if only or globs:
+            selected = name in only or any(fnmatch(name, g) for g in globs)
+            if not selected:
+                continue
         n_ran += 1
         t0 = time.time()
         try:
