@@ -1079,3 +1079,140 @@ def bpe_encode(spark: SparkSession, sf_dir: str, merges: list) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents", fan_out=True)
     return d.select("doc_id", "text").mapInPandas(_batches, schema=schema)
+
+
+# --- tx14: bigram LM quality score ---------------------------------------
+
+BIGRAM_VOCAB = 8192
+
+
+def _bigram_pairs(d: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) — adjacent whitespace-token pairs, JVM-side
+    (slice + zip_with, no Python): a doc with n tokens emits n-1
+    rows; single-token docs emit none."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return d.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+
+
+def _bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w1, w2, cnt) corpus bigram counts — session-cached like
+    _token_counts: three model consumers (vocab cap, prefix counts,
+    total mass) would otherwise each re-scan and re-explode the
+    corpus."""
+    return _session_cached(
+        spark,
+        (sf_dir, "bigram_counts"),
+        lambda: (
+            _bigram_pairs(load_table(spark, sf_dir, "documents", fan_out=True))
+            .groupBy("w1", "w2")
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+        ),
+    )
+
+
+def tx14_bigram_logprob(
+    spark: SparkSession, sf_dir: str, vocab_size: int = BIGRAM_VOCAB
+) -> DataFrame:
+    """Per-document mean CONDITIONAL bigram log-probability under the
+    corpus's own bigram LM — the order-2 upgrade of tx10's CCNet-style
+    quality filter: p(w2|w1) = cnt(w1,w2) / cnt(w1,*) punishes
+    word-salad transitions that unigram frequency can't see (every
+    token common, every adjacency absurd), the signature of shuffled
+    spam and MT garble. The model keeps the ``vocab_size`` most
+    frequent bigram types (ties broken by pair text); out-of-model
+    bigrams take the standard small-count floor 0.5/total_bigrams.
+
+    Output: one row per document with >= 2 tokens — (doc_id,
+    n_bigrams, n_oov, avg_logprob). Single-token docs have no
+    transitions to score and are tx10's job.
+
+    Cross-engine determinism: tx10's pattern verbatim — each
+    transition's log-prob rounds into decimal(18,6) BEFORE the
+    per-doc sum (order-free exact addition; conditional log-probs
+    are O(10), so six decimals loses nothing), and only the final
+    mean returns to double.
+
+    Scale shape: pass 1 builds the model from the session-cached
+    bigram counts (one explode+groupBy over the corpus; partial
+    aggregation collapses the Zipf head map-side); the capped vocab
+    joins the |w1|-bounded prefix relation with the VOCAB side
+    broadcast, so model construction never shuffles on the skewed
+    pair key. Pass 2 scores via a broadcast join on (w1, w2) and
+    rolls up per doc after map-side combine — the corpus-sized
+    relation crosses no shuffle wider than one decimal + two longs
+    per doc.
+    """
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    ex = _bigram_pairs(d)
+    bg = _bigram_counts(spark, sf_dir)
+    tot = bg.agg(F.sum("cnt").cast("bigint").alias("total"))
+    prefix = bg.groupBy("w1").agg(F.sum("cnt").cast("bigint").alias("pcnt"))
+    top = bg.orderBy(F.desc("cnt"), F.asc("w1"), F.asc("w2")).limit(vocab_size)
+    vocab = prefix.join(F.broadcast(top), "w1").select(
+        "w1",
+        "w2",
+        F.log(F.col("cnt").cast("double") / F.col("pcnt").cast("double"))
+        .cast("decimal(18,6)")
+        .alias("lp"),
+    )
+    floor_lp = F.log(F.lit(0.5) / F.col("total").cast("double")).cast("decimal(18,6)")
+    scored = (
+        ex.join(F.broadcast(vocab), ["w1", "w2"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("lp"), floor_lp).alias("lp2"),
+            F.when(F.col("lp").isNull(), 1).otherwise(0).alias("oov"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("oov").cast("bigint").alias("n_oov"),
+        (F.sum("lp2").cast("double") / F.count("*").cast("double")).alias("avg_logprob"),
+    )
+
+
+def tx14_sql(vocab_size: int = BIGRAM_VOCAB) -> str:
+    """DuckDB twin, parameterized like tx10_sql."""
+    return f"""
+WITH lists AS (SELECT doc_id, str_split(text, ' ') AS l FROM documents),
+ex AS (
+    SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+    FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM lists)
+),
+bg AS (SELECT w1, w2, cast(count(*) AS BIGINT) AS cnt FROM ex GROUP BY w1, w2),
+tot AS (SELECT cast(sum(cnt) AS BIGINT) AS total FROM bg),
+prefix AS (SELECT w1, cast(sum(cnt) AS BIGINT) AS pcnt FROM bg GROUP BY w1),
+vocab AS (
+    SELECT t.w1, t.w2,
+           cast(ln(cast(t.cnt AS DOUBLE) / cast(p.pcnt AS DOUBLE)) AS DECIMAL(18,6)) AS lp
+    FROM (SELECT w1, w2, cnt FROM bg ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT {vocab_size}) t
+    JOIN prefix p USING (w1)
+),
+scored AS (
+    SELECT e.doc_id,
+           coalesce(v.lp, cast(ln(0.5 / cast(t.total AS DOUBLE)) AS DECIMAL(18,6))) AS lp2,
+           CASE WHEN v.lp IS NULL THEN 1 ELSE 0 END AS oov
+    FROM ex e LEFT JOIN vocab v USING (w1, w2) CROSS JOIN tot t
+)
+SELECT doc_id,
+       cast(count(*) AS BIGINT) AS n_bigrams,
+       cast(sum(oov) AS BIGINT) AS n_oov,
+       cast(sum(lp2) AS DOUBLE) / cast(count(*) AS DOUBLE) AS avg_logprob
+FROM scored GROUP BY doc_id
+"""
+
+
+TX14_SQL = tx14_sql()
+
+# Not in the driver registry (50-entry cap); DuckDB parity in
+# tests/test_offline_oracles.py (the same three-way compare at the
+# gate's sf0.01).

@@ -93,6 +93,8 @@ CASES = [
     # out).
     ("a2_direction_normalize", "A2_SQL", "maggy_spark.operators.aggregations"),
     ("mm3_metadata_stats", "MM3_SQL", "maggy_spark.functions.multimodal"),
+    # round-8 (cont.) additions, offline from birth (50-entry cap)
+    ("tx14_bigram_logprob", "TX14_SQL", "maggy_spark.functions.text"),
 ]
 
 

@@ -278,3 +278,22 @@ def test_dd15_bounded_join_with_partial_aggregation(spark, sf_dir):
     plan = _plan(dd15_cross_source_dup(spark, sf_dir))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "partial_" in plan  # map-side combine before the rollup shuffle
+
+
+def test_tx14_model_and_scoring_broadcast(spark, sf_dir):
+    # tx14's capped bigram vocab and the 1-row total must BROADCAST to
+    # the scoring pass — the Zipf-skewed (w1, w2) key must never drive
+    # a shuffle of the corpus-sized exploded relation, and the only
+    # SinglePartition collapses are the bounded scalar total and the
+    # vocab cap's global top-k
+    from maggy_spark.functions.text import tx14_bigram_logprob
+
+    plan = _plan(tx14_bigram_logprob(spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert plan.count("Exchange SinglePartition") <= 2
+    # the per-doc rollup partial-aggregates before its shuffle
+    assert "partial_count" in plan or "partial_sum" in plan
+    # the bigram counts are session-cached: the model's three
+    # consumers (vocab cap, prefix counts, total) read the
+    # materialization, not three corpus re-scans
+    assert plan.count("InMemoryTableScan") >= 2
