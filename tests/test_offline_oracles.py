@@ -95,6 +95,7 @@ CASES = [
     ("mm3_metadata_stats", "MM3_SQL", "maggy_spark.functions.multimodal"),
     # round-8 (cont.) additions, offline from birth (50-entry cap)
     ("tx14_bigram_logprob", "TX14_SQL", "maggy_spark.functions.text"),
+    ("ann7_quantized_rerank", "ANN7_SQL", "maggy_spark.functions.similarity"),
 ]
 
 

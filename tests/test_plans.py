@@ -297,3 +297,20 @@ def test_tx14_model_and_scoring_broadcast(spark, sf_dir):
     # consumers (vocab cap, prefix counts, total) read the
     # materialization, not three corpus re-scans
     assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_ann7_floats_never_cross_a_shuffle(spark, sf_dir):
+    # ann7's coarse pass streams the int8 corpus against broadcast
+    # quantized queries; the per-query top-C window shuffles only
+    # (query_id, neighbor_id, score); the rerank fetches full-precision
+    # vectors via BROADCAST joins — no hashpartitioning exchange may
+    # carry an embedding array
+    from maggy_spark.functions.similarity import ann7_quantized_rerank
+
+    plan = _plan(ann7_quantized_rerank(spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "embedding" not in line and "qe#" not in line and "ve#" not in line, line
+    # the quantized corpus is session-cached (the serving artifact)
+    assert "InMemoryTableScan" in plan
