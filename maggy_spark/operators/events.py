@@ -638,3 +638,106 @@ SELECT user_id,
             ELSE 'at_risk' END AS segment
 FROM per_user CROSS JOIN md
 """
+
+
+# -- ev11: event-volume anomaly (trailing z-score) -------------------------
+
+ANOM_WINDOW_DAYS = 7    # trailing history window (current day excluded)
+ANOM_MIN_HISTORY = 4    # days of history required before scoring
+ANOM_Z = 3.0            # |z| threshold
+
+
+def ev11_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, day) volume anomaly score — the feed monitor
+    every ingestion pipeline runs: a day whose event count sits more
+    than ``ANOM_Z`` trailing standard deviations from its type's
+    7-day mean is a scraper outage, a bot flood, or an upstream schema
+    break. Days with fewer than ``ANOM_MIN_HISTORY`` trailing days (or
+    zero trailing variance) score NULL — no history, no opinion.
+
+    Cross-engine determinism: daily counts are exact integers; the
+    trailing mean/variance come from integer sum/sumsq window
+    aggregates (exact, order-free) with ONE fixed double expression at
+    the end — z = (cnt - sum/n) / sqrt((sumsq - sum*(sum/n)) / n) —
+    so both engines round identically (population variance; Spark's
+    own stddev is Welford-ordered and NOT replayable, which is why the
+    moments are assembled manually).
+
+    Scale shape: one groupBy collapses the 100-TB feed to
+    |event types| x |days| rows map-side (partial aggregation); the
+    RANGE-framed trailing window runs on that tiny relation with state
+    bounded by the window width; day arithmetic is tz-free epoch-day
+    integers (ev2's rule). Not in the driver registry (50-entry cap);
+    DuckDB parity in tests/test_offline_oracles.py.
+    """
+    from pyspark.sql.window import Window
+
+    e = load_events(spark, sf_dir)
+    epoch_day = F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)).cast("bigint")
+    daily = e.groupBy(F.col("event_type"), epoch_day.alias("d")).agg(
+        F.count("*").cast("bigint").alias("n_events")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rangeBetween(-ANOM_WINDOW_DAYS, -1)
+    )
+    hist = daily.select(
+        "event_type",
+        "d",
+        "n_events",
+        F.count("n_events").over(w).cast("bigint").alias("n_hist"),
+        F.sum("n_events").over(w).cast("bigint").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(w).cast("bigint").alias("s2"),
+    )
+    n = F.col("n_hist").cast("double")
+    mean = F.col("s1").cast("double") / n
+    var = (F.col("s2").cast("double") - F.col("s1").cast("double") * mean) / n
+    z = (F.col("n_events").cast("double") - mean) / F.sqrt(var)
+    scored = F.when((F.col("n_hist") >= ANOM_MIN_HISTORY) & (var > 0), z)
+    day = F.date_add(F.lit("1970-01-01").cast("date"), F.col("d").cast("int")).cast("string")
+    return hist.select(
+        "event_type",
+        day.alias("day"),
+        "n_events",
+        "n_hist",
+        F.when(F.col("n_hist") >= ANOM_MIN_HISTORY, mean).alias("trailing_mean"),
+        scored.alias("z_score"),
+        F.coalesce(F.abs(scored) > F.lit(ANOM_Z), F.lit(False)).alias("is_anomaly"),
+    )
+
+
+EV11_SQL = f"""
+WITH daily AS (
+    SELECT event_type,
+           cast(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS d,
+           cast(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+),
+hist AS (
+    SELECT event_type, d, n_events,
+           cast(count(n_events) OVER w AS BIGINT) AS n_hist,
+           cast(sum(n_events) OVER w AS BIGINT) AS s1,
+           cast(sum(n_events * n_events) OVER w AS BIGINT) AS s2
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY d
+                 RANGE BETWEEN {ANOM_WINDOW_DAYS} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type,
+       strftime(cast('1970-01-01' AS DATE) + to_days(cast(d AS INTEGER)), '%Y-%m-%d') AS day,
+       n_events, n_hist,
+       CASE WHEN n_hist >= {ANOM_MIN_HISTORY}
+            THEN cast(s1 AS DOUBLE) / cast(n_hist AS DOUBLE) END AS trailing_mean,
+       CASE WHEN n_hist >= {ANOM_MIN_HISTORY}
+                 AND (cast(s2 AS DOUBLE) - cast(s1 AS DOUBLE) * (cast(s1 AS DOUBLE) / cast(n_hist AS DOUBLE))) / cast(n_hist AS DOUBLE) > 0
+            THEN (cast(n_events AS DOUBLE) - cast(s1 AS DOUBLE) / cast(n_hist AS DOUBLE))
+                 / sqrt((cast(s2 AS DOUBLE) - cast(s1 AS DOUBLE) * (cast(s1 AS DOUBLE) / cast(n_hist AS DOUBLE))) / cast(n_hist AS DOUBLE))
+            END AS z_score,
+       coalesce(abs(
+           CASE WHEN n_hist >= {ANOM_MIN_HISTORY}
+                     AND (cast(s2 AS DOUBLE) - cast(s1 AS DOUBLE) * (cast(s1 AS DOUBLE) / cast(n_hist AS DOUBLE))) / cast(n_hist AS DOUBLE) > 0
+                THEN (cast(n_events AS DOUBLE) - cast(s1 AS DOUBLE) / cast(n_hist AS DOUBLE))
+                     / sqrt((cast(s2 AS DOUBLE) - cast(s1 AS DOUBLE) * (cast(s1 AS DOUBLE) / cast(n_hist AS DOUBLE))) / cast(n_hist AS DOUBLE))
+                END) > {ANOM_Z}, FALSE) AS is_anomaly
+FROM hist
+"""

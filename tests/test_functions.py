@@ -1282,6 +1282,61 @@ def test_pl10_copy_counts_follow_thresholds(spark, sf_dir):
     assert "Exchange hashpartitioning" not in plan  # no shuffle at all
 
 
+def test_ev11_anomaly_python_replay(spark, sf_dir):
+    """ev11 against a direct Python replay of the fixture feed: daily
+    counts per type, trailing sum/sumsq over the RANGE window, and the
+    fixed z expression — including the NULL rules (history < 4 days,
+    zero variance). Also asserts the fixture gives the score real
+    support (scored rows and at least one anomaly exist)."""
+    import math
+    from collections import Counter
+
+    from maggy_spark.operators.events import (
+        ANOM_MIN_HISTORY,
+        ANOM_WINDOW_DAYS,
+        ANOM_Z,
+        ev11_volume_anomaly,
+    )
+    from maggy_spark.plans.fixtures import load_events
+
+    rows = ev11_volume_anomaly(spark, sf_dir).collect()
+    feed = (
+        load_events(spark, sf_dir)
+        .select("event_type", F.unix_micros("ts").alias("us"))
+        .collect()
+    )
+    daily = Counter((r.event_type, r.us // 86_400_000_000) for r in feed)
+    got_scored = 0
+    for r in rows:
+        d = (
+            __import__("datetime").date.fromisoformat(r.day)
+            - __import__("datetime").date(1970, 1, 1)
+        ).days
+        hist = [
+            daily[(r.event_type, hd)]
+            for hd in range(d - ANOM_WINDOW_DAYS, d)
+            if (r.event_type, hd) in daily
+        ]
+        assert r.n_events == daily[(r.event_type, d)]
+        assert r.n_hist == len(hist)
+        if len(hist) < ANOM_MIN_HISTORY:
+            assert r.z_score is None and not r.is_anomaly
+            continue
+        n, s1, s2 = float(len(hist)), sum(hist), sum(h * h for h in hist)
+        mean = s1 / n
+        var = (s2 - s1 * mean) / n
+        assert r.trailing_mean == mean
+        if var <= 0:
+            assert r.z_score is None and not r.is_anomaly
+            continue
+        got_scored += 1
+        z = (daily[(r.event_type, d)] - mean) / math.sqrt(var)
+        assert abs(r.z_score - z) < 1e-12
+        assert r.is_anomaly == (abs(z) > ANOM_Z)
+    assert got_scored > 0
+    assert any(r.is_anomaly for r in rows)
+
+
 def test_ev10_rfm_python_replay(spark, sf_dir):
     """ev10 against a direct Python replay: recency from epoch-day
     arithmetic, frequency counts, monetary decimal-rounded purchase

@@ -96,6 +96,7 @@ CASES = [
     # round-8 (cont.) additions, offline from birth (50-entry cap)
     ("tx14_bigram_logprob", "TX14_SQL", "maggy_spark.functions.text"),
     ("ann7_quantized_rerank", "ANN7_SQL", "maggy_spark.functions.similarity"),
+    ("ev11_volume_anomaly", "EV11_SQL", "maggy_spark.operators.events"),
 ]
 
 

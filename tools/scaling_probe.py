@@ -392,6 +392,52 @@ def main() -> None:
             }
         )
 
+        # --- tx14: bigram LM score (r8 cont.) -----------------------------
+        # the claim: the model's broadcast side is CAPPED (vocab_size
+        # bigrams) while the corpus's distinct bigram key space grows —
+        # scoring stays a broadcast join at every decade, and per-doc
+        # work is flat
+        from maggy_spark.functions.text import BIGRAM_VOCAB, _bigram_counts, tx14_bigram_logprob
+
+        t0 = time.time()
+        out = tx14_bigram_logprob(spark, sf_dir).count()
+        sec = round(time.time() - t0, 2)
+        bigram_keys = _bigram_counts(spark, sf_dir).count()
+        spark.catalog.clearCache()
+        rows.append(
+            {
+                "op": "tx14_bigram_logprob",
+                "sf": sf,
+                "n": n_docs,
+                "params": {"vocab_cap": BIGRAM_VOCAB},
+                "distinct_bigram_keys": int(bigram_keys),
+                "broadcast_rows": int(min(bigram_keys, BIGRAM_VOCAB)),
+                "output": out,
+                "sec": sec,
+            }
+        )
+
+        # --- ann7: int8 SQ coarse + exact rerank (r8 cont.) ---------------
+        # the claim: the coarse pass streams the 4x-smaller int8
+        # corpus (linear, like any scan) while the EXACT float work is
+        # pinned at C x |queries| rows regardless of corpus size — the
+        # rerank fetch is the constant-size tail of the pipeline
+        t0 = time.time()
+        out = similarity.ann7_quantized_rerank(spark, sf_dir).count()
+        sec = round(time.time() - t0, 2)
+        spark.catalog.clearCache()
+        rows.append(
+            {
+                "op": "ann7_quantized_rerank",
+                "sf": sf,
+                "n": n_vecs,
+                "params": {"candidates": similarity.SQ_CANDIDATES, "k": similarity.TOP_K},
+                "exact_rerank_rows": similarity.SQ_CANDIDATES * similarity.N_QUERIES,
+                "output": out,
+                "sec": sec,
+            }
+        )
+
     for r in rows:
         print(json.dumps(r))
     outs = [a for a in sys.argv[1:] if not a.startswith("--")]
