@@ -670,19 +670,39 @@ def ev11_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers (ev2's rule). Not in the driver registry (50-entry cap);
     DuckDB parity in tests/test_offline_oracles.py.
     """
-    from pyspark.sql.window import Window
+    daily = ev11_daily_counts(load_events(spark, sf_dir))
+    return ev11_trailing_stats(daily).select(
+        "event_type", _EPOCH_DAY_STR.alias("day"), "n_events", "n_hist",
+        *ev11_score_columns(),
+    )
 
-    e = load_events(spark, sf_dir)
+
+_EPOCH_DAY_STR = F.date_add(
+    F.lit("1970-01-01").cast("date"), F.col("d").cast("int")
+).cast("string")
+
+
+def ev11_daily_counts(events: DataFrame) -> DataFrame:
+    """(event_type, d, n_events) — the tz-free epoch-day rollup both
+    the batch scorer and the streaming twin's static history side
+    build from."""
     epoch_day = F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)).cast("bigint")
-    daily = e.groupBy(F.col("event_type"), epoch_day.alias("d")).agg(
+    return events.groupBy(F.col("event_type"), epoch_day.alias("d")).agg(
         F.count("*").cast("bigint").alias("n_events")
     )
+
+
+def ev11_trailing_stats(daily: DataFrame) -> DataFrame:
+    """Attach the trailing-window integer moments (n_hist, s1, s2) to
+    every (event_type, d) row via the RANGE-framed window."""
+    from pyspark.sql.window import Window
+
     w = (
         Window.partitionBy("event_type")
         .orderBy("d")
         .rangeBetween(-ANOM_WINDOW_DAYS, -1)
     )
-    hist = daily.select(
+    return daily.select(
         "event_type",
         "d",
         "n_events",
@@ -690,21 +710,24 @@ def ev11_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").over(w).cast("bigint").alias("s1"),
         F.sum(F.col("n_events") * F.col("n_events")).over(w).cast("bigint").alias("s2"),
     )
+
+
+def ev11_score_columns() -> list:
+    """The z-score decision columns as ONE shared expression list over
+    (n_events, n_hist, s1, s2) — the batch operator and
+    `streaming.volume_anomaly_stream` both select exactly these, so
+    the ingest-time monitor and the batch audit cannot drift (the
+    pii_decision_columns pattern)."""
     n = F.col("n_hist").cast("double")
     mean = F.col("s1").cast("double") / n
     var = (F.col("s2").cast("double") - F.col("s1").cast("double") * mean) / n
     z = (F.col("n_events").cast("double") - mean) / F.sqrt(var)
     scored = F.when((F.col("n_hist") >= ANOM_MIN_HISTORY) & (var > 0), z)
-    day = F.date_add(F.lit("1970-01-01").cast("date"), F.col("d").cast("int")).cast("string")
-    return hist.select(
-        "event_type",
-        day.alias("day"),
-        "n_events",
-        "n_hist",
+    return [
         F.when(F.col("n_hist") >= ANOM_MIN_HISTORY, mean).alias("trailing_mean"),
         scored.alias("z_score"),
         F.coalesce(F.abs(scored) > F.lit(ANOM_Z), F.lit(False)).alias("is_anomaly"),
-    )
+    ]
 
 
 EV11_SQL = f"""

@@ -10,6 +10,7 @@ from maggy_spark.streaming.embeddings_stream import ann_alert_stream
 from maggy_spark.streaming.events_stream import (
     daily_activity_stream,
     sessionize_event_stream,
+    volume_anomaly_stream,
 )
 from maggy_spark.streaming.metrics_stream import (
     dedup_metric_stream,
@@ -30,6 +31,7 @@ __all__ = [
     "pii_gate_stream",
     "quality_gate_stream",
     "sessionize_event_stream",
+    "volume_anomaly_stream",
     "stateful_trial_tracker",
     "windowed_metric_aggregates",
 ]

@@ -79,3 +79,52 @@ def daily_activity_stream(event_stream: DataFrame, watermark: str = "1 day") -> 
             "active_users_approx",
         )
     )
+
+
+def volume_anomaly_stream(event_stream: DataFrame, history: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """ev11 at ingest time: tumbling 1-day (event_type, day) counts
+    from the live feed, scored against a STATIC trailing-stats
+    relation (``ev11_trailing_stats`` over the persisted daily-count
+    history — the dd11/near_dup_alert_stream pattern: the delta side
+    streams, the corpus-derived model side is a bounded static join).
+
+    ``history`` is the (event_type, d, n_events) daily-count store
+    (``ev11_daily_counts`` over the warehouse); its trailing moments
+    are |types| x |days| rows — broadcastable at any event volume. The
+    decision columns are ``ev11_score_columns()`` — the SAME
+    expression list the batch auditor selects, so the ingest monitor
+    and the batch audit cannot drift (parity pinned by
+    test_volume_anomaly_stream_matches_batch_ev11).
+
+    State: one open day per event type in the watermark horizon
+    (bounded by the type vocabulary, not event volume)."""
+    from maggy_spark.operators.events import ev11_score_columns, ev11_trailing_stats
+
+    stats = ev11_trailing_stats(history).select(
+        "event_type", "d", "n_hist", "s1", "s2"
+    )
+    live = (
+        event_stream.withWatermark("ts", watermark)
+        .groupBy(F.col("event_type"), F.window("ts", "1 day").alias("w"))
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            "event_type",
+            F.floor(F.unix_micros(F.col("w.start")) / F.lit(86_400_000_000))
+            .cast("bigint")
+            .alias("d"),
+            "n_events",
+        )
+    )
+    day = F.date_add(F.lit("1970-01-01").cast("date"), F.col("d").cast("int")).cast("string")
+    return (
+        live.join(F.broadcast(stats), ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            day.alias("day"),
+            "n_events",
+            F.coalesce(F.col("n_hist"), F.lit(0)).cast("bigint").alias("n_hist"),
+            "s1",
+            "s2",
+        )
+        .select("event_type", "day", "n_events", "n_hist", *ev11_score_columns())
+    )

@@ -632,3 +632,48 @@ def test_pii_gate_stream_matches_batch_tx12(spark, sf_dir):
     # run — over-flagging on purpose (a redaction pass reviews spans)
     assert got[100002][0] == 3 and got[100002][1]
     assert got[100003] == (0, False)
+
+
+def test_volume_anomaly_stream_matches_batch_ev11(spark):
+    """The ingest-time volume monitor must agree with the batch ev11
+    auditor on every closed day: same n_hist, trailing mean, z-score,
+    and anomaly flag per (event_type, day). The stream scores its
+    tumbling-day counts against the static trailing-stats relation
+    built from the SAME daily history, and both select the one shared
+    ev11_score_columns() list — this pins that the join+window
+    plumbing around those expressions agrees too."""
+    import tempfile
+
+    from maggy_spark.operators.events import ev11_daily_counts, ev11_volume_anomaly
+    from maggy_spark.plans.fixtures import load_events
+    from maggy_spark.streaming import volume_anomaly_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    static = load_events(spark, sf_dir)
+    history = ev11_daily_counts(static)
+    d = tempfile.mkdtemp(prefix="maggy_volume_stream_")
+    static.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(static.schema).parquet(d)
+    q = (
+        volume_anomaly_stream(stream, history)
+        .writeStream.format("memory")
+        .queryName("volume_anomaly_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.event_type, r.day): (r.n_events, r.n_hist, r.trailing_mean, r.z_score, r.is_anomaly)
+        for r in spark.sql("SELECT * FROM volume_anomaly_out").collect()
+    }
+    batch = {
+        (r.event_type, r.day): (r.n_events, r.n_hist, r.trailing_mean, r.z_score, r.is_anomaly)
+        for r in ev11_volume_anomaly(spark, sf_dir).collect()
+    }
+    assert streamed, "no scored days emitted"
+    for key, vals in streamed.items():
+        assert batch[key] == vals, f"day {key} diverged: {vals} vs {batch[key]}"
+    # append mode withholds only the watermark's open tail
+    assert len(streamed) >= 0.8 * len(batch)
+    assert any(v[4] for v in streamed.values()), "no anomaly crossed the stream"
