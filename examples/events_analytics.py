@@ -69,6 +69,13 @@ def main():
         F.avg("monetary").alias("avg_monetary"),
     ).orderBy("segment").show()
 
+    print("-- feed-volume anomalies: days > 3 trailing sigmas (ev11)")
+    from maggy_spark.operators.events import ev11_volume_anomaly
+
+    ev11_volume_anomaly(spark, sf_dir).where("is_anomaly").orderBy(
+        "event_type", "day"
+    ).show(10)
+
 
 if __name__ == "__main__":
     main()

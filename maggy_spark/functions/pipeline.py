@@ -1232,3 +1232,110 @@ PL13_SQL = pl13_sql()
 # Rotated INTO the driver registry round 8 (the corpus-build capstone);
 # mm2_frame_sample rotated out to the offline suite in exchange.
 OPERATORS.append(("pl13_full_corpus_build", pl13_full_corpus_build, PL13_SQL))
+
+
+# --- pl14: quality-curriculum ordering ------------------------------------
+
+CURRICULUM_BANDS = 4
+
+
+def pl14_curriculum_order(
+    spark: SparkSession,
+    sf_dir: str,
+    epochs: int = SHUFFLE_EPOCHS,
+    shards: int = SHUFFLE_SHARDS,
+    seed: int = SHUFFLE_SEED,
+    bands: int = CURRICULUM_BANDS,
+) -> DataFrame:
+    """Curriculum-learning dataloader order: epoch 0 presents the
+    corpus quality-band-major (highest vocabulary richness first,
+    pl9's hash order WITHIN each band), and every later epoch decays
+    to the plain deterministic shuffle — the warm-up schedule
+    curriculum pre-training runs without materializing a re-sorted
+    corpus per epoch.
+
+    The band is a map-side expression (floor(richness x bands),
+    clamped): fixed arithmetic on tx2's vocabulary-richness score, so
+    banding never needs a global quantile sort — the ev9 histogram
+    argument applied to curriculum (exact score quantiles would funnel
+    the corpus through one task at any scale).
+
+    Scale shape: pl9's machinery verbatim — the only shuffle is the
+    (epoch, shard) hash partitioning a real run needs to write shard
+    files; position windows are per-(epoch, shard); the curriculum
+    key only prepends to the in-window sort. Not in the driver
+    registry (50-entry cap); DuckDB parity in
+    tests/test_offline_oracles.py.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    toks = F.split(F.col("text"), " ")
+    richness = F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast("double")
+    band = F.least(F.lit(bands - 1), F.floor(richness * bands).cast("int"))
+    docs = d.select("doc_id", band.alias("quality_band"))
+    e = spark.range(epochs).select(F.col("id").cast("int").alias("epoch"))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit(str(seed)), F.col("epoch").cast("string"), F.col("doc_id").cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    hashed = docs.crossJoin(F.broadcast(e)).select(
+        "epoch", "doc_id", "quality_band", h.alias("hv"), (h % shards).cast("int").alias("shard")
+    )
+    # epoch 0: richest band first (bands-1 down to 0); epochs >= 1:
+    # the curriculum term is constant and the hash order takes over
+    curriculum = F.when(F.col("epoch") == 0, F.lit(bands - 1) - F.col("quality_band")).otherwise(F.lit(0))
+    w = Window.partitionBy("epoch", "shard").orderBy(curriculum, F.col("hv"), F.col("doc_id"))
+    return hashed.select(
+        "epoch",
+        "doc_id",
+        "quality_band",
+        "shard",
+        (F.row_number().over(w) - 1).cast("bigint").alias("pos"),
+    )
+
+
+def pl14_sql(
+    epochs: int = SHUFFLE_EPOCHS,
+    shards: int = SHUFFLE_SHARDS,
+    seed: int = SHUFFLE_SEED,
+    bands: int = CURRICULUM_BANDS,
+) -> str:
+    """DuckDB twin, parameterized like pl9_sql."""
+    return f"""
+WITH e AS (SELECT unnest(range({epochs})) AS epoch),
+docs AS (
+    SELECT doc_id,
+           cast(LEAST({bands - 1}, cast(floor(
+               (cast(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+                / cast(len(str_split(text, ' ')) AS DOUBLE)) * {bands}) AS INTEGER)) AS INTEGER) AS quality_band
+    FROM documents
+),
+h AS (
+    SELECT cast(e.epoch AS INTEGER) AS epoch, d.doc_id, d.quality_band,
+           CAST(('0x' || substr(md5('{seed}' || ':' || cast(e.epoch AS VARCHAR) || ':'
+                                || cast(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+    FROM docs d CROSS JOIN e
+)
+SELECT epoch, doc_id, quality_band, cast(hv % {shards} AS INTEGER) AS shard,
+       cast(row_number() OVER (
+           PARTITION BY epoch, hv % {shards}
+           ORDER BY CASE WHEN epoch = 0 THEN {bands - 1} - quality_band ELSE 0 END, hv, doc_id
+       ) - 1 AS BIGINT) AS pos
+FROM h
+"""
+
+
+PL14_SQL = pl14_sql()
+
+# Not in the driver registry (50-entry cap); DuckDB parity in
+# tests/test_offline_oracles.py.

@@ -1282,6 +1282,37 @@ def test_pl10_copy_counts_follow_thresholds(spark, sf_dir):
     assert "Exchange hashpartitioning" not in plan  # no shuffle at all
 
 
+def test_pl14_curriculum_shape(spark, sf_dir):
+    """pl14's two contracts: (1) epoch 0 is quality-band-monotone
+    within every shard (richest band first — the curriculum), and
+    (2) every later epoch's positions are IDENTICAL to pl9's plain
+    shuffle (same seed, same hash — the curriculum term decays to a
+    constant, so the two plans must agree row for row)."""
+    from maggy_spark.functions.pipeline import (
+        pl9_epoch_shuffle_plan,
+        pl14_curriculum_order,
+    )
+
+    rows = pl14_curriculum_order(spark, sf_dir).collect()
+    by_shard = {}
+    for r in rows:
+        if r.epoch == 0:
+            by_shard.setdefault(r.shard, []).append((r.pos, r.quality_band))
+    assert by_shard
+    for shard, pairs in by_shard.items():
+        bands = [b for _pos, b in sorted(pairs)]
+        # richest first: band sequence must be non-increasing... in
+        # curriculum-rank terms (bands-1 - band) non-decreasing
+        assert all(bands[i] >= bands[i + 1] for i in range(len(bands) - 1)), shard
+    got = {(r.epoch, r.doc_id): (r.shard, r.pos) for r in rows if r.epoch >= 1}
+    want = {
+        (r.epoch, r.doc_id): (r.shard, r.pos)
+        for r in pl9_epoch_shuffle_plan(spark, sf_dir).collect()
+        if r.epoch >= 1
+    }
+    assert got == want
+
+
 def test_ev11_anomaly_python_replay(spark, sf_dir):
     """ev11 against a direct Python replay of the fixture feed: daily
     counts per type, trailing sum/sumsq over the RANGE window, and the

@@ -97,6 +97,7 @@ CASES = [
     ("tx14_bigram_logprob", "TX14_SQL", "maggy_spark.functions.text"),
     ("ann7_quantized_rerank", "ANN7_SQL", "maggy_spark.functions.similarity"),
     ("ev11_volume_anomaly", "EV11_SQL", "maggy_spark.operators.events"),
+    ("pl14_curriculum_order", "PL14_SQL", "maggy_spark.functions.pipeline"),
 ]
 
 
