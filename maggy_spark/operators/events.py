@@ -672,14 +672,17 @@ def ev11_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     daily = ev11_daily_counts(load_events(spark, sf_dir))
     return ev11_trailing_stats(daily).select(
-        "event_type", _EPOCH_DAY_STR.alias("day"), "n_events", "n_hist",
+        "event_type", _epoch_day_str().alias("day"), "n_events", "n_hist",
         *ev11_score_columns(),
     )
 
 
-_EPOCH_DAY_STR = F.date_add(
-    F.lit("1970-01-01").cast("date"), F.col("d").cast("int")
-).cast("string")
+def _epoch_day_str():
+    """Render the epoch-day integer ``d`` as the tz-free day string.
+    A FUNCTION, not a module-level Column: building a Column requires
+    an active SparkContext, and the registry (driver contract) imports
+    this module before any session exists."""
+    return F.date_add(F.lit("1970-01-01").cast("date"), F.col("d").cast("int")).cast("string")
 
 
 def ev11_daily_counts(events: DataFrame) -> DataFrame:
