@@ -44,3 +44,29 @@ def test_query_callables_take_spark_and_sfdir(spark):
         sig = inspect.signature(fn)
         for p in list(sig.parameters.values())[2:]:
             assert p.default is not inspect.Parameter.empty, (name, p.name)
+
+
+def test_registry_imports_without_spark_session():
+    """queries()/oracle_sql() must be buildable BEFORE any SparkSession
+    exists — check_oracle.py and the driver contract both import the
+    registry first and create the session after. A module-level Column
+    (F.lit/F.col at import time) breaks exactly this path while every
+    in-session test stays green (late-round-8 regression), so this
+    runs in a clean subprocess with no active context."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, '.');"
+        "import __spark_entry__ as e;"
+        "qs = e.queries(); os_ = e.oracle_sql();"
+        "assert len(qs) == 50 and set(qs) == set(os_), (len(qs), len(os_))"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
