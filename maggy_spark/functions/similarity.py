@@ -700,4 +700,10 @@ OPERATORS = [
     ("ann2_lsh_topk", ann2_lsh_topk, ANN2_SQL),
     ("ann3_ivf_topk", ann3_ivf_topk, ANN3_SQL),
     ("ann4_embedding_near_dup", ann4_embedding_near_dup, ANN4_SQL),
+    # rotated INTO the driver registry in round 9 (slot freed by
+    # k2_top_customers, a strict shape-subset of the offline k3 and
+    # the gate-green TakeOrderedAndProject family): the two-phase
+    # int8-coarse/float-rerank search is the serving-tier ANN path.
+    # See COVERAGE.md "Round-9 rotation".
+    ("ann7_quantized_rerank", ann7_quantized_rerank, ANN7_SQL),
 ]

@@ -1213,6 +1213,10 @@ FROM scored GROUP BY doc_id
 
 TX14_SQL = tx14_sql()
 
-# Not in the driver registry (50-entry cap); DuckDB parity in
-# tests/test_offline_oracles.py (the same three-way compare at the
-# gate's sf0.01).
+# Rotated INTO the driver registry in round 9 (slot freed by
+# g1_random_sample, whose hash-uniform sampler is a literal
+# sub-expression of gate-green g13's trial factory): the order-2 LM
+# quality filter is the highest-traffic text operator a CCNet-style
+# corpus build runs per document, so it belongs under the sf0.01
+# hard gate. See COVERAGE.md "Round-9 rotation".
+OPERATORS.append(("tx14_bigram_logprob", tx14_bigram_logprob, TX14_SQL))

@@ -492,6 +492,9 @@ OPERATORS = [
     ("a5_topk_per_rung", a5_topk_per_rung, A5_SQL),
     ("a6_tpe_split", a6_tpe_split, A6_SQL),
     ("a7_prefix_avg", a7_prefix_avg, A7_SQL),
-    ("a9_partition_avg", a9_partition_avg, A9_SQL),
+    # a9_partition_avg rotated OUT round 9 (a 1-row mean whose shape
+    # the gate-green a1/a4 aggregates already hard-verify) to free a
+    # slot for ev11_volume_anomaly; parity continues in
+    # tests/test_offline_oracles.py at the gate's sf0.01.
     ("a10_interim_selection", a10_interim_selection, A10_SQL),
 ]

@@ -767,3 +767,10 @@ SELECT event_type,
                 END) > {ANOM_Z}, FALSE) AS is_anomaly
 FROM hist
 """
+
+# Rotated INTO the driver registry in round 9 (slot freed by
+# a9_partition_avg, a 1-row mean whose shape gate-green a1/a4 already
+# hard-verify): the trailing z-score feed monitor is the operator a
+# production ingest runs on every batch. See COVERAGE.md
+# "Round-9 rotation".
+OPERATORS.append(("ev11_volume_anomaly", ev11_volume_anomaly, EV11_SQL))

@@ -404,7 +404,10 @@ SELECT 1, 2, 9, orig, new_tid, true FROM r1b
 # 3d1cc9fdb1d4d001) but is unregistered: the driver checks only the
 # first 50 registry entries, and its slot goes to the pipeline capstones.
 OPERATORS = [
-    ("g1_random_sample", g1_random_sample, G1_SQL),
+    # g1_random_sample rotated OUT round 9 (its hash-uniform sampler
+    # is a literal sub-expression of the gate-green g13 trial
+    # factory) to free a slot for tx14_bigram_logprob; parity
+    # continues in tests/test_offline_oracles.py at the gate's sf0.01.
     ("g3_grid_search", g3_grid_search, G3_SQL),
     ("g5_asha_promotion", g5_asha_promotion, G5_SQL),
     ("hb1_pruner_rungs", hb1_pruner_rungs, HB1_SQL),

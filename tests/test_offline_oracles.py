@@ -93,11 +93,18 @@ CASES = [
     # out).
     ("a2_direction_normalize", "A2_SQL", "maggy_spark.operators.aggregations"),
     ("mm3_metadata_stats", "MM3_SQL", "maggy_spark.functions.multimodal"),
-    # round-8 (cont.) additions, offline from birth (50-entry cap)
-    ("tx14_bigram_logprob", "TX14_SQL", "maggy_spark.functions.text"),
-    ("ann7_quantized_rerank", "ANN7_SQL", "maggy_spark.functions.similarity"),
-    ("ev11_volume_anomaly", "EV11_SQL", "maggy_spark.operators.events"),
     ("pl14_curriculum_order", "PL14_SQL", "maggy_spark.functions.pipeline"),
+    # round-9 rotation (pre-declared in COVERAGE.md r8): the three
+    # highest-traffic late-r8 operators — tx14 (order-2 LM quality
+    # filter), ann7 (serving-tier SQ search), ev11 (feed monitor) —
+    # moved INTO the registry; rotated out here: g1 (hash-uniform
+    # sampler, a literal sub-expression of gate-green g13), a9 (1-row
+    # mean, shape hard-verified by gate-green a1/a4), k2 (join+top-k,
+    # strict subset of offline k3's Q3 shape and the gate-green
+    # TakeOrderedAndProject family).
+    ("g1_random_sample", "G1_SQL", "maggy_spark.operators.generators"),
+    ("a9_partition_avg", "A9_SQL", "maggy_spark.operators.aggregations"),
+    ("k2_top_customers", "K2_SQL", "maggy_spark.operators.warehouse"),
 ]
 
 
