@@ -793,6 +793,24 @@ PII_PATTERNS = {
 }
 PII_REDACT_DENSITY = 0.01  # matches per token above which a doc is flagged
 
+# Deterministic PII-bearing probe documents UNIONed into the tx12
+# relation on BOTH engines: the synthetic corpus is PII-free word
+# soup, so without these the gate row would hard-verify only the
+# all-zeros relation (the vacuity argument that keeps dd15 offline —
+# here it strengthens a row that IS gated). Negative doc_ids cannot
+# collide with the corpus's non-negative BIGINT ids; texts are the
+# crafted payloads whose per-pattern counts the three-engine unit
+# test pins. Single-space tokenization only (the density denominator
+# splits on ' ' in both engines).
+PII_PROBE_DOCS: list[tuple[int, str]] = [
+    (-1, "contact a.b-c_d%x+1@mail-host.co.uk or admin@x.io today"),
+    (-2, "server 10.0.0.1 peered with 192.168.255.254; not 1234.5.6.7 though"),
+    (-3, "call +1 555-123-4567 or 5551234567 x 555 123 4567"),
+    (-4, "ids 123456789 and 98765432109876 but not 12345678"),
+    (-5, "mixed: bob@a.de at 8.8.8.8 phoned +49 170 1234567, ref 4000000001"),
+    (-6, "no pii here at all, just words and the number 42"),
+]
+
 
 def tx12_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document PII scan — the C4/RefinedWeb-style safety-filter
@@ -809,9 +827,16 @@ def tx12_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     with no wide columns. Driver-gate row since round 8 (rotated in
     with tx13 for a2/mm3 — COVERAGE.md); the crafted-payload PII
     regex parity test also pins each pattern across engines.
+
+    Since round 9 the relation UNIONs ``PII_PROBE_DOCS`` (negative
+    doc_ids, deterministic PII payloads) on both engines, so the gate
+    row hard-verifies non-zero counts even though the fixture corpus
+    is PII-free (VERDICT r8 task 7).
     """
     d = load_table(spark, sf_dir, "documents", fan_out=True)
-    return d.select("doc_id", *pii_decision_columns())
+    probes = spark.createDataFrame(PII_PROBE_DOCS, "doc_id bigint, text string")
+    feed = d.select("doc_id", "text").unionByName(probes)
+    return feed.select("doc_id", *pii_decision_columns())
 
 
 def pii_decision_columns() -> list:
@@ -858,7 +883,11 @@ SELECT doc_id,
        cast(({_pii_count_sql(PII_PATTERNS["emails"])} + {_pii_count_sql(PII_PATTERNS["ipv4s"])}
         + {_pii_count_sql(PII_PATTERNS["phones"])} + {_pii_count_sql(PII_PATTERNS["long_digit_runs"])}) AS DOUBLE)
            / cast(len(str_split(text, ' ')) AS DOUBLE) > {PII_REDACT_DENSITY} AS needs_redaction
-FROM documents
+FROM (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT * FROM (VALUES {", ".join(f"(cast({i} AS BIGINT), '{t}')" for i, t in PII_PROBE_DOCS)}) probes(doc_id, text)
+)
 """
 
 # Rotated INTO the driver registry late round 8 (the PII redaction

@@ -1551,6 +1551,25 @@ def test_tx12_pii_counts_match_python_and_duckdb_on_crafted_payloads(spark):
             assert n == len(re.findall(pat, payloads[i])), (key, i, n)
 
 
+def test_tx12_gate_row_is_non_vacuous(spark, sf_dir):
+    """The gated tx12 relation must exercise non-zero PII counts even
+    on the PII-free fixture corpus: the PII_PROBE_DOCS union (negative
+    doc_ids) rides the same relation on both engines, so the gate
+    hash covers real match semantics, not just the all-zeros shape."""
+    from maggy_spark.functions.text import PII_PROBE_DOCS, tx12_pii_scan
+
+    rows = {r.doc_id: r for r in tx12_pii_scan(spark, sf_dir).collect()}
+    probe_ids = {i for i, _ in PII_PROBE_DOCS}
+    assert probe_ids <= set(rows)  # all probes present, ids collision-free
+    assert all(i >= 0 or i in probe_ids for i in rows)
+    # every pattern column fires on at least one probe, and at least
+    # one probe crosses the redaction threshold
+    for col in ("n_emails", "n_ipv4s", "n_phones", "n_long_digit_runs"):
+        assert any(getattr(rows[i], col) > 0 for i in probe_ids), col
+    assert any(rows[i].needs_redaction for i in probe_ids)
+    assert not rows[-6].needs_redaction  # the clean probe stays clean
+
+
 def test_pl13_quality_stage_equals_pl4_survivors(spark, sf_dir):
     """pl13's quality_filter ledger row counts exactly the documents
     that survive pl4's whole funnel — the two relations build from the
