@@ -7,6 +7,13 @@ from maggy_spark.streaming.documents_stream import (
     quality_gate_stream,
 )
 from maggy_spark.streaming.embeddings_stream import ann_alert_stream
+from maggy_spark.streaming.ingest_stream import (
+    ingest_base,
+    ingest_decisions,
+    ingest_gate_batch,
+    ingest_gate_stream_fn,
+    trailing_volume_stats,
+)
 from maggy_spark.streaming.events_stream import (
     daily_activity_stream,
     sessionize_event_stream,
@@ -23,6 +30,11 @@ __all__ = [
     "ann_alert_stream",
     "contamination_alert_stream",
     "daily_activity_stream",
+    "ingest_base",
+    "ingest_decisions",
+    "ingest_gate_batch",
+    "ingest_gate_stream_fn",
+    "trailing_volume_stats",
     "dedup_document_stream",
     "dedup_metric_stream",
     "early_stop_decisions_stream",

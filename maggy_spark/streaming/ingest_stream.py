@@ -1,0 +1,288 @@
+"""Composed streaming ingest capstone: ONE foreachBatch lineage
+running quality gate -> PII gate -> exact-dup probe -> near-dup band
+probe -> volume anomaly over a SINGLE micro-batch scan, emitting a
+per-document decision ledger.
+
+This is pl13's discipline applied to the streaming side: the batch
+capstone proved the corpus build touches `documents` only through
+shared seams; here the ingest build touches the micro-batch only
+through ONE pinned base relation. Reference analogue: the single
+digestion loop wiring every callback over one message stream
+(/root/reference/maggy/core/experiment_driver/spark_driver.py:211-236)
+— one scan, all decisions.
+
+Scale shape (100 TB feed):
+- `ingest_base` evaluates EVERY per-row derivation (Gopher quality
+  columns, PII regexp counts, content fingerprint, SimHash signature,
+  epoch day) in one select over one scan of the micro-batch — all
+  JVM-side codegen expressions, no Python, no shuffle.
+- The base is `localCheckpoint`-pinned once per batch; the three
+  downstream consumers (band explode, day counts, final ledger join)
+  read the pinned blocks, never the source files — foreachBatch's
+  batch frame re-executes its source scan per action otherwise.
+- Store probes are delta-side-only stream-static joins: the batch
+  side is |batch| (respectively |batch| x SIMHASH_BANDS) rows joining
+  the persisted fingerprint/band stores; nothing re-reads the corpus.
+- The volume monitor's relations are |sources| x |days-in-batch| rows
+  — broadcastable at any feed volume; its trailing moments aggregate
+  the (tiny) daily-count history with a bounded theta-join, so stats
+  exist for every probed day even when the history store has no row
+  for that exact day (densification the window-over-history form of
+  `volume_anomaly_stream` can't give).
+- The composed query is STATELESS: every stage is per-row or
+  per-micro-batch; no watermark, no state store (asserted by the
+  zero-state test). Cross-batch memory lives in the stores the probes
+  join, exactly like `near_dup_alert_stream`/`dedup_over_document_store`.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from maggy_spark.functions.dedup import (
+    MAX_HAMMING,
+    SIMHASH_BANDS,
+    _bval,
+    _first_match_and_hamming,
+    _free_local_checkpoint,
+    _simhash_expr,
+)
+
+
+def _epoch_day():
+    # tz-free epoch day (the ev2/ev11 contract: NEVER session-tz casts)
+    return F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)).cast("bigint")
+
+
+def ingest_base(batch: DataFrame, band_bits: int) -> DataFrame:
+    """Every per-row derivation of the ingest gate in ONE select over
+    one scan: quality columns (tx9's shared `gopher_decision_columns`),
+    PII columns (tx12's shared `pii_decision_columns`), the dd1
+    content fingerprint, the SimHash signature integer at the store's
+    geometry, and the epoch day. `batch` must expose
+    (doc_id, text, source, ts). Downstream consumers derive from THIS
+    relation (pin it first), so `text` is consumed exactly once."""
+    from maggy_spark.functions.text import gopher_decision_columns, pii_decision_columns
+
+    t = SIMHASH_BANDS * band_bits
+    chunks = -(-t // 32)
+    return batch.select(
+        "doc_id",
+        "ts",
+        "source",
+        F.md5(F.col("text")).alias("fingerprint"),
+        F.conv(_simhash_expr(t, chunks), 2, 10).cast("long").alias("sigint"),
+        _epoch_day().alias("d"),
+        *gopher_decision_columns(),
+        *pii_decision_columns(),
+    )
+
+
+def trailing_volume_stats(day_keys: DataFrame, history: DataFrame) -> DataFrame:
+    """(source, d) -> trailing integer moments (n_hist, s1, s2)
+    aggregated from the daily-count `history` (source, d, n_events)
+    over [d - ANOM_WINDOW_DAYS, d - 1] — ev11's RANGE frame expressed
+    as a bounded theta-join on the TINY probed-day relation, so every
+    probed day gets a stats row (a left join against the windowed
+    history relation silently drops days the history never saw).
+    Both sides are |sources| x |days| aggregates; the join is
+    broadcast and the output at most |day_keys| rows."""
+    from maggy_spark.operators.events import ANOM_WINDOW_DAYS
+
+    h = history.select(
+        F.col("source").alias("h_source"),
+        F.col("d").alias("hd"),
+        F.col("n_events").alias("hn"),
+    )
+    joined = day_keys.join(
+        F.broadcast(h),
+        (F.col("source") == F.col("h_source"))
+        & (F.col("hd") >= F.col("d") - ANOM_WINDOW_DAYS)
+        & (F.col("hd") <= F.col("d") - 1),
+        "left",
+    )
+    return joined.groupBy("source", "d").agg(
+        F.count("hn").cast("bigint").alias("n_hist"),
+        F.coalesce(F.sum("hn"), F.lit(0)).cast("bigint").alias("s1"),
+        F.coalesce(F.sum(F.col("hn") * F.col("hn")), F.lit(0)).cast("bigint").alias("s2"),
+    )
+
+
+def ingest_decisions(
+    base: DataFrame,
+    store_fingerprints: DataFrame,
+    store_bands: DataFrame,
+    band_bits: int,
+    history: DataFrame | None = None,
+    max_hamming: int | None = None,
+) -> DataFrame:
+    """The per-document decision ledger over an already-pinned `base`
+    (from `ingest_base`): one row per incoming document carrying every
+    gate decision plus the batch-level volume-anomaly flag of its
+    (source, day).
+
+    - exact-dup probe: left join of the batch fingerprints against the
+      persisted store (dd1's key — `fingerprint_document_stream`'s
+      contract that survival must not depend on arrival timing);
+    - near-dup probe: band-key equi-join against the SimHash store at
+      the store's geometry, first-match guarded (no DISTINCT), rolled
+      up to min hamming per doc — `near_dup_alert_stream` aggregated
+      to a per-doc verdict;
+    - volume monitor: per-(source, day) batch counts scored with
+      ev11's shared `ev11_score_columns` against trailing moments from
+      `history`; the flag rides every ledger row of that day but never
+      blocks a document (a monitor, not a gate);
+    - `admit` = quality keep AND no PII redaction AND not exact-dup
+      AND not near-dup — the one boolean the training store consumes.
+    """
+    from maggy_spark.operators.events import ev11_score_columns
+
+    if max_hamming is None:
+        max_hamming = MAX_HAMMING
+    b = band_bits
+    t = SIMHASH_BANDS * b
+
+    # exact-dup probe (store side deduped: one row per fingerprint)
+    known = store_fingerprints.select("fingerprint").distinct().withColumn(
+        "_known", F.lit(True)
+    )
+    exact = base.join(known, "fingerprint", "left")
+
+    # near-dup probe: band expansion of the PINNED base, store join
+    probe = base.select(
+        "doc_id",
+        F.col("sigint").alias("sa"),
+        F.explode(
+            F.array(*[F.lit(i << b) + _bval(F.col("sigint"), i, b, t) for i in range(SIMHASH_BANDS)])
+        ).alias("band_key"),
+    )
+    sb = store_bands.select(
+        F.col("doc_id").alias("store_doc"), F.col("sigint").alias("sb"), "band_key"
+    )
+    first_match, ham = _first_match_and_hamming(b, t)
+    near = (
+        probe.join(sb, "band_key")
+        .where(F.col("doc_id") != F.col("store_doc"))
+        .where(ham <= max_hamming)
+        .where(first_match)
+        .groupBy("doc_id")
+        .agg(F.min(ham).cast("int").alias("near_dup_hamming"))
+    )
+
+    # volume monitor: per-(source, day) arrival counts vs history
+    counts = base.groupBy("source", "d").agg(
+        F.count("*").cast("bigint").alias("n_events")
+    )
+    if history is not None:
+        stats = trailing_volume_stats(counts.select("source", "d"), history)
+        vol = (
+            counts.join(stats, ["source", "d"])
+            .select("source", "d", "n_events", "n_hist", *ev11_score_columns())
+            .select(
+                "source",
+                "d",
+                F.col("n_events").alias("day_n_docs"),
+                "n_hist",
+                "trailing_mean",
+                "z_score",
+                F.col("is_anomaly").alias("is_volume_anomaly"),
+            )
+        )
+    else:
+        vol = counts.select(
+            "source",
+            "d",
+            F.col("n_events").alias("day_n_docs"),
+            F.lit(0).cast("bigint").alias("n_hist"),
+            F.lit(None).cast("double").alias("trailing_mean"),
+            F.lit(None).cast("double").alias("z_score"),
+            F.lit(False).alias("is_volume_anomaly"),
+        )
+
+    day = F.date_add(F.lit("1970-01-01").cast("date"), F.col("d").cast("int")).cast("string")
+    is_exact = F.coalesce(F.col("_known"), F.lit(False))
+    is_near = F.col("near_dup_hamming").isNotNull()
+    return (
+        exact.join(near, "doc_id", "left")
+        .join(F.broadcast(vol), ["source", "d"], "left")
+        .select(
+            "doc_id",
+            "ts",
+            "source",
+            day.alias("day"),
+            "n_tokens",
+            F.col("keep").alias("quality_keep"),
+            "n_pii_total",
+            "needs_redaction",
+            "fingerprint",
+            is_exact.alias("is_exact_dup"),
+            "near_dup_hamming",
+            is_near.alias("is_near_dup"),
+            "day_n_docs",
+            "n_hist",
+            "trailing_mean",
+            "z_score",
+            "is_volume_anomaly",
+            (
+                F.col("keep")
+                & ~F.col("needs_redaction")
+                & ~is_exact
+                & ~is_near
+            ).alias("admit"),
+        )
+    )
+
+
+def ingest_gate_batch(
+    feed: DataFrame,
+    store_fingerprints: DataFrame,
+    store_bands: DataFrame,
+    band_bits: int,
+    history: DataFrame | None = None,
+    max_hamming: int | None = None,
+) -> DataFrame:
+    """Batch twin of the ingest gate: the SAME base + decisions
+    composition applied to a batch-read feed — what the stream-vs-
+    batch parity test pins the foreachBatch plumbing against."""
+    base = ingest_base(feed, band_bits)
+    return ingest_decisions(
+        base, store_fingerprints, store_bands, band_bits, history, max_hamming
+    )
+
+
+def ingest_gate_stream_fn(
+    store_fingerprints: DataFrame,
+    store_bands: DataFrame,
+    band_bits: int,
+    sink: Callable[[DataFrame, int], None],
+    history: DataFrame | None = None,
+    max_hamming: int | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch processor for the composed ingest gate:
+
+        feed.writeStream.foreachBatch(
+            ingest_gate_stream_fn(fps, bands, b, sink, history)
+        ).trigger(availableNow=True).start()
+
+    Per batch: pin `ingest_base` once (`localCheckpoint` — the
+    foreachBatch frame re-executes its SOURCE scan on every action
+    otherwise, and the ledger has three consumers), run the composed
+    decisions, hand the ledger (+ batch_id) to `sink`, then free the
+    pinned blocks so a long-running ingest never accumulates storage.
+    `sink` must materialize synchronously (write/collect) — the blocks
+    are released when it returns."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        base = ingest_base(batch_df, band_bits).localCheckpoint()
+        try:
+            ledger = ingest_decisions(
+                base, store_fingerprints, store_bands, band_bits, history, max_hamming
+            ).withColumn("batch_id", F.lit(batch_id))
+            sink(ledger, batch_id)
+        finally:
+            _free_local_checkpoint(base)
+
+    return process

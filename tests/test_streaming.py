@@ -677,3 +677,162 @@ def test_volume_anomaly_stream_matches_batch_ev11(spark):
     # append mode withholds only the watermark's open tail
     assert len(streamed) >= 0.8 * len(batch)
     assert any(v[4] for v in streamed.values()), "no anomaly crossed the stream"
+
+
+def _ingest_fixture(spark, sf_dir):
+    """Shared scaffolding for the composed ingest-gate capstone: a
+    landed store (fingerprints + SimHash bands), a daily-count
+    history, and a feed of fixture docs plus crafted rows that fire
+    each gate (an exact dup of a store doc, a near dup — one token
+    appended — and a PII-dense doc)."""
+    from maggy_spark.functions.dedup import simhash_bands_for
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    store_docs = docs.where(F.col("doc_id") < 30).select("doc_id", "text")
+    n_store = store_docs.count()
+    store_bands, band_bits, _t = simhash_bands_for(store_docs, n_store, persist=False)
+    store_bands = store_bands.localCheckpoint()
+    store_fps = (
+        store_docs.select(F.md5("text").alias("fingerprint")).localCheckpoint()
+    )
+    base_texts = {r.doc_id: r.text for r in store_docs.where(F.col("doc_id") < 2).collect()}
+    feed_rows = [
+        (1000, base_texts[0], "crafted", _ts(1)),            # exact dup of store doc 0
+        (1001, base_texts[1] + " zzzq", "crafted", _ts(2)),  # near dup of store doc 1
+        (1002, "mail bob@a.io and carol@b.org from 10.0.0.1", "crafted", _ts(3)),  # PII
+        (1003, "clean words " + " ".join(f"tok{i}" for i in range(60)), "crafted", _ts(4)),
+    ]
+    feed = docs.where((F.col("doc_id") >= 30) & (F.col("doc_id") < 80)).select(
+        "doc_id", "text", "source", F.lit(_ts(0)).alias("ts")
+    ).unionByName(
+        spark.createDataFrame(feed_rows, "doc_id long, text string, source string, ts timestamp")
+    )
+    # history: every feed source with ANOM_MIN_HISTORY+ trailing days
+    # of steady volume, so the batch day's count is scoreable
+    from maggy_spark.operators.events import ANOM_MIN_HISTORY
+
+    d0 = 20454  # epoch day of 2026-01-01 (the _ts feed day)
+    sources = [r.source for r in feed.select("source").distinct().collect()]
+    # steady 1/2-doc days (non-zero variance so z is defined): the
+    # crafted source's 4-doc feed day lands |z| ~ 5 > ANOM_Z
+    hist_rows = [
+        (s, d0 - k, 1 + k % 2) for s in sources for k in range(1, ANOM_MIN_HISTORY + 3)
+    ]
+    history = spark.createDataFrame(hist_rows, "source string, d bigint, n_events bigint")
+    return feed, store_fps, store_bands, band_bits, history
+
+
+def test_ingest_gate_stream_matches_batch_composition(spark, sf_dir):
+    """The composed foreachBatch ingest lineage (quality -> PII ->
+    exact-dup -> near-dup -> volume anomaly over ONE micro-batch scan)
+    must emit the same per-document ledger as the batch twin on the
+    same feed, with zero streaming state across batches."""
+    import tempfile
+
+    from maggy_spark.streaming import ingest_gate_batch, ingest_gate_stream_fn
+
+    feed, store_fps, store_bands, band_bits, history = _ingest_fixture(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="maggy_ingest_")
+    feed.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(feed.schema).parquet(d)
+
+    got_rows = []
+
+    def sink(ledger, batch_id):
+        got_rows.extend(ledger.collect())
+
+    q = (
+        stream.writeStream.foreachBatch(
+            ingest_gate_stream_fn(store_fps, store_bands, band_bits, sink, history)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # the composed query is stateless: no state operators, or all-zero
+    assert all(
+        not (p.get("stateOperators") or [])
+        or sum(op.get("numRowsTotal", 0) for op in p["stateOperators"]) == 0
+        for p in q.recentProgress
+    )
+    want = {
+        r.doc_id: r
+        for r in ingest_gate_batch(feed, store_fps, store_bands, band_bits, history).collect()
+    }
+    got = {r.doc_id: r for r in got_rows}
+    assert set(got) == set(want) and len(got) == feed.count()
+    cols = [c for c in next(iter(want.values())).asDict() if c != "batch_id"]
+    for i, w in want.items():
+        g = got[i]
+        assert tuple(getattr(g, c) for c in cols) == tuple(getattr(w, c) for c in cols), i
+    # every gate fires on its crafted row
+    assert got[1000].is_exact_dup and got[1000].is_near_dup and not got[1000].admit
+    assert not got[1001].is_exact_dup and got[1001].is_near_dup, got[1001]
+    assert got[1002].needs_redaction and not got[1002].admit
+    assert not got[1003].is_exact_dup and not got[1003].is_near_dup
+    # the volume monitor scored the feed day on every row
+    assert all(r.n_hist > 0 and r.trailing_mean is not None for r in got.values())
+    # the crafted source arrives at ~3x its steady history volume ->
+    # its day must flag anomalous; nothing about the flag blocks admits
+    crafted = [r for r in got.values() if r.source == "crafted"]
+    assert crafted and all(r.is_volume_anomaly for r in crafted)
+    assert any(r.admit for r in got.values())
+
+
+def test_ingest_gate_single_scan_discipline(spark, sf_dir):
+    """pl13's scan audit applied to the streaming side: with the base
+    relation pinned (exactly what ingest_gate_stream_fn does per
+    micro-batch), the composed ledger plan must touch the feed ONLY
+    through the pinned blocks — zero parquet leaves anywhere under the
+    decision plan."""
+    from maggy_spark.functions.dedup import _free_local_checkpoint
+    from maggy_spark.streaming import ingest_base, ingest_decisions
+
+    feed, store_fps, store_bands, band_bits, history = _ingest_fixture(spark, sf_dir)
+    base = ingest_base(feed, band_bits).localCheckpoint()
+    try:
+        ledger = ingest_decisions(base, store_fps, store_bands, band_bits, history)
+        leaves = ledger._jdf.queryExecution().optimizedPlan().collectLeaves()
+        kinds = [leaves.apply(i).nodeName() for i in range(leaves.size())]
+        parquet_leaves = [
+            leaves.apply(i).toString()
+            for i in range(leaves.size())
+            if "parquet" in leaves.apply(i).toString().lower()
+        ]
+        assert not parquet_leaves, (kinds, parquet_leaves)
+        # the feed reaches the plan only as the pinned LogicalRDD
+        assert "LogicalRDD" in kinds, kinds
+        assert ledger.count() == feed.count()
+    finally:
+        _free_local_checkpoint(base)
+
+
+def test_trailing_volume_stats_scores_days_absent_from_history(spark):
+    """The theta-join trailing stats must produce a row for a probed
+    day the history store never saw (total-outage densification —
+    the window-over-history form silently drops it) and agree with
+    ev11's moments where the history day exists."""
+    from maggy_spark.operators.events import ev11_trailing_stats
+    from maggy_spark.streaming import trailing_volume_stats
+
+    history = spark.createDataFrame(
+        [("web", d, 10 + (d % 3)) for d in range(100, 110)],
+        "source string, d bigint, n_events bigint",
+    )
+    # day 115: inside the trailing window of 100..109 history but
+    # absent from history itself (the outage day)
+    keys = spark.createDataFrame(
+        [("web", 109), ("web", 115)], "source string, d bigint"
+    )
+    got = {r.d: r for r in trailing_volume_stats(keys, history).collect()}
+    assert set(got) == {109, 115}
+    assert got[115].n_hist > 0  # scored even though history has no d=115 row
+    want = {
+        r.d: r
+        for r in ev11_trailing_stats(
+            history.withColumnRenamed("source", "event_type")
+        ).collect()
+    }
+    assert (got[109].n_hist, got[109].s1, got[109].s2) == (
+        want[109].n_hist, want[109].s1, want[109].s2,
+    )
