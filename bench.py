@@ -154,9 +154,14 @@ def main() -> None:
             t1 = time.time()
             exp_samples.append(t1 - t0)
             # direction=max: worst_val = earliest fn entry, best_val =
-            # latest (the fn body is instantaneous, so entry ~= exit)
-            sub_samples.append(res["worst_val"] - t0)
-            tail_samples.append(t1 - res["best_val"])
+            # latest (the fn body is instantaneous, so entry ~= exit).
+            # SINGLE-MACHINE ASSUMPTION: these subtract executor-side
+            # time.time() from driver-side t0/t1, valid only because
+            # local mode shares one clock. On a real cluster, derive
+            # the split from driver-side listener events instead. The
+            # max(0, .) clamp keeps residual skew from going negative.
+            sub_samples.append(max(0.0, res["worst_val"] - t0))
+            tail_samples.append(max(0.0, t1 - res["best_val"]))
         timings["exp_random16_noop"] = round(statistics.median(exp_samples), 3)
         # median per-trial overhead: wall / trials-per-slot for a no-op fn
         timings["exp_per_trial_overhead"] = round(timings["exp_random16_noop"] / (16 / 4), 3)
@@ -182,27 +187,29 @@ def main() -> None:
         sum(v for k, v in timings.items() if v >= 0 and k not in partials and k not in components),
         3,
     )
-    line = json.dumps(
-        {
-            "metric": "operator_suite_total",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "rep_spread": spreads,
-            "partial": partials,
-            "n_partial": len(partials),
-            "reps": reps,
-            "sf": sf,
-            "n_queries": len(timings),
-            "cpus": int(cpus),
-        }
-    )
-    print(line)
-    # the driver keeps only the stdout TAIL of this process, which has
-    # truncated the JSON line two rounds running (BENCH_r5/r6 both show
-    # parsed: null) — persist the full line so the round artifact is
-    # self-contained (BASELINE.md §4)
-    (REPO / "BENCH_local.json").write_text(line + "\n")
+    payload = {
+        "metric": "operator_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "rep_spread": spreads,
+        "partial": partials,
+        "n_partial": len(partials),
+        "reps": reps,
+        "sf": sf,
+        "n_queries": len(timings),
+        "cpus": int(cpus),
+    }
+    # the full record (medians + rep spreads + partials) is the
+    # artifact of record, persisted locally (BASELINE.md §4)
+    (REPO / "BENCH_local.json").write_text(json.dumps(payload) + "\n")
+    # stdout gets a MEDIANS-ONLY line: the driver keeps only the
+    # stdout tail of this process and the full dict has truncated
+    # mid-line every round since r5 (BENCH_r{5..8} all parsed: null).
+    # Dropping rep_spread/partial detail halves the line so the
+    # driver's BENCH_r{N}.json capture finally parses; spreads stay in
+    # BENCH_local.json.
+    print(json.dumps({k: v for k, v in payload.items() if k not in ("rep_spread", "partial")}))
 
 
 if __name__ == "__main__":
