@@ -120,6 +120,33 @@ def main() -> None:
         print(f"BENCH ERROR pl13_full_corpus_build: {e}", file=sys.stderr)
         spark.catalog.clearCache()
 
+    # the full distributed BPE loop (not a registry row: bpe_train
+    # returns the merge list, not a DataFrame): train pays the whole
+    # 20-round vocab-collapse loop per rep, encode the mapInPandas
+    # rank-priority pass with a fresh session cache (clearCache drops
+    # the shared unigram relation between reps, so train is honest
+    # end-to-end including its one corpus scan)
+    try:
+        from maggy_spark.functions.text import bpe_encode, bpe_train
+
+        tr_samples, en_samples = [], []
+        for _ in range(reps):
+            t0 = time.time()
+            merges = bpe_train(spark, sf_dir, n_merges=20)
+            tr_samples.append(time.time() - t0)
+            t0 = time.time()
+            bpe_encode(spark, sf_dir, merges).write.format("noop").mode("overwrite").save()
+            en_samples.append(time.time() - t0)
+            spark.catalog.clearCache()
+        timings["bpe_train_20"] = round(statistics.median(tr_samples), 3)
+        spreads["bpe_train_20"] = round(max(tr_samples) - min(tr_samples), 3)
+        timings["bpe_encode"] = round(statistics.median(en_samples), 3)
+        spreads["bpe_encode"] = round(max(en_samples) - min(en_samples), 3)
+    except Exception as e:  # noqa: BLE001
+        timings["bpe_train_20"] = -1.0
+        print(f"BENCH ERROR bpe loop: {e}", file=sys.stderr)
+        spark.catalog.clearCache()
+
     # experiment-level targets from BASELINE.md §3: 16-trial no-op
     # random search wall time (target <= 35 s) and median per-trial
     # scheduling overhead (target <= 2 s). The trial fn returns

@@ -631,6 +631,15 @@ def mm6_phash_near_dup(spark: SparkSession, sf_dir: str, max_hamming: int = PHAS
 # NB: _first_match_and_hamming unrolls over dedup.SIMHASH_BANDS, which
 # must equal PHASH_BANDS for the reuse above to be sound — pinned by
 # test_mm6_band_geometry_matches_dedup.
+#
+# ORACLE VALIDITY: this twin models the md5-STUB signature for EVERY
+# payload, while the Spark side hashes real pixels for any payload
+# that parses as P6 PPM (the always-available stdlib decode path, r8).
+# The parity compare is therefore valid ONLY for corpora where no
+# payload decodes — true of the synthetic text-payload fixtures, and
+# pinned per-environment by test_mm6_oracle_environment_still_stub_only
+# at the gate's sf0.01. A corpus with genuine P6 bytes must exclude
+# decodable rows from the compare (the environment test is the tripwire).
 
 MM6_SQL = f"""
 WITH img AS (

@@ -936,7 +936,13 @@ def tx13_bpe_pair_stats(spark: SparkSession, sf_dir: str, top_k: int = BPE_TOP_K
         .groupBy(F.col("p.left_sym").alias("left_sym"), F.col("p.right_sym").alias("right_sym"))
         .agg(F.sum("cnt").cast("bigint").alias("pair_count"))
     )
-    w = Window.orderBy(F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym"))
+    # literal partition key: physically identical (the charset²-bounded
+    # relation still sorts in one task — a constant-size sort by the
+    # argument above), but declares the intent so WindowExec stops
+    # emitting its unpartitioned-window warning on every gate run
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym")
+    )
     return (
         agg.select("*", F.row_number().over(w).cast("bigint").alias("rank"))
         .where(F.col("rank") <= top_k)

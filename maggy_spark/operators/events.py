@@ -667,8 +667,18 @@ def ev11_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     |event types| x |days| rows map-side (partial aggregation); the
     RANGE-framed trailing window runs on that tiny relation with state
     bounded by the window width; day arithmetic is tz-free epoch-day
-    integers (ev2's rule). Not in the driver registry (50-entry cap);
-    DuckDB parity in tests/test_offline_oracles.py.
+    integers (ev2's rule). Driver-gate row since round 9.
+
+    SCOPE: the monitor scores only (event_type, day) pairs with
+    NONZERO volume — a day with zero events of a type produces no
+    daily-count row, so a TOTAL outage never appears here (and
+    contributes nothing to later days' trailing moments). The batch
+    auditor keeps this shape because densifying the grid would change
+    the oracle-replayable relation; the ingest-time monitor closes the
+    gap: `streaming.ingest_stream.trailing_volume_stats` theta-joins
+    the history for EVERY probed key, so a live feed's outage day
+    (present in the batch, absent from history) still scores — the
+    outage is caught where it happens, at ingest.
     """
     daily = ev11_daily_counts(load_events(spark, sf_dir))
     return ev11_trailing_stats(daily).select(

@@ -438,6 +438,105 @@ def main() -> None:
             }
         )
 
+        # --- ev11: volume anomaly monitor (r8 cont., probed r9) -----------
+        # the claim: one groupBy collapses the feed to |types| x |days|
+        # rows MAP-SIDE (partial aggregation on the grouping key), and
+        # every window after that orders at most |days| rows per type —
+        # so the scored relation is constant-size across decades and
+        # wall time tracks the scan, not the window
+        from maggy_spark.operators.events import ev11_volume_anomaly
+        from maggy_spark.plans.fixtures import load_events
+
+        ev = load_events(spark, sf_dir)
+        n_events = ev.count()
+        t0 = time.time()
+        ev11_df = ev11_volume_anomaly(spark, sf_dir)
+        out = ev11_df.count()
+        sec = round(time.time() - t0, 2)
+        n_types = int(ev.select(F.count_distinct("event_type")).collect()[0][0])
+        spark.catalog.clearCache()
+        rows.append(
+            {
+                "op": "ev11_volume_anomaly",
+                "sf": sf,
+                "n": n_events,
+                "params": {"n_types": n_types},
+                "daily_rows": out,
+                "rows_per_event": round(out / n_events, 6),
+                "max_window_partition_rows": out // n_types,
+                "output": out,
+                "sec": sec,
+            }
+        )
+
+        # --- pl14: curriculum epoch order (r8 cont., probed r9) -----------
+        # pl9's machinery with a map-side quality band prepended to the
+        # in-window sort key: banding is fixed arithmetic on the
+        # richness score (never a global quantile sort), so the max
+        # window partition must match pl9's across decades
+        from maggy_spark.functions.pipeline import SHUFFLE_EPOCHS as _EPOCHS
+        from maggy_spark.functions.pipeline import pl14_curriculum_order
+
+        t0 = time.time()
+        pl14_df = pl14_curriculum_order(spark, sf_dir, shards=shards)
+        out = pl14_df.count()
+        sec = round(time.time() - t0, 2)
+        max_part14 = (
+            pl14_df.groupBy("epoch", "shard").count().agg(F.max("count")).collect()[0][0]
+        )
+        spark.catalog.clearCache()
+        rows.append(
+            {
+                "op": "pl14_curriculum_order",
+                "sf": sf,
+                "n": n_docs,
+                "params": {"epochs": _EPOCHS, "shards": int(shards)},
+                "max_window_partition_rows": int(max_part14),
+                "output": out,
+                "sec": sec,
+            }
+        )
+
+        # --- bpe_train + bpe_encode: the full distributed BPE loop --------
+        # trainer claim: the corpus is scanned once; each of the
+        # n_merges rounds touches only the |vocab|-row symbol table, so
+        # per-round wall must be FLAT in corpus size (round cost =
+        # fixed job latency + vocab-bounded work). encoder claim: the
+        # mapInPandas pass is linear in token occurrences with the
+        # per-batch word memo bounding Python work by distinct words.
+        from maggy_spark.functions.text import bpe_encode, bpe_train
+
+        n_merges = 20
+        t0 = time.time()
+        merges = bpe_train(spark, sf_dir, n_merges=n_merges)
+        train_sec = round(time.time() - t0, 2)
+        t0 = time.time()
+        enc_out = bpe_encode(spark, sf_dir, merges).count()
+        enc_sec = round(time.time() - t0, 2)
+        spark.catalog.clearCache()
+        rows.append(
+            {
+                "op": "bpe_train",
+                "sf": sf,
+                "n": n_docs,
+                "params": {"n_merges": n_merges, "vocab_rows": int(vocab_actual)},
+                "sec_per_round": round(train_sec / n_merges, 3),
+                "output": len(merges),
+                "sec": train_sec,
+            }
+        )
+        rows.append(
+            {
+                "op": "bpe_encode",
+                "sf": sf,
+                "n": n_docs,
+                "params": {"n_merges": len(merges)},
+                "token_rows": int(tok_rows),
+                "output": enc_out,
+                "sec": enc_sec,
+            }
+        )
+
     for r in rows:
         print(json.dumps(r))
     outs = [a for a in sys.argv[1:] if not a.startswith("--")]

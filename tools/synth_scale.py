@@ -33,11 +33,22 @@ EMB_DIM = 64
 SEED = 42
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
 def ensure_scale_dir(
-    n_docs: int = 50_000, n_vecs: int = 20_000, out_dir: str = "/tmp/maggy_sf1"
+    n_docs: int = 50_000,
+    n_vecs: int = 20_000,
+    n_events: int = 1_000_000,
+    out_dir: str = "/tmp/maggy_sf1",
 ) -> str:
     """Generate (once) and return the sf~1 directory. Idempotent: if
-    both parquet files exist with the expected row counts, reuse."""
+    the parquet files exist with the expected row counts, reuse.
+
+    events reproduces the observed driver recipe (measured on
+    /root/testdata/sf0.1: 100k rows = 10x per decade, 5 uniform
+    event types, users = 15x rows/1000, ts uniform over 2024-01-01..
+    2024-01-31, value double, props a tiny JSON string)."""
     import duckdb
     import numpy as np
     import pyarrow as pa
@@ -45,17 +56,22 @@ def ensure_scale_dir(
 
     out = Path(out_dir)
     dp, ep = out / "documents.parquet", out / "embeddings.parquet"
+    vp = out / "events.parquet"
     # recipe stamp: row counts alone would silently reuse data written
     # by an older/modified generator, skewing the probe's 4th-decade
     # numbers against an undocumented corpus
-    recipe = f"seed={SEED};docs={n_docs};vecs={n_vecs};vocab={len(VOCAB)};dim={EMB_DIM};v2"
+    recipe = (
+        f"seed={SEED};docs={n_docs};vecs={n_vecs};events={n_events};"
+        f"vocab={len(VOCAB)};dim={EMB_DIM};v3"
+    )
     marker = out / "RECIPE.txt"
-    if dp.exists() and ep.exists() and marker.exists() and marker.read_text() == recipe:
+    if dp.exists() and ep.exists() and vp.exists() and marker.exists() and marker.read_text() == recipe:
         con = duckdb.connect()
         nd = con.execute(f"SELECT count(*) FROM '{dp}'").fetchone()[0]
         ne = con.execute(f"SELECT count(*) FROM '{ep}'").fetchone()[0]
+        nv = con.execute(f"SELECT count(*) FROM '{vp}'").fetchone()[0]
         con.close()
-        if nd == n_docs and ne == n_vecs:
+        if nd == n_docs and ne == n_vecs and nv == n_events:
             return str(out)
     out.mkdir(parents=True, exist_ok=True)
 
@@ -95,6 +111,22 @@ def ensure_scale_dir(
         }
     )
     pq.write_table(etbl, ep)
+
+    n_users = max(1, 15 * n_events // 1000)
+    span_us = 30 * 86_400_000_000  # 30 days from 2024-01-01T00:00:00
+    epoch0 = 1_704_067_200_000_000  # 2024-01-01 in epoch micros
+    ets = epoch0 + rng.integers(0, span_us, size=n_events)
+    vtbl = pa.table(
+        {
+            "event_id": np.arange(n_events, dtype=np.int64),
+            "ts": pa.array(ets, type=pa.timestamp("us")),
+            "user_id": rng.integers(0, n_users, size=n_events).astype(np.int64),
+            "event_type": rng.choice(EVENT_TYPES, size=n_events),
+            "value": np.round(rng.uniform(0.0, 200.0, size=n_events), 2),
+            "props": [f'{{"k": {k}}}' for k in rng.integers(0, 100, size=n_events)],
+        }
+    )
+    pq.write_table(vtbl, vp)
     marker.write_text(recipe)
     return str(out)
 
