@@ -286,3 +286,207 @@ def ingest_gate_stream_fn(
             _free_local_checkpoint(base)
 
     return process
+
+
+# --- ing1: oracle-checked sf-dir form of the composed gate ----------------
+#
+# pl13's three-way-verification discipline applied here: the composed
+# ledger gets a deterministic sf-dir instantiation (store = even
+# doc_ids, feed = odd doc_ids with synthetic epoch-day arrival times,
+# history = a fixed alternating-volume week per source) and a full
+# DuckDB twin, so the WHOLE composition — quality + PII expressions,
+# fingerprint probe, SimHash banding at store-derived geometry, the
+# theta-join volume scoring, and the admit conjunction — is value-
+# hash-verified against an independent engine, not just stream-vs-
+# batch self-consistent. doc_ids are contiguous 0..n-1 in the fixture
+# tables (TESTDATA.md), so |store| = ceil(n/2) exactly.
+
+ING_D0 = 20454  # epoch day of 2026-01-01: the synthetic arrival window
+
+
+def ing1_ingest_gate(spark, sf_dir: str) -> DataFrame:
+    """The composed ingest-gate ledger over a deterministic feed/store
+    split of the fixture corpus (see module header). Returns the
+    `ingest_gate_batch` ledger minus the raw `ts` column (collected
+    timestamps are session-tz-rendered — the day string carries the
+    same information tz-free)."""
+    from maggy_spark.functions.dedup import simhash_bands_for
+    from maggy_spark.operators.events import ANOM_WINDOW_DAYS
+    from maggy_spark.plans.fixtures import corpus_count, load_table
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    n = corpus_count(spark, sf_dir, "documents")
+    store = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    store_bands, b, _t = simhash_bands_for(store, (n + 1) // 2, persist=False)
+    store_fps = store.select(F.md5("text").alias("fingerprint"))
+    d = (F.lit(ING_D0) + F.col("doc_id") % 3).cast("long")
+    feed = docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        "text",
+        "source",
+        F.timestamp_micros(d * F.lit(86_400_000_000)).alias("ts"),
+    )
+    ks = spark.range(1, ANOM_WINDOW_DAYS + 1).select(F.col("id").alias("k"))
+    history = (
+        feed.select("source")
+        .distinct()
+        .crossJoin(ks)
+        .select(
+            "source",
+            (F.lit(ING_D0) - F.col("k")).cast("bigint").alias("d"),
+            (F.lit(1) + F.col("k") % 2).cast("bigint").alias("n_events"),
+        )
+    )
+    led = ingest_gate_batch(feed, store_fps, store_bands, b, history)
+    # the generic ledger keeps near_dup_hamming nullable; the oracle
+    # form pins it to -1 = "no store near-dup within radius" because
+    # DuckDB's client renders a nullable INTEGER column as float64,
+    # which the gate's canonical-dtype compare rejects
+    return led.select(
+        *[
+            F.coalesce(F.col(c), F.lit(-1)).cast("int").alias(c)
+            if c == "near_dup_hamming"
+            else F.col(c)
+            for c in led.columns
+            if c != "ts"
+        ]
+    )
+
+
+def ing1_sql() -> str:
+    from maggy_spark.functions.text import (
+        GOPHER_MAX_TOP_TOKEN_FRAC,
+        GOPHER_MAX_WORD_LEN,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORD_LEN,
+        GOPHER_MIN_WORDS,
+        PII_PATTERNS,
+        PII_REDACT_DENSITY,
+        _pii_count_sql,
+        _SW_LIST,
+    )
+    from maggy_spark.functions.dedup import (
+        MAX_HAMMING,
+        SIMHASH_BANDS,
+        TARGET_BUCKET_DOCS,
+    )
+    from maggy_spark.operators.events import ANOM_MIN_HISTORY, ANOM_WINDOW_DAYS, ANOM_Z
+
+    pii_total = " + ".join(_pii_count_sql(p) for p in PII_PATTERNS.values())
+    ham = (
+        "list_sum(list_transform(generate_series(1, a.t), "
+        "i -> CASE WHEN substr(a.simhash, i, 1) != substr(s.simhash, i, 1) THEN 1 ELSE 0 END))"
+    )
+    mean = "cast(s1 AS DOUBLE) / cast(n_hist AS DOUBLE)"
+    var = f"(cast(s2 AS DOUBLE) - cast(s1 AS DOUBLE) * ({mean})) / cast(n_hist AS DOUBLE)"
+    z = f"(cast(day_n_docs AS DOUBLE) - {mean}) / sqrt({var})"
+    scored = f"CASE WHEN n_hist >= {ANOM_MIN_HISTORY} AND {var} > 0 THEN {z} END"
+    return f"""
+WITH store AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+feed AS (
+    SELECT doc_id, text, source,
+           cast({ING_D0} + doc_id % 3 AS BIGINT) AS d
+    FROM documents WHERE doc_id % 2 = 1
+),
+p AS (
+    SELECT b, {SIMHASH_BANDS} * b AS t,
+           CAST(ceil(({SIMHASH_BANDS} * b) / 32.0) AS INTEGER) AS chunks
+    FROM (
+        SELECT GREATEST(4, LEAST(15,
+            CAST(ceil(round(log2(GREATEST(count(*), 1) / {TARGET_BUCKET_DOCS}.0), 9)) AS INTEGER))) AS b
+        FROM store
+    )
+),
+sig_all AS (
+    SELECT doc_id, side, b, t,
+           array_to_string(list_transform(generate_series(1, t), k ->
+               CASE WHEN list_sum(list_transform(hs, h ->
+                        CASE WHEN substr(h, k, 1) < '8' THEN 1 ELSE -1 END)) >= 0
+                    THEN '1' ELSE '0' END), '') AS simhash
+    FROM (
+        SELECT u.doc_id, u.side, p.b AS b, p.t AS t,
+               list_transform(list_distinct(str_split(u.text, ' ')), tk ->
+                   array_to_string(list_transform(generate_series(0, p.chunks - 1), i ->
+                       md5(CAST(i AS VARCHAR) || '|' || tk)), '')) AS hs
+        FROM (
+            SELECT doc_id, text, 'store' AS side FROM store
+            UNION ALL
+            SELECT doc_id, text, 'feed' AS side FROM feed
+        ) u CROSS JOIN p
+    )
+),
+bands AS (
+    SELECT doc_id, side, simhash, t,
+           CAST(i AS VARCHAR) || ':' || substr(simhash, i * b + 1, b) AS band_key
+    FROM sig_all CROSS JOIN generate_series(0, {SIMHASH_BANDS - 1}) gs(i)
+),
+near AS (
+    SELECT doc_id, CAST(min(hamming) AS INTEGER) AS near_dup_hamming
+    FROM (
+        SELECT DISTINCT a.doc_id, s.doc_id AS store_doc, {ham} AS hamming
+        FROM (SELECT * FROM bands WHERE side = 'feed') a
+        JOIN (SELECT * FROM bands WHERE side = 'store') s USING (band_key)
+        WHERE a.doc_id != s.doc_id
+    )
+    WHERE hamming <= {MAX_HAMMING}
+    GROUP BY doc_id
+),
+known AS (SELECT DISTINCT md5(text) AS fingerprint FROM store),
+quality AS (
+    SELECT doc_id,
+           cast(len(toks) AS BIGINT) AS n_tokens,
+           (cast(len(toks) AS BIGINT) >= {GOPHER_MIN_WORDS} AND cast(len(toks) AS BIGINT) <= {GOPHER_MAX_WORDS}
+            AND cast(length(text) - len(toks) + 1 AS DOUBLE) / cast(len(toks) AS DOUBLE) >= {GOPHER_MIN_WORD_LEN}
+            AND cast(length(text) - len(toks) + 1 AS DOUBLE) / cast(len(toks) AS DOUBLE) <= {GOPHER_MAX_WORD_LEN}
+            AND cast(len(list_intersect(toks, {_SW_LIST})) AS BIGINT) >= {GOPHER_MIN_STOPWORDS}
+            AND cast(list_max(list_transform(list_distinct(toks),
+                     t2 -> len(list_filter(toks, x -> x = t2)))) AS DOUBLE)
+                / cast(len(toks) AS DOUBLE) <= {GOPHER_MAX_TOP_TOKEN_FRAC}) AS quality_keep
+    FROM (SELECT doc_id, text, str_split(text, ' ') AS toks FROM feed)
+),
+pii AS (
+    SELECT doc_id,
+           ({pii_total}) AS n_pii_total,
+           cast(({pii_total}) AS DOUBLE)
+               / cast(len(str_split(text, ' ')) AS DOUBLE) > {PII_REDACT_DENSITY} AS needs_redaction
+    FROM feed
+),
+history AS (
+    SELECT source, cast({ING_D0} - k AS BIGINT) AS d, cast(1 + k % 2 AS BIGINT) AS n_events
+    FROM (SELECT DISTINCT source FROM feed) CROSS JOIN generate_series(1, {ANOM_WINDOW_DAYS}) gs(k)
+),
+counts AS (SELECT source, d, cast(count(*) AS BIGINT) AS n_events FROM feed GROUP BY 1, 2),
+vol AS (
+    SELECT c.source, c.d, c.n_events AS day_n_docs,
+           cast(count(h.n_events) AS BIGINT) AS n_hist,
+           cast(coalesce(sum(h.n_events), 0) AS BIGINT) AS s1,
+           cast(coalesce(sum(h.n_events * h.n_events), 0) AS BIGINT) AS s2
+    FROM counts c LEFT JOIN history h
+      ON h.source = c.source AND h.d >= c.d - {ANOM_WINDOW_DAYS} AND h.d <= c.d - 1
+    GROUP BY 1, 2, 3
+)
+SELECT f.doc_id, f.source,
+       strftime(cast('1970-01-01' AS DATE) + to_days(cast(f.d AS INTEGER)), '%Y-%m-%d') AS day,
+       q.n_tokens, q.quality_keep,
+       cast(pi.n_pii_total AS BIGINT) AS n_pii_total, pi.needs_redaction,
+       md5(f.text) AS fingerprint,
+       (k.fingerprint IS NOT NULL) AS is_exact_dup,
+       CAST(coalesce(nr.near_dup_hamming, -1) AS INTEGER) AS near_dup_hamming,
+       (nr.near_dup_hamming IS NOT NULL) AS is_near_dup,
+       v.day_n_docs, v.n_hist,
+       CASE WHEN v.n_hist >= {ANOM_MIN_HISTORY} THEN {mean.replace("s1", "v.s1").replace("n_hist", "v.n_hist")} END AS trailing_mean,
+       {scored.replace("s1", "v.s1").replace("s2", "v.s2").replace("n_hist", "v.n_hist").replace("day_n_docs", "v.day_n_docs")} AS z_score,
+       coalesce(abs({scored.replace("s1", "v.s1").replace("s2", "v.s2").replace("n_hist", "v.n_hist").replace("day_n_docs", "v.day_n_docs")}) > {ANOM_Z}, FALSE) AS is_volume_anomaly,
+       (q.quality_keep AND NOT pi.needs_redaction
+        AND k.fingerprint IS NULL AND nr.near_dup_hamming IS NULL) AS admit
+FROM feed f
+JOIN quality q USING (doc_id)
+JOIN pii pi USING (doc_id)
+LEFT JOIN known k ON md5(f.text) = k.fingerprint
+LEFT JOIN near nr USING (doc_id)
+JOIN vol v ON v.source = f.source AND v.d = f.d
+"""
+
+
+ING1_SQL = ing1_sql()

@@ -105,6 +105,14 @@ CASES = [
     ("g1_random_sample", "G1_SQL", "maggy_spark.operators.generators"),
     ("a9_partition_avg", "A9_SQL", "maggy_spark.operators.aggregations"),
     ("k2_top_customers", "K2_SQL", "maggy_spark.operators.warehouse"),
+    # round-9 addition: the composed ingest-gate ledger in its
+    # deterministic sf-dir form (store = even doc_ids, feed = odd) —
+    # the pl13 three-way-verification discipline applied to the
+    # streaming capstone's batch twin: quality + PII + fingerprint
+    # probe + SimHash banding at store geometry + theta-join volume
+    # scoring + the admit conjunction, all value-hash-checked against
+    # DuckDB, not just stream-vs-batch self-consistent.
+    ("ing1_ingest_gate", "ING1_SQL", "maggy_spark.streaming.ingest_stream"),
 ]
 
 
