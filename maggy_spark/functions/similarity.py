@@ -549,6 +549,10 @@ def _sq_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("vec_id").alias("neighbor_id"),
                 quant.alias("cv"),
                 "scale",
+                # the IVF list id rides the quantized store (the FAISS
+                # layout: codes live inside inverted lists) so ann8's
+                # probed-list scoring needs no join back to the floats
+                F.col("label").alias("list_id"),
             )
             .withColumn("cn2", _sq_int_dot("cv", "cv"))
         )
@@ -688,6 +692,180 @@ SELECT query_id, neighbor_id, coarse_cos, cosine, rank FROM (
     JOIN q0 q ON d.query_id = q.query_id
 ) WHERE rank <= {k}
 """
+
+
+ANN8_NPROBE = 2
+
+
+def ann8_ivf_quantized(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int = ANN8_NPROBE,
+    candidates: int = SQ_CANDIDATES,
+    k: int = TOP_K,
+) -> DataFrame:
+    """The full IVF + SQ + exact-rerank serving stack — what a
+    production vector store (FAISS IVF-SQ, Milvus, Vespa) actually
+    runs when neither the float corpus nor a full coarse scan fits
+    the latency budget: (1) route each query to its ``nprobe``
+    nearest IVF medoids (ann3's deterministic min-vec_id medoid per
+    label partition); (2) coarse-rank ONLY the probed inverted lists
+    by quantized int8 cosine (ann7's symmetric SQ); (3) fetch floats
+    for the top ``candidates`` and emit the exact-cosine top ``k``.
+
+    Fully deterministic (medoids, quantization grid, and every tie
+    rule are fixed), so the DuckDB twin replays it bit-for-bit —
+    with ``nprobe`` = the number of lists it degrades to exactly
+    ann7 (pinned by test), which is the IVF contract: probing
+    everything IS the flat quantized scan.
+
+    Scale shape: the routing table is |lists| rows (broadcast); the
+    coarse pass streams nprobe/|lists| of the int8 store instead of
+    all of it — the probed-list join keys the SMALL side (queries x
+    nprobe rows, broadcast) so no corpus shuffle; the exact float
+    work stays pinned at candidates x |queries| rows fetched through
+    a broadcast join. Per-query cost is O(|lists| + nprobe x
+    avg_list x d_int8 + C x d_float) — the inverted-file argument,
+    measured in SCALING.md. Not in the driver registry (50-entry
+    cap); DuckDB parity in tests/test_offline_oracles.py.
+    """
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    cq = _sq_corpus(spark, sf_dir)
+    reps = (
+        e.groupBy("label")
+        .agg(F.min_by("embedding", "vec_id").alias("rep_emb"))
+        .select(F.col("label").alias("list_id"), "rep_emb")
+    )
+    q = (
+        e.where(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cq.select("scale").limit(1)))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            _sq_quantize(F.col("embedding"), F.col("scale")).alias("qv"),
+            F.sqrt(_dot("embedding", "embedding")).alias("qn"),
+        )
+        .withColumn("qn2", _sq_int_dot("qv", "qv"))
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("rep_cos").desc(), F.col("list_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(reps))
+        .select("query_id", "qv", "qn2", "list_id", _cosine("qe", "rep_emb").alias("rep_cos"))
+        .select("query_id", "qv", "qn2", "list_id", F.row_number().over(wp).alias("rn"))
+        .where(F.col("rn") <= nprobe)
+        .drop("rn")
+    )
+    idot = _sq_int_dot("qv", "cv")
+    qcos = F.when((F.col("qn2") == 0) | (F.col("cn2") == 0), F.lit(-2.0)).otherwise(
+        idot.cast("double")
+        / F.sqrt(F.col("qn2").cast("double") * F.col("cn2").cast("double"))
+    )
+    coarse = cq.join(F.broadcast(probes), "list_id").select(
+        "query_id", "neighbor_id", qcos.alias("coarse_cos")
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("coarse_cos").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        coarse.select(
+            "query_id", "neighbor_id", "coarse_cos", F.row_number().over(wc).alias("crank")
+        )
+        .where(F.col("crank") <= candidates)
+        .drop("crank")
+    )
+    fetched = (
+        e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ve"))
+        .join(F.broadcast(cand), "neighbor_id")
+        .withColumn("vn", F.sqrt(_dot("ve", "ve")))
+        .join(F.broadcast(q.select("query_id", "qe", "qn")), "query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        fetched.select(
+            "query_id",
+            "neighbor_id",
+            "coarse_cos",
+            _cosine_pre("qe", "ve", "qn", "vn").alias("cosine"),
+        )
+        .select(
+            "query_id", "neighbor_id", "coarse_cos", "cosine",
+            F.row_number().over(w).cast("bigint").alias("rank"),
+        )
+        .where(F.col("rank") <= k)
+    )
+
+
+def ann8_sql(nprobe: int = ANN8_NPROBE, candidates: int = SQ_CANDIDATES, k: int = TOP_K) -> str:
+    """DuckDB twin: ann3's medoid routing composed with ann7's
+    quantized scoring, restricted to the probed inverted lists."""
+    lv = SQ_LEVELS
+    quant = (
+        f"list_transform({{v}}, x -> CASE WHEN scale = 0.0 THEN 0 "
+        f"ELSE GREATEST(-{lv}, LEAST({lv}, "
+        f"CAST(floor(x * {lv}.0 / scale + 0.5) AS INTEGER))) END)"
+    )
+    idot = "cast(list_sum(list_transform(range(1, len({a}) + 1), i -> cast({a}[i] AS BIGINT) * {b}[i])) AS BIGINT)"
+    return f"""
+WITH q0 AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
+c0 AS (SELECT vec_id AS neighbor_id, label AS list_id, embedding::DOUBLE[] AS ve FROM embeddings WHERE vec_id >= {N_QUERIES}),
+env AS (SELECT max(abs(v)) AS scale FROM (SELECT unnest(ve) AS v FROM c0)),
+qq AS (
+    SELECT query_id, qe, qv, {idot.format(a="qv", b="qv")} AS qn2
+    FROM (SELECT query_id, qe, {quant.format(v="qe")} AS qv FROM q0 CROSS JOIN env)
+),
+cq AS (
+    SELECT neighbor_id, list_id, cv, {idot.format(a="cv", b="cv")} AS cn2
+    FROM (SELECT neighbor_id, list_id, {quant.format(v="ve")} AS cv FROM c0 CROSS JOIN env)
+),
+rep_ids AS (SELECT label AS list_id, min(vec_id) AS rep_id FROM embeddings GROUP BY label),
+reps AS (
+    SELECT r.list_id, e.embedding::DOUBLE[] AS rep_emb
+    FROM rep_ids r JOIN embeddings e ON r.rep_id = e.vec_id
+),
+probes AS (
+    SELECT query_id, list_id FROM (
+        SELECT q.query_id, r.list_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_cos_sql("q.qe", "r.rep_emb")} DESC, r.list_id
+               ) AS rn
+        FROM q0 q CROSS JOIN reps r
+    ) WHERE rn <= {nprobe}
+),
+cand AS (
+    SELECT query_id, neighbor_id, coarse_cos FROM (
+        SELECT query_id, neighbor_id, coarse_cos,
+               row_number() OVER (PARTITION BY query_id ORDER BY coarse_cos DESC, neighbor_id) AS crank
+        FROM (
+            SELECT p.query_id, c.neighbor_id,
+                   CASE WHEN q.qn2 = 0 OR c.cn2 = 0 THEN -2.0
+                        ELSE cast({idot.format(a="q.qv", b="c.cv")} AS DOUBLE)
+                             / sqrt(cast(q.qn2 AS DOUBLE) * cast(c.cn2 AS DOUBLE)) END AS coarse_cos
+            FROM probes p
+            JOIN cq c ON c.list_id = p.list_id
+            JOIN qq q ON q.query_id = p.query_id
+        )
+    ) WHERE crank <= {candidates}
+)
+SELECT query_id, neighbor_id, coarse_cos, cosine, rank FROM (
+    SELECT d.query_id, d.neighbor_id, d.coarse_cos,
+           {_cos_sql("q.qe", "c.ve")} AS cosine,
+           row_number() OVER (
+               PARTITION BY d.query_id
+               ORDER BY {_cos_sql("q.qe", "c.ve")} DESC, d.neighbor_id
+           ) AS rank
+    FROM cand d
+    JOIN c0 c ON d.neighbor_id = c.neighbor_id
+    JOIN q0 q ON d.query_id = q.query_id
+) WHERE rank <= {k}
+"""
+
+
+ANN8_SQL = ann8_sql()
 
 
 ANN7_SQL = ann7_sql()

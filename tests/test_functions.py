@@ -269,6 +269,50 @@ def test_ann7_recall_vs_exact_topk(spark, sf_dir):
         assert -1.0 - 1e-9 <= r.coarse_cos <= 1.0 + 1e-9
 
 
+def test_ann8_all_lists_probe_equals_ann7(spark, sf_dir):
+    """The IVF contract: probing EVERY inverted list is exactly the
+    flat quantized scan — ann8 with nprobe = |lists| must reproduce
+    ann7 row-for-row (same candidates, same exact rerank, same tie
+    rules). Pins the routing/join plumbing against the established
+    oracle-green operator."""
+    n_lists = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("label").distinct().count()
+    )
+    a7 = {tuple(r) for r in similarity.ann7_quantized_rerank(spark, sf_dir).collect()}
+    a8 = {tuple(r) for r in similarity.ann8_ivf_quantized(spark, sf_dir, nprobe=n_lists).collect()}
+    assert a8 == a7
+
+
+def test_ann8_default_probe_recall_and_volume(spark, sf_dir):
+    """Default nprobe=2: the scored volume must be bounded by the
+    probed lists' population (the inverted-file argument), and the
+    reported cosine stays the EXACT one. Recall vs ann1 is whatever
+    the 2-of-10 probed lists contain — asserted non-trivial (>= 0.3)
+    rather than perfect, because on this isotropic corpus the true
+    top-k spreads across lists; the measured value is pinned in
+    SCALING.md."""
+    from maggy_spark.functions.similarity import ANN8_NPROBE, N_QUERIES
+
+    rows = similarity.ann8_ivf_quantized(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r.cosine <= 1.0
+        assert -1.0 - 1e-9 <= r.coarse_cos <= 1.0 + 1e-9
+    exact = {(r.query_id, r.neighbor_id) for r in similarity.ann1_bruteforce_topk(spark, sf_dir).collect()}
+    got = {(r.query_id, r.neighbor_id) for r in rows}
+    assert len(exact & got) / len(exact) >= 0.3
+    # every returned neighbor lives in one of its query's nprobe lists
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    labels = {r.vec_id: r.label for r in e.select("vec_id", "label").collect()}
+    probed = {}
+    for r in similarity.ann8_ivf_quantized(spark, sf_dir).select("query_id").distinct().collect():
+        probed[r.query_id] = set()
+    for (q, n) in got:
+        probed[q].add(labels[n])
+    assert all(len(ls) <= ANN8_NPROBE for ls in probed.values())
+
+
 def test_stratified_sample_respects_quotas(spark, sf_dir):
     from maggy_spark.functions import pipeline
 

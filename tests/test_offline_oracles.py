@@ -113,6 +113,11 @@ CASES = [
     # scoring + the admit conjunction, all value-hash-checked against
     # DuckDB, not just stream-vs-batch self-consistent.
     ("ing1_ingest_gate", "ING1_SQL", "maggy_spark.streaming.ingest_stream"),
+    # round-9 addition: the full IVF + SQ + exact-rerank serving stack
+    # (ann3's medoid routing composed with ann7's quantized scoring,
+    # restricted to the probed inverted lists) — deterministic, so the
+    # twin replays it bit-for-bit
+    ("ann8_ivf_quantized", "ANN8_SQL", "maggy_spark.functions.similarity"),
 ]
 
 

@@ -438,6 +438,36 @@ def main() -> None:
             }
         )
 
+        # --- ann8: IVF + SQ + exact rerank (r9) ----------------------------
+        # the inverted-file claim: the coarse pass scores only the
+        # probed lists (nprobe/|lists| of the int8 store) instead of
+        # the whole corpus — scored_rows/n must sit near nprobe/|lists|
+        # at every decade while the exact rerank stays pinned at
+        # C x |queries| rows
+        t0 = time.time()
+        out = similarity.ann8_ivf_quantized(spark, sf_dir).count()
+        sec = round(time.time() - t0, 2)
+        emb = load_table(spark, sf_dir, "embeddings")
+        n_lists = emb.select("label").distinct().count()
+        spark.catalog.clearCache()
+        rows.append(
+            {
+                "op": "ann8_ivf_quantized",
+                "sf": sf,
+                "n": n_vecs,
+                "params": {
+                    "nprobe": similarity.ANN8_NPROBE,
+                    "n_lists": int(n_lists),
+                    "candidates": similarity.SQ_CANDIDATES,
+                    "k": similarity.TOP_K,
+                },
+                "coarse_fraction": round(similarity.ANN8_NPROBE / n_lists, 3),
+                "exact_rerank_rows": similarity.SQ_CANDIDATES * similarity.N_QUERIES,
+                "output": out,
+                "sec": sec,
+            }
+        )
+
         # --- ev11: volume anomaly monitor (r8 cont., probed r9) -----------
         # the claim: one groupBy collapses the feed to |types| x |days|
         # rows MAP-SIDE (partial aggregation on the grouping key), and
