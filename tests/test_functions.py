@@ -284,33 +284,46 @@ def test_ann8_all_lists_probe_equals_ann7(spark, sf_dir):
     assert a8 == a7
 
 
-def test_ann8_default_probe_recall_and_volume(spark, sf_dir):
-    """Default nprobe=2: the scored volume must be bounded by the
-    probed lists' population (the inverted-file argument), and the
-    reported cosine stays the EXACT one. Recall vs ann1 is whatever
-    the 2-of-10 probed lists contain — asserted non-trivial (>= 0.3)
-    rather than perfect, because on this isotropic corpus the true
-    top-k spreads across lists; the measured value is pinned in
-    SCALING.md."""
-    from maggy_spark.functions.similarity import ANN8_NPROBE, N_QUERIES
+def test_ann8_default_probe_exact_within_probed_lists(spark, sf_dir):
+    """Default nprobe=2 on this ISOTROPIC corpus: labels are random,
+    so the true top-k spreads uniformly across the 10 lists and global
+    recall is ~nprobe/|lists| by construction (the module header's
+    measured KMeans-IVF result — IVF needs cluster structure to beat
+    that). The correct semantic pin is therefore EXACTNESS WITHIN THE
+    PROBED LISTS: for every query, ann8's result must equal the exact
+    cosine top-k restricted to its nprobe routed lists (quantized
+    coarse ordering keeps all true top-k inside the top-C candidates,
+    as ann7's recall test established for the flat scan)."""
+    import math
+
+    from maggy_spark.functions.similarity import ANN8_NPROBE, N_QUERIES, TOP_K
 
     rows = similarity.ann8_ivf_quantized(spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert -1.0 <= r.cosine <= 1.0
         assert -1.0 - 1e-9 <= r.coarse_cos <= 1.0 + 1e-9
-    exact = {(r.query_id, r.neighbor_id) for r in similarity.ann1_bruteforce_topk(spark, sf_dir).collect()}
-    got = {(r.query_id, r.neighbor_id) for r in rows}
-    assert len(exact & got) / len(exact) >= 0.3
-    # every returned neighbor lives in one of its query's nprobe lists
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    labels = {r.vec_id: r.label for r in e.select("vec_id", "label").collect()}
-    probed = {}
-    for r in similarity.ann8_ivf_quantized(spark, sf_dir).select("query_id").distinct().collect():
-        probed[r.query_id] = set()
-    for (q, n) in got:
-        probed[q].add(labels[n])
-    assert all(len(ls) <= ANN8_NPROBE for ls in probed.values())
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    emb = {r.vec_id: r.embedding for r in e}
+    label = {r.vec_id: r.label for r in e}
+
+    def cos(a, b):
+        d = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) ** 2 for x in a))
+        nb = math.sqrt(sum(float(y) ** 2 for y in b))
+        return d / (na * nb)
+
+    reps = {}  # label -> min vec_id member's embedding (ann3's medoid)
+    for vid in sorted(emb):
+        reps.setdefault(label[vid], emb[vid])
+    got = {}
+    for r in rows:
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    for qid in range(N_QUERIES):
+        probed = sorted(reps, key=lambda lb: (-cos(emb[qid], reps[lb]), lb))[:ANN8_NPROBE]
+        pool = [v for v in emb if v >= N_QUERIES and label[v] in probed]
+        want = sorted(pool, key=lambda v: (-cos(emb[qid], emb[v]), v))[:TOP_K]
+        assert [n for _rk, n in sorted(got[qid])] == want, qid
 
 
 def test_stratified_sample_respects_quotas(spark, sf_dir):
