@@ -586,8 +586,8 @@ def ann7_quantized_rerank(
     score) into the per-query top-C window; the rerank re-reads the
     float corpus through a BROADCAST join against the C x |queries|
     candidate relation — full-precision vectors never cross a shuffle.
-    Not in the driver registry (50-entry cap); DuckDB parity in
-    tests/test_offline_oracles.py.
+    Driver-gate row since round 9 (rotated in for k2_top_customers);
+    DuckDB parity also at sf0.1.
     """
     from pyspark.sql.window import Window
 
