@@ -23,6 +23,11 @@ Scale shape (100 TB feed):
 - Store probes are delta-side-only stream-static joins: the batch
   side is |batch| (respectively |batch| x SIMHASH_BANDS) rows joining
   the persisted fingerprint/band stores; nothing re-reads the corpus.
+  At corpus scale, pass `store_fingerprints` read from the BUCKETED
+  store (`sources.bucketing.compact_document_store`, bucketed by
+  fingerprint) so the probe join shuffles only the tiny batch side —
+  a plain parquet store would reshuffle the full corpus per batch;
+  the band store is the session-persisted `simhash_band_relation`.
 - The volume monitor's relations are |sources| x |days-in-batch| rows
   — broadcastable at any feed volume; its trailing moments aggregate
   the (tiny) daily-count history with a bounded theta-join, so stats
