@@ -115,3 +115,44 @@ def test_document_store_dedup_is_shuffle_free(spark, sf_dir):
     raw = dd1_exact_dedup(spark, sf_dir).select("keep_id", "n_copies")
     store = dd.select("keep_id", "n_copies")
     assert raw.exceptAll(store).count() == 0 and store.exceptAll(raw).count() == 0
+
+
+def test_ingest_exact_probe_bucketed_store_saves_the_corpus_shuffle(spark, sf_dir):
+    """The ingest_stream docstring's 100-TB claim, measured: probing
+    the exact-dup seam against the fingerprint-BUCKETED store must
+    shuffle only the (tiny) batch side — the same ledger against a
+    plain unbucketed store relation pays one extra corpus-side
+    exchange. Ledger values must be identical either way."""
+    from pyspark.sql import functions as F
+
+    from maggy_spark.sources.bucketing import compact_document_store
+    from maggy_spark.streaming import ingest_base, ingest_decisions
+
+    table = compact_document_store(spark, sf_dir, table="documents_store_ing")
+    bucketed_fps = spark.table(table).select("fingerprint")
+    plain_fps = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.md5("text").alias("fingerprint"))
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = docs.where(F.col("doc_id") < 40).select(
+        "doc_id", "text", "source", F.to_timestamp(F.lit("2026-01-01")).alias("ts")
+    )
+    from maggy_spark.functions.dedup import simhash_bands_for
+
+    store_bands, b, _t = simhash_bands_for(docs.select("doc_id", "text"), 500, persist=False)
+    store_bands = store_bands.localCheckpoint()
+    base = ingest_base(batch, b).localCheckpoint()
+
+    def n_exchanges(fps):
+        led = ingest_decisions(base, fps, store_bands, b)
+        plan = led._jdf.queryExecution().executedPlan().toString()
+        initial = plan.split("== Initial Plan ==")[0]
+        return led, initial.count("Exchange hashpartitioning")
+
+    led_b, ex_b = n_exchanges(bucketed_fps)
+    led_p, ex_p = n_exchanges(plain_fps)
+    assert ex_b == ex_p - 1, (ex_b, ex_p)  # the corpus-side shuffle is gone
+    rows_b = {r.doc_id: (r.is_exact_dup, r.is_near_dup, r.admit) for r in led_b.collect()}
+    rows_p = {r.doc_id: (r.is_exact_dup, r.is_near_dup, r.admit) for r in led_p.collect()}
+    assert rows_b == rows_p and rows_b
