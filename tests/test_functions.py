@@ -1819,3 +1819,33 @@ def test_bpe_encode_matches_sequential_application_and_roundtrips(spark, sf_dir)
     total_chars = sum(len(w) for d in docs for w in d.text.split(" ") if w)
     total_bpe = sum(v[1] for v in got.values())
     assert total_bpe < total_chars
+
+
+def test_tx14_vocab_cap_binds_identically_across_engines(spark, sf_dir):
+    """At every fixture scale the corpus has fewer distinct bigrams
+    (~920-960) than BIGRAM_VOCAB (8192), so the gate row never
+    exercises the cap's cut boundary — the tx12-vacuity argument. This
+    pins the BINDING regime: vocab_size=50 forces the deterministic
+    (cnt desc, w1, w2) cut, OOV backoff fires for the dropped bigrams,
+    and Spark must match the generated DuckDB twin value-for-value."""
+    import duckdb
+
+    from maggy_spark.functions.text import tx14_bigram_logprob, tx14_sql
+
+    cap = 50
+    sdf = (
+        tx14_bigram_logprob(spark, sf_dir, vocab_size=cap)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    odf = con.execute(tx14_sql(vocab_size=cap)).df().sort_values("doc_id").reset_index(drop=True)
+    assert len(sdf) == len(odf)
+    assert sdf["n_oov"].sum() > 0  # the cap actually bit: OOV backoff exercised
+    for c in ["doc_id", "n_bigrams", "n_oov"]:
+        assert (sdf[c].astype("int64") == odf[c].astype("int64")).all(), c
+    assert (sdf["avg_logprob"] == odf["avg_logprob"]).all()  # bit-exact doubles
