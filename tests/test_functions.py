@@ -1849,3 +1849,26 @@ def test_tx14_vocab_cap_binds_identically_across_engines(spark, sf_dir):
     for c in ["doc_id", "n_bigrams", "n_oov"]:
         assert (sdf[c].astype("int64") == odf[c].astype("int64")).all(), c
     assert (sdf["avg_logprob"] == odf["avg_logprob"]).all()  # bit-exact doubles
+
+
+def test_tx10_vocab_cap_binds_identically_across_engines(spark, sf_dir):
+    """tx14's binding-cap parity argument applied to the order-1
+    model: vocab_size=2 forces the cut + OOV floor in BOTH engines;
+    the generated twin must match value-for-value."""
+    import duckdb
+
+    from maggy_spark.functions.text import tx10_sql, tx10_unigram_logprob
+
+    sdf = (
+        tx10_unigram_logprob(spark, sf_dir, vocab_size=2)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    odf = con.execute(tx10_sql(vocab_size=2)).df().sort_values("doc_id").reset_index(drop=True)
+    assert len(sdf) == len(odf) and sdf["n_oov"].sum() > 0
+    for c in sdf.columns:
+        a, b = sdf[c], odf[c]
+        assert (a == b).all(), c
