@@ -1428,9 +1428,19 @@ def dd15_cross_source_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     where shared_docs counts the documents on BOTH sides carrying a
     shared fingerprint. Not in the driver registry (50-entry cap);
     DuckDB parity in tests/test_offline_oracles.py.
+
+    Since round 9 the relation UNIONs ``DD15_PROBE_DOCS`` (negative
+    doc_ids, two synthetic probe sources sharing two texts) on both
+    engines: the sf0.01 fixture has ZERO cross-source exact dups, so
+    without them the offline row at the gate scale verified only the
+    empty relation (the tx12 probe-union argument applied here).
     """
-    d = load_table(spark, sf_dir, "documents", fan_out=True).select(
-        "doc_id", "source", F.md5("text").alias("h")
+    probes = spark.createDataFrame(DD15_PROBE_DOCS, "doc_id bigint, source string, text string")
+    d = (
+        load_table(spark, sf_dir, "documents", fan_out=True)
+        .select("doc_id", "source", "text")
+        .unionByName(probes)
+        .select("doc_id", "source", F.md5("text").alias("h"))
     )
     hs = d.groupBy("h", "source").agg(F.count("*").alias("n_docs"))
     a = hs.select("h", F.col("source").alias("source_a"), F.col("n_docs").alias("na"))
@@ -1446,10 +1456,31 @@ def dd15_cross_source_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DD15_SQL = """
-WITH hs AS (
+# Two probe sources sharing two texts (one text duplicated WITHIN a
+# probe source too, so n_docs > 1 exercises the shared_docs sum);
+# negative doc_ids cannot collide with the corpus's non-negative ids.
+DD15_PROBE_DOCS: list[tuple[int, str, str]] = [
+    (-1, "probe_src_a", "shared boilerplate footer one"),
+    (-2, "probe_src_b", "shared boilerplate footer one"),
+    (-3, "probe_src_b", "shared boilerplate footer one"),
+    (-4, "probe_src_a", "shared boilerplate footer two"),
+    (-5, "probe_src_b", "shared boilerplate footer two"),
+    (-6, "probe_src_a", "unshared text unique to source a"),
+]
+
+_DD15_PROBE_VALUES = ", ".join(
+    f"(cast({i} AS BIGINT), '{s}', '{x}')" for i, s, x in DD15_PROBE_DOCS
+)
+
+DD15_SQL = f"""
+WITH u AS (
+    SELECT doc_id, source, text FROM documents
+    UNION ALL
+    SELECT * FROM (VALUES {_DD15_PROBE_VALUES}) probes(doc_id, source, text)
+),
+hs AS (
     SELECT md5(text) AS h, source, cast(count(*) AS BIGINT) AS n_docs
-    FROM documents GROUP BY md5(text), source
+    FROM u GROUP BY md5(text), source
 )
 SELECT a.source AS source_a, b.source AS source_b,
        cast(count(*) AS BIGINT) AS shared_fingerprints,

@@ -1672,6 +1672,10 @@ def test_dd15_crafted_cross_source_duplicates(spark, tmp_path):
         ("s1", "s2"): (2, 6),
         ("s1", "s3"): (1, 2),
         ("s2", "s3"): (1, 3),
+        # the always-on probe union (DD15_PROBE_DOCS): "footer one"
+        # a x1 + b x2 -> fp+1 docs+3; "footer two" a x1 + b x1 -> fp+1
+        # docs+2
+        ("probe_src_a", "probe_src_b"): (2, 5),
     }
     got = {
         (r.source_a, r.source_b): (r.shared_fingerprints, r.shared_docs)
@@ -1702,11 +1706,15 @@ def test_dd15_matrix_consistent_with_exact_clusters(spark, sf_dir):
 
     from maggy_spark.functions.dedup import dd15_cross_source_dup
 
+    from maggy_spark.functions.dedup import DD15_PROBE_DOCS
+
     rows = dd15_cross_source_dup(spark, sf_dir).collect()
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
     by_hash = defaultdict(Counter)
     for d in docs:
         by_hash[hashlib.md5(d.text.encode()).hexdigest()][d.source] += 1
+    for _i, src, text in DD15_PROBE_DOCS:  # the always-on probe union
+        by_hash[hashlib.md5(text.encode()).hexdigest()][src] += 1
     want_fp, want_docs = Counter(), Counter()
     for cnt in by_hash.values():
         srcs = sorted(cnt)
