@@ -546,7 +546,10 @@ PL7_SQL = pl7_sql()
 
 OPERATORS = [
     ("pl1_corpus_prep", pl1_corpus_prep, PL1_SQL),
-    ("pl2_stratified_sample", pl2_stratified_sample, PL2_SQL),
+    # pl2_stratified_sample rotated OUT round 9 (its hash-quota filter
+    # is a sub-expression of the gate-green pl9/pl13 hash family) to
+    # free a slot for pl14_curriculum_order; parity continues in
+    # tests/test_offline_oracles.py at the gate's sf0.01.
 ]
 
 
@@ -1263,9 +1266,8 @@ def pl14_curriculum_order(
     Scale shape: pl9's machinery verbatim — the only shuffle is the
     (epoch, shard) hash partitioning a real run needs to write shard
     files; position windows are per-(epoch, shard); the curriculum
-    key only prepends to the in-window sort. Not in the driver
-    registry (50-entry cap); DuckDB parity in
-    tests/test_offline_oracles.py.
+    key only prepends to the in-window sort. Driver-gate row since
+    round 9 (rotated in for pl2_stratified_sample).
     """
     from pyspark.sql import Window
 
@@ -1337,5 +1339,8 @@ FROM h
 
 PL14_SQL = pl14_sql()
 
-# Not in the driver registry (50-entry cap); DuckDB parity in
-# tests/test_offline_oracles.py.
+# Rotated INTO the driver registry round 9 (slot freed by pl2 — see
+# COVERAGE.md "Round-10 rotation candidates", executed early): the
+# epoch-0 banded curriculum order was the last r8 operator whose
+# relation was not hash-verified under the gate.
+OPERATORS.append(("pl14_curriculum_order", pl14_curriculum_order, PL14_SQL))

@@ -726,8 +726,8 @@ def ann8_ivf_quantized(
     work stays pinned at candidates x |queries| rows fetched through
     a broadcast join. Per-query cost is O(|lists| + nprobe x
     avg_list x d_int8 + C x d_float) — the inverted-file argument,
-    measured in SCALING.md. Not in the driver registry (50-entry
-    cap); DuckDB parity in tests/test_offline_oracles.py.
+    measured in SCALING.md. Driver-gate row since round 9 (rotated in
+    for dd2_minhash_signature); DuckDB parity also at sf0.1.
     """
     from pyspark.sql.window import Window
 
@@ -884,4 +884,10 @@ OPERATORS = [
     # int8-coarse/float-rerank search is the serving-tier ANN path.
     # See COVERAGE.md "Round-9 rotation".
     ("ann7_quantized_rerank", ann7_quantized_rerank, ANN7_SQL),
+    # rotated INTO the driver registry round 9 (slot freed by
+    # dd2_minhash_signature — COVERAGE.md "Round-10 rotation
+    # candidates", executed early): ann3+ann7 are gate-green
+    # individually but their COMPOSITION (the production IVF-SQ
+    # serving stack) was only offline-verified.
+    ("ann8_ivf_quantized", ann8_ivf_quantized, ANN8_SQL),
 ]

@@ -489,7 +489,10 @@ FROM act a JOIN sizes s USING (cohort_d)
 # the registered ev2_daily_activity); parity stays enforced offline.
 # The freed slot hard-gates dd12_boilerplate_profile. See COVERAGE.md.
 OPERATORS = [
-    ("ev2_daily_activity", ev2_daily_activity, EV2_SQL),
+    # ev2_daily_activity rotated OUT round 9 (its tz-free day rollup is
+    # a literal sub-relation of gate-green ev11's daily CTE) to free a
+    # slot for ing1_ingest_gate; parity continues in
+    # tests/test_offline_oracles.py at the gate's sf0.01.
     # rotated INTO the driver registry in round 6 (slots freed by
     # g4/g10 — see generators.py and COVERAGE.md): the as-of join and
     # sessionization are the two event operators a pipeline user hits

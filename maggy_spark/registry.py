@@ -24,8 +24,9 @@ def _collect() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
     modules = [aggregations, generators, earlystop, transforms, events, warehouse]
     try:
         from maggy_spark.functions import dedup, multimodal, pipeline, similarity, text
+        from maggy_spark.streaming import ingest_stream
 
-        modules += [text, dedup, similarity, multimodal, pipeline]
+        modules += [text, dedup, similarity, multimodal, pipeline, ingest_stream]
     except ImportError:
         pass
 

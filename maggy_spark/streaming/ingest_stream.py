@@ -495,3 +495,13 @@ JOIN vol v ON v.source = f.source AND v.d = f.d
 
 
 ING1_SQL = ing1_sql()
+
+
+# Rotated INTO the driver registry round 9 (slot freed by
+# ev2_daily_activity — COVERAGE.md "Round-10 rotation candidates",
+# executed early): the composed ingest-gate ledger is the most
+# integrative relation in the repo after pl13 and now sits under the
+# sf0.01 hard gate. NOTE: this module must import session-free (no
+# module-level Columns) — the driver collects the registry before any
+# SparkSession exists.
+OPERATORS = [("ing1_ingest_gate", ing1_ingest_gate, ING1_SQL)]

@@ -93,7 +93,6 @@ CASES = [
     # out).
     ("a2_direction_normalize", "A2_SQL", "maggy_spark.operators.aggregations"),
     ("mm3_metadata_stats", "MM3_SQL", "maggy_spark.functions.multimodal"),
-    ("pl14_curriculum_order", "PL14_SQL", "maggy_spark.functions.pipeline"),
     # round-9 rotation (pre-declared in COVERAGE.md r8): the three
     # highest-traffic late-r8 operators — tx14 (order-2 LM quality
     # filter), ann7 (serving-tier SQ search), ev11 (feed monitor) —
@@ -112,12 +111,19 @@ CASES = [
     # probe + SimHash banding at store geometry + theta-join volume
     # scoring + the admit conjunction, all value-hash-checked against
     # DuckDB, not just stream-vs-batch self-consistent.
-    ("ing1_ingest_gate", "ING1_SQL", "maggy_spark.streaming.ingest_stream"),
     # round-9 addition: the full IVF + SQ + exact-rerank serving stack
     # (ann3's medoid routing composed with ann7's quantized scoring,
     # restricted to the probed inverted lists) — deterministic, so the
     # twin replays it bit-for-bit
-    ("ann8_ivf_quantized", "ANN8_SQL", "maggy_spark.functions.similarity"),
+    # round-9 late rotation (the pre-declared round-10 swap, executed
+    # early): ing1/ann8/pl14 moved INTO the registry; rotated out here:
+    # ev2 (tz-free day rollup = a literal sub-relation of gate-green
+    # ev11's daily CTE), dd2 (the internal first stage of gate-green
+    # dd8's pipeline, width pinned by geometry tests), pl2 (hash-quota
+    # filter, a sub-expression of the gate-green pl9/pl13 hash family).
+    ("ev2_daily_activity", "EV2_SQL", "maggy_spark.operators.events"),
+    ("dd2_minhash_signature", "DD2_SQL", "maggy_spark.functions.dedup"),
+    ("pl2_stratified_sample", "PL2_SQL", "maggy_spark.functions.pipeline"),
 ]
 
 
