@@ -1500,3 +1500,118 @@ GROUP BY a.source, b.source
 # sf0.1 replay (8 shared fingerprints) and the crafted-payload
 # three-way test (test_dd15_crafted_cross_source_duplicates: Spark ==
 # hand truth == DD15_SQL on a corpus with known cross-source dups).
+
+
+# --- dd16: exact-substring REMOVAL PLAN (Lee et al. 2021) ----------------
+
+
+def dd16_span_removal_plan(spark: SparkSession, sf_dir: str, w: int = SPAN_W) -> DataFrame:
+    """The actionable half of substring dedup: dd13 MEASURES the
+    duplicated-span mass; this emits the REMOVAL PLAN — one row per
+    maximal span to excise — that the rewrite pass of Lee et al. 2021
+    (arXiv:2107.06499, ExactSubstr) actually consumes. For every
+    ``w``-token window occurring >= 2 times CORPUS-WIDE (across docs
+    OR repeated within one doc — dd13's cross-doc-only rule measures
+    provenance; removal must also collapse intra-doc repetition), the
+    single canonical occurrence — the global (doc_id, pos) minimum —
+    survives; every other occurrence seeds a cut, and per-doc
+    overlapping cuts merge into maximal disjoint spans
+    (gaps-and-islands, dd13's machinery).
+
+    Output: (doc_id, span_start, span_end, span_tokens), one row per
+    cut span; docs needing no cuts are absent (a plan is sparse). The
+    canonical occurrence is never itself a cut SEED, so each
+    duplicated window's content provably survives the plan at its
+    canonical site unless a DIFFERENT duplicate's span swallowed it —
+    the same acceptance ExactSubstr makes.
+
+    Reference parity note: the reference engine has no dedup at all;
+    §7.2-step-9 extension (SURVEY.md).
+
+    Scale shape: identical to dd13's (SCALING.md: flat windows/doc
+    across 4 decades) — it rides the SAME session-cached
+    (doc_id, pos, whash) windows relation, the canonical-occurrence
+    pick is one groupBy on the uniform hash key (count + min(struct)
+    both partial-aggregate map-side; no collect_list, so a viral
+    boilerplate window costs rows, never a hot-key array), the
+    join-back reuses the hash exchange, and island merging is one
+    per-doc sort window. No self-join anywhere.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    wins = _session_cached(
+        spark, (sf_dir, "span_windows", w), lambda: _span_windows(d, w)
+    )
+    keep = (
+        wins.groupBy("whash")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min(F.struct("doc_id", "pos")).alias("keep"),
+        )
+        .where(F.col("cnt") >= 2)
+        .select("whash", F.col("keep.doc_id").alias("kd"), F.col("keep.pos").alias("kp"))
+    )
+    cuts = (
+        wins.join(keep, "whash")
+        .where(~((F.col("doc_id") == F.col("kd")) & (F.col("pos") == F.col("kp"))))
+        .select("doc_id", "pos", (F.col("pos") + (w - 1)).alias("endp"))
+    )
+    order = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max("endp").over(order.rowsBetween(Window.unboundedPreceding, -1))
+    brk = F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+    islands = cuts.withColumn(
+        "gid", F.sum(brk).over(order.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return islands.groupBy("doc_id", "gid").agg(
+        F.min("pos").cast("int").alias("span_start"),
+        F.max("endp").cast("int").alias("span_end"),
+        (F.max("endp") - F.min("pos") + 1).cast("bigint").alias("span_tokens"),
+    ).select("doc_id", "span_start", "span_end", "span_tokens")
+
+
+def dd16_sql(w: int = SPAN_W) -> str:
+    """DuckDB twin, parameterized like dd13_sql. The canonical pick is
+    spelled as min-doc-then-min-pos-in-that-doc — exactly the
+    lexicographic min(struct(doc_id, pos)) the Spark side computes."""
+    return f"""
+WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+w AS (
+    SELECT doc_id, cast(i AS INTEGER) AS pos,
+           md5(array_to_string(list_slice(toks, cast(i AS INTEGER), cast(i AS INTEGER) + {w - 1}), ' ')) AS whash
+    FROM t, unnest(range(1, greatest(len(toks) - {w - 1}, 0) + 1)) AS u(i)
+),
+agg AS (SELECT whash, min(doc_id) AS kd FROM w GROUP BY whash HAVING count(*) >= 2),
+keep AS (
+    SELECT a.whash, a.kd, min(ww.pos) AS kp
+    FROM agg a JOIN w ww ON ww.whash = a.whash AND ww.doc_id = a.kd
+    GROUP BY a.whash, a.kd
+),
+cuts AS (
+    SELECT ww.doc_id, ww.pos, ww.pos + {w - 1} AS endp
+    FROM w ww JOIN keep k USING (whash)
+    WHERE NOT (ww.doc_id = k.kd AND ww.pos = k.kp)
+),
+marked AS (
+    SELECT doc_id, pos, endp,
+           CASE WHEN max(endp) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  OR pos > max(endp) OVER (PARTITION BY doc_id ORDER BY pos
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                THEN 1 ELSE 0 END AS brk
+    FROM cuts
+),
+islands AS (
+    SELECT doc_id, pos, endp,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS gid
+    FROM marked
+)
+SELECT doc_id,
+       cast(min(pos) AS INTEGER) AS span_start,
+       cast(max(endp) AS INTEGER) AS span_end,
+       cast(max(endp) - min(pos) + 1 AS BIGINT) AS span_tokens
+FROM islands GROUP BY doc_id, gid
+"""
+
+
+DD16_SQL = dd16_sql()

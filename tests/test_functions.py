@@ -1880,3 +1880,111 @@ def test_tx10_vocab_cap_binds_identically_across_engines(spark, sf_dir):
     for c in sdf.columns:
         a, b = sdf[c], odf[c]
         assert (a == b).all(), c
+
+
+def _python_removal_plan(texts, w):
+    """Independent pure-Python replay of dd16's semantics: windows of
+    w tokens, canonical occurrence = global (doc_id, pos) min per
+    duplicated window, all other occurrences seed cuts, per-doc
+    overlapping cuts merge to maximal spans."""
+    from collections import defaultdict
+
+    occ = defaultdict(list)
+    for doc_id, text in texts.items():
+        toks = text.split(" ")
+        for p in range(1, max(len(toks) - w + 1, 0) + 1):
+            occ[" ".join(toks[p - 1 : p - 1 + w])].append((doc_id, p))
+    cuts = defaultdict(list)
+    for sites in occ.values():
+        if len(sites) >= 2:
+            keep = min(sites)
+            for s in sites:
+                if s != keep:
+                    cuts[s[0]].append((s[1], s[1] + w - 1))
+    plan = {}
+    for doc_id, ivs in cuts.items():
+        ivs.sort()
+        merged = []
+        for a, b in ivs:
+            if merged and a <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], b))
+            else:
+                merged.append((a, b))
+        plan[doc_id] = merged
+    return plan
+
+
+def test_dd16_removal_plan_matches_python_replay(spark, tmp_path):
+    """dd16 on a crafted corpus with cross-doc AND intra-doc repeats:
+    the plan must equal the independent Python replay, spans must be
+    disjoint/in-bounds, and the canonical occurrence of every
+    duplicated window is never a cut seed."""
+    import pandas as pd
+
+    from maggy_spark.functions.dedup import SPAN_W, dd16_span_removal_plan
+
+    w = SPAN_W
+    boiler = " ".join(f"b{i}" for i in range(w))  # exactly one window
+    texts = {
+        0: boiler + " " + " ".join(f"u{i}" for i in range(5)),       # canonical site
+        1: " ".join(f"v{i}" for i in range(3)) + " " + boiler,        # cross-doc dup
+        2: boiler + " x " + boiler,                                   # cross-doc + spaced repeat
+        3: " ".join(f"w{i}" for i in range(w + 3)),                   # clean doc
+        4: boiler + " " + boiler,                                     # adjacent repeat (overlap merge)
+    }
+    pdf = pd.DataFrame(
+        [(k, v, "s") for k, v in texts.items()], columns=["doc_id", "text", "source"]
+    )
+    pdf["lang"] = "en"
+    pdf["n_chars"] = pdf["text"].str.len().astype("int64")
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    rows = dd16_span_removal_plan(spark, str(tmp_path)).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+        assert r.span_tokens == r.span_end - r.span_start + 1 >= w
+    for spans in got.values():
+        spans.sort()
+        for (a1, b1), (a2, _b2) in zip(spans, spans[1:]):
+            assert b1 < a2  # disjoint
+    want = _python_removal_plan(texts, w)
+    assert {k: sorted(v) for k, v in got.items()} == want
+    # doc 0 holds the canonical site: its boilerplate window survives
+    assert 0 not in got
+    # the DuckDB twin agrees on the same crafted parquet
+    import duckdb
+
+    from maggy_spark.functions.dedup import DD16_SQL
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path / 'documents.parquet'}'")
+    duck = {}
+    for doc_id, a, b, n in con.execute(DD16_SQL).fetchall():
+        duck.setdefault(doc_id, []).append((a, b))
+        assert n == b - a + 1
+    assert {k: sorted(v) for k, v in duck.items()} == want
+
+
+def test_dd16_canonical_sites_never_seed_cuts(spark, sf_dir):
+    """Fixture-corpus invariant: for every duplicated window, the
+    global (doc_id, pos) minimum occurrence is not a cut seed — so at
+    most cnt-1 occurrences are ever removed and the content survives
+    at its canonical site (unless another duplicate's span swallows
+    it, ExactSubstr's own acceptance)."""
+    from maggy_spark.functions.dedup import SPAN_W, dd16_span_removal_plan
+
+    rows = dd16_span_removal_plan(spark, sf_dir).collect()
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    plan = _python_removal_plan(
+        {k: " ".join(v) for k, v in docs.items()}, SPAN_W
+    )
+    got = {}
+    for r in rows:
+        got.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    assert {k: sorted(v) for k, v in got.items()} == plan
+    # the plan is non-trivial on the duplicate-seeded fixture corpus
+    assert rows
