@@ -1082,7 +1082,12 @@ OPERATORS = [
     # dd3_lsh_candidate_pairs rotated OUT of the registry round 7 (it is a
     # strict subset of the registered dd8 = dd3 + exact verify); parity
     # continues in tests/test_offline_oracles.py at sf0.01.
-    ("dd4_ngram_jaccard", dd4_ngram_jaccard, DD4_SQL),
+    # dd4_ngram_jaccard rotated OUT round 10 (VERDICT r9 item 2): its
+    # exact-Jaccard verify is the verification stage of gate-green
+    # dd8's LSH-verified pipeline, and it is intrinsically Σf² on the
+    # dense synthetic vocab — the verification twin, not the
+    # production path. Parity continues in
+    # tests/test_offline_oracles.py at the gate's sf0.01.
     ("dd5_dedup_clusters", dd5_dedup_clusters, DD5_SQL),
     ("dd6_simhash", dd6_simhash, DD6_SQL),
     ("dd7_simhash_near_dup", dd7_simhash_near_dup, DD7_SQL),
@@ -1615,3 +1620,9 @@ FROM islands GROUP BY doc_id, gid
 
 
 DD16_SQL = dd16_sql()
+
+# Rotated INTO the driver registry round 10 (VERDICT r9 item 2): the
+# removal plan is the production complement of gate-green dd13 —
+# ExactSubstr's rewrite pass consumes exactly this relation. dd4
+# rotated out in exchange (verification twin of gate-green dd8).
+OPERATORS.append(("dd16_span_removal_plan", dd16_span_removal_plan, DD16_SQL))

@@ -122,12 +122,14 @@ CASES = [
     # dd8's pipeline, width pinned by geometry tests), pl2 (hash-quota
     # filter, a sub-expression of the gate-green pl9/pl13 hash family).
     ("ev2_daily_activity", "EV2_SQL", "maggy_spark.operators.events"),
-    # round-9 addition: the ExactSubstr removal plan (dd13 measures
-    # duplicated-span mass; dd16 emits the per-doc spans a rewrite
-    # pass cuts, keeping one canonical occurrence per window)
-    ("dd16_span_removal_plan", "DD16_SQL", "maggy_spark.functions.dedup"),
     ("dd2_minhash_signature", "DD2_SQL", "maggy_spark.functions.dedup"),
     ("pl2_stratified_sample", "PL2_SQL", "maggy_spark.functions.pipeline"),
+    # round-10 rotation (VERDICT r9 item 2): dd16 (the ExactSubstr
+    # removal plan, production complement of gate-green dd13) moved
+    # INTO the registry; dd4 rotated out here — its exact-Jaccard
+    # verify is the verification stage of gate-green dd8's pipeline
+    # and intrinsically Σf² on the dense synthetic vocab.
+    ("dd4_ngram_jaccard", "DD4_SQL", "maggy_spark.functions.dedup"),
 ]
 
 
