@@ -1,0 +1,270 @@
+"""sf1 parity sweep: hash-verify the heavy gate rows at ~100x the
+gate's scale (VERDICT r9 item 1 — convert "designed for 100x" into
+"verified at 100x").
+
+The driver ships sf0.001/0.01/0.1; `tools/synth_scale.py` generates
+the next decade (50k docs / 20k vecs / 1M events, recipe v3) at
+/tmp/maggy_sf1. This tool replays the gate compare (rowcount, sorted
+columns, canonical dtypes, order-insensitive value-hash multiset —
+the exact `check_oracle.compare_frames`) there for every registry
+row whose tables exist at sf1.
+
+Two oracle strategies:
+
+- **Direct twin** (`DIRECT`): the registry's own DuckDB SQL, same as
+  the gate. Used for every row whose DuckDB side is feasible at sf1.
+- **Independent Python oracle** (`dd10`, `dd14`): the gate's
+  recursive-CTE transitive closure is infeasible over the sf1 pair
+  graph (~28M edges; the sf0.1 closure already costs ~20 min at 676k
+  edges). Instead DuckDB computes the SAME dd7 pair relation the
+  closure would consume (sig -> bands -> candidates -> hamming — an
+  end-to-end independent re-derivation of the graph), and a Python
+  union-find (path-halving + union-by-smaller-root, a THIRD
+  algorithm distinct from both Spark's alternating-star contraction
+  and the gate's recursive closure) produces the components; dd14's
+  oracle selects winners (max n_tokens, tie min doc_id) over those
+  components with DuckDB-computed token counts.
+
+Deliberately EXCLUDED and why (documented so the sweep can't silently
+shrink): `dd7` (its 28M-row pair output is the union-find oracle's
+INPUT here, so the relation is cross-checked pairwise Spark-vs-DuckDB
+inside the dd10 oracle at full scale — an explicit 28M-row frame
+compare would only re-hash the same multiset for ~3 GB of driver
+RAM), `dd8` (minhash candidate verification — the candidate CTE is
+quadratic per band bucket in DuckDB at the sf1 dup density; dd8's
+production claim is covered by dd13/dd16's window-hash family which
+DO sweep), and every lineitem/orders-backed row (a*/c*/g*/k*/hb1:
+the synthetic decade has no TPC-H tables; those rows' scaling story
+is the metrics fixture's own 4-decade SCALING.md rows).
+
+Usage:
+    python tools/sf1_parity.py                 # full sf1 roster
+    python tools/sf1_parity.py dd13_span_dedup # subset (exact names)
+
+Writes one human line per row plus a JSON summary to
+SF1_PARITY.json. Runtime is dominated by the DuckDB dd7 side of the
+dd10/dd14 oracles (~tens of minutes); run it in the background and
+don't time benches concurrently.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from tools.check_oracle import TABLES, compare_frames, to_pandas_spark  # noqa: E402
+
+SF1_DIR = "/tmp/maggy_sf1"
+
+# Registry rows swept with their own DuckDB twin at sf1. Every name
+# must exist in __spark_entry__.queries(); the twin comes from
+# oracle_sql(). Ordered cheap-first so a long run fails fast.
+DIRECT = [
+    "dd1_exact_dedup",
+    "dd5_dedup_clusters",
+    "dd6_simhash",
+    "tx1_token_count",
+    "tx2_quality_score",
+    "tx3_lang_id",
+    "tx4_fingerprint",
+    "tx5_ngram_stats",
+    "tx12_pii_scan",
+    "tx13_bpe_pair_stats",
+    "pl9_epoch_shuffle_plan",
+    "pl14_curriculum_order",
+    "pl1_corpus_prep",
+    "ev4_asof_attribution",
+    "ev5_sessionize",
+    "ev11_volume_anomaly",
+    "ann1_bruteforce_topk",
+    "ann2_lsh_topk",
+    "ann3_ivf_topk",
+    "ann4_embedding_near_dup",
+    "ann5_knn_graph",
+    "ann7_quantized_rerank",
+    "ann8_ivf_quantized",
+    "tx10_unigram_logprob",
+    "tx14_bigram_logprob",
+    "dd12_boilerplate_profile",
+    "dd13_span_dedup",
+    "dd16_span_removal_plan",
+    "ing1_ingest_gate",
+    "pl13_full_corpus_build",
+]
+
+
+def _connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if Path(p).exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def _union_find(n_ids: np.ndarray, a: np.ndarray, b: np.ndarray) -> dict[int, int]:
+    """Min-reachable-id components via union-find with path halving.
+    Independent of both Spark's star contraction and the gate's
+    recursive closure. Returns {doc_id: component_min_id}."""
+    idx = {int(v): i for i, v in enumerate(n_ids)}
+    parent = np.arange(len(n_ids), dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for u, v in zip(a, b):
+        ru, rv = find(idx[int(u)]), find(idx[int(v)])
+        if ru != rv:
+            # union by smaller ORIGINAL id so the root IS the min id
+            if n_ids[ru] < n_ids[rv]:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    return {int(v): int(n_ids[find(i)]) for i, v in enumerate(n_ids)}
+
+
+def _python_components(con: duckdb.DuckDBPyConnection, dd7_sql: str) -> pd.DataFrame:
+    """(doc_id, cluster_rep, cluster_size, is_duplicate) from the
+    DuckDB-derived dd7 pair graph + Python union-find."""
+    pairs = con.execute(
+        f"SELECT doc_a, doc_b FROM ({dd7_sql})"
+    ).fetch_arrow_table()
+    a = pairs.column("doc_a").to_numpy()
+    b = pairs.column("doc_b").to_numpy()
+    ids = con.execute("SELECT doc_id FROM documents ORDER BY doc_id").fetchnumpy()[
+        "doc_id"
+    ]
+    rep = _union_find(ids, a, b)
+    df = pd.DataFrame({"doc_id": ids.astype("int64")})
+    df["cluster_rep"] = df["doc_id"].map(rep).astype("int64")
+    sizes = df.groupby("cluster_rep").size().rename("cluster_size")
+    df = df.join(sizes, on="cluster_rep")
+    df["cluster_size"] = df["cluster_size"].astype("int64")
+    df["is_duplicate"] = df["doc_id"] != df["cluster_rep"]
+    return df
+
+
+def _python_dd14(comp: pd.DataFrame, con: duckdb.DuckDBPyConnection) -> pd.DataFrame:
+    toks = con.execute(
+        "SELECT doc_id, cast(len(str_split(text, ' ')) AS BIGINT) AS n_tokens"
+        " FROM documents"
+    ).fetchdf()
+    m = comp.merge(toks, on="doc_id")
+    m["n_tokens"] = m["n_tokens"].astype("int64")
+    # winner per cluster: max n_tokens, tie lowest doc_id
+    w = (
+        m.sort_values(["cluster_rep", "n_tokens", "doc_id"], ascending=[True, False, True])
+        .groupby("cluster_rep", as_index=False)
+        .first()[["cluster_rep", "doc_id"]]
+        .rename(columns={"doc_id": "win_id"})
+    )
+    m = m.merge(w, on="cluster_rep")
+    m["keep"] = m["doc_id"] == m["win_id"]
+    return m[["doc_id", "cluster_rep", "cluster_size", "n_tokens", "keep"]]
+
+
+def main() -> int:
+    only = set(sys.argv[1:])
+    import __spark_entry__ as entrymod
+    from pyspark.sql import SparkSession
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .appName("sf1-parity")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    con = _connect(SF1_DIR)
+    results: dict[str, dict] = {}
+    failures: list[str] = []
+
+    def record(name: str, status: list[str], n_rows: int, secs: float, oracle: str):
+        ok = not status
+        results[name] = {
+            "match": ok,
+            "rows": n_rows,
+            "secs": round(secs, 1),
+            "oracle": oracle,
+            "detail": "; ".join(status) if status else None,
+        }
+        if ok:
+            print(f"ok   {name}: MATCH ({n_rows} rows, {secs:.1f}s, {oracle})", flush=True)
+        else:
+            failures.append(name)
+            print(f"FAIL {name}: " + "; ".join(status), flush=True)
+
+    for name in DIRECT:
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, SF1_DIR)
+            spark_pd = to_pandas_spark(sdf)
+            duck_pd = con.execute(oracles[name]).fetchdf()
+        except Exception as e:  # noqa: BLE001 - sweep must report, not die
+            record(name, [f"error: {e}"], -1, time.time() - t0, "duckdb-twin")
+            continue
+        record(name, compare_frames(sdf, spark_pd, duck_pd),
+               len(spark_pd), time.time() - t0, "duckdb-twin")
+
+    comp_oracle: pd.DataFrame | None = None
+    if not only or "dd10_near_dup_components" in only or "dd14_cluster_representatives" in only:
+        from maggy_spark.functions.dedup import DD7_SQL
+
+        t0 = time.time()
+        try:
+            comp_oracle = _python_components(con, DD7_SQL)
+        except Exception as e:  # noqa: BLE001
+            record("dd10_near_dup_components", [f"oracle error: {e}"], -1,
+                   time.time() - t0, "duckdb-pairs+union-find")
+    if comp_oracle is not None and (not only or "dd10_near_dup_components" in only):
+        try:
+            sdf = qs["dd10_near_dup_components"](spark, SF1_DIR)
+            spark_pd = to_pandas_spark(sdf)
+            record("dd10_near_dup_components", compare_frames(sdf, spark_pd, comp_oracle),
+                   len(spark_pd), time.time() - t0, "duckdb-pairs+union-find")
+        except Exception as e:  # noqa: BLE001
+            record("dd10_near_dup_components", [f"error: {e}"], -1,
+                   time.time() - t0, "duckdb-pairs+union-find")
+    if comp_oracle is not None and (not only or "dd14_cluster_representatives" in only):
+        t0 = time.time()
+        try:
+            oracle14 = _python_dd14(comp_oracle, con)
+            sdf = qs["dd14_cluster_representatives"](spark, SF1_DIR)
+            spark_pd = to_pandas_spark(sdf)
+            record("dd14_cluster_representatives", compare_frames(sdf, spark_pd, oracle14),
+                   len(spark_pd), time.time() - t0, "duckdb-toks+union-find")
+        except Exception as e:  # noqa: BLE001
+            record("dd14_cluster_representatives", [f"error: {e}"], -1,
+                   time.time() - t0, "duckdb-toks+union-find")
+
+    out = {
+        "sf_dir": SF1_DIR,
+        "n": len(results),
+        "matches": sum(1 for r in results.values() if r["match"]),
+        "results": results,
+    }
+    Path(REPO / "SF1_PARITY.json").write_text(json.dumps(out, indent=1))
+    print(f"\n{len(failures)} failures / {len(results)} swept", flush=True)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
