@@ -1051,7 +1051,70 @@ def bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = 20) -> list:
     return merges
 
 
-def bpe_encode(spark: SparkSession, sf_dir: str, merges: list) -> DataFrame:
+BPE_JVM_FOLD_MAX = 48  # merges at or below this compile to JVM folds
+
+
+def _rank_order_foldable(merges: list) -> bool:
+    """True when every merge's sides are available BEFORE it runs —
+    single characters, or the output of an EARLIER merge. This is the
+    invariant every ``bpe_train``-learned list satisfies by
+    construction (a symbol must exist to be counted in a pair), and
+    it is exactly the condition under which applying merges ONCE each
+    in rank order equals the rank-priority loop: merging (l, r) -> lr
+    only creates adjacencies INVOLVING lr, and any merge consuming lr
+    has a later rank, so no lower-rank pair can (re)appear after its
+    turn. An arbitrary user list may violate it (e.g. rank 0 consumes
+    rank 3's output) — those fall back to the priority-loop seam."""
+    made: set = set()
+    for left, right, *_ in merges:
+        if (len(left) > 1 and left not in made) or (len(right) > 1 and right not in made):
+            return False
+        made.add(left + right)
+    return True
+
+
+def _bpe_encode_jvm(spark: SparkSession, sf_dir: str, merges: list) -> DataFrame:
+    """JVM-side encoder: per word, one ``F.aggregate`` fold PER MERGE
+    applied in rank order (``_rank_order_foldable`` proves the
+    equivalence). The n_merges nested folds make a large-but-static
+    expression tree — fine for shipped tokenizers (tens of merges),
+    which is why ``bpe_encode`` gates this path on BPE_JVM_FOLD_MAX.
+    No Python workers, no Arrow transfer: this removes the one
+    load-sensitive Python seam the bench suite had (sf1 wall 2-18 s
+    run-to-run on the mapInPandas path; flat on this one)."""
+
+    def fold_merge(syms, left: str, right: str):
+        merged = F.lit(left + right)
+        lcol, rcol = F.lit(left), F.lit(right)
+
+        def step(acc, s):
+            return F.when(
+                (F.size(acc) > 0) & (F.element_at(acc, -1) == lcol) & (s == rcol),
+                F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(merged)),
+            ).otherwise(F.concat(acc, F.array(s)))
+
+        return F.aggregate(syms, F.expr("CAST(array() AS array<string>)"), step)
+
+    def encode_word(w):
+        syms = F.split(w, "")
+        for left, right, *_ in merges:
+            syms = fold_merge(syms, left, right)
+        return syms
+
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != F.lit(""))
+    toks = F.flatten(F.transform(words, encode_word))
+    return d.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.size(toks).cast("bigint").alias("n_bpe_tokens"),
+        toks.alias("tokens"),
+    )
+
+
+def bpe_encode(
+    spark: SparkSession, sf_dir: str, merges: list, force_python: bool = False
+) -> DataFrame:
     """Apply a trained BPE merge list (``bpe_train`` output) to every
     document: whitespace pre-tokenize, split words to characters,
     then repeatedly merge the lowest-rank pair present (all
@@ -1059,17 +1122,28 @@ def bpe_encode(spark: SparkSession, sf_dir: str, merges: list) -> DataFrame:
     remains — the standard rank-priority BPE encoder. Returns
     ``(doc_id, n_words, n_bpe_tokens, tokens)``.
 
-    Scale shape: this is the legitimate Python seam — applying ranked
-    merges is a per-word priority loop no built-in expression covers
-    (one ``F.aggregate`` pass PER MERGE would nest n_merges folds
-    into the plan), so it ships as ``mapInPandas`` over Arrow batches
-    with the merge-rank dict closed over (tiny, serialized once per
-    task). Inside each batch a word→tokens memo bounds the loop work
-    by the batch's DISTINCT words, not its token occurrences — the
-    same vocab-collapse trick the trainer uses, applied batch-locally
-    so executors hold no corpus-sized state.
+    Two physical strategies, same semantics (equivalence pinned by
+    tests/test_functions.py's jvm-vs-python and crafted-compound
+    cases):
+
+    - **JVM folds** (default for lists ≤ BPE_JVM_FOLD_MAX satisfying
+      ``_rank_order_foldable``): one ``F.aggregate`` per merge in
+      rank order — whole-stage-codegen'd, no Python workers, flat
+      wall time across decades. Shipped tokenizers exercising THIS
+      engine are merge-list artifacts of ``bpe_train`` (tens of
+      merges), so this is the production path.
+    - **mapInPandas priority loop** (large or non-foldable lists, or
+      ``force_python=True``): the merge-rank dict is closed over
+      (tiny, serialized once per task); inside each batch a
+      word→tokens memo bounds loop work by the batch's DISTINCT
+      words, not token occurrences, so executors hold no corpus-sized
+      state. This is the legitimate Python seam — a 50k-merge
+      GPT-style list cannot nest 50k folds into a Catalyst plan.
     """
     import pandas as pd
+
+    if not force_python and len(merges) <= BPE_JVM_FOLD_MAX and _rank_order_foldable(merges):
+        return _bpe_encode_jvm(spark, sf_dir, merges)
 
     ranks = {(l, r): i for i, (l, r, _c) in enumerate(merges)}
     schema = "doc_id bigint, n_words bigint, n_bpe_tokens bigint, tokens array<string>"

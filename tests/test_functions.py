@@ -1829,6 +1829,59 @@ def test_bpe_encode_matches_sequential_application_and_roundtrips(spark, sf_dir)
     assert total_bpe < total_chars
 
 
+def test_bpe_encode_jvm_fold_path_matches_python_seam(spark, sf_dir):
+    """The JVM nested-fold encoder (the default for trained merge
+    lists ≤ BPE_JVM_FOLD_MAX) must agree ROW-FOR-ROW with the
+    mapInPandas priority-loop seam on the same corpus and merges —
+    including compound merges whose sides are earlier merge outputs,
+    the case where rank-order folding and priority looping could
+    diverge if the foldability invariant were wrong."""
+    from maggy_spark.functions.text import (
+        _rank_order_foldable,
+        bpe_encode,
+        bpe_train,
+    )
+
+    merges = bpe_train(spark, sf_dir, n_merges=12)
+    assert _rank_order_foldable(merges)
+    # the trained list must actually contain a compound merge (a side
+    # that is itself a merge output) or this test pins nothing
+    made = {left + right for left, right, _ in merges}
+    assert any(left in made or right in made for left, right, _ in merges)
+
+    jvm = bpe_encode(spark, sf_dir, merges)
+    # the gate: the default path really is JVM-side (no mapInPandas)
+    assert "MapInPandas" not in jvm._jdf.queryExecution().analyzed().toString()
+    py = bpe_encode(spark, sf_dir, merges, force_python=True)
+    jvm_rows = {r.doc_id: (r.n_words, r.n_bpe_tokens, list(r.tokens)) for r in jvm.collect()}
+    py_rows = {r.doc_id: (r.n_words, r.n_bpe_tokens, list(r.tokens)) for r in py.collect()}
+    assert jvm_rows == py_rows
+
+
+def test_bpe_encode_non_foldable_list_falls_back_to_priority_loop(spark, sf_dir):
+    """A user-supplied merge list can violate the train invariant
+    (a merge consuming a LATER merge's output — e.g. rank 0 eats
+    "bc" which only rank 1 creates). Rank-order folding is NOT
+    equivalent there ("abc" folds to ["a","bc"] but the priority
+    loop reaches ["abc"]), so bpe_encode must route such lists to
+    the mapInPandas priority-loop seam — pinned by plan inspection.
+    A BPE_JVM_FOLD_MAX-exceeding list must fall back the same way."""
+    from maggy_spark.functions.text import (
+        BPE_JVM_FOLD_MAX,
+        _rank_order_foldable,
+        bpe_encode,
+    )
+
+    merges = [("a", "bc", 9), ("b", "c", 8)]
+    assert not _rank_order_foldable(merges)
+    df = bpe_encode(spark, sf_dir, merges)
+    assert "MapInPandas" in df._jdf.queryExecution().analyzed().toString()
+
+    big = [("q", "r", 1)] * (BPE_JVM_FOLD_MAX + 1)
+    df2 = bpe_encode(spark, sf_dir, big)
+    assert "MapInPandas" in df2._jdf.queryExecution().analyzed().toString()
+
+
 def test_tx14_vocab_cap_binds_identically_across_engines(spark, sf_dir):
     """At every fixture scale the corpus has fewer distinct bigrams
     (~920-960) than BIGRAM_VOCAB (8192), so the gate row never
