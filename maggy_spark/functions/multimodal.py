@@ -599,6 +599,14 @@ def mm6_phash_near_dup(spark: SparkSession, sf_dir: str, max_hamming: int = PHAS
     de-dup of multi-band pairs, and the hamming filter reuse dd7's
     machinery unchanged.
     """
+    img = media_table(spark, sf_dir).where(F.col("media_type") == "image")
+    return phash_near_dup_over(img, max_hamming)
+
+
+def phash_near_dup_over(img: DataFrame, max_hamming: int = PHASH_MAX_HAMMING) -> DataFrame:
+    """The mm6 core over ANY (media_id, payload) relation — factored
+    out (round 10) so the decodable-payload parity test can drive it
+    with a crafted P6 corpus instead of the sf-dir media table."""
     from maggy_spark.functions.dedup import _bval, _first_match_and_hamming
 
     if max_hamming > PHASH_MAX_HAMMING:
@@ -607,7 +615,6 @@ def mm6_phash_near_dup(spark: SparkSession, sf_dir: str, max_hamming: int = PHAS
             f"radius {PHASH_MAX_HAMMING} (PHASH_BANDS={PHASH_BANDS})"
         )
     b, t = PHASH_BAND_BITS, PHASH_BITS
-    img = media_table(spark, sf_dir).where(F.col("media_type") == "image")
     sig = _phash_signatures(img)
     bands = sig.select(
         "media_id",
@@ -646,6 +653,116 @@ WITH img AS (
     SELECT doc_id AS media_id, md5(text) AS h FROM documents WHERE doc_id % 3 = 0
 ),
 sig AS (SELECT media_id, CAST(('0x' || substr(h, 1, 15)) AS BIGINT) AS sigint FROM img),
+bands AS (
+    SELECT media_id, sigint,
+           (i * {1 << PHASH_BAND_BITS}) +
+           ((sigint >> ({PHASH_BITS} - (i + 1) * {PHASH_BAND_BITS})) & {(1 << PHASH_BAND_BITS) - 1}) AS band_key
+    FROM sig CROSS JOIN generate_series(0, {PHASH_BANDS - 1}) gs(i)
+)
+SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.sigint, b.sigint)) AS INTEGER) AS hamming
+FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.media_id < b.media_id
+WHERE bit_count(xor(a.sigint, b.sigint)) <= {PHASH_MAX_HAMMING}
+"""
+
+
+def mm6_decodable_sql(media_view: str = "media") -> str:
+    """DuckDB twin of the mm6 pipeline for corpora WITH decodable
+    images (closes the MM6_SQL validity-domain hole, VERDICT r9 item
+    6): it models BOTH signature paths — the REAL pHash for P6 PPM
+    payloads (header parse, ITU-R 601 luma, area resize, closed-form
+    DCT-II with the fixed orthonormal basis, sign bits of the first
+    60 AC coefficients) and the md5 stub for everything else — so the
+    parity compare is valid on mixed corpora, not only all-stub ones.
+
+    Scope (the documented fixture convention, asserted by the parity
+    test): P6 payloads use the canonical header ``P6\\n{w} {h}\\n255\\n``
+    with w and h positive multiples of 32 — which makes the area-
+    resize buckets exact integer divisions in both engines. Payloads
+    outside the convention take the stub path in both engines.
+
+    Float note: both engines compute the DCT in float64 with
+    different summation orders, so coefficients can differ in the
+    last ulp — but only the coefficient SIGN reaches the hash, and on
+    non-degenerate rasters |AC| is orders of magnitude above the
+    error, so the compare is deterministic (the fixture uses seeded
+    random rasters; constant images would put AC at exactly 0 and
+    are excluded by construction).
+
+    The blob is parsed via its HEX encoding (DuckDB cannot substr a
+    BLOB — the round-7 lesson), with header digits recovered from the
+    second nibble of each 0x3X hex pair so no chr() over raw raster
+    bytes is needed.
+    """
+    hdr_re = "^50360A((?:3[0-9])+)20((?:3[0-9])+)0A3235350A"
+    return f"""
+WITH m AS (
+    SELECT media_id, payload, hex(payload) AS hx, octet_length(payload) AS nb
+    FROM {media_view}
+),
+parsed AS (
+    SELECT media_id, payload, hx, nb,
+           regexp_extract(hx, '{hdr_re}', 1) AS ws,
+           regexp_extract(hx, '{hdr_re}', 2) AS hs
+    FROM m
+),
+geom AS (
+    SELECT media_id, hx, nb,
+           cast(array_to_string(list_transform(range(1, length(ws)//2 + 1),
+                i -> substr(ws, cast(i AS INTEGER)*2, 1)), '') AS INTEGER) AS w,
+           cast(array_to_string(list_transform(range(1, length(hs)//2 + 1),
+                i -> substr(hs, cast(i AS INTEGER)*2, 1)), '') AS INTEGER) AS h,
+           9 + length(ws)//2 + length(hs)//2 AS hdr_len
+    FROM parsed WHERE ws != '' AND hs != ''
+),
+dec AS (
+    SELECT * FROM geom
+    WHERE nb - hdr_len = w*h*3 AND w >= 32 AND h >= 32 AND w % 32 = 0 AND h % 32 = 0
+),
+pix AS (
+    SELECT media_id, w, h,
+           cast(p // w AS INTEGER) AS i, cast(p % w AS INTEGER) AS j,
+           0.299 * cast(('0x' || substr(hx, (hdr_len + p*3)*2 + 1, 2)) AS INTEGER)
+         + 0.587 * cast(('0x' || substr(hx, (hdr_len + p*3 + 1)*2 + 1, 2)) AS INTEGER)
+         + 0.114 * cast(('0x' || substr(hx, (hdr_len + p*3 + 2)*2 + 1, 2)) AS INTEGER)
+           AS gray
+    FROM (SELECT media_id, w, h, hdr_len, hx, cast(u.p AS BIGINT) AS p
+          FROM dec, unnest(range(0, w*h)) u(p))
+),
+thumb AS (
+    SELECT media_id, (i*32)//h AS ti, (j*32)//w AS tj, avg(gray) AS g
+    FROM pix GROUP BY media_id, (i*32)//h, (j*32)//w
+),
+basis AS (
+    SELECT cast(uk.k AS INTEGER) AS k, cast(ui.i AS INTEGER) AS i,
+           (CASE WHEN uk.k = 0 THEN sqrt(0.5) ELSE 1.0 END) * sqrt(2.0/32.0)
+             * cos(pi() * (2.0*ui.i + 1.0) * uk.k / 64.0) AS d
+    FROM unnest(range(0, 8)) uk(k), unnest(range(0, 32)) ui(i)
+),
+coef AS (
+    SELECT t.media_id, bu.k AS u, bv.k AS v, sum(bu.d * t.g * bv.d) AS c
+    FROM thumb t
+    JOIN basis bu ON bu.i = t.ti
+    JOIN basis bv ON bv.i = t.tj
+    GROUP BY t.media_id, bu.k, bv.k
+),
+sig_dec AS (
+    SELECT media_id,
+           cast(sum(CASE WHEN c > 0 THEN (1::BIGINT << (60 - (u*8 + v)))
+                         ELSE 0 END) AS BIGINT) AS sigint
+    FROM coef WHERE u*8 + v BETWEEN 1 AND {PHASH_BITS}
+    GROUP BY media_id
+),
+sig_stub AS (
+    -- DuckDB 1.0 has no md5(BLOB); blob->varchar round-trips the raw
+    -- bytes only while they are printable ASCII (anything else gets
+    -- \\xHH-escaped), so the twin's STUB path is scoped to text
+    -- payloads — exactly the rows that take it in the fixtures. The
+    -- decodable path above has no such limit (it reads hex).
+    SELECT media_id, cast(('0x' || substr(md5(cast(payload AS VARCHAR)), 1, 15)) AS BIGINT) AS sigint
+    FROM m WHERE media_id NOT IN (SELECT media_id FROM dec)
+),
+sig AS (SELECT * FROM sig_dec UNION ALL SELECT * FROM sig_stub),
 bands AS (
     SELECT media_id, sigint,
            (i * {1 << PHASH_BAND_BITS}) +

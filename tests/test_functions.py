@@ -930,6 +930,87 @@ def test_mm6_real_phash_reencode_within_radius():
     assert bin(h95 ^ h60).count("1") <= multimodal.PHASH_MAX_HAMMING
 
 
+def test_mm6_decodable_corpus_parity(spark):
+    """Closes the MM6_SQL validity-domain hole (VERDICT r9 item 6):
+    on a corpus WITH decodable P6 images, the Spark pipeline (real
+    decode -> luma -> area resize -> DCT sign hash, stub for
+    non-images) must hash-match ``mm6_decodable_sql`` — the DuckDB
+    twin that models BOTH paths, including the closed-form DCT. The
+    fixture mixes 64x64 and 32x32 rasters (averaging + identity
+    resize), a brightness-shifted copy (DC-only change -> hamming 0
+    pair through the REAL path), a lightly-perturbed copy, duplicate
+    text payloads (stub-path hamming-0 pair), and a 'P6 ' text trap.
+    Sign robustness is asserted, not assumed: every hashed AC
+    coefficient of every decodable image must sit far above float
+    summation error, so engine-order ulp noise cannot flip a bit."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from tools.check_oracle import compare_frames, to_pandas_spark
+
+    def ppm(rgb: np.ndarray) -> bytes:
+        h, w = rgb.shape[:2]
+        return b"P6\n%d %d\n255\n" % (w, h) + rgb.tobytes()
+
+    rng = np.random.default_rng(11)
+    base64 = rng.integers(20, 230, size=(64, 64, 3), dtype=np.uint8)
+    base32 = rng.integers(20, 230, size=(32, 32, 3), dtype=np.uint8)
+    other64 = rng.integers(20, 230, size=(64, 64, 3), dtype=np.uint8)
+    bright = np.clip(base64.astype(np.int16) + 6, 0, 255).astype(np.uint8)
+    perturbed = base32.copy()
+    perturbed[3:5, 7:9, :] += 2  # values capped below 230+6 -> no wrap
+
+    payloads = {
+        10: ppm(base64),
+        11: ppm(bright),
+        12: ppm(other64),
+        20: ppm(base32),
+        21: ppm(perturbed),
+        100: b"the quick brown corpus",
+        101: b"the quick brown corpus",
+        102: b"P6 the corpus said",  # strict parser rejects -> stub
+    }
+
+    # fixture validity: every decodable image's hashed AC magnitudes
+    # dominate float noise (see docstring)
+    d = multimodal._dct_matrix(multimodal.PHASH_SIDE)
+    for mid in (10, 11, 12, 20, 21):
+        g = multimodal.decode_ppm_gray(payloads[mid])
+        assert g is not None
+        t = multimodal.area_resize(g, multimodal.PHASH_SIDE)
+        coefs = (d @ t @ d.T)[:8, :8].ravel()[1 : multimodal.PHASH_BITS + 1]
+        assert np.abs(coefs).min() > 1e-6
+
+    img = spark.createDataFrame(
+        [(mid, bytearray(p)) for mid, p in payloads.items()],
+        "media_id bigint, payload binary",
+    )
+    sdf = multimodal.phash_near_dup_over(img)
+    spark_pd = to_pandas_spark(sdf)
+
+    con = duckdb.connect()
+    con.register(
+        "media",
+        pd.DataFrame(
+            {"media_id": list(payloads), "payload": [payloads[k] for k in payloads]}
+        ).astype({"media_id": "int64"}),
+    )
+    duck_pd = con.execute(multimodal.mm6_decodable_sql("media")).fetchdf()
+
+    assert compare_frames(sdf, spark_pd, duck_pd) == []
+    got = {(r.id_a, r.id_b): r.hamming for r in sdf.collect()}
+    assert got.get((10, 11)) == 0  # real-path brightness pair
+    assert got.get((100, 101)) == 0  # stub-path exact pair
+    # the real path actually ran: a decodable payload's signature is
+    # NOT its md5 stub
+    sigs = {
+        r.media_id: r.sigint for r in multimodal._phash_signatures(img).collect()
+    }
+    assert sigs[10] != multimodal._phash_stub(payloads[10])
+    assert sigs[102] == multimodal._phash_stub(payloads[102])
+
+
 def test_ppm_parser_rejects_malformed_and_text_payloads():
     """decode_ppm_gray's strictness is what keeps mm6's md5-stub
     oracle deterministic: anything short of a well-formed P6
