@@ -1006,13 +1006,36 @@ def bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = 20) -> list:
     pattern — without it Catalyst re-derives ``n_merges`` nested
     folds).
     """
-    vocab = (
+    # Checkpoint durability mirrors star_components (CLUSTER.md): by
+    # default rounds pin executor-local blocks (fastest; lost with an
+    # executor); set the session conf ``spark.maggy.checkpointDir``
+    # and rounds go through RELIABLE df.checkpoint() against that
+    # directory instead — same loop, durable round state.
+    checkpoint_dir = spark.conf.get("spark.maggy.checkpointDir", None)
+    prev_ckpt_dir = None
+    if checkpoint_dir:
+        # setCheckpointDir is SparkContext-global: preserve and restore
+        # any directory the app had configured (star_components dance)
+        opt = spark.sparkContext._jsc.sc().getCheckpointDir()
+        prev_ckpt_dir = opt.get() if opt.isDefined() else None
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        ckpt = lambda df: df.checkpoint(eager=True)  # noqa: E731
+    else:
+        ckpt = lambda df: df.localCheckpoint()  # noqa: E731
+    try:
+        return _bpe_train_rounds(spark, sf_dir, n_merges, ckpt)
+    finally:
+        if checkpoint_dir and prev_ckpt_dir is not None:
+            spark.sparkContext.setCheckpointDir(prev_ckpt_dir)
+
+
+def _bpe_train_rounds(spark: SparkSession, sf_dir: str, n_merges: int, ckpt) -> list:
+    vocab = ckpt(
         _token_counts(spark, sf_dir)
         .where(F.length("tok") >= 2)
         # the empty pattern is Spark's one char-split spelling with no
         # trailing "" (zero-width regexes keep it at any limit)
         .select(F.split(F.col("tok"), "").alias("symbols"), "cnt")
-        .localCheckpoint()
     )
     merges = []
     for _ in range(n_merges):
@@ -1047,7 +1070,7 @@ def bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = 20) -> list:
                 F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(merged_sym)),
             ).otherwise(F.concat(acc, F.array(s))),
         )
-        vocab = vocab.select(fold.alias("symbols"), "cnt").localCheckpoint()
+        vocab = ckpt(vocab.select(fold.alias("symbols"), "cnt"))
     return merges
 
 

@@ -561,6 +561,34 @@ def test_star_contraction_durable_checkpoint_dir(spark, tmp_path):
     assert got2 == base
 
 
+def test_bpe_train_durable_checkpoint_dir(spark, sf_dir, tmp_path):
+    """bpe_train's round loop honors the same durable-checkpoint conf
+    as star_components (CLUSTER.md): with spark.maggy.checkpointDir
+    set, rounds go through reliable df.checkpoint() — identical merge
+    sequence, checkpoint FILES under the dir, and the app's prior
+    checkpoint dir restored afterwards."""
+    from maggy_spark.functions.text import bpe_train
+
+    base = bpe_train(spark, sf_dir, n_merges=4)
+    prior = spark.sparkContext._jsc.sc().getCheckpointDir()
+    prior = prior.get() if prior.isDefined() else None
+    ck = tmp_path / "bpe_ck"
+    spark.conf.set("spark.maggy.checkpointDir", str(ck))
+    try:
+        got = bpe_train(spark, sf_dir, n_merges=4)
+    finally:
+        spark.conf.unset("spark.maggy.checkpointDir")
+    assert got == base
+    assert any(ck.rglob("*")), "reliable checkpoint files should exist"
+    after = spark.sparkContext._jsc.sc().getCheckpointDir()
+    after = after.get() if after.isDefined() else None
+    # setCheckpointDir appends a fresh UUID subdir on every call, so
+    # restore-then-read yields prior/<uuid> — assert the app's
+    # checkpoints land back under its original root, not bpe's dir
+    assert prior is None or (after or "").startswith(prior)
+    assert str(ck) not in (after or "")
+
+
 def test_ev7_funnel_ordering_constraint(spark, sf_dir):
     """The funnel is ORDERED: a purchase before any view must not
     count as a conversion, and stage totals cover every user."""
