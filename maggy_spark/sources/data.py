@@ -112,3 +112,28 @@ def dataframe_to_batches(df, batch_size: int = 1024) -> Iterator[pd.DataFrame]:
     `shard_parquet_reader` against written shards instead."""
     for batch in df.toArrow().to_batches(max_chunksize=batch_size):
         yield batch.to_pandas()
+
+
+def petastorm_reader(path: str, rank: int = 0, world_size: int = 1, **make_reader_kwargs):
+    """Petastorm interop shim (closes the round-9 "What's missing"
+    gap #2): the reference feeds workers via petastorm with
+    ``cur_shard=RANK, shard_count=WORLD_SIZE``
+    (`maggy/core/patching/dataloader.py:102-141`,
+    MaggyPetastormDataLoader). When petastorm is installed this
+    returns the SAME reader with the same sharding; when it isn't
+    (this container), the ImportError points at
+    `shard_parquet_reader`, whose (file, row_group) round-robin gives
+    the identical disjoint+exhaustive rank semantics. Import-gated at
+    CALL time like the frameworks wrappers, so the module imports
+    everywhere."""
+    if not 0 <= rank < world_size:
+        raise ValueError(f"rank {rank} outside world of {world_size}")
+    try:
+        from petastorm import make_reader
+    except ImportError as e:
+        raise ImportError(
+            "petastorm is not installed; use shard_parquet_reader(path, rank, "
+            "world_size) — the rank-sharded parquet reader with the same "
+            "cur_shard/shard_count semantics (SURVEY §2.1 S2)"
+        ) from e
+    return make_reader(path, cur_shard=rank, shard_count=world_size, **make_reader_kwargs)

@@ -1,0 +1,122 @@
+"""Native TFRecord/tf.Example scan (sources/tfrecord.py) and the
+petastorm interop shim — the two round-9 "What's missing" format
+gaps. The wire formats are hand-rolled on BOTH sides here (writer and
+reader share only the public constants), so the roundtrip pins the
+framing/proto logic against the fixture values, the CRC core is
+pinned against the public CRC-32C test vector, and malformed inputs
+must fail loudly (TFRecordDataset's behavior), never truncate
+silently."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from maggy_spark.sources import tfrecord as tfr
+
+
+def test_crc32c_public_vector():
+    # the canonical CRC-32C check value (RFC 3720 appendix / Castagnoli)
+    assert tfr.crc32c(b"123456789") == 0xE3069283
+    assert tfr.crc32c(b"") == 0
+
+
+def _examples(n: int, offset: int = 0):
+    return [
+        {
+            "id": offset + i,
+            "label": float(offset + i) / 8.0,
+            "name": f"doc-{offset + i}",
+            "emb": [0.5 * (offset + i), -1.25, 3.0],
+            "tags": [b"a", f"t{i}".encode()],
+            "counts": [offset + i, -7, 1 << 40],
+        }
+        for i in range(n)
+    ]
+
+
+SCHEMA = {
+    "id": "bigint",
+    "label": "double",
+    "name": "string",
+    "emb": "array<double>",
+    "tags": "array<binary>",
+    "counts": "array<bigint>",
+}
+
+
+def test_tfrecord_roundtrip_two_shards(spark, tmp_path):
+    tfr.write_tfrecord_file(_examples(40), str(tmp_path / "part-r-0.tfrecord"))
+    tfr.write_tfrecord_file(_examples(25, 100), str(tmp_path / "part-r-1.tfrecord"))
+
+    df = tfr.read_tfexamples(spark, str(tmp_path / "*.tfrecord"), SCHEMA)
+    rows = {r.id: r for r in df.collect()}
+    assert len(rows) == 65
+    want = {e["id"]: e for e in _examples(40) + _examples(25, 100)}
+    for i, e in want.items():
+        r = rows[i]
+        # floats ride the proto as float32 — compare at that precision
+        assert r.label == float(np.float32(e["label"]))
+        assert r.name == e["name"]
+        assert r.emb == [float(np.float32(v)) for v in e["emb"]]
+        assert [bytes(t) for t in r.tags] == e["tags"]
+        assert list(r.counts) == e["counts"]  # incl. negative + >32-bit
+    assert dict(df.dtypes)["counts"] == "array<bigint>"
+
+
+def test_tfrecord_missing_feature_is_null_and_pruning(spark, tmp_path):
+    exs = _examples(3)
+    del exs[1]["label"]
+    tfr.write_tfrecord_file(exs, str(tmp_path / "f.tfrecord"))
+    df = tfr.read_tfexamples(spark, str(tmp_path / "f.tfrecord"), SCHEMA)
+    by_id = {r.id: r for r in df.collect()}
+    assert by_id[1].label is None and by_id[0].label is not None
+    # pruning: a schema naming only two features parses only those
+    slim = tfr.read_tfexamples(
+        spark, str(tmp_path / "f.tfrecord"), {"id": "bigint", "name": "string"}
+    )
+    assert slim.columns == ["id", "name"] and slim.count() == 3
+
+
+def test_loco_tfrecord_scan_drops_ablated_feature(spark, tmp_path):
+    """Reference parity (maggy/ablation/ablator/loco.py:41-80): the
+    ablated feature is REMOVED from feature_names before the dataset
+    builds — here it never even parses."""
+    tfr.write_tfrecord_file(_examples(5), str(tmp_path / "f.tfrecord"))
+    df = tfr.loco_tfrecord_scan(spark, str(tmp_path / "f.tfrecord"), SCHEMA, "emb")
+    assert "emb" not in df.columns and df.count() == 5
+    with pytest.raises(ValueError, match="not in schema"):
+        tfr.loco_tfrecord_scan(spark, str(tmp_path / "f.tfrecord"), SCHEMA, "nope")
+
+
+def test_tfrecord_corruption_fails_loudly(tmp_path):
+    p = str(tmp_path / "f.tfrecord")
+    tfr.write_tfrecord_file(_examples(2), p)
+    data = bytearray(open(p, "rb").read())
+    with pytest.raises(ValueError, match="truncated"):
+        list(tfr.iter_records(bytes(data[:-5])))
+    data[14] ^= 0xFF  # flip a payload byte -> payload CRC mismatch
+    with pytest.raises(ValueError, match="payload CRC"):
+        list(tfr.iter_records(bytes(data)))
+    assert len(list(tfr.iter_records(bytes(data), verify_crc=False))) == 2
+    data[9] ^= 0xFF  # length CRC is ALWAYS verified
+    with pytest.raises(ValueError, match="length CRC"):
+        list(tfr.iter_records(bytes(data), verify_crc=False))
+
+
+def test_petastorm_shim_gated_like_frameworks():
+    """Without petastorm (this container) the shim must raise the
+    pointer to shard_parquet_reader at CALL time; rank validation
+    fires first either way."""
+    from maggy_spark.sources.data import petastorm_reader
+
+    with pytest.raises(ValueError, match="outside world"):
+        petastorm_reader("/tmp/x", rank=3, world_size=2)
+    try:
+        import petastorm  # noqa: F401
+
+        pytest.skip("petastorm installed: shim takes the real path")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="shard_parquet_reader"):
+        petastorm_reader("/tmp/x", rank=0, world_size=1)
