@@ -4,8 +4,10 @@
 corpus's token OCCURRENCES collapse to |vocab| distinct-word rows
 before any character work — one scan, then every merge round is a
 JVM-side fold over the tiny symbol table). `bpe_encode` applies the
-ranked merges to every document through the one legitimate Python
-seam (mapInPandas with a per-batch word memo).
+ranked merges to every document — trained lists this size compile
+into JVM-side rank-order folds (round 10: no Python in the encode
+path either); GPT-scale merge lists fall back to the mapInPandas
+priority loop with a per-batch word memo.
 
 Run: python examples/tokenizer_training.py [sf_dir] [n_merges]
 """
