@@ -872,6 +872,281 @@ ANN7_SQL = ann7_sql()
 
 
 
+# --- ann9: product quantization + asymmetric-distance scoring ------------
+
+PQ_M = 8            # subspaces (64 dims -> 8 x 8)
+PQ_K = 16           # centroids per subspace (codes fit 4 bits)
+PQ_CANDIDATES = SQ_CANDIDATES
+
+
+def _pq_codebook(spark: SparkSession, sf_dir: str) -> list[list[tuple[list[float], float]]]:
+    """codebook[s][j] = (centroid subvector, its self-dot cn2), from
+    the PQ_K lowest-vec_id STORE vectors — deterministic sampled
+    codebooks (the ann3 medoid discipline). Real systems train these
+    with k-means; Lloyd iterations average floats, whose summation
+    order diverges between engines and flips near-tie assignments, so
+    the oracle-checkable variant uses sampled centers — same codes/
+    LUT/ADC layout and scale shape, weaker codebook quality (that gap
+    is measured, not hidden: see test_ann9 recall pins). O(PQ_K)
+    driver rows — the _plane_literals precedent. cn2 is replayed in
+    python with the same left-to-right IEEE fold `_dot` runs, so the
+    Spark expressions and the DuckDB twin see bit-identical values."""
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") >= N_QUERIES)
+        .orderBy("vec_id")
+        .limit(PQ_K)
+        .select("embedding")
+        .collect()
+    )
+    d = len(rows[0].embedding) // PQ_M
+    cb: list[list[tuple[list[float], float]]] = []
+    for s in range(PQ_M):
+        per_s = []
+        for r in rows:
+            sub = [float(v) for v in r.embedding[s * d : (s + 1) * d]]
+            acc = 0.0
+            for v in sub:
+                acc = acc + v * v
+            per_s.append((sub, acc))
+        cb.append(per_s)
+    return cb
+
+
+def _chain(exprs: list):
+    """Left-associated `+` chain with a bare first term — the one
+    float-summation order BOTH engines spell identically (the DuckDB
+    twins emit the same explicit `t1 + t2 + ...`), unlike SQL SUM()
+    whose row order is engine- and run-dependent."""
+    out = exprs[0]
+    for e in exprs[1:]:
+        out = out + e
+    return out
+
+
+def _pq_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The session-scoped PQ code store: (neighbor_id, codes
+    array<int> — 1-based centroid picks per subspace — and rec_n2,
+    the reconstruction self-dot). 8 bytes of codes stand in for 256
+    bytes of float32 — a 32x compression, the layout that keeps a
+    100 TB corpus's index in serving memory where even int8 SQ (4x)
+    cannot. The build is ONE shuffle-free map over the corpus: the
+    codebook rides in as literals, per-subspace assignment is
+    argmin_j (cn2_j - 2 sub.c_j) (the ||sub||^2 term is constant per
+    vector, so dropping it preserves the argmin), ties to the lower
+    j via array_position's first-match."""
+    from maggy_spark.plans.fixtures import session_cached
+
+    cb = _pq_codebook(spark, sf_dir)
+    d = len(cb[0][0][0])
+
+    def _build() -> DataFrame:
+        c = load_table(spark, sf_dir, "embeddings", fan_out=True).where(
+            F.col("vec_id") >= N_QUERIES
+        )
+        codes = []
+        for s in range(PQ_M):
+            sub = F.slice("embedding", s * d + 1, d)
+            scores = F.array(
+                *[
+                    F.lit(cn2) - F.lit(2.0) * _dot(sub, F.array(*[F.lit(v) for v in cvec]))
+                    for cvec, cn2 in cb[s]
+                ]
+            )
+            codes.append(F.array_position(scores, F.array_min(scores)).cast("int"))
+        coded = c.select(
+            F.col("vec_id").alias("neighbor_id"), F.array(*codes).alias("codes")
+        )
+        rec_n2 = _chain(
+            [
+                F.element_at(
+                    F.array(*[F.lit(cn2) for _cvec, cn2 in cb[s]]),
+                    F.element_at("codes", s + 1),
+                )
+                for s in range(PQ_M)
+            ]
+        )
+        return coded.select("neighbor_id", "codes", rec_n2.alias("rec_n2"))
+
+    return session_cached(spark, (sf_dir, "pq_corpus"), _build)
+
+
+def ann9_pq_adc(
+    spark: SparkSession, sf_dir: str, candidates: int = PQ_CANDIDATES, k: int = TOP_K
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance (ADC)
+    scoring — the third rung of the compression ladder after int8 SQ
+    (ann7, 4x) and IVF+SQ (ann8): vectors live as PQ_M 4-bit-sized
+    codes (32x smaller than float32), queries stay full-precision,
+    and the coarse score is the classic ADC lookup — approx inner
+    product = sum_s LUT_q[s][code_s(v)] where LUT_q[s][j] = q_s . c_j
+    — normalized by the exact query norm and the code-reconstruction
+    norm; the exact-cosine rerank then fetches floats for the top
+    ``candidates`` only (ann7's two-phase tail, unchanged).
+
+    Scale shape: codebooks are O(PQ_M x PQ_K) driver literals; the
+    code store is built by one shuffle-free corpus map and session-
+    cached; scoring streams the 8-byte codes against BROADCAST
+    per-query LUTs (PQ_M x PQ_K doubles each), so neither floats nor
+    codes cross a shuffle before the per-query top-C window; the
+    rerank joins the float corpus against the broadcast C x |queries|
+    candidate set. Deterministic end-to-end (sampled codebooks, tie
+    rules, fixed-order float chains), so the DuckDB twin replays it
+    bit-for-bit. Not in the driver registry (50-entry cap); DuckDB
+    parity in tests/test_offline_oracles.py, recall + rerank-
+    exactness pins in tests/test_functions.py.
+
+    Reference parity note: the reference engine has no vector search
+    at all; SURVEY §7.2-step-9 extension operator.
+    """
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    cb = _pq_codebook(spark, sf_dir)
+    d = len(cb[0][0][0])
+    store = _pq_corpus(spark, sf_dir)
+
+    lut = F.array(
+        *[
+            F.array(
+                *[
+                    _dot(
+                        F.slice("embedding", s * d + 1, d),
+                        F.array(*[F.lit(v) for v in cvec]),
+                    )
+                    for cvec, _cn2 in cb[s]
+                ]
+            )
+            for s in range(PQ_M)
+        ]
+    )
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.sqrt(_dot("embedding", "embedding")).alias("qn"),
+        lut.alias("lut"),
+    )
+    adc_ip = _chain(
+        [
+            F.element_at(F.element_at("lut", s + 1), F.element_at("codes", s + 1))
+            for s in range(PQ_M)
+        ]
+    )
+    adc_cos = F.when(
+        (F.col("qn") == 0.0) | (F.col("rec_n2") <= 0.0), F.lit(-2.0)
+    ).otherwise(adc_ip / (F.col("qn") * F.sqrt("rec_n2")))
+    coarse = store.crossJoin(F.broadcast(q.select("query_id", "qn", "lut"))).select(
+        "query_id", "neighbor_id", adc_cos.alias("adc_cos")
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.col("adc_cos").desc(), F.col("neighbor_id"))
+    cand = (
+        coarse.select(
+            "query_id", "neighbor_id", "adc_cos", F.row_number().over(wc).alias("crank")
+        )
+        .where(F.col("crank") <= candidates)
+        .drop("crank")
+    )
+    fetched = (
+        e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ve"))
+        .join(F.broadcast(cand), "neighbor_id")
+        .withColumn("vn", F.sqrt(_dot("ve", "ve")))
+        .join(F.broadcast(q.select("query_id", "qe", "qn")), "query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        fetched.select(
+            "query_id",
+            "neighbor_id",
+            "adc_cos",
+            _cosine_pre("qe", "ve", "qn", "vn").alias("cosine"),
+        )
+        .select(
+            "query_id", "neighbor_id", "adc_cos", "cosine",
+            F.row_number().over(w).cast("bigint").alias("rank"),
+        )
+        .where(F.col("rank") <= k)
+    )
+
+
+def ann9_sql(candidates: int = PQ_CANDIDATES, k: int = TOP_K) -> str:
+    """DuckDB twin: seeds/codebook re-derived from the table, codes
+    via the same argmin (row_number over (score, j)), LUT/recon sums
+    as the SAME explicit left-assoc chains the Spark side folds."""
+    sub = "list_slice({v}, {s}*{d} + 1, {s}*{d} + {d})"
+    d = 64 // PQ_M
+    rec_chain = " + ".join(f"cns[{s + 1}]" for s in range(PQ_M))
+    adc_chain = " + ".join(f"lut[{s + 1}][codes[{s + 1}]]" for s in range(PQ_M))
+    return f"""
+WITH q0 AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
+c0 AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ve FROM embeddings WHERE vec_id >= {N_QUERIES}),
+seeds AS (
+    SELECT embedding::DOUBLE[] AS se, row_number() OVER (ORDER BY vec_id) AS j
+    FROM embeddings WHERE vec_id >= {N_QUERIES} ORDER BY vec_id LIMIT {PQ_K}
+),
+cb AS (
+    SELECT cast(gs.s AS INTEGER) AS s, cast(j AS INTEGER) AS j,
+           {sub.format(v='se', s='gs.s', d=d)} AS cvec,
+           list_dot_product({sub.format(v='se', s='gs.s', d=d)},
+                            {sub.format(v='se', s='gs.s', d=d)}) AS cn2
+    FROM seeds CROSS JOIN generate_series(0, {PQ_M - 1}) gs(s)
+),
+scored AS (
+    SELECT c0.neighbor_id, cb.s, cb.j, cb.cn2,
+           cb.cn2 - 2.0 * list_dot_product({sub.format(v='c0.ve', s='cb.s', d=d)}, cb.cvec) AS score
+    FROM c0 CROSS JOIN cb
+),
+picked AS (
+    SELECT neighbor_id, s, j AS code, cn2 FROM (
+        SELECT neighbor_id, s, j, cn2,
+               row_number() OVER (PARTITION BY neighbor_id, s ORDER BY score, j) AS rn
+        FROM scored
+    ) WHERE rn = 1
+),
+store AS (
+    SELECT neighbor_id, list(code ORDER BY s) AS codes, list(cn2 ORDER BY s) AS cns
+    FROM picked GROUP BY neighbor_id
+),
+lutq AS (
+    SELECT q0.query_id, cb.s,
+           list(list_dot_product({sub.format(v='q0.qe', s='cb.s', d=d)}, cb.cvec) ORDER BY cb.j) AS lut_s
+    FROM q0 CROSS JOIN cb GROUP BY q0.query_id, cb.s
+),
+qq AS (
+    SELECT l.query_id, list(l.lut_s ORDER BY l.s) AS lut,
+           sqrt(list_dot_product(q0.qe, q0.qe)) AS qn
+    FROM lutq l JOIN q0 ON l.query_id = q0.query_id
+    GROUP BY l.query_id, sqrt(list_dot_product(q0.qe, q0.qe))
+),
+coarse AS (
+    SELECT query_id, neighbor_id,
+           CASE WHEN qn = 0.0 OR ({rec_chain}) <= 0.0 THEN -2.0
+                ELSE ({adc_chain}) / (qn * sqrt({rec_chain})) END AS adc_cos
+    FROM store CROSS JOIN qq
+),
+cand AS (
+    SELECT query_id, neighbor_id, adc_cos FROM (
+        SELECT query_id, neighbor_id, adc_cos,
+               row_number() OVER (PARTITION BY query_id ORDER BY adc_cos DESC, neighbor_id) AS crank
+        FROM coarse
+    ) WHERE crank <= {candidates}
+)
+SELECT query_id, neighbor_id, adc_cos, cosine, rank FROM (
+    SELECT d.query_id, d.neighbor_id, d.adc_cos,
+           {_cos_sql("q.qe", "c.ve")} AS cosine,
+           row_number() OVER (
+               PARTITION BY d.query_id
+               ORDER BY {_cos_sql("q.qe", "c.ve")} DESC, d.neighbor_id
+           ) AS rank
+    FROM cand d
+    JOIN c0 c ON d.neighbor_id = c.neighbor_id
+    JOIN q0 q ON d.query_id = q.query_id
+) WHERE rank <= {k}
+"""
+
+
+ANN9_SQL = ann9_sql()
+
+
 OPERATORS = [
     ("ann1_bruteforce_topk", ann1_bruteforce_topk, ANN1_SQL),
     ("ann5_knn_graph", ann5_knn_graph, ANN5_SQL),

@@ -326,6 +326,60 @@ def test_ann8_default_probe_exact_within_probed_lists(spark, sf_dir):
         assert [n for _rk, n in sorted(got[qid])] == want, qid
 
 
+def test_ann9_pq_seed_exactness_and_rerank(spark, sf_dir):
+    """PQ pins (round 10): (1) every codebook SEED vector codes to
+    ITSELF in all PQ_M subspaces (its quantization error is zero by
+    construction — any drift means the argmin or slicing is wrong),
+    so its rec_n2 is its exact self-dot and its ADC score against any
+    query is the exact inner product — asserted to 1e-12 relative
+    where a seed appears in the results (NOT bitwise: ADC folds the
+    64-dim dot as 8 per-subspace chains, a different association
+    than the flat cosine fold, so the last ulp legitimately moves —
+    cross-ENGINE bitwise parity is the offline oracle's job, where
+    both engines spell the same chains); (2) the reported
+    cosine is always the EXACT cosine (PQ error lives only in
+    candidate selection); (3) recall@5 vs ann1 on this isotropic
+    weak-neighbor corpus is structurally partial (sampled codebooks;
+    module-header regime note) — the DETERMINISTIC measured values
+    are 12/25 at sf0.001, pinned as a regression floor."""
+    from maggy_spark.functions.similarity import (
+        N_QUERIES,
+        PQ_K,
+        PQ_M,
+        _pq_corpus,
+        ann9_pq_adc,
+    )
+
+    store = {r.neighbor_id: (list(r.codes), r.rec_n2) for r in _pq_corpus(spark, sf_dir).collect()}
+    seed_ids = [
+        r.vec_id
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .where(F.col("vec_id") >= N_QUERIES)
+        .orderBy("vec_id")
+        .limit(PQ_K)
+        .collect()
+    ]
+    for j, sid in enumerate(seed_ids):
+        assert store[sid][0] == [j + 1] * PQ_M, f"seed {sid} must self-code"
+
+    rows = ann9_pq_adc(spark, sf_dir).collect()
+    assert rows
+    seed_set = set(seed_ids)
+    seed_hits = 0
+    for r in rows:
+        assert -1.0 <= r.cosine <= 1.0
+        if r.neighbor_id in seed_set:
+            seed_hits += 1
+            assert math.isclose(r.adc_cos, r.cosine, rel_tol=1e-12), (
+                "seed ADC must be the exact cosine up to fold association"
+            )
+    assert seed_hits > 0, "fixture must exercise the seed-exactness branch"
+
+    exact = {(r.query_id, r.neighbor_id) for r in similarity.ann1_bruteforce_topk(spark, sf_dir).collect()}
+    got = {(r.query_id, r.neighbor_id) for r in rows}
+    assert len(exact & got) >= 12
+
+
 def test_stratified_sample_respects_quotas(spark, sf_dir):
     from maggy_spark.functions import pipeline
 

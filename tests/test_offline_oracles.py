@@ -130,6 +130,11 @@ CASES = [
     # verify is the verification stage of gate-green dd8's pipeline
     # and intrinsically Σf² on the dense synthetic vocab.
     ("dd4_ngram_jaccard", "DD4_SQL", "maggy_spark.functions.dedup"),
+    # round-10 addition: product quantization + ADC — the 32x
+    # compression rung above ann7's int8 SQ (sampled codebooks, codes
+    # via cn2-2x.c argmin, per-query LUTs, exact rerank); recall +
+    # seed-exactness pins in test_functions.py
+    ("ann9_pq_adc", "ANN9_SQL", "maggy_spark.functions.similarity"),
 ]
 
 
