@@ -1352,3 +1352,157 @@ TX14_SQL = tx14_sql()
 # corpus build runs per document, so it belongs under the sf0.01
 # hard gate. See COVERAGE.md "Round-9 rotation".
 OPERATORS.append(("tx14_bigram_logprob", tx14_bigram_logprob, TX14_SQL))
+
+
+# --- tx15: DSIR importance score ------------------------------------------
+
+DSIR_BUCKETS = 1024
+DSIR_TARGET_MOD = 10
+
+
+def _dsir_bucketed(spark: SparkSession, sf_dir: str, buckets: int) -> DataFrame:
+    """(doc_id, b): every doc's hashed n-gram features (unigrams +
+    word bigrams, DSIR's feature space) mapped to one of ``buckets``
+    md5 buckets. Session-cached — it feeds the target counts, the
+    raw counts, AND the scoring join-back (the dd13 two-consumer
+    lesson); the md5 bucket is the repo's engine-exact hash
+    (hash_uniform's 13-hex-digit prefix, here taken mod buckets —
+    both operands nonnegative, so Spark % and DuckDB % agree)."""
+
+    def _build() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents", fan_out=True)
+        toks = F.split(F.col("text"), " ")
+        n = F.size(toks)
+        bigrams = F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        ex = d.select("doc_id", F.explode(F.concat(toks, bigrams)).alias("feat"))
+        b = F.conv(F.substring(F.md5("feat"), 1, 13), 16, 10).cast("bigint") % buckets
+        return ex.select("doc_id", b.alias("b"))
+
+    return _session_cached(spark, (sf_dir, "dsir_buckets", buckets), _build)
+
+
+def tx15_dsir_score(
+    spark: SparkSession,
+    sf_dir: str,
+    buckets: int = DSIR_BUCKETS,
+    target_mod: int = DSIR_TARGET_MOD,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023, arXiv:2302.03169) scores: every document's mean hashed-
+    n-gram log-likelihood ratio between a TARGET distribution (the
+    curated quality seed set — here the deterministic
+    ``doc_id % target_mod == 0`` slice, dd9's eval-slice convention)
+    and the RAW corpus distribution. Selecting the top of this score
+    is how a 100 TB crawl gets resampled toward a quality domain
+    before training. Output: (doc_id, is_target, n_features,
+    dsir_score).
+
+    Model: hashed unigram+bigram features into ``buckets`` md5
+    buckets (hashing caps model size independent of vocabulary —
+    DSIR's trick, and what keeps the model broadcastable at ANY
+    corpus size); bucket probabilities with add-1/2 smoothing; per-
+    feature log-ratio rounded into decimal(18,6) BEFORE the per-doc
+    sum (tx10's decimal routing — float sums are partition-order-
+    dependent) and back to double only for the final mean.
+
+    Scale shape: the bucketed feature relation is computed once
+    (session-cached) and partial-aggregates into a ≤``buckets``-row
+    model on both the target and raw sides, so the Zipf-skewed
+    feature key never drives a shuffle at model size; scoring is a
+    BROADCAST join of that bounded model onto the features; the
+    per-doc rollup shuffles one decimal + one long per doc after
+    map-side combine. In-sample property (pinned by tests): the
+    target slice's mean score exceeds the rest's — the likelihood-
+    ratio selector must prefer its own seed set.
+
+    Reference parity note: the reference engine has no corpus
+    operators; SURVEY §7.2-step-9 extension. Not in the driver
+    registry (50-entry cap); DuckDB parity in
+    tests/test_offline_oracles.py.
+    """
+    half_b = 0.5 * buckets
+    bucketed = _dsir_bucketed(spark, sf_dir, buckets)
+    tgt = (
+        bucketed.where(F.col("doc_id") % target_mod == 0)
+        .groupBy("b")
+        .agg(F.count("*").cast("bigint").alias("ct"))
+    )
+    raw = bucketed.groupBy("b").agg(F.count("*").cast("bigint").alias("cr"))
+    tt = tgt.agg(F.sum("ct").cast("bigint").alias("tt"))
+    tr = raw.agg(F.sum("cr").cast("bigint").alias("tr"))
+    lt = F.log(
+        (F.coalesce(F.col("ct"), F.lit(0)).cast("double") + F.lit(0.5))
+        / (F.col("tt").cast("double") + F.lit(half_b))
+    ).cast("decimal(18,6)")
+    lr = F.log(
+        (F.col("cr").cast("double") + F.lit(0.5))
+        / (F.col("tr").cast("double") + F.lit(half_b))
+    ).cast("decimal(18,6)")
+    # raw covers every bucket any doc can hit (the target is a subset
+    # of the corpus), so the scoring join below is total
+    model = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(tr))
+        .select("b", (lt - lr).alias("llr"))
+    )
+    return (
+        bucketed.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_features"),
+            (F.sum("llr").cast("double") / F.count("*").cast("double")).alias("dsir_score"),
+        )
+        .select(
+            "doc_id",
+            (F.col("doc_id") % target_mod == 0).alias("is_target"),
+            "n_features",
+            "dsir_score",
+        )
+    )
+
+
+def tx15_sql(buckets: int = DSIR_BUCKETS, target_mod: int = DSIR_TARGET_MOD) -> str:
+    """DuckDB twin, parameterized like tx10_sql."""
+    half_b = 0.5 * buckets
+    return f"""
+WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+ex AS (
+    SELECT doc_id,
+           unnest(list_concat(
+               toks,
+               list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                              i -> toks[cast(i AS INTEGER)] || ' ' || toks[cast(i AS INTEGER) + 1])
+           )) AS feat
+    FROM t
+),
+bucketed AS (
+    SELECT doc_id, cast(('0x' || substr(md5(feat), 1, 13)) AS BIGINT) % {buckets} AS b
+    FROM ex
+),
+tgt AS (SELECT b, cast(count(*) AS BIGINT) AS ct FROM bucketed
+        WHERE doc_id % {target_mod} = 0 GROUP BY b),
+raw AS (SELECT b, cast(count(*) AS BIGINT) AS cr FROM bucketed GROUP BY b),
+tt AS (SELECT cast(sum(ct) AS BIGINT) AS tt FROM tgt),
+tr AS (SELECT cast(sum(cr) AS BIGINT) AS tr FROM raw),
+model AS (
+    SELECT raw.b,
+           cast(ln((cast(coalesce(tgt.ct, 0) AS DOUBLE) + 0.5)
+                   / (cast(tt.tt AS DOUBLE) + {half_b!r})) AS DECIMAL(18,6))
+         - cast(ln((cast(raw.cr AS DOUBLE) + 0.5)
+                   / (cast(tr.tr AS DOUBLE) + {half_b!r})) AS DECIMAL(18,6)) AS llr
+    FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tt CROSS JOIN tr
+)
+SELECT doc_id, doc_id % {target_mod} = 0 AS is_target,
+       cast(count(*) AS BIGINT) AS n_features,
+       cast(sum(llr) AS DOUBLE) / cast(count(*) AS DOUBLE) AS dsir_score
+FROM bucketed JOIN model USING (b)
+GROUP BY doc_id
+"""
+
+
+TX15_SQL = tx15_sql()

@@ -1992,6 +1992,30 @@ def test_bpe_encode_matches_sequential_application_and_roundtrips(spark, sf_dir)
     assert total_bpe < total_chars
 
 
+def test_tx15_dsir_selector_prefers_its_seed_slice(spark, sf_dir):
+    """DSIR pins: every document is scored exactly once (the raw
+    model covers every bucket a doc can hit, so the scoring join is
+    total); n_features = 2n-1 per doc (unigrams + bigrams over the
+    raw whitespace split); and the in-sample property that makes the
+    score a SELECTOR — the target slice's mean log-likelihood ratio
+    exceeds the rest's (a likelihood-ratio model must prefer the
+    data it was fit on; measured separation ~0.10-0.12 at both
+    fixture scales, asserted with margin)."""
+    from maggy_spark.functions.text import tx15_dsir_score
+
+    rows = tx15_dsir_score(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text").collect()
+    assert len(rows) == len(docs)
+    nfeat = {r.doc_id: r.n_features for r in rows}
+    for d in docs:
+        n = len(d.text.split(" "))
+        assert nfeat[d.doc_id] == n + max(n - 1, 0)
+    t = [r.dsir_score for r in rows if r.is_target]
+    o = [r.dsir_score for r in rows if not r.is_target]
+    assert t and o
+    assert sum(t) / len(t) > sum(o) / len(o) + 0.05
+
+
 def test_bpe_encode_jvm_fold_path_matches_python_seam(spark, sf_dir):
     """The JVM nested-fold encoder (the default for trained merge
     lists ≤ BPE_JVM_FOLD_MAX) must agree ROW-FOR-ROW with the

@@ -135,6 +135,11 @@ CASES = [
     # via cn2-2x.c argmin, per-query LUTs, exact rerank); recall +
     # seed-exactness pins in test_functions.py
     ("ann9_pq_adc", "ANN9_SQL", "maggy_spark.functions.similarity"),
+    # round-10 addition: DSIR importance scores (hashed unigram+bigram
+    # log-likelihood ratio, target slice vs raw corpus — the data-
+    # selection pass of Xie et al. 2023); separation + totality pins
+    # in test_functions.py
+    ("tx15_dsir_score", "TX15_SQL", "maggy_spark.functions.text"),
 ]
 
 
