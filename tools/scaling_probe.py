@@ -468,6 +468,87 @@ def main() -> None:
             }
         )
 
+        # --- ann9: product quantization + ADC (r10) ------------------------
+        # the claim: the coarse pass streams the 8-byte code store
+        # (32x smaller than float32) against broadcast per-query LUTs
+        # (PQ_M x PQ_K doubles each), the code-store build is one
+        # shuffle-free map with literal codebooks, and the EXACT float
+        # work stays pinned at C x |queries| rows at every decade
+        t0 = time.time()
+        out = similarity.ann9_pq_adc(spark, sf_dir).count()
+        sec = round(time.time() - t0, 2)
+        spark.catalog.clearCache()
+        rows.append(
+            {
+                "op": "ann9_pq_adc",
+                "sf": sf,
+                "n": n_vecs,
+                "params": {
+                    "m": similarity.PQ_M,
+                    "k_centroids": similarity.PQ_K,
+                    "candidates": similarity.PQ_CANDIDATES,
+                    "k": similarity.TOP_K,
+                },
+                "code_bytes_per_vec": similarity.PQ_M,
+                "exact_rerank_rows": similarity.PQ_CANDIDATES * similarity.N_QUERIES,
+                "output": out,
+                "sec": sec,
+            }
+        )
+
+        # --- tx15: DSIR importance scores (r10) ----------------------------
+        # the claim: hashing caps the model at <= DSIR_BUCKETS rows
+        # REGARDLESS of vocabulary (the broadcast side is constant
+        # across decades), the feature explode is linear, and the
+        # per-doc rollup shuffles one decimal + one long per doc after
+        # map-side combine
+        from maggy_spark.functions.text import (
+            DSIR_BUCKETS,
+            _dsir_bucketed,
+            tx15_dsir_score,
+        )
+
+        t0 = time.time()
+        out = tx15_dsir_score(spark, sf_dir).count()
+        sec = round(time.time() - t0, 2)
+        model_rows = _dsir_bucketed(spark, sf_dir, DSIR_BUCKETS).select("b").distinct().count()
+        spark.catalog.clearCache()
+        rows.append(
+            {
+                "op": "tx15_dsir_score",
+                "sf": sf,
+                "n": n_docs,
+                "params": {"buckets": DSIR_BUCKETS},
+                "broadcast_model_rows": int(model_rows),
+                "output": out,
+                "sec": sec,
+            }
+        )
+
+        # --- dd16: ExactSubstr removal plan (r10, gate row) ----------------
+        # the claim: identical shape to dd13 (it rides the SAME
+        # session-cached windows relation) — the canonical-occurrence
+        # pick is one groupBy on the uniform window hash with
+        # partial-aggregating count+min(struct), so windows/doc stays
+        # flat and no self-join exists at any decade
+        from maggy_spark.functions.dedup import SPAN_W, dd16_span_removal_plan
+
+        t0 = time.time()
+        out = dd16_span_removal_plan(spark, sf_dir).count()
+        sec = round(time.time() - t0, 2)
+        spark.catalog.clearCache()
+        rows.append(
+            {
+                "op": "dd16_span_removal_plan",
+                "sf": sf,
+                "n": n_docs,
+                "params": {"w": SPAN_W},
+                "cut_spans": out,
+                "output": out,
+                "sec": sec,
+            }
+        )
+
         # --- ev11: volume anomaly monitor (r8 cont., probed r9) -----------
         # the claim: one groupBy collapses the feed to |types| x |days|
         # rows MAP-SIDE (partial aggregation on the grouping key), and
