@@ -98,7 +98,13 @@ DIRECT = [
     "dd13_span_dedup",
     "dd16_span_removal_plan",
     "ing1_ingest_gate",
-    "pl13_full_corpus_build",
+    # pl13_full_corpus_build is NOT in DIRECT: its twin embeds the
+    # recursive-closure CTE, whose reach relation is quadratic in the
+    # giant component (~0.8n nodes at every decade -> ~1.6e9 rows at
+    # sf1 — infeasible by construction, same reason the dd10 oracle
+    # switched algorithms). It runs below with the closure spliced
+    # out for the union-find components (themselves sf1-verified
+    # against Spark first); every other CTE of the twin runs as-is.
 ]
 
 
@@ -264,7 +270,11 @@ def main() -> int:
                len(spark_pd), time.time() - t0, "duckdb-twin")
 
     comp_oracle: pd.DataFrame | None = None
-    if not only or "dd10_near_dup_components" in only or "dd14_cluster_representatives" in only:
+    if not only or only & {
+        "dd10_near_dup_components",
+        "dd14_cluster_representatives",
+        "pl13_full_corpus_build",
+    }:
         t0 = time.time()
         try:
             comp_oracle = _python_components(con, dd7_fast_pairs_sql())
@@ -291,6 +301,25 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             record("dd14_cluster_representatives", [f"error: {e}"], -1,
                    time.time() - t0, "duckdb-toks+union-find")
+
+    if comp_oracle is not None and (not only or "pl13_full_corpus_build" in only):
+        t0 = time.time()
+        try:
+            from maggy_spark.functions.pipeline import PL13_SQL
+
+            con.register("pycomp", comp_oracle[["doc_id", "cluster_rep"]])
+            i = PL13_SQL.find("toksn AS")
+            fast_sql = (
+                "WITH comp AS (SELECT doc_id, cluster_rep FROM pycomp),\n" + PL13_SQL[i:]
+            )
+            sdf = qs["pl13_full_corpus_build"](spark, SF1_DIR)
+            spark_pd = to_pandas_spark(sdf)
+            duck_pd = con.execute(fast_sql).fetchdf()
+            record("pl13_full_corpus_build", compare_frames(sdf, spark_pd, duck_pd),
+                   len(spark_pd), time.time() - t0, "duckdb-twin+union-find-comp")
+        except Exception as e:  # noqa: BLE001
+            record("pl13_full_corpus_build", [f"error: {e}"], -1,
+                   time.time() - t0, "duckdb-twin+union-find-comp")
 
     out = {
         "sf_dir": SF1_DIR,
