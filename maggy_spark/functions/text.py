@@ -1097,14 +1097,25 @@ def _rank_order_foldable(merges: list) -> bool:
 
 
 def _bpe_encode_jvm(spark: SparkSession, sf_dir: str, merges: list) -> DataFrame:
-    """JVM-side encoder: per word, one ``F.aggregate`` fold PER MERGE
-    applied in rank order (``_rank_order_foldable`` proves the
-    equivalence). The n_merges nested folds make a large-but-static
-    expression tree — fine for shipped tokenizers (tens of merges),
-    which is why ``bpe_encode`` gates this path on BPE_JVM_FOLD_MAX.
-    No Python workers, no Arrow transfer: this removes the one
-    load-sensitive Python seam the bench suite had (sf1 wall 2-18 s
-    run-to-run on the mapInPandas path; flat on this one)."""
+    """JVM-side encoder with GLOBAL vocabulary collapse: encode each
+    DISTINCT word once (one ``F.aggregate`` fold per merge in rank
+    order — ``_rank_order_foldable`` proves the rank-order/priority
+    equivalence), then join the |vocab|-row word→tokens map back onto
+    the exploded (doc, pos, word) occurrences and reassemble each
+    doc's token sequence by position. This is the python seam's
+    batch-local memo made corpus-global and JVM-only: the expensive
+    merge folds run |distinct words| times total (not once per
+    occurrence — a first cut that folded every occurrence inline
+    measured 35 s at sf1 vs ~4 s for this shape), no Python workers,
+    no Arrow transfer, and wall time is load-stable (the VERDICT r9
+    item-3 variance fix).
+
+    Scale shape: one explode + two shuffles over skinny
+    (doc_id, pos, tokens) rows — the reassembly sort is per-doc
+    (bounded by doc length) via collect_list + array_sort, never a
+    global order. The word-key join inherits the Zipf skew of word
+    frequency, which AQE's skew-join handles; the encoded-vocab build
+    side partial-aggregates to |vocab| rows before its exchange."""
 
     def fold_merge(syms, left: str, right: str):
         merged = F.lit(left + right)
@@ -1126,12 +1137,46 @@ def _bpe_encode_jvm(spark: SparkSession, sf_dir: str, merges: list) -> DataFrame
 
     d = load_table(spark, sf_dir, "documents", fan_out=True)
     words = F.filter(F.split(F.col("text"), " "), lambda w: w != F.lit(""))
-    toks = F.flatten(F.transform(words, encode_word))
-    return d.select(
+    occ = d.select("doc_id", F.posexplode(words).alias("pos", "word"))
+    # the encoded vocab MUST be materialized: left unmaterialized,
+    # Catalyst collapses the encode projection past the join and runs
+    # the n_merges folds once per OCCURRENCE instead of once per
+    # distinct word (measured 14 s -> 4 s at sf1) — the dd13
+    # two-consumer lesson applied to projection pushdown
+    import hashlib
+    import json
+
+    mkey = hashlib.md5(
+        json.dumps([[left, right] for left, right, *_ in merges]).encode()
+    ).hexdigest()
+    vocab = _session_cached(
+        spark,
+        (sf_dir, "bpe_vocab", mkey),
+        lambda: occ.select("word")
+        .distinct()
+        .select("word", encode_word(F.col("word")).alias("wtoks")),
+    )
+    joined = occ.join(vocab, "word").groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "wtoks"))).alias("parts")
+    )
+    toks = F.flatten(F.col("parts.wtoks"))
+    encoded = joined.select(
         "doc_id",
-        F.size(words).cast("bigint").alias("n_words"),
+        F.size("parts").cast("bigint").alias("n_words"),
         F.size(toks).cast("bigint").alias("n_bpe_tokens"),
         toks.alias("tokens"),
+    )
+    # zero-word docs never reach the explode: restore them with the
+    # python seam's (0, 0, []) row shape
+    return (
+        d.select("doc_id")
+        .join(encoded, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
+            F.coalesce("n_bpe_tokens", F.lit(0)).cast("bigint").alias("n_bpe_tokens"),
+            F.coalesce("tokens", F.expr("CAST(array() AS array<string>)")).alias("tokens"),
+        )
     )
 
 

@@ -638,9 +638,13 @@ def test_bpe_train_durable_checkpoint_dir(spark, sf_dir, tmp_path):
     after = after.get() if after.isDefined() else None
     # setCheckpointDir appends a fresh UUID subdir on every call, so
     # restore-then-read yields prior/<uuid> — assert the app's
-    # checkpoints land back under its original root, not bpe's dir
-    assert prior is None or (after or "").startswith(prior)
-    assert str(ck) not in (after or "")
+    # checkpoints land back under its original root, not bpe's dir.
+    # With NO prior dir, bpe's necessarily stays set (Spark has no
+    # unset — star_components documents the same), so there is
+    # nothing to restore and nothing to assert.
+    if prior is not None:
+        assert (after or "").startswith(prior)
+        assert str(ck) not in (after or "")
 
 
 def test_ev7_funnel_ordering_constraint(spark, sf_dir):
