@@ -879,40 +879,6 @@ PQ_K = 16           # centroids per subspace (codes fit 4 bits)
 PQ_CANDIDATES = SQ_CANDIDATES
 
 
-def _pq_codebook(spark: SparkSession, sf_dir: str) -> list[list[tuple[list[float], float]]]:
-    """codebook[s][j] = (centroid subvector, its self-dot cn2), from
-    the PQ_K lowest-vec_id STORE vectors — deterministic sampled
-    codebooks (the ann3 medoid discipline). Real systems train these
-    with k-means; Lloyd iterations average floats, whose summation
-    order diverges between engines and flips near-tie assignments, so
-    the oracle-checkable variant uses sampled centers — same codes/
-    LUT/ADC layout and scale shape, weaker codebook quality (that gap
-    is measured, not hidden: see test_ann9 recall pins). O(PQ_K)
-    driver rows — the _plane_literals precedent. cn2 is replayed in
-    python with the same left-to-right IEEE fold `_dot` runs, so the
-    Spark expressions and the DuckDB twin see bit-identical values."""
-    rows = (
-        load_table(spark, sf_dir, "embeddings")
-        .where(F.col("vec_id") >= N_QUERIES)
-        .orderBy("vec_id")
-        .limit(PQ_K)
-        .select("embedding")
-        .collect()
-    )
-    d = len(rows[0].embedding) // PQ_M
-    cb: list[list[tuple[list[float], float]]] = []
-    for s in range(PQ_M):
-        per_s = []
-        for r in rows:
-            sub = [float(v) for v in r.embedding[s * d : (s + 1) * d]]
-            acc = 0.0
-            for v in sub:
-                acc = acc + v * v
-            per_s.append((sub, acc))
-        cb.append(per_s)
-    return cb
-
-
 def _chain(exprs: list):
     """Left-associated `+` chain with a bare first term — the one
     float-summation order BOTH engines spell identically (the DuckDB
@@ -924,49 +890,97 @@ def _chain(exprs: list):
     return out
 
 
-def _pq_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The session-scoped PQ code store: (neighbor_id, codes
-    array<int> — 1-based centroid picks per subspace — and rec_n2,
-    the reconstruction self-dot). 8 bytes of codes stand in for 256
-    bytes of float32 — a 32x compression, the layout that keeps a
-    100 TB corpus's index in serving memory where even int8 SQ (4x)
-    cannot. The build is ONE shuffle-free map over the corpus: the
-    codebook rides in as literals, per-subspace assignment is
-    argmin_j (cn2_j - 2 sub.c_j) (the ||sub||^2 term is constant per
-    vector, so dropping it preserves the argmin), ties to the lower
-    j via array_position's first-match."""
+def _subspace_explode(vec_col: str, dim: int):
+    """(s, sub) pairs for a 64-d vector column: posexplode over the
+    PQ_M contiguous slices."""
+    d = dim // PQ_M
+    return F.posexplode(F.array(*[F.slice(vec_col, s * d + 1, d) for s in range(PQ_M)]))
+
+
+def _pq_codebook_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 128-row codebook RELATION (s, j, cvec, cn2): subvectors of
+    the PQ_K lowest-vec_id STORE vectors — deterministic sampled
+    codebooks (the ann3 medoid discipline). Real systems train these
+    with k-means; Lloyd iterations average floats, whose summation
+    order diverges between engines and flips near-tie assignments, so
+    the oracle-checkable variant uses sampled centers — same codes/
+    LUT/ADC layout and scale shape, weaker codebook quality (that gap
+    is measured, not hidden: see test_ann9 recall pins). Kept as DATA
+    and session-cached, not compiled into literals: a first cut baked
+    the codebook into a 1000-term expression and paid ~10 s of
+    Catalyst analysis + codegen per call regardless of data size (the
+    bpe_encode projection-collapse lesson's sibling)."""
+    from pyspark.sql.window import Window
+
     from maggy_spark.plans.fixtures import session_cached
 
-    cb = _pq_codebook(spark, sf_dir)
-    d = len(cb[0][0][0])
+    def _build() -> DataFrame:
+        seeds = (
+            load_table(spark, sf_dir, "embeddings")
+            .where(F.col("vec_id") >= N_QUERIES)
+            .orderBy("vec_id")
+            .limit(PQ_K)
+            .select(
+                F.row_number().over(Window.orderBy("vec_id")).cast("int").alias("j"),
+                "embedding",
+            )
+        )
+        dim = 64
+        return seeds.select(
+            "j", _subspace_explode("embedding", dim).alias("s", "cvec")
+        ).select("s", "j", "cvec", _dot("cvec", "cvec").alias("cn2"))
+
+    return session_cached(spark, (sf_dir, "pq_codebook"), _build)
+
+
+def _pq_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The session-scoped PQ code store: (neighbor_id, codes
+    array<int> — 1-based centroid picks per subspace — cns
+    array<double> — the picked centroids' self-dots in subspace
+    order — and rec_n2, the reconstruction self-dot). 8 bytes of
+    codes stand in for 256 bytes of float32 — a 32x compression, the
+    layout that keeps a 100 TB corpus's index in serving memory where
+    even int8 SQ (4x) cannot. Build shape: subspace-explode the
+    corpus (8n skinny rows), broadcast-join the 128-row codebook,
+    score = cn2 - 2 sub.c (dropping the per-vector ||sub||^2 term
+    preserves the argmin), pick via min(struct(score, j)) — partial-
+    aggregating map-side, ties to the lower j — and reassemble per
+    vector with an array_sort'd collect_list (bounded at PQ_M
+    elements per group)."""
+    from maggy_spark.plans.fixtures import session_cached
+
+    cb = _pq_codebook_df(spark, sf_dir)
 
     def _build() -> DataFrame:
         c = load_table(spark, sf_dir, "embeddings", fan_out=True).where(
             F.col("vec_id") >= N_QUERIES
         )
-        codes = []
-        for s in range(PQ_M):
-            sub = F.slice("embedding", s * d + 1, d)
-            scores = F.array(
-                *[
-                    F.lit(cn2) - F.lit(2.0) * _dot(sub, F.array(*[F.lit(v) for v in cvec]))
-                    for cvec, cn2 in cb[s]
-                ]
-            )
-            codes.append(F.array_position(scores, F.array_min(scores)).cast("int"))
-        coded = c.select(
-            F.col("vec_id").alias("neighbor_id"), F.array(*codes).alias("codes")
+        sub = c.select(
+            F.col("vec_id").alias("neighbor_id"),
+            _subspace_explode("embedding", 64).alias("s", "sub"),
         )
-        rec_n2 = _chain(
-            [
-                F.element_at(
-                    F.array(*[F.lit(cn2) for _cvec, cn2 in cb[s]]),
-                    F.element_at("codes", s + 1),
-                )
-                for s in range(PQ_M)
-            ]
+        scored = sub.join(F.broadcast(cb), "s").select(
+            "neighbor_id",
+            "s",
+            "j",
+            "cn2",
+            (F.col("cn2") - F.lit(2.0) * _dot("sub", "cvec")).alias("score"),
         )
-        return coded.select("neighbor_id", "codes", rec_n2.alias("rec_n2"))
+        picked = scored.groupBy("neighbor_id", "s").agg(
+            F.min(F.struct("score", "j", "cn2")).alias("m")
+        )
+        parts = picked.groupBy("neighbor_id").agg(
+            F.array_sort(
+                F.collect_list(F.struct("s", F.col("m.j").alias("code"), F.col("m.cn2").alias("cn2")))
+            ).alias("parts")
+        )
+        rec_n2 = _chain([F.element_at("parts", s + 1)["cn2"] for s in range(PQ_M)])
+        return parts.select(
+            "neighbor_id",
+            F.transform("parts", lambda p: p["code"]).alias("codes"),
+            F.col("parts.cn2").alias("cns"),
+            rec_n2.alias("rec_n2"),
+        )
 
     return session_cached(spark, (sf_dir, "pq_corpus"), _build)
 
@@ -1002,40 +1016,38 @@ def ann9_pq_adc(
     from pyspark.sql.window import Window
 
     e = load_table(spark, sf_dir, "embeddings", fan_out=True)
-    cb = _pq_codebook(spark, sf_dir)
-    d = len(cb[0][0][0])
+    cb = _pq_codebook_df(spark, sf_dir)
     store = _pq_corpus(spark, sf_dir)
 
-    lut = F.array(
-        *[
-            F.array(
-                *[
-                    _dot(
-                        F.slice("embedding", s * d + 1, d),
-                        F.array(*[F.lit(v) for v in cvec]),
-                    )
-                    for cvec, _cn2 in cb[s]
-                ]
-            )
-            for s in range(PQ_M)
-        ]
-    )
-    q = e.where(F.col("vec_id") < N_QUERIES).select(
+    q0 = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.sqrt(_dot("embedding", "embedding")).alias("qn"),
-        lut.alias("lut"),
     )
+    # per-query ADC lookup table as DATA: subspace-explode the query,
+    # broadcast-join the codebook, reassemble sorted by (s, j) so
+    # LUT[s][j] == flat[s*PQ_K + j] — tiny expressions, no per-call
+    # literal compile (see _pq_codebook_df)
+    qsub = q0.select("query_id", _subspace_explode("qe", 64).alias("s", "qsub"))
+    flat = (
+        qsub.join(F.broadcast(cb), "s")
+        .select("query_id", "s", "j", _dot("qsub", "cvec").alias("dot"))
+        .groupBy("query_id")
+        .agg(F.array_sort(F.collect_list(F.struct("s", "j", "dot"))).alias("flat"))
+    )
+    q = q0.join(flat, "query_id")
     adc_ip = _chain(
         [
-            F.element_at(F.element_at("lut", s + 1), F.element_at("codes", s + 1))
+            F.element_at(
+                "flat", (F.lit(s * PQ_K) + F.element_at("codes", s + 1)).cast("int")
+            )["dot"]
             for s in range(PQ_M)
         ]
     )
     adc_cos = F.when(
         (F.col("qn") == 0.0) | (F.col("rec_n2") <= 0.0), F.lit(-2.0)
     ).otherwise(adc_ip / (F.col("qn") * F.sqrt("rec_n2")))
-    coarse = store.crossJoin(F.broadcast(q.select("query_id", "qn", "lut"))).select(
+    coarse = store.crossJoin(F.broadcast(q.select("query_id", "qn", "flat"))).select(
         "query_id", "neighbor_id", adc_cos.alias("adc_cos")
     )
     wc = Window.partitionBy("query_id").orderBy(F.col("adc_cos").desc(), F.col("neighbor_id"))
