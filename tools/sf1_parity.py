@@ -321,13 +321,21 @@ def main() -> int:
             record("pl13_full_corpus_build", [f"error: {e}"], -1,
                    time.time() - t0, "duckdb-twin+union-find-comp")
 
+    # MERGE into any existing artifact: subset runs (positional
+    # names) must refresh their rows without dropping the rest of a
+    # prior full sweep
+    path = Path(REPO / "SF1_PARITY.json")
+    merged = results
+    if only and path.exists():
+        prior = json.loads(path.read_text()).get("results", {})
+        merged = {**prior, **results}
     out = {
         "sf_dir": SF1_DIR,
-        "n": len(results),
-        "matches": sum(1 for r in results.values() if r["match"]),
-        "results": results,
+        "n": len(merged),
+        "matches": sum(1 for r in merged.values() if r["match"]),
+        "results": merged,
     }
-    Path(REPO / "SF1_PARITY.json").write_text(json.dumps(out, indent=1))
+    path.write_text(json.dumps(out, indent=1))
     print(f"\n{len(failures)} failures / {len(results)} swept", flush=True)
     return 1 if failures else 0
 
