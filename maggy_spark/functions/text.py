@@ -1430,6 +1430,68 @@ def _dsir_bucketed(spark: SparkSession, sf_dir: str, buckets: int) -> DataFrame:
     return _session_cached(spark, (sf_dir, "dsir_buckets", buckets), _build)
 
 
+def _dsir_model(
+    spark: SparkSession, sf_dir: str, buckets: int, target_mod: int
+) -> DataFrame:
+    """(b, llr): the per-bucket log-likelihood ratio model over the
+    landed corpus — one row per OBSERVED bucket (≤ ``buckets`` by
+    construction), add-1/2 smoothed, each log rounded into
+    decimal(18,6) before the subtraction. Raw covers every bucket any
+    corpus doc can hit (the target slice is a subset), so batch
+    scoring joins totally; streams probing with UNSEEN content use
+    ``dsir_unseen_llr`` as the lookup default."""
+    half_b = 0.5 * buckets
+    bucketed = _dsir_bucketed(spark, sf_dir, buckets)
+    tgt = (
+        bucketed.where(F.col("doc_id") % target_mod == 0)
+        .groupBy("b")
+        .agg(F.count("*").cast("bigint").alias("ct"))
+    )
+    raw = bucketed.groupBy("b").agg(F.count("*").cast("bigint").alias("cr"))
+    tt = tgt.agg(F.sum("ct").cast("bigint").alias("tt"))
+    tr = raw.agg(F.sum("cr").cast("bigint").alias("tr"))
+    lt = F.log(
+        (F.coalesce(F.col("ct"), F.lit(0)).cast("double") + F.lit(0.5))
+        / (F.col("tt").cast("double") + F.lit(half_b))
+    ).cast("decimal(18,6)")
+    lr = F.log(
+        (F.col("cr").cast("double") + F.lit(0.5))
+        / (F.col("tr").cast("double") + F.lit(half_b))
+    ).cast("decimal(18,6)")
+    return (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(tr))
+        .select("b", (lt - lr).alias("llr"))
+    )
+
+
+def dsir_unseen_llr(
+    spark: SparkSession, sf_dir: str, buckets: int = DSIR_BUCKETS,
+    target_mod: int = DSIR_TARGET_MOD,
+):
+    """The smoothed LLR of a bucket with ZERO observations on both
+    sides — what an incoming stream document's genuinely-new feature
+    scores. Computed Spark-side with the exact decimal rounding the
+    model rows get, so a stream lookup default is bit-consistent with
+    the model family. Returns a python Decimal."""
+    half_b = 0.5 * buckets
+    bucketed = _dsir_bucketed(spark, sf_dir, buckets)
+    tt = bucketed.where(F.col("doc_id") % target_mod == 0).count()
+    tr = bucketed.count()
+    row = spark.range(1).select(
+        (
+            F.log(F.lit(0.5) / (F.lit(tt).cast("double") + F.lit(half_b))).cast(
+                "decimal(18,6)"
+            )
+            - F.log(F.lit(0.5) / (F.lit(tr).cast("double") + F.lit(half_b))).cast(
+                "decimal(18,6)"
+            )
+        ).alias("llr")
+    ).collect()[0]
+    return row.llr
+
+
 def tx15_dsir_score(
     spark: SparkSession,
     sf_dir: str,
@@ -1469,32 +1531,8 @@ def tx15_dsir_score(
     registry (50-entry cap); DuckDB parity in
     tests/test_offline_oracles.py.
     """
-    half_b = 0.5 * buckets
     bucketed = _dsir_bucketed(spark, sf_dir, buckets)
-    tgt = (
-        bucketed.where(F.col("doc_id") % target_mod == 0)
-        .groupBy("b")
-        .agg(F.count("*").cast("bigint").alias("ct"))
-    )
-    raw = bucketed.groupBy("b").agg(F.count("*").cast("bigint").alias("cr"))
-    tt = tgt.agg(F.sum("ct").cast("bigint").alias("tt"))
-    tr = raw.agg(F.sum("cr").cast("bigint").alias("tr"))
-    lt = F.log(
-        (F.coalesce(F.col("ct"), F.lit(0)).cast("double") + F.lit(0.5))
-        / (F.col("tt").cast("double") + F.lit(half_b))
-    ).cast("decimal(18,6)")
-    lr = F.log(
-        (F.col("cr").cast("double") + F.lit(0.5))
-        / (F.col("tr").cast("double") + F.lit(half_b))
-    ).cast("decimal(18,6)")
-    # raw covers every bucket any doc can hit (the target is a subset
-    # of the corpus), so the scoring join below is total
-    model = (
-        raw.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(tt))
-        .crossJoin(F.broadcast(tr))
-        .select("b", (lt - lr).alias("llr"))
-    )
+    model = _dsir_model(spark, sf_dir, buckets, target_mod)
     return (
         bucketed.join(F.broadcast(model), "b")
         .groupBy("doc_id")

@@ -1,6 +1,7 @@
 from maggy_spark.streaming.documents_stream import (
     contamination_alert_stream,
     dedup_document_stream,
+    dsir_score_stream,
     fingerprint_document_stream,
     near_dup_alert_stream,
     pii_gate_stream,
@@ -36,6 +37,7 @@ __all__ = [
     "ingest_gate_stream_fn",
     "trailing_volume_stats",
     "dedup_document_stream",
+    "dsir_score_stream",
     "dedup_metric_stream",
     "early_stop_decisions_stream",
     "fingerprint_document_stream",

@@ -159,6 +159,72 @@ def pii_gate_stream(doc_stream: DataFrame) -> DataFrame:
     return doc_stream.select("doc_id", "ts", *pii_decision_columns())
 
 
+def dsir_score_stream(
+    doc_stream: DataFrame, model: DataFrame, default_llr, buckets: int | None = None
+) -> DataFrame:
+    """Streaming tx15: DSIR importance scores at ingest — every
+    incoming document scored against the STATIC model built from the
+    landed corpus (`text._dsir_model`), before anything joins the
+    training store. This is where importance resampling actually runs
+    in production: the selector decides at the door, not in a later
+    corpus rewrite.
+
+    STATELESS by construction: the ≤``buckets``-row model collects
+    into a literal map (the cap is structural — hashing bounds the
+    model at any corpus size, so this is NOT the unbounded-literal
+    trap ann9's codebook hit; it compiles once at stream start), and
+    feature hashing, lookups, and the per-doc decimal mean are all
+    per-row array expressions — no explode, no streaming aggregation,
+    no watermark, no state store. Buckets the landed corpus never
+    produced (genuinely new content) score ``default_llr`` — the
+    zero-observation smoothed ratio from `text.dsir_unseen_llr`, so
+    novel text is scored, never dropped or nulled. Scores on corpus
+    content are IDENTICAL to batch tx15 (pinned by
+    test_dsir_score_stream_matches_batch).
+    """
+    from maggy_spark.functions.text import DSIR_BUCKETS
+
+    if buckets is None:
+        buckets = DSIR_BUCKETS
+    rows = model.collect()
+    if len(rows) > buckets:
+        raise ValueError(f"model has {len(rows)} rows > buckets={buckets}")
+    entries: list = []
+    for r in rows:
+        entries += [F.lit(int(r.b)), F.lit(r.llr)]
+    lut = F.create_map(*entries)
+    default = F.lit(default_llr).cast("decimal(19,6)")
+
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    feats = F.concat(toks, bigrams)
+
+    def llr_of(f):
+        b = F.conv(F.substring(F.md5(f), 1, 13), 16, 10).cast("bigint") % buckets
+        return F.coalesce(lut[b].cast("decimal(19,6)"), default)
+
+    llrs = F.transform(feats, llr_of)
+    # decimal + decimal widens precision by 1; the fold's merge must
+    # return the accumulator type exactly, so cast back — exact: the
+    # sum of <=10^4 per-doc features x |llr| < 10^2 never nears 10^22
+    total = F.aggregate(
+        llrs,
+        F.lit(0).cast("decimal(28,6)"),
+        lambda acc, v: (acc + v.cast("decimal(28,6)")).cast("decimal(28,6)"),
+    )
+    return doc_stream.select(
+        "doc_id",
+        "ts",
+        F.size(feats).cast("bigint").alias("n_features"),
+        (total.cast("double") / F.size(feats).cast("double")).alias("dsir_score"),
+    )
+
+
 def quality_gate_stream(doc_stream: DataFrame) -> DataFrame:
     """Streaming tx9: the Gopher-rule quality DECISION applied to the
     incoming corpus feed at ingest, before anything lands in the

@@ -585,6 +585,77 @@ def test_quality_gate_stream_matches_batch_tx9(spark, sf_dir):
     assert got == want
 
 
+def test_dsir_score_stream_matches_batch(spark, sf_dir):
+    """Streaming tx15 parity: DSIR scores on a streamed feed of the
+    documents table must equal the batch operator's BIT-FOR-BIT (both
+    sides sum the same decimal(19,6) per-feature values exactly), a
+    genuinely-new document must score through the unseen-bucket
+    default rather than null out, and the query must be stateless."""
+    import tempfile
+
+    from maggy_spark.functions.text import (
+        DSIR_BUCKETS,
+        DSIR_TARGET_MOD,
+        _dsir_model,
+        dsir_unseen_llr,
+        tx15_dsir_score,
+    )
+    from maggy_spark.streaming import dsir_score_stream
+
+    model = _dsir_model(spark, sf_dir, DSIR_BUCKETS, DSIR_TARGET_MOD)
+    default = dsir_unseen_llr(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", F.lit(_ts(0)).alias("ts")
+    )
+    novel = spark.createDataFrame(
+        [(-1, "zzzunseen qqqnovel zzzunseen", _ts(1))], DOC_SCHEMA
+    )
+    d = tempfile.mkdtemp(prefix="maggy_dsirstream_")
+    docs.unionByName(novel).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(docs.schema).parquet(d)
+    q = (
+        dsir_score_stream(stream, model, default)
+        .writeStream.format("memory")
+        .queryName("dsir_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert all(not (p.get("stateOperators") or []) or
+               sum(op.get("numRowsTotal", 0) for op in p["stateOperators"]) == 0
+               for p in q.recentProgress)
+    got = {r.doc_id: (r.n_features, r.dsir_score)
+           for r in spark.sql("SELECT * FROM dsir_out").collect()}
+    want = {r.doc_id: (r.n_features, r.dsir_score)
+            for r in tx15_dsir_score(spark, sf_dir).collect()}
+    assert len(got) == len(want) + 1
+    for k, v in want.items():
+        assert got[k] == v, k
+    # the novel doc: 3 unigrams + 2 bigrams; hashed features may
+    # COLLIDE with corpus-observed buckets (inherent to hashed DSIR),
+    # so replay the lookup-or-default rule by hand and require that
+    # at least one feature actually took the default path
+    import hashlib
+    from decimal import Decimal
+
+    mrows = {int(r.b): r.llr for r in model.collect()}
+
+    def bucket(f: str) -> int:
+        return int(hashlib.md5(f.encode()).hexdigest()[:13], 16) % DSIR_BUCKETS
+
+    words = "zzzunseen qqqnovel zzzunseen".split(" ")
+    feats = words + [f"{a} {b}" for a, b in zip(words, words[1:])]
+    vals = [mrows.get(bucket(f), default) for f in feats]
+    assert any(mrows.get(bucket(f)) is None for f in feats), "fixture must hit the default path"
+    # the stream divides float(exact decimal sum) by the count —
+    # replay the same two ops
+    expected = float(sum(vals, Decimal(0))) / len(feats)
+    nf, score = got[-1]
+    assert nf == 5
+    assert score == expected
+
+
 def test_pii_gate_stream_matches_batch_tx12(spark, sf_dir):
     """Streaming tx12 parity: PII gate decisions on a streamed feed —
     the fixture docs (all PII-free) plus crafted PII payloads — must
