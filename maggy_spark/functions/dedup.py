@@ -1626,3 +1626,88 @@ DD16_SQL = dd16_sql()
 # ExactSubstr's rewrite pass consumes exactly this relation. dd4
 # rotated out in exchange (verification twin of gate-green dd8).
 OPERATORS.append(("dd16_span_removal_plan", dd16_span_removal_plan, DD16_SQL))
+
+
+# --- dd17: apply the removal plan (the ExactSubstr rewrite) --------------
+
+
+def dd17_apply_removal_plan(spark: SparkSession, sf_dir: str, w: int = SPAN_W) -> DataFrame:
+    """The rewrite pass itself — the third and final step of the
+    substring-dedup loop (dd13 MEASURES duplicated-span mass, dd16
+    PLANS the cuts, dd17 APPLIES them): every token position covered
+    by one of the doc's dd16 spans is excised and the survivors
+    rejoin into the deduplicated text. Output: (doc_id, n_tokens,
+    n_kept, new_text) for EVERY document (uncut docs pass through
+    with n_kept = n_tokens). The removal invariant — n_tokens −
+    n_kept == the doc's total dd16 span_tokens — is pinned by
+    tests/test_functions.py, and as in Lee et al. 2021 the rewrite
+    may create NEW adjacencies whose windows duplicate (their
+    documented acceptance; a second pass converges in practice).
+
+    Scale shape: dd16's plan is sparse (one row per cut span) and
+    per-doc span counts are bounded by doc length, so collecting each
+    doc's spans into an array is a safe groupBy; the rewrite is then
+    one per-row expression over the corpus — a positional filter via
+    the two-argument array lambda with an exists() over the tiny
+    spans array — with the plan LEFT-joined on doc_id (skew-free:
+    one row per doc each side). No explode of token positions, no
+    token ever crosses a shuffle.
+    """
+    plan = dd16_span_removal_plan(spark, sf_dir, w)
+    spans = plan.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    )
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    toks = F.split(F.col("text"), " ")
+    empty = F.expr("CAST(array() AS array<struct<span_start:int,span_end:int>>)")
+    with_spans = d.select("doc_id", toks.alias("toks")).join(spans, "doc_id", "left")
+    covered = lambda t, i: F.exists(  # noqa: E731 - positional filter
+        "spans",
+        lambda s: ((i + 1) >= s["span_start"]) & ((i + 1) <= s["span_end"]),
+    )
+    kept = F.filter("toks", lambda t, i: ~covered(t, i))
+    return with_spans.select(
+        "doc_id", "toks", F.coalesce("spans", empty).alias("spans")
+    ).select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        F.array_join(kept, " ").alias("new_text"),
+    )
+
+
+def dd17_sql(w: int = SPAN_W) -> str:
+    """DuckDB twin: dd16's plan as a nested-WITH CTE, coverage via a
+    positional range join (an independent formulation of the same
+    excision — the Spark side never explodes positions), survivors
+    reassembled with an ORDER BY pos string_agg."""
+    return f"""
+WITH plan AS ({dd16_sql(w)}),
+t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+pos AS (
+    SELECT doc_id, cast(i AS INTEGER) AS pos, toks[cast(i AS INTEGER)] AS tok
+    FROM t, unnest(range(1, len(toks) + 1)) u(i)
+),
+cov AS (
+    SELECT DISTINCT p.doc_id, p.pos
+    FROM pos p JOIN plan s ON p.doc_id = s.doc_id
+                          AND p.pos BETWEEN s.span_start AND s.span_end
+),
+kept AS (
+    SELECT p.doc_id, p.pos, p.tok
+    FROM pos p LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.pos = c.pos
+    WHERE c.pos IS NULL
+),
+agg AS (
+    SELECT doc_id, cast(count(*) AS BIGINT) AS n_kept,
+           string_agg(tok, ' ' ORDER BY pos) AS new_text
+    FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, cast(len(t.toks) AS BIGINT) AS n_tokens,
+       coalesce(a.n_kept, 0) AS n_kept,
+       coalesce(a.new_text, '') AS new_text
+FROM t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+DD17_SQL = dd17_sql()

