@@ -549,6 +549,27 @@ def main() -> None:
             }
         )
 
+        # --- dd17: apply the removal plan (r10) -----------------------------
+        # the claim: the rewrite is one per-row array filter with the
+        # doc's tiny span array left-joined on doc_id — no positional
+        # explode, so wall tracks dd16's plan cost plus a linear map
+        from maggy_spark.functions.dedup import dd17_apply_removal_plan
+
+        t0 = time.time()
+        out = dd17_apply_removal_plan(spark, sf_dir).count()
+        sec = round(time.time() - t0, 2)
+        spark.catalog.clearCache()
+        rows.append(
+            {
+                "op": "dd17_apply_removal_plan",
+                "sf": sf,
+                "n": n_docs,
+                "params": {"w": SPAN_W},
+                "output": out,
+                "sec": sec,
+            }
+        )
+
         # --- ev11: volume anomaly monitor (r8 cont., probed r9) -----------
         # the claim: one groupBy collapses the feed to |types| x |days|
         # rows MAP-SIDE (partial aggregation on the grouping key), and
