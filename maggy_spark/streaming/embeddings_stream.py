@@ -79,3 +79,81 @@ def ann_alert_stream(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def pq_ann_alert_stream(
+    query_stream: DataFrame,
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """ann9's serving tier at ingest: every micro-batch of incoming
+    vectors (query_id, embedding, ts) scans the STATIC PQ code store
+    with asymmetric-distance scoring and alerts on approximate cosine
+    >= ``threshold`` — the memory-tier screen a 100 TB embedding
+    corpus runs when even the int8 store no longer fits the ingest
+    boxes (codes are 32x smaller than float32).
+
+    STATELESS by construction: the 128-row codebook (hard-capped at
+    PQ_M x PQ_K by construction — the bounded-literal contract
+    dsir_score_stream documents) collects into per-subspace literal
+    arrays once at stream start; each incoming vector builds its ADC
+    lookup table as a per-row expression, and the stream-static join
+    against the code store is the PQ scan itself. Per-batch work is
+    |batch| x |store| 8-term lookups over 8-byte codes — the actual
+    serving pattern, with no watermark and no state store. Unlike the
+    bucket-blocked `ann_alert_stream`, recall here is FULL-SCAN (PQ
+    compresses, it does not block); precision is quantization-bounded
+    and candidates feed the batch rerank (ann9) downstream.
+
+    Alert scores are IDENTICAL to the batch ann9 adc_cos on the same
+    (query, neighbor) pairs — pinned by
+    test_pq_ann_alert_stream_matches_batch_adc.
+    """
+    from maggy_spark.functions.similarity import PQ_K, PQ_M, _chain, _pq_codebook_df, _pq_corpus
+
+    store = _pq_corpus(spark, sf_dir)
+    cb_rows = _pq_codebook_df(spark, sf_dir).collect()
+    by_s: dict[int, list] = {}
+    for r in cb_rows:
+        by_s.setdefault(int(r.s), []).append((int(r.j), list(r.cvec)))
+    if sorted(by_s) != list(range(PQ_M)) or any(len(v) != PQ_K for v in by_s.values()):
+        raise ValueError("codebook is not PQ_M x PQ_K — store/codebook geometry drifted")
+
+    d = 64 // PQ_M
+
+    def lut_for(s: int):
+        sub = F.slice("qemb", s * d + 1, d)
+        return F.array(
+            *[
+                _dot(sub, F.array(*[F.lit(v) for v in cvec]))
+                for _j, cvec in sorted(by_s[s])
+            ]
+        )
+
+    q = (
+        query_stream.select("query_id", F.col("embedding").alias("qemb"), "ts")
+        .select(
+            "query_id",
+            "ts",
+            F.sqrt(_dot("qemb", "qemb")).alias("qn"),
+            F.array(*[lut_for(s) for s in range(PQ_M)]).alias("lut"),
+        )
+        .where(F.col("qn") > 0)  # untrusted feed: zero vectors have no direction
+    )
+    adc_ip = _chain(
+        [
+            F.element_at(F.element_at("lut", s + 1), F.element_at("codes", s + 1))
+            for s in range(PQ_M)
+        ]
+    )
+    return (
+        q.join(store.where(F.col("rec_n2") > 0))  # stream-static full scan
+        .select(
+            "query_id",
+            "neighbor_id",
+            (adc_ip / (F.col("qn") * F.sqrt("rec_n2"))).alias("adc_cos"),
+            "ts",
+        )
+        .where(F.col("adc_cos") >= threshold)
+    )

@@ -585,6 +585,76 @@ def test_quality_gate_stream_matches_batch_tx9(spark, sf_dir):
     assert got == want
 
 
+def test_pq_ann_alert_stream_matches_batch_adc(spark, sf_dir):
+    """Streaming PQ serving parity: per-batch ADC scores against the
+    static code store must equal an INDEPENDENT python replay of the
+    asymmetric-distance formula (same left-to-right IEEE folds)
+    EXACTLY, the alert set must be precisely the >= threshold slice,
+    and the query must be stateless."""
+    import math
+    import tempfile
+
+    from maggy_spark.functions.similarity import (
+        N_QUERIES,
+        PQ_K,
+        PQ_M,
+        _pq_codebook_df,
+        _pq_corpus,
+    )
+    from maggy_spark.streaming import pq_ann_alert_stream
+
+    threshold = 0.2
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding", F.lit(_ts(0)).alias("ts")
+    )
+    d = tempfile.mkdtemp(prefix="maggy_pqstream_")
+    queries.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(queries.schema).parquet(d)
+    q = (
+        pq_ann_alert_stream(stream, spark, sf_dir, threshold=threshold)
+        .writeStream.format("memory")
+        .queryName("pq_alert_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert all(not (p.get("stateOperators") or []) or
+               sum(op.get("numRowsTotal", 0) for op in p["stateOperators"]) == 0
+               for p in q.recentProgress)
+    got = {(r.query_id, r.neighbor_id): r.adc_cos
+           for r in spark.sql("SELECT * FROM pq_alert_out").collect()}
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    cb = {(int(r.s), int(r.j)): list(r.cvec) for r in _pq_codebook_df(spark, sf_dir).collect()}
+    store = {r.neighbor_id: (list(r.codes), r.rec_n2) for r in _pq_corpus(spark, sf_dir).collect()}
+    dim = 64 // PQ_M
+    expected = {}
+    for qr in queries.collect():
+        qe = [float(v) for v in qr.embedding]
+        qn = math.sqrt(fold_dot(qe, qe))
+        lut = {
+            (s, j): fold_dot(qe[s * dim:(s + 1) * dim], cb[(s, j)])
+            for s in range(PQ_M) for j in range(1, PQ_K + 1)
+        }
+        for nid, (codes, rec_n2) in store.items():
+            if rec_n2 <= 0:
+                continue
+            adc = lut[(0, codes[0])]
+            for s in range(1, PQ_M):
+                adc = adc + lut[(s, codes[s])]
+            score = adc / (qn * math.sqrt(rec_n2))
+            if score >= threshold:
+                expected[(qr.query_id, nid)] = score
+    assert got == expected and len(expected) > 0
+
+
 def test_dsir_score_stream_matches_batch(spark, sf_dir):
     """Streaming tx15 parity: DSIR scores on a streamed feed of the
     documents table must equal the batch operator's BIT-FOR-BIT (both
