@@ -1089,7 +1089,11 @@ OPERATORS = [
     # production path. Parity continues in
     # tests/test_offline_oracles.py at the gate's sf0.01.
     ("dd5_dedup_clusters", dd5_dedup_clusters, DD5_SQL),
-    ("dd6_simhash", dd6_simhash, DD6_SQL),
+    # dd6_simhash rotated OUT round 11 (pre-declared in COVERAGE.md r10):
+    # it is the internal first stage of gate-green dd7's banded
+    # near-dup pipeline, which recomputes the identical signature
+    # relation. Parity continues in tests/test_offline_oracles.py at
+    # the gate's sf0.01.
     ("dd7_simhash_near_dup", dd7_simhash_near_dup, DD7_SQL),
     ("dd8_lsh_verified_jaccard", dd8_lsh_verified_jaccard, DD8_SQL),
     ("dd10_near_dup_components", dd10_near_dup_components, DD10_SQL),
@@ -1711,3 +1715,9 @@ FROM t LEFT JOIN agg a USING (doc_id)
 
 
 DD17_SQL = dd17_sql()
+
+# Round-11 rotation (pre-declared in COVERAGE.md r10): the production
+# ExactSubstr REWRITE joins the driver gate — dd13 measures, dd16 plans
+# (gate-green since r10), dd17 applies the cuts. Offline-green at
+# sf0.001/0.01/0.1 and sf1 before registration.
+OPERATORS.append(("dd17_apply_removal_plan", dd17_apply_removal_plan, DD17_SQL))

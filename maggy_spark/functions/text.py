@@ -450,7 +450,10 @@ OPERATORS = [
     # tests/test_offline_oracles.py at sf0.01.
     ("tx2_quality_score", tx2_quality_score, TX2_SQL),
     ("tx3_lang_id", tx3_lang_id, TX3_SQL),
-    ("tx4_fingerprint", tx4_fingerprint, TX4_SQL),
+    # tx4_fingerprint rotated OUT round 11 (pre-declared in COVERAGE.md
+    # r10): its fingerprint expression is a literal sub-expression of
+    # the gate-green dd1/dd5 fingerprint family. Parity continues in
+    # tests/test_offline_oracles.py at the gate's sf0.01.
 ]
 
 
@@ -1589,3 +1592,8 @@ GROUP BY doc_id
 
 
 TX15_SQL = tx15_sql()
+
+# Round-11 rotation (pre-declared in COVERAGE.md r10): the DSIR
+# data-selection scorer joins the driver gate. Offline-green at
+# sf0.001/0.01/0.1 and sf1 before registration.
+OPERATORS.append(("tx15_dsir_score", tx15_dsir_score, TX15_SQL))

@@ -135,15 +135,15 @@ CASES = [
     # via cn2-2x.c argmin, per-query LUTs, exact rerank); recall +
     # seed-exactness pins in test_functions.py
     ("ann9_pq_adc", "ANN9_SQL", "maggy_spark.functions.similarity"),
-    # round-10 addition: DSIR importance scores (hashed unigram+bigram
-    # log-likelihood ratio, target slice vs raw corpus — the data-
-    # selection pass of Xie et al. 2023); separation + totality pins
-    # in test_functions.py
-    ("tx15_dsir_score", "TX15_SQL", "maggy_spark.functions.text"),
-    # round-10 addition: the ExactSubstr REWRITE (dd13 measures, dd16
-    # plans, dd17 applies) — positional excision, survivors rejoined;
-    # removal invariant pinned in test_functions.py
-    ("dd17_apply_removal_plan", "DD17_SQL", "maggy_spark.functions.dedup"),
+    # round-11 rotation (pre-declared in COVERAGE.md r10): tx15 (DSIR
+    # data-selection scorer) and dd17 (the ExactSubstr rewrite) moved
+    # INTO the registry; rotated out here: dd6 (the internal first
+    # stage of gate-green dd7's banded near-dup pipeline, which
+    # recomputes the identical signature relation) and tx4 (its
+    # fingerprint expression is a literal sub-expression of the
+    # gate-green dd1/dd5 fingerprint family).
+    ("dd6_simhash", "DD6_SQL", "maggy_spark.functions.dedup"),
+    ("tx4_fingerprint", "TX4_SQL", "maggy_spark.functions.text"),
 ]
 
 
