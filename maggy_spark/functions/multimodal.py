@@ -776,6 +776,54 @@ WHERE bit_count(xor(a.sigint, b.sigint)) <= {PHASH_MAX_HAMMING}
 """
 
 
+def validate_mm6_twin_corpus(payloads: dict) -> None:
+    """Fail LOUDLY when a media corpus steps outside the validity
+    domain of ``mm6_decodable_sql`` (the documented fixture
+    convention) instead of producing a confusing parity diff later.
+    The twin's decodable domain is strictly NARROWER than the Spark
+    real path (canonical ``P6\\n{w} {h}\\n255\\n`` header only — no
+    comments, no alternate whitespace, maxval exactly 255 — and w/h
+    positive multiples of 32), and its stub path round-trips the
+    payload through VARCHAR, which is byte-faithful only for
+    printable ASCII. Every consumer of the twin must call this on
+    its {media_id: payload-bytes} mapping BEFORE registering the
+    media view; parity tests pin that it actually fires.
+    """
+    import re
+
+    decoder = _phash_decoder()  # the REAL domain, incl. PIL when installed
+    bad: list = []
+    for mid, payload in payloads.items():
+        payload = bytes(payload)
+        try:
+            decoder(payload)
+            spark_decodes = True
+        except Exception:
+            spark_decodes = False
+        m = re.match(rb"^P6\n(\d+) (\d+)\n255\n", payload)
+        twin_decodes = False
+        if m is not None:
+            w, h = int(m.group(1)), int(m.group(2))
+            twin_decodes = (
+                w >= 32
+                and h >= 32
+                and w % 32 == 0
+                and h % 32 == 0
+                and len(payload) - m.end() == w * h * 3
+            )
+        if spark_decodes != twin_decodes:
+            bad.append((mid, "decodable by the Spark real path but outside the twin's "
+                             "canonical-P6 convention" if spark_decodes else
+                             "decodable by the twin but rejected by the Spark parser"))
+        elif not spark_decodes and not all(32 <= b <= 126 for b in payload):
+            bad.append((mid, "stub-path payload has non-printable-ASCII bytes — the "
+                             "twin's VARCHAR round-trip would escape them, diverging "
+                             "from md5 over the raw bytes"))
+    if bad:
+        lines = "; ".join(f"media_id={mid}: {why}" for mid, why in bad)
+        raise ValueError(f"corpus violates the mm6_decodable_sql fixture convention — {lines}")
+
+
 OPERATORS = [
     ("mm1_decode_metadata", mm1_decode_metadata, MM1_SQL),
     # mm2_frame_sample rotated OUT of the registry round 8 (derives

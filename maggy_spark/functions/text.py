@@ -1089,13 +1089,24 @@ def _rank_order_foldable(merges: list) -> bool:
     in rank order equals the rank-priority loop: merging (l, r) -> lr
     only creates adjacencies INVOLVING lr, and any merge consuming lr
     has a later rank, so no lower-rank pair can (re)appear after its
-    turn. An arbitrary user list may violate it (e.g. rank 0 consumes
-    rank 3's output) — those fall back to the priority-loop seam."""
+    turn. That argument needs each output string to have a UNIQUE
+    producing rank: if two merges yield the same string (('a','bc')
+    at an early rank, ('ab','c') later — reachable from bpe_train,
+    since ('ab','c') can still be counted after 'abc' exists), a
+    consumer ranked between them re-fires in the priority loop when
+    the LATER producer re-creates the symbol, after the single pass
+    has already moved past it — so duplicate outputs also fall back.
+    An arbitrary user list may violate either condition (e.g. rank 0
+    consumes rank 3's output) — those fall back to the priority-loop
+    seam."""
     made: set = set()
     for left, right, *_ in merges:
         if (len(left) > 1 and left not in made) or (len(right) > 1 and right not in made):
             return False
-        made.add(left + right)
+        out = left + right
+        if out in made:
+            return False
+        made.add(out)
     return True
 
 

@@ -144,22 +144,27 @@ def _parse_fields(buf: bytes) -> Iterator[tuple[int, int, object]]:
 
 
 def _parse_feature(buf: bytes) -> tuple[str, list]:
-    """One Feature message -> (kind, values)."""
+    """One Feature message -> (kind, values). Protobuf merge
+    semantics allow a Feature's list to arrive as REPEATED embedded
+    chunks (some third-party writers split large lists): same-kind
+    chunks CONCATENATE (repeated fields merge), while a chunk of a
+    DIFFERENT kind replaces what came before (Feature.kind is a
+    oneof — setting another member clears the previous one)."""
+    kind: str | None = None
+    out: list = []
     for field, wt, val in _parse_fields(buf):
-        if field == 1 and wt == 2:  # BytesList
-            return "bytes", [bytes(v) for f, w, v in _parse_fields(val) if f == 1]
-        if field == 2:  # FloatList
-            out: list[float] = []
+        if wt != 2 or field not in (1, 2, 3):
+            continue
+        this = {1: "bytes", 2: "float", 3: "int64"}[field]
+        if this != kind:  # oneof switch: later member wins
+            kind, out = this, []
+        if this == "bytes":
+            out.extend(bytes(v) for f, w, v in _parse_fields(val) if f == 1)
+        elif this == "float":
             for f, w, v in _parse_fields(val):
-                if f != 1:
-                    continue
-                if w == 2:  # packed
+                if f == 1 and w in (2, 5):  # packed run or single I32
                     out.extend(np.frombuffer(v, dtype="<f4").tolist())
-                elif w == 5:
-                    out.extend(np.frombuffer(v, dtype="<f4").tolist())
-            return "float", out
-        if field == 3:  # Int64List
-            out = []
+        else:  # int64
             for f, w, v in _parse_fields(val):
                 if f != 1:
                     continue
@@ -170,8 +175,7 @@ def _parse_feature(buf: bytes) -> tuple[str, list]:
                         out.append(_signed64(x))
                 elif w == 0:
                     out.append(_signed64(v))
-            return "int64", out
-    return "bytes", []
+    return (kind or "bytes"), out
 
 
 def parse_example(payload: bytes) -> dict[str, tuple[str, list]]:
@@ -213,20 +217,47 @@ def _len_field(field: int, payload: bytes) -> bytes:
     return _varint((field << 3) | 2) + _varint(len(payload)) + payload
 
 
-def encode_example(features: dict[str, object]) -> bytes:
+def encode_example(features: dict[str, object], kinds: dict[str, str] | None = None) -> bytes:
     """{name: value} -> tf.Example bytes. Ints/int-lists become
     Int64List (packed), floats FloatList (packed float32 — the
-    proto's precision), str/bytes and their lists BytesList."""
+    proto's precision), str/bytes and their lists BytesList.
+
+    Kind is inferred from the WHOLE list, not its first element:
+    mixed-type lists raise TypeError instead of mis-encoding. An
+    empty list is ambiguous — pass ``kinds={name: 'bytes'|'float'|
+    'int64'}`` to pin its encoding (default: empty FloatList, the
+    historical behavior, now explicit)."""
     body = b""
     for name, value in features.items():
         vals = value if isinstance(value, (list, tuple, np.ndarray)) else [value]
         vals = list(vals)
-        if vals and isinstance(vals[0], (bytes, str)):
+        hint = (kinds or {}).get(name)
+        if not vals:
+            kind = hint or "float"
+            if kind not in ("bytes", "float", "int64"):
+                raise ValueError(f"feature {name!r}: unknown kind hint {kind!r}")
+        elif all(isinstance(v, (bytes, str)) for v in vals):
+            kind = "bytes"
+        elif all(isinstance(v, (bool, int, np.integer)) for v in vals):
+            kind = "int64"
+        elif all(isinstance(v, (bool, int, float, np.integer, np.floating)) for v in vals):
+            kind = "float"
+        else:
+            raise TypeError(
+                f"feature {name!r}: mixed or unsupported value types "
+                f"{sorted({type(v).__name__ for v in vals})}"
+            )
+        if hint and vals and kind != hint:
+            if hint == "float" and kind == "int64":  # ints are valid floats
+                kind = "float"
+            else:
+                raise TypeError(f"feature {name!r}: values are {kind}, hint says {hint}")
+        if kind == "bytes":
             bl = b"".join(
                 _len_field(1, v.encode("utf-8") if isinstance(v, str) else v) for v in vals
             )
             feature = _len_field(1, bl)
-        elif vals and all(isinstance(v, (int, np.integer)) for v in vals):
+        elif kind == "int64":
             packed = b"".join(_varint(int(v) & ((1 << 64) - 1)) for v in vals)
             feature = _len_field(3, _len_field(1, packed))
         else:

@@ -1068,6 +1068,10 @@ def test_mm6_decodable_corpus_parity(spark):
         coefs = (d @ t @ d.T)[:8, :8].ravel()[1 : multimodal.PHASH_BITS + 1]
         assert np.abs(coefs).min() > 1e-6
 
+    # the twin's validity-domain guard (ADVICE r10): every consumer
+    # asserts the fixture convention BEFORE registering the view
+    multimodal.validate_mm6_twin_corpus(payloads)
+
     img = spark.createDataFrame(
         [(mid, bytearray(p)) for mid, p in payloads.items()],
         "media_id bigint, payload binary",
@@ -1095,6 +1099,43 @@ def test_mm6_decodable_corpus_parity(spark):
     }
     assert sigs[10] != multimodal._phash_stub(payloads[10])
     assert sigs[102] == multimodal._phash_stub(payloads[102])
+
+
+def test_mm6_twin_convention_guard_fires_outside_the_domain():
+    """validate_mm6_twin_corpus must fail LOUDLY on corpora where the
+    Spark real path and the mm6_decodable_sql twin would take
+    DIFFERENT signature paths (the spurious-parity-diff hazard, ADVICE
+    r10): a P6 the strict parser decodes but whose geometry/header is
+    outside the twin's canonical convention, and a stub payload whose
+    non-printable bytes break the twin's VARCHAR round-trip. In-domain
+    corpora pass silently."""
+    import numpy as np
+
+    def ppm(rgb, header=None):
+        h, w = rgb.shape[:2]
+        hdr = header if header is not None else b"P6\n%d %d\n255\n" % (w, h)
+        return hdr + rgb.tobytes()
+
+    rng = np.random.default_rng(7)
+    ok64 = ppm(rng.integers(10, 240, size=(64, 64, 3), dtype=np.uint8))
+    text = b"plain ascii stub payload"
+    multimodal.validate_mm6_twin_corpus({1: ok64, 2: text})  # in-domain
+
+    # Spark decodes 48x48 (>= PHASH_SIDE), twin requires %32 == 0
+    odd_geom = ppm(rng.integers(10, 240, size=(48, 48, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="outside the twin"):
+        multimodal.validate_mm6_twin_corpus({1: odd_geom})
+
+    # comment header: strict parser accepts, canonical regex rejects
+    raster = rng.integers(10, 240, size=(32, 32, 3), dtype=np.uint8)
+    commented = ppm(raster, header=b"P6\n# made by a tool\n32 32\n255\n")
+    assert multimodal.decode_ppm_gray(commented) is not None
+    with pytest.raises(ValueError, match="outside the twin"):
+        multimodal.validate_mm6_twin_corpus({1: commented})
+
+    # stub payload with bytes the VARCHAR round-trip would escape
+    with pytest.raises(ValueError, match="non-printable"):
+        multimodal.validate_mm6_twin_corpus({1: b"stub with \x01 byte"})
 
 
 def test_ppm_parser_rejects_malformed_and_text_payloads():
@@ -2107,6 +2148,24 @@ def test_bpe_encode_non_foldable_list_falls_back_to_priority_loop(spark, sf_dir)
     big = [("q", "r", 1)] * (BPE_JVM_FOLD_MAX + 1)
     df2 = bpe_encode(spark, sf_dir, big)
     assert "MapInPandas" in df2._jdf.queryExecution().analyzed().toString()
+
+    # Duplicate OUTPUT strings also break the single-pass invariant
+    # even when every side is available in time: ('a','bc') and
+    # ('ab','c') both yield 'abc', so a consumer ranked between them
+    # (('abc','d') here) re-fires in the priority loop when the later
+    # producer re-creates 'abc' — after the single pass already moved
+    # past it. Such lists are reachable from bpe_train (('ab','c')
+    # can still be counted after 'abc' exists) and must fall back.
+    dup_out = [
+        ("a", "b", 9),
+        ("b", "c", 8),
+        ("a", "bc", 7),
+        ("abc", "d", 6),
+        ("ab", "c", 5),
+    ]
+    assert not _rank_order_foldable(dup_out)
+    df3 = bpe_encode(spark, sf_dir, dup_out)
+    assert "MapInPandas" in df3._jdf.queryExecution().analyzed().toString()
 
 
 def test_tx14_vocab_cap_binds_identically_across_engines(spark, sf_dir):

@@ -120,3 +120,62 @@ def test_petastorm_shim_gated_like_frameworks():
         pass
     with pytest.raises(ImportError, match="shard_parquet_reader"):
         petastorm_reader("/tmp/x", rank=0, world_size=1)
+
+
+def test_parse_feature_concatenates_split_chunks():
+    """Protobuf merge semantics: a Feature's list may arrive as
+    repeated embedded-message chunks (some third-party writers split
+    large lists). Same-kind chunks must CONCATENATE, not stop at the
+    first; a later chunk of a DIFFERENT kind replaces the earlier
+    one (Feature.kind is a oneof)."""
+    # two BytesList chunks: [b"ab"] then [b"cd", b"ef"]
+    chunk1 = tfr._len_field(1, tfr._len_field(1, b"ab"))
+    chunk2 = tfr._len_field(1, tfr._len_field(1, b"cd") + tfr._len_field(1, b"ef"))
+    kind, vals = tfr._parse_feature(chunk1 + chunk2)
+    assert (kind, vals) == ("bytes", [b"ab", b"cd", b"ef"])
+
+    # two Int64List chunks with packed varints: [1,2] then [3]
+    packed12 = tfr._varint(1) + tfr._varint(2)
+    i1 = tfr._len_field(3, tfr._len_field(1, packed12))
+    i2 = tfr._len_field(3, tfr._len_field(1, tfr._varint(3)))
+    kind, vals = tfr._parse_feature(i1 + i2)
+    assert (kind, vals) == ("int64", [1, 2, 3])
+
+    # two FloatList chunks (packed float32): [1.5] then [2.5, 3.0]
+    f1 = tfr._len_field(2, tfr._len_field(1, np.asarray([1.5], "<f4").tobytes()))
+    f2 = tfr._len_field(2, tfr._len_field(1, np.asarray([2.5, 3.0], "<f4").tobytes()))
+    kind, vals = tfr._parse_feature(f1 + f2)
+    assert (kind, vals) == ("float", [1.5, 2.5, 3.0])
+
+    # oneof switch: BytesList chunk then Int64List chunk -> later
+    # member wins and the earlier values are cleared
+    kind, vals = tfr._parse_feature(chunk1 + i1)
+    assert (kind, vals) == ("int64", [1, 2])
+
+
+def test_encode_example_validates_kinds():
+    """Kind inference covers the WHOLE list: mixed-type lists raise
+    instead of mis-encoding; empty lists take an explicit kind hint
+    (default float, the historical behavior); int values under a
+    float hint coerce (ints are valid floats)."""
+    with pytest.raises(TypeError, match="mixed or unsupported"):
+        tfr.encode_example({"x": ["s", 1, 2]})
+
+    # empty list + hint roundtrips with the hinted kind
+    for hint, want in [("bytes", "bytes"), ("int64", "int64"), ("float", "float")]:
+        payload = tfr.encode_example({"x": []}, kinds={"x": hint})
+        kind, vals = tfr.parse_example(payload)["x"]
+        assert (kind, vals) == (want, [])
+    # default for an unhinted empty list stays FloatList
+    kind, vals = tfr.parse_example(tfr.encode_example({"x": []}))["x"]
+    assert (kind, vals) == ("float", [])
+
+    # int values + float hint coerce; contradictory hint raises
+    kind, vals = tfr.parse_example(
+        tfr.encode_example({"x": [1, 2]}, kinds={"x": "float"})
+    )["x"]
+    assert (kind, vals) == ("float", [1.0, 2.0])
+    with pytest.raises(TypeError, match="hint says"):
+        tfr.encode_example({"x": [1, 2]}, kinds={"x": "bytes"})
+    with pytest.raises(ValueError, match="unknown kind hint"):
+        tfr.encode_example({"x": []}, kinds={"x": "f32"})
