@@ -1546,12 +1546,25 @@ def dd16_span_removal_plan(spark: SparkSession, sf_dir: str, w: int = SPAN_W) ->
     join-back reuses the hash exchange, and island merging is one
     per-doc sort window. No self-join anywhere.
     """
-    from pyspark.sql import Window
-
     d = load_table(spark, sf_dir, "documents", fan_out=True)
     wins = _session_cached(
         spark, (sf_dir, "span_windows", w), lambda: _span_windows(d, w)
     )
+    return span_removal_plan_over(d, w, wins=wins)
+
+
+def span_removal_plan_over(
+    d: DataFrame, w: int = SPAN_W, wins: DataFrame | None = None
+) -> DataFrame:
+    """The dd16 core over ANY (doc_id, text) relation — factored out
+    (round 11, the span_dedup_profile pattern) so the ExactSubstr
+    convergence probe can iterate plan→rewrite→plan over rewritten
+    corpora. ``wins`` optionally supplies a pre-materialized
+    _span_windows relation (dd16 passes the session-cached one)."""
+    from pyspark.sql import Window
+
+    if wins is None:
+        wins = _span_windows(d, w)
     keep = (
         wins.groupBy("whash")
         .agg(
@@ -1658,10 +1671,17 @@ def dd17_apply_removal_plan(spark: SparkSession, sf_dir: str, w: int = SPAN_W) -
     token ever crosses a shuffle.
     """
     plan = dd16_span_removal_plan(spark, sf_dir, w)
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    return apply_removal_plan_over(d, plan)
+
+
+def apply_removal_plan_over(d: DataFrame, plan: DataFrame) -> DataFrame:
+    """The dd17 core over ANY (doc_id, text) relation and its
+    (doc_id, span_start, span_end, ...) removal plan — factored out
+    (round 11) so the convergence probe can chain rewrite passes."""
     spans = plan.groupBy("doc_id").agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("spans")
     )
-    d = load_table(spark, sf_dir, "documents", fan_out=True)
     toks = F.split(F.col("text"), " ")
     empty = F.expr("CAST(array() AS array<struct<span_start:int,span_end:int>>)")
     with_spans = d.select("doc_id", toks.alias("toks")).join(spans, "doc_id", "left")
@@ -1721,3 +1741,60 @@ DD17_SQL = dd17_sql()
 # (gate-green since r10), dd17 applies the cuts. Offline-green at
 # sf0.001/0.01/0.1 and sf1 before registration.
 OPERATORS.append(("dd17_apply_removal_plan", dd17_apply_removal_plan, DD17_SQL))
+
+
+def exact_substr_converge(d: DataFrame, w: int = SPAN_W, max_passes: int = 3) -> list:
+    """MEASURED convergence of the ExactSubstr loop (VERDICT r10 item
+    3): dd17's docstring cites Lee et al. 2021's acceptance that a
+    rewrite may create NEW duplicated adjacencies and "a second pass
+    converges in practice" — this turns the citation into a number.
+    Each iteration plans the cuts over the CURRENT corpus (so entry
+    k's ``plan_tokens`` is exactly what rewrite pass k+1 would
+    remove), records corpus + plan mass, then applies the rewrite and
+    repeats. Returns one dict per measurement, entry 0 describing the
+    ORIGINAL corpus; stops early once a plan is empty (a fixed
+    point — the next rewrite would be the identity).
+
+    Scale shape: each pass is one dd16 plan + one dd17 rewrite — the
+    same banded/windowed shapes as the single-pass operators, times a
+    SMALL constant number of passes (the measured tables in
+    SCALING.md show pass-2 plans at ~1e-4 of the original mass). The
+    rewritten corpus is eagerly localCheckpoint()ed between passes so
+    the logical plan stays flat (the iterative-loop rule; on a real
+    cluster route through spark.maggy.checkpointDir like dd10)."""
+    out: list = []
+    cur = d.select("doc_id", "text")
+    for p in range(max_passes + 1):
+        plan = span_removal_plan_over(cur, w)
+        c = cur.agg(
+            F.count("*").alias("docs"),
+            # split('') yields [''] — count fully-excised docs as 0
+            F.sum(
+                F.when(F.col("text") == "", F.lit(0)).otherwise(F.size(F.split("text", " ")))
+            )
+            .cast("bigint")
+            .alias("tokens"),
+        ).collect()[0]
+        ps = plan.agg(
+            F.count("*").cast("bigint").alias("spans"),
+            F.coalesce(F.sum("span_tokens"), F.lit(0)).cast("bigint").alias("plan_tokens"),
+        ).collect()[0]
+        tokens = int(c["tokens"] or 0)
+        out.append(
+            {
+                "pass": p,
+                "docs": int(c["docs"]),
+                "tokens": tokens,
+                "plan_spans": int(ps["spans"]),
+                "plan_tokens": int(ps["plan_tokens"]),
+                "removable_frac": (int(ps["plan_tokens"]) / tokens) if tokens else 0.0,
+            }
+        )
+        if ps["spans"] == 0 or p == max_passes:
+            break
+        cur = (
+            apply_removal_plan_over(cur, plan)
+            .select("doc_id", F.col("new_text").alias("text"))
+            .localCheckpoint()
+        )
+    return out

@@ -2037,6 +2037,38 @@ def test_bpe_encode_matches_sequential_application_and_roundtrips(spark, sf_dir)
     assert total_bpe < total_chars
 
 
+def test_exactsubstr_convergence_measured(spark, sf_dir):
+    """Turns dd17's cited acceptance (Lee et al. 2021: the rewrite
+    may create NEW duplicated adjacencies; "a second pass converges
+    in practice") into a pinned property (VERDICT r10 item 3). The
+    crafted corpus FORCES the acceptance case: excising B's
+    duplicated middle splices "p q"+"r" into a window duplicating
+    doc A, so pass 2 has real work — and pass 3 must be the fixed
+    point. On the fixture corpus the residual removable mass after
+    two passes must be < 1e-3 of corpus tokens (measured 0 at every
+    probed scale — SCALING.md convergence table)."""
+    from maggy_spark.functions.dedup import exact_substr_converge
+    from maggy_spark.plans.fixtures import load_table
+
+    rows = [
+        (0, "c1 D1 D2 D3 c2"),  # canonical site of the seeded dup
+        (1, "x1 x2 p q r x3"),  # canonical site of the CREATED dup
+        (2, "p q D1 D2 D3 r"),  # cut splices p q r into existence
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    passes = exact_substr_converge(d, w=3, max_passes=4)
+    assert [p["plan_spans"] for p in passes] == [1, 1, 0]
+    assert [p["plan_tokens"] for p in passes] == [3, 3, 0]
+    # pass 1 removed exactly the seeded span; pass 2 exactly the
+    # created one (doc B ends empty: 6 -> 3 -> 0 tokens)
+    assert [p["tokens"] for p in passes] == [17, 14, 11]
+
+    corpus = load_table(spark, sf_dir, "documents", fan_out=True)
+    cp = exact_substr_converge(corpus, max_passes=2)
+    assert cp[0]["plan_tokens"] > 0  # the fixture has real dup mass
+    assert cp[-1]["removable_frac"] < 1e-3
+
+
 def test_dd17_rewrite_invariants(spark, sf_dir):
     """The ExactSubstr rewrite pins: (1) removal accounting — every
     doc's n_tokens − n_kept equals its dd16 plan's total span_tokens
