@@ -141,6 +141,38 @@ def test_lagom_hyperband_composition_e2e(spark, optimizer):
     assert res["best_val"] >= res["worst_val"]
 
 
+def test_lagom_hyperband_large_ladder_under_fair_pool(spark):
+    """The scale row beyond the minimal ladder (VERDICT r10 item 8):
+    a 3-rung-deeper eta=3 ladder (min=1, max=27, n_iterations=1 ->
+    27+9+3+1 = 40 rung-trials) driven through the async FAIR pool at
+    parallelism 8. Pins (1) the exact ladder arithmetic at smax=3,
+    (2) scheduler correctness at 2.4x the bench ladder's trial count
+    (promotion ordering survives deeper rungs and wider waves), and
+    (3) the <=2 s/trial budget the bench holds the 17-trial row to —
+    asserted here with the same bound; the trial fn is near-noop so
+    wall time IS driver machinery."""
+    import time
+
+    config = HyperparameterOptConfig(
+        num_trials=3,  # overridden by the pruner's ladder
+        optimizer="randomsearch",
+        searchspace=Searchspace(**SP),
+        direction="max",
+        es_policy="none",
+        seed=42,
+        parallelism=8,
+        scheduling="async",  # the FAIR-pool per-trial scheduler, not waves
+        pruner="hyperband",
+        pruner_kwargs={"min_budget": 1, "max_budget": 27, "eta": 3, "n_iterations": 1},
+    )
+    t0 = time.time()
+    res = lagom(hb_train_fn, config, spark)
+    wall = time.time() - t0
+    assert res["num_trials"] == 40
+    assert res["best_val"] >= res["worst_val"]
+    assert wall / res["num_trials"] <= 2.0, f"{wall:.1f}s for 40 trials"
+
+
 def test_exact_smax_keeps_top_rung_for_exact_powers():
     """Float-log ladder math drops the max-budget rung for exact
     powers (log(1000)/log(10) = 2.999...); every consumer shares the
