@@ -40,6 +40,15 @@ is the metrics fixture's own 4-decade SCALING.md rows).
 Usage:
     python tools/sf1_parity.py                 # full sf1 roster
     python tools/sf1_parity.py dd13_span_dedup # subset (exact names)
+    python tools/sf1_parity.py --dir /tmp/maggy_sf10 --out SF10_PARITY.json dd1_exact_dedup ...
+                                               # another decade (r11: the
+                                               # sf10 ladder for the cheap
+                                               # window-hash families)
+
+Rotated-out operators (dd6/tx4 since r11) stay sweepable: names not
+in the 50-entry registry resolve through the offline-oracle case
+list (tests/test_offline_oracles.CASES), the same (fn, SQL) pairs the
+offline suite pins.
 
 Writes one human line per row plus a JSON summary to
 SF1_PARITY.json. Runtime is dominated by the DuckDB dd7 side of the
@@ -92,11 +101,14 @@ DIRECT = [
     "ann5_knn_graph",
     "ann7_quantized_rerank",
     "ann8_ivf_quantized",
+    "ann9_pq_adc",
     "tx10_unigram_logprob",
     "tx14_bigram_logprob",
+    "tx15_dsir_score",
     "dd12_boilerplate_profile",
     "dd13_span_dedup",
     "dd16_span_removal_plan",
+    "dd17_apply_removal_plan",
     "ing1_ingest_gate",
     # pl13_full_corpus_build is NOT in DIRECT: its twin embeds the
     # recursive-closure CTE, whose reach relation is quadratic in the
@@ -221,12 +233,39 @@ def _python_dd14(comp: pd.DataFrame, con: duckdb.DuckDBPyConnection) -> pd.DataF
 
 
 def main() -> int:
-    only = set(sys.argv[1:])
+    argv = list(sys.argv[1:])
+    sf_dir, out_name = SF1_DIR, "SF1_PARITY.json"
+    if "--dir" in argv:
+        i = argv.index("--dir")
+        sf_dir = argv[i + 1]
+        del argv[i : i + 2]
+        if sf_dir != SF1_DIR:  # don't let another decade clobber the sf1 artifact
+            out_name = f"PARITY_{Path(sf_dir).rstrip('/').rsplit('/', 1)[-1]}.json"
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_name = argv[i + 1]
+        del argv[i : i + 2]
+    only = set(argv)
+    import importlib
+    import importlib.util
+
     import __spark_entry__ as entrymod
     from pyspark.sql import SparkSession
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # rotated-out operators resolve through the offline-case list —
+    # the registry holds only the driver's 50; the sweep covers both
+    spec = importlib.util.spec_from_file_location(
+        "_offline_cases", REPO / "tests" / "test_offline_oracles.py"
+    )
+    off = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(off)
+    for cname, sqlc, modn in off.CASES:
+        if cname not in qs:
+            mod = importlib.import_module(modn)
+            qs[cname] = getattr(mod, cname)
+            oracles[cname] = getattr(mod, sqlc)
 
     spark = (
         SparkSession.builder.master("local[16]")
@@ -236,7 +275,7 @@ def main() -> int:
         .config("spark.driver.memory", "16g")
         .getOrCreate()
     )
-    con = _connect(SF1_DIR)
+    con = _connect(sf_dir)
     results: dict[str, dict] = {}
     failures: list[str] = []
 
@@ -260,7 +299,7 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = qs[name](spark, SF1_DIR)
+            sdf = qs[name](spark, sf_dir)
             spark_pd = to_pandas_spark(sdf)
             duck_pd = con.execute(oracles[name]).fetchdf()
         except Exception as e:  # noqa: BLE001 - sweep must report, not die
@@ -283,7 +322,7 @@ def main() -> int:
                    time.time() - t0, "duckdb-pairs+union-find")
     if comp_oracle is not None and (not only or "dd10_near_dup_components" in only):
         try:
-            sdf = qs["dd10_near_dup_components"](spark, SF1_DIR)
+            sdf = qs["dd10_near_dup_components"](spark, sf_dir)
             spark_pd = to_pandas_spark(sdf)
             record("dd10_near_dup_components", compare_frames(sdf, spark_pd, comp_oracle),
                    len(spark_pd), time.time() - t0, "duckdb-pairs+union-find")
@@ -294,7 +333,7 @@ def main() -> int:
         t0 = time.time()
         try:
             oracle14 = _python_dd14(comp_oracle, con)
-            sdf = qs["dd14_cluster_representatives"](spark, SF1_DIR)
+            sdf = qs["dd14_cluster_representatives"](spark, sf_dir)
             spark_pd = to_pandas_spark(sdf)
             record("dd14_cluster_representatives", compare_frames(sdf, spark_pd, oracle14),
                    len(spark_pd), time.time() - t0, "duckdb-toks+union-find")
@@ -312,7 +351,7 @@ def main() -> int:
             fast_sql = (
                 "WITH comp AS (SELECT doc_id, cluster_rep FROM pycomp),\n" + PL13_SQL[i:]
             )
-            sdf = qs["pl13_full_corpus_build"](spark, SF1_DIR)
+            sdf = qs["pl13_full_corpus_build"](spark, sf_dir)
             spark_pd = to_pandas_spark(sdf)
             duck_pd = con.execute(fast_sql).fetchdf()
             record("pl13_full_corpus_build", compare_frames(sdf, spark_pd, duck_pd),
@@ -324,13 +363,13 @@ def main() -> int:
     # MERGE into any existing artifact: subset runs (positional
     # names) must refresh their rows without dropping the rest of a
     # prior full sweep
-    path = Path(REPO / "SF1_PARITY.json")
+    path = Path(REPO / out_name)
     merged = results
     if only and path.exists():
         prior = json.loads(path.read_text()).get("results", {})
         merged = {**prior, **results}
     out = {
-        "sf_dir": SF1_DIR,
+        "sf_dir": sf_dir,
         "n": len(merged),
         "matches": sum(1 for r in merged.values() if r["match"]),
         "results": merged,
