@@ -1080,10 +1080,14 @@ def ann9_pq_adc(
     )
 
 
-def ann9_sql(candidates: int = PQ_CANDIDATES, k: int = TOP_K) -> str:
-    """DuckDB twin: seeds/codebook re-derived from the table, codes
-    via the same argmin (row_number over (score, j)), LUT/recon sums
-    as the SAME explicit left-assoc chains the Spark side folds."""
+def _ann9_coarse_prefix_sql() -> str:
+    """The shared CTE chain of the PQ/ADC twins — everything from the
+    query/corpus split through the `coarse` ADC-cosine relation.
+    ann9_sql stacks the candidate cut + exact rerank on top;
+    pq_adc_screen_sql (the streaming serving screen's end-state twin)
+    stacks only the threshold filter — both consume the IDENTICAL
+    codebook/code/LUT derivation, so the batch and streaming oracles
+    cannot drift apart."""
     sub = "list_slice({v}, {s}*{d} + 1, {s}*{d} + {d})"
     d = 64 // PQ_M
     rec_chain = " + ".join(f"cns[{s + 1}]" for s in range(PQ_M))
@@ -1134,7 +1138,15 @@ coarse AS (
            CASE WHEN qn = 0.0 OR ({rec_chain}) <= 0.0 THEN -2.0
                 ELSE ({adc_chain}) / (qn * sqrt({rec_chain})) END AS adc_cos
     FROM store CROSS JOIN qq
-),
+)"""
+
+
+def ann9_sql(candidates: int = PQ_CANDIDATES, k: int = TOP_K) -> str:
+    """DuckDB twin: seeds/codebook re-derived from the table, codes
+    via the same argmin (row_number over (score, j)), LUT/recon sums
+    as the SAME explicit left-assoc chains the Spark side folds."""
+    return f"""
+{_ann9_coarse_prefix_sql()},
 cand AS (
     SELECT query_id, neighbor_id, adc_cos FROM (
         SELECT query_id, neighbor_id, adc_cos,
@@ -1157,6 +1169,25 @@ SELECT query_id, neighbor_id, adc_cos, cosine, rank FROM (
 
 
 ANN9_SQL = ann9_sql()
+
+
+def pq_adc_screen_sql(threshold: float) -> str:
+    """DuckDB twin of `streaming.pq_ann_alert_stream`'s END STATE: the
+    full-scan ADC screen — every (query, neighbor) whose asymmetric-
+    distance cosine clears ``threshold`` — over the SAME codebook/
+    code/LUT derivation as the batch ann9 twin (the shared
+    `_ann9_coarse_prefix_sql`). The -2.0 degenerate sentinel rows
+    (zero-norm query or non-positive reconstructed norm) fall out of
+    the filter exactly as the stream's qn/rec_n2 guards drop them at
+    the source — which is only equivalent for POSITIVE thresholds,
+    so a non-positive one is rejected rather than silently diverging."""
+    if threshold <= 0:
+        raise ValueError("pq_adc_screen_sql models the stream only for threshold > 0")
+    return f"""
+{_ann9_coarse_prefix_sql()}
+SELECT query_id, neighbor_id, adc_cos
+FROM coarse WHERE adc_cos >= {threshold}
+"""
 
 
 OPERATORS = [

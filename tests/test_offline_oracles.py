@@ -253,3 +253,64 @@ def test_dsir_score_stream_end_state_matches_duckdb_twin(spark, sf_dir, duck, tm
     assert s_cols == d_cols
     assert spark_dtypes(acc) == duck_dtypes(duck_pd)
     assert s_rows == d_rows
+
+
+def test_pq_ann_alert_stream_end_state_matches_duckdb_twin(spark, sf_dir, duck, tmp_path):
+    """Stream end-state oracle #2 (VERDICT r10 item 4, same treatment
+    as the dsir stream above): the PQ/ADC serving screen's output,
+    accumulated across MULTIPLE micro-batches by a foreachBatch sink,
+    is value-hash-compared against an independent DuckDB twin
+    (`pq_adc_screen_sql` — the batch ann9 twin's shared codebook/code/
+    LUT derivation with the stream's threshold filter on top). Covers
+    the stream-start codebook-literal compilation, the stream-static
+    full-scan join, and batch splitting against a second ENGINE."""
+    from pyspark.sql import functions as F
+
+    from maggy_spark.functions.similarity import N_QUERIES, pq_adc_screen_sql
+    from maggy_spark.streaming import pq_ann_alert_stream
+    from tools.check_oracle import duck_dtypes, frame_signature, spark_dtypes, to_pandas_spark
+
+    threshold = 0.2
+    feed_dir, out_dir, ck_dir = (str(tmp_path / n) for n in ("feed", "out", "ck"))
+    (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "embedding",
+            F.timestamp_micros(F.lit(0)).alias("ts"),
+        )
+        .repartition(3)  # 3 files -> 3 micro-batches under maxFilesPerTrigger=1
+        .write.mode("overwrite")
+        .parquet(feed_dir)
+    )
+    stream = (
+        spark.readStream.schema("query_id bigint, embedding array<float>, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir)
+    )
+    batch_ids: list = []
+
+    def sink(bdf, bid):
+        batch_ids.append(bid)
+        bdf.drop("ts").write.mode("append").parquet(out_dir)
+
+    q = (
+        pq_ann_alert_stream(stream, spark, sf_dir, threshold=threshold)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ck_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(batch_ids) >= 2, "feed must actually split across micro-batches"
+
+    acc = spark.read.parquet(out_dir).select("query_id", "neighbor_id", "adc_cos")
+    spark_pd = to_pandas_spark(acc)
+    duck_pd = duck.execute(pq_adc_screen_sql(threshold)).fetchdf()
+    assert len(spark_pd) == len(duck_pd) > 0
+    s_cols, s_rows = frame_signature(spark_pd)
+    d_cols, d_rows = frame_signature(duck_pd)
+    assert s_cols == d_cols
+    assert spark_dtypes(acc) == duck_dtypes(duck_pd)
+    assert s_rows == d_rows

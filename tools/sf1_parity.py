@@ -161,6 +161,19 @@ WHERE bit_count(xor(a.si, b.si)) <= {MAX_HAMMING}
 
 def _connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # big-decade oracle sides (dd17's position explode at sf10 is
+    # ~27.5M rows joined back to 500k string_aggs) need out-of-core:
+    # give DuckDB a spill dir and leave headroom for the concurrent
+    # Spark driver instead of the default 80%-of-RAM cap
+    con.execute("SET temp_directory='/tmp/duck_spill'")
+    import os
+
+    con.execute(f"SET memory_limit='{os.environ.get('MAGGY_DUCK_MEM', '48GB')}'")
+    # big ordered aggregations (dd17's per-doc string_agg over the
+    # position explode) blow the insertion-order bookkeeping before
+    # the data itself at sf10; result ordering is irrelevant — the
+    # compare hashes an order-insensitive multiset
+    con.execute("SET preserve_insertion_order=false")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if Path(p).exists():
@@ -240,7 +253,7 @@ def main() -> int:
         sf_dir = argv[i + 1]
         del argv[i : i + 2]
         if sf_dir != SF1_DIR:  # don't let another decade clobber the sf1 artifact
-            out_name = f"PARITY_{Path(sf_dir).rstrip('/').rsplit('/', 1)[-1]}.json"
+            out_name = f"PARITY_{Path(str(sf_dir).rstrip('/')).name}.json"
     if "--out" in argv:
         i = argv.index("--out")
         out_name = argv[i + 1]
