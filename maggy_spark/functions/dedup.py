@@ -1759,9 +1759,31 @@ def exact_substr_converge(d: DataFrame, w: int = SPAN_W, max_passes: int = 3) ->
     same banded/windowed shapes as the single-pass operators, times a
     SMALL constant number of passes (the measured tables in
     SCALING.md show pass-2 plans at ~1e-4 of the original mass). The
-    rewritten corpus is eagerly localCheckpoint()ed between passes so
-    the logical plan stays flat (the iterative-loop rule; on a real
-    cluster route through spark.maggy.checkpointDir like dd10)."""
+    rewritten corpus is eagerly checkpointed between passes so the
+    logical plan stays flat (the iterative-loop rule): localCheckpoint
+    in local mode, or RELIABLE df.checkpoint() against
+    ``spark.maggy.checkpointDir`` when the session conf is set — the
+    same executor-loss contract as star_components/bpe_train
+    (CLUSTER.md), with any pre-existing app checkpoint dir restored
+    on exit."""
+    spark = d.sparkSession
+    checkpoint_dir = spark.conf.get("spark.maggy.checkpointDir", None)
+    prev_ckpt_dir = None
+    if checkpoint_dir:
+        opt = spark.sparkContext._jsc.sc().getCheckpointDir()
+        prev_ckpt_dir = opt.get() if opt.isDefined() else None
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        ckpt = lambda df: df.checkpoint(eager=True)  # noqa: E731
+    else:
+        ckpt = lambda df: df.localCheckpoint()  # noqa: E731
+    try:
+        return _exact_substr_converge_loop(d, w, max_passes, ckpt)
+    finally:
+        if prev_ckpt_dir is not None:
+            spark.sparkContext.setCheckpointDir(prev_ckpt_dir)
+
+
+def _exact_substr_converge_loop(d: DataFrame, w: int, max_passes: int, ckpt) -> list:
     out: list = []
     cur = d.select("doc_id", "text")
     for p in range(max_passes + 1):
@@ -1792,9 +1814,9 @@ def exact_substr_converge(d: DataFrame, w: int = SPAN_W, max_passes: int = 3) ->
         )
         if ps["spans"] == 0 or p == max_passes:
             break
-        cur = (
-            apply_removal_plan_over(cur, plan)
-            .select("doc_id", F.col("new_text").alias("text"))
-            .localCheckpoint()
+        cur = ckpt(
+            apply_removal_plan_over(cur, plan).select(
+                "doc_id", F.col("new_text").alias("text")
+            )
         )
     return out

@@ -2099,6 +2099,22 @@ def test_exactsubstr_convergence_measured(spark, sf_dir):
     assert cp[0]["plan_tokens"] > 0  # the fixture has real dup mass
     assert cp[-1]["removable_frac"] < 1e-3
 
+    # cluster contract: with spark.maggy.checkpointDir set, the
+    # between-pass checkpoints go through the RELIABLE path (files
+    # land under the dir) and the trajectory is identical
+    import tempfile
+
+    ck = tempfile.mkdtemp(prefix="maggy_conv_ck_")
+    spark.conf.set("spark.maggy.checkpointDir", ck)
+    try:
+        cp2 = exact_substr_converge(corpus, max_passes=2)
+    finally:
+        spark.conf.unset("spark.maggy.checkpointDir")
+    assert cp2 == cp
+    from pathlib import Path as _P
+
+    assert any(_P(ck).rglob("*")), "durable pass checkpoints should exist"
+
 
 def test_dd17_rewrite_invariants(spark, sf_dir):
     """The ExactSubstr rewrite pins: (1) removal accounting — every
