@@ -145,7 +145,7 @@ def main() -> None:
         # BASELINE.md pin (r11): the JVM fold path's fixed cost puts
         # the sf0.1 median at ~2 s; drift above 3 s is a regression
         # signal, not noise — flag it loudly in the artifact of record
-        if sf <= 0.11 and timings["bpe_encode"] > 3.0:
+        if 0 < sf <= 0.11 and timings["bpe_encode"] > 3.0:  # sf=-1 = unknown scale: no pin
             print(
                 f"BENCH WARN bpe_encode median {timings['bpe_encode']:.2f}s "
                 "exceeds the 3s BASELINE.md pin",

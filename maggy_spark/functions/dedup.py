@@ -1777,17 +1777,25 @@ def exact_substr_converge(d: DataFrame, w: int = SPAN_W, max_passes: int = 3) ->
     else:
         ckpt = lambda df: df.localCheckpoint()  # noqa: E731
     try:
-        return _exact_substr_converge_loop(d, w, max_passes, ckpt)
+        return _exact_substr_converge_loop(d, w, max_passes, ckpt, bool(checkpoint_dir))
     finally:
         if prev_ckpt_dir is not None:
             spark.sparkContext.setCheckpointDir(prev_ckpt_dir)
 
 
-def _exact_substr_converge_loop(d: DataFrame, w: int, max_passes: int, ckpt) -> list:
+def _exact_substr_converge_loop(
+    d: DataFrame, w: int, max_passes: int, ckpt, durable: bool
+) -> list:
     out: list = []
     cur = d.select("doc_id", "text")
+    prev_local: DataFrame | None = None  # prior pass's localCheckpoint, freed below
     for p in range(max_passes + 1):
-        plan = span_removal_plan_over(cur, w)
+        # persist the plan: it is consumed twice per pass (the stats
+        # row and the rewrite) and its derivation — window hashing +
+        # groupBy + join-back + sort window — is the loop's dominant
+        # cost; without the pin Catalyst recomputes it from scratch
+        # inside apply_removal_plan_over
+        plan = span_removal_plan_over(cur, w).persist()
         c = cur.agg(
             F.count("*").alias("docs"),
             # split('') yields [''] — count fully-excised docs as 0
@@ -1813,10 +1821,24 @@ def _exact_substr_converge_loop(d: DataFrame, w: int, max_passes: int, ckpt) -> 
             }
         )
         if ps["spans"] == 0 or p == max_passes:
+            plan.unpersist()
             break
-        cur = ckpt(
+        nxt = ckpt(
             apply_removal_plan_over(cur, plan).select(
                 "doc_id", F.col("new_text").alias("text")
             )
         )
+        plan.unpersist()  # nxt is eagerly materialized; the plan is spent
+        # free the PRIOR pass's localCheckpoint blocks (unpersist alone
+        # is a no-op for checkpoint storage — the star_components rule);
+        # durable checkpoints are files, nothing to free. The caller's
+        # input frame (pass 0's `cur`) is never ours to free.
+        if not durable and prev_local is not None:
+            _free_local_checkpoint(prev_local)
+        prev_local = nxt
+        cur = nxt
+    # the loop returns only driver-side stats dicts — the last
+    # checkpointed corpus has no consumers either
+    if not durable and prev_local is not None:
+        _free_local_checkpoint(prev_local)
     return out

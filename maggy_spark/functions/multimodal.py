@@ -788,6 +788,14 @@ def validate_mm6_twin_corpus(payloads: dict) -> None:
     printable ASCII. Every consumer of the twin must call this on
     its {media_id: payload-bytes} mapping BEFORE registering the
     media view; parity tests pin that it actually fires.
+
+    The decoder probe resolves on the CALLER (driver), while mm6's
+    signing stage resolves it lazily on the workers — the guard is
+    therefore only as good as driver/executor environment parity
+    (PIL present on both or neither), which is already a hard
+    deployment requirement here (CLUSTER.md checklist #3: the
+    shipped env must match the driver). In this container neither
+    side has PIL, so the domains agree by construction.
     """
     import re
 

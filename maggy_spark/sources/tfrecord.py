@@ -159,7 +159,10 @@ def _parse_feature(buf: bytes) -> tuple[str, list]:
         if this != kind:  # oneof switch: later member wins
             kind, out = this, []
         if this == "bytes":
-            out.extend(bytes(v) for f, w, v in _parse_fields(val) if f == 1)
+            # w == 2 guard: a varint-encoded inner field would reach
+            # bytes(int) and fabricate a zero-filled buffer of that
+            # length — reject non-LEN encodings instead of allocating
+            out.extend(bytes(v) for f, w, v in _parse_fields(val) if f == 1 and w == 2)
         elif this == "float":
             for f, w, v in _parse_fields(val):
                 if f == 1 and w in (2, 5):  # packed run or single I32
@@ -232,15 +235,17 @@ def encode_example(features: dict[str, object], kinds: dict[str, str] | None = N
         vals = value if isinstance(value, (list, tuple, np.ndarray)) else [value]
         vals = list(vals)
         hint = (kinds or {}).get(name)
+        if hint is not None and hint not in ("bytes", "float", "int64"):
+            raise ValueError(f"feature {name!r}: unknown kind hint {hint!r}")
         if not vals:
             kind = hint or "float"
-            if kind not in ("bytes", "float", "int64"):
-                raise ValueError(f"feature {name!r}: unknown kind hint {kind!r}")
         elif all(isinstance(v, (bytes, str)) for v in vals):
             kind = "bytes"
-        elif all(isinstance(v, (bool, int, np.integer)) for v in vals):
+        elif all(isinstance(v, (bool, np.bool_, int, np.integer)) for v in vals):
             kind = "int64"
-        elif all(isinstance(v, (bool, int, float, np.integer, np.floating)) for v in vals):
+        elif all(
+            isinstance(v, (bool, np.bool_, int, float, np.integer, np.floating)) for v in vals
+        ):
             kind = "float"
         else:
             raise TypeError(

@@ -2095,9 +2095,17 @@ def test_exactsubstr_convergence_measured(spark, sf_dir):
     assert [p["tokens"] for p in passes] == [17, 14, 11]
 
     corpus = load_table(spark, sf_dir, "documents", fan_out=True)
+
+    def cached_rdds():
+        return {i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+
+    before = cached_rdds()
     cp = exact_substr_converge(corpus, max_passes=2)
     assert cp[0]["plan_tokens"] > 0  # the fixture has real dup mass
     assert cp[-1]["removable_frac"] < 1e-3
+    # the loop frees its per-pass plan persists AND its localCheckpoint
+    # corpora (unpersist alone is a no-op for checkpoint storage)
+    assert cached_rdds() - before == set(), "convergence loop leaked storage"
 
     # cluster contract: with spark.maggy.checkpointDir set, the
     # between-pass checkpoints go through the RELIABLE path (files

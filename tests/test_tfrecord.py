@@ -153,6 +153,31 @@ def test_parse_feature_concatenates_split_chunks():
     assert (kind, vals) == ("int64", [1, 2])
 
 
+def test_parse_feature_rejects_varint_bytes_chunk():
+    """A malformed BytesList whose inner field 1 is varint-encoded
+    (wiretype 0) must be DROPPED, not turned into a zero-filled
+    buffer of that length — bytes(int) semantics would let an
+    adversarial N allocate terabytes on the worker."""
+    # Feature { bytes_list { 1: varint 5 } } — field 1 wiretype 0
+    bad_inner = tfr._varint((1 << 3) | 0) + tfr._varint(5)
+    payload = tfr._len_field(1, bad_inner)
+    kind, vals = tfr._parse_feature(payload)
+    assert (kind, vals) == ("bytes", [])
+    # a well-formed chunk alongside it still parses
+    good = tfr._len_field(1, bad_inner + tfr._len_field(1, b"ok"))
+    assert tfr._parse_feature(good) == ("bytes", [b"ok"])
+
+
+def test_encode_example_numpy_bool_and_hint_validation():
+    """np.bool_ arrays (dtype=bool ndarrays are a supported container)
+    encode as Int64List like Python bools; an unknown kind hint raises
+    ValueError even when the list is non-empty."""
+    payload = tfr.encode_example({"x": np.array([True, False, True])})
+    assert tfr.parse_example(payload)["x"] == ("int64", [1, 0, 1])
+    with pytest.raises(ValueError, match="unknown kind hint"):
+        tfr.encode_example({"x": [1]}, kinds={"x": "f32"})
+
+
 def test_encode_example_validates_kinds():
     """Kind inference covers the WHOLE list: mixed-type lists raise
     instead of mis-encoding; empty lists take an explicit kind hint
