@@ -950,3 +950,151 @@ FROM s
 
 
 MM7_SQL = _mm7_sql()
+
+
+# --- mm8: pHash ingest probe (asymmetric store screen) -------------------
+
+# Crafted probe/store payloads UNIONed on both engines so the relation
+# is non-vacuous at every fixture scale (the tx12/dd15 probe-union
+# argument): 'alpha' matches two store copies (exercising fan-out),
+# 'beta' one, 'gamma'/'delta' are the no-match controls. Negative ids
+# cannot collide with corpus media ids.
+MM8_PROBE_MEDIA: list[tuple[int, str]] = [
+    (-1, "mm8 shared boilerplate frame alpha"),
+    (-2, "mm8 shared boilerplate frame beta"),
+    (-3, "mm8 probe-only payload gamma"),
+]
+MM8_STORE_MEDIA: list[tuple[int, str]] = [
+    (-101, "mm8 shared boilerplate frame alpha"),
+    (-102, "mm8 shared boilerplate frame alpha"),
+    (-103, "mm8 shared boilerplate frame beta"),
+    (-104, "mm8 store-only payload delta"),
+]
+
+
+def phash_probe_over(
+    incoming: DataFrame, store_sigs: DataFrame, max_hamming: int = PHASH_MAX_HAMMING
+) -> DataFrame:
+    """mm6's banded machinery in ASYMMETRIC form: incoming
+    (media_id, payload) rows are signed worker-side (the same
+    real-pHash-or-stub mapInPandas core) and probed against a
+    PRE-SIGNED static store relation (media_id, sigint) via the
+    pigeonhole band join — the dd11 delta-side-only pattern applied
+    to media. Output: (probe_id, store_id, hamming), every store
+    member within ``max_hamming`` of each probe.
+
+    Scale shape: per-probe cost is |bands| bucket lookups against the
+    store's banded relation — independent of corpus history beyond
+    the bucket population; no self-join, first-match band dedup so
+    multi-band pairs never reshuffle through a DISTINCT. Works on a
+    STREAMING `incoming` unchanged (all expressions are map-side; the
+    join is stream-static)."""
+    from maggy_spark.functions.dedup import _bval, _first_match_and_hamming
+
+    if max_hamming > PHASH_MAX_HAMMING:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the banding's exact-recall "
+            f"radius {PHASH_MAX_HAMMING} (PHASH_BANDS={PHASH_BANDS})"
+        )
+    b, t = PHASH_BAND_BITS, PHASH_BITS
+
+    def banded(sig: DataFrame, idc: str, sc: str) -> DataFrame:
+        return sig.select(
+            F.col("media_id").alias(idc),
+            F.col("sigint").alias(sc),
+            F.explode(
+                F.array(
+                    *[F.lit(i << b) + _bval(F.col("sigint"), i, b, t) for i in range(PHASH_BANDS)]
+                )
+            ).alias("band_key"),
+        )
+
+    a = banded(_phash_signatures(incoming.select("media_id", "payload")), "probe_id", "sa")
+    s = banded(store_sigs, "store_id", "sb")
+    first_match, ham = _first_match_and_hamming(b, t)
+    return (
+        a.join(s, "band_key")
+        .where(ham <= max_hamming)
+        .where(first_match)
+        .select("probe_id", "store_id", ham.cast("int").alias("hamming"))
+    )
+
+
+def mm8_store_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The static signed media store the ingest probe screens against:
+    the EVEN image slice of the media table (media_id % 6 == 0 — image
+    ids are multiples of 3) plus the crafted MM8_STORE_MEDIA rows,
+    signed once and session-cached (the long-lived signatures-table
+    pattern — a production store keeps sigint alongside the payload,
+    so ingest never re-hashes history)."""
+    from maggy_spark.plans.fixtures import session_cached
+
+    def build() -> DataFrame:
+        img = media_table(spark, sf_dir).where(F.col("media_type") == "image")
+        store = img.where(F.col("media_id") % 6 == 0).select("media_id", "payload")
+        crafted = spark.createDataFrame(
+            [(i, bytearray(tx.encode("utf-8"))) for i, tx in MM8_STORE_MEDIA],
+            "media_id bigint, payload binary",
+        )
+        return _phash_signatures(store.unionByName(crafted))
+
+    return session_cached(spark, (sf_dir, "mm8_store_sigs"), build)
+
+
+def mm8_phash_probe(
+    spark: SparkSession, sf_dir: str, max_hamming: int = PHASH_MAX_HAMMING
+) -> DataFrame:
+    """Deterministic batch form of the media ingest screen (the ing1
+    convention: store = even image slice, feed = odd) — each probe
+    payload signed and screened against `mm8_store_signatures`. The
+    streaming twin (`streaming.phash_alert_stream`) is THIS relation
+    with the probe side arriving as micro-batches. Oracle validity:
+    the fixture payloads are utf-8 text, so both engines take the md5
+    stub path (the MM6_SQL argument, environment-pinned at sf0.01);
+    `validate_mm6_twin_corpus` guards any future decodable fixture.
+    Not in the driver registry (50-entry cap); DuckDB parity in
+    tests/test_offline_oracles.py."""
+    img = media_table(spark, sf_dir).where(F.col("media_type") == "image")
+    probe = img.where(F.col("media_id") % 6 == 3).select("media_id", "payload")
+    crafted = spark.createDataFrame(
+        [(i, bytearray(tx.encode("utf-8"))) for i, tx in MM8_PROBE_MEDIA],
+        "media_id bigint, payload binary",
+    )
+    return phash_probe_over(
+        probe.unionByName(crafted), mm8_store_signatures(spark, sf_dir), max_hamming
+    )
+
+
+def _mm8_values(rows: list) -> str:
+    return ", ".join(f"(cast({i} AS BIGINT), '{tx}')" for i, tx in rows)
+
+
+MM8_SQL = f"""
+WITH img AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 0),
+probe0 AS (
+    SELECT media_id, text FROM img WHERE media_id % 6 = 3
+    UNION ALL SELECT * FROM (VALUES {_mm8_values(MM8_PROBE_MEDIA)}) p(media_id, text)
+),
+store0 AS (
+    SELECT media_id, text FROM img WHERE media_id % 6 = 0
+    UNION ALL SELECT * FROM (VALUES {_mm8_values(MM8_STORE_MEDIA)}) s(media_id, text)
+),
+psig AS (SELECT media_id, CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS sigint FROM probe0),
+ssig AS (SELECT media_id, CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS sigint FROM store0),
+pband AS (
+    SELECT media_id, sigint,
+           (i * {1 << PHASH_BAND_BITS}) +
+           ((sigint >> ({PHASH_BITS} - (i + 1) * {PHASH_BAND_BITS})) & {(1 << PHASH_BAND_BITS) - 1}) AS band_key
+    FROM psig CROSS JOIN generate_series(0, {PHASH_BANDS - 1}) gs(i)
+),
+sband AS (
+    SELECT media_id, sigint,
+           (i * {1 << PHASH_BAND_BITS}) +
+           ((sigint >> ({PHASH_BITS} - (i + 1) * {PHASH_BAND_BITS})) & {(1 << PHASH_BAND_BITS) - 1}) AS band_key
+    FROM ssig CROSS JOIN generate_series(0, {PHASH_BANDS - 1}) gs(i)
+)
+SELECT DISTINCT p.media_id AS probe_id, s.media_id AS store_id,
+       CAST(bit_count(xor(p.sigint, s.sigint)) AS INTEGER) AS hamming
+FROM pband p JOIN sband s ON p.band_key = s.band_key
+WHERE bit_count(xor(p.sigint, s.sigint)) <= {PHASH_MAX_HAMMING}
+"""

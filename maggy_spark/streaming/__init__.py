@@ -8,6 +8,7 @@ from maggy_spark.streaming.documents_stream import (
     quality_gate_stream,
 )
 from maggy_spark.streaming.embeddings_stream import ann_alert_stream, pq_ann_alert_stream
+from maggy_spark.streaming.media_stream import phash_alert_stream
 from maggy_spark.streaming.ingest_stream import (
     ingest_base,
     ingest_decisions,
@@ -43,6 +44,7 @@ __all__ = [
     "early_stop_decisions_stream",
     "fingerprint_document_stream",
     "near_dup_alert_stream",
+    "phash_alert_stream",
     "pii_gate_stream",
     "quality_gate_stream",
     "sessionize_event_stream",

@@ -144,6 +144,12 @@ CASES = [
     # gate-green dd1/dd5 fingerprint family).
     ("dd6_simhash", "DD6_SQL", "maggy_spark.functions.dedup"),
     ("tx4_fingerprint", "TX4_SQL", "maggy_spark.functions.text"),
+    # round-11 addition: the media ingest screen — mm6's pHash banding
+    # in asymmetric store-probe form (store = even image slice, feed =
+    # odd, the ing1 convention) with crafted probe/store payloads
+    # UNIONed on both engines for non-vacuity (the tx12/dd15 probe
+    # argument). The streaming twin is streaming.phash_alert_stream.
+    ("mm8_phash_probe", "MM8_SQL", "maggy_spark.functions.multimodal"),
 ]
 
 
@@ -308,6 +314,71 @@ def test_pq_ann_alert_stream_end_state_matches_duckdb_twin(spark, sf_dir, duck, 
     acc = spark.read.parquet(out_dir).select("query_id", "neighbor_id", "adc_cos")
     spark_pd = to_pandas_spark(acc)
     duck_pd = duck.execute(pq_adc_screen_sql(threshold)).fetchdf()
+    assert len(spark_pd) == len(duck_pd) > 0
+    s_cols, s_rows = frame_signature(spark_pd)
+    d_cols, d_rows = frame_signature(duck_pd)
+    assert s_cols == d_cols
+    assert spark_dtypes(acc) == duck_dtypes(duck_pd)
+    assert s_rows == d_rows
+
+
+def test_phash_alert_stream_end_state_matches_duckdb_twin(spark, sf_dir, duck, tmp_path):
+    """Stream end-state oracle #3 (the dsir/pq treatment applied to
+    the media family): the pHash ingest screen's accumulated output
+    across MULTIPLE micro-batches is value-hash-compared against
+    MM8_SQL — the DuckDB twin of the batch relation on the same feed.
+    Covers worker-side signing of streamed payloads, the stream-static
+    band join against the session-cached store signatures, and batch
+    splitting, all against a second ENGINE. Statelessness asserted."""
+    from pyspark.sql import functions as F
+
+    from maggy_spark.functions.multimodal import MM8_PROBE_MEDIA, MM8_SQL, media_table
+    from maggy_spark.streaming import phash_alert_stream
+    from tools.check_oracle import duck_dtypes, frame_signature, spark_dtypes, to_pandas_spark
+
+    feed_dir, out_dir, ck_dir = (str(tmp_path / n) for n in ("feed", "out", "ck"))
+    img = media_table(spark, sf_dir).where(F.col("media_type") == "image")
+    probe = img.where(F.col("media_id") % 6 == 3).select("media_id", "payload")
+    crafted = spark.createDataFrame(
+        [(i, bytearray(tx.encode("utf-8"))) for i, tx in MM8_PROBE_MEDIA],
+        "media_id bigint, payload binary",
+    )
+    (
+        probe.unionByName(crafted)
+        .withColumn("ts", F.timestamp_micros(F.lit(0)))
+        .repartition(3)  # 3 files -> 3 micro-batches under maxFilesPerTrigger=1
+        .write.mode("overwrite")
+        .parquet(feed_dir)
+    )
+    stream = (
+        spark.readStream.schema("media_id bigint, payload binary, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir)
+    )
+    batch_ids: list = []
+
+    def sink(bdf, bid):
+        batch_ids.append(bid)
+        bdf.write.mode("append").parquet(out_dir)
+
+    q = (
+        phash_alert_stream(stream, spark, sf_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ck_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(batch_ids) >= 2, "feed must actually split across micro-batches"
+    assert all(
+        not (p.get("stateOperators") or [])
+        or sum(op.get("numRowsTotal", 0) for op in p["stateOperators"]) == 0
+        for p in q.recentProgress
+    ), "the media ingest screen must be stateless"
+
+    acc = spark.read.parquet(out_dir).select("probe_id", "store_id", "hamming")
+    spark_pd = to_pandas_spark(acc)
+    duck_pd = duck.execute(MM8_SQL).fetchdf()
     assert len(spark_pd) == len(duck_pd) > 0
     s_cols, s_rows = frame_signature(spark_pd)
     d_cols, d_rows = frame_signature(duck_pd)
