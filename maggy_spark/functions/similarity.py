@@ -1196,12 +1196,15 @@ OPERATORS = [
     ("ann2_lsh_topk", ann2_lsh_topk, ANN2_SQL),
     ("ann3_ivf_topk", ann3_ivf_topk, ANN3_SQL),
     ("ann4_embedding_near_dup", ann4_embedding_near_dup, ANN4_SQL),
-    # rotated INTO the driver registry in round 9 (slot freed by
-    # k2_top_customers, a strict shape-subset of the offline k3 and
-    # the gate-green TakeOrderedAndProject family): the two-phase
-    # int8-coarse/float-rerank search is the serving-tier ANN path.
-    # See COVERAGE.md "Round-9 rotation".
-    ("ann7_quantized_rerank", ann7_quantized_rerank, ANN7_SQL),
+    # round-11 rotation (pre-declared in COVERAGE.md r11, executed
+    # this round): ann9_pq_adc IN — the PQ/ADC serving tier (32x
+    # compression, broadcast LUT scoring, exact rerank) is the index a
+    # 100 TB corpus actually serves from; offline/sf1/sf10-green before
+    # promotion. ann7_quantized_rerank OUT to the offline suite: the
+    # gate-green ann8 row with nprobe=|lists| is pinned row-for-row
+    # equal to ann7 (test_ann8_all_lists_probe_equals_ann7), so ann7's
+    # scoring path stays hard-verified through ann8.
+    ("ann9_pq_adc", ann9_pq_adc, ANN9_SQL),
     # rotated INTO the driver registry round 9 (slot freed by
     # dd2_minhash_signature — COVERAGE.md "Round-10 rotation
     # candidates", executed early): ann3+ann7 are gate-green

@@ -130,11 +130,14 @@ CASES = [
     # verify is the verification stage of gate-green dd8's pipeline
     # and intrinsically Σf² on the dense synthetic vocab.
     ("dd4_ngram_jaccard", "DD4_SQL", "maggy_spark.functions.dedup"),
-    # round-10 addition: product quantization + ADC — the 32x
-    # compression rung above ann7's int8 SQ (sampled codebooks, codes
-    # via cn2-2x.c argmin, per-query LUTs, exact rerank); recall +
-    # seed-exactness pins in test_functions.py
-    ("ann9_pq_adc", "ANN9_SQL", "maggy_spark.functions.similarity"),
+    # round-11 rotation (second leg, pre-declared in COVERAGE.md r11):
+    # ann9_pq_adc moved INTO the registry (the PQ/ADC serving tier);
+    # ann7 rotated out here — the gate-green ann8 row with
+    # nprobe=|lists| is pinned row-for-row equal to ann7
+    # (test_ann8_all_lists_probe_equals_ann7), so its int8-SQ scoring
+    # path stays hard-verified through the gate while exact parity
+    # continues here at sf0.01.
+    ("ann7_quantized_rerank", "ANN7_SQL", "maggy_spark.functions.similarity"),
     # round-11 rotation (pre-declared in COVERAGE.md r10): tx15 (DSIR
     # data-selection scorer) and dd17 (the ExactSubstr rewrite) moved
     # INTO the registry; rotated out here: dd6 (the internal first
