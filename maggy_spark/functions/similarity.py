@@ -29,7 +29,10 @@ scale-correct for moderate corpora, and ann3's partition-probe shape
 is where a learned/centroid index (e.g. MLlib KMeans cells) slots in
 when the data has cluster structure (a KMeans-IVF prototype on this
 isotropic corpus measured 2/15 recall@3 at 9% candidate fraction —
-see SCALING.md — so it is deliberately not shipped as an operator).
+see SCALING.md — so it is deliberately not shipped as a RECALL
+operator; ann10 ships Lloyd k-means as a CLUSTERING operator for
+SemDeDup/curation, where cluster quality is measured by the oracle,
+not by recall on this isotropic fixture).
 """
 
 from __future__ import annotations
@@ -1212,3 +1215,316 @@ OPERATORS = [
     # serving stack) was only offline-verified.
     ("ann8_ivf_quantized", ann8_ivf_quantized, ANN8_SQL),
 ]
+
+
+# --------------------------------------------------------------------------
+# ann10/ann11: oracle-checkable Lloyd k-means + SemDeDup pruning.
+#
+# ann9's codebook note documents WHY k-means was previously skipped for
+# the oracle-checked path: Lloyd iterations average floats, and float
+# summation order diverges between engines (and between Spark partition
+# layouts), flipping near-tie assignments. ann10 closes that gap with an
+# order-free centroid update: per-component sums run in DECIMAL(38,18)
+# (exact, associative — partition order cannot change the result), the
+# sum is rounded to 10 fractional digits (<= 15 significant digits, a
+# decimal->double cast both engines agree on bit-for-bit), and only THEN
+# divided by the member count in IEEE double. Every quantity either
+# engine computes is a deterministic function of the data, so the full
+# iterative algorithm is hash-comparable against DuckDB.
+
+KM_TARGET_VECS = 32   # intended vectors/cluster: k grows with the corpus
+KM_MAX_K = 1024       # broadcast bound: 1024 x 64 doubles ~ 0.5 MB
+KM_ITERS = 2          # centroid UPDATES; assignments run ITERS+1 times
+KM_SEM_TAU = 0.3      # SemDeDup pair threshold, aligned with ann4
+
+
+def kmeans_k(n_vecs: int) -> int:
+    """Cluster count so clusters hold ~KM_TARGET_VECS vectors: the same
+    population-targeting discipline as ann_planes (fixed k was the
+    round-1 scale defect for buckets; for k-means it would make the
+    intra-cluster pair stage of ann11 quadratic). Clamped to
+    [4, KM_MAX_K] so the centroid relation stays broadcastable."""
+    import math
+
+    return min(KM_MAX_K, max(4, math.ceil(n_vecs / KM_TARGET_VECS)))
+
+
+def _km_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached (vec_id, embedding, en) relation: the corpus with
+    its per-vector norm, scanned once and shared by the ITERS+1
+    assignment passes (and by ann11's pair stage)."""
+    from maggy_spark.plans.fixtures import session_cached
+
+    def _build() -> DataFrame:
+        return (
+            load_table(spark, sf_dir, "embeddings", fan_out=True)
+            .select(
+                "vec_id",
+                "embedding",
+                F.sqrt(_dot("embedding", "embedding")).alias("en"),
+            )
+        )
+
+    return session_cached(spark, (sf_dir, "km_vecs"), _build)
+
+
+def _km_assign_pass(vecs: DataFrame, cent: DataFrame) -> DataFrame:
+    """One assignment pass: broadcast the (<= KM_MAX_K)-row centroid
+    relation against the corpus and pick each vector's argmax-cosine
+    centroid (ties to the lower cid). The crossJoin fans each vector
+    out IN-TASK, and the groupBy's partial aggregation collapses the k
+    candidate rows back to one before any exchange — so the pass costs
+    one broadcast and one (already-reduced) shuffle on vec_id, never a
+    k-wide shuffle. Equivalent to the twin's row_number()-over-(cosine
+    DESC, cid) formulation because cosines are bit-identical across
+    engines (same fold chains)."""
+    scored = vecs.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "en",
+        F.struct(
+            _cosine_pre("embedding", "cvec", "en", "cn").alias("cos"),
+            (-F.col("cid")).alias("negcid"),
+        ).alias("cand"),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max("cand").alias("m"),
+        F.first("embedding").alias("embedding"),
+        F.first("en").alias("en"),
+    )
+    return best.select(
+        "vec_id",
+        (-F.col("m.negcid")).alias("cid"),
+        F.col("m.cos").alias("cos"),
+        "embedding",
+        "en",
+    )
+
+
+def _km_update(assign: DataFrame) -> DataFrame:
+    """Order-free Lloyd centroid update. posexplode fans each member
+    into 64 skinny (cid, pos, v) rows; the per-(cid, pos) sum runs in
+    DECIMAL(38,18) via a string-mediated cast (floats print their
+    shortest repr identically in Spark and DuckDB; a direct
+    float->decimal cast rounds the exact binary expansion in DuckDB but
+    the shortest repr in Spark — the tx11 lesson). round(sum, 10) then
+    caps the value at <= 15 significant digits so the decimal->double
+    cast is engine-agreed, and the IEEE double division by the BIGINT
+    member count is bit-deterministic. One shuffle on the uniform
+    (cid, pos) key; empty clusters simply vanish (standard Lloyd
+    attrition), identically in both engines."""
+    ex = assign.select(
+        "cid", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "cid",
+        "pos",
+        F.col("v").cast("string").cast("decimal(38,18)").alias("vd"),
+    )
+    m = ex.groupBy("cid", "pos").agg(
+        F.sum("vd").alias("s"), F.count(F.lit(1)).alias("c")
+    )
+    comp = m.select(
+        "cid",
+        "pos",
+        (F.round("s", 10).cast("double") / F.col("c")).alias("comp"),
+    )
+    cent = (
+        comp.groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "comp"))).alias("parts"))
+        .select("cid", F.transform("parts", lambda p: p["comp"]).alias("cvec"))
+        .select("cid", "cvec", F.sqrt(_dot("cvec", "cvec")).alias("cn"))
+    )
+    return cent
+
+
+def kmeans_over(vecs: DataFrame, k: int, iters: int = KM_ITERS) -> DataFrame:
+    """Lloyd k-means over ANY (vec_id, embedding, en) relation —
+    factored out so property tests can drive crafted corpora (the
+    boilerplate_profile / pack_plan discipline). Seeds are the k
+    lowest-vec_id vectors (ann3's medoid discipline — deterministic in
+    both engines, no RNG to replicate). `iters` centroid updates, then
+    one final assignment; each tiny (<= k row) centroid relation is
+    eagerly localCheckpoint'ed so the iterative lineage never compounds
+    (the star_components rule). Returns (vec_id, cid, cos, embedding,
+    en)."""
+    from pyspark.sql.window import Window
+
+    seeds = (
+        vecs.orderBy("vec_id")
+        .limit(k)
+        .select(
+            # bigint to match DuckDB's row_number (the count/row_number
+            # dtype rule from the verify notes)
+            F.row_number().over(Window.orderBy("vec_id")).cast("long").alias("cid"),
+            F.col("embedding").alias("cvec"),
+            F.col("en").alias("cn"),
+        )
+    )
+    cent = seeds.localCheckpoint(eager=True)
+    for _ in range(iters):
+        assign = _km_assign_pass(vecs, cent)
+        cent = _km_update(assign).localCheckpoint(eager=True)
+    return _km_assign_pass(vecs, cent)
+
+
+def _km_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached final k-means assignment for the sf_dir corpus:
+    built once, shared by ann10 (projection) and ann11 (pair stage)."""
+    from maggy_spark.plans.fixtures import session_cached
+
+    def _build() -> DataFrame:
+        n = corpus_count(spark, sf_dir, "embeddings")
+        return kmeans_over(_km_vecs(spark, sf_dir), kmeans_k(n))
+
+    return session_cached(spark, (sf_dir, "km_final"), _build)
+
+
+def ann10_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means over the embeddings corpus: the
+    clustering stage a real curation pipeline trains before SemDeDup
+    pruning or IVF list-building (Abbas et al. 2023's stage 1), made
+    oracle-checkable by the order-free decimal centroid update (see
+    module note above). Output: every vector's final cluster and its
+    cosine to that centroid.
+
+    Scale shape: the corpus relation is scanned once and session-
+    cached; each of the ITERS+1 assignment passes is one broadcast
+    (<= 0.5 MB centroids) + one map-reduced groupBy on vec_id; each
+    update is one skinny shuffle on the uniform (cid, pos) key. No
+    all-pairs stage anywhere; k grows with n but is capped at the
+    broadcast bound. Reference anchor: maggy has no clustering
+    operator — this is extension surface for the LLM-data pipeline
+    (SemDeDup / IVF training), like dd*/tx*/ann1-9."""
+    return _km_final(spark, sf_dir).select(
+        "vec_id", F.col("cid").alias("cluster_id"), F.col("cos").alias("cosine")
+    )
+
+
+def ann11_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): within each k-means cluster, mark
+    for pruning every vector that has a near-duplicate neighbour
+    (pair cosine >= KM_SEM_TAU, ann4's threshold on this corpus) of
+    higher keep-priority. The paper keeps the example FARTHEST from
+    the centroid, so priority is (lower centroid-cosine, then lower
+    vec_id) — a vector is pruned when a same-cluster near-duplicate
+    with strictly smaller (cos, vec_id) exists.
+
+    Scale shape: the pair stage joins the assignment relation to
+    itself ON cluster_id — cluster populations are held at
+    ~KM_TARGET_VECS by kmeans_k, so the pair space is cluster-local
+    (~target * n pairs), never n^2; a pathological giant cluster is
+    exactly the AQE skew-join case. Norms are precomputed once per
+    side (_cosine_pre), and the existence check collapses via the
+    left-semi join + distinct before the flag join-back."""
+    return semdedup_over(_km_final(spark, sf_dir))
+
+
+def semdedup_over(km: DataFrame, tau: float = KM_SEM_TAU) -> DataFrame:
+    """The pruning core over ANY (vec_id, cid, cos, embedding, en)
+    assignment relation — factored out (pack_plan discipline) so
+    property tests can pin the keep-priority semantics on crafted
+    clusters."""
+    a = km.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("cid").alias("a_cid"),
+        F.col("cos").alias("a_cos"),
+        F.col("embedding").alias("a_e"),
+        F.col("en").alias("a_en"),
+    )
+    b = km.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("cid").alias("b_cid"),
+        F.col("cos").alias("b_cos"),
+        F.col("embedding").alias("b_e"),
+        F.col("en").alias("b_en"),
+    )
+    pruned = (
+        b.join(a, F.col("a_cid") == F.col("b_cid"))
+        .where(
+            (
+                (F.col("a_cos") < F.col("b_cos"))
+                | ((F.col("a_cos") == F.col("b_cos")) & (F.col("a_id") < F.col("b_id")))
+            )
+            & (_cosine_pre("a_e", "b_e", "a_en", "b_en") >= tau)
+        )
+        .select("b_id")
+        .distinct()
+        .withColumn("is_pruned", F.lit(True))
+    )
+    return (
+        km.join(pruned, km.vec_id == pruned.b_id, "left")
+        .select(
+            "vec_id",
+            F.col("cid").alias("cluster_id"),
+            F.coalesce("is_pruned", F.lit(False)).alias("pruned"),
+        )
+    )
+
+
+def _km_prefix_sql() -> str:
+    """Shared DuckDB CTE prefix replaying the full Lloyd loop: seeds ->
+    (assign -> decimal update) x KM_ITERS -> final assignment. The
+    unrolled CTE count is fixed by KM_ITERS, not by data size."""
+    dot = "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+    parts = [
+        f"""vecs AS (
+    SELECT vec_id, embedding AS e,
+           sqrt({dot.format(a='embedding', b='embedding')}) AS en
+    FROM embeddings),
+prm AS (
+    SELECT LEAST({KM_MAX_K}, GREATEST(4,
+        CAST(ceil(count(*) / {KM_TARGET_VECS}.0) AS INTEGER))) AS k
+    FROM embeddings),
+c0 AS (
+    SELECT cid, cv, sqrt({dot.format(a='cv', b='cv')}) AS cn FROM (
+        SELECT row_number() OVER (ORDER BY vec_id) AS cid,
+               embedding AS cv, k
+        FROM embeddings, prm) WHERE cid <= k)"""
+    ]
+    prev = "c0"
+    for t in range(1, KM_ITERS + 2):
+        parts.append(f"""s{t} AS (
+    SELECT v.vec_id, c.cid,
+           {dot.format(a='v.e', b='c.cv')} / (v.en * c.cn) AS cos,
+           v.e, v.en
+    FROM vecs v CROSS JOIN {prev} c),
+a{t} AS (
+    SELECT vec_id, cid, cos, e, en FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+        FROM s{t}) WHERE rn = 1)""")
+        if t <= KM_ITERS:
+            parts.append(f"""m{t} AS (
+    SELECT cid, i,
+           sum(CAST(CAST(e[i] AS VARCHAR) AS DECIMAL(38,18))) AS s,
+           count(*) AS c
+    FROM a{t}, unnest(range(1, len(e) + 1)) u(i)
+    GROUP BY cid, i),
+c{t} AS (
+    SELECT cid, cv, sqrt({dot.format(a='cv', b='cv')}) AS cn FROM (
+        SELECT cid, list(comp ORDER BY i) AS cv FROM (
+            SELECT cid, i, CAST(round(s, 10) AS DOUBLE) / c AS comp
+            FROM m{t}) GROUP BY cid))""")
+            prev = f"c{t}"
+    return "WITH " + ",\n".join(parts)
+
+
+_KM_FINAL = f"a{KM_ITERS + 1}"
+
+ANN10_SQL = f"""
+{_km_prefix_sql()}
+SELECT vec_id, cid AS cluster_id, cos AS cosine FROM {_KM_FINAL}
+"""
+
+ANN11_SQL = f"""
+{_km_prefix_sql()}
+SELECT v.vec_id, v.cid AS cluster_id,
+       EXISTS (
+           SELECT 1 FROM {_KM_FINAL} o
+           WHERE o.cid = v.cid
+             AND (o.cos < v.cos OR (o.cos = v.cos AND o.vec_id < v.vec_id))
+             AND list_dot_product(o.e::DOUBLE[], v.e::DOUBLE[])
+                 / (o.en * v.en) >= {KM_SEM_TAU}
+       ) AS pruned
+FROM {_KM_FINAL} v
+"""

@@ -2414,3 +2414,124 @@ def test_dd16_canonical_sites_never_seed_cuts(spark, sf_dir):
     assert {k: sorted(v) for k, v in got.items()} == plan
     # the plan is non-trivial on the duplicate-seeded fixture corpus
     assert rows
+
+
+# ---------------------------------------------------------------- ann10/ann11
+
+
+def _km_rel(spark, rows):
+    """Build a (vec_id, embedding, en) relation from (id, vector)."""
+    from pyspark.sql import functions as F
+
+    from maggy_spark.functions.similarity import _dot
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id bigint, embedding array<float>",
+    )
+    return df.select(
+        "vec_id", "embedding", F.sqrt(_dot("embedding", "embedding")).alias("en")
+    )
+
+
+def test_kmeans_k_formula():
+    from maggy_spark.functions.similarity import KM_MAX_K, kmeans_k
+
+    assert kmeans_k(1) == 4          # floor clamp
+    assert kmeans_k(500) == 16       # ceil(500/32)
+    assert kmeans_k(20_000) == 625
+    assert kmeans_k(10**9) == KM_MAX_K  # broadcast cap
+
+
+def test_kmeans_two_pole_corpus_separates(spark):
+    """Seeds id0 (pole A) and id1 (pole B) must converge to one
+    cluster per pole, with every member assigned to its pole's
+    centroid at high cosine."""
+    from maggy_spark.functions.similarity import kmeans_over
+
+    def pole(axis, eps, j):
+        v = [0.0] * 8
+        v[axis] = 1.0
+        v[(axis + 2 + j) % 8] = eps
+        return v
+
+    rows = [(0, pole(0, 0.05, 0)), (1, pole(1, 0.05, 0))]
+    rows += [(i, pole(0, 0.1, i)) for i in range(2, 6)]
+    rows += [(i, pole(1, 0.1, i)) for i in range(6, 10)]
+    out = kmeans_over(_km_rel(spark, rows), k=2).collect()
+    by_id = {r.vec_id: r for r in out}
+    assert len(by_id) == 10
+    a_cid = by_id[0].cid
+    b_cid = by_id[1].cid
+    assert a_cid != b_cid
+    for i in range(2, 6):
+        assert by_id[i].cid == a_cid
+    for i in range(6, 10):
+        assert by_id[i].cid == b_cid
+    assert all(r.cos > 0.9 for r in out)
+
+
+def test_kmeans_empty_cluster_attrition(spark):
+    """A seed that duplicates another (ties go to the lower cid) gets
+    zero members and vanishes at the first update — standard Lloyd
+    attrition, without losing any input vector."""
+    from maggy_spark.functions.similarity import kmeans_over
+
+    def pole(axis):
+        v = [0.0] * 4
+        v[axis] = 1.0
+        return v
+
+    rows = [(0, pole(0)), (1, pole(0)), (2, pole(1)), (3, pole(1)), (4, pole(0))]
+    out = kmeans_over(_km_rel(spark, rows), k=3).collect()
+    assert len(out) == 5                       # nothing lost
+    cids = {r.cid for r in out}
+    assert len(cids) == 2 and 2 not in cids    # seed id1 (cid 2) starved
+
+
+def test_semdedup_keeps_farthest_from_centroid(spark):
+    """SemDeDup keep-priority: of a near-duplicate pair in one
+    cluster, the member with the LOWER centroid cosine survives; a
+    singleton cluster is never pruned."""
+    from pyspark.sql import functions as F
+
+    from maggy_spark.functions.similarity import _dot, semdedup_over
+
+    # one cluster: centroid ~ e0; vec 10 sits exactly on it, vec 11 is
+    # a near-duplicate slightly off-axis (lower cos to centroid);
+    # vec 20 is an orthogonal singleton.
+    km_rows = [
+        (10, [1.0, 0.0, 0.0], 1, 1.0),
+        (11, [0.999, 0.04, 0.0], 1, 0.999),
+        (20, [0.0, 0.0, 1.0], 2, 1.0),
+    ]
+    km = spark.createDataFrame(
+        km_rows, "vec_id bigint, embedding array<float>, cid int, cos double"
+    ).select(
+        "vec_id", "cid", "cos", "embedding",
+        F.sqrt(_dot("embedding", "embedding")).alias("en"),
+    )
+    out = {r.vec_id: r.pruned for r in semdedup_over(km, tau=0.9).collect()}
+    assert out == {10: True, 11: False, 20: False}
+
+
+def test_ann10_ann11_fixture_shape(spark, sf_dir):
+    """Corpus-level sanity at sf0.001 (full DuckDB parity lives in
+    test_offline_oracles): every vector assigned exactly once, more
+    than one surviving cluster, and the SemDeDup relation is
+    non-vacuous in both directions."""
+    from maggy_spark.functions.similarity import (
+        ann10_kmeans_assign,
+        ann11_semdedup_prune,
+        kmeans_k,
+    )
+
+    a = ann10_kmeans_assign(spark, sf_dir).collect()
+    ids = [r.vec_id for r in a]
+    assert len(ids) == len(set(ids))
+    n_clusters = len({r.cluster_id for r in a})
+    assert 1 < n_clusters <= kmeans_k(len(ids))
+    p = ann11_semdedup_prune(spark, sf_dir).collect()
+    assert len(p) == len(ids)
+    flags = {r.pruned for r in p}
+    assert flags == {True, False}

@@ -138,6 +138,13 @@ CASES = [
     # path stays hard-verified through the gate while exact parity
     # continues here at sf0.01.
     ("ann7_quantized_rerank", "ANN7_SQL", "maggy_spark.functions.similarity"),
+    # round-11 additions: oracle-checkable Lloyd k-means (the
+    # clustering stage ann9's codebook note documents as previously
+    # cross-engine-infeasible — closed by the order-free DECIMAL
+    # centroid update) and SemDeDup pruning over its clusters
+    # (Abbas et al. 2023; keep-farthest-from-centroid priority)
+    ("ann10_kmeans_assign", "ANN10_SQL", "maggy_spark.functions.similarity"),
+    ("ann11_semdedup_prune", "ANN11_SQL", "maggy_spark.functions.similarity"),
     # round-11 rotation (pre-declared in COVERAGE.md r10): tx15 (DSIR
     # data-selection scorer) and dd17 (the ExactSubstr rewrite) moved
     # INTO the registry; rotated out here: dd6 (the internal first
