@@ -1337,16 +1337,15 @@ def _km_update(assign: DataFrame) -> DataFrame:
     return cent
 
 
-def kmeans_over(vecs: DataFrame, k: int, iters: int = KM_ITERS) -> DataFrame:
-    """Lloyd k-means over ANY (vec_id, embedding, en) relation —
-    factored out so property tests can drive crafted corpora (the
-    boilerplate_profile / pack_plan discipline). Seeds are the k
-    lowest-vec_id vectors (ann3's medoid discipline — deterministic in
-    both engines, no RNG to replicate). `iters` centroid updates, then
-    one final assignment; each tiny (<= k row) centroid relation is
-    eagerly localCheckpoint'ed so the iterative lineage never compounds
-    (the star_components rule). Returns (vec_id, cid, cos, embedding,
-    en)."""
+def kmeans_centroids_over(vecs: DataFrame, k: int, iters: int = KM_ITERS) -> DataFrame:
+    """The trained centroid relation (cid, cvec, cn) after `iters`
+    Lloyd updates over ANY (vec_id, embedding, en) relation. Seeds are
+    the k lowest-vec_id vectors (ann3's medoid discipline —
+    deterministic in both engines, no RNG to replicate); each tiny
+    (<= k row) centroid relation is eagerly localCheckpoint'ed so the
+    iterative lineage never compounds (the star_components rule).
+    Factored from kmeans_over so the streaming router can broadcast
+    the SAME frozen centroids the batch assignment used."""
     from pyspark.sql.window import Window
 
     seeds = (
@@ -1364,7 +1363,30 @@ def kmeans_over(vecs: DataFrame, k: int, iters: int = KM_ITERS) -> DataFrame:
     for _ in range(iters):
         assign = _km_assign_pass(vecs, cent)
         cent = _km_update(assign).localCheckpoint(eager=True)
-    return _km_assign_pass(vecs, cent)
+    return cent
+
+
+def kmeans_over(vecs: DataFrame, k: int, iters: int = KM_ITERS) -> DataFrame:
+    """Lloyd k-means over ANY (vec_id, embedding, en) relation —
+    factored out so property tests can drive crafted corpora (the
+    boilerplate_profile / pack_plan discipline). `iters` centroid
+    updates, then one final assignment. Returns (vec_id, cid, cos,
+    embedding, en)."""
+    return _km_assign_pass(vecs, kmeans_centroids_over(vecs, k, iters))
+
+
+def _km_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached trained centroids for the sf_dir corpus: built
+    once (the training job), shared by the batch assignment and by the
+    streaming router — the same train-offline/serve-frozen split a
+    production clustered index runs."""
+    from maggy_spark.plans.fixtures import session_cached
+
+    def _build() -> DataFrame:
+        n = corpus_count(spark, sf_dir, "embeddings")
+        return kmeans_centroids_over(_km_vecs(spark, sf_dir), kmeans_k(n))
+
+    return session_cached(spark, (sf_dir, "km_centroids"), _build)
 
 
 def _km_final(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1373,8 +1395,7 @@ def _km_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     from maggy_spark.plans.fixtures import session_cached
 
     def _build() -> DataFrame:
-        n = corpus_count(spark, sf_dir, "embeddings")
-        return kmeans_over(_km_vecs(spark, sf_dir), kmeans_k(n))
+        return _km_assign_pass(_km_vecs(spark, sf_dir), _km_centroids(spark, sf_dir))
 
     return session_cached(spark, (sf_dir, "km_final"), _build)
 
@@ -1527,4 +1548,26 @@ SELECT v.vec_id, v.cid AS cluster_id,
                  / (o.en * v.en) >= {KM_SEM_TAU}
        ) AS pruned
 FROM {_KM_FINAL} v
+"""
+
+
+def kmeans_route_screen_sql(mod: int = 7, rem: int = 3) -> str:
+    """DuckDB twin of the streaming k-means router's accumulated end
+    state on a deterministic feed slice (vec_id % mod = rem): replay
+    centroid training via the shared prefix, then route each feed
+    vector to its argmax-cosine centroid. Unused final-assignment CTEs
+    in the prefix are never executed (DuckDB CTEs are lazy)."""
+    dot = "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+    cos = f"{dot.format(a='v.e', b='c.cv')} / (v.en * c.cn)"
+    return f"""
+{_km_prefix_sql()}
+SELECT query_id, cluster_id, cosine FROM (
+    SELECT query_id, cluster_id, cosine,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, cluster_id) AS rn
+    FROM (
+        SELECT v.vec_id AS query_id, c.cid AS cluster_id, {cos} AS cosine
+        FROM (SELECT * FROM vecs WHERE vec_id % {mod} = {rem}) v
+        CROSS JOIN c{KM_ITERS} c)
+) WHERE rn = 1
 """

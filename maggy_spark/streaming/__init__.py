@@ -7,7 +7,11 @@ from maggy_spark.streaming.documents_stream import (
     pii_gate_stream,
     quality_gate_stream,
 )
-from maggy_spark.streaming.embeddings_stream import ann_alert_stream, pq_ann_alert_stream
+from maggy_spark.streaming.embeddings_stream import (
+    ann_alert_stream,
+    kmeans_route_stream,
+    pq_ann_alert_stream,
+)
 from maggy_spark.streaming.media_stream import phash_alert_stream
 from maggy_spark.streaming.ingest_stream import (
     ingest_base,
@@ -30,6 +34,7 @@ from maggy_spark.streaming.metrics_stream import (
 
 __all__ = [
     "ann_alert_stream",
+    "kmeans_route_stream",
     "pq_ann_alert_stream",
     "contamination_alert_stream",
     "daily_activity_stream",

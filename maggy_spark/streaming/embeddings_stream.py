@@ -157,3 +157,72 @@ def pq_ann_alert_stream(
         )
         .where(F.col("adc_cos") >= threshold)
     )
+
+
+def kmeans_route_stream(
+    query_stream: DataFrame, spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ann10's serving tier at ingest: route each incoming vector
+    (query_id, embedding, ts) to its nearest store-trained k-means
+    centroid — the cluster-tagger / IVF-list-router every clustered
+    index runs on arriving data (new vectors join their cluster's
+    SemDeDup scope and IVF list without retraining).
+
+    STATELESS by construction, and — unlike the codebook-literal path
+    above — with NO literal compilation at all: the frozen centroid
+    relation (<= KM_MAX_K rows, the broadcast bound) is packed into a
+    single-row array-of-structs relation and stream-static
+    cross-joined (one row, so no fan-out), and each incoming vector
+    picks its argmax-cosine centroid with an in-row transform+aggregate
+    fold over that array. The fold's (cos DESC, cid ASC) merge is a
+    total order, so the result is fold-order-independent; the cosine
+    chain is the batch _cosine_pre spelling, so routed rows are
+    bit-equal to the batch ann10 assignment for the same vector
+    (pinned by test_kmeans_route_stream_matches_batch_ann10) and the
+    accumulated end state hash-matches the DuckDB replay
+    (kmeans_route_screen_sql). Per-batch work is |batch| x k x dim
+    multiplies, independent of corpus size; no watermark, no state
+    store."""
+    from maggy_spark.functions.similarity import _dot, _km_centroids
+
+    packed = (
+        _km_centroids(spark, sf_dir)
+        .groupBy()
+        .agg(F.sort_array(F.collect_list(F.struct("cid", "cvec", "cn"))).alias("cents"))
+    )
+    q = (
+        query_stream.select("query_id", F.col("embedding").alias("qemb"), "ts")
+        .withColumn("qn", F.sqrt(_dot("qemb", "qemb")))
+        # untrusted feed: zero vectors have no direction
+        .where(F.col("qn") > 0)
+    )
+
+    def score(c):
+        return F.struct(
+            (_dot("qemb", c["cvec"]) / (F.col("qn") * c["cn"])).alias("cos"),
+            c["cid"].alias("cid"),
+        )
+
+    def merge(acc, s):
+        better = (s["cos"] > acc["cos"]) | (
+            (s["cos"] == acc["cos"]) & (s["cid"] < acc["cid"])
+        )
+        return F.when(better, s).otherwise(acc)
+
+    init = F.struct(
+        F.lit(-2.0).cast("double").alias("cos"), F.lit(-1).cast("long").alias("cid")
+    )
+    return (
+        q.join(F.broadcast(packed))  # single-row static side: no fan-out
+        .select(
+            "query_id",
+            F.aggregate(F.transform("cents", score), init, merge).alias("best"),
+            "ts",
+        )
+        .select(
+            "query_id",
+            F.col("best.cid").alias("cluster_id"),
+            F.col("best.cos").alias("cosine"),
+            "ts",
+        )
+    )

@@ -395,3 +395,63 @@ def test_phash_alert_stream_end_state_matches_duckdb_twin(spark, sf_dir, duck, t
     assert s_cols == d_cols
     assert spark_dtypes(acc) == duck_dtypes(duck_pd)
     assert s_rows == d_rows
+
+
+def test_kmeans_route_stream_end_state_matches_duckdb_twin(spark, sf_dir, duck, tmp_path):
+    """Stream end-state oracle #4 (the ing1 discipline): the k-means
+    router's accumulated output on a deterministic feed slice
+    (vec_id % 7 = 3), split across MULTIPLE micro-batches, is
+    value-hash-compared against `kmeans_route_screen_sql` — a DuckDB
+    replay of centroid TRAINING (the shared Lloyd CTE prefix) plus
+    the per-vector argmax route. Covers the packed-centroid
+    stream-static join, the in-row transform+aggregate argmax fold,
+    and batch splitting against a second ENGINE."""
+    from pyspark.sql import functions as F
+
+    from maggy_spark.functions.similarity import kmeans_route_screen_sql
+    from maggy_spark.streaming import kmeans_route_stream
+    from tools.check_oracle import duck_dtypes, frame_signature, spark_dtypes, to_pandas_spark
+
+    feed_dir, out_dir, ck_dir = (str(tmp_path / n) for n in ("feed", "out", "ck"))
+    (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .where(F.col("vec_id") % 7 == 3)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "embedding",
+            F.timestamp_micros(F.lit(0)).alias("ts"),
+        )
+        .repartition(3)  # 3 files -> 3 micro-batches under maxFilesPerTrigger=1
+        .write.mode("overwrite")
+        .parquet(feed_dir)
+    )
+    stream = (
+        spark.readStream.schema("query_id bigint, embedding array<float>, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir)
+    )
+    batch_ids: list = []
+
+    def sink(bdf, bid):
+        batch_ids.append(bid)
+        bdf.drop("ts").write.mode("append").parquet(out_dir)
+
+    q = (
+        kmeans_route_stream(stream, spark, sf_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ck_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(batch_ids) >= 2, "feed must actually split across micro-batches"
+
+    acc = spark.read.parquet(out_dir).select("query_id", "cluster_id", "cosine")
+    spark_pd = to_pandas_spark(acc)
+    duck_pd = duck.execute(kmeans_route_screen_sql(7, 3)).fetchdf()
+    assert len(spark_pd) == len(duck_pd) > 0
+    s_cols, s_rows = frame_signature(spark_pd)
+    d_cols, d_rows = frame_signature(duck_pd)
+    assert s_cols == d_cols
+    assert spark_dtypes(acc) == duck_dtypes(duck_pd)
+    assert s_rows == d_rows

@@ -977,3 +977,40 @@ def test_trailing_volume_stats_scores_days_absent_from_history(spark):
     assert (got[109].n_hist, got[109].s1, got[109].s2) == (
         want[109].n_hist, want[109].s1, want[109].s2,
     )
+
+
+def test_kmeans_route_stream_matches_batch_ann10(spark, sf_dir):
+    """Streaming cluster-router parity: routing the corpus's own
+    vectors through the frozen store-trained centroids must reproduce
+    the batch ann10 assignment EXACTLY (same cluster, bit-equal
+    cosine — the fold spells the same chain as _cosine_pre), and the
+    query must be stateless."""
+    import tempfile
+
+    from maggy_spark.functions.similarity import ann10_kmeans_assign
+    from maggy_spark.streaming import kmeans_route_stream
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    feed = emb.select(
+        F.col("vec_id").alias("query_id"), "embedding", F.lit(_ts(0)).alias("ts")
+    )
+    d = tempfile.mkdtemp(prefix="maggy_kmstream_")
+    feed.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(feed.schema).parquet(d)
+    q = (
+        kmeans_route_stream(stream, spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName("km_route_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert all(not (p.get("stateOperators") or []) or
+               sum(op.get("numRowsTotal", 0) for op in p["stateOperators"]) == 0
+               for p in q.recentProgress)
+    got = {r.query_id: (r.cluster_id, r.cosine)
+           for r in spark.sql("SELECT * FROM km_route_out").collect()}
+    want = {r.vec_id: (r.cluster_id, r.cosine)
+            for r in ann10_kmeans_assign(spark, sf_dir).collect()}
+    assert got == want  # bit-equal doubles, same clusters, nothing dropped

@@ -102,6 +102,8 @@ DIRECT = [
     "ann7_quantized_rerank",
     "ann8_ivf_quantized",
     "ann9_pq_adc",
+    "ann10_kmeans_assign",
+    "ann11_semdedup_prune",
     "tx10_unigram_logprob",
     "tx14_bigram_logprob",
     "tx15_dsir_score",
