@@ -1304,21 +1304,25 @@ def _km_assign_pass(vecs: DataFrame, cent: DataFrame) -> DataFrame:
 def _km_update(assign: DataFrame) -> DataFrame:
     """Order-free Lloyd centroid update. posexplode fans each member
     into 64 skinny (cid, pos, v) rows; the per-(cid, pos) sum runs in
-    DECIMAL(38,18) via a string-mediated cast (floats print their
-    shortest repr identically in Spark and DuckDB; a direct
-    float->decimal cast rounds the exact binary expansion in DuckDB but
-    the shortest repr in Spark — the tx11 lesson). round(sum, 10) then
-    caps the value at <= 15 significant digits so the decimal->double
-    cast is engine-agreed, and the IEEE double division by the BIGINT
-    member count is bit-deterministic. One shuffle on the uniform
-    (cid, pos) key; empty clusters simply vanish (standard Lloyd
-    attrition), identically in both engines."""
+    DECIMAL(38,18) via the tx11 cast-parity route: float -> DOUBLE
+    (exact) -> decimal, where Spark's double->decimal cast rounds the
+    double's shortest decimal repr and the twin spells
+    CAST(CAST(x::DOUBLE AS VARCHAR) AS DECIMAL(38,18)) so DuckDB
+    rounds the identical string. (Do NOT string-cast at FLOAT width:
+    Java 17's Float.toString is not shortest-round-trip, and at sf1 it
+    disagreed with DuckDB's float print on ~2e-6 of elements — found
+    by the scale sweep, fixed here.) round(sum, 10) then caps the
+    value at <= 15 significant digits so the decimal->double cast is
+    engine-agreed, and the IEEE double division by the BIGINT member
+    count is bit-deterministic. One shuffle on the uniform (cid, pos)
+    key; empty clusters simply vanish (standard Lloyd attrition),
+    identically in both engines."""
     ex = assign.select(
         "cid", F.posexplode("embedding").alias("pos", "v")
     ).select(
         "cid",
         "pos",
-        F.col("v").cast("string").cast("decimal(38,18)").alias("vd"),
+        F.col("v").cast("double").cast("decimal(38,18)").alias("vd"),
     )
     m = ex.groupBy("cid", "pos").agg(
         F.sum("vd").alias("s"), F.count(F.lit(1)).alias("c")
@@ -1517,7 +1521,7 @@ a{t} AS (
         if t <= KM_ITERS:
             parts.append(f"""m{t} AS (
     SELECT cid, i,
-           sum(CAST(CAST(e[i] AS VARCHAR) AS DECIMAL(38,18))) AS s,
+           sum(CAST(CAST(e[i]::DOUBLE AS VARCHAR) AS DECIMAL(38,18))) AS s,
            count(*) AS c
     FROM a{t}, unnest(range(1, len(e) + 1)) u(i)
     GROUP BY cid, i),
