@@ -178,6 +178,37 @@ def main() -> None:
         print(f"BENCH ERROR ann9_pq_adc: {e}", file=sys.stderr)
         spark.catalog.clearCache()
 
+    # ann10/ann11 — the oracle-checkable Lloyd trainer and the
+    # SemDeDup pruner over its clusters (new r11, offline-oracled).
+    # Per rep: ann10 pays the FULL pipeline (corpus scan + seeds +
+    # KM_ITERS decimal updates + final assignment — clearCache drops
+    # the session-cached relations), then ann11 prices only its
+    # incremental pair/prune stage on top of the still-cached
+    # assignment — the seam split that keeps drift attributable.
+    try:
+        from maggy_spark.functions.similarity import (
+            ann10_kmeans_assign,
+            ann11_semdedup_prune,
+        )
+
+        km_samples, sd_samples = [], []
+        for _ in range(reps):
+            t0 = time.time()
+            ann10_kmeans_assign(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            km_samples.append(time.time() - t0)
+            t0 = time.time()
+            ann11_semdedup_prune(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            sd_samples.append(time.time() - t0)
+            spark.catalog.clearCache()
+        timings["ann10_kmeans"] = round(statistics.median(km_samples), 3)
+        spreads["ann10_kmeans"] = round(max(km_samples) - min(km_samples), 3)
+        timings["ann11_semdedup"] = round(statistics.median(sd_samples), 3)
+        spreads["ann11_semdedup"] = round(max(sd_samples) - min(sd_samples), 3)
+    except Exception as e:  # noqa: BLE001
+        timings["ann10_kmeans"] = -1.0
+        print(f"BENCH ERROR ann10/ann11: {e}", file=sys.stderr)
+        spark.catalog.clearCache()
+
     # experiment-level targets from BASELINE.md §3: 16-trial no-op
     # random search wall time (target <= 35 s) and median per-trial
     # scheduling overhead (target <= 2 s). The trial fn returns

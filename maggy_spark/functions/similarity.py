@@ -1341,16 +1341,38 @@ def _km_update(assign: DataFrame) -> DataFrame:
     return cent
 
 
-def kmeans_centroids_over(vecs: DataFrame, k: int, iters: int = KM_ITERS) -> DataFrame:
+def kmeans_centroids_over(
+    vecs: DataFrame, k: int, iters: int = KM_ITERS, checkpoint_dir: str | None = None
+) -> DataFrame:
     """The trained centroid relation (cid, cvec, cn) after `iters`
     Lloyd updates over ANY (vec_id, embedding, en) relation. Seeds are
     the k lowest-vec_id vectors (ann3's medoid discipline —
     deterministic in both engines, no RNG to replicate); each tiny
-    (<= k row) centroid relation is eagerly localCheckpoint'ed so the
+    (<= k row) centroid relation is eagerly checkpointed so the
     iterative lineage never compounds (the star_components rule).
+    Like the other iterative loops (dd10 / bpe_train /
+    exact_substr_converge), the loop honors
+    ``spark.maggy.checkpointDir`` (or the explicit argument): with a
+    durable dir set, rounds checkpoint RELIABLY to that directory —
+    the executor-loss story on a real cluster — instead of
+    localCheckpoint's executor-pinned blocks (CLUSTER.md matrix).
     Factored from kmeans_over so the streaming router can broadcast
     the SAME frozen centroids the batch assignment used."""
     from pyspark.sql.window import Window
+
+    spark = vecs.sparkSession
+    if checkpoint_dir is None:
+        checkpoint_dir = spark.conf.get("spark.maggy.checkpointDir", None)
+    prev_ckpt_dir = None
+    if checkpoint_dir:
+        # setCheckpointDir is SparkContext-GLOBAL: remember and restore
+        # (dd10's discipline — never redirect unrelated checkpoints)
+        opt = spark.sparkContext._jsc.sc().getCheckpointDir()
+        prev_ckpt_dir = opt.get() if opt.isDefined() else None
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        ckpt = lambda df: df.checkpoint(eager=True)  # noqa: E731
+    else:
+        ckpt = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
 
     seeds = (
         vecs.orderBy("vec_id")
@@ -1363,11 +1385,15 @@ def kmeans_centroids_over(vecs: DataFrame, k: int, iters: int = KM_ITERS) -> Dat
             F.col("en").alias("cn"),
         )
     )
-    cent = seeds.localCheckpoint(eager=True)
-    for _ in range(iters):
-        assign = _km_assign_pass(vecs, cent)
-        cent = _km_update(assign).localCheckpoint(eager=True)
-    return cent
+    try:
+        cent = ckpt(seeds)
+        for _ in range(iters):
+            assign = _km_assign_pass(vecs, cent)
+            cent = ckpt(_km_update(assign))
+        return cent
+    finally:
+        if checkpoint_dir and prev_ckpt_dir is not None:
+            vecs.sparkSession.sparkContext.setCheckpointDir(prev_ckpt_dir)
 
 
 def kmeans_over(vecs: DataFrame, k: int, iters: int = KM_ITERS) -> DataFrame:

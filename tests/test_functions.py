@@ -2535,3 +2535,37 @@ def test_ann10_ann11_fixture_shape(spark, sf_dir):
     assert len(p) == len(ids)
     flags = {r.pruned for r in p}
     assert flags == {True, False}
+
+
+def test_kmeans_durable_checkpoint_dir(spark, sf_dir, tmp_path):
+    """The k-means trainer joins the durable-checkpoint matrix
+    (CLUSTER.md): with spark.maggy.checkpointDir set,
+    kmeans_centroids_over's rounds go through reliable
+    df.checkpoint() — identical centroid relation (bit-equal
+    components), checkpoint FILES under the dir, and no
+    localCheckpoint RDD storage pinned by the durable run."""
+    from maggy_spark.functions.similarity import (
+        _km_vecs,
+        kmeans_centroids_over,
+        kmeans_k,
+    )
+    from maggy_spark.plans.fixtures import corpus_count
+
+    vecs = _km_vecs(spark, sf_dir)
+    k = kmeans_k(corpus_count(spark, sf_dir, "embeddings"))
+    base = {r.cid: (list(r.cvec), r.cn) for r in kmeans_centroids_over(vecs, k).collect()}
+    assert len(base) > 1
+
+    def cached_rdds():
+        return {i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+
+    before = cached_rdds()
+    ck = tmp_path / "km_ck"
+    spark.conf.set("spark.maggy.checkpointDir", str(ck))
+    try:
+        got = {r.cid: (list(r.cvec), r.cn) for r in kmeans_centroids_over(vecs, k).collect()}
+    finally:
+        spark.conf.unset("spark.maggy.checkpointDir")
+    assert got == base  # bit-equal doubles: same training either way
+    assert any(ck.rglob("*")), "k-means rounds must land under the durable dir"
+    assert cached_rdds() - before == set()
