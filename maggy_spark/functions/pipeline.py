@@ -1344,3 +1344,119 @@ PL14_SQL = pl14_sql()
 # epoch-0 banded curriculum order was the last r8 operator whose
 # relation was not hash-verified under the gate.
 OPERATORS.append(("pl14_curriculum_order", pl14_curriculum_order, PL14_SQL))
+
+
+# ---------------------------------------------------------------- pl15
+# Semantic-diversity selection: the step AFTER SemDeDup in a curation
+# recipe — spend a token budget evenly across semantic clusters,
+# diversity-first within each cluster.
+
+PL15_SHARE = 0.5  # keep ~half the surviving token mass
+
+
+def pl15_semantic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced, diversity-first token-budget selection over
+    the SemDeDup survivors: the selection step a semantic-curation
+    recipe runs after ann10 (cluster) -> ann11 (prune near-dups) —
+    spread PL15_SHARE of the surviving token mass EVENLY across
+    semantic clusters, and inside each cluster admit documents
+    farthest-from-centroid first (cos ASC — the same diversity
+    priority SemDeDup keeps by), until the per-cluster budget is
+    exhausted (greedy prefix; a document that would overshoot is
+    excluded whole).
+
+    Documents and embeddings share an id space by fixture contract
+    (vec_id IS the doc_id of the embedded document — the pl6 linkage);
+    budget = ceil(total_surviving_tokens / ((1/PL15_SHARE) * n_clusters)),
+    both inputs exact integers so the double division and ceil are
+    engine-agreed.
+
+    Scale shape: everything is linear — one n-row unique-key join
+    (survivor flags back to assignment, then to the documents
+    projection), one 2-column global aggregate broadcast back, and
+    per-cluster windows whose partitions are the ~KM_TARGET_VECS
+    cluster populations (never corpus-sized). No pair stage here;
+    ann11 already paid it. Not in the driver registry (50-entry cap);
+    DuckDB parity in tests/test_offline_oracles.py."""
+    from pyspark.sql.window import Window
+
+    from maggy_spark.functions.similarity import _km_final, semdedup_over
+
+    km = _km_final(spark, sf_dir)
+    flags = semdedup_over(km)
+    surv = (
+        flags.where(~F.col("pruned"))
+        .select("vec_id", "cluster_id")
+        .join(km.select("vec_id", "cos"), "vec_id")
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens")
+    )
+    j = surv.join(docs, surv.vec_id == docs.doc_id).select(
+        "doc_id", "cluster_id", "cos", "n_tokens"
+    )
+    st = j.agg(
+        F.sum("n_tokens").alias("total"),
+        F.countDistinct("cluster_id").alias("k"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.col("cos").asc(), F.col("doc_id"))
+    r = j.select(
+        "doc_id",
+        "cluster_id",
+        "n_tokens",
+        F.row_number().over(w).cast("long").alias("div_rank"),
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("cum"),
+    )
+    budget = F.ceil(
+        F.col("total").cast("double") / (F.lit(1.0 / PL15_SHARE) * F.col("k"))
+    ).cast("long")
+    return r.crossJoin(F.broadcast(st)).select(
+        "doc_id",
+        "cluster_id",
+        "div_rank",
+        "n_tokens",
+        (F.col("cum") <= budget).alias("selected"),
+    )
+
+
+def pl15_sql(share: float = PL15_SHARE) -> str:
+    from maggy_spark.functions.similarity import _km_prefix_sql, _KM_FINAL, KM_SEM_TAU
+
+    return f"""
+{_km_prefix_sql()},
+flags AS (
+    SELECT v.vec_id, v.cid, v.cos,
+           EXISTS (
+               SELECT 1 FROM {_KM_FINAL} o
+               WHERE o.cid = v.cid
+                 AND (o.cos < v.cos OR (o.cos = v.cos AND o.vec_id < v.vec_id))
+                 AND list_dot_product(o.e::DOUBLE[], v.e::DOUBLE[])
+                     / (o.en * v.en) >= {KM_SEM_TAU}
+           ) AS pruned
+    FROM {_KM_FINAL} v),
+docs AS (
+    SELECT doc_id, cast(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents),
+j AS (
+    SELECT d.doc_id, s.cid AS cluster_id, s.cos, d.n_tokens
+    FROM (SELECT * FROM flags WHERE NOT pruned) s
+    JOIN docs d ON d.doc_id = s.vec_id),
+st AS (
+    SELECT cast(sum(n_tokens) AS BIGINT) AS total,
+           count(DISTINCT cluster_id) AS k
+    FROM j),
+r AS (
+    SELECT doc_id, cluster_id, n_tokens,
+           cast(row_number() OVER w AS BIGINT) AS div_rank,
+           cast(sum(n_tokens) OVER w AS BIGINT) AS cum
+    FROM j
+    WINDOW w AS (PARTITION BY cluster_id ORDER BY cos ASC, doc_id
+                 ROWS UNBOUNDED PRECEDING))
+SELECT doc_id, cluster_id, div_rank, n_tokens,
+       cum <= cast(ceil(cast(total AS DOUBLE) / ({1.0 / share} * k)) AS BIGINT)
+           AS selected
+FROM r CROSS JOIN st
+"""
+
+
+PL15_SQL = pl15_sql()

@@ -2569,3 +2569,30 @@ def test_kmeans_durable_checkpoint_dir(spark, sf_dir, tmp_path):
     assert got == base  # bit-equal doubles: same training either way
     assert any(ck.rglob("*")), "k-means rounds must land under the durable dir"
     assert cached_rdds() - before == set()
+
+
+def test_pl15_selected_is_diversity_prefix_under_budget(spark, sf_dir):
+    """pl15 semantics: inside every cluster the selected docs form a
+    PREFIX of the diversity order (cos ASC), and the selected token
+    mass never exceeds the even per-cluster budget."""
+    import math
+
+    from maggy_spark.functions.pipeline import PL15_SHARE, pl15_semantic_sample
+
+    rows = pl15_semantic_sample(spark, sf_dir).collect()
+    assert rows
+    total = sum(r.n_tokens for r in rows)
+    k = len({r.cluster_id for r in rows})
+    budget = math.ceil(total / ((1.0 / PL15_SHARE) * k))
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    some_selected = 0
+    for members in by_cluster.values():
+        members.sort(key=lambda r: r.div_rank)
+        flags = [r.selected for r in members]
+        # prefix property: no selected row after the first unselected
+        assert flags == sorted(flags, reverse=True)
+        assert sum(r.n_tokens for r in members if r.selected) <= budget
+        some_selected += flags[0]
+    assert some_selected > 0  # non-vacuous: some cluster admits its head

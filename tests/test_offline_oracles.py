@@ -145,6 +145,10 @@ CASES = [
     # (Abbas et al. 2023; keep-farthest-from-centroid priority)
     ("ann10_kmeans_assign", "ANN10_SQL", "maggy_spark.functions.similarity"),
     ("ann11_semdedup_prune", "ANN11_SQL", "maggy_spark.functions.similarity"),
+    # round-11 addition: the selection step AFTER SemDeDup — spread a
+    # token budget evenly across ann10's semantic clusters,
+    # farthest-from-centroid first (greedy per-cluster prefix)
+    ("pl15_semantic_sample", "PL15_SQL", "maggy_spark.functions.pipeline"),
     # round-11 rotation (pre-declared in COVERAGE.md r10): tx15 (DSIR
     # data-selection scorer) and dd17 (the ExactSubstr rewrite) moved
     # INTO the registry; rotated out here: dd6 (the internal first
