@@ -40,3 +40,27 @@ def test_union_find_oracle_equals_gate_closure():
     assert len(m2) == len(d14) == len(g14)
     for col in ("cluster_rep", "cluster_size", "n_tokens", "keep"):
         assert (m2[col] == m2[f"{col}_g"]).all(), col
+
+
+def test_kmeans_replay_matches_duckdb_twins():
+    """The numpy+Decimal replay (tools/kmeans_replay.py — the sf10
+    oracle for the k-means family, where the DuckDB twin's n x k
+    cross join is oracle-side infeasible) must agree with the DuckDB
+    twins bit-for-bit at the gate's sf0.01, so the two oracle layers
+    cannot drift."""
+    from maggy_spark.functions.pipeline import PL15_SQL
+    from maggy_spark.functions.similarity import ANN10_SQL, ANN11_SQL
+    from tools import kmeans_replay as KR
+    from tools.check_oracle import frame_signature
+    from tools.sf1_parity import _connect
+
+    sf = "/root/testdata/sf0.01"
+    con = _connect(sf)
+    for name, sql in [
+        ("ann10_kmeans_assign", ANN10_SQL),
+        ("ann11_semdedup_prune", ANN11_SQL),
+        ("pl15_semantic_sample", PL15_SQL),
+    ]:
+        duck_pd = con.execute(sql).fetchdf()
+        rep_pd = KR.REPLAYS[name](sf)
+        assert frame_signature(duck_pd) == frame_signature(rep_pd), name

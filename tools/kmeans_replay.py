@@ -1,0 +1,289 @@
+"""Third-algorithm replay oracle for the k-means family (ann10 /
+ann11 / pl15) — the dd10 union-find discipline applied to Lloyd
+training.
+
+WHY: the family's DuckDB twins replay centroid training as an
+unrolled n x k cross join per assignment pass. That is fine through
+sf1 (20k x 625), but at the sf10 decade (200k vectors, k at the 1024
+broadcast cap) the ORACLE side is 204.8M scored rows per pass — the
+48 GB DuckDB run OOMs and the EXISTS pair stage spills past the disk
+(measured, see COVERAGE.md r11). The OPERATOR itself is fine at that
+scale (broadcast + map-side argmax); only the twin's join shape is
+not. So, like dd10's quadratic recursive-CTE closure, the sweep
+switches to a THIRD algorithm: a numpy+Decimal replay that spells the
+exact same arithmetic chains —
+
+- dot products fold left-to-right over double-cast elements
+  (one multiply + one add per dim, no FMA — numpy's elementwise ops
+  match the JVM fold and DuckDB's list_dot_product bit-for-bit);
+- cosines divide by the (en * cn) product in the same association;
+- centroid sums run EXACTLY: each element is scaled to an integer at
+  decimal(38,18) via the shortest-double-repr HALF_UP rounding (the
+  tx11 cast-parity route: Python's repr(float) IS the shortest repr
+  both engines round), summed in arbitrary-precision ints (order-free
+  by construction), rounded HALF_UP to 10 fractional digits, and only
+  then converted to IEEE double and divided by the member count;
+- argmax ties break to the lower cid (numpy argmax returns the FIRST
+  max; columns are kept in cid order).
+
+Validated against the DuckDB twins at sf0.001 and sf0.01 by
+tests/test_sf1_tools.py::test_kmeans_replay_matches_duckdb_twins, so
+the replay and the gate-layer SQL cannot drift.
+
+Usage:
+    python tools/kmeans_replay.py --dir /tmp/maggy_sf10 [names...]
+Writes/merges KM_REPLAY_PARITY.json keyed by (dir, name).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+from decimal import ROUND_HALF_UP, Decimal
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+KM_TARGET_VECS = 32
+KM_MAX_K = 1024
+KM_ITERS = 2
+KM_SEM_TAU = 0.3
+PL15_SHARE = 0.5
+
+_D18 = Decimal(1).scaleb(-18)
+_D10 = Decimal(1).scaleb(-10)
+
+
+def fold_dot(A: np.ndarray, B: np.ndarray, block: int = 32768) -> np.ndarray:
+    """(n,d) x (k,d) -> (n,k) dot products as LEFT-TO-RIGHT folds over
+    the dimension axis (acc = acc + a_d*b_d), blocked over rows so the
+    per-dim temp stays bounded."""
+    n, d = A.shape
+    k = B.shape[0]
+    out = np.empty((n, k), dtype=np.float64)
+    for lo in range(0, n, block):
+        hi = min(lo + block, n)
+        acc = np.zeros((hi - lo, k), dtype=np.float64)
+        for dim in range(d):
+            acc += A[lo:hi, dim][:, None] * B[:, dim][None, :]
+        out[lo:hi] = acc
+    return out
+
+
+def fold_self(A: np.ndarray) -> np.ndarray:
+    """Per-row self-dot as the same left-to-right fold."""
+    acc = np.zeros(A.shape[0], dtype=np.float64)
+    for dim in range(A.shape[1]):
+        acc += A[:, dim] * A[:, dim]
+    return acc
+
+
+_SCALE_MEMO: dict[float, int] = {}
+
+
+def scaled_int18(v: float) -> int:
+    """The element's decimal(38,18) value as an integer scaled by
+    1e18: HALF_UP rounding of the double's SHORTEST repr — the exact
+    value Spark's double->decimal cast and the twin's
+    CAST(CAST(x AS VARCHAR) AS DECIMAL(38,18)) both produce."""
+    m = _SCALE_MEMO.get(v)
+    if m is None:
+        m = int(Decimal(repr(v)).quantize(_D18, rounding=ROUND_HALF_UP).scaleb(18))
+        _SCALE_MEMO[v] = m
+    return m
+
+
+def comp_value(total18: int, count: int) -> float:
+    """round(sum, 10) -> double -> / count, both engine-agreed."""
+    q = (Decimal(total18).scaleb(-18)).quantize(_D10, rounding=ROUND_HALF_UP)
+    return float(q) / count
+
+
+def kmeans_k(n: int) -> int:
+    return min(KM_MAX_K, max(4, math.ceil(n / KM_TARGET_VECS)))
+
+
+def _load_embeddings(sf_dir: str):
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    ids = emb["vec_id"].to_numpy(np.int64)
+    E = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    return ids, E
+
+
+def _update(E: np.ndarray, Eint: list[list[int]], assign: np.ndarray, cids: np.ndarray):
+    """One exact Lloyd update: returns (new_cids, C, cn). `assign`
+    holds column indices into `cids`."""
+    k, d = len(cids), E.shape[1]
+    sums = [[0] * d for _ in range(k)]
+    counts = [0] * k
+    for i, c in enumerate(assign):
+        counts[c] += 1
+        s = sums[c]
+        row = Eint[i]
+        for dim in range(d):
+            s[dim] += row[dim]
+    keep = [j for j in range(k) if counts[j] > 0]
+    C = np.empty((len(keep), d), dtype=np.float64)
+    for out_j, j in enumerate(keep):
+        cnt = counts[j]
+        C[out_j] = [comp_value(sums[j][dim], cnt) for dim in range(d)]
+    return cids[keep], C, np.sqrt(fold_self(C))
+
+
+def replay_kmeans(sf_dir: str):
+    """Full ann10 replay: returns (ids, E, en, assign_cids, cos_best,
+    cids, C, cn) after KM_ITERS updates + final assignment."""
+    ids, E = _load_embeddings(sf_dir)
+    n = len(ids)
+    k = kmeans_k(n)
+    en = np.sqrt(fold_self(E))
+    # seeds: k lowest vec_ids, cid = 1..k in vec_id order
+    C = E[:k].copy()
+    cn = en[:k].copy()
+    cids = np.arange(1, k + 1, dtype=np.int64)
+    Eint = [[scaled_int18(v) for v in row] for row in E]
+    for _ in range(KM_ITERS):
+        cos = fold_dot(E, C) / (en[:, None] * cn[None, :])
+        assign = np.argmax(cos, axis=1)  # first max = lowest cid on ties
+        cids, C, cn = _update(E, Eint, assign, cids)
+    cos = fold_dot(E, C) / (en[:, None] * cn[None, :])
+    assign = np.argmax(cos, axis=1)
+    cos_best = cos[np.arange(n), assign]
+    return ids, E, en, cids[assign], cos_best, cids, C, cn
+
+
+def replay_ann10(sf_dir: str) -> pd.DataFrame:
+    ids, _E, _en, acids, cos_best, *_ = replay_kmeans(sf_dir)
+    return pd.DataFrame(
+        {"vec_id": ids, "cluster_id": acids, "cosine": cos_best}
+    )
+
+
+def _prune_flags(ids, E, en, acids, cos_best):
+    pruned = np.zeros(len(ids), dtype=bool)
+    for cid in np.unique(acids):
+        idx = np.where(acids == cid)[0]
+        if len(idx) < 2:
+            continue
+        M = E[idx]
+        pc = fold_dot(M, M) / (en[idx][:, None] * en[idx][None, :])
+        # priority order: (cos_to_centroid ASC, vec_id ASC)
+        order = np.lexsort((ids[idx], cos_best[idx]))
+        for p in range(1, len(order)):
+            b = order[p]
+            if (pc[b, order[:p]] >= KM_SEM_TAU).any():
+                pruned[idx[b]] = True
+    return pruned
+
+
+def replay_ann11(sf_dir: str) -> pd.DataFrame:
+    ids, E, en, acids, cos_best, *_ = replay_kmeans(sf_dir)
+    return pd.DataFrame(
+        {"vec_id": ids, "cluster_id": acids, "pruned": _prune_flags(ids, E, en, acids, cos_best)}
+    )
+
+
+def replay_pl15(sf_dir: str) -> pd.DataFrame:
+    ids, E, en, acids, cos_best, *_ = replay_kmeans(sf_dir)
+    pruned = _prune_flags(ids, E, en, acids, cos_best)
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ntok = {int(i): len(t.split(" ")) for i, t in zip(docs["doc_id"], docs["text"])}
+    rows = [
+        (int(ids[i]), int(acids[i]), float(cos_best[i]), ntok[int(ids[i])])
+        for i in range(len(ids))
+        if not pruned[i] and int(ids[i]) in ntok
+    ]
+    j = pd.DataFrame(rows, columns=["doc_id", "cluster_id", "cos", "n_tokens"])
+    total = int(j["n_tokens"].sum())
+    k = j["cluster_id"].nunique()
+    budget = math.ceil(total / ((1.0 / PL15_SHARE) * k))
+    out = []
+    for cid, g in j.groupby("cluster_id"):
+        g = g.sort_values(["cos", "doc_id"]).reset_index(drop=True)
+        cum = 0
+        for rank, r in enumerate(g.itertuples(index=False), start=1):
+            cum += r.n_tokens
+            out.append((r.doc_id, cid, rank, r.n_tokens, cum <= budget))
+    df = pd.DataFrame(
+        out, columns=["doc_id", "cluster_id", "div_rank", "n_tokens", "selected"]
+    )
+    return df.astype(
+        {"doc_id": "int64", "cluster_id": "int64", "div_rank": "int64",
+         "n_tokens": "int64", "selected": "bool"}
+    )
+
+
+REPLAYS = {
+    "ann10_kmeans_assign": replay_ann10,
+    "ann11_semdedup_prune": replay_ann11,
+    "pl15_semantic_sample": replay_pl15,
+}
+
+
+def main() -> int:
+    argv = list(sys.argv[1:])
+    sf_dir = "/tmp/maggy_sf10"
+    if "--dir" in argv:
+        i = argv.index("--dir")
+        sf_dir = argv[i + 1]
+        del argv[i : i + 2]
+    names = argv or list(REPLAYS)
+
+    from pyspark.sql import SparkSession
+
+    from maggy_spark.functions import pipeline, similarity
+    from tools.check_oracle import compare_frames, to_pandas_spark
+
+    spark_fns = {
+        "ann10_kmeans_assign": similarity.ann10_kmeans_assign,
+        "ann11_semdedup_prune": similarity.ann11_semdedup_prune,
+        "pl15_semantic_sample": pipeline.pl15_semantic_sample,
+    }
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .appName("kmeans-replay")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    path = REPO / "KM_REPLAY_PARITY.json"
+    results = json.loads(path.read_text()) if path.exists() else {}
+    failures = []
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = spark_fns[name](spark, sf_dir)
+            spark_pd = to_pandas_spark(sdf)
+            oracle_pd = REPLAYS[name](sf_dir)
+            status = compare_frames(sdf, spark_pd, oracle_pd)
+        except Exception as e:  # noqa: BLE001 - sweep must report, not die
+            status, spark_pd = [f"error: {e}"], []
+        ok = not status
+        results[f"{Path(sf_dir.rstrip('/')).name}:{name}"] = {
+            "match": ok,
+            "rows": len(spark_pd),
+            "secs": round(time.time() - t0, 1),
+            "oracle": "numpy+decimal-replay",
+            "detail": "; ".join(status) if status else None,
+        }
+        print(("ok   " if ok else "FAIL ") + f"{name}: "
+              + ("MATCH" if ok else "; ".join(status))
+              + f" ({len(spark_pd)} rows, {time.time()-t0:.1f}s)", flush=True)
+        if not ok:
+            failures.append(name)
+    path.write_text(json.dumps(results, indent=2))
+    spark.stop()
+    print(f"\n{len(failures)} failures / {len(names)} swept")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
