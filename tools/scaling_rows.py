@@ -238,6 +238,25 @@ def main() -> None:
           "exact_rerank_rows": similarity.PQ_CANDIDATES * similarity.N_QUERIES,
           "output": out, "sec": sec})
 
+    # --- the k-means curation family (new r11) ---------------------------
+    km_k = similarity.kmeans_k(n_vecs)
+    out, sec = timed(lambda: similarity.ann10_kmeans_assign(spark, sf_dir))
+    emit({"op": "ann10_kmeans_assign", "sf": sf, "n": n_vecs,
+          "params": {"k": km_k, "iters": similarity.KM_ITERS,
+                     "target_cluster": similarity.KM_TARGET_VECS},
+          "scored_rows_per_pass": n_vecs * km_k,
+          "output": out, "sec": sec})
+    out, sec = timed(lambda: similarity.ann11_semdedup_prune(spark, sf_dir))
+    emit({"op": "ann11_semdedup_prune", "sf": sf, "n": n_vecs,
+          "params": {"tau": similarity.KM_SEM_TAU, "k": km_k},
+          "output": out, "sec": sec})
+    from maggy_spark.functions.pipeline import pl15_semantic_sample
+
+    out, sec = timed(lambda: pl15_semantic_sample(spark, sf_dir))
+    emit({"op": "pl15_semantic_sample", "sf": sf, "n": n_vecs,
+          "params": {"share": 0.5, "k": km_k},
+          "output": out, "sec": sec})
+
     # --- the distributed BPE loop ----------------------------------------
     n_merges = 20
     t0 = time.time()
