@@ -190,9 +190,17 @@ def main() -> None:
             ann10_kmeans_assign,
             ann11_semdedup_prune,
         )
+        from maggy_spark.plans.fixtures import invalidate_session_cache
 
         km_samples, sd_samples = [], []
         for _ in range(reps):
+            # clearCache alone is NOT enough here: the trained
+            # centroids live behind a localCheckpoint, so the
+            # session-cached assignment would rebuild from the
+            # checkpoint RDD and reps 2+ would skip training — the
+            # pl13 discipline (invalidate + rebuild per rep) keeps
+            # the row honest about the full train cost
+            invalidate_session_cache(spark, sf_dir)
             t0 = time.time()
             ann10_kmeans_assign(spark, sf_dir).write.format("noop").mode("overwrite").save()
             km_samples.append(time.time() - t0)
