@@ -1268,16 +1268,48 @@ def _km_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_cached(spark, (sf_dir, "km_vecs"), _build)
 
 
-def _km_assign_pass(vecs: DataFrame, cent: DataFrame) -> DataFrame:
-    """One assignment pass: broadcast the (<= KM_MAX_K)-row centroid
-    relation against the corpus and pick each vector's argmax-cosine
-    centroid (ties to the lower cid). The crossJoin fans each vector
-    out IN-TASK, and the groupBy's partial aggregation collapses the k
-    candidate rows back to one before any exchange — so the pass costs
-    one broadcast and one (already-reduced) shuffle on vec_id, never a
-    k-wide shuffle. Equivalent to the twin's row_number()-over-(cosine
-    DESC, cid) formulation because cosines are bit-identical across
-    engines (same fold chains)."""
+# n x k scored rows above which the auto path switches the assignment
+# pass to the Arrow kernel: below it the JVM fold's simplicity wins
+# (no Python workers in the plan); above it the expression-tree
+# evaluation cost dominates training (measured: 252 s for 205M-row
+# passes at sf10 vs ~5M pair-dots/s/core — see SCALING.md).
+KM_ARROW_SCORED_ROWS = 50_000_000
+
+
+def _km_assign_path(spark: SparkSession, n: int, k: int) -> str:
+    """Resolve the assignment-pass kernel: conf
+    ``spark.maggy.kmeans.assignPath`` in {jvm, arrow, auto} (default
+    auto = arrow when the n x k scored-row volume crosses
+    KM_ARROW_SCORED_ROWS). Both kernels are BIT-EQUAL by construction
+    (same left-to-right fold, same (en*cn) association, same
+    first-max/lower-cid tie break — pinned by
+    test_kmeans_arrow_path_bit_equal), so the choice is pure
+    performance; correctness never depends on it."""
+    mode = spark.conf.get("spark.maggy.kmeans.assignPath", "auto")
+    if mode not in ("jvm", "arrow", "auto"):
+        raise ValueError(f"spark.maggy.kmeans.assignPath: {mode!r} not in jvm/arrow/auto")
+    if mode == "auto":
+        return "arrow" if n * k >= KM_ARROW_SCORED_ROWS else "jvm"
+    return mode
+
+
+def _km_assign_pass(vecs: DataFrame, cent: DataFrame, path: str = "jvm") -> DataFrame:
+    """One assignment pass: pick each vector's argmax-cosine centroid
+    (ties to the lower cid) against the <= KM_MAX_K-row centroid
+    relation. Two bit-equal kernels (see _km_assign_path); equivalent
+    to the twin's row_number()-over-(cosine DESC, cid) formulation
+    because cosines are bit-identical across engines (same fold
+    chains)."""
+    if path == "arrow":
+        return _km_assign_pass_arrow(vecs, cent)
+    return _km_assign_pass_jvm(vecs, cent)
+
+
+def _km_assign_pass_jvm(vecs: DataFrame, cent: DataFrame) -> DataFrame:
+    """JVM kernel: broadcast-crossJoin fans each vector out IN-TASK,
+    and the groupBy's partial aggregation collapses the k candidate
+    rows back to one before any exchange — one broadcast and one
+    (already-reduced) shuffle on vec_id, never a k-wide shuffle."""
     scored = vecs.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "embedding",
@@ -1298,6 +1330,56 @@ def _km_assign_pass(vecs: DataFrame, cent: DataFrame) -> DataFrame:
         F.col("m.cos").alias("cos"),
         "embedding",
         "en",
+    )
+
+
+def _km_assign_pass_arrow(vecs: DataFrame, cent: DataFrame) -> DataFrame:
+    """Arrow kernel for the assignment pass: the centroid relation
+    (<= KM_MAX_K rows — the broadcast bound, ~0.5 MB) collects to the
+    driver once and ships in the task closure; each Arrow batch scores
+    all centroids with a numpy LEFT-TO-RIGHT fold over the dimension
+    axis (acc = acc + e_d*c_d — one multiply + one add per dim, no
+    FMA, exactly the JVM zip_with/aggregate chain) and divides by the
+    same (en * cn) product, then takes the first-max argmax (= the
+    lower-cid tie break). Bit-equal to the JVM kernel — the same
+    arithmetic proven against both DuckDB and the replay oracle — but
+    ~100x the flop throughput, which is what the n x k volume needs
+    once k hits its cap and n keeps growing (the 100 TB regime). The
+    per-vector work never leaves its batch: no shuffle at all, where
+    the JVM kernel still pays one reduced exchange for the groupBy."""
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted(cent.collect(), key=lambda r: r.cid)
+    if not rows:
+        raise ValueError("empty centroid relation")
+    C = np.array([list(r.cvec) for r in rows], dtype=np.float64)
+    cn = np.array([r.cn for r in rows], dtype=np.float64)
+    cids = np.array([r.cid for r in rows], dtype=np.int64)
+    d = C.shape[1]
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+            acc = np.zeros((len(pdf), len(cids)), dtype=np.float64)
+            for dim in range(d):
+                acc += E[:, dim][:, None] * C[:, dim][None, :]
+            cos = acc / (pdf["en"].to_numpy()[:, None] * cn[None, :])
+            j = np.argmax(cos, axis=1)  # first max = lowest cid on ties
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cid": cids[j],
+                    "cos": cos[np.arange(len(pdf)), j],
+                    "embedding": pdf["embedding"],
+                    "en": pdf["en"].to_numpy(),
+                }
+            )
+
+    return vecs.mapInPandas(
+        gen, "vec_id bigint, cid bigint, cos double, embedding array<float>, en double"
     )
 
 
@@ -1385,10 +1467,11 @@ def kmeans_centroids_over(
             F.col("en").alias("cn"),
         )
     )
+    path = _km_assign_path(spark, vecs.count(), k)
     try:
         cent = ckpt(seeds)
         for _ in range(iters):
-            assign = _km_assign_pass(vecs, cent)
+            assign = _km_assign_pass(vecs, cent, path)
             cent = ckpt(_km_update(assign))
         return cent
     finally:
@@ -1402,7 +1485,10 @@ def kmeans_over(vecs: DataFrame, k: int, iters: int = KM_ITERS) -> DataFrame:
     boilerplate_profile / pack_plan discipline). `iters` centroid
     updates, then one final assignment. Returns (vec_id, cid, cos,
     embedding, en)."""
-    return _km_assign_pass(vecs, kmeans_centroids_over(vecs, k, iters))
+    cent = kmeans_centroids_over(vecs, k, iters)
+    return _km_assign_pass(
+        vecs, cent, _km_assign_path(vecs.sparkSession, vecs.count(), k)
+    )
 
 
 def _km_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1425,7 +1511,12 @@ def _km_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     from maggy_spark.plans.fixtures import session_cached
 
     def _build() -> DataFrame:
-        return _km_assign_pass(_km_vecs(spark, sf_dir), _km_centroids(spark, sf_dir))
+        n = corpus_count(spark, sf_dir, "embeddings")
+        return _km_assign_pass(
+            _km_vecs(spark, sf_dir),
+            _km_centroids(spark, sf_dir),
+            _km_assign_path(spark, n, kmeans_k(n)),
+        )
 
     return session_cached(spark, (sf_dir, "km_final"), _build)
 

@@ -2596,3 +2596,33 @@ def test_pl15_selected_is_diversity_prefix_under_budget(spark, sf_dir):
         assert sum(r.n_tokens for r in members if r.selected) <= budget
         some_selected += flags[0]
     assert some_selected > 0  # non-vacuous: some cluster admits its head
+
+
+def test_kmeans_arrow_path_bit_equal(spark, sf_dir):
+    """The Arrow assignment kernel must be BIT-EQUAL to the JVM
+    kernel over the full training loop (same left-to-right folds,
+    same (en*cn) association, same first-max tie break) — the
+    conf-gated fast path for the n x k regime can never change a
+    result. Also pins the conf validation."""
+    import pytest as _pytest
+
+    from maggy_spark.functions.similarity import _km_vecs, kmeans_k, kmeans_over
+    from maggy_spark.plans.fixtures import corpus_count
+
+    vecs = _km_vecs(spark, sf_dir)
+    k = kmeans_k(corpus_count(spark, sf_dir, "embeddings"))
+
+    def run():
+        return {r.vec_id: (r.cid, r.cos, r.en) for r in kmeans_over(vecs, k).collect()}
+
+    spark.conf.set("spark.maggy.kmeans.assignPath", "jvm")
+    try:
+        jvm = run()
+        spark.conf.set("spark.maggy.kmeans.assignPath", "arrow")
+        arrow = run()
+        spark.conf.set("spark.maggy.kmeans.assignPath", "nope")
+        with _pytest.raises(ValueError, match="assignPath"):
+            run()
+    finally:
+        spark.conf.unset("spark.maggy.kmeans.assignPath")
+    assert arrow == jvm  # bit-equal doubles, identical clusters
