@@ -1276,7 +1276,7 @@ def _km_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
 KM_ARROW_SCORED_ROWS = 50_000_000
 
 
-def _km_assign_path(spark: SparkSession, n: int, k: int) -> str:
+def _km_assign_path(spark: SparkSession, n, k: int) -> str:
     """Resolve the assignment-pass kernel: conf
     ``spark.maggy.kmeans.assignPath`` in {jvm, arrow, auto} (default
     auto = arrow when the n x k scored-row volume crosses
@@ -1289,7 +1289,8 @@ def _km_assign_path(spark: SparkSession, n: int, k: int) -> str:
     if mode not in ("jvm", "arrow", "auto"):
         raise ValueError(f"spark.maggy.kmeans.assignPath: {mode!r} not in jvm/arrow/auto")
     if mode == "auto":
-        return "arrow" if n * k >= KM_ARROW_SCORED_ROWS else "jvm"
+        n_val = n() if callable(n) else n
+        return "arrow" if n_val * k >= KM_ARROW_SCORED_ROWS else "jvm"
     return mode
 
 
@@ -1467,7 +1468,7 @@ def kmeans_centroids_over(
             F.col("en").alias("cn"),
         )
     )
-    path = _km_assign_path(spark, vecs.count(), k)
+    path = _km_assign_path(spark, vecs.count, k)
     try:
         cent = ckpt(seeds)
         for _ in range(iters):
@@ -1487,7 +1488,7 @@ def kmeans_over(vecs: DataFrame, k: int, iters: int = KM_ITERS) -> DataFrame:
     embedding, en)."""
     cent = kmeans_centroids_over(vecs, k, iters)
     return _km_assign_pass(
-        vecs, cent, _km_assign_path(vecs.sparkSession, vecs.count(), k)
+        vecs, cent, _km_assign_path(vecs.sparkSession, vecs.count, k)
     )
 
 
