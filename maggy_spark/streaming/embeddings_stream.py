@@ -182,7 +182,12 @@ def kmeans_route_stream(
     accumulated end state hash-matches the DuckDB replay
     (kmeans_route_screen_sql). Per-batch work is |batch| x k x dim
     multiplies, independent of corpus size; no watermark, no state
-    store."""
+    store. Measured bound at the k=1024 cap (sf10 store, local[32]):
+    ~22k routed vectors/s (~700/s/core) through the JVM fold — ample
+    for an ingest screen; if a feed ever outruns it, the batch
+    trainer's Arrow kernel (_km_assign_pass_arrow, bit-equal by the
+    same chains) is the drop-in remedy, since mapInPandas is legal on
+    stateless streaming frames too."""
     from maggy_spark.functions.similarity import _dot, _km_centroids
 
     packed = (
