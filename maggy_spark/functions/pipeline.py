@@ -1365,8 +1365,11 @@ def pl15_semantic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     exhausted (greedy prefix; a document that would overshoot is
     excluded whole).
 
-    Documents and embeddings share an id space by fixture contract
-    (vec_id IS the doc_id of the embedded document — the pl6 linkage);
+    Documents and embeddings share an id space by data contract:
+    vec_id IS the doc_id of the embedded document (the first operator
+    to join the two tables — the inner join means only embedded
+    documents participate, identically in both engines; at every
+    fixture decade the embedding ids are a prefix of the doc ids);
     budget = ceil(total_surviving_tokens / ((1/PL15_SHARE) * n_clusters)),
     both inputs exact integers so the double division and ceil are
     engine-agreed.
