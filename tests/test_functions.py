@@ -2626,3 +2626,28 @@ def test_kmeans_arrow_path_bit_equal(spark, sf_dir):
     finally:
         spark.conf.unset("spark.maggy.kmeans.assignPath")
     assert arrow == jvm  # bit-equal doubles, identical clusters
+
+
+def test_ann5_derivable_from_ann4_pair_relation(spark, sf_dir):
+    """Rotation pin for the pre-declared r13 swap (COVERAGE.md): the
+    kNN graph must be exactly derivable from ann4's bucket-pair
+    scoring relation (threshold disabled), so the gate-green ann4 row
+    keeps ann5's geometry + scoring path hard-verified once ann5
+    rotates to the offline suite. Cosines are bit-equal across
+    orientations because IEEE multiplication commutes inside the
+    shared fold."""
+    from maggy_spark.functions.similarity import (
+        ann4_embedding_near_dup,
+        ann5_knn_graph,
+    )
+
+    pairs = ann4_embedding_near_dup(spark, sf_dir, threshold=-1.1).collect()
+    best: dict = {}
+    for r in pairs:
+        for s, d in ((r.id_a, r.id_b), (r.id_b, r.id_a)):
+            cand = (-r.cosine, d)
+            if s not in best or cand < best[s]:
+                best[s] = cand
+    want = {s: (d, -negc) for s, (negc, d) in best.items()}
+    got = {r.src: (r.nearest, r.cosine) for r in ann5_knn_graph(spark, sf_dir).collect()}
+    assert got == want and len(got) > 0
