@@ -2651,3 +2651,50 @@ def test_ann5_derivable_from_ann4_pair_relation(spark, sf_dir):
     want = {s: (d, -negc) for s, (negc, d) in best.items()}
     got = {r.src: (r.nearest, r.cosine) for r in ann5_knn_graph(spark, sf_dir).collect()}
     assert got == want and len(got) > 0
+
+
+def test_kmeans_spark_matches_replay_on_random_corpora(spark):
+    """Cross-implementation property: on random float32 corpora the
+    full Spark training loop (JVM kernels, decimal updates) must be
+    BIT-EQUAL to the numpy+Decimal replay core — same clusters, same
+    cosines — including degenerate shapes (duplicate vectors, k > n
+    after attrition, single-cluster collapse)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from maggy_spark.functions.similarity import kmeans_over
+    from tools.kmeans_replay import replay_kmeans_arrays
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.data())
+    def _case(data):
+        n = data.draw(st.integers(min_value=2, max_value=24), label="n")
+        d = data.draw(st.integers(min_value=2, max_value=6), label="d")
+        k = data.draw(st.integers(min_value=2, max_value=5), label="k")
+        elems = data.draw(
+            st.lists(
+                st.floats(
+                    min_value=-4, max_value=4, allow_nan=False, width=32,
+                ).filter(lambda x: x == x),
+                min_size=n * d, max_size=n * d,
+            ),
+            label="elems",
+        )
+        E32 = np.array(elems, dtype=np.float32).reshape(n, d)
+        # zero vectors have no direction: nudge them onto an axis
+        for i in range(n):
+            if not np.any(E32[i]):
+                E32[i, 0] = 1.0
+        ids = np.arange(n, dtype=np.int64)
+        want_ids, _E, _en, acids, cos_best, *_ = replay_kmeans_arrays(
+            ids, E32.astype(np.float64), k
+        )
+        want = {int(i): (int(c), float(x)) for i, c, x in zip(want_ids, acids, cos_best)}
+        got = {
+            r.vec_id: (r.cid, r.cos)
+            for r in kmeans_over(_km_rel(spark, list(zip(ids.tolist(), E32.tolist()))), k).collect()
+        }
+        assert got == want
+
+    _case()

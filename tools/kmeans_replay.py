@@ -137,19 +137,19 @@ def _update(E: np.ndarray, Eint: list[list[int]], assign: np.ndarray, cids: np.n
     return cids[keep], C, np.sqrt(fold_self(C))
 
 
-def replay_kmeans(sf_dir: str):
-    """Full ann10 replay: returns (ids, E, en, assign_cids, cos_best,
-    cids, C, cn) after KM_ITERS updates + final assignment."""
-    ids, E = _load_embeddings(sf_dir)
+def replay_kmeans_arrays(ids: np.ndarray, E: np.ndarray, k: int, iters: int = KM_ITERS):
+    """The replay core over in-memory (ids, E) — factored out so
+    property tests can drive random corpora against kmeans_over
+    (ids must be sorted ascending; E float64, one row per id)."""
     n = len(ids)
-    k = kmeans_k(n)
     en = np.sqrt(fold_self(E))
     # seeds: k lowest vec_ids, cid = 1..k in vec_id order
     C = E[:k].copy()
     cn = en[:k].copy()
-    cids = np.arange(1, k + 1, dtype=np.int64)
+    cids = np.arange(1, min(k, n) + 1, dtype=np.int64)
+    C, cn = C[: len(cids)], cn[: len(cids)]
     Eint = [[scaled_int18(v) for v in row] for row in E]
-    for _ in range(KM_ITERS):
+    for _ in range(iters):
         cos = fold_dot(E, C) / (en[:, None] * cn[None, :])
         assign = np.argmax(cos, axis=1)  # first max = lowest cid on ties
         cids, C, cn = _update(E, Eint, assign, cids)
@@ -157,6 +157,13 @@ def replay_kmeans(sf_dir: str):
     assign = np.argmax(cos, axis=1)
     cos_best = cos[np.arange(n), assign]
     return ids, E, en, cids[assign], cos_best, cids, C, cn
+
+
+def replay_kmeans(sf_dir: str):
+    """Full ann10 replay: returns (ids, E, en, assign_cids, cos_best,
+    cids, C, cn) after KM_ITERS updates + final assignment."""
+    ids, E = _load_embeddings(sf_dir)
+    return replay_kmeans_arrays(ids, E, kmeans_k(len(ids)))
 
 
 def replay_ann10(sf_dir: str) -> pd.DataFrame:
