@@ -156,10 +156,11 @@ def main() -> None:
         print(f"BENCH ERROR bpe loop: {e}", file=sys.stderr)
         spark.catalog.clearCache()
 
-    # ann9 PQ/ADC — the 32x-compression serving rung above the
-    # registry's ann7/ann8 (offline-oracled, not a gate row): benched
-    # explicitly so the top of the compression ladder has a
-    # round-over-round regression signal (VERDICT r10 item 2). Each
+    # ann9 PQ/ADC — the 32x-compression serving rung at the top of
+    # the compression ladder. A registry/gate row since r11 (ann7
+    # moved to the offline suite); benched explicitly so the ladder
+    # has a round-over-round regression signal (VERDICT r10 item 2,
+    # comment refreshed per ADVICE r11). Each
     # rep pays the full codebook build + code store + ADC scan + exact
     # rerank (clearCache drops the session-cached codebook relation).
     try:

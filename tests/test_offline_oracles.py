@@ -138,12 +138,16 @@ CASES = [
     # path stays hard-verified through the gate while exact parity
     # continues here at sf0.01.
     ("ann7_quantized_rerank", "ANN7_SQL", "maggy_spark.functions.similarity"),
-    # round-11 additions: oracle-checkable Lloyd k-means (the
-    # clustering stage ann9's codebook note documents as previously
-    # cross-engine-infeasible — closed by the order-free DECIMAL
-    # centroid update) and SemDeDup pruning over its clusters
+    # round-12 rotation (pre-declared r11, executed after the
+    # zero-norm-centroid fix): ann10 moved INTO the registry; ann5
+    # rotated out here — the gate-green ann4 pair relation
+    # reconstructs the kNN graph exactly
+    # (test_ann5_derivable_from_ann4_pair_relation), so its geometry
+    # and scoring path stay hard-verified through the gate while
+    # exact parity continues here at sf0.01.
+    ("ann5_knn_graph", "ANN5_SQL", "maggy_spark.functions.similarity"),
+    # round-11 addition: SemDeDup pruning over ann10's clusters
     # (Abbas et al. 2023; keep-farthest-from-centroid priority)
-    ("ann10_kmeans_assign", "ANN10_SQL", "maggy_spark.functions.similarity"),
     ("ann11_semdedup_prune", "ANN11_SQL", "maggy_spark.functions.similarity"),
     # round-11 addition: the selection step AFTER SemDeDup — spread a
     # token budget evenly across ann10's semantic clusters,

@@ -134,13 +134,23 @@ def _update(E: np.ndarray, Eint: list[list[int]], assign: np.ndarray, cids: np.n
     for out_j, j in enumerate(keep):
         cnt = counts[j]
         C[out_j] = [comp_value(sums[j][dim], cnt) for dim in range(d)]
-    return cids[keep], C, np.sqrt(fold_self(C))
+    cn = np.sqrt(fold_self(C))
+    # zero-norm-centroid attrition (similarity._km_update rule): a
+    # cancelling cluster's centroid has no direction — drop it, same
+    # as an empty cluster, identically to Spark and the DuckDB twin.
+    nz = cn > 0
+    return cids[keep][nz], C[nz], cn[nz]
 
 
 def replay_kmeans_arrays(ids: np.ndarray, E: np.ndarray, k: int, iters: int = KM_ITERS):
     """The replay core over in-memory (ids, E) — factored out so
     property tests can drive random corpora against kmeans_over
-    (ids must be sorted ascending; E float64, one row per id)."""
+    (ids must be sorted ascending; E float64, one row per id).
+    Zero-norm input vectors are dropped before seeding (the
+    kmeans_centroids_over degenerate-vector rule); an all-degenerate
+    corpus raises ValueError, matching Spark."""
+    nzin = np.sqrt(fold_self(E)) > 0
+    ids, E = ids[nzin], E[nzin]
     n = len(ids)
     en = np.sqrt(fold_self(E))
     # seeds: k lowest vec_ids, cid = 1..k in vec_id order
@@ -153,6 +163,12 @@ def replay_kmeans_arrays(ids: np.ndarray, E: np.ndarray, k: int, iters: int = KM
         cos = fold_dot(E, C) / (en[:, None] * cn[None, :])
         assign = np.argmax(cos, axis=1)  # first max = lowest cid on ties
         cids, C, cn = _update(E, Eint, assign, cids)
+        if not len(cids):
+            raise ValueError(
+                "k-means: every cluster degenerated (empty or "
+                "zero-norm centroid) — corpus has no clusterable "
+                "direction structure"
+            )
     cos = fold_dot(E, C) / (en[:, None] * cn[None, :])
     assign = np.argmax(cos, axis=1)
     cos_best = cos[np.arange(n), assign]
