@@ -1765,7 +1765,10 @@ def exact_substr_converge(d: DataFrame, w: int = SPAN_W, max_passes: int = 3) ->
     ``spark.maggy.checkpointDir`` when the session conf is set — the
     same executor-loss contract as star_components/bpe_train
     (CLUSTER.md), with any pre-existing app checkpoint dir restored
-    on exit."""
+    on exit. Spark cannot UNSET a checkpoint dir: if the app had none
+    configured, the context stays pointed at the maggy dir after
+    return (ADVICE r11 — later unrelated df.checkpoint() calls land
+    there)."""
     spark = d.sparkSession
     checkpoint_dir = spark.conf.get("spark.maggy.checkpointDir", None)
     prev_ckpt_dir = None

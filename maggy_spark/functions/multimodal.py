@@ -1066,7 +1066,14 @@ def mm8_phash_probe(
 
 
 def _mm8_values(rows: list) -> str:
-    return ", ".join(f"(cast({i} AS BIGINT), '{tx}')" for i, tx in rows)
+    # Escape single quotes so a future crafted payload with an
+    # apostrophe can't produce malformed oracle SQL or a silent
+    # text mismatch vs the Spark side (ADVICE r11). The Spark side
+    # uses the raw python string, so '' -> ' here keeps both equal.
+    return ", ".join(
+        "(cast({} AS BIGINT), '{}')".format(i, tx.replace("'", "''"))
+        for i, tx in rows
+    )
 
 
 MM8_SQL = f"""

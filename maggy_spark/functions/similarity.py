@@ -1420,10 +1420,37 @@ def _km_update(assign: DataFrame) -> DataFrame:
     m = ex.groupBy("cid", "pos").agg(
         F.sum("vd").alias("s"), F.count(F.lit(1)).alias("c")
     )
+    # round(s, 10) keeps <= 15 significant digits ONLY while
+    # abs(s) < 1e5 (5 integer + 10 fractional digits); beyond that the
+    # decimal->double cast is no longer engine-agreed and parity would
+    # fail as a confusing hash mismatch. Embeddings are unit-normalized
+    # upstream (|v| <= 1 per component), so reaching 1e5 needs a
+    # ~100k-member cluster of same-signed components — fail LOUDLY
+    # there instead of silently mismatching (the validate_mm6 fail-loud
+    # convention, ADVICE r11).
     comp = m.select(
         "cid",
         "pos",
-        (F.round("s", 10).cast("double") / F.col("c")).alias("comp"),
+        (
+            F.when(
+                F.abs(F.col("s")) >= F.lit("100000").cast("decimal(38,18)"),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "kmeans _km_update: per-(cid,pos) component sum "
+                        ),
+                        F.col("s").cast("string"),
+                        F.lit(
+                            " exceeds the 1e5 cross-engine bit-agreement "
+                            "bound (round(s,10) would pass 15 significant "
+                            "digits) — shrink clusters or lower k"
+                        ),
+                    )
+                ).cast("double"),
+            )
+            .otherwise(F.round("s", 10).cast("double"))
+            / F.col("c")
+        ).alias("comp"),
     )
     cent = (
         comp.groupBy("cid")
@@ -1450,6 +1477,10 @@ def kmeans_centroids_over(
     durable dir set, rounds checkpoint RELIABLY to that directory —
     the executor-loss story on a real cluster — instead of
     localCheckpoint's executor-pinned blocks (CLUSTER.md matrix).
+    Note: setCheckpointDir is SparkContext-global and Spark cannot
+    UNSET it — a pre-existing dir is restored on return, but if none
+    existed the context stays pointed at the maggy dir afterwards
+    (later unrelated df.checkpoint() calls will land there).
     Factored from kmeans_over so the streaming router can broadcast
     the SAME frozen centroids the batch assignment used.
 

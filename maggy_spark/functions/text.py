@@ -1018,7 +1018,9 @@ def bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = 20) -> list:
     prev_ckpt_dir = None
     if checkpoint_dir:
         # setCheckpointDir is SparkContext-global: preserve and restore
-        # any directory the app had configured (star_components dance)
+        # any directory the app had configured (star_components dance).
+        # If NONE was configured, ours stays set after return — Spark
+        # cannot unset a checkpoint dir (documented, ADVICE r11).
         opt = spark.sparkContext._jsc.sc().getCheckpointDir()
         prev_ckpt_dir = opt.get() if opt.isDefined() else None
         spark.sparkContext.setCheckpointDir(checkpoint_dir)

@@ -2489,6 +2489,33 @@ def test_kmeans_empty_cluster_attrition(spark):
     assert len(cids) == 2 and 2 not in cids    # seed id1 (cid 2) starved
 
 
+def test_kmeans_component_sum_magnitude_guard(spark):
+    """ADVICE r11: round(s, 10)'s cross-engine bit-agreement argument
+    (<= 15 significant digits through the decimal->double cast) holds
+    only while abs(per-(cid,pos) component sum) < 1e5. _km_update now
+    fails LOUDLY past that bound instead of silently hash-mismatching
+    the twin. Unit-norm corpora can't reach it below ~100k-member
+    clusters; this crafted corpus of huge components trips it."""
+    import pytest
+
+    from maggy_spark.functions.similarity import kmeans_centroids_over
+
+    rows = [(i, [50_000.0, 0.0]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    vecs = df.withColumn("en", F.lit(50_000.0))
+    with pytest.raises(Exception, match="bit-agreement bound"):
+        kmeans_centroids_over(vecs, k=1, iters=1).collect()
+
+
+def test_mm8_values_escapes_single_quotes():
+    """ADVICE r11: a crafted payload with an apostrophe must not
+    produce malformed oracle SQL — _mm8_values doubles quotes."""
+    from maggy_spark.functions.multimodal import _mm8_values
+
+    out = _mm8_values([(7, "it's a probe")])
+    assert out == "(cast(7 AS BIGINT), 'it''s a probe')"
+
+
 def test_kmeans_antipodal_cancellation_raises_identically(spark):
     """The r11 judge's zero-norm-centroid counterexample class: with
     duplicate-direction seeds every vector ties to cid 1, and an
