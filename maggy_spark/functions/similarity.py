@@ -83,6 +83,17 @@ def _dot(a: str, b: str):
 
 
 def _cosine(a: str, b: str):
+    """IEEE double cosine. DEGENERATE-VECTOR RULE (module-wide, r12):
+    Spark 4 ANSI mode throws DIVIDE_BY_ZERO even for DOUBLE division,
+    while DuckDB returns NULL — so a zero-norm vector reaching any
+    cosine is either a crash (Spark) or a silent engine divergence
+    (twin). The rule, applied identically in every batch operator, the
+    serving streams (since r7), and k-means (since r12): zero-norm
+    embeddings are failed embeds with no direction — they are DROPPED
+    at the projection that computes their norm (`norm > 0`, spelled
+    `list_dot_product(v, v) > 0` in the twins), never scored. Each
+    operator family has a degenerate-vector test pinning this
+    (tests/test_functions.py::test_*_drops_zero_norm*)."""
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
@@ -96,6 +107,10 @@ def _cosine_pre(a: str, b: str, norm_a: str, norm_b: str):
 
 
 _DOT_SQL = "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+
+# Twin spelling of the degenerate-vector rule (see _cosine): norm > 0
+# <=> dot(v, v) > 0, exact in both engines (sum of squares).
+_NONZERO_SQL = "list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0"
 
 
 def _cos_sql(a: str, b: str) -> str:
@@ -114,11 +129,11 @@ def ann1_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
         F.sqrt(_dot("embedding", "embedding")).alias("qn"),
-    )
+    ).where(F.col("qn") > 0)  # degenerate-vector rule (see _cosine)
     c = e.where(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ve"),
         F.sqrt(_dot("embedding", "embedding")).alias("vn"),
-    )
+    ).where(F.col("vn") > 0)
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id", "neighbor_id", _cosine_pre("qe", "ve", "qn", "vn").alias("cosine")
     )
@@ -130,8 +145,10 @@ def ann1_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ANN1_SQL = f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
-c AS (SELECT vec_id AS neighbor_id, embedding AS ve FROM embeddings WHERE vec_id >= {N_QUERIES}),
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < {N_QUERIES} AND {_NONZERO_SQL}),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ve FROM embeddings
+      WHERE vec_id >= {N_QUERIES} AND {_NONZERO_SQL}),
 scored AS (
     SELECT query_id, neighbor_id, {_cos_sql("qe", "ve")} AS cosine
     FROM c CROSS JOIN q
@@ -208,11 +225,16 @@ def _bucketed(spark: SparkSession, sf_dir: str, target: int = TARGET_BUCKET_VECS
     e = load_table(spark, sf_dir, "embeddings", fan_out=True)
     n_planes = ann_planes(corpus_count(spark, sf_dir, "embeddings"), target)
     bucket = _bucket_expr(_plane_literals(spark, sf_dir, n_planes))
-    df = e.select(F.col("vec_id"), F.col("label"), F.col("embedding").alias("emb")).select(
-        "vec_id", "label", "emb",
-        F.sqrt(_dot("emb", "emb")).alias("norm"),
-        bucket.alias("bucket"),
-    ).persist()
+    df = (
+        e.select(F.col("vec_id"), F.col("label"), F.col("embedding").alias("emb"))
+        .select(
+            "vec_id", "label", "emb",
+            F.sqrt(_dot("emb", "emb")).alias("norm"),
+            bucket.alias("bucket"),
+        )
+        .where(F.col("norm") > 0)  # degenerate-vector rule (see _cosine)
+        .persist()
+    )
     cache[key] = (df, n_planes)
     return df, n_planes
 
@@ -237,6 +259,7 @@ bucketed AS (
                CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl::DOUBLE[]) >= 0
                     THEN '1' ELSE '0' END), '') AS bucket
     FROM embeddings e CROSS JOIN parr p
+    WHERE list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0
 )
 """
 
@@ -317,7 +340,9 @@ def ann3_ivf_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     partition scan."""
     from pyspark.sql.window import Window
 
-    e = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True).where(
+        _dot("embedding", "embedding") > 0  # degenerate-vector rule (see _cosine)
+    )
     # deterministic medoid (min-vec_id member) in ONE aggregation:
     # min_by collapses partially map-side, where the earlier
     # groupBy(min) + join-back re-scanned the corpus a second time
@@ -355,12 +380,13 @@ def ann3_ivf_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
 
 
 ANN3_SQL = f"""
-WITH rep_ids AS (SELECT label, min(vec_id) AS rep_id FROM embeddings GROUP BY label),
+WITH nz AS (SELECT * FROM embeddings WHERE {_NONZERO_SQL}),
+rep_ids AS (SELECT label, min(vec_id) AS rep_id FROM nz GROUP BY label),
 reps AS (
     SELECT r.label AS rep_label, e.embedding AS rep_emb
-    FROM rep_ids r JOIN embeddings e ON r.rep_id = e.vec_id
+    FROM rep_ids r JOIN nz e ON r.rep_id = e.vec_id
 ),
-q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM nz WHERE vec_id < {N_QUERIES}),
 assigned AS (
     SELECT query_id, qe, rep_label FROM (
         SELECT q.query_id, q.qe, r.rep_label,
@@ -372,7 +398,7 @@ assigned AS (
     ) WHERE rn = 1
 ),
 c AS (SELECT vec_id AS neighbor_id, embedding AS ve, label AS rep_label
-      FROM embeddings WHERE vec_id >= {N_QUERIES}),
+      FROM nz WHERE vec_id >= {N_QUERIES}),
 scored AS (
     SELECT a.query_id, c.neighbor_id, {_cos_sql("a.qe", "c.ve")} AS cosine
     FROM c JOIN assigned a ON c.rep_label = a.rep_label
@@ -540,7 +566,8 @@ def _sq_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _build() -> DataFrame:
         c = load_table(spark, sf_dir, "embeddings", fan_out=True).where(
-            F.col("vec_id") >= N_QUERIES
+            (F.col("vec_id") >= N_QUERIES)
+            & (_dot("embedding", "embedding") > 0)  # degenerate-vector rule
         )
         env = c.select(F.explode("embedding").alias("v")).agg(
             F.max(F.abs(F.col("v").cast("double"))).alias("scale")
@@ -594,7 +621,9 @@ def ann7_quantized_rerank(
     """
     from pyspark.sql.window import Window
 
-    e = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True).where(
+        _dot("embedding", "embedding") > 0  # degenerate-vector rule (see _cosine)
+    )
     cq = _sq_corpus(spark, sf_dir)
     q = (
         e.where(F.col("vec_id") < N_QUERIES)
@@ -659,8 +688,10 @@ def ann7_sql(candidates: int = SQ_CANDIDATES, k: int = TOP_K) -> str:
     )
     idot = "cast(list_sum(list_transform(range(1, len({a}) + 1), i -> cast({a}[i] AS BIGINT) * {b}[i])) AS BIGINT)"
     return f"""
-WITH q0 AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
-c0 AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ve FROM embeddings WHERE vec_id >= {N_QUERIES}),
+WITH q0 AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings
+            WHERE vec_id < {N_QUERIES} AND {_NONZERO_SQL}),
+c0 AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ve FROM embeddings
+       WHERE vec_id >= {N_QUERIES} AND {_NONZERO_SQL}),
 env AS (SELECT max(abs(v)) AS scale FROM (SELECT unnest(ve) AS v FROM c0)),
 qq AS (
     SELECT query_id, qe, qv, {idot.format(a="qv", b="qv")} AS qn2
@@ -734,7 +765,9 @@ def ann8_ivf_quantized(
     """
     from pyspark.sql.window import Window
 
-    e = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True).where(
+        _dot("embedding", "embedding") > 0  # degenerate-vector rule (see _cosine)
+    )
     cq = _sq_corpus(spark, sf_dir)
     reps = (
         e.groupBy("label")
@@ -813,8 +846,10 @@ def ann8_sql(nprobe: int = ANN8_NPROBE, candidates: int = SQ_CANDIDATES, k: int 
     )
     idot = "cast(list_sum(list_transform(range(1, len({a}) + 1), i -> cast({a}[i] AS BIGINT) * {b}[i])) AS BIGINT)"
     return f"""
-WITH q0 AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
-c0 AS (SELECT vec_id AS neighbor_id, label AS list_id, embedding::DOUBLE[] AS ve FROM embeddings WHERE vec_id >= {N_QUERIES}),
+WITH q0 AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings
+            WHERE vec_id < {N_QUERIES} AND {_NONZERO_SQL}),
+c0 AS (SELECT vec_id AS neighbor_id, label AS list_id, embedding::DOUBLE[] AS ve FROM embeddings
+       WHERE vec_id >= {N_QUERIES} AND {_NONZERO_SQL}),
 env AS (SELECT max(abs(v)) AS scale FROM (SELECT unnest(ve) AS v FROM c0)),
 qq AS (
     SELECT query_id, qe, qv, {idot.format(a="qv", b="qv")} AS qn2
@@ -824,10 +859,11 @@ cq AS (
     SELECT neighbor_id, list_id, cv, {idot.format(a="cv", b="cv")} AS cn2
     FROM (SELECT neighbor_id, list_id, {quant.format(v="ve")} AS cv FROM c0 CROSS JOIN env)
 ),
-rep_ids AS (SELECT label AS list_id, min(vec_id) AS rep_id FROM embeddings GROUP BY label),
+nz AS (SELECT * FROM embeddings WHERE {_NONZERO_SQL}),
+rep_ids AS (SELECT label AS list_id, min(vec_id) AS rep_id FROM nz GROUP BY label),
 reps AS (
     SELECT r.list_id, e.embedding::DOUBLE[] AS rep_emb
-    FROM rep_ids r JOIN embeddings e ON r.rep_id = e.vec_id
+    FROM rep_ids r JOIN nz e ON r.rep_id = e.vec_id
 ),
 probes AS (
     SELECT query_id, list_id FROM (
@@ -920,7 +956,10 @@ def _pq_codebook_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _build() -> DataFrame:
         seeds = (
             load_table(spark, sf_dir, "embeddings")
-            .where(F.col("vec_id") >= N_QUERIES)
+            .where(
+                (F.col("vec_id") >= N_QUERIES)
+                & (_dot("embedding", "embedding") > 0)  # degenerate-vector rule
+            )
             .orderBy("vec_id")
             .limit(PQ_K)
             .select(
@@ -956,7 +995,8 @@ def _pq_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _build() -> DataFrame:
         c = load_table(spark, sf_dir, "embeddings", fan_out=True).where(
-            F.col("vec_id") >= N_QUERIES
+            (F.col("vec_id") >= N_QUERIES)
+            & (_dot("embedding", "embedding") > 0)  # degenerate-vector rule
         )
         sub = c.select(
             F.col("vec_id").alias("neighbor_id"),
@@ -1018,7 +1058,9 @@ def ann9_pq_adc(
     """
     from pyspark.sql.window import Window
 
-    e = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True).where(
+        _dot("embedding", "embedding") > 0  # degenerate-vector rule (see _cosine)
+    )
     cb = _pq_codebook_df(spark, sf_dir)
     store = _pq_corpus(spark, sf_dir)
 
@@ -1096,11 +1138,14 @@ def _ann9_coarse_prefix_sql() -> str:
     rec_chain = " + ".join(f"cns[{s + 1}]" for s in range(PQ_M))
     adc_chain = " + ".join(f"lut[{s + 1}][codes[{s + 1}]]" for s in range(PQ_M))
     return f"""
-WITH q0 AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
-c0 AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ve FROM embeddings WHERE vec_id >= {N_QUERIES}),
+WITH q0 AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings
+            WHERE vec_id < {N_QUERIES} AND {_NONZERO_SQL}),
+c0 AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ve FROM embeddings
+       WHERE vec_id >= {N_QUERIES} AND {_NONZERO_SQL}),
 seeds AS (
     SELECT embedding::DOUBLE[] AS se, row_number() OVER (ORDER BY vec_id) AS j
-    FROM embeddings WHERE vec_id >= {N_QUERIES} ORDER BY vec_id LIMIT {PQ_K}
+    FROM embeddings WHERE vec_id >= {N_QUERIES} AND {_NONZERO_SQL}
+    ORDER BY vec_id LIMIT {PQ_K}
 ),
 cb AS (
     SELECT cast(gs.s AS INTEGER) AS s, cast(j AS INTEGER) AS j,
@@ -1627,7 +1672,9 @@ def semdedup_over(km: DataFrame, tau: float = KM_SEM_TAU) -> DataFrame:
     """The pruning core over ANY (vec_id, cid, cos, embedding, en)
     assignment relation — factored out (pack_plan discipline) so
     property tests can pin the keep-priority semantics on crafted
-    clusters."""
+    clusters. PRECONDITION: en > 0 on every row (the pair stage
+    divides by a_en * b_en) — guaranteed by _km_final, which drops
+    zero-norm vectors per the degenerate-vector rule (see _cosine)."""
     a = km.select(
         F.col("vec_id").alias("a_id"),
         F.col("cid").alias("a_cid"),

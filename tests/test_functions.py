@@ -2489,6 +2489,64 @@ def test_kmeans_empty_cluster_attrition(spark):
     assert len(cids) == 2 and 2 not in cids    # seed id1 (cid 2) starved
 
 
+def test_ann_family_drops_zero_norm_vectors(spark, tmp_path):
+    """Degenerate-vector rule (VERDICT r11 item 2): a zero-norm
+    embedding (failed embed) must be DROPPED at projection — never
+    scored — in EVERY batch ann operator, identically in Spark and
+    the DuckDB twin. Spark 4 ANSI throws DIVIDE_BY_ZERO on double
+    division while DuckDB returns NULL, so before r12 a zero-norm
+    vector was a crash on one engine and a silent divergence on the
+    other. Crafted corpus: zero-norm QUERY (vec_id 3) + zero-norm
+    CORPUS vector (vec_id 9) + 50 seeded unit-ish vectors; each
+    family is three-way verified (Spark == twin, zero ids absent)."""
+    import random
+
+    import duckdb
+
+    from maggy_spark.functions import similarity as S
+    from tools.check_oracle import frame_signature, to_pandas_spark
+
+    rng = random.Random(42)
+    rows = []
+    for i in range(55):
+        if i in (3, 9):
+            emb = [0.0] * 64
+        else:
+            emb = [rng.uniform(-1.0, 1.0) for _ in range(64)]
+        rows.append((i, emb, i % 4))
+    sf = str(tmp_path / "sfz")
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(f"{sf}/embeddings.parquet")
+
+    duck = duckdb.connect()
+    duck.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet/*.parquet'"
+    )
+    cases = [
+        (S.ann1_bruteforce_topk, S.ANN1_SQL),
+        (S.ann2_lsh_topk, S.ANN2_SQL),
+        (S.ann3_ivf_topk, S.ANN3_SQL),
+        (S.ann4_embedding_near_dup, S.ANN4_SQL),
+        (S.ann5_knn_graph, S.ANN5_SQL),
+        (S.ann7_quantized_rerank, S.ANN7_SQL),
+        (S.ann8_ivf_quantized, S.ANN8_SQL),
+        (S.ann9_pq_adc, S.ANN9_SQL),
+    ]
+    id_cols = {"query_id", "neighbor_id", "id_a", "id_b", "src", "nearest"}
+    for fn, sql in cases:
+        spark_pd = to_pandas_spark(fn(spark, sf))  # must not raise
+        duck_pd = duck.execute(sql).fetchdf()
+        assert len(spark_pd) == len(duck_pd), fn.__name__
+        s_cols, s_rows = frame_signature(spark_pd)
+        d_cols, d_rows = frame_signature(duck_pd)
+        assert s_cols == d_cols, fn.__name__
+        assert s_rows == d_rows, fn.__name__
+        for col in id_cols & set(spark_pd.columns):
+            assert not spark_pd[col].isin([3, 9]).any(), (fn.__name__, col)
+    duck.close()
+
+
 def test_kmeans_component_sum_magnitude_guard(spark):
     """ADVICE r11: round(s, 10)'s cross-engine bit-agreement argument
     (<= 15 significant digits through the decimal->double cast) holds
