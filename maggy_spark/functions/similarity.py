@@ -1000,19 +1000,26 @@ def _pq_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sub = c.select(
             F.col("vec_id").alias("neighbor_id"),
+            # the IVF list id rides the code store (the FAISS IVFPQ
+            # layout: codes live inside inverted lists) so ann12's
+            # probed-list ADC scoring needs no join back to the floats
+            F.col("label").alias("list_id"),
             _subspace_explode("embedding", 64).alias("s", "sub"),
         )
         scored = sub.join(F.broadcast(cb), "s").select(
             "neighbor_id",
+            "list_id",
             "s",
             "j",
             "cn2",
             (F.col("cn2") - F.lit(2.0) * _dot("sub", "cvec")).alias("score"),
         )
-        picked = scored.groupBy("neighbor_id", "s").agg(
+        # list_id is functionally dependent on neighbor_id, so adding
+        # it to the keys changes no group and keeps the partial agg
+        picked = scored.groupBy("neighbor_id", "list_id", "s").agg(
             F.min(F.struct("score", "j", "cn2")).alias("m")
         )
-        parts = picked.groupBy("neighbor_id").agg(
+        parts = picked.groupBy("neighbor_id", "list_id").agg(
             F.array_sort(
                 F.collect_list(F.struct("s", F.col("m.j").alias("code"), F.col("m.cn2").alias("cn2")))
             ).alias("parts")
@@ -1020,6 +1027,7 @@ def _pq_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         rec_n2 = _chain([F.element_at("parts", s + 1)["cn2"] for s in range(PQ_M)])
         return parts.select(
             "neighbor_id",
+            "list_id",
             F.transform("parts", lambda p: p["code"]).alias("codes"),
             F.col("parts.cn2").alias("cns"),
             rec_n2.alias("rec_n2"),
@@ -1049,9 +1057,9 @@ def ann9_pq_adc(
     rerank joins the float corpus against the broadcast C x |queries|
     candidate set. Deterministic end-to-end (sampled codebooks, tie
     rules, fixed-order float chains), so the DuckDB twin replays it
-    bit-for-bit. Not in the driver registry (50-entry cap); DuckDB
-    parity in tests/test_offline_oracles.py, recall + rerank-
-    exactness pins in tests/test_functions.py.
+    bit-for-bit. A driver-registry gate row since r11 (ann7 rotated
+    to the offline suite); recall + rerank-exactness pins in
+    tests/test_functions.py.
 
     Reference parity note: the reference engine has no vector search
     at all; SURVEY §7.2-step-9 extension operator.
@@ -1125,22 +1133,59 @@ def ann9_pq_adc(
     )
 
 
-def _ann9_coarse_prefix_sql() -> str:
+def _ann9_coarse_prefix_sql(nprobe: int | None = None) -> str:
     """The shared CTE chain of the PQ/ADC twins — everything from the
     query/corpus split through the `coarse` ADC-cosine relation.
     ann9_sql stacks the candidate cut + exact rerank on top;
     pq_adc_screen_sql (the streaming serving screen's end-state twin)
     stacks only the threshold filter — both consume the IDENTICAL
     codebook/code/LUT derivation, so the batch and streaming oracles
-    cannot drift apart."""
+    cannot drift apart. With ``nprobe`` set (ann12's IVFPQ twin), the
+    store carries the IVF list id, a full-precision medoid-routing
+    `probes` CTE is added (ann8's routing, verbatim), and `coarse`
+    scores only the probed lists — with nprobe=None the emitted chain
+    is the pre-r12 full-scan prefix, unchanged."""
     sub = "list_slice({v}, {s}*{d} + 1, {s}*{d} + {d})"
     d = 64 // PQ_M
     rec_chain = " + ".join(f"cns[{s + 1}]" for s in range(PQ_M))
     adc_chain = " + ".join(f"lut[{s + 1}][codes[{s + 1}]]" for s in range(PQ_M))
+    probed = nprobe is not None
+    c0_list = ", label AS list_id" if probed else ""
+    sc_list = ", c0.list_id" if probed else ""
+    pick_list = ", list_id" if probed else ""
+    store_key = "neighbor_id, list_id" if probed else "neighbor_id"
+    probes = (
+        f""",
+reps AS (
+    SELECT r.list_id, e.embedding::DOUBLE[] AS rep_emb
+    FROM (SELECT label AS list_id, min(vec_id) AS rep_id
+          FROM embeddings WHERE {_NONZERO_SQL} GROUP BY label) r
+    JOIN embeddings e ON r.rep_id = e.vec_id
+),
+probes AS (
+    SELECT query_id, list_id FROM (
+        SELECT q.query_id, r.list_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_cos_sql("q.qe", "r.rep_emb")} DESC, r.list_id
+               ) AS rn
+        FROM q0 q CROSS JOIN reps r
+    ) WHERE rn <= {nprobe}
+)"""
+        if probed
+        else ""
+    )
+    coarse_from = (
+        "FROM store JOIN probes p ON store.list_id = p.list_id\n"
+        "    JOIN qq ON qq.query_id = p.query_id"
+        if probed
+        else "FROM store CROSS JOIN qq"
+    )
+    coarse_qid = "qq.query_id" if probed else "query_id"
     return f"""
 WITH q0 AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings
             WHERE vec_id < {N_QUERIES} AND {_NONZERO_SQL}),
-c0 AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ve FROM embeddings
+c0 AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ve{c0_list} FROM embeddings
        WHERE vec_id >= {N_QUERIES} AND {_NONZERO_SQL}),
 seeds AS (
     SELECT embedding::DOUBLE[] AS se, row_number() OVER (ORDER BY vec_id) AS j
@@ -1155,20 +1200,20 @@ cb AS (
     FROM seeds CROSS JOIN generate_series(0, {PQ_M - 1}) gs(s)
 ),
 scored AS (
-    SELECT c0.neighbor_id, cb.s, cb.j, cb.cn2,
+    SELECT c0.neighbor_id{sc_list}, cb.s, cb.j, cb.cn2,
            cb.cn2 - 2.0 * list_dot_product({sub.format(v='c0.ve', s='cb.s', d=d)}, cb.cvec) AS score
     FROM c0 CROSS JOIN cb
 ),
 picked AS (
-    SELECT neighbor_id, s, j AS code, cn2 FROM (
-        SELECT neighbor_id, s, j, cn2,
+    SELECT neighbor_id{pick_list}, s, j AS code, cn2 FROM (
+        SELECT neighbor_id{pick_list}, s, j, cn2,
                row_number() OVER (PARTITION BY neighbor_id, s ORDER BY score, j) AS rn
         FROM scored
     ) WHERE rn = 1
 ),
 store AS (
-    SELECT neighbor_id, list(code ORDER BY s) AS codes, list(cn2 ORDER BY s) AS cns
-    FROM picked GROUP BY neighbor_id
+    SELECT {store_key}, list(code ORDER BY s) AS codes, list(cn2 ORDER BY s) AS cns
+    FROM picked GROUP BY {store_key}
 ),
 lutq AS (
     SELECT q0.query_id, cb.s,
@@ -1180,12 +1225,12 @@ qq AS (
            sqrt(list_dot_product(q0.qe, q0.qe)) AS qn
     FROM lutq l JOIN q0 ON l.query_id = q0.query_id
     GROUP BY l.query_id, sqrt(list_dot_product(q0.qe, q0.qe))
-),
+){probes},
 coarse AS (
-    SELECT query_id, neighbor_id,
+    SELECT {coarse_qid} AS query_id, neighbor_id,
            CASE WHEN qn = 0.0 OR ({rec_chain}) <= 0.0 THEN -2.0
                 ELSE ({adc_chain}) / (qn * sqrt({rec_chain})) END AS adc_cos
-    FROM store CROSS JOIN qq
+    {coarse_from}
 )"""
 
 
@@ -1217,6 +1262,145 @@ SELECT query_id, neighbor_id, adc_cos, cosine, rank FROM (
 
 
 ANN9_SQL = ann9_sql()
+
+
+def ann12_ivfpq_adc(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int = ANN8_NPROBE,
+    candidates: int = PQ_CANDIDATES,
+    k: int = TOP_K,
+) -> DataFrame:
+    """IVF + PQ/ADC + exact rerank — the top composition of the
+    compression ladder (the FAISS IVFPQ index, what a 100 TB corpus
+    actually serves from when even a full ADC scan per query is too
+    much): (1) route each query to its ``nprobe`` nearest IVF medoids
+    (ann3/ann8's deterministic min-vec_id medoid per label list, full-
+    precision routing); (2) ADC-score ONLY the probed inverted lists'
+    8-byte codes against the broadcast per-query LUT (ann9's scoring,
+    restricted); (3) fetch floats for the top ``candidates`` and emit
+    the exact-cosine top ``k``.
+
+    Scale shape: composes the session-cached code store (codes carry
+    their list_id — the FAISS layout) with broadcast probes, so the
+    coarse scan touches |probed lists| x codes instead of the full
+    corpus, floats cross no shuffle, and everything else inherits
+    ann9's bounds. With nprobe >= |lists| the probe restriction is
+    vacuous and the output is row-for-row ann9
+    (test_ann12_all_lists_probe_equals_ann9 — ann8's pin, one rung up).
+    Deterministic end-to-end; DuckDB parity in
+    tests/test_offline_oracles.py (not in the 50-entry driver
+    registry). Reference anchor: none — SURVEY §7.2-step-9 extension
+    surface, like ann1-11.
+    """
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True).where(
+        _dot("embedding", "embedding") > 0  # degenerate-vector rule (see _cosine)
+    )
+    cb = _pq_codebook_df(spark, sf_dir)
+    store = _pq_corpus(spark, sf_dir)
+
+    reps = (
+        e.groupBy("label")
+        .agg(F.min_by("embedding", "vec_id").alias("rep_emb"))
+        .select(F.col("label").alias("list_id"), "rep_emb")
+    )
+    q0 = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.sqrt(_dot("embedding", "embedding")).alias("qn"),
+    )
+    qsub = q0.select("query_id", _subspace_explode("qe", 64).alias("s", "qsub"))
+    flat = (
+        qsub.join(F.broadcast(cb), "s")
+        .select("query_id", "s", "j", _dot("qsub", "cvec").alias("dot"))
+        .groupBy("query_id")
+        .agg(F.array_sort(F.collect_list(F.struct("s", "j", "dot"))).alias("flat"))
+    )
+    q = q0.join(flat, "query_id")
+    wp = Window.partitionBy("query_id").orderBy(F.col("rep_cos").desc(), F.col("list_id"))
+    probes = (
+        q.crossJoin(F.broadcast(reps))
+        .select("query_id", "qn", "flat", "list_id", _cosine("qe", "rep_emb").alias("rep_cos"))
+        .select("query_id", "qn", "flat", "list_id", F.row_number().over(wp).alias("rn"))
+        .where(F.col("rn") <= nprobe)
+        .drop("rn")
+    )
+    adc_ip = _chain(
+        [
+            F.element_at(
+                "flat", (F.lit(s * PQ_K) + F.element_at("codes", s + 1)).cast("int")
+            )["dot"]
+            for s in range(PQ_M)
+        ]
+    )
+    adc_cos = F.when(
+        (F.col("qn") == 0.0) | (F.col("rec_n2") <= 0.0), F.lit(-2.0)
+    ).otherwise(adc_ip / (F.col("qn") * F.sqrt("rec_n2")))
+    coarse = store.join(F.broadcast(probes), "list_id").select(
+        "query_id", "neighbor_id", adc_cos.alias("adc_cos")
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.col("adc_cos").desc(), F.col("neighbor_id"))
+    cand = (
+        coarse.select(
+            "query_id", "neighbor_id", "adc_cos", F.row_number().over(wc).alias("crank")
+        )
+        .where(F.col("crank") <= candidates)
+        .drop("crank")
+    )
+    fetched = (
+        e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ve"))
+        .join(F.broadcast(cand), "neighbor_id")
+        .withColumn("vn", F.sqrt(_dot("ve", "ve")))
+        .join(F.broadcast(q0.select("query_id", "qe", "qn")), "query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        fetched.select(
+            "query_id",
+            "neighbor_id",
+            "adc_cos",
+            _cosine_pre("qe", "ve", "qn", "vn").alias("cosine"),
+        )
+        .select(
+            "query_id", "neighbor_id", "adc_cos", "cosine",
+            F.row_number().over(w).cast("bigint").alias("rank"),
+        )
+        .where(F.col("rank") <= k)
+    )
+
+
+def ann12_sql(
+    nprobe: int = ANN8_NPROBE, candidates: int = PQ_CANDIDATES, k: int = TOP_K
+) -> str:
+    """DuckDB twin: the probed variant of the shared PQ/ADC prefix
+    (list-tagged store + ann8's medoid routing) with ann9's candidate
+    cut + exact rerank stacked on top."""
+    return f"""
+{_ann9_coarse_prefix_sql(nprobe=nprobe)},
+cand AS (
+    SELECT query_id, neighbor_id, adc_cos FROM (
+        SELECT query_id, neighbor_id, adc_cos,
+               row_number() OVER (PARTITION BY query_id ORDER BY adc_cos DESC, neighbor_id) AS crank
+        FROM coarse
+    ) WHERE crank <= {candidates}
+)
+SELECT query_id, neighbor_id, adc_cos, cosine, rank FROM (
+    SELECT d.query_id, d.neighbor_id, d.adc_cos,
+           {_cos_sql("q.qe", "c.ve")} AS cosine,
+           row_number() OVER (
+               PARTITION BY d.query_id
+               ORDER BY {_cos_sql("q.qe", "c.ve")} DESC, d.neighbor_id
+           ) AS rank
+    FROM cand d
+    JOIN c0 c ON d.neighbor_id = c.neighbor_id
+    JOIN q0 q ON d.query_id = q.query_id
+) WHERE rank <= {k}
+"""
+
+
+ANN12_SQL = ann12_sql()
 
 
 def pq_adc_screen_sql(threshold: float) -> str:
@@ -1391,9 +1575,19 @@ def _km_assign_pass_arrow(vecs: DataFrame, cent: DataFrame) -> DataFrame:
     ~100x the flop throughput, which is what the n x k volume needs
     once k hits its cap and n keeps growing (the 100 TB regime). The
     per-vector work never leaves its batch: no shuffle at all, where
-    the JVM kernel still pays one reduced exchange for the groupBy."""
+    the JVM kernel still pays one reduced exchange for the groupBy.
+
+    mapInArrow, not mapInPandas (r12, VERDICT r11 item 4): the sf10
+    wall decomposition showed serialization of the embedding column
+    dominating the pass, and the cost was the pandas detour — Arrow
+    list<float32> -> per-row numpy objects -> back to Arrow on yield.
+    Operating on RecordBatches directly, the embedding column is
+    PASSED THROUGH untouched (zero conversion either way), the flat
+    float32 value buffer is read zero-copy and upcast to float64 once
+    (exact widening — the fold arithmetic is unchanged and stays
+    bit-equal, pinned by test_kmeans_arrow_path_bit_equal)."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     rows = sorted(cent.collect(), key=lambda r: r.cid)
     if not rows:
@@ -1404,26 +1598,37 @@ def _km_assign_pass_arrow(vecs: DataFrame, cent: DataFrame) -> DataFrame:
     d = C.shape[1]
 
     def gen(batches):
-        for pdf in batches:
-            if not len(pdf):
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
                 continue
-            E = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
-            acc = np.zeros((len(pdf), len(cids)), dtype=np.float64)
+            names = rb.schema.names
+            emb = rb.column(names.index("embedding"))
+            flat = emb.flatten().to_numpy(zero_copy_only=False)
+            if len(flat) != n * d:
+                raise ValueError(
+                    f"kmeans arrow kernel: ragged embedding batch "
+                    f"({len(flat)} values for {n} x {d})"
+                )
+            E = flat.astype(np.float64).reshape(n, d)
+            en = rb.column(names.index("en")).to_numpy(zero_copy_only=False)
+            acc = np.zeros((n, len(cids)), dtype=np.float64)
             for dim in range(d):
                 acc += E[:, dim][:, None] * C[:, dim][None, :]
-            cos = acc / (pdf["en"].to_numpy()[:, None] * cn[None, :])
+            cos = acc / (en[:, None] * cn[None, :])
             j = np.argmax(cos, axis=1)  # first max = lowest cid on ties
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "cid": cids[j],
-                    "cos": cos[np.arange(len(pdf)), j],
-                    "embedding": pdf["embedding"],
-                    "en": pdf["en"].to_numpy(),
-                }
+            yield pa.record_batch(
+                [
+                    rb.column(names.index("vec_id")),
+                    pa.array(cids[j], type=pa.int64()),
+                    pa.array(cos[np.arange(n), j], type=pa.float64()),
+                    emb,
+                    rb.column(names.index("en")),
+                ],
+                names=["vec_id", "cid", "cos", "embedding", "en"],
             )
 
-    return vecs.mapInPandas(
+    return vecs.mapInArrow(
         gen, "vec_id bigint, cid bigint, cos double, embedding array<float>, en double"
     )
 

@@ -60,7 +60,16 @@ def test_registry_imports_without_spark_session():
         "import sys; sys.path.insert(0, '.');"
         "import __spark_entry__ as e;"
         "qs = e.queries(); os_ = e.oracle_sql();"
-        "assert len(qs) == 50 and set(qs) == set(os_), (len(qs), len(os_))"
+        "assert len(qs) == 50 and set(qs) == set(os_), (len(qs), len(os_));"
+        # every stream module must also import session-free: their
+        # end-state twin SQL builders are consumed by offline oracles
+        # that (like the driver) import before creating a session
+        "import maggy_spark.streaming.documents_stream;"
+        "import maggy_spark.streaming.embeddings_stream;"
+        "import maggy_spark.streaming.events_stream;"
+        "import maggy_spark.streaming.ingest_stream;"
+        "import maggy_spark.streaming.media_stream;"
+        "import maggy_spark.streaming.metrics_stream"
     )
     proc = subprocess.run(
         [sys.executable, "-c", code],

@@ -2489,6 +2489,28 @@ def test_kmeans_empty_cluster_attrition(spark):
     assert len(cids) == 2 and 2 not in cids    # seed id1 (cid 2) starved
 
 
+def test_ann12_all_lists_probe_equals_ann9(spark, sf_dir):
+    """ann12 (IVFPQ) with nprobe >= |lists| probes every inverted
+    list, so the IVF restriction is vacuous and the output must be
+    row-for-row ann9's full ADC scan — the same composition pin that
+    verifies ann8 against ann7 one compression rung down. This keeps
+    ann12's ADC scoring + rerank hard-verified through ann9's gate
+    row even while ann12 itself lives in the offline suite."""
+    from maggy_spark.functions.similarity import ann9_pq_adc, ann12_ivfpq_adc
+
+    nlists = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("label")
+        .distinct()
+        .count()
+    )
+    a12 = sorted(
+        tuple(r) for r in ann12_ivfpq_adc(spark, sf_dir, nprobe=nlists).collect()
+    )
+    a9 = sorted(tuple(r) for r in ann9_pq_adc(spark, sf_dir).collect())
+    assert a12 == a9 and len(a9) > 0
+
+
 def test_ann_family_drops_zero_norm_vectors(spark, tmp_path):
     """Degenerate-vector rule (VERDICT r11 item 2): a zero-norm
     embedding (failed embed) must be DROPPED at projection — never
@@ -2545,6 +2567,36 @@ def test_ann_family_drops_zero_norm_vectors(spark, tmp_path):
         for col in id_cols & set(spark_pd.columns):
             assert not spark_pd[col].isin([3, 9]).any(), (fn.__name__, col)
     duck.close()
+
+
+def test_kmeans_update_exchange_skew_bounded(spark):
+    """VERDICT r11 item 7 — the decimal update's skew story at the k
+    cap: SemDeDup-style corpora concentrate mass in few clusters, so
+    the (cid, pos) update key can be arbitrarily skewed in ROW COUNT.
+    The bound that makes this safe at 100 TB is map-side partial
+    aggregation: each map task emits at most (distinct keys in task)
+    <= k x 64 partial rows into the exchange REGARDLESS of how many
+    members the hot cluster has — shuffle volume is tasks x k x 64,
+    never O(n). This test crafts a fully-skewed assignment (every
+    vector in ONE cluster) and pins (1) the partial HashAggregate
+    BEFORE the exchange in the physical plan and (2) the correct
+    single-centroid result."""
+    from maggy_spark.functions.similarity import _km_update
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0], 1.0, 1) for i in range(400)]
+    assign = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, en double, cid bigint"
+    )
+    cent = _km_update(assign)
+    plan = cent._jdf.queryExecution().executedPlan().toString()
+    # partial_sum on the decimal column precedes the (cid, pos) shuffle:
+    # the map side collapses the skewed key before any byte moves
+    assert "partial_sum" in plan, plan[:2000]
+    pre, _, post = plan.partition("Exchange hashpartitioning(cid")
+    assert "partial_sum" in post, "no map-side combine before the update exchange"
+    out = cent.collect()
+    assert len(out) == 1 and out[0].cid == 1
+    assert out[0].cvec == [1.0, 0.0, 0.0, 0.0] and out[0].cn == 1.0
 
 
 def test_kmeans_component_sum_magnitude_guard(spark):

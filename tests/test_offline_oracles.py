@@ -168,6 +168,12 @@ CASES = [
     # UNIONed on both engines for non-vacuity (the tx12/dd15 probe
     # argument). The streaming twin is streaming.phash_alert_stream.
     ("mm8_phash_probe", "MM8_SQL", "maggy_spark.functions.multimodal"),
+    # round-12 addition: IVF + PQ/ADC + exact rerank — the FAISS
+    # IVFPQ composition at the top of the compression ladder (ann8's
+    # medoid routing over ann9's list-tagged code store); with
+    # nprobe >= |lists| it is row-for-row ann9
+    # (test_ann12_all_lists_probe_equals_ann9)
+    ("ann12_ivfpq_adc", "ANN12_SQL", "maggy_spark.functions.similarity"),
 ]
 
 
