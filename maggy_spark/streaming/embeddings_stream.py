@@ -186,7 +186,7 @@ def kmeans_route_stream(
     ~22k routed vectors/s (~700/s/core) through the JVM fold — ample
     for an ingest screen; if a feed ever outruns it, the batch
     trainer's Arrow kernel (_km_assign_pass_arrow, bit-equal by the
-    same chains) is the drop-in remedy, since mapInPandas is legal on
+    same chains) is the drop-in remedy, since mapInArrow is legal on
     stateless streaming frames too."""
     from maggy_spark.functions.similarity import _dot, _km_centroids
 
