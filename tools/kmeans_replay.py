@@ -243,10 +243,84 @@ def replay_pl15(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _route_stream_accumulated(spark, sf_dir: str):
+    """Run `kmeans_route_stream` over a 3-micro-batch file feed of the
+    vec_id % 7 == 3 slice (the sf1 end-state oracle's feed recipe,
+    tests/test_offline_oracles.py) and return the ACCUMULATED end
+    state — shaped like the batch ops so main()'s compare loop can
+    hash it against replay_route. Lands the sf10 rung of the
+    route-stream decade ladder (VERDICT r11 item 5): the DuckDB
+    training twin is measured-infeasible at sf10 (48 GB OOM on the
+    n x k cross join, SF10_PARITY exclusion note), so the decade is
+    verified via the SAME numpy+decimal replay that pins ann10 there."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from maggy_spark.streaming import kmeans_route_stream
+
+    base = tempfile.mkdtemp(prefix="maggy_route_replay_")
+    feed, out, ck = f"{base}/feed", f"{base}/out", f"{base}/ck"
+    (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .where(F.col("vec_id") % 7 == 3)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "embedding",
+            F.timestamp_micros(F.lit(0)).alias("ts"),
+        )
+        .repartition(3)  # 3 files -> 3 micro-batches under maxFilesPerTrigger=1
+        .write.mode("overwrite")
+        .parquet(feed)
+    )
+    stream = (
+        spark.readStream.schema("query_id bigint, embedding array<float>, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+
+    def sink(bdf, _bid):
+        bdf.drop("ts").write.mode("append").parquet(out)
+
+    q = (
+        kmeans_route_stream(stream, spark, sf_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(1800)
+    return spark.read.parquet(out).select("query_id", "cluster_id", "cosine")
+
+
+def replay_route(sf_dir: str) -> pd.DataFrame:
+    """Numpy twin of the router's end state: replay-train the
+    centroids (bit-equal to Spark's, as replay_ann10 pins), then
+    assign the vec_id % 7 == 3 feed slice with the same fold/argmax
+    chain — routing IS the assignment pass applied to the feed."""
+    ids, E = _load_embeddings(sf_dir)
+    *_, cids, C, cn = replay_kmeans_arrays(ids, E, kmeans_k(len(ids)))
+    sel = ids % 7 == 3
+    qids, Q = ids[sel], E[sel]
+    qn = np.sqrt(fold_self(Q))
+    nz = qn > 0  # the stream drops zero-norm queries at the source
+    qids, Q, qn = qids[nz], Q[nz], qn[nz]
+    cos = fold_dot(Q, C) / (qn[:, None] * cn[None, :])
+    j = np.argmax(cos, axis=1)  # first max = lowest cid on ties
+    return pd.DataFrame(
+        {
+            "query_id": qids,
+            "cluster_id": cids[j],
+            "cosine": cos[np.arange(len(qids)), j],
+        }
+    )
+
+
 REPLAYS = {
     "ann10_kmeans_assign": replay_ann10,
     "ann11_semdedup_prune": replay_ann11,
     "pl15_semantic_sample": replay_pl15,
+    "kmeans_route_stream": replay_route,
 }
 
 
@@ -268,6 +342,7 @@ def main() -> int:
         "ann10_kmeans_assign": similarity.ann10_kmeans_assign,
         "ann11_semdedup_prune": similarity.ann11_semdedup_prune,
         "pl15_semantic_sample": pipeline.pl15_semantic_sample,
+        "kmeans_route_stream": _route_stream_accumulated,
     }
     spark = (
         SparkSession.builder.master("local[16]")
