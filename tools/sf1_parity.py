@@ -104,6 +104,7 @@ DIRECT = [
     "ann9_pq_adc",
     "ann10_kmeans_assign",
     "ann11_semdedup_prune",
+    "ann12_ivfpq_adc",
     "pl15_semantic_sample",
     "tx10_unigram_logprob",
     "tx14_bigram_logprob",
