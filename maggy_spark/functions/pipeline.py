@@ -1463,3 +1463,106 @@ FROM r CROSS JOIN st
 
 
 PL15_SQL = pl15_sql()
+
+
+# -- pl16: data-constrained repeat schedule -------------------------------
+
+PL16_R_MAX = 4        # Muennighoff et al. 2023: ~4 epochs of repeats
+                      # are near-as-good-as-fresh; value decays beyond
+PL16_DECAY = 0.5      # per-extra-epoch value decay
+PL16_Q_RICH = 3.0     # band value densities chosen so the 8 block
+PL16_Q_MID = 1.0      # densities {3,1.5,.75,.375} u {1,.5,.25,.125}
+                      # are pairwise distinct -> the greedy order is a
+                      # total order with no tie rule needed
+
+
+def pl16_repeat_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained repeat schedule (Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models"): when the corpus is
+    smaller than the token budget, schedule REPEAT EPOCHS of the
+    quality bands, highest value-density first, where an extra epoch
+    of a band is worth DECAY times the previous one. Bands are pl10's
+    fixed vocab-richness cutoffs (rich / mid; poor is dropped, the
+    same rule as the upsample plan); blocks are (band, epoch<=R_MAX);
+    density(band, e) = Q_band * DECAY^(e-1); blocks are taken greedily
+    by density until the budget of 1.5x one epoch of the kept corpus
+    is spent.
+
+    The budget predicate is PURE INTEGER — selected iff
+    8 * cum_tokens <= 3 * sum_all_blocks (sum_all = R_MAX * T = 4T, so
+    this is cum <= 1.5T without ever dividing) — which makes the
+    whole schedule engine-agreed with no float thresholds beyond the
+    distinct density ORDER. Output: one row per block with its token
+    mass, density, greedy cumulative position, and the keep flag.
+
+    Scale shape: one map-side-combined aggregation over the corpus
+    scan (2 groups), then an 8-row broadcast-side schedule — the plan
+    relation is O(bands x R_MAX) regardless of corpus size; no
+    shuffle beyond the 2-group partial agg. Not in the driver
+    registry (50-entry cap); DuckDB parity in
+    tests/test_offline_oracles.py. Reference anchor: none — SURVEY
+    §7.2-step-9 extension surface (the selection step between pl10's
+    upsample and pl9's epoch shuffle)."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    toks = F.split(F.col("text"), " ")
+    richness = F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast("double")
+    band = (
+        F.when(richness >= UPSAMPLE_RICH, F.lit("rich"))
+        .when(richness >= UPSAMPLE_POOR, F.lit("mid"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    per = d.select(
+        band.alias("band"), F.size(toks).cast("long").alias("n_tokens")
+    ).where(F.col("band").isNotNull())
+    sums = per.groupBy("band").agg(F.sum("n_tokens").alias("block_tokens"))
+    epochs = spark.range(1, PL16_R_MAX + 1).select(F.col("id").cast("int").alias("epoch"))
+    q = F.when(F.col("band") == "rich", F.lit(PL16_Q_RICH)).otherwise(F.lit(PL16_Q_MID))
+    blocks = sums.crossJoin(F.broadcast(epochs)).select(
+        "band",
+        "epoch",
+        "block_tokens",
+        (q * F.pow(F.lit(PL16_DECAY), F.col("epoch") - F.lit(1))).alias("density"),
+    )
+    w = Window.orderBy(F.col("density").desc())
+    wall = Window.partitionBy()
+    return blocks.select(
+        "band",
+        "epoch",
+        "block_tokens",
+        "density",
+        F.sum("block_tokens").over(w).alias("cum_tokens"),
+        (
+            F.lit(8) * F.sum("block_tokens").over(w)
+            <= F.lit(3) * F.sum("block_tokens").over(wall)
+        ).alias("selected"),
+    )
+
+
+PL16_SQL = f"""
+WITH scored AS (
+    SELECT CASE WHEN cast(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+                     / cast(len(str_split(text, ' ')) AS DOUBLE) >= {UPSAMPLE_RICH} THEN 'rich'
+                WHEN cast(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+                     / cast(len(str_split(text, ' ')) AS DOUBLE) >= {UPSAMPLE_POOR} THEN 'mid'
+           END AS band,
+           len(str_split(text, ' ')) AS n_tokens
+    FROM documents
+),
+sums AS (
+    SELECT band, cast(sum(n_tokens) AS BIGINT) AS block_tokens
+    FROM scored WHERE band IS NOT NULL GROUP BY band
+),
+blocks AS (
+    SELECT band, cast(e.epoch AS INTEGER) AS epoch, block_tokens,
+           (CASE WHEN band = 'rich' THEN {PL16_Q_RICH} ELSE {PL16_Q_MID} END)
+               * power({PL16_DECAY}, e.epoch - 1) AS density
+    FROM sums CROSS JOIN (SELECT unnest(range(1, {PL16_R_MAX} + 1)) AS epoch) e
+)
+SELECT band, epoch, block_tokens, density,
+       cast(sum(block_tokens) OVER (ORDER BY density DESC) AS BIGINT) AS cum_tokens,
+       8 * cast(sum(block_tokens) OVER (ORDER BY density DESC) AS BIGINT)
+           <= 3 * cast(sum(block_tokens) OVER () AS BIGINT) AS selected
+FROM blocks
+"""

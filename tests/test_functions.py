@@ -2489,6 +2489,46 @@ def test_kmeans_empty_cluster_attrition(spark):
     assert len(cids) == 2 and 2 not in cids    # seed id1 (cid 2) starved
 
 
+def test_pl16_repeat_schedule_semantics(spark, sf_dir):
+    """pl16's contracts: (1) per band, densities halve per epoch and
+    the band's block token mass is constant; (2) the greedy order is
+    the density order and cum_tokens is its running sum; (3) selected
+    is exactly the 1.5-epoch integer budget prefix (8*cum <= 3*total),
+    and the selected set is a PREFIX of the density order (greedy
+    never skips)."""
+    from maggy_spark.functions.pipeline import (
+        PL16_DECAY,
+        PL16_R_MAX,
+        pl16_repeat_schedule,
+    )
+
+    rows = pl16_repeat_schedule(spark, sf_dir).collect()
+    assert len(rows) % PL16_R_MAX == 0 and rows
+    by_band = {}
+    for r in rows:
+        by_band.setdefault(r.band, []).append(r)
+    for band, rs in by_band.items():
+        rs = sorted(rs, key=lambda r: r.epoch)
+        assert [r.epoch for r in rs] == list(range(1, PL16_R_MAX + 1))
+        assert len({r.block_tokens for r in rs}) == 1
+        for a, b in zip(rs, rs[1:]):
+            assert b.density == pytest.approx(a.density * PL16_DECAY)
+    ordered = sorted(rows, key=lambda r: -r.density)
+    cum = 0
+    total = sum(r.block_tokens for r in rows)
+    seen_unselected = False
+    for r in ordered:
+        cum += r.block_tokens
+        assert r.cum_tokens == cum
+        want = 8 * cum <= 3 * total
+        assert r.selected == want
+        if not r.selected:
+            seen_unselected = True
+        else:
+            assert not seen_unselected  # selected set is a prefix
+    assert any(r.selected for r in rows) and seen_unselected
+
+
 def test_ann12_all_lists_probe_equals_ann9(spark, sf_dir):
     """ann12 (IVFPQ) with nprobe >= |lists| probes every inverted
     list, so the IVF restriction is vacuous and the output must be

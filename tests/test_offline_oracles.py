@@ -174,6 +174,12 @@ CASES = [
     # nprobe >= |lists| it is row-for-row ann9
     # (test_ann12_all_lists_probe_equals_ann9)
     ("ann12_ivfpq_adc", "ANN12_SQL", "maggy_spark.functions.similarity"),
+    # round-12 addition: the data-constrained repeat schedule
+    # (Muennighoff et al. 2023) — greedy (band, epoch) blocks by
+    # decaying value density under a pure-integer 1.5-epoch token
+    # budget; the selection step between pl10's upsample and pl9's
+    # epoch shuffle
+    ("pl16_repeat_schedule", "PL16_SQL", "maggy_spark.functions.pipeline"),
 ]
 
 

@@ -106,6 +106,7 @@ DIRECT = [
     "ann11_semdedup_prune",
     "ann12_ivfpq_adc",
     "pl15_semantic_sample",
+    "pl16_repeat_schedule",
     "tx10_unigram_logprob",
     "tx14_bigram_logprob",
     "tx15_dsir_score",
