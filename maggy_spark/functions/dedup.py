@@ -1845,3 +1845,89 @@ def _exact_substr_converge_loop(
     if not durable and prev_local is not None:
         _free_local_checkpoint(prev_local)
     return out
+
+
+# -- dd18: cross-modal near-dup verification ------------------------------
+
+DD18_TAU = 0.3  # embedding-cosine verification threshold (ann4's tau)
+
+
+def dd18_crossmodal_verify(
+    spark: SparkSession,
+    sf_dir: str,
+    max_hamming: int = MAX_HAMMING,
+    tau: float = DD18_TAU,
+) -> DataFrame:
+    """Cross-modal near-dup verification: dd7's SimHash banded text
+    candidates, re-scored in EMBEDDING space — the screen that
+    separates surface-form near-dups (high text similarity AND high
+    cosine) from template collisions (texts that band together but
+    whose embeddings disagree). Emits every dd7 pair where BOTH sides
+    have an embedding (vec_id == doc_id on the covered prefix), with
+    the pair's exact cosine and the verified flag (cosine >= tau,
+    ann4's threshold).
+
+    Scale shape: the pair relation (linear in n by dd7's banding) is
+    the SMALL side — it joins the embedding corpus twice on its id
+    (broadcast at gate scale, shuffle-on-id at 100 TB where AQE
+    picks); embeddings never pair with each other, so nothing here is
+    quadratic. Zero-norm embeddings are dropped per the module rule
+    (similarity._cosine), identically in the twin. Not in the driver
+    registry (50-entry cap); DuckDB parity in
+    tests/test_offline_oracles.py. Reference anchor: none — SURVEY
+    §7.2-step-9 extension surface (composes dd7 x ann4's scoring)."""
+    from maggy_spark.functions.similarity import _cosine_pre, _dot
+
+    pairs = dd7_simhash_near_dup(spark, sf_dir, max_hamming)
+    e = (
+        load_table(spark, sf_dir, "embeddings", fan_out=True)
+        .select(
+            "vec_id",
+            "embedding",
+            F.sqrt(_dot("embedding", "embedding")).alias("en"),
+        )
+        .where(F.col("en") > 0)  # degenerate-vector rule
+    )
+    a = e.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("ea"), F.col("en").alias("na"))
+    b = e.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("eb"), F.col("en").alias("nb"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "hamming",
+            _cosine_pre("ea", "eb", "na", "nb").alias("cosine"),
+            (_cosine_pre("ea", "eb", "na", "nb") >= tau).alias("verified"),
+        )
+    )
+
+
+def _dd18_sql(max_hamming: int = MAX_HAMMING, tau: float = DD18_TAU) -> str:
+    from maggy_spark.functions.similarity import _NONZERO_SQL, _cos_sql
+
+    ham = (
+        "CAST(list_sum(list_transform(generate_series(1, t), "
+        "i -> CASE WHEN substr(ha, i, 1) != substr(hb, i, 1) THEN 1 ELSE 0 END)) AS INTEGER)"
+    )
+    cos = _cos_sql("ea.embedding", "eb.embedding")
+    return f"""
+WITH p AS ({_SIMHASH_PARAMS_SQL}),
+sig AS ({_SIMHASH_SIG_SQL}),
+bands AS ({_SIMHASH_BANDS_SQL}),
+cand AS ({_SIMHASH_CAND_SQL}),
+dd7 AS (
+    SELECT doc_a, doc_b, {ham} AS hamming
+    FROM cand WHERE {ham} <= {max_hamming}
+),
+nz AS (SELECT * FROM embeddings WHERE {_NONZERO_SQL})
+SELECT d.doc_a, d.doc_b, d.hamming,
+       {cos} AS cosine,
+       {cos} >= {tau} AS verified
+FROM dd7 d
+JOIN nz ea ON d.doc_a = ea.vec_id
+JOIN nz eb ON d.doc_b = eb.vec_id
+"""
+
+
+DD18_SQL = _dd18_sql()

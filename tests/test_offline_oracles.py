@@ -180,6 +180,12 @@ CASES = [
     # budget; the selection step between pl10's upsample and pl9's
     # epoch shuffle
     ("pl16_repeat_schedule", "PL16_SQL", "maggy_spark.functions.pipeline"),
+    # round-12 addition: dd7's SimHash text candidates re-scored in
+    # embedding space (surface near-dups vs template collisions); the
+    # sf1 rung inherits dd7's documented DuckDB-twin exclusion (the
+    # banded candidate CTE is quadratic per bucket at the synthetic
+    # fixture's dup density)
+    ("dd18_crossmodal_verify", "DD18_SQL", "maggy_spark.functions.dedup"),
 ]
 
 
