@@ -2006,6 +2006,35 @@ FROM {_KM_FINAL} v
 OPERATORS.append(("ann10_kmeans_assign", ann10_kmeans_assign, ANN10_SQL))
 
 
+def ann_alert_screen_sql(
+    mod: int = 7, rem: int = 3, threshold: float = 0.3
+) -> str:
+    """DuckDB twin of `streaming.ann_alert_stream`'s END STATE on a
+    deterministic feed slice (vec_id % mod = rem): the feed is signed
+    with the SAME corpus-derived hyperplanes the store was bucketed
+    with (the shared _bucket_sql parr CTE), joined bucket-local, and
+    filtered at the stream's threshold. Zero-norm feed vectors fall
+    out via the same nonzero predicate the stream's qnorm > 0 guard
+    applies at the source; the store side is the (nz-filtered)
+    bucketed relation itself, so stream and twin drop the identical
+    rows."""
+    return f"""
+WITH {_BUCKET_PAIR_SQL},
+feed AS (
+    SELECT e.vec_id AS query_id, e.embedding AS qe,
+           array_to_string(list_transform(p.planes, pl ->
+               CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl::DOUBLE[]) >= 0
+                    THEN '1' ELSE '0' END), '') AS bucket
+    FROM embeddings e CROSS JOIN parr p
+    WHERE e.vec_id % {mod} = {rem}
+      AND list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0
+)
+SELECT f.query_id, b.vec_id, {_cos_sql("f.qe", "b.emb")} AS cosine
+FROM feed f JOIN bucketed b ON f.bucket = b.bucket
+WHERE {_cos_sql("f.qe", "b.emb")} >= {threshold}
+"""
+
+
 def kmeans_route_screen_sql(mod: int = 7, rem: int = 3) -> str:
     """DuckDB twin of the streaming k-means router's accumulated end
     state on a deterministic feed slice (vec_id % mod = rem): replay

@@ -423,6 +423,66 @@ def test_phash_alert_stream_end_state_matches_duckdb_twin(spark, sf_dir, duck, t
     assert s_rows == d_rows
 
 
+def test_ann_alert_stream_end_state_matches_duckdb_twin(spark, sf_dir, duck, tmp_path):
+    """Stream end-state oracle #5 (r12): the bucket-blocked embedding
+    near-dup alert screen's accumulated output on a deterministic
+    feed slice (vec_id % 7 = 3), split across MULTIPLE micro-batches,
+    value-hash-compared against `ann_alert_screen_sql` — the shared
+    bucket geometry re-derived in DuckDB plus the bucket-local join
+    and threshold. Upgrades this stream from batch-pinned
+    (test_ann_alert_stream_matches_batch_subset) to a second-ENGINE
+    end-state oracle like the other four streams."""
+    from pyspark.sql import functions as F
+
+    from maggy_spark.functions.similarity import ann_alert_screen_sql
+    from maggy_spark.streaming import ann_alert_stream
+    from tools.check_oracle import duck_dtypes, frame_signature, spark_dtypes, to_pandas_spark
+
+    feed_dir, out_dir, ck_dir = (str(tmp_path / n) for n in ("feed", "out", "ck"))
+    (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .where(F.col("vec_id") % 7 == 3)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "embedding",
+            F.timestamp_micros(F.lit(0)).alias("ts"),
+        )
+        .repartition(3)
+        .write.mode("overwrite")
+        .parquet(feed_dir)
+    )
+    stream = (
+        spark.readStream.schema("query_id bigint, embedding array<float>, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir)
+    )
+    batch_ids: list = []
+
+    def sink(bdf, bid):
+        batch_ids.append(bid)
+        bdf.drop("ts").write.mode("append").parquet(out_dir)
+
+    q = (
+        ann_alert_stream(stream, spark, sf_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ck_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(batch_ids) >= 2, "feed must actually split across micro-batches"
+
+    acc = spark.read.parquet(out_dir).select("query_id", "vec_id", "cosine")
+    spark_pd = to_pandas_spark(acc)
+    duck_pd = duck.execute(ann_alert_screen_sql(7, 3)).fetchdf()
+    assert len(spark_pd) == len(duck_pd) > 0
+    s_cols, s_rows = frame_signature(spark_pd)
+    d_cols, d_rows = frame_signature(duck_pd)
+    assert s_cols == d_cols
+    assert spark_dtypes(acc) == duck_dtypes(duck_pd)
+    assert s_rows == d_rows
+
+
 def test_kmeans_route_stream_end_state_matches_duckdb_twin(spark, sf_dir, duck, tmp_path):
     """Stream end-state oracle #4 (the ing1 discipline): the k-means
     router's accumulated output on a deterministic feed slice
