@@ -218,6 +218,36 @@ def main() -> None:
         print(f"BENCH ERROR ann10/ann11: {e}", file=sys.stderr)
         spark.catalog.clearCache()
 
+    # r12 additions — the three new offline-oracled operators get a
+    # round-over-round regression signal before their pre-declared
+    # rotations: ann12 (IVFPQ probed-list serving; full codebook +
+    # code store + probes + ADC + rerank per rep), pl16 (the
+    # data-constrained repeat schedule; one 2-group corpus agg), dd18
+    # (dd7's banded candidates embedding-verified; pays the SimHash
+    # signing + both id joins — clearCache drops the bands cache).
+    try:
+        from maggy_spark.functions.dedup import dd18_crossmodal_verify
+        from maggy_spark.functions.pipeline import pl16_repeat_schedule
+        from maggy_spark.functions.similarity import ann12_ivfpq_adc
+
+        for name, fn in (
+            ("ann12_ivfpq_adc", ann12_ivfpq_adc),
+            ("pl16_repeat_schedule", pl16_repeat_schedule),
+            ("dd18_crossmodal_verify", dd18_crossmodal_verify),
+        ):
+            samples = []
+            for _ in range(reps):
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                samples.append(time.time() - t0)
+                spark.catalog.clearCache()
+            timings[name] = round(statistics.median(samples), 3)
+            spreads[name] = round(max(samples) - min(samples), 3)
+    except Exception as e:  # noqa: BLE001
+        timings["ann12_ivfpq_adc"] = -1.0
+        print(f"BENCH ERROR r12 extras: {e}", file=sys.stderr)
+        spark.catalog.clearCache()
+
     # experiment-level targets from BASELINE.md §3: 16-trial no-op
     # random search wall time (target <= 35 s) and median per-trial
     # scheduling overhead (target <= 2 s). The trial fn returns
