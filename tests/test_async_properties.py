@@ -65,7 +65,7 @@ def test_print_capture(spark):
 finite = st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False)
 
 
-@settings(max_examples=50, deadline=None)
+@settings(max_examples=50, deadline=None, derandomize=True)
 @given(
     lo=finite,
     width=st.floats(min_value=1e-3, max_value=1e6, allow_nan=False),
@@ -81,7 +81,7 @@ def test_double_transform_roundtrip(lo, width, frac):
     assert dec == pytest.approx(min(max(v, lo), hi), rel=1e-9, abs=1e-9 * width)
 
 
-@settings(max_examples=50, deadline=None)
+@settings(max_examples=50, deadline=None, derandomize=True)
 @given(lo=st.integers(-1000, 1000), width=st.integers(1, 2000), v=st.integers(0, 2000))
 def test_integer_transform_roundtrip(lo, width, v):
     hi = lo + width
@@ -91,7 +91,7 @@ def test_integer_transform_roundtrip(lo, width, v):
     assert sp.inverse_transform([enc])["x"] == val
 
 
-@settings(max_examples=50, deadline=None)
+@settings(max_examples=50, deadline=None, derandomize=True)
 @given(domain=st.lists(st.text(min_size=1, max_size=8), min_size=1, max_size=6, unique=True))
 def test_categorical_roundtrip(domain):
     sp = Searchspace(c=("CATEGORICAL", domain))
@@ -100,7 +100,7 @@ def test_categorical_roundtrip(domain):
         assert sp.inverse_transform([enc])["c"] == v
 
 
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=100, deadline=None, derandomize=True)
 @given(
     params=st.dictionaries(
         st.text(min_size=1, max_size=10),
@@ -116,7 +116,7 @@ def test_trial_id_is_key_order_invariant_and_16hex(params):
     assert trial_id_for_params(shuffled) == tid
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=30, deadline=None, derandomize=True)
 @given(seed=st.integers(0, 2**31 - 1), n=st.integers(1, 20))
 def test_random_sampler_bounds_property(seed, n):
     sp = Searchspace(

@@ -24,7 +24,7 @@ def _check_for(histories, direction="max", es_interval=1):
     )
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, derandomize=True)
 @given(
     histories=st.lists(st.lists(_vals, min_size=1, max_size=6), min_size=1, max_size=9),
     checked=st.lists(_vals, min_size=1, max_size=6),

@@ -23,7 +23,7 @@ def ladders(draw):
     return ns, budgets
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60, deadline=None, derandomize=True)
 @given(ladders(), st.randoms(use_true_random=False))
 def test_sh_iteration_invariants(ladder, rnd):
     ns, budgets = ladder
@@ -60,7 +60,7 @@ def test_sh_iteration_invariants(ladder, rnd):
     assert len(it.configs[len(ns) - 1]) == ns[-1]
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=30, deadline=None, derandomize=True)
 @given(st.lists(st.floats(min_value=0, max_value=100, allow_nan=False), min_size=1, max_size=12, unique=True))
 def test_adapter_runs_every_value_exactly_once(values):
     from maggy_spark.optimizers import AbstractOptimizer
