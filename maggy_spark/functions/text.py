@@ -1610,3 +1610,85 @@ TX15_SQL = tx15_sql()
 # data-selection scorer joins the driver gate. Offline-green at
 # sf0.001/0.01/0.1 and sf1 before registration.
 OPERATORS.append(("tx15_dsir_score", tx15_dsir_score, TX15_SQL))
+
+
+# --- tx16: exact length quantiles (order statistics over a histogram) ---
+
+# Percentiles a length-filter calibration actually reads: the bulk of
+# the distribution plus the long-document tail.
+TX16_QS = (25, 50, 75, 90, 99)
+
+
+def tx16_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-(lang, source) token-count percentiles — the relation
+    a pipeline reads to calibrate its length filters (tx9's Gopher
+    bounds, pl11's chunk width) per language and per crawl source
+    instead of hard-coding one global cutoff.
+
+    Exactness: `percentile_approx` and t-digests are the usual Spark
+    answer, but approximate sketches cannot be oracle-checked and
+    their error is exactly at the tail the calibration reads (p99).
+    Token counts live on a BOUNDED integer domain (a document has
+    tens-to-thousands of whitespace tokens regardless of corpus
+    size), so the exact answer is computable from a histogram whose
+    cardinality is |langs| x |sources| x |distinct lengths| —
+    corpus-size-independent. The quantile rule is the inverted-CDF
+    order statistic: p_q = smallest length whose cumulative count
+    reaches ceil(q/100 * n). `100*cum >= q*total` keeps the
+    comparison in exact integer arithmetic — no float rank, no
+    cross-engine rounding surface (numpy's method='inverted_cdf'
+    pins the convention in tests/test_functions.py).
+
+    Scale shape: one map-side-combined groupBy builds the histogram
+    (uniform bounded key), the cumulative window runs over that
+    bounded relation (each (lang, source) partition is at most
+    |distinct lengths| rows), and the final rollup returns one row
+    per (lang, source). Nothing in the plan grows with document
+    COUNT, only with the length domain. Not in the driver registry
+    (50-entry cap); DuckDB parity in tests/test_offline_oracles.py.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    hist = (
+        d.select("lang", "source", F.size(_tokens()).cast("bigint").alias("n_tokens"))
+        .groupBy("lang", "source", "n_tokens")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    w = Window.partitionBy("lang", "source").orderBy("n_tokens")
+    wall = Window.partitionBy("lang", "source")
+    cum = hist.select(
+        "lang",
+        "source",
+        "n_tokens",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wall).alias("total"),
+    )
+    quantile_cols = [
+        F.min(
+            F.when(F.lit(100) * F.col("cum") >= F.lit(q) * F.col("total"), F.col("n_tokens"))
+        ).alias(f"p{q}")
+        for q in TX16_QS
+    ]
+    return cum.groupBy("lang", "source").agg(
+        F.max("total").alias("n_docs"), *quantile_cols
+    )
+
+
+TX16_SQL = f"""
+WITH hist AS (
+    SELECT lang, source,
+           cast(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+           cast(count(*) AS BIGINT) AS cnt
+    FROM documents
+    GROUP BY lang, source, len(str_split(text, ' '))
+),
+cum AS (
+    SELECT lang, source, n_tokens,
+           cast(sum(cnt) OVER (PARTITION BY lang, source ORDER BY n_tokens) AS BIGINT) AS cum,
+           cast(sum(cnt) OVER (PARTITION BY lang, source) AS BIGINT) AS total
+    FROM hist
+)
+SELECT lang, source, max(total) AS n_docs,
+       {', '.join(f'min(CASE WHEN 100 * cum >= {q} * total THEN n_tokens END) AS p{q}' for q in TX16_QS)}
+FROM cum
+GROUP BY lang, source
+"""

@@ -2953,3 +2953,46 @@ def test_kmeans_spark_matches_replay_on_random_corpora(spark):
         assert got == want
 
     _case()
+
+
+# --- tx16: exact length quantiles ---------------------------------------
+
+
+def test_tx16_matches_numpy_inverted_cdf(spark, sf_dir):
+    """Third-implementation pin for the quantile CONVENTION: the
+    integer rule `100*cum >= q*total` must equal numpy's
+    method='inverted_cdf' order statistic on the real corpus —
+    independently of the DuckDB twin (which mirrors the same SQL and
+    so could only catch engine drift, not a wrong convention)."""
+    import numpy as np
+
+    out = {(r.lang, r.source): r for r in text.tx16_length_quantiles(spark, sf_dir).collect()}
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("lang", "source", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    )
+    groups = {}
+    for r in docs:
+        groups.setdefault((r.lang, r.source), []).append(r.n)
+    assert set(out) == set(groups)
+    for key, lengths in groups.items():
+        arr = np.array(sorted(lengths))
+        row = out[key]
+        assert row.n_docs == len(arr)
+        for q in text.TX16_QS:
+            expect = int(np.percentile(arr, q, method="inverted_cdf"))
+            assert getattr(row, f"p{q}") == expect, (key, q)
+
+
+def test_tx16_crafted_corpus_order_statistics(spark, tmp_path):
+    """Hand-computed check on a corpus small enough to eyeball: ten
+    docs of 1..10 tokens in one group. inverted_cdf ranks: p25 ->
+    ceil(2.5)=3rd value, p50 -> 5th, p75 -> 8th, p90 -> 9th, p99 ->
+    10th."""
+    docs = [(i, " ".join(["w"] * i), "en", "src0", i) for i in range(1, 11)]
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    row = text.tx16_length_quantiles(spark, str(tmp_path)).collect()[0]
+    assert (row.n_docs, row.p25, row.p50, row.p75, row.p90, row.p99) == (10, 3, 5, 8, 9, 10)

@@ -186,6 +186,12 @@ CASES = [
     # banded candidate CTE is quadratic per bucket at the synthetic
     # fixture's dup density)
     ("dd18_crossmodal_verify", "DD18_SQL", "maggy_spark.functions.dedup"),
+    # round-12 addition: EXACT per-(lang, source) token-count
+    # percentiles from a bounded histogram (inverted-CDF order
+    # statistic in pure integer arithmetic) — the length-filter
+    # calibration relation; convention pinned against numpy
+    # inverted_cdf in test_functions.py
+    ("tx16_length_quantiles", "TX16_SQL", "maggy_spark.functions.text"),
 ]
 
 
