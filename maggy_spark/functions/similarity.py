@@ -2055,3 +2055,113 @@ SELECT query_id, cluster_id, cosine FROM (
         CROSS JOIN c{KM_ITERS} c)
 ) WHERE rn = 1
 """
+
+
+# --- ann13: cluster-quality diagnostics over the k-means family ---------
+
+
+def ann13_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster health relation over the trained k-means model —
+    the diagnostic a SemDeDup/IVF pipeline reads BEFORE trusting the
+    clustering: population (balance drives the IVF probe cost and
+    the ann11 pair-stage bound), worst/best member fit, how many
+    members sit below the SemDeDup pair threshold, and how close the
+    nearest OTHER centroid is (two near-identical centroids mean k is
+    too high or training collapsed — the Davies-Bouldin separation
+    axis). Output per final cluster: (cluster_id, n_members, min_cos,
+    max_cos, n_loose, nn_cluster_id, nn_sep).
+
+    Oracle-exactness rule: every statistic here is an ORDER-FREE
+    aggregate — counts are integers, min/max over IEEE doubles are
+    partition-order-independent, and the centroid-separation pass
+    scores deterministic double expressions pairwise. A mean-inertia
+    column is deliberately ABSENT: a sum of doubles is partition-
+    order-dependent, and cos values are computed doubles whose
+    string-cast decimal routing (the _km_update trick) is not
+    engine-agreed at full 17-digit width. min_cos IS the calibration
+    quantity (the worst fit), and it is exact.
+
+    Scale shape: member stats are one map-side-combined groupBy on
+    cid (<= k groups); the separation pass is a k x k self-join on
+    the <= KM_MAX_K-row centroid relation (<= ~1M pairs of 64-dim
+    vectors, broadcast, no shuffle); the join-back is broadcast on a
+    <= k-row side. Nothing scales with corpus size except the one
+    assignment groupBy. Not in the driver registry (50-entry cap);
+    DuckDB parity in tests/test_offline_oracles.py."""
+    return cluster_quality_over(
+        _km_final(spark, sf_dir), _km_centroids(spark, sf_dir)
+    )
+
+
+def cluster_quality_over(
+    km: DataFrame, cents: DataFrame, tau: float = KM_SEM_TAU
+) -> DataFrame:
+    """The diagnostics core over ANY (vec_id, cid, cos) assignment
+    relation + (cid, cvec, cn) centroid relation — factored out
+    (pack_plan discipline) so property tests can drive crafted
+    geometries. PRECONDITION: cn > 0 on every centroid row
+    (guaranteed by kmeans_centroids_over's attrition rule)."""
+    from pyspark.sql.window import Window
+
+    mem = km.groupBy("cid").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.min("cos").alias("min_cos"),
+        F.max("cos").alias("max_cos"),
+        F.sum(F.when(F.col("cos") < tau, 1).otherwise(0)).cast("bigint").alias("n_loose"),
+    )
+    a = cents.select(
+        F.col("cid").alias("a_cid"), F.col("cvec").alias("a_cv"), F.col("cn").alias("a_cn")
+    )
+    b = cents.select(
+        F.col("cid").alias("b_cid"), F.col("cvec").alias("b_cv"), F.col("cn").alias("b_cn")
+    )
+    pairs = a.join(F.broadcast(b), F.col("a_cid") != F.col("b_cid")).select(
+        "a_cid",
+        F.col("b_cid").alias("nn_cluster_id"),
+        _cosine_pre("a_cv", "b_cv", "a_cn", "b_cn").alias("nn_sep"),
+    )
+    w = Window.partitionBy("a_cid").orderBy(F.desc("nn_sep"), "nn_cluster_id")
+    sep = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("a_cid", "nn_cluster_id", "nn_sep")
+    )
+    return (
+        mem.join(F.broadcast(sep), mem.cid == sep.a_cid, "left")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_members",
+            "min_cos",
+            "max_cos",
+            "n_loose",
+            "nn_cluster_id",
+            "nn_sep",
+        )
+    )
+
+
+def _ann13_sql(tau: float = KM_SEM_TAU) -> str:
+    dot = "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+    return f"""
+{_km_prefix_sql()},
+mem AS (
+    SELECT cid, cast(count(*) AS BIGINT) AS n_members,
+           min(cos) AS min_cos, max(cos) AS max_cos,
+           cast(sum(CASE WHEN cos < {tau} THEN 1 ELSE 0 END) AS BIGINT) AS n_loose
+    FROM {_KM_FINAL} GROUP BY cid),
+sepall AS (
+    SELECT c.cid, o.cid AS ocid,
+           {dot.format(a='c.cv', b='o.cv')} / (c.cn * o.cn) AS pc
+    FROM c{KM_ITERS} c JOIN c{KM_ITERS} o ON o.cid <> c.cid),
+sep AS (
+    SELECT cid, ocid AS nn_cluster_id, pc AS nn_sep FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY cid ORDER BY pc DESC, ocid) AS rn
+        FROM sepall) WHERE rn = 1)
+SELECT m.cid AS cluster_id, m.n_members, m.min_cos, m.max_cos, m.n_loose,
+       s.nn_cluster_id, s.nn_sep
+FROM mem m LEFT JOIN sep s ON s.cid = m.cid
+"""
+
+
+ANN13_SQL = _ann13_sql()

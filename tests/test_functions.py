@@ -2996,3 +2996,51 @@ def test_tx16_crafted_corpus_order_statistics(spark, tmp_path):
     ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
     row = text.tx16_length_quantiles(spark, str(tmp_path)).collect()[0]
     assert (row.n_docs, row.p25, row.p50, row.p75, row.p90, row.p99) == (10, 3, 5, 8, 9, 10)
+
+
+# --- ann13: cluster-quality diagnostics ---------------------------------
+
+
+def _ann13_vecs(spark, rows):
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    return df.select(
+        "vec_id", "embedding", F.sqrt(similarity._dot("embedding", "embedding")).alias("en")
+    )
+
+
+def test_ann13_two_well_separated_clusters(spark):
+    """Crafted geometry: four near-+x vectors and four near-+y vectors,
+    seeds one in each group -> Lloyd converges to the two group means.
+    Each cluster must report its own four members, tight fits
+    (n_loose = 0 at tau), and the OTHER cluster as nearest neighbour
+    with a small symmetric separation."""
+    xs = [(0, [1.0, 0.0]), (2, [1.0, 0.1]), (4, [0.9, 0.0]), (6, [1.0, -0.1])]
+    ys = [(1, [0.0, 1.0]), (3, [0.1, 1.0]), (5, [0.0, 0.9]), (7, [-0.1, 1.0])]
+    km = similarity.kmeans_over(_ann13_vecs(spark, xs + ys), k=2)
+    cents = similarity.kmeans_centroids_over(_ann13_vecs(spark, xs + ys), k=2)
+    out = {r.cluster_id: r for r in similarity.cluster_quality_over(km, cents).collect()}
+    assert set(out) == {1, 2}
+    for cid, r in out.items():
+        assert r.n_members == 4
+        assert r.min_cos > 0.9 and r.max_cos <= 1.0 + 1e-12
+        assert r.n_loose == 0
+        assert r.nn_cluster_id == (2 if cid == 1 else 1)
+        # the +-0.1 perturbations cancel in the mean, so the two
+        # centroids are exactly orthogonal: separation is exactly 0
+        assert 0.0 <= r.nn_sep < 0.3
+    # separation is symmetric: both clusters see the same pair cosine
+    assert out[1].nn_sep == out[2].nn_sep
+
+
+def test_ann13_single_cluster_has_null_separation(spark):
+    """k=1: there is no other centroid, so the left join must surface
+    NULL nn columns in both engines (the twin's LEFT JOIN mirrors
+    this) rather than dropping the row."""
+    rows = [(i, [1.0, float(i % 3) * 0.01]) for i in range(6)]
+    km = similarity.kmeans_over(_ann13_vecs(spark, rows), k=1)
+    cents = similarity.kmeans_centroids_over(_ann13_vecs(spark, rows), k=1)
+    out = similarity.cluster_quality_over(km, cents).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_members == 6
+    assert r.nn_cluster_id is None and r.nn_sep is None

@@ -192,6 +192,11 @@ CASES = [
     # calibration relation; convention pinned against numpy
     # inverted_cdf in test_functions.py
     ("tx16_length_quantiles", "TX16_SQL", "maggy_spark.functions.text"),
+    # round-12 addition: cluster-quality diagnostics over the trained
+    # k-means model (population, worst/best member fit, sub-tau count,
+    # nearest-other-centroid separation) — every column an ORDER-FREE
+    # aggregate so the relation is oracle-exact without decimal routing
+    ("ann13_cluster_quality", "ANN13_SQL", "maggy_spark.functions.similarity"),
 ]
 
 
