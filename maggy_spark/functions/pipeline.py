@@ -1566,3 +1566,94 @@ SELECT band, epoch, block_tokens, density,
            <= 3 * cast(sum(block_tokens) OVER () AS BIGINT) AS selected
 FROM blocks
 """
+
+
+# --- pl17: balanced output-shard layout (distributed prefix sum) --------
+
+PL17_BUCKET_DOCS = 4096    # doc_ids per prefix-sum range bucket
+PL17_SHARD_TOKENS = 4096   # target whitespace tokens per output shard
+
+
+def pl17_shard_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    shard_tokens: int = PL17_SHARD_TOKENS,
+    bucket_docs: int = PL17_BUCKET_DOCS,
+) -> DataFrame:
+    """The WRITE plan for the curated corpus: assign every document a
+    global token offset in doc_id order and cut the stream into
+    shards of ~``shard_tokens`` whitespace tokens — the balanced-
+    output-file layout a 100 TB corpus build computes before its
+    final write (equal-token shards keep downstream dataloader ranks
+    balanced, where equal-DOC shards skew with document length).
+    Output: one row per shard — (shard_id, n_docs, shard_tokens,
+    first_doc, last_doc). Shards are contiguous doc_id ranges by
+    construction, so the relation IS the write manifest.
+
+    The semantics is a global running sum, but a global window is a
+    single-task sort at scale, so the plan computes the classic
+    two-phase distributed prefix sum: docs fold into doc_id-range
+    buckets of ``bucket_docs`` (map-side combined groupBy), bucket
+    offsets come from one tiny cumulative window over the n/4096-row
+    bucket relation (16-byte rows — ~6M rows at 25B docs, a single
+    cheap task), and the per-document running sum is a window INSIDE
+    each bucket plus the broadcast bucket offset. The DuckDB twin
+    spells the naive single-window form — the twin is the semantics,
+    the two-phase plan is its scale-honest realization, and the
+    parity hash proves they agree. Pure integer arithmetic
+    throughout (token counts, cumulative sums, floor-div shard ids):
+    no cross-engine float surface. Not in the driver registry
+    (50-entry cap); DuckDB parity in tests/test_offline_oracles.py.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n"),
+        F.expr(f"doc_id DIV {bucket_docs}").alias("bkt"),
+    )
+    # phase 1: per-bucket totals, then EXCLUSIVE cumulative offsets
+    # over the bounded bucket relation
+    wb = Window.orderBy("bkt")
+    offsets = (
+        t.groupBy("bkt")
+        .agg(F.sum("n").alias("bt"))
+        .select("bkt", (F.sum("bt").over(wb) - F.col("bt")).alias("off"))
+    )
+    # phase 2: within-bucket running sum + broadcast bucket offset
+    wd = Window.partitionBy("bkt").orderBy("doc_id")
+    start = F.col("off") + F.sum("n").over(wd) - F.col("n")
+    sharded = (
+        t.join(F.broadcast(offsets), "bkt")
+        .withColumn("start", start)
+        .select("doc_id", "n", F.expr(f"start DIV {shard_tokens}").alias("shard_id"))
+    )
+    return sharded.groupBy("shard_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n").alias("shard_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+def pl17_sql(shard_tokens: int = PL17_SHARD_TOKENS) -> str:
+    """DuckDB twin: the NAIVE global-window spelling of the same
+    semantics (single node, no need for the two-phase plan)."""
+    return f"""
+WITH t AS (
+    SELECT doc_id, cast(len(str_split(text, ' ')) AS BIGINT) AS n
+    FROM documents),
+c AS (
+    SELECT doc_id, n,
+           cast(sum(n) OVER (ORDER BY doc_id) AS BIGINT) - n AS start
+    FROM t),
+s AS (SELECT doc_id, n, start // {shard_tokens} AS shard_id FROM c)
+SELECT shard_id, cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(n) AS BIGINT) AS shard_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM s GROUP BY shard_id
+"""
+
+
+PL17_SQL = pl17_sql()

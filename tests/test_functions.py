@@ -3044,3 +3044,63 @@ def test_ann13_single_cluster_has_null_separation(spark):
     r = out[0]
     assert r.n_members == 6
     assert r.nn_cluster_id is None and r.nn_sep is None
+
+
+# --- pl17: balanced output-shard layout ---------------------------------
+
+
+def test_pl17_two_phase_matches_python_reference_across_buckets(spark, tmp_path):
+    """The sf0.01 oracle corpus fits in ONE prefix-sum bucket, so the
+    twin alone never exercises the two-phase offset path. This corpus
+    forces it: sparse, gappy doc_ids spanning many 4-doc buckets
+    (including empty buckets), checked against a naive Python running
+    sum."""
+    from maggy_spark.functions import pipeline
+
+    ids = [1, 2, 3, 5, 9, 10, 14, 22, 23, 31, 40, 41]  # gaps + empty buckets
+    docs = [(i, " ".join(["w"] * (3 + i % 7)), "en", "s", 1) for i in ids]
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    out = {
+        r.shard_id: r
+        for r in pipeline.pl17_shard_plan(
+            spark, str(tmp_path), shard_tokens=10, bucket_docs=4
+        ).collect()
+    }
+
+    # naive reference
+    start, ref = 0, {}
+    for i in ids:
+        n = 3 + i % 7
+        sid = start // 10
+        agg = ref.setdefault(sid, [0, 0, i, i])
+        agg[0] += 1
+        agg[1] += n
+        agg[3] = i
+        start += n
+    assert set(out) == set(ref)
+    for sid, (n_docs, toks, first, last) in ref.items():
+        r = out[sid]
+        assert (r.n_docs, r.shard_tokens, r.first_doc, r.last_doc) == (n_docs, toks, first, last)
+
+
+def test_pl17_conservation_and_contiguity(spark, sf_dir):
+    """Shards must conserve the corpus token mass exactly and cover
+    disjoint, ordered doc_id ranges (the relation is a write
+    manifest — an overlap would double-write a document)."""
+    from maggy_spark.functions import pipeline
+
+    rows = sorted(pipeline.pl17_shard_plan(spark, sf_dir).collect(), key=lambda r: r.shard_id)
+    assert rows
+    total = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.sum(F.size(F.split("text", " "))).alias("t"))
+        .collect()[0]
+        .t
+    )
+    assert sum(r.shard_tokens for r in rows) == total
+    assert sum(r.n_docs for r in rows) == spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev.last_doc < cur.first_doc

@@ -197,6 +197,12 @@ CASES = [
     # nearest-other-centroid separation) — every column an ORDER-FREE
     # aggregate so the relation is oracle-exact without decimal routing
     ("ann13_cluster_quality", "ANN13_SQL", "maggy_spark.functions.similarity"),
+    # round-12 addition: the balanced output-shard write manifest —
+    # a two-phase distributed prefix sum on Spark, twinned against the
+    # naive global-window spelling (the twin is the semantics, the
+    # two-phase plan its scale-honest realization); pure integer
+    # arithmetic, multi-bucket path pinned in test_functions.py
+    ("pl17_shard_plan", "PL17_SQL", "maggy_spark.functions.pipeline"),
 ]
 
 
