@@ -243,6 +243,48 @@ def replay_pl15(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def replay_ann13(sf_dir: str) -> pd.DataFrame:
+    """ann13_cluster_quality oracle: order-free member aggregates over
+    the replayed final assignment plus a k x k fold-dot separation
+    pass over the final centroids (first-max = lowest other cid on
+    ties, the Spark window's ORDER BY pc DESC, ocid rule)."""
+    ids, _E, _en, acids, cos_best, cids, C, cn = replay_kmeans(sf_dir)
+    pc = fold_dot(C, C) / (cn[:, None] * cn[None, :])
+    np.fill_diagonal(pc, -np.inf)
+    rows = []
+    for pos, cid in enumerate(cids):
+        idx = np.where(acids == cid)[0]
+        if not len(idx):
+            continue  # centroid with no assigned members: not in mem
+        if len(cids) > 1:
+            nn_pos = int(np.argmax(pc[pos]))
+            nn_cid, nn_sep = int(cids[nn_pos]), float(pc[pos, nn_pos])
+        else:
+            nn_cid, nn_sep = None, None
+        rows.append(
+            (
+                int(cid),
+                int(len(idx)),
+                float(cos_best[idx].min()),
+                float(cos_best[idx].max()),
+                int((cos_best[idx] < KM_SEM_TAU).sum()),
+                nn_cid,
+                nn_sep,
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "cluster_id", "n_members", "min_cos", "max_cos",
+            "n_loose", "nn_cluster_id", "nn_sep",
+        ],
+    ).astype(
+        {"cluster_id": "int64", "n_members": "int64", "min_cos": "float64",
+         "max_cos": "float64", "n_loose": "int64", "nn_cluster_id": "int64",
+         "nn_sep": "float64"}
+    )
+
+
 def _route_stream_accumulated(spark, sf_dir: str):
     """Run `kmeans_route_stream` over a 3-micro-batch file feed of the
     vec_id % 7 == 3 slice (the sf1 end-state oracle's feed recipe,
@@ -319,6 +361,7 @@ def replay_route(sf_dir: str) -> pd.DataFrame:
 REPLAYS = {
     "ann10_kmeans_assign": replay_ann10,
     "ann11_semdedup_prune": replay_ann11,
+    "ann13_cluster_quality": replay_ann13,
     "pl15_semantic_sample": replay_pl15,
     "kmeans_route_stream": replay_route,
 }
@@ -341,6 +384,7 @@ def main() -> int:
     spark_fns = {
         "ann10_kmeans_assign": similarity.ann10_kmeans_assign,
         "ann11_semdedup_prune": similarity.ann11_semdedup_prune,
+        "ann13_cluster_quality": similarity.ann13_cluster_quality,
         "pl15_semantic_sample": pipeline.pl15_semantic_sample,
         "kmeans_route_stream": _route_stream_accumulated,
     }

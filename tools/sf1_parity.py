@@ -88,6 +88,8 @@ DIRECT = [
     "tx5_ngram_stats",
     "tx12_pii_scan",
     "tx13_bpe_pair_stats",
+    "tx16_length_quantiles",
+    "pl17_shard_plan",
     "pl9_epoch_shuffle_plan",
     "pl14_curriculum_order",
     "pl1_corpus_prep",
@@ -105,6 +107,7 @@ DIRECT = [
     "ann10_kmeans_assign",
     "ann11_semdedup_prune",
     "ann12_ivfpq_adc",
+    "ann13_cluster_quality",
     "pl15_semantic_sample",
     "pl16_repeat_schedule",
     "tx10_unigram_logprob",
