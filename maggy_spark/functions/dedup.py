@@ -1931,3 +1931,152 @@ JOIN nz eb ON d.doc_b = eb.vec_id
 
 
 DD18_SQL = _dd18_sql()
+
+
+# --- dd19: containment screen (asymmetric doc-in-doc duplication) -------
+
+CONTAIN_TAU = 0.8  # fraction of the smaller doc's shingles that must
+# be shared — the "A is (nearly) a sub-document of B" bar
+
+# A verbatim-inclusion probe triple (negative doc_ids, tokens outside
+# the 31-word corpus vocabulary so no organic shingle collides): -12's
+# text is a verbatim substring of -11, so its 3 shingles are ALL
+# contained in -11's 18 — containment 1.0 at Jaccard 3/18 — while
+# -13 shares only 1 of its 3 shingles with -11 (below min_common).
+# The organic tau-passing pairs at the gate scale are exact
+# duplicates (containment 1.0 AND jaccard 1.0), so without the probe
+# the offline row would never separate the two measures — the
+# dd15/tx12 probe-union argument.
+DD19_PROBE_DOCS: list[tuple[int, str]] = [
+    (
+        -11,
+        "proba probb probc probd probe probf probg probh probi probj "
+        "probk probl probm probn probo probp probq probr probs probt",
+    ),
+    (-12, "probd probe probf probg probh"),
+    (-13, "probh probi probz proby"),
+]
+
+
+def dd19_containment_screen(
+    spark: SparkSession,
+    sf_dir: str,
+    tau: float = CONTAIN_TAU,
+    min_common: int = 2,
+    max_doc_freq: int = 50,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT screen: pairs where the smaller
+    document's shingle set is >= ``tau`` contained in the larger's —
+    C(A, B) = |sh(A) ∩ sh(B)| / |sh(A)|. Symmetric Jaccard (dd4/dd8)
+    MISSES doc-in-doc duplication: a short document quoted verbatim
+    inside a long one has containment ~1 but Jaccard ~|A|/|B|, far
+    below any near-dup threshold — yet for a training corpus the
+    short doc is pure duplicated mass (Broder 1997's resemblance vs
+    containment distinction). Output: one row per flagged pair,
+    normalized so `contained_doc` is the smaller-shingle-set side
+    (tie -> lower doc_id): (contained_doc, container_doc,
+    n_contained, n_common, containment, jaccard).
+
+    Scale shape: identical to dd4's exact-intersection relation —
+    postings explode with the viral-shingle doc-frequency cap (a
+    shingle in f docs contributes f^2 pairs; the cap bounds the
+    self-join's skew), one groupBy per pair key, broadcast-size
+    probe union. The containment projection adds zero shuffles over
+    dd4: sizes join + a directed-normalization expression. The
+    corpus side reuses the session-cached _shingled materialization;
+    only the 3 probe docs are shingled per call. Not in the driver
+    registry (50-entry cap); DuckDB parity in
+    tests/test_offline_oracles.py.
+    """
+    probes = spark.createDataFrame(DD19_PROBE_DOCS, "doc_id bigint, text string").select(
+        "doc_id", _shingles_expr().alias("sh")
+    )
+    d = _shingled(spark, sf_dir).unionByName(probes)
+    sizes = d.select("doc_id", F.size("sh").alias("n_sh"))
+    ex = d.select("doc_id", F.explode("sh").alias("shingle")).select(
+        "doc_id", F.xxhash64("shingle").alias("sid")
+    )
+    from pyspark.sql.window import Window
+
+    ex = (
+        ex.withColumn("f", F.count("*").over(Window.partitionBy("sid")))
+        .where(F.col("f") <= max_doc_freq)
+        .drop("f")
+    )
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, "sid")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    j = inter.join(sa, "doc_a").join(sb, "doc_b")
+    small_is_a = (F.col("n_a") < F.col("n_b")) | (F.col("n_a") == F.col("n_b"))
+    return (
+        j.select(
+            F.when(small_is_a, F.col("doc_a")).otherwise(F.col("doc_b")).alias("contained_doc"),
+            F.when(small_is_a, F.col("doc_b")).otherwise(F.col("doc_a")).alias("container_doc"),
+            F.least("n_a", "n_b").cast("bigint").alias("n_contained"),
+            "n_common",
+            (F.col("n_common").cast("double") / F.least("n_a", "n_b").cast("double")).alias(
+                "containment"
+            ),
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("containment") >= tau)
+    )
+
+
+_DD19_PROBE_VALUES = ", ".join(
+    f"(cast({i} AS BIGINT), '{t}')" for i, t in DD19_PROBE_DOCS
+)
+
+
+def dd19_sql(tau: float = CONTAIN_TAU, min_common: int = 2, max_doc_freq: int = 50) -> str:
+    return f"""
+WITH u AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT * FROM (VALUES {_DD19_PROBE_VALUES}) probes(doc_id, text)
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct(
+               CASE WHEN len(w) >= 3
+                    THEN list_transform(generate_series(1, len(w) - 2),
+                                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                    ELSE [] END
+           ) AS shingles
+    FROM (SELECT doc_id, str_split(text, ' ') AS w FROM u)
+),
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+ex_all AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+rare AS (SELECT shingle FROM ex_all GROUP BY shingle HAVING count(*) <= {max_doc_freq}),
+ex AS (SELECT e.doc_id, e.shingle FROM ex_all e JOIN rare r ON e.shingle = r.shingle),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, cast(count(*) AS BIGINT) AS n_common
+    FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= {min_common}
+)
+SELECT CASE WHEN sa.n_sh <= sb.n_sh THEN i.doc_a ELSE i.doc_b END AS contained_doc,
+       CASE WHEN sa.n_sh <= sb.n_sh THEN i.doc_b ELSE i.doc_a END AS container_doc,
+       cast(least(sa.n_sh, sb.n_sh) AS BIGINT) AS n_contained,
+       i.n_common,
+       cast(i.n_common AS DOUBLE) / cast(least(sa.n_sh, sb.n_sh) AS DOUBLE) AS containment,
+       cast(i.n_common AS DOUBLE) / cast(sa.n_sh + sb.n_sh - i.n_common AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE cast(i.n_common AS DOUBLE) / cast(least(sa.n_sh, sb.n_sh) AS DOUBLE) >= {tau}
+"""
+
+
+DD19_SQL = dd19_sql()

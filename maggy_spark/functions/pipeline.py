@@ -1602,8 +1602,17 @@ def pl17_shard_plan(
     the two-phase plan is its scale-honest realization, and the
     parity hash proves they agree. Pure integer arithmetic
     throughout (token counts, cumulative sums, floor-div shard ids):
-    no cross-engine float surface. Not in the driver registry
-    (50-entry cap); DuckDB parity in tests/test_offline_oracles.py.
+    no cross-engine float surface.
+
+    Known plan shape (audited): the offsets branch and the join
+    branch each scan `documents` (column-pruned to doc_id + text) —
+    the self-referential DAG is the price of the distributed prefix
+    sum. A corpus build that has already materialized a per-doc
+    token-count relation (tx1's output, or pl13's ledger) should
+    compute the manifest from THAT skinny relation instead; the
+    parquet rescan here is the standalone-operator cost, not an
+    algorithmic one. Not in the driver registry (50-entry cap);
+    DuckDB parity in tests/test_offline_oracles.py.
     """
     from pyspark.sql.window import Window
 

@@ -3104,3 +3104,32 @@ def test_pl17_conservation_and_contiguity(spark, sf_dir):
     assert sum(r.n_docs for r in rows) == spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     for prev, cur in zip(rows, rows[1:]):
         assert prev.last_doc < cur.first_doc
+
+
+# --- dd19: containment screen -------------------------------------------
+
+
+def test_dd19_probe_separates_containment_from_jaccard(spark, sf_dir):
+    """The verbatim-inclusion probe (-12 inside -11) must surface with
+    containment 1.0 but LOW jaccard — the doc-in-doc case symmetric
+    near-dup misses — while -13 (1 shared shingle, below min_common)
+    must not appear at all."""
+    rows = dedup.dd19_containment_screen(spark, sf_dir).collect()
+    probe = [r for r in rows if r.contained_doc == -12]
+    assert len(probe) == 1
+    r = probe[0]
+    assert r.container_doc == -11
+    assert r.containment == 1.0
+    assert r.jaccard < 0.2
+    assert all(-13 not in (x.contained_doc, x.container_doc) for x in rows)
+
+
+def test_dd19_rows_are_normalized_and_bounded(spark, sf_dir):
+    """Every flagged pair: contained side is the smaller shingle set,
+    containment >= tau, and jaccard can never exceed containment
+    (intersection over min is the larger ratio)."""
+    for r in dedup.dd19_containment_screen(spark, sf_dir).collect():
+        assert r.containment >= dedup.CONTAIN_TAU
+        assert r.n_common <= r.n_contained
+        assert r.jaccard <= r.containment + 1e-12
+        assert r.contained_doc != r.container_doc

@@ -203,6 +203,12 @@ CASES = [
     # two-phase plan its scale-honest realization); pure integer
     # arithmetic, multi-bucket path pinned in test_functions.py
     ("pl17_shard_plan", "PL17_SQL", "maggy_spark.functions.pipeline"),
+    # round-12 addition: the asymmetric containment screen (Broder's
+    # resemblance-vs-containment distinction) — doc-in-doc duplication
+    # that symmetric Jaccard misses; the verbatim-inclusion probe pair
+    # keeps the containment/jaccard separation non-vacuous (organic
+    # tau-passing pairs at gate scale are exact dups)
+    ("dd19_containment_screen", "DD19_SQL", "maggy_spark.functions.dedup"),
 ]
 
 

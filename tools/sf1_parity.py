@@ -90,6 +90,12 @@ DIRECT = [
     "tx13_bpe_pair_stats",
     "tx16_length_quantiles",
     "pl17_shard_plan",
+    # dd19 at sf1 is probe-pinned only: the 31-word synthetic vocab
+    # makes nearly every organic shingle viral (df > 50 cap) at 50k
+    # docs, so the organic pairs vanish — the same documented
+    # signature-concentration fixture property as the banded families
+    # at sf10. The row still verifies the full relation shape.
+    "dd19_containment_screen",
     "pl9_epoch_shuffle_plan",
     "pl14_curriculum_order",
     "pl1_corpus_prep",
