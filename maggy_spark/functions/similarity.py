@@ -2165,3 +2165,98 @@ FROM mem m LEFT JOIN sep s ON s.cid = m.cid
 
 
 ANN13_SQL = _ann13_sql()
+
+
+# --- ann14: serving-recall evaluation of the compression ladder ---------
+
+# (engine label, its serving k, its operator) — ann2 serves top-3 by
+# its registered default; the rerank stacks serve TOP_K.
+ANN14_ENGINES: tuple[tuple[str, int], ...] = (
+    ("lsh_multiprobe", 3),
+    ("ivf_sq", TOP_K),
+    ("ivfpq_adc", TOP_K),
+)
+
+
+def ann14_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of every approximate serving engine against the exact
+    brute-force truth — the acceptance gate a vector-store deployment
+    runs before routing traffic to a compressed index, and the
+    relation that tells you WHICH rung of the compression ladder
+    (sign-LSH multi-probe -> IVF+SQ rerank -> IVFPQ/ADC rerank) paid
+    for its speed with recall. Each engine is evaluated at its OWN
+    serving k against the exact top-k at that same k (recall@3 for
+    the LSH engine, recall@5 for the rerank stacks), so the number
+    is the one its users would observe. Output: one row per
+    (engine, query): (engine, query_id, k, n_exact, n_hits, recall).
+
+    Scale shape: pure composition — every engine relation (and the
+    exact truth) is O(n_queries x k) rows coming out of operators
+    whose own scale stories are already pinned; the eval joins run
+    on (query_id, neighbor_id) keys over those tiny relations. The
+    exact-truth side is the only corpus-sized scan, shared across
+    the three engine blocks by Catalyst's common-relation reuse (and
+    at 100 TB an eval runs over a SAMPLED query set by construction
+    — n_queries is the knob). Not in the driver registry (50-entry
+    cap); DuckDB parity in tests/test_offline_oracles.py.
+    """
+    from functools import reduce
+
+    exact = ann1_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id", "rank")
+    engines = {
+        "lsh_multiprobe": lambda: ann2_lsh_topk(spark, sf_dir, k=3),
+        "ivf_sq": lambda: ann8_ivf_quantized(spark, sf_dir),
+        "ivfpq_adc": lambda: ann12_ivfpq_adc(spark, sf_dir),
+    }
+    parts = []
+    for name, k in ANN14_ENGINES:
+        truth = exact.where(F.col("rank") <= k).select("query_id", "neighbor_id")
+        ap = engines[name]().select(
+            "query_id", F.col("neighbor_id").alias("hit_id")
+        )
+        joined = truth.join(
+            ap,
+            (truth.query_id == ap.query_id) & (truth.neighbor_id == ap.hit_id),
+            "left",
+        ).select(truth.query_id, "neighbor_id", "hit_id")
+        parts.append(
+            joined.groupBy("query_id").agg(
+                F.count("*").cast("bigint").alias("n_exact"),
+                F.count("hit_id").cast("bigint").alias("n_hits"),
+            ).select(
+                F.lit(name).alias("engine"),
+                "query_id",
+                F.lit(k).cast("bigint").alias("k"),
+                "n_exact",
+                "n_hits",
+                (F.col("n_hits").cast("double") / F.col("n_exact").cast("double")).alias(
+                    "recall"
+                ),
+            )
+        )
+    return reduce(lambda x, y: x.unionByName(y), parts)
+
+
+def _ann14_block_sql(engine: str, k: int, approx_cte: str) -> str:
+    return f"""
+SELECT '{engine}' AS engine, t.query_id, cast({k} AS BIGINT) AS k,
+       cast(count(*) AS BIGINT) AS n_exact,
+       cast(count(a.neighbor_id) AS BIGINT) AS n_hits,
+       cast(count(a.neighbor_id) AS DOUBLE) / cast(count(*) AS DOUBLE) AS recall
+FROM (SELECT query_id, neighbor_id FROM exact WHERE rank <= {k}) t
+LEFT JOIN {approx_cte} a
+       ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+GROUP BY t.query_id"""
+
+
+ANN14_SQL = f"""
+WITH exact AS (SELECT query_id, neighbor_id, rank FROM ({ANN1_SQL})),
+a2 AS (SELECT query_id, neighbor_id FROM ({ANN2_SQL})),
+a8 AS (SELECT query_id, neighbor_id FROM ({ANN8_SQL})),
+a12 AS (SELECT query_id, neighbor_id FROM ({ANN12_SQL}))
+{_ann14_block_sql("lsh_multiprobe", 3, "a2")}
+UNION ALL
+{_ann14_block_sql("ivf_sq", TOP_K, "a8")}
+UNION ALL
+{_ann14_block_sql("ivfpq_adc", TOP_K, "a12")}
+"""

@@ -3133,3 +3133,43 @@ def test_dd19_rows_are_normalized_and_bounded(spark, sf_dir):
         assert r.n_common <= r.n_contained
         assert r.jaccard <= r.containment + 1e-12
         assert r.contained_doc != r.container_doc
+
+
+# --- ann14: serving-recall evaluation -----------------------------------
+
+
+def test_ann14_recall_bounds_and_roster(spark, sf_dir):
+    """One row per (engine, query); recall in [0, 1]; n_hits can never
+    exceed the truth size; every engine covers every live query."""
+    rows = similarity.ann14_recall_eval(spark, sf_dir).collect()
+    engines = {name for name, _k in similarity.ANN14_ENGINES}
+    assert {r.engine for r in rows} == engines
+    by_engine = {}
+    for r in rows:
+        assert 0.0 <= r.recall <= 1.0
+        assert r.n_hits <= r.n_exact <= r.k
+        by_engine.setdefault(r.engine, set()).add(r.query_id)
+    qsets = list(by_engine.values())
+    assert all(q == qsets[0] for q in qsets)
+
+
+def test_ann14_exact_engine_scores_perfect_recall(spark, sf_dir):
+    """Feeding the TRUTH engine through the same eval join must score
+    recall 1.0 everywhere — pins the join/count logic independently
+    of any approximate engine's behavior."""
+    exact = similarity.ann1_bruteforce_topk(spark, sf_dir)
+    truth = exact.where(F.col("rank") <= 3).select("query_id", "neighbor_id").alias("t")
+    ap = (
+        exact.where(F.col("rank") <= 3)
+        .select(F.col("query_id").alias("q2"), F.col("neighbor_id").alias("hit_id"))
+        .alias("a")
+    )
+    joined = truth.join(
+        ap,
+        (F.col("t.query_id") == F.col("a.q2")) & (F.col("t.neighbor_id") == F.col("a.hit_id")),
+        "left",
+    ).select("t.query_id", "a.hit_id")
+    out = joined.groupBy("query_id").agg(
+        (F.count("hit_id") == F.count("*")).alias("perfect")
+    )
+    assert all(r.perfect for r in out.collect())

@@ -209,6 +209,12 @@ CASES = [
     # keeps the containment/jaccard separation non-vacuous (organic
     # tau-passing pairs at gate scale are exact dups)
     ("dd19_containment_screen", "DD19_SQL", "maggy_spark.functions.dedup"),
+    # round-12 addition: recall@k of every approximate serving engine
+    # (LSH multi-probe / IVF+SQ / IVFPQ) against the exact truth, each
+    # at its own serving k — the compression ladder's acceptance gate;
+    # pure composition of already-oracled relations, twin composes the
+    # same SQL constants verbatim
+    ("ann14_recall_eval", "ANN14_SQL", "maggy_spark.functions.similarity"),
 ]
 
 

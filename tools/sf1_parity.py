@@ -114,6 +114,7 @@ DIRECT = [
     "ann11_semdedup_prune",
     "ann12_ivfpq_adc",
     "ann13_cluster_quality",
+    "ann14_recall_eval",
     "pl15_semantic_sample",
     "pl16_repeat_schedule",
     "tx10_unigram_logprob",
