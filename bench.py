@@ -225,15 +225,30 @@ def main() -> None:
     # data-constrained repeat schedule; one 2-group corpus agg), dd18
     # (dd7's banded candidates embedding-verified; pays the SimHash
     # signing + both id joins — clearCache drops the bands cache).
+    # late-r12 additions: tx16 (exact length quantiles — one bounded
+    # histogram + tiny windows), pl17 (two-phase prefix-sum shard
+    # manifest), ann13 (cluster diagnostics; clearCache drops the
+    # session-cached model, so each rep prices the FULL k-means
+    # retrain + the k x k separation pass — the ann10 discipline).
     try:
-        from maggy_spark.functions.dedup import dd18_crossmodal_verify
-        from maggy_spark.functions.pipeline import pl16_repeat_schedule
-        from maggy_spark.functions.similarity import ann12_ivfpq_adc
+        from maggy_spark.functions.dedup import dd18_crossmodal_verify, dd19_containment_screen
+        from maggy_spark.functions.pipeline import pl16_repeat_schedule, pl17_shard_plan
+        from maggy_spark.functions.similarity import (
+            ann12_ivfpq_adc,
+            ann13_cluster_quality,
+            ann14_recall_eval,
+        )
+        from maggy_spark.functions.text import tx16_length_quantiles
 
         for name, fn in (
             ("ann12_ivfpq_adc", ann12_ivfpq_adc),
             ("pl16_repeat_schedule", pl16_repeat_schedule),
             ("dd18_crossmodal_verify", dd18_crossmodal_verify),
+            ("tx16_length_quantiles", tx16_length_quantiles),
+            ("pl17_shard_plan", pl17_shard_plan),
+            ("ann13_cluster_quality", ann13_cluster_quality),
+            ("dd19_containment_screen", dd19_containment_screen),
+            ("ann14_recall_eval", ann14_recall_eval),
         ):
             samples = []
             for _ in range(reps):
