@@ -1614,14 +1614,26 @@ def pl17_shard_plan(
     algorithmic one. Not in the driver registry (50-entry cap);
     DuckDB parity in tests/test_offline_oracles.py.
     """
+    d = load_table(spark, sf_dir, "documents")
+    return shard_plan_over(
+        d.select("doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n")),
+        shard_tokens,
+        bucket_docs,
+    )
+
+
+def shard_plan_over(
+    t: DataFrame,
+    shard_tokens: int = PL17_SHARD_TOKENS,
+    bucket_docs: int = PL17_BUCKET_DOCS,
+) -> DataFrame:
+    """The two-phase prefix-sum core over ANY (doc_id, n) relation —
+    factored out (pack_plan discipline) so property tests can drive
+    random gappy id/token multisets against a naive Python running
+    sum at arbitrary bucket widths."""
     from pyspark.sql.window import Window
 
-    d = load_table(spark, sf_dir, "documents")
-    t = d.select(
-        "doc_id",
-        F.size(F.split("text", " ")).cast("bigint").alias("n"),
-        F.expr(f"doc_id DIV {bucket_docs}").alias("bkt"),
-    )
+    t = t.select("doc_id", "n", F.expr(f"doc_id DIV {bucket_docs}").alias("bkt"))
     # phase 1: per-bucket totals, then EXCLUSIVE cumulative offsets
     # over the bounded bucket relation
     wb = Window.orderBy("bkt")

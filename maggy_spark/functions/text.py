@@ -1648,10 +1648,17 @@ def tx16_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (50-entry cap); DuckDB parity in tests/test_offline_oracles.py.
     """
     d = load_table(spark, sf_dir, "documents")
-    hist = (
+    return length_quantiles_over(
         d.select("lang", "source", F.size(_tokens()).cast("bigint").alias("n_tokens"))
-        .groupBy("lang", "source", "n_tokens")
-        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def length_quantiles_over(lengths: DataFrame) -> DataFrame:
+    """The order-statistics core over ANY (lang, source, n_tokens)
+    relation — factored out (pack_plan discipline) so property tests
+    can drive random grouped length multisets against numpy."""
+    hist = lengths.groupBy("lang", "source", "n_tokens").agg(
+        F.count("*").cast("bigint").alias("cnt")
     )
     w = Window.partitionBy("lang", "source").orderBy("n_tokens")
     wall = Window.partitionBy("lang", "source")

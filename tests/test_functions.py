@@ -3173,3 +3173,79 @@ def test_ann14_exact_engine_scores_perfect_recall(spark, sf_dir):
         (F.count("hit_id") == F.count("*")).alias("perfect")
     )
     assert all(r.perfect for r in out.collect())
+
+
+def test_tx16_matches_numpy_on_random_grouped_lengths(spark):
+    """Property: the integer inverted-CDF rule equals numpy's
+    method='inverted_cdf' on random grouped length multisets —
+    duplicates, singletons, constant groups. derandomize pins the
+    example sequence (the r11 no-RNG-flicker rule)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=6, deadline=None, derandomize=True)
+    @given(
+        st.dictionaries(
+            st.sampled_from(["en", "de"]),
+            st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=25),
+            min_size=1,
+            max_size=3,
+        )
+    )
+    def _case(groups):
+        rows = [(lang, "s", int(n)) for lang, lens in groups.items() for n in lens]
+        df = spark.createDataFrame(rows, "lang string, source string, n_tokens bigint")
+        out = {r.lang: r for r in text.length_quantiles_over(df).collect()}
+        assert set(out) == set(groups)
+        for lang, lens in groups.items():
+            arr = np.array(sorted(lens))
+            row = out[lang]
+            assert row.n_docs == len(arr)
+            for q in text.TX16_QS:
+                assert getattr(row, f"p{q}") == int(
+                    np.percentile(arr, q, method="inverted_cdf")
+                ), (lang, q)
+
+    _case()
+
+
+def test_pl17_matches_python_on_random_gappy_corpora(spark):
+    """Property: the two-phase prefix sum equals the naive running
+    sum for random sparse doc_ids and token counts at random bucket
+    widths (including widths that put every doc in its own bucket
+    and widths that put all docs in one)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from maggy_spark.functions import pipeline
+
+    @settings(max_examples=6, deadline=None, derandomize=True)
+    @given(
+        st.dictionaries(
+            st.integers(min_value=0, max_value=200),
+            st.integers(min_value=1, max_value=30),
+            min_size=1,
+            max_size=30,
+        ),
+        st.integers(min_value=1, max_value=64),
+        st.integers(min_value=2, max_value=50),
+    )
+    def _case(docs, bucket_docs, shard_tokens):
+        rows = sorted(docs.items())
+        df = spark.createDataFrame(rows, "doc_id bigint, n bigint")
+        got = {
+            r.shard_id: (r.n_docs, r.shard_tokens, r.first_doc, r.last_doc)
+            for r in pipeline.shard_plan_over(df, shard_tokens, bucket_docs).collect()
+        }
+        start, ref = 0, {}
+        for i, n in rows:
+            sid = start // shard_tokens
+            agg = ref.setdefault(sid, [0, 0, i, i])
+            agg[0] += 1
+            agg[1] += n
+            agg[3] = i
+            start += n
+        assert got == {k: tuple(v) for k, v in ref.items()}
+
+    _case()
