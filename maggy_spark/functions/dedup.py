@@ -2034,6 +2034,11 @@ def dd19_containment_screen(
     )
 
 
+# the mm8 fail-loud convention (ADVICE r11): a probe payload with a
+# quote or non-ASCII char would silently malform the VALUES twin
+assert all(
+    t.isascii() and t.isprintable() and "'" not in t for _i, t in DD19_PROBE_DOCS
+), "dd19 probe payloads must be quote-free printable ASCII"
 _DD19_PROBE_VALUES = ", ".join(
     f"(cast({i} AS BIGINT), '{t}')" for i, t in DD19_PROBE_DOCS
 )

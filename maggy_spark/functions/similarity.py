@@ -2169,13 +2169,22 @@ ANN13_SQL = _ann13_sql()
 
 # --- ann14: serving-recall evaluation of the compression ladder ---------
 
-# (engine label, its serving k, its operator) — ann2 serves top-3 by
-# its registered default; the rerank stacks serve TOP_K.
+# (engine label, serving k, operator factory) — the SINGLE source for
+# both the Spark eval loop and the roster tests; ann2 serves top-3 by
+# its registered default, the rerank stacks serve TOP_K. The twin's
+# engine blocks are generated from the same labels/k below (ANN14_SQL)
+# so the rosters cannot drift.
 ANN14_ENGINES: tuple[tuple[str, int], ...] = (
     ("lsh_multiprobe", 3),
     ("ivf_sq", TOP_K),
     ("ivfpq_adc", TOP_K),
 )
+
+_ANN14_ENGINE_FNS = {
+    "lsh_multiprobe": lambda spark, sf_dir, k: ann2_lsh_topk(spark, sf_dir, k=k),
+    "ivf_sq": lambda spark, sf_dir, k: ann8_ivf_quantized(spark, sf_dir, k=k),
+    "ivfpq_adc": lambda spark, sf_dir, k: ann12_ivfpq_adc(spark, sf_dir, k=k),
+}
 
 
 def ann14_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2203,15 +2212,10 @@ def ann14_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 
     exact = ann1_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id", "rank")
-    engines = {
-        "lsh_multiprobe": lambda: ann2_lsh_topk(spark, sf_dir, k=3),
-        "ivf_sq": lambda: ann8_ivf_quantized(spark, sf_dir),
-        "ivfpq_adc": lambda: ann12_ivfpq_adc(spark, sf_dir),
-    }
     parts = []
     for name, k in ANN14_ENGINES:
         truth = exact.where(F.col("rank") <= k).select("query_id", "neighbor_id")
-        ap = engines[name]().select(
+        ap = _ANN14_ENGINE_FNS[name](spark, sf_dir, k).select(
             "query_id", F.col("neighbor_id").alias("hit_id")
         )
         joined = truth.join(

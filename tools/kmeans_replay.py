@@ -280,8 +280,12 @@ def replay_ann13(sf_dir: str) -> pd.DataFrame:
         ],
     ).astype(
         {"cluster_id": "int64", "n_members": "int64", "min_cos": "float64",
-         "max_cos": "float64", "n_loose": "int64", "nn_cluster_id": "int64",
-         "nn_sep": "float64"}
+         "max_cos": "float64", "n_loose": "int64", "nn_sep": "float64"}
+    ).astype(
+        # kmeans_k floors at 4 so the single-centroid (all-None) case
+        # never occurs on real sweeps, but attrition can reach it on
+        # crafted corpora: Int64 keeps the cast from crashing there
+        {"nn_cluster_id": "int64" if len(cids) > 1 else "Int64"}
     )
 
 
