@@ -1622,15 +1622,15 @@ def pl17_shard_plan(
     )
 
 
-def shard_plan_over(
+def shard_assignments_over(
     t: DataFrame,
     shard_tokens: int = PL17_SHARD_TOKENS,
     bucket_docs: int = PL17_BUCKET_DOCS,
 ) -> DataFrame:
-    """The two-phase prefix-sum core over ANY (doc_id, n) relation —
-    factored out (pack_plan discipline) so property tests can drive
-    random gappy id/token multisets against a naive Python running
-    sum at arbitrary bucket widths."""
+    """Per-document shard routing (doc_id, n, shard_id) — the two-
+    phase prefix sum BEFORE the manifest rollup, shared by the pl17
+    relation and the token-balanced writer so the routing rule
+    cannot drift between the plan and the files on disk."""
     from pyspark.sql.window import Window
 
     t = t.select("doc_id", "n", F.expr(f"doc_id DIV {bucket_docs}").alias("bkt"))
@@ -1645,11 +1645,23 @@ def shard_plan_over(
     # phase 2: within-bucket running sum + broadcast bucket offset
     wd = Window.partitionBy("bkt").orderBy("doc_id")
     start = F.col("off") + F.sum("n").over(wd) - F.col("n")
-    sharded = (
+    return (
         t.join(F.broadcast(offsets), "bkt")
         .withColumn("start", start)
         .select("doc_id", "n", F.expr(f"start DIV {shard_tokens}").alias("shard_id"))
     )
+
+
+def shard_plan_over(
+    t: DataFrame,
+    shard_tokens: int = PL17_SHARD_TOKENS,
+    bucket_docs: int = PL17_BUCKET_DOCS,
+) -> DataFrame:
+    """The two-phase prefix-sum core over ANY (doc_id, n) relation —
+    factored out (pack_plan discipline) so property tests can drive
+    random gappy id/token multisets against a naive Python running
+    sum at arbitrary bucket widths."""
+    sharded = shard_assignments_over(t, shard_tokens, bucket_docs)
     return sharded.groupBy("shard_id").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n").alias("shard_tokens"),
@@ -1678,3 +1690,40 @@ FROM s GROUP BY shard_id
 
 
 PL17_SQL = pl17_sql()
+
+
+def corpus_to_token_shards(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    shard_tokens: int = PL17_SHARD_TOKENS,
+    bucket_docs: int = PL17_BUCKET_DOCS,
+) -> str:
+    """Materialize the corpus as TOKEN-balanced parquet shards — the
+    writer that consumes pl17's manifest. `write_training_shards`
+    (sources/data.py) balances by DOC COUNT, which skews shard bytes
+    with document length; this writer routes each doc through the
+    SAME shard_assignments_over relation the pl17 manifest reports,
+    so the files on disk and the manifest agree row for row. Layout:
+    `out_path/shard_id=N/*.parquet` (one leaf dir per shard — the
+    partitionBy layout `shard_parquet_reader` deliberately rejects;
+    a token-sharded corpus is read per-directory by construction).
+
+    Scale shape: the routing join is broadcast on the tiny offsets
+    side (inherited); `repartition(shard_id)` hash-distributes the
+    write so each task writes whole shards; the writer adds exactly
+    one shuffle (the repartition) over the manifest's own plan."""
+    d = load_table(spark, sf_dir, "documents")
+    assign = shard_assignments_over(
+        d.select("doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n")),
+        shard_tokens,
+        bucket_docs,
+    )
+    (
+        d.join(assign.select("doc_id", "shard_id"), "doc_id")
+        .repartition(F.col("shard_id"))
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(out_path)
+    )
+    return out_path

@@ -3249,3 +3249,28 @@ def test_pl17_matches_python_on_random_gappy_corpora(spark):
         assert got == {k: tuple(v) for k, v in ref.items()}
 
     _case()
+
+
+def test_corpus_to_token_shards_matches_pl17_manifest(spark, sf_dir, tmp_path):
+    """The files on disk must agree with the pl17 manifest exactly:
+    same shard ids, and each shard directory's doc count and token
+    mass equal the manifest row — the writer and the plan share one
+    routing relation, and this pins it end to end."""
+    from maggy_spark.functions import pipeline
+
+    out = pipeline.corpus_to_token_shards(spark, sf_dir, str(tmp_path / "shards"))
+    manifest = {
+        r.shard_id: (r.n_docs, r.shard_tokens)
+        for r in pipeline.pl17_shard_plan(spark, sf_dir).collect()
+    }
+    written = spark.read.parquet(out)
+    got = {
+        r.shard_id: (r.n_docs, r.toks)
+        for r in written.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).cast("bigint").alias("toks"),
+        )
+        .collect()
+    }
+    assert got == manifest
