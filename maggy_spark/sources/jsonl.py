@@ -47,6 +47,16 @@ DOC_SCHEMA = T.StructType(
 _CORRUPT = "_corrupt_record"
 
 
+def _ok():
+    """THE split predicate — one definition for the batch scan, the
+    report, and the stream, so what counts as 'clean' cannot drift
+    between arrival paths (a doc's routing must not depend on how it
+    arrived — the documents_stream fingerprint discipline)."""
+    return (
+        F.col(_CORRUPT).isNull() & F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+
+
 def jsonl_scan(spark: SparkSession, path: str, schema: T.StructType = DOC_SCHEMA) -> DataFrame:
     """The raw PERMISSIVE scan: `schema` plus the corrupt-record
     column. A malformed line yields NULL typed columns and the raw
@@ -79,7 +89,7 @@ def jsonl_ingest(
     repair, the contract a 100 TB backfill needs.
     """
     scan = jsonl_scan(spark, path, schema)
-    ok = F.col(_CORRUPT).isNull() & F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    ok = _ok()
     clean = scan.where(ok).select(*[f.name for f in schema.fields])
     quarantine = scan.where(~ok).select(
         F.input_file_name().alias("input_file"),
@@ -97,7 +107,7 @@ def jsonl_ingest_report(spark: SparkSession, path: str) -> DataFrame:
     stage. Counts come from one cached scan pass (conditional
     aggregation), not two scans."""
     scan = jsonl_scan(spark, path)
-    ok = F.col(_CORRUPT).isNull() & F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    ok = _ok()
     return scan.select(
         F.sum(F.when(ok, 1).otherwise(0)).cast("bigint").alias("n_clean"),
         F.sum(F.when(~ok, 1).otherwise(0)).cast("bigint").alias("n_quarantined"),
@@ -105,3 +115,40 @@ def jsonl_ingest_report(spark: SparkSession, path: str) -> DataFrame:
         .cast("bigint")
         .alias("clean_tokens"),
     )
+
+
+def jsonl_scan_stream(
+    spark: SparkSession, path: str, schema: T.StructType = DOC_SCHEMA
+) -> DataFrame:
+    """`readStream` form of jsonl_scan — the live crawl-drop
+    directory. Stateless: the quarantine split is a row-local
+    predicate, so the stream carries NO state store; exactly-once
+    file tracking comes from the file-source checkpoint, and each
+    micro-batch's split is bit-identical to the batch scan of the
+    same files (pinned by the end-state test)."""
+    with_corrupt = T.StructType(list(schema.fields) + [T.StructField(_CORRUPT, T.StringType())])
+    return (
+        spark.readStream.schema(with_corrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", _CORRUPT)
+        .option("maxFilesPerTrigger", 1)
+        .json(path)
+    )
+
+
+def jsonl_ingest_stream(
+    spark: SparkSession, path: str, schema: T.StructType = DOC_SCHEMA
+) -> tuple[DataFrame, DataFrame]:
+    """(clean_stream, quarantine_stream): the same split predicate as
+    the batch jsonl_ingest, applied per micro-batch. Route each to
+    its own sink (training store / repair queue)."""
+    scan = jsonl_scan_stream(spark, path, schema)
+    ok = _ok()
+    clean = scan.where(ok).select(*[f.name for f in schema.fields])
+    quarantine = scan.where(~ok).select(
+        F.coalesce(
+            F.col(_CORRUPT),
+            F.to_json(F.struct(*[f.name for f in schema.fields])),
+        ).alias("raw_line")
+    )
+    return clean, quarantine

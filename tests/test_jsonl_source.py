@@ -80,3 +80,49 @@ def test_jsonl_scan_is_line_splittable_and_shuffle_free(spark, tmp_path):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "FileScan json" in plan
+
+
+def test_jsonl_stream_end_state_matches_batch_ingest(spark, tmp_path):
+    """End-state oracle (the ing1 discipline): the feed split across
+    THREE single-file micro-batches, both output streams accumulated
+    via foreachBatch, and the accumulated end state compared against
+    the batch jsonl_ingest of the same directory — arrival batching
+    must not change what lands where. Also pins statelessness: the
+    split is a row-local predicate."""
+    from maggy_spark.sources.jsonl import jsonl_ingest_stream
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    (feed / "a.jsonl").write_text(json.dumps(GOOD[0]) + "\n" + BROKEN[0] + "\n")
+    (feed / "b.jsonl").write_text(json.dumps(GOOD[1]) + "\n" + BROKEN[1] + "\n")
+    (feed / "c.jsonl").write_text("\n".join(json.dumps(d) for d in DRIFTED) + "\n")
+
+    clean_s, quar_s = jsonl_ingest_stream(spark, str(feed))
+    got_clean, got_quar, n_batches = [], [], [0]
+
+    def sink(acc):
+        def f(bdf, _bid):
+            acc.extend(map(tuple, bdf.collect()))
+            n_batches[0] += 1
+        return f
+
+    for stream, acc, name in ((clean_s, got_clean, "c"), (quar_s, got_quar, "q")):
+        q = (
+            stream.writeStream.foreachBatch(sink(acc))
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # statelessness: a row-local split needs no state store
+        assert q.lastProgress is None or all(
+            op.get("numRowsTotal", 0) == 0
+            for op in (q.lastProgress.get("stateOperators") or [])
+        )
+    assert n_batches[0] >= 6  # 3 files x 2 streams, 1 file per trigger
+
+    batch_clean, batch_quar = jsonl_ingest(spark, str(feed))
+    assert sorted(got_clean) == sorted(map(tuple, batch_clean.collect()))
+    assert sorted(got_quar) == sorted(
+        (r.raw_line,) for r in batch_quar.collect()
+    )
