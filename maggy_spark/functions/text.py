@@ -1653,30 +1653,37 @@ def tx16_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def length_quantiles_over(lengths: DataFrame) -> DataFrame:
-    """The order-statistics core over ANY (lang, source, n_tokens)
+def length_quantiles_over(
+    lengths: DataFrame,
+    group_cols: tuple[str, ...] = ("lang", "source"),
+    value_col: str = "n_tokens",
+    count_alias: str = "n_docs",
+) -> DataFrame:
+    """The order-statistics core over ANY grouped bounded-integer
     relation — factored out (pack_plan discipline) so property tests
-    can drive random grouped length multisets against numpy."""
-    hist = lengths.groupBy("lang", "source", "n_tokens").agg(
+    can drive random grouped multisets against numpy, and so other
+    bounded-domain quantile relations (ev12's conversion-lag minutes)
+    reuse the identical integer inverted-CDF rule instead of
+    re-deriving it."""
+    hist = lengths.groupBy(*group_cols, value_col).agg(
         F.count("*").cast("bigint").alias("cnt")
     )
-    w = Window.partitionBy("lang", "source").orderBy("n_tokens")
-    wall = Window.partitionBy("lang", "source")
+    w = Window.partitionBy(*group_cols).orderBy(value_col)
+    wall = Window.partitionBy(*group_cols)
     cum = hist.select(
-        "lang",
-        "source",
-        "n_tokens",
+        *group_cols,
+        value_col,
         F.sum("cnt").over(w).alias("cum"),
         F.sum("cnt").over(wall).alias("total"),
     )
     quantile_cols = [
         F.min(
-            F.when(F.lit(100) * F.col("cum") >= F.lit(q) * F.col("total"), F.col("n_tokens"))
+            F.when(F.lit(100) * F.col("cum") >= F.lit(q) * F.col("total"), F.col(value_col))
         ).alias(f"p{q}")
         for q in TX16_QS
     ]
-    return cum.groupBy("lang", "source").agg(
-        F.max("total").alias("n_docs"), *quantile_cols
+    return cum.groupBy(*group_cols).agg(
+        F.max("total").alias(count_alias), *quantile_cols
     )
 
 

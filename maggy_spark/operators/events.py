@@ -787,3 +787,94 @@ FROM hist
 # production ingest runs on every batch. See COVERAGE.md
 # "Round-9 rotation".
 OPERATORS.append(("ev11_volume_anomaly", ev11_volume_anomaly, EV11_SQL))
+
+
+def ev12_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT conversion-lag percentiles per funnel kind — the
+    quantiles ev9's docstring defers ("read off the histogram
+    downstream"), materialized as a first-class relation: p25/50/75/
+    90/99 of the lag in whole MINUTES for view->click,
+    click->purchase and view->purchase.
+
+    Why this is scale-honest where naive quantiles are not: per-kind
+    exact quantiles over raw lags need a total order (one task per
+    kind), but lag MINUTES over a finite feed window is a BOUNDED
+    integer domain (~525k distinct values per year of feed,
+    corpus-size-independent), so the tx16 histogram trick applies —
+    the identical integer inverted-CDF rule via
+    `length_quantiles_over`, numpy-pinned there. Lags are exact
+    integer micros; `DIV 60000000` (truncating, nonnegative by the
+    funnel ordering) keeps everything engine-exact.
+
+    Scale shape: ev7/ev9's one-shuffle `_funnel_instants` chain (the
+    SAME staging code, no-drift rule), <=3 rows per converting user,
+    then the bounded (kind, minute) histogram + tiny windows. Not in
+    the driver registry (50-entry cap); DuckDB parity in
+    tests/test_offline_oracles.py.
+    """
+    from maggy_spark.functions.text import length_quantiles_over
+
+    staged = _funnel_instants(spark, sf_dir)
+    lag_rows = staged.select(
+        F.explode(
+            F.filter(
+                F.array(
+                    F.struct(
+                        F.lit("view_to_click").alias("lag_kind"),
+                        (F.col("c") - F.col("v")).alias("lag_us"),
+                    ),
+                    F.struct(
+                        F.lit("click_to_purchase").alias("lag_kind"),
+                        (F.col("p") - F.col("c")).alias("lag_us"),
+                    ),
+                    F.struct(
+                        F.lit("view_to_purchase").alias("lag_kind"),
+                        (F.col("p") - F.col("v")).alias("lag_us"),
+                    ),
+                ),
+                lambda s: s["lag_us"].isNotNull(),
+            )
+        ).alias("l")
+    ).select(
+        F.col("l.lag_kind").alias("lag_kind"),
+        F.expr("l.lag_us DIV 60000000").alias("lag_minutes"),
+    )
+    return length_quantiles_over(
+        lag_rows, group_cols=("lag_kind",), value_col="lag_minutes",
+        count_alias="n_conversions",
+    )
+
+
+def _ev12_sql() -> str:
+    from maggy_spark.functions.text import TX16_QS
+
+    qcols = ", ".join(
+        f"min(CASE WHEN 100 * cum >= {q} * total THEN lag_minutes END) AS p{q}"
+        for q in TX16_QS
+    )
+    return f"""
+WITH {_FUNNEL_STAGE_SQL},
+lags AS (
+    SELECT 'view_to_click' AS lag_kind, (c - v) // 60000000 AS lag_minutes
+    FROM with_p WHERE c IS NOT NULL
+    UNION ALL
+    SELECT 'click_to_purchase', (p - c) // 60000000 FROM with_p WHERE p IS NOT NULL
+    UNION ALL
+    SELECT 'view_to_purchase', (p - v) // 60000000 FROM with_p WHERE p IS NOT NULL
+),
+hist AS (
+    SELECT lag_kind, lag_minutes, cast(count(*) AS BIGINT) AS cnt
+    FROM lags GROUP BY lag_kind, lag_minutes
+),
+cum AS (
+    SELECT lag_kind, lag_minutes,
+           cast(sum(cnt) OVER (PARTITION BY lag_kind ORDER BY lag_minutes) AS BIGINT) AS cum,
+           cast(sum(cnt) OVER (PARTITION BY lag_kind) AS BIGINT) AS total
+    FROM hist
+)
+SELECT lag_kind, max(total) AS n_conversions, {qcols}
+FROM cum GROUP BY lag_kind
+"""
+
+
+EV12_SQL = _ev12_sql()

@@ -3274,3 +3274,42 @@ def test_corpus_to_token_shards_matches_pl17_manifest(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == manifest
+
+
+# --- ev12: exact conversion-lag quantiles -------------------------------
+
+
+def test_ev12_matches_numpy_and_ev9_mass(spark, sf_dir):
+    """Two pins: (1) each kind's percentiles equal numpy
+    inverted_cdf over the raw minute lags (recomputed independently
+    from the staged funnel instants); (2) n_conversions per kind
+    equals ev9's histogram mass for that kind — the two relations
+    must describe the same population."""
+    import numpy as np
+
+    from maggy_spark.operators import events as ev
+
+    out = {r.lag_kind: r for r in ev.ev12_lag_quantiles(spark, sf_dir).collect()}
+    staged = ev._funnel_instants(spark, sf_dir).collect()
+    lags = {"view_to_click": [], "click_to_purchase": [], "view_to_purchase": []}
+    for r in staged:
+        if r.c is not None:
+            lags["view_to_click"].append((r.c - r.v) // 60_000_000)
+        if r.p is not None:
+            lags["click_to_purchase"].append((r.p - r.c) // 60_000_000)
+            lags["view_to_purchase"].append((r.p - r.v) // 60_000_000)
+    from maggy_spark.functions.text import TX16_QS
+
+    for kind, ls in lags.items():
+        row = out[kind]
+        assert row.n_conversions == len(ls)
+        arr = np.array(sorted(ls))
+        for q in TX16_QS:
+            assert getattr(row, f"p{q}") == int(
+                np.percentile(arr, q, method="inverted_cdf")
+            ), (kind, q)
+
+    ev9_mass = {}
+    for r in ev.ev9_conversion_lag(spark, sf_dir).collect():
+        ev9_mass[r.lag_kind] = ev9_mass.get(r.lag_kind, 0) + r.n_users
+    assert {k: r.n_conversions for k, r in out.items()} == ev9_mass

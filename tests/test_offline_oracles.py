@@ -215,6 +215,11 @@ CASES = [
     # pure composition of already-oracled relations, twin composes the
     # same SQL constants verbatim
     ("ann14_recall_eval", "ANN14_SQL", "maggy_spark.functions.similarity"),
+    # round-12 addition: exact conversion-lag percentiles per funnel
+    # kind — the quantiles ev9's histogram defers, materialized via
+    # the tx16 bounded-domain inverted-CDF core over lag MINUTES
+    # (integer-exact, ev7/ev9's shared staging chain)
+    ("ev12_lag_quantiles", "EV12_SQL", "maggy_spark.operators.events"),
 ]
 
 

@@ -102,6 +102,7 @@ DIRECT = [
     "ev4_asof_attribution",
     "ev5_sessionize",
     "ev11_volume_anomaly",
+    "ev12_lag_quantiles",
     "ann1_bruteforce_topk",
     "ann2_lsh_topk",
     "ann3_ivf_topk",
