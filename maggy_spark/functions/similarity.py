@@ -2253,14 +2253,23 @@ LEFT JOIN {approx_cte} a
 GROUP BY t.query_id"""
 
 
+# each engine's twin CTE serves a FIXED k baked into its SQL constant
+# (ANN2_SQL's rank <= 3, the rerank twins' rank <= TOP_K); the guard
+# fails loudly if ANN14_ENGINES ever drifts from those constants,
+# because the Spark side would silently eval at the new k while the
+# twin kept the old one.
+_ANN14_TWIN_CTES = {"lsh_multiprobe": "a2", "ivf_sq": "a8", "ivfpq_adc": "a12"}
+_ANN14_TWIN_KS = {"lsh_multiprobe": 3, "ivf_sq": TOP_K, "ivfpq_adc": TOP_K}
+assert dict(ANN14_ENGINES) == _ANN14_TWIN_KS, (
+    "ANN14_ENGINES serving-k drifted from the twin SQL constants — "
+    "regenerate ANN2_SQL/ANN8_SQL/ANN12_SQL at the new k first"
+)
+
 ANN14_SQL = f"""
 WITH exact AS (SELECT query_id, neighbor_id, rank FROM ({ANN1_SQL})),
 a2 AS (SELECT query_id, neighbor_id FROM ({ANN2_SQL})),
 a8 AS (SELECT query_id, neighbor_id FROM ({ANN8_SQL})),
 a12 AS (SELECT query_id, neighbor_id FROM ({ANN12_SQL}))
-{_ann14_block_sql("lsh_multiprobe", 3, "a2")}
-UNION ALL
-{_ann14_block_sql("ivf_sq", TOP_K, "a8")}
-UNION ALL
-{_ann14_block_sql("ivfpq_adc", TOP_K, "a12")}
-"""
+""" + "\nUNION ALL\n".join(
+    _ann14_block_sql(name, k, _ANN14_TWIN_CTES[name]) for name, k in ANN14_ENGINES
+)
