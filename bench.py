@@ -233,6 +233,7 @@ def main() -> None:
     try:
         from maggy_spark.functions.dedup import dd18_crossmodal_verify, dd19_containment_screen
         from maggy_spark.functions.pipeline import pl16_repeat_schedule, pl17_shard_plan
+        from maggy_spark.operators.events import ev12_lag_quantiles
         from maggy_spark.functions.similarity import (
             ann12_ivfpq_adc,
             ann13_cluster_quality,
@@ -249,6 +250,7 @@ def main() -> None:
             ("ann13_cluster_quality", ann13_cluster_quality),
             ("dd19_containment_screen", dd19_containment_screen),
             ("ann14_recall_eval", ann14_recall_eval),
+            ("ev12_lag_quantiles", ev12_lag_quantiles),
         ):
             samples = []
             for _ in range(reps):
