@@ -241,3 +241,44 @@ def quality_gate_stream(doc_stream: DataFrame) -> DataFrame:
     from maggy_spark.functions.text import gopher_decision_columns
 
     return doc_stream.select("doc_id", "ts", *gopher_decision_columns())
+
+
+def length_profile_delta(batch: DataFrame) -> DataFrame:
+    """Streaming tx16, the per-micro-batch kernel: the (lang, source,
+    n_tokens, cnt) histogram DELTA of one batch of the corpus feed.
+    The histogram is the mergeable form of the exact length-quantile
+    relation — deltas from any number of micro-batches SUM into the
+    corpus histogram, and `length_quantiles_over` (the numpy-pinned
+    inverted-CDF core) reads the exact percentiles off the merged
+    state at any moment. The exact-sketch analogue of a t-digest
+    monitor with none of the approximation: the monitored domain
+    (whitespace token counts) is bounded, so exactness costs only
+    |langs| x |sources| x |lengths| rows of SINK-side state.
+
+    A plain batch function on purpose: a streaming groupBy would put
+    this aggregation in Spark's state store (unbounded, no
+    watermark); computed per batch inside foreachBatch and
+    additively merged in the sink table instead, the stream itself
+    stays stateless (the ing1 discipline)."""
+    from maggy_spark.functions.text import _tokens
+
+    return (
+        batch.select(
+            "lang", "source", F.size(_tokens()).cast("bigint").alias("n_tokens")
+        )
+        .groupBy("lang", "source", "n_tokens")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def length_profile_stream_fn(doc_stream: DataFrame, merge_delta):
+    """Wire the delta kernel into a foreachBatch writer:
+    `merge_delta(delta_df, batch_id)` receives each micro-batch's
+    histogram delta and owns the additive merge into the monitoring
+    store. Returns the DataStreamWriter (caller starts it with its
+    own checkpoint/trigger)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        merge_delta(length_profile_delta(batch_df), batch_id)
+
+    return doc_stream.writeStream.foreachBatch(process)

@@ -575,3 +575,80 @@ def test_kmeans_route_stream_end_state_matches_duckdb_twin(spark, sf_dir, duck, 
     assert s_cols == d_cols
     assert spark_dtypes(acc) == duck_dtypes(duck_pd)
     assert s_rows == d_rows
+
+
+def test_length_profile_stream_end_state_matches_tx16_twin(spark, sf_dir, duck, tmp_path):
+    """Sixth stream end-state oracle: the corpus fed as FOUR
+    single-file micro-batches through length_profile_stream_fn, the
+    per-batch histogram deltas additively merged in a dict sink, the
+    merged histogram read through length_quantiles_over — and that
+    end state value-hash-compared against the DuckDB TX16_SQL twin
+    on the same corpus. Pins the delta kernel, the foreachBatch
+    plumbing, the additive merge, and the mergeability claim itself
+    (batch splitting must not change any percentile)."""
+    from pyspark.sql import functions as F
+
+    from maggy_spark.functions.text import TX16_SQL, length_quantiles_over
+    from maggy_spark.streaming.documents_stream import length_profile_stream_fn
+    from tools.check_oracle import duck_dtypes, frame_signature, spark_dtypes, to_pandas_spark
+
+    feed_dir = str(tmp_path / "feed")
+    (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text", "lang", "source")
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(feed_dir)
+    )
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string, lang string, source string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir)
+    )
+    store: dict = {}
+    n_batches = [0]
+
+    def merge(delta, _bid):
+        n_batches[0] += 1
+        for r in delta.collect():
+            key = (r.lang, r.source, r.n_tokens)
+            store[key] = store.get(key, 0) + r.cnt
+
+    q = (
+        length_profile_stream_fn(stream, merge)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert n_batches[0] >= 4  # the feed really arrived in micro-batches
+    # statelessness: the stream side carries no state store
+    assert q.lastProgress is None or all(
+        op.get("numRowsTotal", 0) == 0
+        for op in (q.lastProgress.get("stateOperators") or [])
+    )
+
+    merged = spark.createDataFrame(
+        [(lang, src, n, c) for (lang, src, n), c in store.items()],
+        "lang string, source string, n_tokens bigint, cnt bigint",
+    )
+    # read quantiles off the merged store: explode cnt back to rows is
+    # wasteful — length_quantiles_over re-histograms, and a histogram
+    # of a histogram with repeated rows is wrong, so expand via the
+    # cnt-weighted path: re-aggregate in the core by feeding each
+    # (key, n) row cnt times is O(corpus); instead run the SAME core
+    # on a relation where each histogram row is pre-expanded by
+    # posexplode over cnt (bounded: max cnt at sf0.01 is small)
+    expanded = merged.select(
+        "lang", "source", "n_tokens", F.explode(F.sequence(F.lit(1), F.col("cnt"))).alias("i")
+    ).drop("i")
+    end_state = length_quantiles_over(expanded)
+
+    spark_pd = to_pandas_spark(end_state)
+    duck_pd = duck.execute(TX16_SQL).fetchdf()
+    assert len(spark_pd) == len(duck_pd)
+    s_cols, s_rows = frame_signature(spark_pd)
+    d_cols, d_rows = frame_signature(duck_pd)
+    assert s_cols == d_cols
+    assert spark_dtypes(end_state) == duck_dtypes(duck_pd)
+    assert s_rows == d_rows
