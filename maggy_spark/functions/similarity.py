@@ -2203,15 +2203,26 @@ def ann14_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact truth) is O(n_queries x k) rows coming out of operators
     whose own scale stories are already pinned; the eval joins run
     on (query_id, neighbor_id) keys over those tiny relations. The
-    exact-truth side is the only corpus-sized scan, shared across
-    the three engine blocks by Catalyst's common-relation reuse (and
-    at 100 TB an eval runs over a SAMPLED query set by construction
-    — n_queries is the knob). Not in the driver registry (50-entry
-    cap); DuckDB parity in tests/test_offline_oracles.py.
+    exact-truth side is the only corpus-sized scan; Catalyst does
+    NOT reuse it across the three engine blocks (audited: zero
+    ReusedExchange in the composed plan), so it goes through
+    session_cached — one brute-force pass per session, the tiny
+    (queries x k)-row result shared by all blocks. At 100 TB an
+    eval runs over a SAMPLED query set by construction — n_queries
+    is the knob. Not in the driver registry (50-entry cap); DuckDB
+    parity in tests/test_offline_oracles.py.
     """
     from functools import reduce
 
-    exact = ann1_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id", "rank")
+    from maggy_spark.plans.fixtures import session_cached
+
+    exact = session_cached(
+        spark,
+        (sf_dir, "ann14_exact_truth"),
+        lambda: ann1_bruteforce_topk(spark, sf_dir).select(
+            "query_id", "neighbor_id", "rank"
+        ),
+    )
     parts = []
     for name, k in ANN14_ENGINES:
         truth = exact.where(F.col("rank") <= k).select("query_id", "neighbor_id")
