@@ -1706,3 +1706,86 @@ SELECT lang, source, max(total) AS n_docs,
 FROM cum
 GROUP BY lang, source
 """
+
+
+# --- tx17: TF-IDF keyword extraction ------------------------------------
+
+TX17_TOP_TERMS = 3
+
+
+def tx17_tfidf_keywords(spark: SparkSession, sf_dir: str, top: int = TX17_TOP_TERMS) -> DataFrame:
+    """Per-document top-``top`` TF-IDF keywords — the tagging/search
+    relation a corpus pipeline publishes next to its quality scores
+    (salient terms for retrieval filters, topic routing, and the
+    "what is this cluster about" readout over ann10's clusters).
+    Output: (doc_id, term, tf, score, rank).
+
+    Cross-engine determinism: tf is an integer; idf = ln(N/df) is
+    blunted through decimal(18,6) (the tx10/tx15 ln idiom — JVM
+    StrictMath and libm can differ in the last ulp) and the score is
+    the double product of the two exactly-agreed operands, so every
+    row is engine-exact with NO float summation anywhere. Ranking
+    ties break on the term string.
+
+    Scale shape: (doc, term) tf via one explode + map-side-combined
+    groupBy; df is a <= |vocab|-row relation joined back on term —
+    the Zipf-skewed join key, left to AQE (auto-broadcast when the
+    vocabulary fits, skew-split otherwise; the tx10 capped-vocab
+    broadcast is the fallback discipline when |vocab| outgrows
+    both). The per-doc top-k window partitions on doc_id (uniform).
+    Not in the driver registry (50-entry cap); DuckDB parity in
+    tests/test_offline_oracles.py.
+    """
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    n_docs = d.count()  # driver-side scalar, 1-row aggregate
+    tf = (
+        d.select("doc_id", F.explode(_tokens()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    df_rel = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    idf = (
+        F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+        .cast("decimal(18,6)")
+        .cast("double")
+    )
+    scored = tf.join(df_rel, "term").select(
+        "doc_id", "term", "tf", (F.col("tf").cast("double") * idf).alias("score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.select(
+            "doc_id", "term", "tf", "score",
+            F.row_number().over(w).cast("bigint").alias("rank"),
+        )
+        .where(F.col("rank") <= top)
+    )
+
+
+def tx17_sql(top: int = TX17_TOP_TERMS) -> str:
+    return f"""
+WITH ex AS (
+    SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+    SELECT doc_id, term, cast(count(*) AS BIGINT) AS tf
+    FROM ex GROUP BY doc_id, term
+),
+dfr AS (SELECT term, cast(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT cast(count(*) AS DOUBLE) AS nd FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf,
+           cast(tf.tf AS DOUBLE)
+               * cast(cast(ln(n.nd / cast(dfr.df AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE)
+               AS score
+    FROM tf JOIN dfr USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, score, rank FROM (
+    SELECT doc_id, term, tf, score,
+           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+    FROM scored
+) WHERE rank <= {top}
+"""
+
+
+TX17_SQL = tx17_sql()

@@ -3313,3 +3313,65 @@ def test_ev12_matches_numpy_and_ev9_mass(spark, sf_dir):
     for r in ev.ev9_conversion_lag(spark, sf_dir).collect():
         ev9_mass[r.lag_kind] = ev9_mass.get(r.lag_kind, 0) + r.n_users
     assert {k: r.n_conversions for k, r in out.items()} == ev9_mass
+
+
+# --- tx17: TF-IDF keywords ----------------------------------------------
+
+
+def test_tx17_matches_python_reference_on_crafted_corpus(spark, tmp_path):
+    """Hand-checkable corpus: 'cat' appears in all 3 docs (idf 0 ->
+    never a keyword despite top tf), 'dog' in one. Scores checked
+    against a pure-python TF-IDF with the same decimal(18,6) idf
+    blunting."""
+    import math
+    from decimal import Decimal
+
+    docs = [
+        (0, "cat cat cat dog mouse", "en", "s", 1),
+        (1, "cat bird bird fish fish fish", "en", "s", 1),
+        (2, "cat worm", "en", "s", 1),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = text.tx17_tfidf_keywords(spark, str(tmp_path))
+    rows = {(r.doc_id, r.rank): (r.term, r.tf, r.score) for r in out.collect()}
+
+    tf = {}
+    for i, t, *_ in docs:
+        for w in t.split(" "):
+            tf[(i, w)] = tf.get((i, w), 0) + 1
+    df = {}
+    for (_i, w) in tf:
+        df[w] = df.get(w, 0) + 1
+
+    def score(i, w):
+        idf = float(Decimal(repr(math.log(3.0 / df[w]))).quantize(Decimal("0.000001")))
+        return tf[(i, w)] * idf
+
+    # doc 0: cat idf=0 -> dog/mouse (tf 1 each, same idf) win by term asc
+    assert rows[(0, 1)][0] == "dog" and rows[(0, 2)][0] == "mouse" and rows[(0, 3)][0] == "cat"
+    # doc 1: fish tf=3 beats bird tf=2 beats cat
+    assert [rows[(1, r)][0] for r in (1, 2, 3)] == ["fish", "bird", "cat"]
+    # doc 2 has only two distinct terms -> exactly two rows
+    assert (2, 3) not in rows and rows[(2, 1)][0] == "worm"
+    for (i, _r), (w, t, s) in rows.items():
+        assert t == tf[(i, w)]
+        assert abs(s - score(i, w)) < 1e-12
+
+
+def test_tx17_row_budget_and_rank_contiguity(spark, sf_dir):
+    """<= top rows per doc, ranks contiguous from 1, scores
+    non-increasing within a doc."""
+    from collections import defaultdict
+
+    per_doc = defaultdict(list)
+    for r in text.tx17_tfidf_keywords(spark, sf_dir).collect():
+        per_doc[r.doc_id].append((r.rank, r.score))
+    assert per_doc
+    for _doc, rs in per_doc.items():
+        rs.sort()
+        assert 1 <= len(rs) <= text.TX17_TOP_TERMS
+        assert [r for r, _s in rs] == list(range(1, len(rs) + 1))
+        scores = [s for _r, s in rs]
+        assert scores == sorted(scores, reverse=True)

@@ -220,6 +220,10 @@ CASES = [
     # the tx16 bounded-domain inverted-CDF core over lag MINUTES
     # (integer-exact, ev7/ev9's shared staging chain)
     ("ev12_lag_quantiles", "EV12_SQL", "maggy_spark.operators.events"),
+    # round-12 addition: per-doc top-k TF-IDF keywords — integer tf x
+    # decimal-blunted ln idf (the tx10/tx15 idiom), no float sums, so
+    # every row is engine-exact; the tagging/search relation
+    ("tx17_tfidf_keywords", "TX17_SQL", "maggy_spark.functions.text"),
 ]
 
 

@@ -89,6 +89,7 @@ DIRECT = [
     "tx12_pii_scan",
     "tx13_bpe_pair_stats",
     "tx16_length_quantiles",
+    "tx17_tfidf_keywords",
     "pl17_shard_plan",
     # dd19 at sf1 is probe-pinned only: the 31-word synthetic vocab
     # makes nearly every organic shingle viral (df > 50 cap) at 50k
