@@ -2284,3 +2284,88 @@ a12 AS (SELECT query_id, neighbor_id FROM ({ANN12_SQL}))
 """ + "\nUNION ALL\n".join(
     _ann14_block_sql(name, k, _ANN14_TWIN_CTES[name]) for name, k in ANN14_ENGINES
 )
+
+
+# --- ann15: cluster keyword labels (tx17 over ann10's clusters) ---------
+
+
+def ann15_cluster_keywords(spark: SparkSession, sf_dir: str, top: int = 3) -> DataFrame:
+    """Top-``top`` TF-IDF terms PER K-MEANS CLUSTER — the "what is
+    this cluster about" label relation a semantic-curation run reads
+    next to ann13's health diagnostics before acting on ann11/pl15
+    decisions. TF counts a term's occurrences across the cluster's
+    member documents; IDF is computed over CLUSTERS (a term in every
+    cluster labels nothing), so the winning terms are what
+    DISTINGUISHES a cluster from the rest of the corpus — Manning et
+    al.'s cluster-labeling application of TF-IDF. Output:
+    (cluster_id, term, tf, score, rank).
+
+    Documents and embeddings share an id space by data contract
+    (vec_id IS doc_id — pl15's inner-join rule, identically here).
+    Cross-engine determinism: tx17's exact recipe — integer tf,
+    decimal(18,6)-blunted ln over the exact cluster count, double
+    product, no float sums.
+
+    Scale shape: one explode + groupBy on (cid, term) with map-side
+    combine (the member join is an n-row unique-key join); the df
+    relation is <= |vocab| x 1 rows; n_clusters is a <= KM_MAX_K
+    driver scalar. The per-cluster top-k window partitions on cid
+    (bounded populations). Not in the driver registry (50-entry
+    cap); DuckDB parity in tests/test_offline_oracles.py."""
+    km = _km_final(spark, sf_dir).select(F.col("vec_id").alias("doc_id"), "cid")
+    n_clusters = km.select("cid").distinct().count()  # <= KM_MAX_K rows
+    d = load_table(spark, sf_dir, "documents", fan_out=True).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = (
+        d.join(km, "doc_id")
+        .groupBy("cid", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    dfr = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    idf = (
+        F.log(F.lit(float(n_clusters)) / F.col("df").cast("double"))
+        .cast("decimal(18,6)")
+        .cast("double")
+    )
+    scored = tf.join(dfr, "term").select(
+        "cid", "term", "tf", (F.col("tf").cast("double") * idf).alias("score")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("cid").orderBy(F.desc("score"), "term")
+    return (
+        scored.select(
+            F.col("cid").alias("cluster_id"), "term", "tf", "score",
+            F.row_number().over(w).cast("bigint").alias("rank"),
+        )
+        .where(F.col("rank") <= top)
+    )
+
+
+ANN15_SQL = f"""
+{_km_prefix_sql()},
+km AS (SELECT vec_id AS doc_id, cid FROM {_KM_FINAL}),
+ex AS (
+    SELECT km.cid, unnest(str_split(d.text, ' ')) AS term
+    FROM documents d JOIN km ON d.doc_id = km.doc_id
+),
+tf AS (
+    SELECT cid, term, cast(count(*) AS BIGINT) AS tf
+    FROM ex GROUP BY cid, term
+),
+dfr AS (SELECT term, cast(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT cast(count(DISTINCT cid) AS DOUBLE) AS nc FROM km),
+scored AS (
+    SELECT tf.cid, tf.term, tf.tf,
+           cast(tf.tf AS DOUBLE)
+               * cast(cast(ln(n.nc / cast(dfr.df AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE)
+               AS score
+    FROM tf JOIN dfr USING (term) CROSS JOIN n
+)
+SELECT cid AS cluster_id, term, tf, score, rank FROM (
+    SELECT cid, term, tf, score,
+           row_number() OVER (PARTITION BY cid ORDER BY score DESC, term) AS rank
+    FROM scored
+) WHERE rank <= 3
+"""

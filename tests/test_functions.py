@@ -3375,3 +3375,46 @@ def test_tx17_row_budget_and_rank_contiguity(spark, sf_dir):
         assert [r for r, _s in rs] == list(range(1, len(rs) + 1))
         scores = [s for _r, s in rs]
         assert scores == sorted(scores, reverse=True)
+
+
+# --- ann15: cluster keyword labels --------------------------------------
+
+
+def test_ann15_labels_crafted_topic_clusters(spark, tmp_path):
+    """Two orthogonal embedding groups with disjoint marker words:
+    every trained cluster's top keyword must be its members' marker
+    ('common', present everywhere, has idf 0 and can never label),
+    and markers must never label a cluster of the other group."""
+    import numpy as np
+
+    docs, vecs = [], []
+    for i in range(8):
+        if i % 2 == 0:
+            docs.append((i, "alpha alpha alpha common", "en", "s", 1))
+            vecs.append((i, [1.0, 0.02 * i], i % 10))
+        else:
+            docs.append((i, "beta beta beta common", "en", "s", 1))
+            vecs.append((i, [0.02 * i, 1.0], i % 10))
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    spark.createDataFrame(
+        vecs, "vec_id bigint, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+
+    by_cluster = {}
+    for r in similarity.ann10_kmeans_assign(spark, str(tmp_path)).collect():
+        by_cluster.setdefault(r.cluster_id, []).append(r.vec_id)
+    # clusters must be PURE (orthogonal groups) — otherwise the label
+    # assertion below could pass off a lucky member
+    for cid, ms in by_cluster.items():
+        assert len({m % 2 for m in ms}) == 1, (cid, ms)
+    members = {cid: ms[0] for cid, ms in by_cluster.items()}
+    kws = similarity.ann15_cluster_keywords(spark, str(tmp_path)).collect()
+    assert kws
+    top1 = {r.cluster_id: r.term for r in kws if r.rank == 1}
+    assert set(top1) == set(members)
+    for cid, term in top1.items():
+        want = "alpha" if members[cid] % 2 == 0 else "beta"
+        assert term == want, (cid, term, want)
+    assert all(r.term != "common" or r.score == 0.0 for r in kws)

@@ -224,6 +224,11 @@ CASES = [
     # decimal-blunted ln idf (the tx10/tx15 idiom), no float sums, so
     # every row is engine-exact; the tagging/search relation
     ("tx17_tfidf_keywords", "TX17_SQL", "maggy_spark.functions.text"),
+    # round-12 addition: tx17's recipe over ann10's clusters — top-k
+    # TF-IDF terms per k-means cluster with idf over CLUSTERS (the
+    # Manning et al. cluster-labeling application); the "what is this
+    # cluster about" readout next to ann13's diagnostics
+    ("ann15_cluster_keywords", "ANN15_SQL", "maggy_spark.functions.similarity"),
 ]
 
 

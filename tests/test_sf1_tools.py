@@ -49,7 +49,7 @@ def test_kmeans_replay_matches_duckdb_twins():
     twins bit-for-bit at the gate's sf0.01, so the two oracle layers
     cannot drift."""
     from maggy_spark.functions.pipeline import PL15_SQL
-    from maggy_spark.functions.similarity import ANN10_SQL, ANN11_SQL, ANN13_SQL
+    from maggy_spark.functions.similarity import ANN10_SQL, ANN11_SQL, ANN13_SQL, ANN15_SQL
     from tools import kmeans_replay as KR
     from tools.check_oracle import frame_signature
     from tools.sf1_parity import _connect
@@ -61,6 +61,7 @@ def test_kmeans_replay_matches_duckdb_twins():
         ("ann11_semdedup_prune", ANN11_SQL),
         ("pl15_semantic_sample", PL15_SQL),
         ("ann13_cluster_quality", ANN13_SQL),
+        ("ann15_cluster_keywords", ANN15_SQL),
     ]:
         duck_pd = con.execute(sql).fetchdf()
         rep_pd = KR.REPLAYS[name](sf)

@@ -289,6 +289,50 @@ def replay_ann13(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def replay_ann15(sf_dir: str) -> pd.DataFrame:
+    """ann15_cluster_keywords oracle: the replayed final assignment +
+    a pure-python TF-IDF over clusters (tf dict fold, idf over
+    clusters with the decimal(18,6) ln blunting, top-3 per cluster
+    ordered by score desc then term asc)."""
+    ids, _E, _en, acids, _cos, cids, _C, _cn = replay_kmeans(sf_dir)
+    cid_of = {int(i): int(c) for i, c in zip(ids, acids)}
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    tf: dict = {}
+    for i, t in zip(docs["doc_id"], docs["text"]):
+        cid = cid_of.get(int(i))
+        if cid is None:
+            continue
+        for w in t.split(" "):
+            k = (cid, w)
+            tf[k] = tf.get(k, 0) + 1
+    df: dict = {}
+    for (_cid, w) in tf:
+        df[w] = df.get(w, 0) + 1
+    nc = float(len(set(cid_of.values())))
+    idf = {
+        w: float(
+            Decimal(repr(math.log(nc / d))).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        for w, d in df.items()
+    }
+    by_cid: dict = {}
+    for (cid, w), t in tf.items():
+        by_cid.setdefault(cid, []).append((w, t, t * idf[w]))
+    rows = []
+    for cid, terms in by_cid.items():
+        terms.sort(key=lambda x: (-x[2], x[0]))
+        for rank, (w, t, sc) in enumerate(terms[:3], start=1):
+            rows.append((cid, w, t, sc, rank))
+    return pd.DataFrame(
+        rows, columns=["cluster_id", "term", "tf", "score", "rank"]
+    ).astype(
+        {"cluster_id": "int64", "term": "object", "tf": "int64",
+         "score": "float64", "rank": "int64"}
+    )
+
+
 def _route_stream_accumulated(spark, sf_dir: str):
     """Run `kmeans_route_stream` over a 3-micro-batch file feed of the
     vec_id % 7 == 3 slice (the sf1 end-state oracle's feed recipe,
@@ -366,6 +410,7 @@ REPLAYS = {
     "ann10_kmeans_assign": replay_ann10,
     "ann11_semdedup_prune": replay_ann11,
     "ann13_cluster_quality": replay_ann13,
+    "ann15_cluster_keywords": replay_ann15,
     "pl15_semantic_sample": replay_pl15,
     "kmeans_route_stream": replay_route,
 }
@@ -389,6 +434,7 @@ def main() -> int:
         "ann10_kmeans_assign": similarity.ann10_kmeans_assign,
         "ann11_semdedup_prune": similarity.ann11_semdedup_prune,
         "ann13_cluster_quality": similarity.ann13_cluster_quality,
+        "ann15_cluster_keywords": similarity.ann15_cluster_keywords,
         "pl15_semantic_sample": pipeline.pl15_semantic_sample,
         "kmeans_route_stream": _route_stream_accumulated,
     }

@@ -117,6 +117,7 @@ DIRECT = [
     "ann12_ivfpq_adc",
     "ann13_cluster_quality",
     "ann14_recall_eval",
+    "ann15_cluster_keywords",
     "pl15_semantic_sample",
     "pl16_repeat_schedule",
     "tx10_unigram_logprob",
