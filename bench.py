@@ -238,8 +238,9 @@ def main() -> None:
             ann12_ivfpq_adc,
             ann13_cluster_quality,
             ann14_recall_eval,
+            ann15_cluster_keywords,
         )
-        from maggy_spark.functions.text import tx16_length_quantiles
+        from maggy_spark.functions.text import tx16_length_quantiles, tx17_tfidf_keywords
 
         for name, fn in (
             ("ann12_ivfpq_adc", ann12_ivfpq_adc),
@@ -251,6 +252,8 @@ def main() -> None:
             ("dd19_containment_screen", dd19_containment_screen),
             ("ann14_recall_eval", ann14_recall_eval),
             ("ev12_lag_quantiles", ev12_lag_quantiles),
+            ("tx17_tfidf_keywords", tx17_tfidf_keywords),
+            ("ann15_cluster_keywords", ann15_cluster_keywords),
         ):
             samples = []
             for _ in range(reps):
