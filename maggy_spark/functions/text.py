@@ -1789,3 +1789,92 @@ SELECT doc_id, term, tf, score, rank FROM (
 
 
 TX17_SQL = tx17_sql()
+
+
+# --- tx18: language-ID acceptance evaluation ----------------------------
+
+
+def tx18_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language precision/recall/F1 of the tx3 language-ID
+    heuristic against the corpus labels — the acceptance gate a
+    pipeline runs before trusting lang-ID for routing (the ann14
+    eval-relation pattern applied to the classifier family). Output
+    per labeled language: (lang, n_docs, n_correct, n_predicted,
+    recall, precision, f1). precision/f1 are NULL for a language the
+    classifier never predicts (zh has no marker list, so its docs
+    fall to 'unknown' — recall 0, precision undefined: the honest
+    spelling, not a fake 0).
+
+    Cross-engine determinism: every metric is a ratio/product of
+    INTEGER counts computed identically on both engines — no sums of
+    floats anywhere; the f1 guard (NULL unless p + r > 0) avoids the
+    ANSI divide-by-zero on languages with zero recall and zero
+    precision.
+
+    Scale shape: two map-side-combined groupBys over tx3's per-doc
+    relation (bounded |langs|+1 keys) and a <= |langs|-row join —
+    nothing scales with corpus size past the one tx3 scan. Not in
+    the driver registry (50-entry cap); DuckDB parity in
+    tests/test_offline_oracles.py."""
+    t = tx3_lang_id(spark, sf_dir).select("labeled_lang", "predicted_lang")
+    per_label = t.groupBy("labeled_lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("predicted_lang") == F.col("labeled_lang"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_correct"),
+    )
+    per_pred = t.groupBy("predicted_lang").agg(
+        F.count("*").cast("bigint").alias("n_predicted")
+    )
+    j = per_label.join(
+        per_pred, per_label.labeled_lang == per_pred.predicted_lang, "left"
+    ).select(
+        F.col("labeled_lang").alias("lang"),
+        "n_docs",
+        "n_correct",
+        F.coalesce("n_predicted", F.lit(0)).cast("bigint").alias("n_predicted"),
+    )
+    recall = F.col("n_correct").cast("double") / F.col("n_docs").cast("double")
+    precision = F.when(
+        F.col("n_predicted") > 0,
+        F.col("n_correct").cast("double") / F.col("n_predicted").cast("double"),
+    )
+    p, r = precision, recall
+    f1 = F.when((F.col("n_predicted") > 0) & (p + r > 0), 2 * p * r / (p + r))
+    return j.select(
+        "lang", "n_docs", "n_correct", "n_predicted",
+        recall.alias("recall"), precision.alias("precision"), f1.alias("f1"),
+    )
+
+
+TX18_SQL = f"""
+WITH t AS ({TX3_SQL.strip()}),
+per_label AS (
+    SELECT labeled_lang, cast(count(*) AS BIGINT) AS n_docs,
+           cast(sum(CASE WHEN predicted_lang = labeled_lang THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct
+    FROM t GROUP BY labeled_lang
+),
+per_pred AS (
+    SELECT predicted_lang, cast(count(*) AS BIGINT) AS n_predicted
+    FROM t GROUP BY predicted_lang
+),
+j AS (
+    SELECT l.labeled_lang AS lang, l.n_docs, l.n_correct,
+           cast(coalesce(p.n_predicted, 0) AS BIGINT) AS n_predicted
+    FROM per_label l LEFT JOIN per_pred p ON l.labeled_lang = p.predicted_lang
+)
+SELECT lang, n_docs, n_correct, n_predicted,
+       cast(n_correct AS DOUBLE) / cast(n_docs AS DOUBLE) AS recall,
+       CASE WHEN n_predicted > 0
+            THEN cast(n_correct AS DOUBLE) / cast(n_predicted AS DOUBLE) END AS precision,
+       CASE WHEN n_predicted > 0
+                 AND (CASE WHEN n_predicted > 0
+                           THEN cast(n_correct AS DOUBLE) / cast(n_predicted AS DOUBLE) END
+                      + cast(n_correct AS DOUBLE) / cast(n_docs AS DOUBLE)) > 0
+            THEN 2 * (cast(n_correct AS DOUBLE) / cast(n_predicted AS DOUBLE))
+                   * (cast(n_correct AS DOUBLE) / cast(n_docs AS DOUBLE))
+                 / ((cast(n_correct AS DOUBLE) / cast(n_predicted AS DOUBLE))
+                    + cast(n_correct AS DOUBLE) / cast(n_docs AS DOUBLE)) END AS f1
+FROM j
+"""

@@ -3418,3 +3418,38 @@ def test_ann15_labels_crafted_topic_clusters(spark, tmp_path):
         want = "alpha" if members[cid] % 2 == 0 else "beta"
         assert term == want, (cid, term, want)
     assert all(r.term != "common" or r.score == 0.0 for r in kws)
+
+
+# --- tx18: language-ID acceptance evaluation ----------------------------
+
+
+def test_tx18_perfect_on_marker_corpus(spark, tmp_path):
+    """A corpus written in the marker words themselves must score
+    P = R = F1 = 1.0 for every represented language — pins the
+    metric arithmetic on a case with a known answer."""
+    docs = [
+        (0, "the a value fast", "en", "s", 1),
+        (1, "der die und nicht", "de", "s", 1),
+        (2, "le la et est", "fr", "s", 1),
+        (3, "el que de de", "es", "s", 1),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    for r in text.tx18_langid_eval(spark, str(tmp_path)).collect():
+        assert (r.recall, r.precision, r.f1) == (1.0, 1.0, 1.0), r
+
+
+def test_tx18_surfaces_the_fixture_heuristic_collapse(spark, sf_dir):
+    """On the synthetic word-soup corpus the en marker list overlaps
+    the shared vocabulary, so tx3 predicts 'en' for nearly everything
+    — the eval relation must SURFACE that (high en recall with weak
+    precision; zero recall and NULL precision/f1 for languages never
+    predicted, zh included since it has no marker list). This is a
+    fixture property the acceptance gate exists to catch, not a bug."""
+    rows = {r.lang: r for r in text.tx18_langid_eval(spark, sf_dir).collect()}
+    assert rows["en"].recall > 0.9 and rows["en"].precision < 0.6
+    for lang in ("de", "fr", "es", "zh"):
+        r = rows[lang]
+        assert r.n_predicted == 0 and r.recall == 0.0
+        assert r.precision is None and r.f1 is None

@@ -229,6 +229,11 @@ CASES = [
     # Manning et al. cluster-labeling application); the "what is this
     # cluster about" readout next to ann13's diagnostics
     ("ann15_cluster_keywords", "ANN15_SQL", "maggy_spark.functions.similarity"),
+    # round-12 addition: precision/recall/F1 of the tx3 lang-ID
+    # heuristic vs the corpus labels — the classifier acceptance gate
+    # (ann14's eval-relation pattern); NULL precision/f1 for languages
+    # never predicted, by design
+    ("tx18_langid_eval", "TX18_SQL", "maggy_spark.functions.text"),
 ]
 
 

@@ -90,6 +90,7 @@ DIRECT = [
     "tx13_bpe_pair_stats",
     "tx16_length_quantiles",
     "tx17_tfidf_keywords",
+    "tx18_langid_eval",
     "pl17_shard_plan",
     # dd19 at sf1 is probe-pinned only: the 31-word synthetic vocab
     # makes nearly every organic shingle viral (df > 50 cap) at 50k
