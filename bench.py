@@ -240,7 +240,11 @@ def main() -> None:
             ann14_recall_eval,
             ann15_cluster_keywords,
         )
-        from maggy_spark.functions.text import tx16_length_quantiles, tx17_tfidf_keywords
+        from maggy_spark.functions.text import (
+            tx16_length_quantiles,
+            tx17_tfidf_keywords,
+            tx18_langid_eval,
+        )
 
         for name, fn in (
             ("ann12_ivfpq_adc", ann12_ivfpq_adc),
@@ -254,6 +258,7 @@ def main() -> None:
             ("ev12_lag_quantiles", ev12_lag_quantiles),
             ("tx17_tfidf_keywords", tx17_tfidf_keywords),
             ("ann15_cluster_keywords", ann15_cluster_keywords),
+            ("tx18_langid_eval", tx18_langid_eval),
         ):
             samples = []
             for _ in range(reps):
