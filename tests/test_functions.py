@@ -3453,3 +3453,28 @@ def test_tx18_surfaces_the_fixture_heuristic_collapse(spark, sf_dir):
         r = rows[lang]
         assert r.n_predicted == 0 and r.recall == 0.0
         assert r.precision is None and r.f1 is None
+
+
+# --- empty-corpus behavior of the r12 operators --------------------------
+
+
+def test_r12_operators_on_empty_corpus(spark, tmp_path):
+    """A zero-row documents table (right schema) must not crash any of
+    the new relational operators: the aggregating ones return empty
+    relations, and dd19 returns exactly its probe pair (the probe
+    union is corpus-independent by design)."""
+    from maggy_spark.functions import pipeline
+
+    spark.createDataFrame(
+        [], "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    sf = str(tmp_path)
+
+    assert text.tx16_length_quantiles(spark, sf).count() == 0
+    assert text.tx17_tfidf_keywords(spark, sf).count() == 0
+    assert text.tx18_langid_eval(spark, sf).count() == 0
+    assert pipeline.pl17_shard_plan(spark, sf).count() == 0
+
+    rows = dedup.dd19_containment_screen(spark, sf).collect()
+    assert len(rows) == 1
+    assert (rows[0].contained_doc, rows[0].container_doc) == (-12, -11)
