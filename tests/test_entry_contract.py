@@ -69,7 +69,10 @@ def test_registry_imports_without_spark_session():
         "import maggy_spark.streaming.events_stream;"
         "import maggy_spark.streaming.ingest_stream;"
         "import maggy_spark.streaming.media_stream;"
-        "import maggy_spark.streaming.metrics_stream"
+        "import maggy_spark.streaming.metrics_stream;"
+        # the jsonl source too: its DOC_SCHEMA and split predicate are
+        # module-level and must never capture a session or a Column
+        "import maggy_spark.sources.jsonl"
     )
     proc = subprocess.run(
         [sys.executable, "-c", code],
