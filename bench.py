@@ -240,10 +240,12 @@ def main() -> None:
             ann14_recall_eval,
             ann15_cluster_keywords,
         )
+        from maggy_spark.functions.similarity import ann16_mmr_rerank
         from maggy_spark.functions.text import (
             tx16_length_quantiles,
             tx17_tfidf_keywords,
             tx18_langid_eval,
+            tx19_ccnet_bucket,
         )
 
         for name, fn in (
@@ -259,6 +261,8 @@ def main() -> None:
             ("tx17_tfidf_keywords", tx17_tfidf_keywords),
             ("ann15_cluster_keywords", ann15_cluster_keywords),
             ("tx18_langid_eval", tx18_langid_eval),
+            ("tx19_ccnet_bucket", tx19_ccnet_bucket),
+            ("ann16_mmr_rerank", ann16_mmr_rerank),
         ):
             samples = []
             for _ in range(reps):

@@ -120,11 +120,12 @@ def _cos_sql(a: str, b: str) -> str:
     )
 
 
-def ann1_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-k: queries broadcast against the corpus, rank
-    by similarity desc with vec_id tie-break."""
-    from pyspark.sql.window import Window
-
+def _bruteforce_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine (query x corpus) scored relation — ann1's scoring
+    pass factored out (the _unigram_scored discipline) so ann16's MMR
+    pool ranks the IDENTICAL similarities ann1 reports. Queries
+    broadcast against the corpus; zero-norm vectors dropped on both
+    sides (degenerate-vector rule, see _cosine)."""
     e = load_table(spark, sf_dir, "embeddings", fan_out=True)
     q = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
@@ -134,9 +135,17 @@ def ann1_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ve"),
         F.sqrt(_dot("embedding", "embedding")).alias("vn"),
     ).where(F.col("vn") > 0)
-    scored = c.crossJoin(F.broadcast(q)).select(
+    return c.crossJoin(F.broadcast(q)).select(
         "query_id", "neighbor_id", _cosine_pre("qe", "ve", "qn", "vn").alias("cosine")
     )
+
+
+def ann1_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: queries broadcast against the corpus, rank
+    by similarity desc with vec_id tie-break."""
+    from pyspark.sql.window import Window
+
+    scored = _bruteforce_scored(spark, sf_dir)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         scored.select("query_id", "neighbor_id", "cosine", F.row_number().over(w).cast("bigint").alias("rank"))
@@ -2369,3 +2378,205 @@ SELECT cid AS cluster_id, term, tf, score, rank FROM (
     FROM scored
 ) WHERE rank <= 3
 """
+
+
+# --- ann16: MMR diversity reranking -------------------------------------
+
+MMR_POOL = 10  # relevance pool per query (ann1's scored relation, top-10)
+MMR_K = 4      # picks per query
+# lambda = 0.5 exactly representable: mmr = 0.5*rel - 0.5*max_sim_to_selected
+
+
+def ann16_mmr_rerank(
+    spark: SparkSession, sf_dir: str, pool: int = MMR_POOL, k: int = MMR_K
+) -> DataFrame:
+    """Maximal-Marginal-Relevance reranking (Carbonell & Goldstein
+    1998) over the exact top-``pool`` relevance pool — the diversity
+    step between an ANN retrieval tier (ann1/ann8/ann9) and the
+    consumer: greedily pick ``k`` results where each pick maximizes
+    `0.5*cosine(query, cand) - 0.5*max_sim(cand, already_picked)`,
+    so near-duplicate neighbors (exactly what ann4 shows real
+    embedding corpora are full of) can't occupy every serving slot.
+    The first pick's penalty term is 0 over the empty set, making
+    one uniform rule for all k stages. Output one row per pick:
+    (query_id, pick_rank, neighbor_id, cosine, maxsim, mmr_score).
+
+    Cross-engine determinism: cosines are the bit-identical IEEE
+    doubles of the gate-green ann1 relation (same _dot fold, norms a
+    deterministic function of the vector), the MMR combination is
+    two IEEE multiplies and a subtract on those bits, and every
+    argmax tie-breaks by neighbor_id — the greedy trajectory is
+    therefore identical in both engines, which is what the unrolled
+    k-stage DuckDB twin checks.
+
+    Scale shape: greedy MMR is sequential ACROSS PICKS but the
+    cross-item dependence is confined to each query's pool — a
+    (queries x pool)-row CONTROL relation, corpus-size-independent
+    once the retrieval tier has run. The k-1 penalty stages are
+    joins/windows over that bounded relation (pairwise sims:
+    pool^2 rows per query, computed once); the one corpus-scale pass
+    is the scored relation ann16 shares with ann1. Degenerate
+    vectors never reach the pool (dropped in _bruteforce_scored).
+    Not in the driver registry (50-entry cap); DuckDB parity in
+    tests/test_offline_oracles.py."""
+    from pyspark.sql.window import Window
+
+    scored = _bruteforce_scored(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    pool_df = (
+        scored.select("query_id", "neighbor_id", "cosine", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= pool)
+        .drop("rn")
+    )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ve"),
+        F.sqrt(_dot("embedding", "embedding")).alias("vn"),
+    )
+    pe = pool_df.join(e, "neighbor_id").select("query_id", "neighbor_id", "cosine", "ve", "vn")
+    # The greedy stages below reference this (queries x pool)-row
+    # control relation once per unrolled stage AND per union branch —
+    # without truncation each branch replans the corpus-scale scored
+    # pass (~2k recomputes of the crossJoin at k=4). localCheckpoint
+    # (not the durable-dir dance of the unbounded loops): the relation
+    # is tiny, the stage count is a fixed public constant, and an
+    # executor loss costs one cheap recompute, not a lost training run.
+    pe = pe.localCheckpoint(eager=True)
+    a = pe.select(
+        "query_id", F.col("neighbor_id").alias("nid_a"),
+        F.col("ve").alias("va"), F.col("vn").alias("na"),
+    )
+    b = pe.select(
+        "query_id", F.col("neighbor_id").alias("nid_b"),
+        F.col("ve").alias("vb"), F.col("vn").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "query_id")
+        .where(F.col("nid_a") != F.col("nid_b"))
+        .select("query_id", "nid_a", "nid_b", _cosine_pre("va", "vb", "na", "nb").alias("sim"))
+    )
+    cand = pe.select("query_id", "neighbor_id", "cosine")
+
+    def pick_stage(cur: DataFrame, i: int) -> DataFrame:
+        mmr = F.lit(0.5) * F.col("cosine") - F.lit(0.5) * F.col("maxsim")
+        wi = Window.partitionBy("query_id").orderBy(mmr.desc(), F.col("neighbor_id"))
+        return (
+            cur.select(
+                "query_id", "neighbor_id", "cosine", "maxsim",
+                mmr.alias("mmr_score"), F.row_number().over(wi).alias("rn"),
+            )
+            .where(F.col("rn") == 1)
+            .select(
+                "query_id", F.lit(i).cast("bigint").alias("pick_rank"),
+                "neighbor_id", "cosine", "maxsim", "mmr_score",
+            )
+        )
+
+    # each pick is <= |queries| rows; eagerly checkpointing it keeps
+    # stage i's plan a flat join of tiny materialized relations
+    # instead of a replay of every previous stage's window (the
+    # star_components rule applied to a fixed-depth loop)
+    picks = [pick_stage(cand.withColumn("maxsim", F.lit(0.0)), 1).localCheckpoint(eager=True)]
+    sel = picks[0].select("query_id", "neighbor_id")
+    for i in range(2, k + 1):
+        ms = (
+            pairs.join(
+                sel.select("query_id", F.col("neighbor_id").alias("nid_b")),
+                ["query_id", "nid_b"],
+            )
+            .groupBy("query_id", F.col("nid_a").alias("neighbor_id"))
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        cur = cand.join(sel, ["query_id", "neighbor_id"], "left_anti").join(
+            ms, ["query_id", "neighbor_id"]
+        )
+        pick = pick_stage(cur, i).localCheckpoint(eager=True)
+        picks.append(pick)
+        sel = sel.unionByName(pick.select("query_id", "neighbor_id"))
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def ann16_sql(pool: int = MMR_POOL, k: int = MMR_K) -> str:
+    """DuckDB twin, unrolled into k greedy stages (parameterized like
+    tx10_sql; the greedy recursion has a FIXED public depth, so the
+    twin is a straight-line CTE chain, no recursive CTE needed)."""
+    parts = [
+        f"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < {N_QUERIES} AND {_NONZERO_SQL}),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ve FROM embeddings
+      WHERE vec_id >= {N_QUERIES} AND {_NONZERO_SQL}),
+scored AS (
+    SELECT query_id, neighbor_id, {_cos_sql("qe", "ve")} AS cosine
+    FROM c CROSS JOIN q
+),
+pool AS (
+    SELECT query_id, neighbor_id, cosine FROM (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= {pool}
+),
+pe AS (
+    SELECT p.query_id, p.neighbor_id, p.cosine, e.embedding AS ve
+    FROM pool p JOIN embeddings e ON e.vec_id = p.neighbor_id
+),
+pairs AS (
+    SELECT a.query_id, a.neighbor_id AS nid_a, b.neighbor_id AS nid_b,
+           {_cos_sql("a.ve", "b.ve")} AS sim
+    FROM pe a JOIN pe b ON a.query_id = b.query_id AND a.neighbor_id != b.neighbor_id
+),
+s1 AS (
+    SELECT query_id, cast(1 AS BIGINT) AS pick_rank, neighbor_id, cosine,
+           cast(0.0 AS DOUBLE) AS maxsim,
+           0.5 * cosine - 0.5 * cast(0.0 AS DOUBLE) AS mmr_score
+    FROM (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY 0.5 * cosine - 0.5 * cast(0.0 AS DOUBLE) DESC, neighbor_id
+               ) AS rn
+        FROM pe
+    ) WHERE rn = 1
+),
+sel1 AS (SELECT query_id, neighbor_id FROM s1)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(f""",
+r{i} AS (
+    SELECT p.query_id, p.neighbor_id, p.cosine, max(pr.sim) AS maxsim
+    FROM pe p
+    JOIN pairs pr ON pr.query_id = p.query_id AND pr.nid_a = p.neighbor_id
+    JOIN sel{i - 1} s ON s.query_id = pr.query_id AND s.neighbor_id = pr.nid_b
+    WHERE NOT EXISTS (
+        SELECT 1 FROM sel{i - 1} s2
+        WHERE s2.query_id = p.query_id AND s2.neighbor_id = p.neighbor_id
+    )
+    GROUP BY p.query_id, p.neighbor_id, p.cosine
+),
+s{i} AS (
+    SELECT query_id, cast({i} AS BIGINT) AS pick_rank, neighbor_id, cosine, maxsim,
+           0.5 * cosine - 0.5 * maxsim AS mmr_score
+    FROM (
+        SELECT query_id, neighbor_id, cosine, maxsim,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY 0.5 * cosine - 0.5 * maxsim DESC, neighbor_id
+               ) AS rn
+        FROM r{i}
+    ) WHERE rn = 1
+),
+sel{i} AS (
+    SELECT query_id, neighbor_id FROM sel{i - 1}
+    UNION ALL SELECT query_id, neighbor_id FROM s{i}
+)""")
+    final = "\nUNION ALL ".join(
+        f"SELECT query_id, pick_rank, neighbor_id, cosine, maxsim, mmr_score FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return "\n".join(parts) + "\n" + final
+
+
+ANN16_SQL = ann16_sql()

@@ -576,6 +576,46 @@ FROM m
 UNIGRAM_VOCAB = 4096
 
 
+def _unigram_scored(
+    spark: SparkSession, sf_dir: str, vocab_size: int = UNIGRAM_VOCAB
+) -> DataFrame:
+    """Per-token unigram-LM scored relation (doc_id, lp2, oov) —
+    tx10's scoring pass factored out (the length_quantiles_over
+    discipline) so tx19's CCNet bucketing consumes the IDENTICAL
+    token log-probs tx10 reports instead of re-deriving a second,
+    subtly different model. lp2 is the decimal(18,6)-blunted token
+    log-prob (vocab hit or the 0.5/total OOV floor); oov flags the
+    floor rows. Both consumers aggregate per doc_id downstream."""
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    ex = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    # the model side rides the session-cached corpus unigram counts
+    # (shared with tx8): one materialized explode+groupBy instead of
+    # three independent corpus re-scans for vocab/total/OOV-floor
+    counts = _token_counts(spark, sf_dir)
+    tot = counts.agg(F.sum("cnt").cast("bigint").alias("total"))
+    vocab = (
+        counts.orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(vocab_size)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            F.log(F.col("cnt").cast("double") / F.col("total").cast("double"))
+            .cast("decimal(18,6)")
+            .alias("lp"),
+        )
+    )
+    floor_lp = F.log(F.lit(0.5) / F.col("total").cast("double")).cast("decimal(18,6)")
+    return (
+        ex.join(F.broadcast(vocab), "tok", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("lp"), floor_lp).alias("lp2"),
+            F.when(F.col("lp").isNull(), 1).otherwise(0).alias("oov"),
+        )
+    )
+
+
 def tx10_unigram_logprob(spark: SparkSession, sf_dir: str, vocab_size: int = UNIGRAM_VOCAB) -> DataFrame:
     """Per-document mean unigram log-probability under the corpus's
     own unigram LM — the language-model quality filter of CCNet
@@ -600,34 +640,7 @@ def tx10_unigram_logprob(spark: SparkSession, sf_dir: str, vocab_size: int = UNI
     shuffle, and the per-doc rollup shuffles one decimal + two longs
     per doc after map-side combine.
     """
-    d = load_table(spark, sf_dir, "documents", fan_out=True)
-    ex = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
-    # the model side rides the session-cached corpus unigram counts
-    # (shared with tx8): one materialized explode+groupBy instead of
-    # three independent corpus re-scans for vocab/total/OOV-floor
-    counts = _token_counts(spark, sf_dir)
-    tot = counts.agg(F.sum("cnt").cast("bigint").alias("total"))
-    vocab = (
-        counts.orderBy(F.desc("cnt"), F.asc("tok"))
-        .limit(vocab_size)
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "tok",
-            F.log(F.col("cnt").cast("double") / F.col("total").cast("double"))
-            .cast("decimal(18,6)")
-            .alias("lp"),
-        )
-    )
-    floor_lp = F.log(F.lit(0.5) / F.col("total").cast("double")).cast("decimal(18,6)")
-    scored = (
-        ex.join(F.broadcast(vocab), "tok", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "doc_id",
-            F.coalesce(F.col("lp"), floor_lp).alias("lp2"),
-            F.when(F.col("lp").isNull(), 1).otherwise(0).alias("oov"),
-        )
-    )
+    scored = _unigram_scored(spark, sf_dir, vocab_size)
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
         F.sum("oov").cast("bigint").alias("n_oov"),
@@ -1878,3 +1891,128 @@ SELECT lang, n_docs, n_correct, n_predicted,
                     + cast(n_correct AS DOUBLE) / cast(n_docs AS DOUBLE)) END AS f1
 FROM j
 """
+
+
+# --- tx19: CCNet perplexity bucketing (head / middle / tail) ------------
+
+
+def tx19_ccnet_bucket(
+    spark: SparkSession, sf_dir: str, vocab_size: int = UNIGRAM_VOCAB
+) -> DataFrame:
+    """CCNet's per-language perplexity bucketing (Wenzek et al. 2019,
+    arXiv:1911.00359 §4.4): split each language's documents into
+    equal thirds — 'head' (most LM-like), 'middle', 'tail' — by
+    per-token LM cost, the step between tx10's raw score and the
+    downstream choice of which slice to train on. tx10 emits the
+    score; tx19 emits the DECISION relation (doc_id, lang, n_tokens,
+    cost_milli, bucket) a pipeline filters on.
+
+    Cross-engine determinism — no float anywhere in the rule: each
+    token's decimal(18,6) log-prob (the _unigram_scored relation
+    tx10 itself aggregates) scales to an EXACT integer of micro-nats
+    (x1e6 of a scale-6 decimal), the per-doc mean cost is integer
+    division into milli-nats (operands are non-negative: ln p <= 0,
+    so truncation == floor in both engines), and the tertile
+    thresholds are tx16's inverted-CDF order statistic kept in pure
+    integers (`3*cum >= total`, `3*cum >= 2*total`). The bucket rule
+    is defined ON cost_milli, so quantization is part of the
+    contract, not a parity hazard.
+
+    Scale shape: tx10's two passes (broadcast vocab join, map-side
+    combined per-doc rollup), then a histogram groupBy on
+    (lang, cost_milli) — a BOUNDED domain (per-token cost of a text
+    document is a few tens of nats, so ~1e4 distinct milli-nat means
+    x |langs| rows, corpus-size-independent like tx16) — a window
+    over that bounded relation, and a broadcast |langs|-row
+    threshold join back onto the per-doc relation. No corpus-scale
+    sort: the usual ntile-per-lang spelling would sort every
+    document inside skewed lang partitions; the histogram spelling
+    never shuffles more than the bounded domain. Not in the driver
+    registry (50-entry cap); DuckDB parity in
+    tests/test_offline_oracles.py."""
+    scored = _unigram_scored(spark, sf_dir, vocab_size)
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum((-F.col("lp2") * 1000000).cast("bigint")).cast("bigint").alias("cost_micro"),
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    docs = per_doc.join(d, "doc_id").select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.expr("cost_micro div (n_tokens * 1000)").cast("bigint").alias("cost_milli"),
+    )
+    hist = docs.groupBy("lang", "cost_milli").agg(F.count("*").cast("bigint").alias("cnt"))
+    w = Window.partitionBy("lang").orderBy("cost_milli")
+    wall = Window.partitionBy("lang")
+    cum = hist.select(
+        "lang",
+        "cost_milli",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wall).alias("total"),
+    )
+    thr = cum.groupBy("lang").agg(
+        F.min(F.when(3 * F.col("cum") >= F.col("total"), F.col("cost_milli"))).alias("t33"),
+        F.min(F.when(3 * F.col("cum") >= 2 * F.col("total"), F.col("cost_milli"))).alias("t67"),
+    )
+    bucket = (
+        F.when(F.col("cost_milli") <= F.col("t33"), "head")
+        .when(F.col("cost_milli") <= F.col("t67"), "middle")
+        .otherwise("tail")
+    )
+    return docs.join(F.broadcast(thr), "lang").select(
+        "doc_id", "lang", "n_tokens", "cost_milli", bucket.alias("bucket")
+    )
+
+
+def tx19_sql(vocab_size: int = UNIGRAM_VOCAB) -> str:
+    """DuckDB twin, parameterized like tx10_sql (shared LM prefix)."""
+    return f"""
+WITH ex AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents),
+counts AS (SELECT tok, cast(count(*) AS BIGINT) AS cnt FROM ex GROUP BY tok),
+tot AS (SELECT cast(sum(cnt) AS BIGINT) AS total FROM counts),
+vocab AS (
+    SELECT tok, cast(ln(cast(cnt AS DOUBLE) / cast(total AS DOUBLE)) AS DECIMAL(18,6)) AS lp
+    FROM (SELECT tok, cnt FROM counts ORDER BY cnt DESC, tok ASC LIMIT {vocab_size})
+    CROSS JOIN tot
+),
+scored AS (
+    SELECT e.doc_id,
+           coalesce(v.lp, cast(ln(0.5 / cast(t.total AS DOUBLE)) AS DECIMAL(18,6))) AS lp2
+    FROM ex e LEFT JOIN vocab v USING (tok) CROSS JOIN tot t
+),
+per_doc AS (
+    SELECT doc_id, cast(count(*) AS BIGINT) AS n_tokens,
+           cast(sum(cast(-lp2 * 1000000 AS BIGINT)) AS BIGINT) AS cost_micro
+    FROM scored GROUP BY doc_id
+),
+docs AS (
+    SELECT d.doc_id, d.lang, p.n_tokens,
+           cast(p.cost_micro // (p.n_tokens * 1000) AS BIGINT) AS cost_milli
+    FROM per_doc p JOIN documents d USING (doc_id)
+),
+hist AS (
+    SELECT lang, cost_milli, cast(count(*) AS BIGINT) AS cnt
+    FROM docs GROUP BY lang, cost_milli
+),
+cum AS (
+    SELECT lang, cost_milli,
+           cast(sum(cnt) OVER (PARTITION BY lang ORDER BY cost_milli) AS BIGINT) AS cum,
+           cast(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS total
+    FROM hist
+),
+thr AS (
+    SELECT lang,
+           min(CASE WHEN 3 * cum >= total THEN cost_milli END) AS t33,
+           min(CASE WHEN 3 * cum >= 2 * total THEN cost_milli END) AS t67
+    FROM cum GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_tokens, d.cost_milli,
+       CASE WHEN d.cost_milli <= t.t33 THEN 'head'
+            WHEN d.cost_milli <= t.t67 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM docs d JOIN thr t USING (lang)
+"""
+
+
+TX19_SQL = tx19_sql()

@@ -2594,6 +2594,7 @@ def test_ann_family_drops_zero_norm_vectors(spark, tmp_path):
         (S.ann7_quantized_rerank, S.ANN7_SQL),
         (S.ann8_ivf_quantized, S.ANN8_SQL),
         (S.ann9_pq_adc, S.ANN9_SQL),
+        (S.ann16_mmr_rerank, S.ANN16_SQL),
     ]
     id_cols = {"query_id", "neighbor_id", "id_a", "id_b", "src", "nearest"}
     for fn, sql in cases:
@@ -3478,3 +3479,102 @@ def test_r12_operators_on_empty_corpus(spark, tmp_path):
     rows = dedup.dd19_containment_screen(spark, sf).collect()
     assert len(rows) == 1
     assert (rows[0].contained_doc, rows[0].container_doc) == (-12, -11)
+
+
+def test_ann16_mmr_demotes_near_duplicate_neighbor(spark, tmp_path):
+    """The semantic point of MMR: when the two most relevant pool
+    members are near-duplicates of each other, relevance ranking
+    (ann1) serves both, MMR serves one and spends the second slot on
+    a diverse result. Crafted corpus for query 0: v5 (cos ~1.0) and
+    v6 (near-copy of v5, cos ~1.0) vs v7 (cos 0.6, near-orthogonal
+    to v5). ann1's rank-2 is v6; MMR's pick-2 must be v7 because
+    0.5*0.6 - 0.5*sim(v7,v5) ~ 0 beats 0.5*0.999 - 0.5*0.9999 < 0."""
+    from maggy_spark.functions import similarity as S
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.0, 1.0, 0.0, 0.0], 0),
+        (2, [0.0, 0.0, 1.0, 0.0], 0),
+        (3, [0.0, 0.0, 0.0, 1.0], 0),
+        (4, [0.7, 0.7, 0.0, 0.0], 0),
+        # corpus: v5 top-relevant (cos 0.8), v6 a near-copy of v5
+        # (cos ~0.78, sim(v5,v6) ~0.998), v7 almost as relevant
+        # (cos ~0.75) but pointing AWAY from v5 (sim(v5,v7) ~0.24)
+        (5, [0.8, 0.6, 0.0, 0.0], 1),
+        (6, [0.78, 0.62, 0.06, 0.0], 1),
+        (7, [0.75, -0.6, 0.28, 0.0], 1),
+        # low-relevance fillers, all POSITIVELY similar to v5 so the
+        # diversity bonus can't flip the assertion via anti-alignment
+        (8, [0.3, 0.9539, 0.0, 0.0], 1),
+        (9, [0.2, 0.2, 0.9592, 0.0], 1),
+        (10, [0.1, 0.3, 0.9434, 0.0], 1),
+    ]
+    sf = str(tmp_path / "sfm")
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(f"{sf}/embeddings.parquet")
+
+    ann1 = {
+        r.rank: r.neighbor_id
+        for r in S.ann1_bruteforce_topk(spark, sf).where(F.col("query_id") == 0).collect()
+    }
+    assert ann1[1] == 5 and ann1[2] == 6  # relevance ranking serves the near-dup
+
+    mmr = {
+        r.pick_rank: r
+        for r in S.ann16_mmr_rerank(spark, sf).where(F.col("query_id") == 0).collect()
+    }
+    assert mmr[1].neighbor_id == 5
+    assert mmr[2].neighbor_id == 7  # MMR spends slot 2 on the diverse result
+    assert mmr[2].maxsim < 0.7  # the pick's recorded penalty is vs v5, not itself
+    # picks never repeat and every stage's score is the 0.5/0.5 rule
+    ids = [mmr[i].neighbor_id for i in sorted(mmr)]
+    assert len(set(ids)) == len(ids)
+    for r in mmr.values():
+        assert r.mmr_score == pytest.approx(0.5 * r.cosine - 0.5 * r.maxsim, abs=0.0)
+
+
+def test_tx19_tertiles_exact_thirds_and_singleton_head(spark, tmp_path):
+    """CCNet bucketing invariants on a crafted corpus: (a) 9 docs of
+    one language with 9 DISTINCT milli-nat costs split exactly 3/3/3
+    across head/middle/tail in cost order (the integer inverted-CDF
+    tertile rule); (b) a language with a single document puts it in
+    'head' (3*1 >= 1); (c) Spark == DuckDB twin on the same corpus
+    (the crafted domain, not just the organic fixture)."""
+    import duckdb as _duck
+
+    import pandas as pd
+
+    from maggy_spark.functions.text import TX19_SQL, tx19_ccnet_bucket
+    from tools.check_oracle import frame_signature, to_pandas_spark
+
+    # doc i repeats its own token i+1 times: token counts 1..9 are all
+    # distinct, so per-token costs -ln(cnt/total) are distinct too
+    docs = [
+        (i, " ".join([f"w{i}"] * (i + 1)), "en", "crafted", 0)
+        for i in range(9)
+    ]
+    docs.append((100, "solo", "xx", "crafted", 0))
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    out = tx19_ccnet_bucket(spark, str(tmp_path))
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 10
+
+    en = sorted((r for r in rows.values() if r.lang == "en"), key=lambda r: r.cost_milli)
+    costs = [r.cost_milli for r in en]
+    assert len(set(costs)) == 9  # distinct by construction
+    assert [r.bucket for r in en] == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    assert rows[100].bucket == "head"
+
+    duck = _duck.connect()
+    duck.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path / 'documents.parquet'}'"
+    )
+    spark_pd = to_pandas_spark(out)
+    duck_pd = duck.execute(TX19_SQL).fetchdf()
+    s_cols, s_rows = frame_signature(spark_pd)
+    d_cols, d_rows = frame_signature(duck_pd)
+    assert s_cols == d_cols and s_rows == d_rows
+    duck.close()

@@ -234,6 +234,15 @@ CASES = [
     # (ann14's eval-relation pattern); NULL precision/f1 for languages
     # never predicted, by design
     ("tx18_langid_eval", "TX18_SQL", "maggy_spark.functions.text"),
+    # round-12 addition: CCNet per-language head/middle/tail
+    # perplexity tertiles — the decision relation over tx10's score,
+    # thresholds via tx16's integer inverted-CDF rule on an exact
+    # milli-nat cost domain
+    ("tx19_ccnet_bucket", "TX19_SQL", "maggy_spark.functions.text"),
+    # round-12 addition: MMR diversity reranking over ann1's exact
+    # top-10 pool — greedy 0.5*rel - 0.5*maxsim, k=4 unrolled stages,
+    # neighbor_id tie-breaks pin the trajectory cross-engine
+    ("ann16_mmr_rerank", "ANN16_SQL", "maggy_spark.functions.similarity"),
 ]
 
 
