@@ -1930,18 +1930,26 @@ def tx19_ccnet_bucket(
     never shuffles more than the bounded domain. Not in the driver
     registry (50-entry cap); DuckDB parity in
     tests/test_offline_oracles.py."""
-    scored = _unigram_scored(spark, sf_dir, vocab_size)
-    per_doc = scored.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_tokens"),
-        F.sum((-F.col("lp2") * 1000000).cast("bigint")).cast("bigint").alias("cost_micro"),
-    )
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    docs = per_doc.join(d, "doc_id").select(
-        "doc_id",
-        "lang",
-        "n_tokens",
-        F.expr("cost_micro div (n_tokens * 1000)").cast("bigint").alias("cost_milli"),
-    )
+    def _build_costs() -> DataFrame:
+        scored = _unigram_scored(spark, sf_dir, vocab_size)
+        per_doc = scored.groupBy("doc_id").agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum((-F.col("lp2") * 1000000).cast("bigint")).cast("bigint").alias("cost_micro"),
+        )
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+        return per_doc.join(d, "doc_id").select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.expr("cost_micro div (n_tokens * 1000)").cast("bigint").alias("cost_milli"),
+        )
+
+    # the cost relation feeds BOTH the threshold histogram and the
+    # output join — without materialization Spark replans the whole
+    # two-pass LM scoring under each branch (plan audit showed two
+    # full scoring subtrees, no ReusedExchange). Session-cached like
+    # _token_counts: one narrow (4-col) per-doc relation, shared.
+    docs = _session_cached(spark, (sf_dir, "tx19_doc_costs", vocab_size), _build_costs)
     hist = docs.groupBy("lang", "cost_milli").agg(F.count("*").cast("bigint").alias("cnt"))
     w = Window.partitionBy("lang").orderBy("cost_milli")
     wall = Window.partitionBy("lang")
