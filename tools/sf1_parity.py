@@ -91,6 +91,8 @@ DIRECT = [
     "tx16_length_quantiles",
     "tx17_tfidf_keywords",
     "tx18_langid_eval",
+    "tx19_ccnet_bucket",
+    "ann16_mmr_rerank",
     "pl17_shard_plan",
     # dd19 at sf1 is probe-pinned only: the 31-word synthetic vocab
     # makes nearly every organic shingle viral (df > 50 cap) at 50k
