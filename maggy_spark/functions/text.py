@@ -576,21 +576,18 @@ FROM m
 UNIGRAM_VOCAB = 4096
 
 
-def _unigram_scored(
+def _unigram_model(
     spark: SparkSession, sf_dir: str, vocab_size: int = UNIGRAM_VOCAB
-) -> DataFrame:
-    """Per-token unigram-LM scored relation (doc_id, lp2, oov) —
-    tx10's scoring pass factored out (the length_quantiles_over
-    discipline) so tx19's CCNet bucketing consumes the IDENTICAL
-    token log-probs tx10 reports instead of re-deriving a second,
-    subtly different model. lp2 is the decimal(18,6)-blunted token
-    log-prob (vocab hit or the 0.5/total OOV floor); oov flags the
-    floor rows. Both consumers aggregate per doc_id downstream."""
-    d = load_table(spark, sf_dir, "documents", fan_out=True)
-    ex = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
-    # the model side rides the session-cached corpus unigram counts
-    # (shared with tx8): one materialized explode+groupBy instead of
-    # three independent corpus re-scans for vocab/total/OOV-floor
+) -> tuple[DataFrame, DataFrame]:
+    """The unigram LM's two static relations — `vocab` = (tok,
+    lp decimal(18,6)) over the ``vocab_size`` most frequent tokens
+    (ties by token text) and `tot` = the single-row corpus token
+    total — factored out so the batch scorer (_unigram_scored) and
+    the ingest router (streaming ccnet_route_stream) freeze the
+    IDENTICAL model instead of re-deriving two subtly different
+    ones. Rides the session-cached corpus unigram counts (shared
+    with tx8): one materialized explode+groupBy instead of three
+    independent corpus re-scans for vocab/total/OOV-floor."""
     counts = _token_counts(spark, sf_dir)
     tot = counts.agg(F.sum("cnt").cast("bigint").alias("total"))
     vocab = (
@@ -604,6 +601,22 @@ def _unigram_scored(
             .alias("lp"),
         )
     )
+    return vocab, tot
+
+
+def _unigram_scored(
+    spark: SparkSession, sf_dir: str, vocab_size: int = UNIGRAM_VOCAB
+) -> DataFrame:
+    """Per-token unigram-LM scored relation (doc_id, lp2, oov) —
+    tx10's scoring pass factored out (the length_quantiles_over
+    discipline) so tx19's CCNet bucketing consumes the IDENTICAL
+    token log-probs tx10 reports instead of re-deriving a second,
+    subtly different model. lp2 is the decimal(18,6)-blunted token
+    log-prob (vocab hit or the 0.5/total OOV floor); oov flags the
+    floor rows. Both consumers aggregate per doc_id downstream."""
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    ex = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    vocab, tot = _unigram_model(spark, sf_dir, vocab_size)
     floor_lp = F.log(F.lit(0.5) / F.col("total").cast("double")).cast("decimal(18,6)")
     return (
         ex.join(F.broadcast(vocab), "tok", "left")
@@ -1930,7 +1943,30 @@ def tx19_ccnet_bucket(
     never shuffles more than the bounded domain. Not in the driver
     registry (50-entry cap); DuckDB parity in
     tests/test_offline_oracles.py."""
-    def _build_costs() -> DataFrame:
+    docs = tx19_doc_costs(spark, sf_dir, vocab_size)
+    thr = tx19_thresholds(spark, sf_dir, vocab_size)
+    bucket = (
+        F.when(F.col("cost_milli") <= F.col("t33"), "head")
+        .when(F.col("cost_milli") <= F.col("t67"), "middle")
+        .otherwise("tail")
+    )
+    return docs.join(F.broadcast(thr), "lang").select(
+        "doc_id", "lang", "n_tokens", "cost_milli", bucket.alias("bucket")
+    )
+
+
+def tx19_doc_costs(
+    spark: SparkSession, sf_dir: str, vocab_size: int = UNIGRAM_VOCAB
+) -> DataFrame:
+    """The per-doc LM-cost relation (doc_id, lang, n_tokens,
+    cost_milli) behind tx19. Session-cached: it feeds BOTH the
+    tertile-threshold histogram and tx19's output join — without
+    materialization Spark replans the whole two-pass LM scoring
+    under each branch (plan audit showed two full scoring subtrees,
+    no ReusedExchange). One narrow (4-col) per-doc relation, shared
+    (the _token_counts pattern)."""
+
+    def _build() -> DataFrame:
         scored = _unigram_scored(spark, sf_dir, vocab_size)
         per_doc = scored.groupBy("doc_id").agg(
             F.count("*").cast("bigint").alias("n_tokens"),
@@ -1944,12 +1980,18 @@ def tx19_ccnet_bucket(
             F.expr("cost_micro div (n_tokens * 1000)").cast("bigint").alias("cost_milli"),
         )
 
-    # the cost relation feeds BOTH the threshold histogram and the
-    # output join — without materialization Spark replans the whole
-    # two-pass LM scoring under each branch (plan audit showed two
-    # full scoring subtrees, no ReusedExchange). Session-cached like
-    # _token_counts: one narrow (4-col) per-doc relation, shared.
-    docs = _session_cached(spark, (sf_dir, "tx19_doc_costs", vocab_size), _build_costs)
+    return _session_cached(spark, (sf_dir, "tx19_doc_costs", vocab_size), _build)
+
+
+def tx19_thresholds(
+    spark: SparkSession, sf_dir: str, vocab_size: int = UNIGRAM_VOCAB
+) -> DataFrame:
+    """Per-language tertile thresholds (lang, t33, t67) over the
+    tx19_doc_costs relation — the integer inverted-CDF rule on the
+    bounded (lang, cost_milli) histogram. Factored out so the batch
+    bucketer (tx19) and the ingest router (ccnet_route_stream)
+    freeze the IDENTICAL cut points."""
+    docs = tx19_doc_costs(spark, sf_dir, vocab_size)
     hist = docs.groupBy("lang", "cost_milli").agg(F.count("*").cast("bigint").alias("cnt"))
     w = Window.partitionBy("lang").orderBy("cost_milli")
     wall = Window.partitionBy("lang")
@@ -1959,17 +2001,9 @@ def tx19_ccnet_bucket(
         F.sum("cnt").over(w).alias("cum"),
         F.sum("cnt").over(wall).alias("total"),
     )
-    thr = cum.groupBy("lang").agg(
+    return cum.groupBy("lang").agg(
         F.min(F.when(3 * F.col("cum") >= F.col("total"), F.col("cost_milli"))).alias("t33"),
         F.min(F.when(3 * F.col("cum") >= 2 * F.col("total"), F.col("cost_milli"))).alias("t67"),
-    )
-    bucket = (
-        F.when(F.col("cost_milli") <= F.col("t33"), "head")
-        .when(F.col("cost_milli") <= F.col("t67"), "middle")
-        .otherwise("tail")
-    )
-    return docs.join(F.broadcast(thr), "lang").select(
-        "doc_id", "lang", "n_tokens", "cost_milli", bucket.alias("bucket")
     )
 
 

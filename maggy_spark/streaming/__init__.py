@@ -1,4 +1,5 @@
 from maggy_spark.streaming.documents_stream import (
+    ccnet_route_stream,
     contamination_alert_stream,
     dedup_document_stream,
     dsir_score_stream,
@@ -34,6 +35,7 @@ from maggy_spark.streaming.metrics_stream import (
 
 __all__ = [
     "ann_alert_stream",
+    "ccnet_route_stream",
     "kmeans_route_stream",
     "pq_ann_alert_stream",
     "contamination_alert_stream",

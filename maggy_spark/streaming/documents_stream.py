@@ -282,3 +282,99 @@ def length_profile_stream_fn(doc_stream: DataFrame, merge_delta):
         merge_delta(length_profile_delta(batch_df), batch_id)
 
     return doc_stream.writeStream.foreachBatch(process)
+
+
+def ccnet_route_stream(
+    doc_stream: DataFrame, spark, sf_dir: str
+) -> DataFrame:
+    """Streaming tx19: route each incoming document (doc_id, text,
+    lang, ts) into its language's FROZEN head/middle/tail perplexity
+    bucket — the CCNet decision applied at the door (which slice of
+    the feed is even worth landing), next to dsir_score_stream's
+    importance score and quality_gate_stream's Gopher rule.
+
+    STATELESS by construction, and like kmeans_route_stream with NO
+    literal compilation: the frozen model — the <=UNIGRAM_VOCAB-row
+    (tok -> lp) map, the OOV floor, and the per-language (t33, t67)
+    tertile cut map — packs into a SINGLE-ROW static relation
+    (map_from_entries over the same _unigram_model / tx19_thresholds
+    relations the batch operator reads) and stream-static
+    cross-joins onto the feed; scoring is a per-row transform +
+    integer fold. Costs on corpus content are IDENTICAL to batch
+    tx19 (same decimal(18,6) token log-probs -> exact micro-nat
+    integers -> same integer division and threshold compare; pinned
+    by test_ccnet_route_stream_matches_batch_tx19). A language the
+    landed corpus has never seen has no cut points and routes to
+    'unbinned' — the honest spelling (there is no model to bin it
+    with), not a fake 'head'. Lookups use try_element_at: ANSI mode
+    throws on missing map keys, and an OOV token / unknown lang is a
+    domain value here, not an error.
+
+    Scale shape: per-batch work is |batch| x tokens-per-doc map
+    lookups (each a linear scan of the <=4096-entry map — Spark map
+    access is O(|map|)); the static side is one broadcast row. No
+    explode, no streaming aggregation, no watermark, no state store.
+    The map scan bounds throughput at roughly the kmeans router's
+    regime (~10^2-10^3 docs/s/core); an outrunning feed shards the
+    stream, not the model."""
+    from maggy_spark.functions.text import (
+        UNIGRAM_VOCAB,
+        _unigram_model,
+        tx19_thresholds,
+    )
+
+    vocab, tot = _unigram_model(spark, sf_dir)
+    lut_row = vocab.groupBy().agg(
+        F.map_from_entries(F.collect_list(F.struct("tok", "lp"))).alias("lut")
+    )
+    floor_row = tot.select(
+        F.log(F.lit(0.5) / F.col("total").cast("double"))
+        .cast("decimal(18,6)")
+        .alias("floor_lp")
+    )
+    thr_row = tx19_thresholds(spark, sf_dir).groupBy().agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("lang", F.struct("t33", "t67")))
+        ).alias("tmap")
+    )
+    packed = lut_row.crossJoin(floor_row).crossJoin(thr_row)
+
+    toks = F.split(F.col("text"), " ")
+    lp2 = lambda t: F.coalesce(F.try_element_at("lut", t), F.col("floor_lp"))  # noqa: E731
+    cost_micro = F.aggregate(
+        F.transform(toks, lambda t: (-lp2(t) * 1000000).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    cut = F.try_element_at("tmap", F.col("lang"))
+    return (
+        doc_stream.join(F.broadcast(packed))  # single-row static side: no fan-out
+        .select(
+            "doc_id",
+            "ts",
+            "lang",
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            cost_micro.alias("cost_micro"),
+            cut.alias("cut"),
+        )
+        .select(
+            "doc_id",
+            "ts",
+            "lang",
+            "n_tokens",
+            F.expr("cost_micro div (n_tokens * 1000)").cast("bigint").alias("cost_milli"),
+            "cut",
+        )
+        .select(
+            "doc_id",
+            "ts",
+            "lang",
+            "n_tokens",
+            "cost_milli",
+            F.when(F.col("cut").isNull(), F.lit("unbinned"))
+            .when(F.col("cost_milli") <= F.col("cut.t33"), F.lit("head"))
+            .when(F.col("cost_milli") <= F.col("cut.t67"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )

@@ -1014,3 +1014,95 @@ def test_kmeans_route_stream_matches_batch_ann10(spark, sf_dir):
     want = {r.vec_id: (r.cluster_id, r.cosine)
             for r in ann10_kmeans_assign(spark, sf_dir).collect()}
     assert got == want  # bit-equal doubles, same clusters, nothing dropped
+
+
+def test_ccnet_route_stream_matches_batch_tx19(spark, sf_dir):
+    """Streaming CCNet router parity (the seventh stream end-state
+    oracle): routing the corpus's own documents through the frozen
+    LM + tertile cut points must (a) reproduce batch tx19 EXACTLY
+    per doc — same exact integer milli-nat cost, same bucket — (b)
+    hash-match the DuckDB TX19 twin as the accumulated end state,
+    and (c) carry zero streaming state."""
+    import tempfile
+
+    import duckdb
+
+    from maggy_spark.functions.text import TX19_SQL, tx19_ccnet_bucket
+    from maggy_spark.streaming import ccnet_route_stream
+    from tools.check_oracle import frame_signature
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feed = docs.select("doc_id", "text", "lang", F.lit(_ts(0)).alias("ts"))
+    d = tempfile.mkdtemp(prefix="maggy_ccnetstream_")
+    feed.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(feed.schema).parquet(d)
+    q = (
+        ccnet_route_stream(stream, spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName("ccnet_route_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert all(
+        not (p.get("stateOperators") or [])
+        or sum(op.get("numRowsTotal", 0) for op in p["stateOperators"]) == 0
+        for p in q.recentProgress
+    )
+    routed = spark.sql("SELECT * FROM ccnet_route_out").collect()
+    got = {r.doc_id: (r.lang, r.n_tokens, r.cost_milli, r.bucket) for r in routed}
+    want = {
+        r.doc_id: (r.lang, r.n_tokens, r.cost_milli, r.bucket)
+        for r in tx19_ccnet_bucket(spark, sf_dir).collect()
+    }
+    assert got == want  # bit-equal integer costs, same buckets, nothing dropped
+
+    # end state vs the DuckDB twin — the same compare the offline
+    # oracle suite runs on the batch operator, here on the stream's
+    # accumulated output (ts dropped: the twin has no feed time)
+    import pandas as pd
+
+    end_pd = pd.DataFrame(
+        [(r.doc_id, r.lang, r.n_tokens, r.cost_milli, r.bucket) for r in routed],
+        columns=["doc_id", "lang", "n_tokens", "cost_milli", "bucket"],
+    )
+    duck = duckdb.connect()
+    duck.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    duck_pd = duck.execute(TX19_SQL).fetchdf()
+    s_cols, s_rows = frame_signature(end_pd)
+    d_cols, d_rows = frame_signature(duck_pd)
+    assert s_cols == d_cols and s_rows == d_rows
+    duck.close()
+
+
+def test_ccnet_route_stream_unbinned_language(spark, sf_dir, tmp_path):
+    """A language the landed corpus never produced has no tertile cut
+    points: the router must emit bucket='unbinned' (scored but not
+    binned), never a fake 'head' and never an ANSI missing-map-key
+    crash."""
+    from maggy_spark.streaming import ccnet_route_stream
+
+    feed_rows = [(900001, "the spark table join", "qq", _ts(0))]
+    feed = spark.createDataFrame(
+        feed_rows, "doc_id bigint, text string, lang string, ts timestamp"
+    )
+    d = str(tmp_path / "ccnet_unk")
+    feed.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(feed.schema).parquet(d)
+    q = (
+        ccnet_route_stream(stream, spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName("ccnet_route_unk")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT * FROM ccnet_route_unk").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.bucket == "unbinned"
+    assert r.cost_milli > 0  # still scored against the frozen LM
