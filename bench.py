@@ -232,7 +232,11 @@ def main() -> None:
     # retrain + the k x k separation pass — the ann10 discipline).
     try:
         from maggy_spark.functions.dedup import dd18_crossmodal_verify, dd19_containment_screen
-        from maggy_spark.functions.pipeline import pl16_repeat_schedule, pl17_shard_plan
+        from maggy_spark.functions.pipeline import (
+            pl16_repeat_schedule,
+            pl17_shard_plan,
+            pl18_temperature_mix,
+        )
         from maggy_spark.operators.events import ev12_lag_quantiles
         from maggy_spark.functions.similarity import (
             ann12_ivfpq_adc,
@@ -263,6 +267,7 @@ def main() -> None:
             ("tx18_langid_eval", tx18_langid_eval),
             ("tx19_ccnet_bucket", tx19_ccnet_bucket),
             ("ann16_mmr_rerank", ann16_mmr_rerank),
+            ("pl18_temperature_mix", pl18_temperature_mix),
         ):
             samples = []
             for _ in range(reps):

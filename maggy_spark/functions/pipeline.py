@@ -1727,3 +1727,92 @@ def corpus_to_token_shards(
         .parquet(out_path)
     )
     return out_path
+
+
+# --- pl18: temperature-sampled source mixture ---------------------------
+
+
+def pl18_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampled source mixture — the step that PRODUCES
+    the weights pl3 consumes: p_i ∝ n_i^alpha over the per-source
+    token masses, the multilingual/multi-domain mixing rule of
+    XLM-R (Conneau et al. 2020, alpha=0.3) and mT5 (Xue et al. 2021,
+    alpha=0.3; T5 uses 0.5), here at alpha = 0.5 so the exponent is
+    an exact IEEE sqrt. Downweights the head source, upsamples the
+    tail (epochs > 1), and reports the whole recipe per source:
+    (source, n_docs, n_tokens, weight, p, budget_tokens, epochs)
+    at a budget of one corpus-size pass (budget = total tokens, so
+    `epochs` reads directly as the per-source repeat factor).
+
+    Cross-engine determinism: n_tokens is an exact integer; sqrt is
+    correctly-rounded IEEE (bit-identical both engines); the weight
+    quantizes to an exact INTEGER of milli-units (floor(sqrt*1000))
+    BEFORE the normalizing sum, so the sum is a bigint (order-free)
+    and p is one IEEE division of two exact integers. A decimal
+    weight is NOT enough here: the sf10 sweep caught Spark and
+    DuckDB disagreeing by 1 ulp on the decimal(38,12)->double cast
+    at 17 significant digits (Spark's BigDecimal conversion is
+    correctly rounded, DuckDB's scale division is not guaranteed
+    to be) — integers have no such cast surface.
+
+    Scale shape: one map-side-combined groupBy on `source` (a
+    dims-sized key — a handful of crawls even at 100 TB), a
+    single-row total crossJoined back broadcast. One corpus pass,
+    no corpus shuffle, output |sources| rows. Not in the driver
+    registry (50-entry cap); DuckDB parity in
+    tests/test_offline_oracles.py."""
+    d = load_table(spark, sf_dir, "documents")
+    per = (
+        d.select("source", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1000)
+            .cast("bigint")
+            .alias("weight_milli"),
+        )
+    )
+    tot = per.agg(
+        F.sum("weight_milli").cast("bigint").alias("tw"),
+        F.sum("n_tokens").cast("bigint").alias("tt"),
+    )
+    p = F.col("weight_milli").cast("double") / F.col("tw").cast("double")
+    budget = F.floor(p * F.col("tt").cast("double")).cast("bigint")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "weight_milli",
+        p.alias("p"),
+        budget.alias("budget_tokens"),
+        (budget.cast("double") / F.col("n_tokens").cast("double")).alias("epochs"),
+    )
+
+
+PL18_SQL = """
+WITH per AS (
+    SELECT source, cast(count(*) AS BIGINT) AS n_docs,
+           cast(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+),
+per2 AS (
+    SELECT source, n_docs, n_tokens,
+           cast(floor(sqrt(cast(n_tokens AS DOUBLE)) * 1000) AS BIGINT) AS weight_milli
+    FROM per
+),
+tot AS (SELECT cast(sum(weight_milli) AS BIGINT) AS tw,
+               cast(sum(n_tokens) AS BIGINT) AS tt FROM per2)
+SELECT source, n_docs, n_tokens, weight_milli,
+       cast(weight_milli AS DOUBLE) / cast(tw AS DOUBLE) AS p,
+       cast(floor(cast(weight_milli AS DOUBLE) / cast(tw AS DOUBLE) * cast(tt AS DOUBLE))
+            AS BIGINT) AS budget_tokens,
+       cast(cast(floor(cast(weight_milli AS DOUBLE) / cast(tw AS DOUBLE) * cast(tt AS DOUBLE))
+                 AS BIGINT) AS DOUBLE) / cast(n_tokens AS DOUBLE) AS epochs
+FROM per2 CROSS JOIN tot
+"""

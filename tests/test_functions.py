@@ -3578,3 +3578,47 @@ def test_tx19_tertiles_exact_thirds_and_singleton_head(spark, tmp_path):
     d_cols, d_rows = frame_signature(duck_pd)
     assert s_cols == d_cols and s_rows == d_rows
     duck.close()
+
+
+def test_pl18_temperature_mix_upsamples_the_tail(spark, tmp_path):
+    """The temperature rule's semantic content on a crafted 1:4 token
+    mix: p ∝ sqrt(n_tokens), so the weight ratio is exactly 1:2
+    (sqrt(4) = 2) — the tail source gets MORE than its natural share
+    (epochs > 1), the head source less (epochs < 1), probabilities
+    sum to 1, and the Spark relation hash-matches the DuckDB twin on
+    the same crafted corpus."""
+    import duckdb as _duck
+    import pandas as pd
+
+    from maggy_spark.functions.pipeline import PL18_SQL, pl18_temperature_mix
+    from tools.check_oracle import frame_signature, to_pandas_spark
+
+    docs = []
+    # small source: 10 docs x 10 tokens = 100 tokens
+    for i in range(10):
+        docs.append((i, " ".join(["tok"] * 10), "en", "small", 0))
+    # big source: 40 docs x 10 tokens = 400 tokens
+    for i in range(40):
+        docs.append((100 + i, " ".join(["tok"] * 10), "en", "big", 0))
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    out = pl18_temperature_mix(spark, str(tmp_path))
+    rows = {r.source: r for r in out.collect()}
+    small, big = rows["small"], rows["big"]
+    assert small.n_tokens == 100 and big.n_tokens == 400
+    assert (small.weight_milli, big.weight_milli) == (10000, 20000)  # sqrt(4) = 2 exactly
+    assert small.p + big.p == pytest.approx(1.0, abs=1e-12)
+    # natural share of small is 1/5; temperature lifts it to 1/3
+    assert small.p == pytest.approx(1 / 3, abs=1e-12)
+    assert small.epochs > 1.0 and big.epochs < 1.0
+    assert small.budget_tokens + big.budget_tokens <= 500  # floor never overshoots
+
+    duck = _duck.connect()
+    duck.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path / 'documents.parquet'}'"
+    )
+    s_cols, s_rows = frame_signature(to_pandas_spark(out))
+    d_cols, d_rows = frame_signature(duck.execute(PL18_SQL).fetchdf())
+    assert s_cols == d_cols and s_rows == d_rows
+    duck.close()

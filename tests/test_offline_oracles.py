@@ -243,6 +243,10 @@ CASES = [
     # top-10 pool — greedy 0.5*rel - 0.5*maxsim, k=4 unrolled stages,
     # neighbor_id tie-breaks pin the trajectory cross-engine
     ("ann16_mmr_rerank", "ANN16_SQL", "maggy_spark.functions.similarity"),
+    # round-12 addition: temperature-sampled source mixture
+    # (p_i ∝ sqrt(n_i), the XLM-R/mT5 rule) — produces the weights
+    # pl3's fixed-weight budgeter consumes
+    ("pl18_temperature_mix", "PL18_SQL", "maggy_spark.functions.pipeline"),
 ]
 
 

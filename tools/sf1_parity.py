@@ -93,6 +93,7 @@ DIRECT = [
     "tx18_langid_eval",
     "tx19_ccnet_bucket",
     "ann16_mmr_rerank",
+    "pl18_temperature_mix",
     "pl17_shard_plan",
     # dd19 at sf1 is probe-pinned only: the 31-word synthetic vocab
     # makes nearly every organic shingle viral (df > 50 cap) at 50k
