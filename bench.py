@@ -237,7 +237,7 @@ def main() -> None:
             pl17_shard_plan,
             pl18_temperature_mix,
         )
-        from maggy_spark.operators.events import ev12_lag_quantiles
+        from maggy_spark.operators.events import ev12_lag_quantiles, ev13_type_transitions
         from maggy_spark.functions.similarity import (
             ann12_ivfpq_adc,
             ann13_cluster_quality,
@@ -268,6 +268,7 @@ def main() -> None:
             ("tx19_ccnet_bucket", tx19_ccnet_bucket),
             ("ann16_mmr_rerank", ann16_mmr_rerank),
             ("pl18_temperature_mix", pl18_temperature_mix),
+            ("ev13_type_transitions", ev13_type_transitions),
         ):
             samples = []
             for _ in range(reps):

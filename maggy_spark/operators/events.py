@@ -878,3 +878,66 @@ FROM cum GROUP BY lag_kind
 
 
 EV12_SQL = _ev12_sql()
+
+
+def ev13_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for
+    each consecutive event pair inside a user's (ts, event_id)-ordered
+    stream, count (prev_type -> event_type) and row-normalize — the
+    behavioral-flow readout (where do users go after a click?) that
+    ev7's fixed funnel cannot express because it enumerates ALL
+    transitions, not one prescribed path. Raw chain, deliberately not
+    session-split: ev5's gap rule is a different lens; composing them
+    is a one-line filter on its session_id.
+
+    Cross-engine determinism: counts are exact integers and p is one
+    int/int IEEE division per row — no float sums anywhere.
+
+    Scale shape: ONE shuffle of the events on user_id (the lag
+    window), then a map-side-combined groupBy onto the bounded
+    |types|^2 key space (25 keys here) and a window over that
+    bounded relation — past the lag, nothing scales with event
+    count. Not in the driver registry (50-entry cap); DuckDB parity
+    in tests/test_offline_oracles.py."""
+    from pyspark.sql.window import Window
+
+    e = load_events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    order = Window.partitionBy("user_id").orderBy("us", "event_id")
+    t = e.withColumn("prev_type", F.lag("event_type").over(order)).where(
+        F.col("prev_type").isNotNull()
+    )
+    counts = t.groupBy("prev_type", "event_type").agg(
+        F.count("*").cast("bigint").alias("n_transitions")
+    )
+    wp = Window.partitionBy("prev_type")
+    n_from = F.sum("n_transitions").over(wp).cast("bigint")
+    return counts.select(
+        "prev_type",
+        "event_type",
+        "n_transitions",
+        n_from.alias("n_from"),
+        (F.col("n_transitions").cast("double") / n_from.cast("double")).alias("p"),
+    )
+
+
+EV13_SQL = """
+WITH t AS (
+    SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+               AS prev_type,
+           event_type
+    FROM events
+),
+counts AS (
+    SELECT prev_type, event_type, cast(count(*) AS BIGINT) AS n_transitions
+    FROM t WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+)
+SELECT prev_type, event_type, n_transitions,
+       cast(sum(n_transitions) OVER (PARTITION BY prev_type) AS BIGINT) AS n_from,
+       cast(n_transitions AS DOUBLE)
+           / cast(cast(sum(n_transitions) OVER (PARTITION BY prev_type) AS BIGINT) AS DOUBLE)
+           AS p
+FROM counts
+"""

@@ -3622,3 +3622,29 @@ def test_pl18_temperature_mix_upsamples_the_tail(spark, tmp_path):
     d_cols, d_rows = frame_signature(duck.execute(PL18_SQL).fetchdf())
     assert s_cols == d_cols and s_rows == d_rows
     duck.close()
+
+
+def test_ev13_transition_matrix_invariants(spark, sf_dir):
+    """Markov-chain bookkeeping on the organic fixture: every row's
+    probability is n/n_from; each prev_type's probabilities sum to
+    exactly 1 (same denominator); and the total transition count is
+    n_events - n_users (each user's chain has length events-1)."""
+    from collections import defaultdict
+
+    from maggy_spark.operators.events import ev13_type_transitions
+    from maggy_spark.plans.fixtures import load_events
+
+    rows = ev13_type_transitions(spark, sf_dir).collect()
+    assert rows
+    by_prev = defaultdict(list)
+    for r in rows:
+        assert r.p == r.n_transitions / r.n_from  # one IEEE division, same ints
+        by_prev[r.prev_type].append(r)
+    for prev, grp in by_prev.items():
+        n_from = grp[0].n_from
+        assert all(r.n_from == n_from for r in grp), prev
+        assert sum(r.n_transitions for r in grp) == n_from, prev
+    ev = load_events(spark, sf_dir)
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n_transitions for r in rows) == n_events - n_users

@@ -247,6 +247,10 @@ CASES = [
     # (p_i ∝ sqrt(n_i), the XLM-R/mT5 rule) — produces the weights
     # pl3's fixed-weight budgeter consumes
     ("pl18_temperature_mix", "PL18_SQL", "maggy_spark.functions.pipeline"),
+    # round-12 addition: first-order Markov transition matrix of user
+    # behavior — all (prev_type -> type) flows, row-normalized with
+    # exact integer counts (the readout ev7's fixed funnel can't give)
+    ("ev13_type_transitions", "EV13_SQL", "maggy_spark.operators.events"),
 ]
 
 

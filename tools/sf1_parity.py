@@ -108,6 +108,7 @@ DIRECT = [
     "ev5_sessionize",
     "ev11_volume_anomaly",
     "ev12_lag_quantiles",
+    "ev13_type_transitions",
     "ann1_bruteforce_topk",
     "ann2_lsh_topk",
     "ann3_ivf_topk",
