@@ -3648,3 +3648,192 @@ def test_ev13_transition_matrix_invariants(spark, sf_dir):
     n_events = ev.count()
     n_users = ev.select("user_id").distinct().count()
     assert sum(r.n_transitions for r in rows) == n_events - n_users
+
+
+def test_ann16_matches_python_mmr_replay(spark):
+    """Cross-implementation property (the kmeans-replay discipline):
+    on random float32 corpora the Spark MMR trajectory — pool, every
+    pick, every penalty, every score — must be BIT-EQUAL to a pure
+    Python greedy replay that spells the same left-to-right dot fold,
+    the same precomputed-norm cosine, and the same (score desc, id
+    asc) tie-break. Covers degenerate shapes: zero-norm vectors
+    (dropped on both sides), duplicate vectors (cosine ties -> id
+    tie-break), pools smaller than k (fewer picks, same on both).
+    derandomize pins the example sequence (no RNG flicker)."""
+    import math
+    import tempfile
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from maggy_spark.functions.similarity import (
+        MMR_K,
+        MMR_POOL,
+        N_QUERIES,
+        ann16_mmr_rerank,
+    )
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y  # left-to-right, like the F.aggregate fold
+        return acc
+
+    def replay(vecs):
+        norms = {i: math.sqrt(dot(v, v)) for i, v in vecs.items()}
+        queries = {i: v for i, v in vecs.items() if i < N_QUERIES and norms[i] > 0}
+        corpus = sorted(i for i in vecs if i >= N_QUERIES and norms[i] > 0)
+        out = []
+        for q in sorted(queries):
+            scored = [
+                (dot(vecs[q], vecs[c]) / (norms[q] * norms[c]), c) for c in corpus
+            ]
+            ranked = sorted(scored, key=lambda t: (-t[0], t[1]))[:MMR_POOL]
+            pool_items = [(c, cos) for cos, c in ranked]
+            selected = []
+            for pick_rank in range(1, MMR_K + 1):
+                best = None
+                for c, cos in pool_items:
+                    if any(c == s for s, _ in selected):
+                        continue
+                    if selected:
+                        ms = max(
+                            dot(vecs[c], vecs[s]) / (norms[c] * norms[s])
+                            for s, _ in selected
+                        )
+                    else:
+                        ms = 0.0
+                    score = 0.5 * cos - 0.5 * ms
+                    if (
+                        best is None
+                        or score > best[0]
+                        or (score == best[0] and c < best[1])
+                    ):
+                        best = (score, c, cos, ms)
+                if best is None:
+                    break
+                score, c, cos, ms = best
+                selected.append((c, cos))
+                out.append((q, pick_rank, c, cos, ms, score))
+        return out
+
+    @settings(max_examples=5, deadline=None, derandomize=True)
+    @given(st.data())
+    def _case(data):
+        n = data.draw(st.integers(min_value=6, max_value=18), label="n")
+        d = data.draw(st.integers(min_value=2, max_value=5), label="d")
+        elems = data.draw(
+            st.lists(
+                st.floats(min_value=-4, max_value=4, allow_nan=False, width=32),
+                min_size=n * d,
+                max_size=n * d,
+            ),
+            label="elems",
+        )
+        E = np.array(elems, dtype=np.float32).reshape(n, d)
+        vecs = {i: [float(x) for x in E[i]] for i in range(n)}
+        sf = tempfile.mkdtemp(prefix="maggy_mmr_prop_")
+        spark.createDataFrame(
+            [(i, vecs[i], 0) for i in range(n)],
+            "vec_id bigint, embedding array<float>, label int",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+        got = sorted(
+            (r.query_id, r.pick_rank, r.neighbor_id, r.cosine, r.maxsim, r.mmr_score)
+            for r in ann16_mmr_rerank(spark, sf).collect()
+        )
+        want = sorted(replay(vecs))
+        assert got == want  # bit-equal doubles at every pick
+
+    _case()
+
+
+def test_tx19_matches_python_decimal_replay(spark):
+    """Cross-implementation property for the CCNet bucketer: on random
+    small corpora the whole tx19 relation — LM, exact milli-nat
+    costs, tertile thresholds, buckets — must EQUAL a pure
+    Python+Decimal replay (third engine next to the DuckDB twin):
+    ln on IEEE doubles, HALF_UP quantization to 6 dp (the
+    decimal(18,6) cast rule both engines implement), integer
+    micro-nat sums, floor division, integer inverted-CDF tertiles.
+    Random langs exercise histogram skew; repeated tokens exercise
+    the vocab/OOV boundary (vocab cap >> alphabet here, so every
+    token is in-vocab — OOV is pinned by the singleton-language
+    crafted test's 'solo' token instead). derandomize pins the
+    example sequence."""
+    import math
+    import tempfile
+    from collections import Counter, defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from maggy_spark.functions.text import tx19_ccnet_bucket
+    from maggy_spark.plans.fixtures import invalidate_session_cache
+
+    Q6 = Decimal("0.000001")
+
+    def replay(docs):
+        counts = Counter()
+        for _did, text, _lang in docs:
+            counts.update(text.split(" "))
+        total = sum(counts.values())
+        lp = {
+            t: Decimal(math.log(c / total)).quantize(Q6, rounding=ROUND_HALF_UP)
+            for t, c in counts.items()  # alphabet << 4096: all in-vocab
+        }
+        per_lang = defaultdict(list)
+        rows = {}
+        for did, text, lang in docs:
+            toks = text.split(" ")
+            cost_micro = sum(int(-lp[t] * 10**6) for t in toks)
+            cost_milli = cost_micro // (len(toks) * 1000)
+            rows[did] = (lang, len(toks), cost_milli)
+            per_lang[lang].append(cost_milli)
+        thr = {}
+        for lang, costs in per_lang.items():
+            hist = sorted(Counter(costs).items())
+            tot = len(costs)
+            cum = 0
+            t33 = t67 = None
+            for v, c in hist:
+                cum += c
+                if t33 is None and 3 * cum >= tot:
+                    t33 = v
+                if t67 is None and 3 * cum >= 2 * tot:
+                    t67 = v
+            thr[lang] = (t33, t67)
+        out = {}
+        for did, (lang, n, cm) in rows.items():
+            t33, t67 = thr[lang]
+            b = "head" if cm <= t33 else ("middle" if cm <= t67 else "tail")
+            out[did] = (lang, n, cm, b)
+        return out
+
+    token_st = st.sampled_from(["a", "bb", "ccc", "dd", "e"])
+    lang_st = st.sampled_from(["en", "de", "zz"])
+
+    @settings(max_examples=5, deadline=None, derandomize=True)
+    @given(
+        st.lists(
+            st.tuples(st.lists(token_st, min_size=1, max_size=12), lang_st),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    def _case(raw):
+        docs = [(i, " ".join(toks), lang) for i, (toks, lang) in enumerate(raw)]
+        sf = tempfile.mkdtemp(prefix="maggy_tx19_prop_")
+        spark.createDataFrame(
+            [(d, t, lg, "src", len(t)) for d, t, lg in docs],
+            "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+        invalidate_session_cache(spark, sf)
+        got = {
+            r.doc_id: (r.lang, r.n_tokens, r.cost_milli, r.bucket)
+            for r in tx19_ccnet_bucket(spark, sf).collect()
+        }
+        assert got == replay(docs)
+
+    _case()
