@@ -9,6 +9,9 @@ forms over the same store:
 2. streaming alerts — near_dup_alert_stream (micro-batches vs store)
 3. full sweep       — dd7 + dd10 components (the periodic compaction
                       job that also collapses clusters)
+4. map refresh      — dd20_incremental_components (previous star map
+                      + the delta probe's edges; equals the full
+                      rebuild without the store x store re-join)
 
 Run: python examples/incremental_ingest.py [sf_dir]
 """
@@ -36,6 +39,7 @@ def main():
         simhash_band_relation,
         dd10_near_dup_components,
         dd11_incremental_near_dup,
+        dd20_incremental_components,
     )
 
     # the signature store: signed once per session, shared by every path
@@ -96,6 +100,12 @@ def main():
         f"compaction sweep: {stats.docs} docs, {stats.near_dups_dropped} near-dups dropped, "
         f"largest cluster {stats.largest_cluster}"
     )
+
+    # 4. the incremental map refresh: previous snapshot's star map +
+    # the batch probe's edges — must equal the full sweep exactly
+    inc_comps = dd20_incremental_components(spark, sf_dir)
+    diff = inc_comps.exceptAll(comps).count() + comps.exceptAll(inc_comps).count()
+    print(f"incremental refresh: {inc_comps.count()} docs mapped, diff vs full sweep = {diff}")
 
 
 if __name__ == "__main__":

@@ -2085,3 +2085,78 @@ WHERE cast(i.n_common AS DOUBLE) / cast(least(sa.n_sh, sb.n_sh) AS DOUBLE) >= {t
 
 
 DD19_SQL = dd19_sql()
+
+
+# -- DD20: incremental component refresh (snapshot + delta) --------------
+
+
+def incremental_components_over(
+    universe: DataFrame,
+    id_col: str,
+    prev_stars: DataFrame,
+    new_edges: DataFrame,
+    max_iter: int = 30,
+) -> DataFrame:
+    """Merge a PREVIOUS snapshot's component map with a delta batch's
+    new edges — the core of incremental fuzzy dedup. `prev_stars` is
+    the stored (hi -> lo=component rep) star relation of the landed
+    corpus; `new_edges` are the (hi, lo) pairs the delta introduced
+    (delta-internal + delta-vs-store). Star edges SPAN their
+    components, so contracting their union with the new edges yields
+    exactly the components of the full pair graph — the store's
+    internal pairs never need recomputing, and a delta doc that
+    bridges two landed components merges them (the case the unit
+    test drives explicitly). Cost: |prev map| + |delta edges|,
+    independent of the landed corpus's pair volume."""
+    edges = prev_stars.unionByName(new_edges).distinct()
+    stars = star_components(edges, max_iter)
+    return components_over(universe, id_col, stars)
+
+
+def dd20_incremental_components(
+    spark: SparkSession, sf_dir: str, delta_mod: int = 10, max_iter: int = 30
+) -> DataFrame:
+    """dd10's component map maintained INCREMENTALLY: when the delta
+    slice (`doc_id % delta_mod == 0`, dd11's convention) lands, the
+    only pair work is dd11's delta-side probe — the landed corpus
+    contributes its PREVIOUS star map, not a store x store re-join.
+    Output is dd10's exact schema and, by construction, dd10's exact
+    relation (star edges span components; verified three ways: a
+    direct frame-equality test vs dd10, the offline oracle suite
+    against dd10's own recursive-closure twin, and the sf1 sweep
+    against the independent union-find oracle).
+
+    The fixture has no stored snapshot, so the previous map is
+    simulated by contracting the store slice's own pairs (the one
+    store-internal pass a REAL deployment did when that snapshot
+    landed); in production `incremental_components_over` consumes the
+    persisted map directly. Scale: the per-batch cost is dd11's
+    |delta| x bucket probe plus a contraction over |landed map| +
+    |delta edges| star edges — the 100 TB ingest path, vs dd10's full
+    corpus-pair sweep per refresh. Not in the driver registry
+    (50-entry cap); DuckDB parity in tests/test_offline_oracles.py."""
+    bands, b, t = simhash_band_relation(spark, sf_dir)
+    store_bands = bands.where(F.col("doc_id") % delta_mod != 0)
+    a = store_bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("sigint").alias("sa"), "band_key"
+    )
+    bb = store_bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("sigint").alias("sb"), "band_key"
+    )
+    first_match, ham = _first_match_and_hamming(b, t)
+    store_pairs = (
+        a.join(bb, "band_key")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(ham <= MAX_HAMMING)
+        .where(first_match)
+        .select("doc_a", "doc_b")
+    )
+    prev_stars = star_components(
+        store_pairs.select(F.col("doc_b").alias("hi"), F.col("doc_a").alias("lo")).distinct(),
+        max_iter,
+    )
+    new_edges = dd11_incremental_near_dup(spark, sf_dir, delta_mod).select(
+        F.col("doc_b").alias("hi"), F.col("doc_a").alias("lo")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return incremental_components_over(docs, "doc_id", prev_stars, new_edges, max_iter)

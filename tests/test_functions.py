@@ -3837,3 +3837,43 @@ def test_tx19_matches_python_decimal_replay(spark):
         assert got == replay(docs)
 
     _case()
+
+
+def test_dd20_equals_full_rebuild(spark, sf_dir):
+    """The incremental refresh must reproduce dd10's full-rebuild
+    relation EXACTLY — same reps, same sizes, same keep/drop — on the
+    organic fixture (star edges span components, so contracting
+    prev-map + delta edges loses nothing)."""
+    from maggy_spark.functions.dedup import (
+        dd10_near_dup_components,
+        dd20_incremental_components,
+    )
+
+    inc = {r.doc_id: (r.cluster_rep, r.cluster_size, r.is_duplicate)
+           for r in dd20_incremental_components(spark, sf_dir).collect()}
+    full = {r.doc_id: (r.cluster_rep, r.cluster_size, r.is_duplicate)
+            for r in dd10_near_dup_components(spark, sf_dir).collect()}
+    assert inc == full
+
+
+def test_incremental_components_merge_across_delta_bridge(spark):
+    """THE incremental scenario: a delta doc adjacent to two separate
+    landed components must merge them (and pull every member to the
+    global min rep). Driven on explicit edges through the factored
+    core, independent of SimHash geometry: landed map {2->1, 4->3},
+    delta edges {10->1, 10->3} => one component with rep 1."""
+    from maggy_spark.functions.dedup import incremental_components_over
+
+    universe = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 10, 99)], "doc_id bigint")
+    prev_stars = spark.createDataFrame([(2, 1), (4, 3)], "hi bigint, lo bigint")
+    new_edges = spark.createDataFrame([(10, 1), (10, 3)], "hi bigint, lo bigint")
+    out = {r.doc_id: (r.cluster_rep, r.cluster_size, r.is_duplicate)
+           for r in incremental_components_over(universe, "doc_id", prev_stars, new_edges).collect()}
+    assert out == {
+        1: (1, 5, False),
+        2: (1, 5, True),
+        3: (1, 5, True),
+        4: (1, 5, True),
+        10: (1, 5, True),
+        99: (99, 1, False),  # untouched singleton stays its own rep
+    }

@@ -251,6 +251,11 @@ CASES = [
     # behavior — all (prev_type -> type) flows, row-normalized with
     # exact integer counts (the readout ev7's fixed funnel can't give)
     ("ev13_type_transitions", "EV13_SQL", "maggy_spark.operators.events"),
+    # round-12 addition: dd10's component map maintained incrementally
+    # (previous star map + dd11's delta probe). The twin is dd10's OWN
+    # recursive-closure SQL — the incremental algorithm must reproduce
+    # the full rebuild exactly
+    ("dd20_incremental_components", "DD10_SQL", "maggy_spark.functions.dedup"),
 ]
 
 

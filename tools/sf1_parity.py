@@ -349,6 +349,7 @@ def main() -> int:
         "dd10_near_dup_components",
         "dd14_cluster_representatives",
         "pl13_full_corpus_build",
+        "dd20_incremental_components",
     }:
         t0 = time.time()
         try:
@@ -365,6 +366,18 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             record("dd10_near_dup_components", [f"error: {e}"], -1,
                    time.time() - t0, "duckdb-pairs+union-find")
+    if comp_oracle is not None and (not only or "dd20_incremental_components" in only):
+        t0 = time.time()
+        try:
+            sdf = qs["dd20_incremental_components"](spark, sf_dir)
+            spark_pd = to_pandas_spark(sdf)
+            record("dd20_incremental_components",
+                   compare_frames(sdf, spark_pd, comp_oracle),
+                   len(spark_pd), time.time() - t0, "duckdb-pairs+union-find")
+        except Exception as e:  # noqa: BLE001
+            record("dd20_incremental_components", [f"error: {e}"], -1,
+                   time.time() - t0, "duckdb-pairs+union-find")
+
     if comp_oracle is not None and (not only or "dd14_cluster_representatives" in only):
         t0 = time.time()
         try:
