@@ -232,10 +232,12 @@ def main() -> None:
     # retrain + the k x k separation pass — the ann10 discipline).
     try:
         from maggy_spark.functions.dedup import dd18_crossmodal_verify, dd19_containment_screen
+        from maggy_spark.functions.dedup import dd20_incremental_components
         from maggy_spark.functions.pipeline import (
             pl16_repeat_schedule,
             pl17_shard_plan,
             pl18_temperature_mix,
+            pl19_temperature_apply,
         )
         from maggy_spark.operators.events import ev12_lag_quantiles, ev13_type_transitions
         from maggy_spark.functions.similarity import (
@@ -269,6 +271,8 @@ def main() -> None:
             ("ann16_mmr_rerank", ann16_mmr_rerank),
             ("pl18_temperature_mix", pl18_temperature_mix),
             ("ev13_type_transitions", ev13_type_transitions),
+            ("pl19_temperature_apply", pl19_temperature_apply),
+            ("dd20_incremental_components", dd20_incremental_components),
         ):
             samples = []
             for _ in range(reps):

@@ -1816,3 +1816,78 @@ SELECT source, n_docs, n_tokens, weight_milli,
                  AS BIGINT) AS DOUBLE) / cast(n_tokens AS DOUBLE) AS epochs
 FROM per2 CROSS JOIN tot
 """
+
+
+def pl19_temperature_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REALIZE pl18's temperature mixture as a per-document repeat
+    plan: each doc appears floor(epochs_source) times plus one more
+    with probability frac(epochs_source) — deterministic stochastic
+    rounding via the md5 hash-uniform (pl3/pl10's counter), so the
+    expected token mass per source hits pl18's budget exactly while
+    every decision is reproducible across runs, engines, partitions
+    and retries. Output one row per (doc_id, copy): the exploded
+    relation pl9's epoch shuffle permutes — closing the recipe loop
+    derive (pl18) -> apply (pl19) -> order (pl9).
+
+    Cross-engine determinism: epochs is pl18's bit-identical double
+    (int/int IEEE division), floor/frac are IEEE ops on it, and the
+    keep decision compares the 52-bit hash uniform against frac —
+    the same double comparison both engines spell.
+
+    Scale shape: pl18's dims-sized relation broadcast-joins onto the
+    scan, the copy decision is a map-side expression, and the
+    explode emits floor(epochs)+1 <= ~2 rows/doc at the synthetic
+    mix — no shuffle at all past pl18's own aggregation. Not in the
+    driver registry (50-entry cap); DuckDB parity in
+    tests/test_offline_oracles.py."""
+    mix = pl18_temperature_mix(spark, sf_dir).select("source", "epochs")
+    d = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id", "source")
+    base = F.floor(F.col("epochs")).cast("int")
+    frac = F.col("epochs") - F.floor(F.col("epochs"))
+    u = hash_uniform("pl19", F.col("doc_id").cast("string"))
+    n_copies = (base + F.when(u < frac, 1).otherwise(0)).cast("int")
+    return (
+        d.join(F.broadcast(mix), "source")
+        .select("doc_id", "source", "epochs", n_copies.alias("n_copies"))
+        .where(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "n_copies",
+            F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_idx"),
+        )
+    )
+
+
+PL19_SQL = f"""
+WITH per AS (
+    SELECT source, cast(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+),
+per2 AS (
+    SELECT source,
+           cast(floor(sqrt(cast(n_tokens AS DOUBLE)) * 1000) AS BIGINT) AS weight_milli,
+           n_tokens
+    FROM per
+),
+tot AS (SELECT cast(sum(weight_milli) AS BIGINT) AS tw,
+               cast(sum(n_tokens) AS BIGINT) AS tt FROM per2),
+mix AS (
+    SELECT source,
+           cast(cast(floor(cast(weight_milli AS DOUBLE) / cast(tw AS DOUBLE)
+                           * cast(tt AS DOUBLE)) AS BIGINT) AS DOUBLE)
+               / cast(n_tokens AS DOUBLE) AS epochs
+    FROM per2 CROSS JOIN tot
+),
+copies AS (
+    SELECT d.doc_id, d.source, m.epochs,
+           cast(floor(m.epochs) AS INTEGER)
+           + CASE WHEN cast(cast(('0x' || substr(md5('pl19:' || cast(d.doc_id AS VARCHAR)), 1, 13))
+                                 AS BIGINT) AS DOUBLE) / 4503599627370496.0
+                       < m.epochs - floor(m.epochs)
+                  THEN 1 ELSE 0 END AS n_copies
+    FROM documents d JOIN mix m USING (source)
+)
+SELECT doc_id, source, n_copies, cast(unnest(range(1, n_copies + 1)) AS INTEGER) AS copy_idx
+FROM copies WHERE n_copies > 0
+"""

@@ -3877,3 +3877,53 @@ def test_incremental_components_merge_across_delta_bridge(spark):
         10: (1, 5, True),
         99: (99, 1, False),  # untouched singleton stays its own rep
     }
+
+
+def test_pl19_realizes_pl18_epochs(spark, tmp_path):
+    """The apply step must express pl18's epochs exactly: every doc
+    gets floor(epochs) or floor(epochs)+1 copies, copy indices are
+    dense 1..n_copies, and on the crafted 1:4 mix the tail source
+    (epochs ~1.667) keeps every doc at least once while the head
+    source (epochs ~0.833) drops some docs entirely. Spark == DuckDB
+    on the same corpus."""
+    import math
+
+    import duckdb as _duck
+    import pandas as pd
+
+    from maggy_spark.functions.pipeline import (
+        PL19_SQL,
+        pl18_temperature_mix,
+        pl19_temperature_apply,
+    )
+    from tools.check_oracle import frame_signature, to_pandas_spark
+
+    docs = [(i, " ".join(["tok"] * 10), "en", "small", 0) for i in range(10)]
+    docs += [(100 + i, " ".join(["tok"] * 10), "en", "big", 0) for i in range(40)]
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    epochs = {r.source: r.epochs for r in pl18_temperature_mix(spark, str(tmp_path)).collect()}
+    out = pl19_temperature_apply(spark, str(tmp_path)).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for did, rows in per_doc.items():
+        src = rows[0].source
+        n = rows[0].n_copies
+        lo = math.floor(epochs[src])
+        assert n in (lo, lo + 1), (did, n, epochs[src])
+        assert sorted(r.copy_idx for r in rows) == list(range(1, n + 1))
+    small_docs = {d for d, rows in per_doc.items() if rows[0].source == "small"}
+    assert small_docs == set(range(10))  # epochs > 1: nothing dropped
+    big_docs = {d for d, rows in per_doc.items() if rows[0].source == "big"}
+    assert len(big_docs) < 40  # epochs < 1: stochastic rounding drops some
+
+    duck = _duck.connect()
+    duck.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path / 'documents.parquet'}'"
+    )
+    s_cols, s_rows = frame_signature(to_pandas_spark(pl19_temperature_apply(spark, str(tmp_path))))
+    d_cols, d_rows = frame_signature(duck.execute(PL19_SQL).fetchdf())
+    assert s_cols == d_cols and s_rows == d_rows
+    duck.close()

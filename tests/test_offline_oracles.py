@@ -256,6 +256,10 @@ CASES = [
     # recursive-closure SQL — the incremental algorithm must reproduce
     # the full rebuild exactly
     ("dd20_incremental_components", "DD10_SQL", "maggy_spark.functions.dedup"),
+    # round-12 addition: pl18's temperature mixture REALIZED as a
+    # per-doc repeat plan — floor(epochs) copies + one more with
+    # probability frac(epochs) via the deterministic md5 uniform
+    ("pl19_temperature_apply", "PL19_SQL", "maggy_spark.functions.pipeline"),
 ]
 
 

@@ -94,6 +94,7 @@ DIRECT = [
     "tx19_ccnet_bucket",
     "ann16_mmr_rerank",
     "pl18_temperature_mix",
+    "pl19_temperature_apply",
     "pl17_shard_plan",
     # dd19 at sf1 is probe-pinned only: the 31-word synthetic vocab
     # makes nearly every organic shingle viral (df > 50 cap) at 50k
