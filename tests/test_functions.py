@@ -3927,3 +3927,78 @@ def test_pl19_realizes_pl18_epochs(spark, tmp_path):
     d_cols, d_rows = frame_signature(duck.execute(PL19_SQL).fetchdf())
     assert s_cols == d_cols and s_rows == d_rows
     duck.close()
+
+
+def test_incremental_components_match_union_find_on_random_graphs(spark):
+    """Property (derandomized): on arbitrary random graphs, splitting
+    the edge set into a 'landed' part (contracted to its star map
+    first, as a previous snapshot would be) and a 'delta' part, then
+    refreshing through incremental_components_over, must equal a pure
+    Python union-find over the FULL edge set — for any split, any
+    component shape, bridges, self-contained deltas, empty sides."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from maggy_spark.functions.dedup import (
+        incremental_components_over,
+        star_components,
+    )
+
+    def uf_components(n_nodes, edges):
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp = {}
+        for i in range(n_nodes):
+            comp.setdefault(find(i), []).append(i)
+        out = {}
+        for members in comp.values():
+            rep = min(members)
+            for m in members:
+                out[m] = (rep, len(members), m != rep)
+        return out
+
+    @settings(max_examples=5, deadline=None, derandomize=True)
+    @given(st.data())
+    def _case(data):
+        n = data.draw(st.integers(min_value=2, max_value=14), label="n")
+        edges = data.draw(
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=0, max_value=n - 1),
+                    st.integers(min_value=0, max_value=n - 1),
+                ).filter(lambda e: e[0] != e[1]),
+                max_size=20,
+            ),
+            label="edges",
+        )
+        n_landed = data.draw(st.integers(min_value=0, max_value=len(edges)), label="cut")
+        landed, delta = edges[:n_landed], edges[n_landed:]
+        universe = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
+
+        def as_df(pairs):
+            rows = [(max(a, b), min(a, b)) for a, b in pairs]
+            return spark.createDataFrame(rows or [], "hi bigint, lo bigint")
+
+        if landed:
+            prev_stars = star_components(as_df(landed))
+        else:
+            prev_stars = as_df([])
+        got = {
+            r.doc_id: (r.cluster_rep, r.cluster_size, r.is_duplicate)
+            for r in incremental_components_over(
+                universe, "doc_id", prev_stars, as_df(delta)
+            ).collect()
+        }
+        assert got == uf_components(n, edges)
+
+    _case()
