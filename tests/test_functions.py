@@ -4002,3 +4002,33 @@ def test_incremental_components_match_union_find_on_random_graphs(spark):
         assert got == uf_components(n, edges)
 
     _case()
+
+
+def test_continuation_operators_on_empty_corpus(spark, tmp_path):
+    """Empty-corpus pin for the continuation-session operators: a
+    zero-row documents/embeddings/events table (right schemas) must
+    not crash any of them — every aggregating relation comes back
+    empty (there is nothing to bucket, mix, rerank, transition, or
+    refresh)."""
+    from maggy_spark.functions import pipeline, similarity
+    from maggy_spark.operators import events as ev
+
+    spark.createDataFrame(
+        [], "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    spark.createDataFrame(
+        [], "vec_id bigint, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    spark.createDataFrame(
+        [],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    sf = str(tmp_path)
+
+    assert text.tx19_ccnet_bucket(spark, sf).count() == 0
+    assert similarity.ann16_mmr_rerank(spark, sf).count() == 0
+    assert pipeline.pl18_temperature_mix(spark, sf).count() == 0
+    assert pipeline.pl19_temperature_apply(spark, sf).count() == 0
+    assert ev.ev13_type_transitions(spark, sf).count() == 0
+    assert dedup.dd20_incremental_components(spark, sf).count() == 0
