@@ -324,6 +324,12 @@ def ccnet_route_stream(
     )
 
     vocab, tot = _unigram_model(spark, sf_dir)
+    total = tot.first()["total"]
+    if not total:
+        # the kmeans_route rule: an EMPTY landed corpus has no LM and
+        # no cut points — routing against it would silently emit NULL
+        # costs; fail loudly at stream build instead
+        raise ValueError("ccnet_route_stream needs a non-empty landed corpus")
     lut_row = vocab.groupBy().agg(
         F.map_from_entries(F.collect_list(F.struct("tok", "lp"))).alias("lut")
     )

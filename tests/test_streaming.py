@@ -1106,3 +1106,26 @@ def test_ccnet_route_stream_unbinned_language(spark, sf_dir, tmp_path):
     r = rows[0]
     assert r.bucket == "unbinned"
     assert r.cost_milli > 0  # still scored against the frozen LM
+
+
+def test_ccnet_route_stream_rejects_empty_store(spark, tmp_path):
+    """An empty landed corpus has no LM and no cut points: building
+    the router against it must raise loudly (the kmeans_route empty-
+    model rule), never route with NULL costs."""
+    import pytest
+
+    from maggy_spark.plans.fixtures import invalidate_session_cache
+    from maggy_spark.streaming import ccnet_route_stream
+
+    spark.createDataFrame(
+        [], "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    invalidate_session_cache(spark, str(tmp_path))
+    feed = spark.createDataFrame(
+        [(1, "x", "en", _ts(0))], "doc_id bigint, text string, lang string, ts timestamp"
+    )
+    d = str(tmp_path / "feed")
+    feed.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(feed.schema).parquet(d)
+    with pytest.raises(ValueError, match="non-empty landed corpus"):
+        ccnet_route_stream(stream, spark, str(tmp_path))
