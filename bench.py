@@ -240,6 +240,7 @@ def main() -> None:
             pl19_temperature_apply,
         )
         from maggy_spark.operators.events import ev12_lag_quantiles, ev13_type_transitions
+        from maggy_spark.operators.warehouse import k5_late_shipment_priority
         from maggy_spark.functions.similarity import (
             ann12_ivfpq_adc,
             ann13_cluster_quality,
@@ -273,6 +274,7 @@ def main() -> None:
             ("ev13_type_transitions", ev13_type_transitions),
             ("pl19_temperature_apply", pl19_temperature_apply),
             ("dd20_incremental_components", dd20_incremental_components),
+            ("k5_late_shipment_priority", k5_late_shipment_priority),
         ):
             samples = []
             for _ in range(reps):

@@ -261,3 +261,71 @@ GROUP BY n.n_name
 
 
 K4_SQL = k4_sql()
+
+
+K5_LATE_DAYS = 60
+
+
+def k5_late_shipment_priority(
+    spark: SparkSession, sf_dir: str, days: int = K5_LATE_DAYS
+) -> DataFrame:
+    """TPC-H Q4-shaped order-priority check, adapted to the fixture's
+    columns: count orders per priority that had AT LEAST ONE lineitem
+    shipped more than ``days`` days after the order date — the
+    EXISTS/semi-join plan shape, which no other registry or offline
+    row exercises (g12 is the anti-join; the k-family joins are all
+    inner). The decision per order is existential, so the engine
+    spelling is a LEFT SEMI join with the date predicate INSIDE the
+    join condition: the probe stops at the first match per order and
+    nothing from the lineitem side is projected or re-aggregated —
+    at fact scale this is strictly cheaper than join+distinct.
+
+    Timestamps: both columns are TIMESTAMP_NTZ; the k3 rule applies —
+    the comparison runs on tz-free epoch micros (timestampdiff from
+    the NTZ epoch), so the +days offset is integer arithmetic and no
+    session-timezone conversion can move boundary rows.
+
+    Scale shape: the semi-join shuffles both facts on the uniform
+    orderkey (AQE may broadcast the filtered probe at small SF); the
+    rollup is a map-side-combined groupBy onto the bounded |priority|
+    key space. Output |priorities| rows. Not in the driver registry
+    (50-entry cap); DuckDB parity in tests/test_offline_oracles.py.
+    """
+
+    def ntz_us(col: str):
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+        )
+
+    offset_us = days * 86_400_000_000
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", ntz_us("o_orderdate").alias("odate_us")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", ntz_us("l_shipdate").alias("sdate_us")
+    )
+    cond = (o.o_orderkey == li.l_orderkey) & (
+        li.sdate_us > o.odate_us + F.lit(offset_us)
+    )
+    return (
+        o.join(li, cond, "leftsemi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("n_late_orders"))
+    )
+
+
+def k5_sql(days: int = K5_LATE_DAYS) -> str:
+    """DuckDB twin, parameterized like k3_sql/k4_sql."""
+    return f"""
+SELECT o.o_orderpriority, cast(count(*) AS BIGINT) AS n_late_orders
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND epoch_us(l.l_shipdate) > epoch_us(o.o_orderdate) + {days} * 86400000000
+)
+GROUP BY o.o_orderpriority
+"""
+
+
+K5_SQL = k5_sql()

@@ -4032,3 +4032,33 @@ def test_continuation_operators_on_empty_corpus(spark, tmp_path):
     assert pipeline.pl19_temperature_apply(spark, sf).count() == 0
     assert ev.ev13_type_transitions(spark, sf).count() == 0
     assert dedup.dd20_incremental_components(spark, sf).count() == 0
+
+
+def test_k5_semi_join_equals_distinct_spelling(spark, sf_dir):
+    """The semi-join must answer the same existential question as the
+    naive join+distinct spelling (per-order dedup before the priority
+    rollup), and the per-priority counts must never exceed the raw
+    order counts."""
+    from maggy_spark.operators.warehouse import k5_late_shipment_priority
+    from maggy_spark.plans.fixtures import load_table
+
+    got = {r.o_orderpriority: r.n_late_orders
+           for r in k5_late_shipment_priority(spark, sf_dir).collect()}
+
+    def ntz_us(col):
+        return F.expr(f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})")
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", ntz_us("o_orderdate").alias("odate_us"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), ntz_us("l_shipdate").alias("sdate_us"))
+    naive = (o.join(li, "o_orderkey")
+               .where(F.col("sdate_us") > F.col("odate_us") + 60 * 86_400_000_000)
+               .select("o_orderkey", "o_orderpriority").distinct()
+               .groupBy("o_orderpriority").count())
+    want = {r.o_orderpriority: r["count"] for r in naive.collect()}
+    assert got == want
+    totals = {r.o_orderpriority: r["count"]
+              for r in load_table(spark, sf_dir, "orders").groupBy("o_orderpriority").count().collect()}
+    for prio, n in got.items():
+        assert 0 < n <= totals[prio]

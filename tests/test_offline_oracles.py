@@ -260,6 +260,10 @@ CASES = [
     # per-doc repeat plan — floor(epochs) copies + one more with
     # probability frac(epochs) via the deterministic md5 uniform
     ("pl19_temperature_apply", "PL19_SQL", "maggy_spark.functions.pipeline"),
+    # round-12 addition: the EXISTS/semi-join plan shape (TPC-H Q4
+    # adapted to the fixture columns) — late-shipment order counts
+    # per priority, tz-free epoch-micros date arithmetic
+    ("k5_late_shipment_priority", "K5_SQL", "maggy_spark.operators.warehouse"),
 ]
 
 
