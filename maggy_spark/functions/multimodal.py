@@ -833,7 +833,12 @@ def validate_mm6_twin_corpus(payloads: dict) -> None:
 
 
 OPERATORS = [
-    ("mm1_decode_metadata", mm1_decode_metadata, MM1_SQL),
+    # mm1_decode_metadata rotated OUT round 13 (pre-declared in VERDICT
+    # r12 item 1, per the recorded redundancy argument): gate-history
+    # mm2/mm3 derive entirely from the mm1 metadata relation and its
+    # decode plumbing is pinned by tests/test_multimodal.py; parity
+    # continues in tests/test_offline_oracles.py at the gate's sf0.01.
+    # The slot went to ann16_mmr_rerank (similarity.py).
     # mm2_frame_sample rotated OUT of the registry round 8 (derives
     # entirely from the gate-green mm1 metadata relation) to make room
     # for the pl13 corpus-build capstone under the 50-entry cap;

@@ -1340,10 +1340,12 @@ FROM h
 PL14_SQL = pl14_sql()
 
 # Rotated INTO the driver registry round 9 (slot freed by pl2 — see
-# COVERAGE.md "Round-10 rotation candidates", executed early): the
-# epoch-0 banded curriculum order was the last r8 operator whose
-# relation was not hash-verified under the gate.
-OPERATORS.append(("pl14_curriculum_order", pl14_curriculum_order, PL14_SQL))
+# COVERAGE.md "Round-10 rotation candidates", executed early); rotated
+# back OUT round 13 (pre-declared in VERDICT r12 item 1): pl14's later
+# epochs are pinned identical to gate-green pl9 by
+# test_pl14_curriculum_shape, so the epoch-0 banding is the only novel
+# stage and it stays offline-oracled at the gate's sf0.01. The slot
+# went to pl16_repeat_schedule.
 
 
 # ---------------------------------------------------------------- pl15
@@ -1566,6 +1568,14 @@ SELECT band, epoch, block_tokens, density,
            <= 3 * cast(sum(block_tokens) OVER () AS BIGINT) AS selected
 FROM blocks
 """
+
+# rotated INTO the driver registry round 13 (pre-declared in VERDICT r12
+# item 1, in exchange for pl14_curriculum_order): the data-constrained
+# repeat schedule (Muennighoff et al. 2023) — greedy (band, epoch) block
+# selection by decaying value density under a pure-integer 1.5-epoch
+# token budget; the selection step between pl10's upsample and pl9's
+# epoch shuffle.
+OPERATORS.append(("pl16_repeat_schedule", pl16_repeat_schedule, PL16_SQL))
 
 
 # --- pl17: balanced output-shard layout (distributed prefix sum) --------

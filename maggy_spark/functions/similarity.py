@@ -1434,7 +1434,10 @@ FROM coarse WHERE adc_cos >= {threshold}
 OPERATORS = [
     ("ann1_bruteforce_topk", ann1_bruteforce_topk, ANN1_SQL),
     ("ann2_lsh_topk", ann2_lsh_topk, ANN2_SQL),
-    ("ann3_ivf_topk", ann3_ivf_topk, ANN3_SQL),
+    # ann3_ivf_topk rotated OUT round 13 (pre-declared in VERDICT r12
+    # item 1): its medoid routing is a literal sub-stage of gate-green
+    # ann8 AND of ann12_ivfpq_adc, which took the slot. Parity
+    # continues in tests/test_offline_oracles.py at the gate's sf0.01.
     ("ann4_embedding_near_dup", ann4_embedding_near_dup, ANN4_SQL),
     # round-11 rotation (pre-declared in COVERAGE.md r11, executed
     # this round): ann9_pq_adc IN — the PQ/ADC serving tier (32x
@@ -2580,3 +2583,14 @@ sel{i} AS (
 
 
 ANN16_SQL = ann16_sql()
+
+# rotated INTO the driver registry round 13 (pre-declared in VERDICT r12
+# item 1): ann12 — the FAISS IVFPQ serving composition (ann8's medoid
+# routing over ann9's list-tagged PQ code store), 3x faster than ann9's
+# full scan at sf10, offline/sf1/sf10-green before promotion — took
+# ann3's slot; ann16 — MMR diversity reranking, an iterative-greedy
+# plan shape the gate did not yet cover — took mm1's slot (mm1's
+# metadata decode relation is the shared parent of gate-history
+# mm2/mm3 and stays offline-oracled).
+OPERATORS.append(("ann12_ivfpq_adc", ann12_ivfpq_adc, ANN12_SQL))
+OPERATORS.append(("ann16_mmr_rerank", ann16_mmr_rerank, ANN16_SQL))

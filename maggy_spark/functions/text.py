@@ -444,7 +444,12 @@ TX8_SQL = tx8_sql()  # default-argument twin for the offline oracle table
 
 OPERATORS = [
     ("tx1_token_count", tx1_token_count, TX1_SQL),
-    ("tx5_ngram_stats", tx5_ngram_stats, TX5_SQL),
+    # tx5_ngram_stats rotated OUT round 13 (pre-declared in VERDICT r12
+    # item 1): its shingle explode + count shape is the first stage of
+    # the gate-green dd7/dd8 banded pipelines and of tx10's unigram
+    # model; the slot went to tx19_ccnet_bucket (corpus-derived
+    # thresholds — a plan shape the gate did not yet cover). Parity
+    # continues in tests/test_offline_oracles.py at the gate's sf0.01.
     # tx6_regex_tokens rotated OUT of the registry round 7 (its regex-token
     # shape is subsumed by tx1/tx5); parity continues in
     # tests/test_offline_oracles.py at sf0.01.
@@ -2058,3 +2063,10 @@ FROM docs d JOIN thr t USING (lang)
 
 
 TX19_SQL = tx19_sql()
+
+# rotated INTO the driver registry round 13 (pre-declared in VERDICT r12
+# item 1, in exchange for tx5_ngram_stats): the corpus-derived-threshold
+# plan shape — per-language tertile cut points computed FROM the corpus
+# (tx16's integer inverted-CDF rule on an exact milli-nat cost domain)
+# and joined back to route every doc — which the gate did not yet cover.
+OPERATORS.append(("tx19_ccnet_bucket", tx19_ccnet_bucket, TX19_SQL))

@@ -168,18 +168,14 @@ CASES = [
     # UNIONed on both engines for non-vacuity (the tx12/dd15 probe
     # argument). The streaming twin is streaming.phash_alert_stream.
     ("mm8_phash_probe", "MM8_SQL", "maggy_spark.functions.multimodal"),
-    # round-12 addition: IVF + PQ/ADC + exact rerank — the FAISS
-    # IVFPQ composition at the top of the compression ladder (ann8's
-    # medoid routing over ann9's list-tagged code store); with
-    # nprobe >= |lists| it is row-for-row ann9
-    # (test_ann12_all_lists_probe_equals_ann9)
-    ("ann12_ivfpq_adc", "ANN12_SQL", "maggy_spark.functions.similarity"),
-    # round-12 addition: the data-constrained repeat schedule
-    # (Muennighoff et al. 2023) — greedy (band, epoch) blocks by
-    # decaying value density under a pure-integer 1.5-epoch token
-    # budget; the selection step between pl10's upsample and pl9's
-    # epoch shuffle
-    ("pl16_repeat_schedule", "PL16_SQL", "maggy_spark.functions.pipeline"),
+    # round-13 rotation (pre-declared in VERDICT r12 item 1):
+    # ann12_ivfpq_adc and pl16_repeat_schedule moved INTO the registry;
+    # rotated out here: ann3 (its medoid routing is a literal sub-stage
+    # of gate-green ann8 AND ann12), pl14 (later epochs pinned
+    # identical to gate-green pl9 by test_pl14_curriculum_shape, so
+    # only the epoch-0 banding is novel).
+    ("ann3_ivf_topk", "ANN3_SQL", "maggy_spark.functions.similarity"),
+    ("pl14_curriculum_order", "PL14_SQL", "maggy_spark.functions.pipeline"),
     # round-12 addition: dd7's SimHash text candidates re-scored in
     # embedding space (surface near-dups vs template collisions); the
     # sf1 rung inherits dd7's documented DuckDB-twin exclusion (the
@@ -234,15 +230,14 @@ CASES = [
     # (ann14's eval-relation pattern); NULL precision/f1 for languages
     # never predicted, by design
     ("tx18_langid_eval", "TX18_SQL", "maggy_spark.functions.text"),
-    # round-12 addition: CCNet per-language head/middle/tail
-    # perplexity tertiles — the decision relation over tx10's score,
-    # thresholds via tx16's integer inverted-CDF rule on an exact
-    # milli-nat cost domain
-    ("tx19_ccnet_bucket", "TX19_SQL", "maggy_spark.functions.text"),
-    # round-12 addition: MMR diversity reranking over ann1's exact
-    # top-10 pool — greedy 0.5*rel - 0.5*maxsim, k=4 unrolled stages,
-    # neighbor_id tie-breaks pin the trajectory cross-engine
-    ("ann16_mmr_rerank", "ANN16_SQL", "maggy_spark.functions.similarity"),
+    # round-13 rotation second pair (pre-declared in VERDICT r12 item
+    # 1): tx19_ccnet_bucket and ann16_mmr_rerank moved INTO the
+    # registry; rotated out here: tx5 (shingle explode + count — the
+    # first stage of gate-green dd7/dd8 and of tx10's unigram model)
+    # and mm1 (the metadata relation gate-history mm2/mm3 derive from;
+    # decode plumbing pinned by tests/test_multimodal.py).
+    ("tx5_ngram_stats", "TX5_SQL", "maggy_spark.functions.text"),
+    ("mm1_decode_metadata", "MM1_SQL", "maggy_spark.functions.multimodal"),
     # round-12 addition: temperature-sampled source mixture
     # (p_i ∝ sqrt(n_i), the XLM-R/mT5 rule) — produces the weights
     # pl3's fixed-weight budgeter consumes
