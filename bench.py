@@ -232,9 +232,9 @@ def main() -> None:
     # retrain + the k x k separation pass — the ann10 discipline).
     try:
         from maggy_spark.functions.dedup import dd18_crossmodal_verify, dd19_containment_screen
-        from maggy_spark.functions.dedup import dd20_incremental_components
+        from maggy_spark.functions.multimodal import mm1_decode_metadata
         from maggy_spark.functions.pipeline import (
-            pl16_repeat_schedule,
+            pl14_curriculum_order,
             pl17_shard_plan,
             pl18_temperature_mix,
             pl19_temperature_apply,
@@ -242,22 +242,26 @@ def main() -> None:
         from maggy_spark.operators.events import ev12_lag_quantiles, ev13_type_transitions
         from maggy_spark.operators.warehouse import k5_late_shipment_priority
         from maggy_spark.functions.similarity import (
-            ann12_ivfpq_adc,
             ann13_cluster_quality,
             ann14_recall_eval,
             ann15_cluster_keywords,
+            ann3_ivf_topk,
         )
-        from maggy_spark.functions.similarity import ann16_mmr_rerank
         from maggy_spark.functions.text import (
             tx16_length_quantiles,
             tx17_tfidf_keywords,
             tx18_langid_eval,
-            tx19_ccnet_bucket,
+            tx5_ngram_stats,
         )
 
+        # r13 rotation bookkeeping: ann12/pl16/tx19/ann16 moved INTO the
+        # registry (timed by the registry loop above), and the four
+        # rotated-out ops take their extras slots so the measured row
+        # set — and therefore the round-over-round shared-row
+        # comparison — stays identical to r12.
         for name, fn in (
-            ("ann12_ivfpq_adc", ann12_ivfpq_adc),
-            ("pl16_repeat_schedule", pl16_repeat_schedule),
+            ("ann3_ivf_topk", ann3_ivf_topk),
+            ("pl14_curriculum_order", pl14_curriculum_order),
             ("dd18_crossmodal_verify", dd18_crossmodal_verify),
             ("tx16_length_quantiles", tx16_length_quantiles),
             ("pl17_shard_plan", pl17_shard_plan),
@@ -268,12 +272,11 @@ def main() -> None:
             ("tx17_tfidf_keywords", tx17_tfidf_keywords),
             ("ann15_cluster_keywords", ann15_cluster_keywords),
             ("tx18_langid_eval", tx18_langid_eval),
-            ("tx19_ccnet_bucket", tx19_ccnet_bucket),
-            ("ann16_mmr_rerank", ann16_mmr_rerank),
+            ("tx5_ngram_stats", tx5_ngram_stats),
+            ("mm1_decode_metadata", mm1_decode_metadata),
             ("pl18_temperature_mix", pl18_temperature_mix),
             ("ev13_type_transitions", ev13_type_transitions),
             ("pl19_temperature_apply", pl19_temperature_apply),
-            ("dd20_incremental_components", dd20_incremental_components),
             ("k5_late_shipment_priority", k5_late_shipment_priority),
         ):
             samples = []
@@ -285,8 +288,59 @@ def main() -> None:
             timings[name] = round(statistics.median(samples), 3)
             spreads[name] = round(max(samples) - min(samples), 3)
     except Exception as e:  # noqa: BLE001
-        timings["ann12_ivfpq_adc"] = -1.0
+        timings["ann3_ivf_topk"] = -1.0
         print(f"BENCH ERROR r12 extras: {e}", file=sys.stderr)
+        spark.catalog.clearCache()
+
+    # dd20 split (VERDICT r12 item 3): the old single row was ~90%
+    # previous-snapshot SIMULATION (a store-internal pair sweep a real
+    # deployment ran once, at snapshot time), so drift on the actual
+    # ingest path was unmeasurable. Two rows now:
+    # - dd20_snapshot_build prices that one-time store pass INCLUDING
+    #   the parquet write of the star map (what a deployment pays per
+    #   snapshot), fully cold per rep (clearCache) like the old row.
+    # - dd20_refresh prices the production per-batch path — dd11's
+    #   delta probe + one map+delta contraction — reading the
+    #   PERSISTED snapshot fixture, with the signatures/band store
+    #   WARM (in production it is a long-lived persisted table; a
+    #   refresh never re-signs the landed corpus). The delta's own
+    #   signing rides inside the warm relation here, which overstates
+    #   nothing: the fixture delta is 10% of the corpus.
+    try:
+        import tempfile
+
+        from maggy_spark.functions.dedup import (
+            dd20_refresh,
+            dd20_store_star_map,
+            simhash_band_relation,
+        )
+
+        snap_root = tempfile.mkdtemp(prefix="dd20_snap_")
+        snap = f"{snap_root}/star_map.parquet"
+        sb_samples = []
+        for _ in range(reps):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            dd20_store_star_map(spark, sf_dir).write.mode("overwrite").parquet(snap)
+            sb_samples.append(time.time() - t0)
+        timings["dd20_snapshot_build"] = round(statistics.median(sb_samples), 3)
+        spreads["dd20_snapshot_build"] = round(max(sb_samples) - min(sb_samples), 3)
+
+        spark.catalog.clearCache()
+        # warm the long-lived signatures store once, untimed
+        bands, _b, _t = simhash_band_relation(spark, sf_dir)
+        bands.write.format("noop").mode("overwrite").save()
+        rf_samples = []
+        for _ in range(reps):
+            t0 = time.time()
+            dd20_refresh(spark, sf_dir, snap).write.format("noop").mode("overwrite").save()
+            rf_samples.append(time.time() - t0)
+        timings["dd20_refresh"] = round(statistics.median(rf_samples), 3)
+        spreads["dd20_refresh"] = round(max(rf_samples) - min(rf_samples), 3)
+        spark.catalog.clearCache()
+    except Exception as e:  # noqa: BLE001
+        timings["dd20_refresh"] = -1.0
+        print(f"BENCH ERROR dd20 split: {e}", file=sys.stderr)
         spark.catalog.clearCache()
 
     # experiment-level targets from BASELINE.md §3: 16-trial no-op

@@ -2107,34 +2107,48 @@ def incremental_components_over(
     internal pairs never need recomputing, and a delta doc that
     bridges two landed components merges them (the case the unit
     test drives explicitly). Cost: |prev map| + |delta edges|,
-    independent of the landed corpus's pair volume."""
-    edges = prev_stars.unionByName(new_edges).distinct()
+    independent of the landed corpus's pair volume.
+
+    Before contracting, each delta-edge endpoint is REWRITTEN through
+    the previous map (node -> its component rep — the union-find
+    path-compression step): a delta doc adjacent to k members of one
+    landed clique contributes ONE (doc, rep) edge instead of k, so
+    the contracted edge set is |distinct (delta, component)| pairs,
+    not the raw pair fan-out, and the star loop starts one hop from
+    its fixpoint. Semantics-preserving: rep(s) is in s's component,
+    so endpoint substitution never changes connectivity, and reps are
+    component MINIMA, so the merged component's global-min rep is
+    unchanged (pinned by the dd20==dd10 frame-equality tests)."""
+    rep = prev_stars.select(F.col("hi").alias("_node"), F.col("lo").alias("_rep"))
+    e = new_edges
+    for side in ("hi", "lo"):
+        e = (
+            e.join(rep.withColumnRenamed("_node", side), side, "left")
+            .withColumn(side, F.coalesce("_rep", F.col(side)))
+            .drop("_rep")
+        )
+    e = (
+        e.where(F.col("hi") != F.col("lo"))
+        .select(
+            F.greatest("hi", "lo").alias("hi"),
+            F.least("hi", "lo").alias("lo"),
+        )
+        .distinct()
+    )
+    edges = prev_stars.unionByName(e).distinct()
     stars = star_components(edges, max_iter)
     return components_over(universe, id_col, stars)
 
 
-def dd20_incremental_components(
+def dd20_store_star_map(
     spark: SparkSession, sf_dir: str, delta_mod: int = 10, max_iter: int = 30
 ) -> DataFrame:
-    """dd10's component map maintained INCREMENTALLY: when the delta
-    slice (`doc_id % delta_mod == 0`, dd11's convention) lands, the
-    only pair work is dd11's delta-side probe — the landed corpus
-    contributes its PREVIOUS star map, not a store x store re-join.
-    Output is dd10's exact schema and, by construction, dd10's exact
-    relation (star edges span components; verified three ways: a
-    direct frame-equality test vs dd10, the offline oracle suite
-    against dd10's own recursive-closure twin, and the sf1 sweep
-    against the independent union-find oracle).
-
-    The fixture has no stored snapshot, so the previous map is
-    simulated by contracting the store slice's own pairs (the one
-    store-internal pass a REAL deployment did when that snapshot
-    landed); in production `incremental_components_over` consumes the
-    persisted map directly. Scale: the per-batch cost is dd11's
-    |delta| x bucket probe plus a contraction over |landed map| +
-    |delta edges| star edges — the 100 TB ingest path, vs dd10's full
-    corpus-pair sweep per refresh. Not in the driver registry
-    (50-entry cap); DuckDB parity in tests/test_offline_oracles.py."""
+    """The landed corpus's (hi -> lo) star map — the relation a real
+    deployment PERSISTED when the store snapshot landed (one
+    store-internal banded pair sweep + contraction over the
+    `doc_id % delta_mod != 0` slice, dd11's store convention). This
+    is the one-time snapshot-build cost; every later batch refresh
+    (`dd20_refresh`) reads it back instead of re-running it."""
     bands, b, t = simhash_band_relation(spark, sf_dir)
     store_bands = bands.where(F.col("doc_id") % delta_mod != 0)
     a = store_bands.select(
@@ -2151,10 +2165,61 @@ def dd20_incremental_components(
         .where(first_match)
         .select("doc_a", "doc_b")
     )
-    prev_stars = star_components(
+    return star_components(
         store_pairs.select(F.col("doc_b").alias("hi"), F.col("doc_a").alias("lo")).distinct(),
         max_iter,
     )
+
+
+def dd20_refresh(
+    spark: SparkSession,
+    sf_dir: str,
+    snapshot_path: str,
+    delta_mod: int = 10,
+    max_iter: int = 30,
+) -> DataFrame:
+    """The PRODUCTION per-batch refresh: read the persisted star-map
+    snapshot (written by `dd20_store_star_map(...).write.parquet`),
+    probe the delta against the store's band buckets (dd11), and
+    contract map + delta star edges. This is the path whose cost
+    bounds 100 TB ingest — |delta| x bucket probe plus one bounded
+    contraction, never a store x store re-join — and the path
+    `bench.py`'s dd20_refresh row times against a pre-written
+    snapshot fixture (VERDICT r12 item 3: the simulation stays in the
+    oracle/test path; drift here is drift on the real ingest path)."""
+    prev_stars = spark.read.parquet(snapshot_path)
+    new_edges = dd11_incremental_near_dup(spark, sf_dir, delta_mod).select(
+        F.col("doc_b").alias("hi"), F.col("doc_a").alias("lo")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return incremental_components_over(docs, "doc_id", prev_stars, new_edges, max_iter)
+
+
+def dd20_incremental_components(
+    spark: SparkSession, sf_dir: str, delta_mod: int = 10, max_iter: int = 30
+) -> DataFrame:
+    """dd10's component map maintained INCREMENTALLY: when the delta
+    slice (`doc_id % delta_mod == 0`, dd11's convention) lands, the
+    only pair work is dd11's delta-side probe — the landed corpus
+    contributes its PREVIOUS star map, not a store x store re-join.
+    Output is dd10's exact schema and, by construction, dd10's exact
+    relation (star edges span components; verified three ways: a
+    direct frame-equality test vs dd10, the offline oracle suite
+    against dd10's own recursive-closure twin, and the sf1 sweep
+    against the independent union-find oracle).
+
+    The fixture has no stored snapshot, so the previous map is
+    simulated IN-PLAN by `dd20_store_star_map` (the one
+    store-internal pass a REAL deployment did when that snapshot
+    landed); in production the snapshot is persisted and the
+    per-batch path is `dd20_refresh`, which reads it back — that
+    split is what bench.py times (VERDICT r12 item 3). Scale: the
+    per-batch cost is dd11's |delta| x bucket probe plus a
+    contraction over |landed map| + |delta edges| star edges — the
+    100 TB ingest path, vs dd10's full corpus-pair sweep per refresh.
+    Not in the driver registry (50-entry cap); DuckDB parity in
+    tests/test_offline_oracles.py."""
+    prev_stars = dd20_store_star_map(spark, sf_dir, delta_mod, max_iter)
     new_edges = dd11_incremental_near_dup(spark, sf_dir, delta_mod).select(
         F.col("doc_b").alias("hi"), F.col("doc_a").alias("lo")
     )
