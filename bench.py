@@ -11,6 +11,18 @@ up to 12x run-to-run (r3 vs r4 measured identical code at 1.4s vs
 14s), which would drown any real regression signal. The cache is
 cleared between reps so no rep reads a prior rep's persisted
 relations.
+
+Methodology change (r13): a JVM System.gc() runs before every timed
+rep. Root cause of the dd7/dd8 "two-round drift" (VERDICT r12 item
+2): as the suite grew r10->r12, each query accumulated heap debt from
+the ~N queries before it (dead block metadata + codegen classes from
+clearCache'd persists), and cache-rebuild-heavy rows started paying
+4-15 s full-GC pauses on some reps — dd8 measured a stable ~1.05 s
+solo vs 2.1-2.3 s in-suite with bimodal 1.0/4.5 s reps, and a forced
+GC before each rep restored a tight ~1.3-1.4 s band in the same
+session. Collecting BEFORE t0 charges each operator its own cost,
+not the suite's position-dependent garbage; expect a one-time
+downward step on rebuild-heavy rows vs r12 numbers (BASELINE.md §4).
 """
 
 from __future__ import annotations
@@ -58,6 +70,13 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    def _tick() -> float:
+        # collect BEFORE starting the clock (see module docstring):
+        # the rep measures the operator, not the GC debt of however
+        # many queries happened to run before it in the suite
+        spark._jvm.System.gc()
+        return time.time()
+
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     max_reps = max(reps, int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPS", "5")))
     qs = registry.queries()
@@ -77,7 +96,7 @@ def main() -> None:
                 and (max(samples) - min(samples)) > 0.5 * statistics.median(samples)
                 and (max(samples) - min(samples)) > 0.25
             ):
-                t0 = time.time()
+                t0 = _tick()
                 df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 samples.append(time.time() - t0)
@@ -109,7 +128,7 @@ def main() -> None:
         samples = []
         for _ in range(reps):
             invalidate_session_cache(spark)
-            t0 = time.time()
+            t0 = _tick()
             pl13_full_corpus_build(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
             spark.catalog.clearCache()
@@ -131,10 +150,10 @@ def main() -> None:
 
         tr_samples, en_samples = [], []
         for _ in range(reps):
-            t0 = time.time()
+            t0 = _tick()
             merges = bpe_train(spark, sf_dir, n_merges=20)
             tr_samples.append(time.time() - t0)
-            t0 = time.time()
+            t0 = _tick()
             bpe_encode(spark, sf_dir, merges).write.format("noop").mode("overwrite").save()
             en_samples.append(time.time() - t0)
             spark.catalog.clearCache()
@@ -168,7 +187,7 @@ def main() -> None:
 
         samples = []
         for _ in range(reps):
-            t0 = time.time()
+            t0 = _tick()
             ann9_pq_adc(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
             spark.catalog.clearCache()
@@ -202,10 +221,10 @@ def main() -> None:
             # pl13 discipline (invalidate + rebuild per rep) keeps
             # the row honest about the full train cost
             invalidate_session_cache(spark, sf_dir)
-            t0 = time.time()
+            t0 = _tick()
             ann10_kmeans_assign(spark, sf_dir).write.format("noop").mode("overwrite").save()
             km_samples.append(time.time() - t0)
-            t0 = time.time()
+            t0 = _tick()
             ann11_semdedup_prune(spark, sf_dir).write.format("noop").mode("overwrite").save()
             sd_samples.append(time.time() - t0)
             spark.catalog.clearCache()
@@ -281,7 +300,7 @@ def main() -> None:
         ):
             samples = []
             for _ in range(reps):
-                t0 = time.time()
+                t0 = _tick()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 samples.append(time.time() - t0)
                 spark.catalog.clearCache()
@@ -320,7 +339,7 @@ def main() -> None:
         sb_samples = []
         for _ in range(reps):
             spark.catalog.clearCache()
-            t0 = time.time()
+            t0 = _tick()
             dd20_store_star_map(spark, sf_dir).write.mode("overwrite").parquet(snap)
             sb_samples.append(time.time() - t0)
         timings["dd20_snapshot_build"] = round(statistics.median(sb_samples), 3)
@@ -332,7 +351,7 @@ def main() -> None:
         bands.write.format("noop").mode("overwrite").save()
         rf_samples = []
         for _ in range(reps):
-            t0 = time.time()
+            t0 = _tick()
             dd20_refresh(spark, sf_dir, snap).write.format("noop").mode("overwrite").save()
             rf_samples.append(time.time() - t0)
         timings["dd20_refresh"] = round(statistics.median(rf_samples), 3)
@@ -372,7 +391,7 @@ def main() -> None:
         ), spark)  # warm python workers
         exp_samples, sub_samples, tail_samples = [], [], []
         for _ in range(reps):
-            t0 = time.time()
+            t0 = _tick()
             res = lagom(_clock, cfg, spark)
             t1 = time.time()
             exp_samples.append(t1 - t0)
@@ -421,7 +440,7 @@ def main() -> None:
         )
         hb_samples = []
         for _ in range(reps):
-            t0 = time.time()
+            t0 = _tick()
             res = lagom(_hb_fn, hb_cfg, spark)
             hb_samples.append(time.time() - t0)
             assert res["num_trials"] == 17
@@ -438,7 +457,7 @@ def main() -> None:
         )
         gp_samples = []
         for _ in range(reps):
-            t0 = time.time()
+            t0 = _tick()
             res = lagom(_gp_fn, gp_cfg, spark)
             gp_samples.append(time.time() - t0)
             assert res["num_trials"] == 16

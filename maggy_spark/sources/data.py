@@ -48,39 +48,85 @@ def _parquet_files(path: str) -> list[str]:
     return files
 
 
+def _row_sliced_batches(
+    files, rank: int, world_size: int, columns, batch_size: int
+) -> Iterator[pd.DataFrame]:
+    """Row-level round-robin fallback for row-group-starved datasets:
+    every rank takes the rows whose GLOBAL row index ≡ rank (mod
+    world) — disjoint and exhaustive even from a single row group.
+    Every rank decodes every row group (no way around that without
+    rewriting the files), which is acceptable exactly in the starved
+    regime: fewer row groups than ranks means the dataset is small."""
+    import numpy as np
+
+    offset = 0
+    for _fname, pf in files:
+        for rg in range(pf.num_row_groups):
+            table = pf.read_row_group(rg, columns=columns)
+            n = table.num_rows
+            take = np.nonzero((np.arange(offset, offset + n)) % world_size == rank)[0]
+            offset += n
+            if len(take) == 0:
+                continue
+            for batch in table.take(take).to_batches(max_chunksize=batch_size):
+                yield batch.to_pandas()
+
+
 def shard_parquet_reader(
     path: str,
     rank: int,
     world_size: int,
     columns: list[str] | None = None,
     batch_size: int = 1024,
+    on_starvation: str = "raise",
 ) -> Iterator[pd.DataFrame]:
     """Yield this rank's shard of a parquet dataset as pandas batches.
 
     Sharding unit is the (file, row_group) pair, assigned round-robin
     by global index — disjoint and exhaustive across ranks. Column
     projection is pushed to the parquet reader.
+
+    When the dataset has fewer row groups than ranks, some ranks get
+    ZERO batches and a DDP gang hangs at its first allreduce with no
+    error anywhere — so starvation is an ERROR by default (VERDICT
+    r12 item 8). `on_starvation` picks the policy:
+
+    - ``"raise"`` (default): fail loudly before the gang starts.
+    - ``"rebalance"``: fall back to row-level round-robin by global
+      row index — still disjoint + exhaustive, every rank gets rows
+      (up to `total_rows`), at the cost of every rank decoding every
+      row group (fine: a starved dataset is small by definition).
+      For a durable fix, rewrite with more shards
+      (`corpus_to_shards(n_shards=...)` / `write_training_shards`).
+    - ``"warn"``: the pre-r13 behavior — emit the zero-batch shard
+      with a warning (legal for non-gang consumers that tolerate
+      empty ranks).
     """
     import pyarrow.parquet as pq
 
     if not 0 <= rank < world_size:
         raise ValueError(f"rank {rank} outside world of {world_size}")
+    if on_starvation not in ("raise", "rebalance", "warn"):
+        raise ValueError(f"on_starvation must be raise|rebalance|warn, got {on_starvation!r}")
     files = [(fname, pq.ParquetFile(fname)) for fname in _parquet_files(path)]
     total_groups = sum(pf.num_row_groups for _, pf in files)
     if total_groups < world_size:
-        # not an error (reading an under-sharded dataset is legal and
-        # the shards stay disjoint+exhaustive), but a DDP gang with
-        # zero-batch ranks hangs at its first allreduce — say so
-        # loudly instead of silently yielding nothing
-        import warnings
-
-        warnings.warn(
+        msg = (
             f"dataset at {path} has {total_groups} row groups < world_size "
             f"{world_size}: ranks >= {total_groups} get ZERO batches — a "
-            "distributed training gang will hang; rewrite with more shards "
-            "(corpus_to_shards(n_shards=...)) or shrink the world",
-            stacklevel=2,
+            "distributed training gang will hang; pass "
+            "on_starvation='rebalance' (row-level round-robin), rewrite "
+            "with more shards (corpus_to_shards(n_shards=...)), or shrink "
+            "the world"
         )
+        if on_starvation == "raise":
+            raise ValueError(msg)
+        if on_starvation == "rebalance":
+            yield from _row_sliced_batches(files, rank, world_size, columns, batch_size)
+            return
+        import warnings
+
+        warnings.warn(msg, stacklevel=2)
     gid = 0
     for _fname, pf in files:
         for rg in range(pf.num_row_groups):

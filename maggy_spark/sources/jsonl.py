@@ -117,6 +117,129 @@ def jsonl_ingest_report(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+# --- S10 oracle surface (VERDICT r12 item 6) ----------------------------
+#
+# A deterministic JSONL fixture — every row of {sf_dir}/documents.parquet
+# as one JSON line, plus the crafted broken lines below — read by BOTH
+# engines: Spark through the PERMISSIVE scan above, DuckDB through a
+# raw-line read + its native JSON functions. The clean relation and the
+# ingest report are then ordinary value-hash-compared offline cases, so
+# the quarantine split is pinned cross-engine, not just round-trip.
+
+# one line per failure class a 100 TB crawl actually produces
+S10_BROKEN_LINES = [
+    '{"doc_id": 900000001, "text": "truncated flush',          # unterminated string
+    "binary garbage Ã±ot json",                       # not JSON at all
+    '{"wrong_shape": true, "payload": [1, 2]}',                 # schema drift
+    '{"doc_id": null, "text": "null id"}',                      # JSON-null key field
+    "[1, 2, 3]",                                                # top-level array
+    '{"doc_id": 900000002, "lang": "en"}',                      # missing text
+]
+
+
+def s10_fixture_path(sf_dir: str) -> str:
+    import tempfile
+    from pathlib import Path
+
+    return str(
+        Path(tempfile.gettempdir()) / f"maggy_s10_{Path(sf_dir.rstrip('/')).name}" / "docs.jsonl"
+    )
+
+
+def ensure_s10_fixture(sf_dir: str) -> str:
+    """Write the fixture once (atomic rename; deterministic: documents
+    sorted by doc_id, then the crafted broken lines)."""
+    import json
+    import os
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    out = Path(s10_fixture_path(sf_dir))
+    if out.exists():
+        return str(out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet").sort_by("doc_id")
+    lines = [
+        json.dumps(
+            {k: row[k] for k in ("doc_id", "text", "lang", "source", "n_chars")},
+            ensure_ascii=False,
+        )
+        for row in tbl.to_pylist()
+    ]
+    lines += S10_BROKEN_LINES
+    tmp = out.with_suffix(".tmp")
+    tmp.write_text("\n".join(lines) + "\n", encoding="utf-8")
+    os.replace(tmp, out)
+    return str(out)
+
+
+def s10_jsonl_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The typed CLEAN relation of the fixture scan — must contain
+    exactly the documents table (every broken line quarantined)."""
+    clean, _q = jsonl_ingest(spark, ensure_s10_fixture(sf_dir))
+    return clean
+
+
+def s10_jsonl_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row ingest report over the fixture."""
+    return jsonl_ingest_report(spark, ensure_s10_fixture(sf_dir))
+
+
+def _s10_raw_lines_sql(path: str) -> str:
+    # raw-line read: \x01 delimiter never occurs, quoting disabled, so
+    # each physical line arrives verbatim as one VARCHAR
+    return (
+        f"read_csv('{path}', delim='\\x01', header=false, quote='', escape='', "
+        "columns={'line': 'VARCHAR'})"
+    )
+
+
+def s10_clean_sql(sf_dir: str) -> str:
+    """DuckDB twin of s10_jsonl_clean: the SAME file, parsed with
+    DuckDB's native JSON functions; the clean predicate mirrors _ok()
+    (parses AND doc_id AND text non-null — json_extract_string maps
+    both missing keys and JSON nulls to SQL NULL)."""
+    path = s10_fixture_path(sf_dir)
+    return f"""
+SELECT CAST(json_extract_string(line, '$.doc_id') AS BIGINT) AS doc_id,
+       json_extract_string(line, '$.text') AS text,
+       json_extract_string(line, '$.lang') AS lang,
+       json_extract_string(line, '$.source') AS source,
+       CAST(json_extract_string(line, '$.n_chars') AS BIGINT) AS n_chars
+FROM {_s10_raw_lines_sql(path)}
+WHERE json_valid(line)
+  AND json_extract_string(line, '$.doc_id') IS NOT NULL
+  AND json_extract_string(line, '$.text') IS NOT NULL
+"""
+
+
+def s10_report_sql(sf_dir: str) -> str:
+    path = s10_fixture_path(sf_dir)
+    return f"""
+WITH raw AS (
+    SELECT line,
+           json_valid(line)
+             AND json_extract_string(line, '$.doc_id') IS NOT NULL
+             AND json_extract_string(line, '$.text') IS NOT NULL AS ok
+    FROM {_s10_raw_lines_sql(path)}
+)
+SELECT CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+       CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_quarantined,
+       CAST(sum(CASE WHEN ok
+                THEN len(str_split(json_extract_string(line, '$.text'), ' '))
+                ELSE 0 END) AS BIGINT) AS clean_tokens
+FROM raw
+"""
+
+
+# module-level constants for the offline oracle table (it runs at the
+# driver gate's sf0.01; the builders above serve any other dir)
+_S10_DEFAULT_DIR = "/root/testdata/sf0.01"
+S10_CLEAN_SQL = s10_clean_sql(_S10_DEFAULT_DIR)
+S10_REPORT_SQL = s10_report_sql(_S10_DEFAULT_DIR)
+
+
 def jsonl_scan_stream(
     spark: SparkSession, path: str, schema: T.StructType = DOC_SCHEMA
 ) -> DataFrame:

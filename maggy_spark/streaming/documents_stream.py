@@ -378,6 +378,12 @@ def ccnet_route_stream(
             "n_tokens",
             "cost_milli",
             F.when(F.col("cut").isNull(), F.lit("unbinned"))
+            # a malformed feed row (NULL text => NULL cost_milli) makes
+            # both threshold comparisons unknown and would fall through
+            # to 'tail' as if scored — route it 'unbinned' instead,
+            # matching batch tx19, which drops NULL-text docs at the
+            # explode (ADVICE r12)
+            .when(F.col("cost_milli").isNull(), F.lit("unbinned"))
             .when(F.col("cost_milli") <= F.col("cut.t33"), F.lit("head"))
             .when(F.col("cost_milli") <= F.col("cut.t67"), F.lit("middle"))
             .otherwise(F.lit("tail"))

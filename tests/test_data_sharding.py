@@ -75,7 +75,43 @@ def test_dataframe_to_batches(spark):
     assert max(len(b) for b in batches) <= 100
 
 
-def test_shard_reader_warns_when_world_exceeds_row_groups(spark, tmp_path):
+def test_shard_reader_starved_world_raises_by_default(spark, tmp_path):
+    """A 1-row-group dataset read by a 4-rank gang would hang the gang
+    at its first allreduce (ranks 1-3 get zero batches) — the reader
+    must fail LOUDLY before the gang starts, not warn on stderr and
+    yield nothing (VERDICT r12 item 8)."""
+    import pytest
+
+    from maggy_spark.sources.data import shard_parquet_reader
+
+    p = str(tmp_path / "tiny")
+    spark.range(10).coalesce(1).write.parquet(p)  # 1 file, 1 row group
+    with pytest.raises(ValueError, match="ZERO batches"):
+        list(shard_parquet_reader(p, rank=3, world_size=4))
+
+
+def test_shard_reader_starved_world_rebalances_opt_in(spark, tmp_path):
+    """on_starvation='rebalance' falls back to row-level round-robin:
+    every rank of the starved world gets rows, shards stay disjoint +
+    exhaustive, and column projection still applies."""
+    from maggy_spark.sources.data import shard_parquet_reader
+
+    p = str(tmp_path / "tiny")
+    spark.range(10).coalesce(1).write.parquet(p)  # 1 file, 1 row group
+    world = 4
+    seen: list[int] = []
+    for rank in range(world):
+        pdfs = list(
+            shard_parquet_reader(p, rank, world, columns=["id"], on_starvation="rebalance")
+        )
+        rows = [int(v) for pdf in pdfs for v in pdf["id"]]
+        assert rows, f"rank {rank} starved despite rebalance"
+        assert all(v % world == rank for v in rows)  # global-index round-robin
+        seen.extend(rows)
+    assert sorted(seen) == list(range(10))  # disjoint + exhaustive
+
+
+def test_shard_reader_starved_world_warn_is_legacy_path(spark, tmp_path):
     import warnings
 
     from maggy_spark.sources.data import shard_parquet_reader
@@ -84,6 +120,6 @@ def test_shard_reader_warns_when_world_exceeds_row_groups(spark, tmp_path):
     spark.range(10).coalesce(1).write.parquet(p)  # 1 file, 1 row group
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        batches = list(shard_parquet_reader(p, rank=3, world_size=4))
+        batches = list(shard_parquet_reader(p, rank=3, world_size=4, on_starvation="warn"))
     assert batches == []  # still legal: disjoint + exhaustive
     assert any("ZERO batches" in str(w.message) for w in caught)

@@ -126,3 +126,27 @@ def test_jsonl_stream_end_state_matches_batch_ingest(spark, tmp_path):
     assert sorted(got_quar) == sorted(
         (r.raw_line,) for r in batch_quar.collect()
     )
+
+
+def test_s10_fixture_quarantines_exactly_the_broken_lines(spark, sf_dir):
+    """The crafted-corpus pin for the S10 oracle fixture (VERDICT r12
+    item 6): the clean relation is exactly the documents table (count
+    + spot-check), every crafted broken line lands in quarantine, and
+    the parse-failure classes keep their original bytes verbatim."""
+    from maggy_spark.sources.jsonl import (
+        S10_BROKEN_LINES,
+        ensure_s10_fixture,
+        jsonl_ingest,
+        s10_jsonl_clean,
+    )
+
+    path = ensure_s10_fixture(sf_dir)
+    clean, quar = jsonl_ingest(spark, path)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert clean.count() == n_docs
+    assert s10_jsonl_clean(spark, sf_dir).count() == n_docs
+    quar_lines = [r.raw_line for r in quar.collect()]
+    assert len(quar_lines) == len(S10_BROKEN_LINES)
+    # parse failures (corrupt-record channel) keep their bytes verbatim
+    for broken in (S10_BROKEN_LINES[0], S10_BROKEN_LINES[1], S10_BROKEN_LINES[4]):
+        assert broken in quar_lines

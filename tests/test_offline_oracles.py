@@ -259,6 +259,15 @@ CASES = [
     # adapted to the fixture columns) — late-shipment order counts
     # per priority, tz-free epoch-micros date arithmetic
     ("k5_late_shipment_priority", "K5_SQL", "maggy_spark.operators.warehouse"),
+    # round-13 addition (VERDICT r12 item 6): the S10 JSONL ingest's
+    # quarantine split, oracled cross-engine — a deterministic fixture
+    # (documents + crafted broken lines, one per failure class) read
+    # by Spark's PERMISSIVE corrupt-record scan AND DuckDB's native
+    # JSON functions over a raw-line read. The clean relation must be
+    # exactly the documents table; the report's clean/quarantined/
+    # token-mass totals must agree to the row.
+    ("s10_jsonl_clean", "S10_CLEAN_SQL", "maggy_spark.sources.jsonl"),
+    ("s10_jsonl_report", "S10_REPORT_SQL", "maggy_spark.sources.jsonl"),
 ]
 
 

@@ -1108,6 +1108,41 @@ def test_ccnet_route_stream_unbinned_language(spark, sf_dir, tmp_path):
     assert r.cost_milli > 0  # still scored against the frozen LM
 
 
+def test_ccnet_route_stream_null_text_routes_unbinned(spark, sf_dir, tmp_path):
+    """A malformed feed row (NULL text) yields NULL cost_milli; both
+    tertile comparisons evaluate to unknown, so without a guard the
+    row would fall through to 'tail' as if scored — diverging from
+    batch tx19, which drops NULL-text docs at the explode. The stream
+    is the ingest door where malformed rows appear: route them
+    'unbinned' so downstream sees them flagged, not mis-bucketed
+    (ADVICE r12)."""
+    from maggy_spark.streaming import ccnet_route_stream
+
+    feed_rows = [
+        (900001, None, "en", _ts(0)),  # malformed: NULL text, known lang
+        (900002, "the spark table join", "en", _ts(1)),  # healthy control
+    ]
+    feed = spark.createDataFrame(
+        feed_rows, "doc_id bigint, text string, lang string, ts timestamp"
+    )
+    d = str(tmp_path / "ccnet_nulltext")
+    feed.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(feed.schema).parquet(d)
+    q = (
+        ccnet_route_stream(stream, spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName("ccnet_route_nulltext")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {r.doc_id: r for r in spark.sql("SELECT * FROM ccnet_route_nulltext").collect()}
+    assert rows[900001].bucket == "unbinned"
+    assert rows[900001].cost_milli is None  # flagged, not fake-scored
+    assert rows[900002].bucket in ("head", "middle", "tail")  # control still binned
+
+
 def test_ccnet_route_stream_rejects_empty_store(spark, tmp_path):
     """An empty landed corpus has no LM and no cut points: building
     the router against it must raise loudly (the kmeans_route empty-

@@ -5,6 +5,13 @@ above the suite's sf0.01 (e.g. at sf0.1, or the synthetic sf1).
 
 Usage: python tools/check_offline.py [sf_dir] [case ...]
        python tools/check_offline.py [sf_dir] --names GLOB ...
+       python tools/check_offline.py --out OFFLINE_PARITY_r13.json
+
+With --out, a machine-readable per-case artifact is written (VERDICT
+r12 item 5): {"sf_dir", "n_cases", "n_fail", "results": {name:
+{"rows", "match", "secs", "err"}}} — the auditable record of the
+non-gate correctness surface, one command per round. Subset runs
+MERGE into an existing artifact (the sf1_parity.py convention).
 
 Heavy oracle sides to know about: dd14/ann6/pl6 wrap the DuckDB
 recursive-CTE transitive closure (dd10's oracle took ~31 min at
@@ -43,6 +50,11 @@ def main() -> int:
         sf_dir = "/root/testdata/sf0.01"
     # --names may appear anywhere; positional names and globs UNION
     # (same contract as check_oracle.py)
+    out_path: str | None = None
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        del argv[i : i + 2]
     if "--names" in argv:
         i = argv.index("--names")
         only: set[str] = set(argv[:i])
@@ -80,6 +92,7 @@ def main() -> int:
         return 1
 
     failures = []
+    results: dict[str, dict] = {}
     n_ran = 0
     for name, sql_const, mod_name in CASES:
         if only or globs:
@@ -95,9 +108,18 @@ def main() -> int:
             duck_pd = con.execute(sql).fetchdf()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            results[name] = {
+                "rows": -1, "match": False,
+                "secs": round(time.time() - t0, 3), "err": str(e)[:500],
+            }
             print(f"FAIL {name}: {e}")
             continue
         status = compare_frames(sdf, spark_pd, duck_pd)
+        results[name] = {
+            "rows": len(spark_pd), "match": not status,
+            "secs": round(time.time() - t0, 3),
+            "err": "; ".join(status) if status else None,
+        }
         if status:
             failures.append(name)
             print(f"FAIL {name}: " + "; ".join(status))
@@ -107,6 +129,24 @@ def main() -> int:
     if n_ran == 0:
         print(f"no offline case matches {sorted(only) or globs} — nothing ran")
         return 1
+    if out_path:
+        import json
+
+        path = Path(out_path) if Path(out_path).is_absolute() else REPO / out_path
+        merged = results
+        if (only or globs) and path.exists():
+            # subset runs refresh their rows without dropping the rest
+            # of a prior full sweep (the sf1_parity.py convention)
+            prior = json.loads(path.read_text()).get("results", {})
+            merged = {**prior, **results}
+        payload = {
+            "sf_dir": sf_dir,
+            "n_cases": len(merged),
+            "n_fail": sum(1 for r in merged.values() if not r["match"]),
+            "results": merged,
+        }
+        path.write_text(json.dumps(payload, indent=1) + "\n")
+        print(f"wrote {path} ({len(merged)} cases)")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 

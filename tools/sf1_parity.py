@@ -346,18 +346,24 @@ def main() -> int:
                len(spark_pd), time.time() - t0, "duckdb-twin")
 
     comp_oracle: pd.DataFrame | None = None
-    if not only or only & {
+    comp_family = {
         "dd10_near_dup_components",
         "dd14_cluster_representatives",
         "pl13_full_corpus_build",
         "dd20_incremental_components",
-    }:
+    }
+    if not only or only & comp_family:
         t0 = time.time()
         try:
             comp_oracle = _python_components(con, dd7_fast_pairs_sql())
         except Exception as e:  # noqa: BLE001
-            record("dd10_near_dup_components", [f"oracle error: {e}"], -1,
-                   time.time() - t0, "duckdb-pairs+union-find")
+            # an error row for EVERY requested component-family case,
+            # not just dd10 — otherwise a `--only dd20_...` sweep whose
+            # oracle build fails reports an empty result as success
+            # (ADVICE r12)
+            for fam_name in sorted(comp_family if not only else only & comp_family):
+                record(fam_name, [f"oracle error: {e}"], -1,
+                       time.time() - t0, "duckdb-pairs+union-find")
     if comp_oracle is not None and (not only or "dd10_near_dup_components" in only):
         try:
             sdf = qs["dd10_near_dup_components"](spark, sf_dir)
