@@ -190,7 +190,7 @@ def _s10_raw_lines_sql(path: str) -> str:
     # raw-line read: \x01 delimiter never occurs, quoting disabled, so
     # each physical line arrives verbatim as one VARCHAR
     return (
-        f"read_csv('{path}', delim='\\x01', header=false, quote='', escape='', "
+        f"read_csv('{path}', delim=E'\\x01', header=false, quote='', escape='', "
         "columns={'line': 'VARCHAR'})"
     )
 
@@ -201,16 +201,22 @@ def s10_clean_sql(sf_dir: str) -> str:
     (parses AND doc_id AND text non-null — json_extract_string maps
     both missing keys and JSON nulls to SQL NULL)."""
     path = s10_fixture_path(sf_dir)
+    # json_extract_string THROWS on malformed JSON and DuckDB does not
+    # short-circuit AND — parse through a CASE gated on json_valid so
+    # broken lines classify instead of failing the scan
     return f"""
-SELECT CAST(json_extract_string(line, '$.doc_id') AS BIGINT) AS doc_id,
-       json_extract_string(line, '$.text') AS text,
-       json_extract_string(line, '$.lang') AS lang,
-       json_extract_string(line, '$.source') AS source,
-       CAST(json_extract_string(line, '$.n_chars') AS BIGINT) AS n_chars
-FROM {_s10_raw_lines_sql(path)}
-WHERE json_valid(line)
-  AND json_extract_string(line, '$.doc_id') IS NOT NULL
-  AND json_extract_string(line, '$.text') IS NOT NULL
+WITH raw AS (
+    SELECT CASE WHEN json_valid(line) THEN line END AS j
+    FROM {_s10_raw_lines_sql(path)}
+)
+SELECT CAST(json_extract_string(j, '$.doc_id') AS BIGINT) AS doc_id,
+       json_extract_string(j, '$.text') AS text,
+       json_extract_string(j, '$.lang') AS lang,
+       json_extract_string(j, '$.source') AS source,
+       CAST(json_extract_string(j, '$.n_chars') AS BIGINT) AS n_chars
+FROM raw
+WHERE json_extract_string(j, '$.doc_id') IS NOT NULL
+  AND json_extract_string(j, '$.text') IS NOT NULL
 """
 
 
@@ -218,18 +224,20 @@ def s10_report_sql(sf_dir: str) -> str:
     path = s10_fixture_path(sf_dir)
     return f"""
 WITH raw AS (
-    SELECT line,
-           json_valid(line)
-             AND json_extract_string(line, '$.doc_id') IS NOT NULL
-             AND json_extract_string(line, '$.text') IS NOT NULL AS ok
+    SELECT CASE WHEN json_valid(line) THEN line END AS j
     FROM {_s10_raw_lines_sql(path)}
+),
+cls AS (
+    SELECT json_extract_string(j, '$.doc_id') IS NOT NULL
+             AND json_extract_string(j, '$.text') IS NOT NULL AS ok,
+           json_extract_string(j, '$.text') AS text
+    FROM raw
 )
 SELECT CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
        CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_quarantined,
-       CAST(sum(CASE WHEN ok
-                THEN len(str_split(json_extract_string(line, '$.text'), ' '))
-                ELSE 0 END) AS BIGINT) AS clean_tokens
-FROM raw
+       CAST(sum(CASE WHEN ok THEN len(str_split(text, ' ')) ELSE 0 END) AS BIGINT)
+           AS clean_tokens
+FROM cls
 """
 
 

@@ -23,7 +23,12 @@ def test_shards_disjoint_and_exhaustive(spark):
     # keys must not overlap between ranks
     seen = set()
     for r in range(world):
-        for pdf in shard_parquet_reader(SRC, r, world, columns=["l_orderkey", "l_linenumber"]):
+        # the sf0.001 fixture is a single row group, so a 4-rank world
+        # is the starved regime: go through the rebalance path (the
+        # raise default has its own test below)
+        for pdf in shard_parquet_reader(
+            SRC, r, world, columns=["l_orderkey", "l_linenumber"], on_starvation="rebalance"
+        ):
             keys = set(zip(pdf.l_orderkey, pdf.l_linenumber, strict=True))
             # (duplicates exist within the table; compare via row ids)
             assert pdf.columns.tolist() == ["l_orderkey", "l_linenumber"]  # projection applied
@@ -32,7 +37,10 @@ def test_shards_disjoint_and_exhaustive(spark):
 
 
 def test_shard_batches_respect_batch_size():
-    sizes = [len(p) for p in shard_parquet_reader(SRC, 0, 2, batch_size=100)]
+    sizes = [
+        len(p)
+        for p in shard_parquet_reader(SRC, 0, 2, batch_size=100, on_starvation="rebalance")
+    ]
     assert sizes and max(sizes) <= 100
 
 
