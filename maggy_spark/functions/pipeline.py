@@ -959,6 +959,8 @@ def _pl13_doc_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
             pass_quality = pass_quality & ~f_rule
         base = d.select(
             "doc_id",
+            "source",
+            F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_ws"),
             bpe_token_estimate(F.split(F.col("text"), " ")).alias("bpe_tokens"),
             pass_quality.alias("pass_quality"),
             (F.col("doc_id") % PL13_EVAL_MOD == 0).alias("is_eval"),
@@ -980,6 +982,8 @@ def _pl13_doc_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(split, "doc_id")
             .select(
                 "doc_id",
+                "source",
+                "n_ws",
                 "bpe_tokens",
                 "split",
                 s2.alias("s2"),
@@ -1003,10 +1007,13 @@ def pl13_full_corpus_build(
     """The END-TO-END corpus build as one audited lineage: pl4's
     quality chain -> dd14 near-dup survivor selection (over dd10
     components) -> dd9 decontamination + eval-slice holdout -> pl5
-    leakage-free split -> pl7 packing of the train split -> pl9 epoch
-    ordering — returning the per-stage survivor/token LEDGER a corpus
-    release publishes (one row per stage: docs surviving, bpe tokens
-    surviving; for pack, the packed ctx-window token capacity; for
+    leakage-free split -> pl18/pl19 temperature mixture realized over
+    the train survivors -> pl7 packing of the train split -> pl9
+    epoch ordering — returning the per-stage survivor/token LEDGER a
+    corpus release publishes (one row per stage: docs surviving, bpe
+    tokens surviving; for temperature_apply, the realized doc-copy
+    and token volume of pl18's mixture under pl19's exact copy rule;
+    for pack, the packed ctx-window token capacity; for
     epoch_shuffle, the dataloader plan's row and token volume across
     epochs).
 
@@ -1063,13 +1070,40 @@ def pl13_full_corpus_build(
         )
     )
 
+    # the temperature stage (VERDICT r12 item 4): pl18's mixture
+    # derived FROM THE SAME cached per-doc relation (per-source
+    # whitespace-token masses over the full corpus — pl18's corpus-
+    # wide rule), realized with pl19's exact copy decision over the
+    # surviving train docs. No new corpus scan: both aggregates read
+    # the pl13_doc_stages seam (the scan-audit test pins this).
+    per_src = flags.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_ws").cast("bigint").alias("n_tokens"),
+    )
+    mix = temperature_mix_over(per_src).select("source", "epochs")
+    train_src = flags.where(s4 & (F.col("split") == "train")).select(
+        "doc_id", "source", "bpe_tokens"
+    )
+    nc = temperature_copies_expr().cast("bigint")
+    temp_row = (
+        train_src.join(F.broadcast(mix), "source")
+        .select(nc.alias("nc"), "bpe_tokens")
+        .agg(
+            F.lit(8).alias("seq"),
+            F.lit("temperature_apply").alias("stage"),
+            F.coalesce(F.sum("nc"), F.lit(0)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum(F.col("nc") * F.col("bpe_tokens")), F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+    )
     train = flags.where(s4 & (F.col("split") == "train")).select("doc_id", "bpe_tokens")
     pack_row = (
         pack_plan(train, ctx, shards)
         .groupBy("shard")
         .agg(F.max("window_end").alias("we"), F.count("*").alias("n"))
         .agg(
-            F.lit(8).alias("seq"),
+            F.lit(9).alias("seq"),
             F.lit("pack").alias("stage"),
             F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_docs"),
             (F.coalesce(F.sum(F.col("we") + 1), F.lit(0)) * ctx).cast("bigint").alias("n_tokens"),
@@ -1079,13 +1113,13 @@ def pl13_full_corpus_build(
         epoch_shuffle_plan(train, epochs=epochs)
         .join(train, "doc_id")
         .agg(
-            F.lit(9).alias("seq"),
+            F.lit(10).alias("seq"),
             F.lit("epoch_shuffle").alias("stage"),
             F.count("*").cast("bigint").alias("n_docs"),
             F.coalesce(F.sum("bpe_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
         )
     )
-    return head.unionAll(pack_row).unionAll(epoch_row)
+    return head.unionAll(temp_row).unionAll(pack_row).unionAll(epoch_row)
 
 
 def pl13_sql(
@@ -1158,7 +1192,8 @@ splj AS (
 ),
 splits AS (SELECT doc_id, (CASE {_SPLIT_CASE} END) AS split FROM splj),
 qual AS (
-    SELECT doc_id,
+    SELECT doc_id, source,
+           cast(len(str_split(text, ' ')) AS BIGINT) AS n_ws,
            cast(list_sum(list_transform(str_split(text, ' '),
                 t -> cast(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_tokens,
            (cast(len(str_split(text, ' ')) AS BIGINT) >= {FUNNEL_MIN_TOKENS}
@@ -1173,7 +1208,7 @@ qual AS (
     FROM documents
 ),
 docstage AS (
-    SELECT q.doc_id, q.bpe_tokens, s.split,
+    SELECT q.doc_id, q.source, q.n_ws, q.bpe_tokens, s.split,
            q.pass_quality AS s2,
            (q.pass_quality AND k.keep) AS s3,
            (q.pass_quality AND k.keep AND NOT q.is_eval AND c.doc_id IS NULL) AS s4
@@ -1198,7 +1233,38 @@ head AS (
            cast(sum(CASE WHEN s4 AND split = 'test' THEN bpe_tokens ELSE 0 END) AS BIGINT) AS t7
     FROM docstage
 ),
-train AS (SELECT doc_id, bpe_tokens FROM docstage WHERE s4 AND split = 'train'),
+train AS (SELECT doc_id, source, bpe_tokens FROM docstage WHERE s4 AND split = 'train'),
+tmix_per AS (
+    SELECT source, cast(sum(n_ws) AS BIGINT) AS n_tokens
+    FROM docstage GROUP BY source
+),
+tmix2 AS (
+    SELECT source, n_tokens,
+           cast(floor(sqrt(cast(n_tokens AS DOUBLE)) * 1000) AS BIGINT) AS weight_milli
+    FROM tmix_per
+),
+tmix_tot AS (SELECT cast(sum(weight_milli) AS BIGINT) AS tw,
+                    cast(sum(n_tokens) AS BIGINT) AS tt FROM tmix2),
+tmix AS (
+    SELECT source,
+           cast(cast(floor(cast(weight_milli AS DOUBLE) / cast(tw AS DOUBLE)
+                           * cast(tt AS DOUBLE)) AS BIGINT) AS DOUBLE)
+               / cast(n_tokens AS DOUBLE) AS epochs
+    FROM tmix2 CROSS JOIN tmix_tot
+),
+temprow AS (
+    SELECT cast(coalesce(sum(nc), 0) AS BIGINT) AS n_docs,
+           cast(coalesce(sum(nc * bpe_tokens), 0) AS BIGINT) AS n_tokens
+    FROM (
+        SELECT t.bpe_tokens,
+               cast(floor(m.epochs) AS BIGINT)
+               + CASE WHEN cast(cast(('0x' || substr(md5('pl19:' || cast(t.doc_id AS VARCHAR)), 1, 13))
+                                     AS BIGINT) AS DOUBLE) / 4503599627370496.0
+                           < m.epochs - floor(m.epochs)
+                      THEN 1 ELSE 0 END AS nc
+        FROM train t JOIN tmix m USING (source)
+    )
+),
 packc AS (
     SELECT doc_id, cast(doc_id % {shards} AS INTEGER) AS shard, bpe_tokens,
            cast(sum(bpe_tokens) OVER (PARTITION BY doc_id % {shards} ORDER BY doc_id) AS BIGINT) AS cum_end
@@ -1225,8 +1291,9 @@ UNION ALL SELECT 4, 'decontaminate',  n4, t4 FROM head
 UNION ALL SELECT 5, 'split:train',    n5, t5 FROM head
 UNION ALL SELECT 6, 'split:val',      n6, t6 FROM head
 UNION ALL SELECT 7, 'split:test',     n7, t7 FROM head
-UNION ALL SELECT 8, 'pack', n_docs, n_tokens FROM packrow
-UNION ALL SELECT 9, 'epoch_shuffle', n_docs, n_tokens FROM eprow
+UNION ALL SELECT 8, 'temperature_apply', n_docs, n_tokens FROM temprow
+UNION ALL SELECT 9, 'pack', n_docs, n_tokens FROM packrow
+UNION ALL SELECT 10, 'epoch_shuffle', n_docs, n_tokens FROM eprow
 """
 
 
@@ -1779,14 +1846,23 @@ def pl18_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_docs"),
             F.sum("n").cast("bigint").alias("n_tokens"),
         )
-        .select(
-            "source",
-            "n_docs",
-            "n_tokens",
-            F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1000)
-            .cast("bigint")
-            .alias("weight_milli"),
-        )
+    )
+    return temperature_mix_over(per)
+
+
+def temperature_mix_over(per: DataFrame) -> DataFrame:
+    """pl18's exact mixture arithmetic over ANY (source, n_docs,
+    n_tokens) relation — shared by pl18 (per built from the corpus
+    scan) and pl13's ledger (per built from the cached per-doc stage
+    relation), so the recipe's weights cannot drift between the
+    standalone operator and the audited lineage."""
+    per = per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1000)
+        .cast("bigint")
+        .alias("weight_milli"),
     )
     tot = per.agg(
         F.sum("weight_milli").cast("bigint").alias("tw"),
@@ -1828,6 +1904,17 @@ FROM per2 CROSS JOIN tot
 """
 
 
+def temperature_copies_expr():
+    """pl19's copy-count decision as a reusable expression over rows
+    carrying (doc_id, epochs): floor(epochs) copies plus one more when
+    the md5 hash-uniform falls below frac(epochs) — deterministic
+    stochastic rounding, shared by pl19 and pl13's ledger row."""
+    base = F.floor(F.col("epochs")).cast("int")
+    frac = F.col("epochs") - F.floor(F.col("epochs"))
+    u = hash_uniform("pl19", F.col("doc_id").cast("string"))
+    return (base + F.when(u < frac, 1).otherwise(0)).cast("int")
+
+
 def pl19_temperature_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REALIZE pl18's temperature mixture as a per-document repeat
     plan: each doc appears floor(epochs_source) times plus one more
@@ -1852,10 +1939,7 @@ def pl19_temperature_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_offline_oracles.py."""
     mix = pl18_temperature_mix(spark, sf_dir).select("source", "epochs")
     d = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id", "source")
-    base = F.floor(F.col("epochs")).cast("int")
-    frac = F.col("epochs") - F.floor(F.col("epochs"))
-    u = hash_uniform("pl19", F.col("doc_id").cast("string"))
-    n_copies = (base + F.when(u < frac, 1).otherwise(0)).cast("int")
+    n_copies = temperature_copies_expr()
     return (
         d.join(F.broadcast(mix), "source")
         .select("doc_id", "source", "epochs", n_copies.alias("n_copies"))

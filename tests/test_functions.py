@@ -1882,6 +1882,43 @@ def test_pl13_quality_stage_equals_pl4_survivors(spark, sf_dir):
     assert ledger["quality_filter"] == funnel["lang_known"]
 
 
+def test_pl13_temperature_row_equals_pl19_over_train(spark, sf_dir):
+    """The ledger's temperature_apply row (VERDICT r12 item 4) must
+    equal the STANDALONE pl19 repeat plan restricted to the surviving
+    train docs — the mix derives from the same corpus-wide per-source
+    masses (via the cached stage relation) and the copy rule is the
+    shared temperature_copies_expr, so the audited lineage and the
+    operator cannot drift."""
+    from pyspark.sql import functions as F
+
+    from maggy_spark.functions.pipeline import (
+        _pl13_doc_stages,
+        pl13_full_corpus_build,
+        pl19_temperature_apply,
+    )
+
+    rows = {r.stage: (r.n_docs, r.n_tokens)
+            for r in pl13_full_corpus_build(spark, sf_dir).collect()}
+    train = _pl13_doc_stages(spark, sf_dir).where(
+        F.col("s4") & (F.col("split") == "train")
+    ).select("doc_id", "bpe_tokens")
+    joined = (
+        pl19_temperature_apply(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.max("n_copies").alias("nc"))
+        .join(train, "doc_id")
+        .agg(
+            F.sum("nc").cast("bigint").alias("nd"),
+            F.sum(F.col("nc").cast("bigint") * F.col("bpe_tokens")).cast("bigint").alias("nt"),
+        )
+        .collect()[0]
+    )
+    assert rows["temperature_apply"] == (joined.nd, joined.nt)
+    # recipe order: gate stages, then temperature, then pack/order
+    seqs = {r.stage: r.seq for r in pl13_full_corpus_build(spark, sf_dir).collect()}
+    assert seqs["split:test"] < seqs["temperature_apply"] < seqs["pack"] < seqs["epoch_shuffle"]
+
+
 def test_dd15_crafted_cross_source_duplicates(spark, tmp_path):
     """dd15 on a crafted corpus with KNOWN cross-source duplicates —
     the fixture corpora below sf0.1 have zero cross-source exact dups,
