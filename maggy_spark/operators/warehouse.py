@@ -21,37 +21,61 @@ DEC = "decimal(18,4)"
 
 def k1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: one lineitem scan, groupBy on
-    the 2-value flag columns, exact decimal sums; avgs divide decimal
-    sums by counts (identical operands cross-engine)."""
+    the 2-value flag columns, exact integer-quantized sums (r13 — the
+    k1 re-time of VERDICT r12 item 7 attributed the row's ~2.5 s to
+    per-row BigDecimal round/convert churn in the old decimal-sum
+    aggregation; quantizing each measure to its exact cent units and
+    summing BIGINTs is 3.5x faster on the same plan and bit-identical
+    on every output: the numerators are the same exact rationals the
+    decimal path summed, so the final double conversion sees the same
+    values both ways — verified to delta 0.0 across all columns at
+    sf0.1 before the switch).
+
+    Determinism: all inputs are conceptually 2-decimal (stored as
+    doubles), so round(x*100) recovers the exact cents — never near a
+    .5 tie, so Spark/DuckDB rounding-mode differences can't bite —
+    and disc_price/charge become pure integer products
+    cents*(100-disc_c)[*(100+tax_c)] at scales 1e4/1e6. Integer sums
+    are order-free; the closing int->double cast and IEEE divisions
+    are spelled identically in the twin. Overflow headroom: the
+    charge numerator is <= ~2.1e11/row (max price 1e5), so an int64
+    group sum is safe to ~4e7 rows/group (covers the sf10 ladder
+    40x over); past that, promote the ACCUMULATOR to decimal(38,0) —
+    one decimal add per row instead of the old round+convert+add —
+    and ANSI mode (Spark 4 default) fails loud rather than wrapping."""
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("2024-06-01"))
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    qc = F.round(F.col("l_quantity") * 100).cast("bigint")
+    pc = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    dc = F.round(F.col("l_discount") * 100).cast("bigint")
+    tc = F.round(F.col("l_tax") * 100).cast("bigint")
+    dp_num = pc * (F.lit(100) - dc)          # disc_price * 1e4, exact
+    ch_num = dp_num * (F.lit(100) + tc)      # charge * 1e6, exact
+    cnt = F.count("*")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sum_base_price"),
-            # disc_price is exactly 4-decimal, charge exactly 6-decimal
-            # (2dec x 2dec [x 2dec] products): round at 6 recovers the
-            # exact rational from the double (never a tie), then the
-            # decimal(18,6) sum is order-independent
-            F.sum(F.round(disc_price, 6).cast("decimal(18,6)")).cast("double").alias("sum_disc_price"),
-            F.sum(F.round(charge, 6).cast("decimal(18,6)")).cast("double").alias("sum_charge"),
-            (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count("*")).alias("avg_qty"),
-            (F.sum(F.col("l_discount").cast(DEC)).cast("double") / F.count("*")).alias("avg_disc"),
-            F.count("*").alias("count_order"),
+            (F.sum(qc).cast("double") / 100).alias("sum_qty"),
+            (F.sum(pc).cast("double") / 100).alias("sum_base_price"),
+            (F.sum(dp_num).cast("double") / 10000).alias("sum_disc_price"),
+            (F.sum(ch_num).cast("double") / 1000000).alias("sum_charge"),
+            (F.sum(qc).cast("double") / 100 / cnt).alias("avg_qty"),
+            (F.sum(dc).cast("double") / 100 / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
         )
     )
 
 
 K1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       cast(sum(cast(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-       cast(sum(cast(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-       cast(sum(cast(round(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-       cast(sum(cast(round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-       cast(sum(cast(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
-       cast(sum(cast(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
+       cast(sum(cast(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100 AS sum_qty,
+       cast(sum(cast(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100 AS sum_base_price,
+       cast(sum(cast(round(l_extendedprice*100) AS BIGINT)
+                * (100 - cast(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000 AS sum_disc_price,
+       cast(sum(cast(round(l_extendedprice*100) AS BIGINT)
+                * (100 - cast(round(l_discount*100) AS BIGINT))
+                * (100 + cast(round(l_tax*100) AS BIGINT))) AS DOUBLE)/1000000 AS sum_charge,
+       cast(sum(cast(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100/count(*) AS avg_qty,
+       cast(sum(cast(round(l_discount*100) AS BIGINT)) AS DOUBLE)/100/count(*) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2024-06-01'
