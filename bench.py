@@ -272,6 +272,7 @@ def main() -> None:
             tx18_langid_eval,
             tx5_ngram_stats,
         )
+        from maggy_spark.sources.jsonl import s10_jsonl_clean, s10_jsonl_report
 
         # r13 rotation bookkeeping: ann12/pl16/tx19/ann16 moved INTO the
         # registry (timed by the registry loop above), and the four
@@ -297,6 +298,11 @@ def main() -> None:
             ("ev13_type_transitions", ev13_type_transitions),
             ("pl19_temperature_apply", pl19_temperature_apply),
             ("k5_late_shipment_priority", k5_late_shipment_priority),
+            # r13: the S10 JSONL ingest surfaces (fixture written once
+            # by ensure_s10_fixture; reps measure the PERMISSIVE scan
+            # + split/report, not the fixture build)
+            ("s10_jsonl_clean", s10_jsonl_clean),
+            ("s10_jsonl_report", s10_jsonl_report),
         ):
             samples = []
             for _ in range(reps):
