@@ -272,6 +272,7 @@ def main() -> None:
             tx18_langid_eval,
             tx5_ngram_stats,
         )
+        from maggy_spark.functions.dedup import dd21_lsh_s_curve
         from maggy_spark.sources.jsonl import s10_jsonl_clean, s10_jsonl_report
 
         # r13 rotation bookkeeping: ann12/pl16/tx19/ann16 moved INTO the
@@ -303,6 +304,8 @@ def main() -> None:
             # + split/report, not the fixture build)
             ("s10_jsonl_clean", s10_jsonl_clean),
             ("s10_jsonl_report", s10_jsonl_report),
+            # r13: the LSH banding S-curve planner (scan-free matrix)
+            ("dd21_lsh_s_curve", dd21_lsh_s_curve),
         ):
             samples = []
             for _ in range(reps):

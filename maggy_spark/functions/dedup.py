@@ -2225,3 +2225,96 @@ def dd20_incremental_components(
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return incremental_components_over(docs, "doc_id", prev_stars, new_edges, max_iter)
+
+
+# -- DD21: LSH banding S-curve planner ------------------------------------
+#
+# The tuning relation behind every (bands, rows) choice in this family
+# (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch.3): for a
+# pair with true Jaccard s, P(candidate) = 1 - (1 - s^r)^b. The planner
+# tabulates that curve over the r ladder the geometry rule can pick
+# (2..MH_MAX_ROWS) with the b each r implies at the family's threshold
+# (b = round((1/tau)^r), capped by the hash budget — the same formula
+# minhash_geometry applies), so a pipeline owner can READ the
+# false-positive/false-negative trade-off instead of trusting the
+# defaults blind.
+#
+# Cross-engine determinism without pow(): libm pow is not correctly
+# rounded and differs between the JVM and DuckDB in the last ulp, so
+# s^r and (1-p)^b are UNROLLED into explicit left-to-right IEEE
+# multiplication chains — the generated Spark expressions and the
+# generated SQL spell the identical sequence, and every input
+# (s = i/100.0) is an exact small-integer division. Corpus-independent
+# (a pure planning matrix), so the twin is static and the relation
+# needs no scan at all.
+
+DD21_S_STEPS = 100  # s grid: 0/100 .. 100/100
+
+
+def _dd21_configs() -> list[tuple[int, int]]:
+    """The (r, b) ladder minhash_geometry can choose from: r in
+    2..MH_MAX_ROWS, b = round((1/tau)^r) capped by the hash budget —
+    the same literals, so planner rows and production geometry cannot
+    drift."""
+    out = []
+    for r in range(2, MH_MAX_ROWS + 1):
+        b = min(int(round((1.0 / NEAR_DUP_JACCARD) ** r)), MH_MAX_HASHES // r)
+        out.append((r, b))
+    return out
+
+
+def dd21_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(r, b, s_pct, p_candidate, above_tau) over the r ladder and a
+    101-point similarity grid. `above_tau` marks the region where a
+    candidate SHOULD fire: p_candidate mass below tau is the
+    verification bill (false candidates dd8's exact check pays for),
+    1 - p_candidate above tau is the miss risk (pairs banding never
+    surfaces). sf_dir is unused (planning matrix); kept for the
+    uniform (spark, sf_dir) operator signature."""
+    from functools import reduce
+    from operator import mul
+
+    tau_pct = int(round(NEAR_DUP_JACCARD * 100))
+    grid = spark.range(0, DD21_S_STEPS + 1).select(
+        F.col("id").cast("int").alias("s_pct"),
+        (F.col("id").cast("double") / 100.0).alias("s"),
+    )
+    parts = []
+    for r, b in _dd21_configs():
+        p1 = reduce(mul, [F.col("s")] * r)              # s^r, unrolled
+        miss1 = F.lit(1.0) - p1
+        pm = reduce(mul, [miss1] * b)                   # (1-s^r)^b, unrolled
+        parts.append(
+            grid.select(
+                F.lit(r).alias("r"),
+                F.lit(b).alias("b"),
+                "s_pct",
+                (F.lit(1.0) - pm).alias("p_candidate"),
+                (F.col("s_pct") >= tau_pct).alias("above_tau"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def dd21_sql() -> str:
+    """Static DuckDB twin: the SAME unrolled multiplication chains
+    over the same generated grid (range + i/100.0), one UNION ALL arm
+    per (r, b) config."""
+    tau_pct = int(round(NEAR_DUP_JACCARD * 100))
+    arms = []
+    for r, b in _dd21_configs():
+        p1 = "(" + " * ".join(["s"] * r) + ")"
+        pm = "(" + " * ".join([f"(1.0 - {p1})"] * b) + ")"
+        arms.append(
+            f"SELECT {r} AS r, {b} AS b, s_pct, 1.0 - {pm} AS p_candidate,\n"
+            f"       s_pct >= {tau_pct} AS above_tau\n"
+            f"FROM (SELECT CAST(i AS INTEGER) AS s_pct, CAST(i AS DOUBLE) / 100.0 AS s\n"
+            f"      FROM generate_series(0, {DD21_S_STEPS}) gs(i))"
+        )
+    return "\nUNION ALL\n".join(arms)
+
+
+DD21_SQL = dd21_sql()

@@ -4121,3 +4121,39 @@ def test_k5_semi_join_equals_distinct_spelling(spark, sf_dir):
               for r in load_table(spark, sf_dir, "orders").groupBy("o_orderpriority").count().collect()}
     for prio, n in got.items():
         assert 0 < n <= totals[prio]
+
+
+def test_dd21_s_curve_semantics(spark, sf_dir):
+    """The planner's point, pinned on crafted checks: exact endpoints
+    (p(0)=0, p(1)=1 — the unrolled chains hit them exactly), monotone
+    nondecreasing in s for every (r, b) config, steeper curves for
+    larger r at the threshold region, and EXACT equality against a
+    pure-Python replay of the same unrolled multiplication chains
+    (any reassociation or a sneaky pow() in the Spark expression
+    would break bit-equality)."""
+    from maggy_spark.functions.dedup import _dd21_configs, dd21_lsh_s_curve
+
+    rows = dd21_lsh_s_curve(spark, sf_dir).collect()
+    by_cfg: dict[tuple[int, int], dict[int, float]] = {}
+    for r in rows:
+        by_cfg.setdefault((r.r, r.b), {})[r.s_pct] = r.p_candidate
+    assert set(by_cfg) == set(_dd21_configs())
+    for (rr, bb), curve in by_cfg.items():
+        assert len(curve) == 101
+        assert curve[0] == 0.0 and curve[100] == 1.0
+        assert all(curve[i] <= curve[i + 1] for i in range(100)), (rr, bb)
+        # python replay of the identical chains
+        for i in (1, 25, 50, 75, 99):
+            s = i / 100.0
+            p1 = 1.0
+            for _ in range(rr):
+                p1 = p1 * s
+            pm = 1.0
+            m1 = 1.0 - p1
+            for _ in range(bb):
+                pm = pm * m1
+            assert curve[i] == 1.0 - pm, (rr, bb, i)
+    # larger r = sharper curve: at the family threshold the deepest
+    # ladder rung must fire less often below tau than the shallowest
+    lo_r, hi_r = min(by_cfg), max(by_cfg)
+    assert by_cfg[hi_r][25] < by_cfg[lo_r][25]  # fewer false candidates

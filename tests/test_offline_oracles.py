@@ -268,6 +268,12 @@ CASES = [
     # token-mass totals must agree to the row.
     ("s10_jsonl_clean", "S10_CLEAN_SQL", "maggy_spark.sources.jsonl"),
     ("s10_jsonl_report", "S10_REPORT_SQL", "maggy_spark.sources.jsonl"),
+    # round-13 addition: the LSH banding S-curve planner — the MMDS
+    # ch.3 tuning relation behind every (bands, rows) choice in the
+    # dedup family; pow() is libm-divergent cross-engine, so both
+    # sides spell s^r and (1-s^r)^b as identical unrolled IEEE
+    # multiplication chains (bit-exact, corpus-independent)
+    ("dd21_lsh_s_curve", "DD21_SQL", "maggy_spark.functions.dedup"),
 ]
 
 
