@@ -195,12 +195,11 @@ def _s10_raw_lines_sql(path: str) -> str:
     )
 
 
-def s10_clean_sql(sf_dir: str) -> str:
-    """DuckDB twin of s10_jsonl_clean: the SAME file, parsed with
-    DuckDB's native JSON functions; the clean predicate mirrors _ok()
-    (parses AND doc_id AND text non-null — json_extract_string maps
-    both missing keys and JSON nulls to SQL NULL)."""
-    path = s10_fixture_path(sf_dir)
+def s10_clean_sql_for_path(path: str) -> str:
+    """DuckDB twin of the clean split over ANY jsonl path (file or
+    glob) — shared by the sf-dir fixture case and the streaming
+    end-state oracle, so batch, stream, and twin all classify the
+    same bytes."""
     # json_extract_string THROWS on malformed JSON and DuckDB does not
     # short-circuit AND — parse through a CASE gated on json_valid so
     # broken lines classify instead of failing the scan
@@ -220,8 +219,15 @@ WHERE json_extract_string(j, '$.doc_id') IS NOT NULL
 """
 
 
-def s10_report_sql(sf_dir: str) -> str:
-    path = s10_fixture_path(sf_dir)
+def s10_clean_sql(sf_dir: str) -> str:
+    """The sf-dir fixture instance of the clean twin (the offline
+    oracle case); the clean predicate mirrors _ok() — parses AND
+    doc_id AND text non-null (json_extract_string maps both missing
+    keys and JSON nulls to SQL NULL)."""
+    return s10_clean_sql_for_path(s10_fixture_path(sf_dir))
+
+
+def s10_report_sql_for_path(path: str) -> str:
     return f"""
 WITH raw AS (
     SELECT CASE WHEN json_valid(line) THEN line END AS j
@@ -239,6 +245,10 @@ SELECT CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
            AS clean_tokens
 FROM cls
 """
+
+
+def s10_report_sql(sf_dir: str) -> str:
+    return s10_report_sql_for_path(s10_fixture_path(sf_dir))
 
 
 # module-level constants for the offline oracle table (it runs at the

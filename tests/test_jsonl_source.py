@@ -150,3 +150,62 @@ def test_s10_fixture_quarantines_exactly_the_broken_lines(spark, sf_dir):
     # parse failures (corrupt-record channel) keep their bytes verbatim
     for broken in (S10_BROKEN_LINES[0], S10_BROKEN_LINES[1], S10_BROKEN_LINES[4]):
         assert broken in quar_lines
+
+
+def test_jsonl_stream_end_state_matches_duckdb_twin(spark, tmp_path):
+    """The EIGHTH stream end-state oracle: the S10 clean stream,
+    accumulated across three single-file micro-batches via
+    foreachBatch, value-compared against an independent ENGINE —
+    DuckDB's native JSON functions over a raw-line read of the same
+    directory (s10_clean_sql_for_path) — not just against the batch
+    Spark path. The accumulated quarantine count + clean token mass
+    are additionally checked against the report twin, so micro-batch
+    splitting, the PERMISSIVE corrupt channel, and the shared _ok()
+    predicate are all inside the cross-engine surface."""
+    import duckdb
+
+    from maggy_spark.sources.jsonl import (
+        S10_BROKEN_LINES,
+        jsonl_ingest_stream,
+        s10_clean_sql_for_path,
+        s10_report_sql_for_path,
+    )
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    docs = [
+        {"doc_id": 1, "text": "alpha beta gamma", "lang": "en", "source": "s1", "n_chars": 16},
+        {"doc_id": 2, "text": "delta epsilon", "lang": "de", "source": "s2", "n_chars": 13},
+        {"doc_id": 3, "text": "zeta", "lang": "fr", "source": "s1", "n_chars": 4},
+    ]
+    (feed / "a.jsonl").write_text(json.dumps(docs[0]) + "\n" + S10_BROKEN_LINES[0] + "\n")
+    (feed / "b.jsonl").write_text(json.dumps(docs[1]) + "\n" + S10_BROKEN_LINES[2] + "\n")
+    (feed / "c.jsonl").write_text(
+        json.dumps(docs[2]) + "\n" + S10_BROKEN_LINES[4] + "\n" + S10_BROKEN_LINES[5] + "\n"
+    )
+
+    clean_s, quar_s = jsonl_ingest_stream(spark, str(feed))
+    got_clean, got_quar = [], []
+
+    def sink(acc):
+        def f(bdf, _bid):
+            acc.extend(map(tuple, bdf.collect()))
+        return f
+
+    for stream, acc, name in ((clean_s, got_clean, "c8"), (quar_s, got_quar, "q8")):
+        q = (
+            stream.writeStream.foreachBatch(sink(acc))
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    con = duckdb.connect()
+    glob = str(feed / "*.jsonl")
+    duck_clean = sorted(map(tuple, con.execute(s10_clean_sql_for_path(glob)).fetchall()))
+    assert sorted(got_clean) == duck_clean
+    n_clean, n_quar, clean_tokens = con.execute(s10_report_sql_for_path(glob)).fetchone()
+    assert (len(got_clean), len(got_quar)) == (n_clean, n_quar)
+    spark_tokens = sum(len(t[1].split(" ")) for t in got_clean)
+    assert spark_tokens == clean_tokens
