@@ -273,6 +273,8 @@ def main() -> None:
             tx5_ngram_stats,
         )
         from maggy_spark.functions.dedup import dd21_lsh_s_curve
+        from maggy_spark.functions.pipeline import pl20_pack_efficiency
+        from maggy_spark.functions.text import tx20_tokenizer_fertility
         from maggy_spark.sources.jsonl import s10_jsonl_clean, s10_jsonl_report
 
         # r13 rotation bookkeeping: ann12/pl16/tx19/ann16 moved INTO the
@@ -306,6 +308,9 @@ def main() -> None:
             ("s10_jsonl_report", s10_jsonl_report),
             # r13: the LSH banding S-curve planner (scan-free matrix)
             ("dd21_lsh_s_curve", dd21_lsh_s_curve),
+            # r13: the pack-efficiency audit + tokenizer fertility table
+            ("pl20_pack_efficiency", pl20_pack_efficiency),
+            ("tx20_tokenizer_fertility", tx20_tokenizer_fertility),
         ):
             samples = []
             for _ in range(reps):

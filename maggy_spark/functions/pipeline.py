@@ -1985,3 +1985,96 @@ copies AS (
 SELECT doc_id, source, n_copies, cast(unnest(range(1, n_copies + 1)) AS INTEGER) AS copy_idx
 FROM copies WHERE n_copies > 0
 """
+
+
+# --- pl20: pack-efficiency audit -----------------------------------------
+
+
+def pl20_pack_efficiency(
+    spark: SparkSession, sf_dir: str, ctx: int = PACK_CTX, shards: int = PACK_SHARDS
+) -> DataFrame:
+    """Per-shard audit of pl7's packing plan: how full the fixed
+    ctx-token training windows actually are and how many documents
+    straddle a window boundary — the two numbers that price a packing
+    configuration (tail-window waste = wasted FLOPs per epoch;
+    boundary documents = sequences whose attention span a cross-doc
+    seam, the cost sample-packing papers weigh against padding).
+
+    Columns: shard, n_docs, fill_tokens (token mass packed),
+    n_windows (windows the shard slices into), capacity_tokens
+    (n_windows * ctx), waste_tokens (capacity - fill: the tail
+    window's padding), fill_ratio (exact-integer IEEE division;
+    NULL for an all-empty shard), boundary_docs (docs with
+    n_windows > 1).
+
+    Cross-engine determinism: every column is an integer aggregate of
+    pl7's integer plan (fill_ratio is one int/int double division).
+    Scale shape: inherits pl7's per-shard independence — one window
+    partitioned by shard, then a |shards|-key map-combined groupBy;
+    no global order anywhere. Not in the driver registry (50-entry
+    cap); DuckDB parity in tests/test_offline_oracles.py."""
+    plan = pl7_sequence_pack_plan(spark, sf_dir, ctx, shards)
+    agg = plan.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("bpe_tokens").cast("bigint").alias("fill_tokens"),
+        (F.max("window_end") + 1).cast("bigint").alias("n_windows"),
+        F.sum(F.when(F.col("n_windows") > 1, 1).otherwise(0)).cast("bigint").alias("boundary_docs"),
+    )
+    capacity = (F.col("n_windows") * ctx).cast("bigint")
+    return agg.select(
+        "shard",
+        "n_docs",
+        "fill_tokens",
+        "n_windows",
+        capacity.alias("capacity_tokens"),
+        (capacity - F.col("fill_tokens")).alias("waste_tokens"),
+        F.when(capacity == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("fill_tokens").cast("double") / capacity.cast("double"))
+        .alias("fill_ratio"),
+        "boundary_docs",
+    )
+
+
+def pl20_sql(ctx: int = PACK_CTX, shards: int = PACK_SHARDS) -> str:
+    """pl20's DuckDB twin: replays pl7's cumsum spelling (the
+    floor-of-double-quotient rule, NOT `//`) and aggregates the same
+    integer columns."""
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           cast(list_sum(list_transform(str_split(text, ' '),
+                t -> cast(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_tokens
+    FROM documents
+),
+t AS (SELECT doc_id, cast(doc_id % {shards} AS INTEGER) AS shard, bpe_tokens FROM toks),
+c AS (
+    SELECT doc_id, shard, bpe_tokens,
+           cast(sum(bpe_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum_end
+    FROM t
+),
+plan AS (
+    SELECT shard, bpe_tokens,
+           cast(floor((cum_end - 1) / {ctx}.0) AS BIGINT) AS window_end,
+           cast(floor((cum_end - 1) / {ctx}.0) AS BIGINT)
+             - cast(floor((cum_end - bpe_tokens) / {ctx}.0) AS BIGINT) + 1 AS n_windows
+    FROM c
+),
+agg AS (
+    SELECT shard,
+           cast(count(*) AS BIGINT) AS n_docs,
+           cast(sum(bpe_tokens) AS BIGINT) AS fill_tokens,
+           cast(max(window_end) + 1 AS BIGINT) AS n_windows,
+           cast(sum(CASE WHEN n_windows > 1 THEN 1 ELSE 0 END) AS BIGINT) AS boundary_docs
+    FROM plan GROUP BY shard
+)
+SELECT shard, n_docs, fill_tokens, n_windows,
+       cast(n_windows * {ctx} AS BIGINT) AS capacity_tokens,
+       cast(n_windows * {ctx} AS BIGINT) - fill_tokens AS waste_tokens,
+       CASE WHEN n_windows = 0 THEN NULL
+            ELSE cast(fill_tokens AS DOUBLE) / cast(n_windows * {ctx} AS DOUBLE) END AS fill_ratio,
+       boundary_docs
+FROM agg
+"""
+
+
+PL20_SQL = pl20_sql()

@@ -2070,3 +2070,77 @@ TX19_SQL = tx19_sql()
 # (tx16's integer inverted-CDF rule on an exact milli-nat cost domain)
 # and joined back to route every doc — which the gate did not yet cover.
 OPERATORS.append(("tx19_ccnet_bucket", tx19_ccnet_bucket, TX19_SQL))
+
+
+# --- tx20: tokenizer fertility / compression audit ------------------------
+
+
+def tx20_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) tokenizer acceptance stats: whitespace-token
+    mass, the BPE-proxy sub-token mass (tx1/pl13's shared
+    bpe_token_estimate), fertility = sub-tokens per word (THE
+    tokenizer-quality metric of Rust et al. 2021, "How Good is Your
+    Tokenizer?"), and chars-per-sub-token (compression). A corpus
+    owner reads this table to catch languages the tokenizer
+    fragments (fertility spikes) before burning FLOPs on them.
+
+    Cross-engine determinism: all masses are exact integer sums
+    (n_chars is the fixture's own bigint column); the two ratios are
+    single int/int IEEE divisions — no float aggregation anywhere.
+    Scale shape: one corpus scan with map-side combine into a
+    |langs x sources|-key groupBy; no joins, no windows. Not in the
+    driver registry (50-entry cap); DuckDB parity in
+    tests/test_offline_oracles.py."""
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    toks = F.split(F.col("text"), " ")
+    agg = (
+        d.select(
+            "lang",
+            "source",
+            "n_chars",
+            F.size(toks).cast("bigint").alias("ws"),
+            bpe_token_estimate(toks).alias("bpe"),
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("ws").cast("bigint").alias("ws_tokens"),
+            F.sum("bpe").cast("bigint").alias("bpe_tokens"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )
+    return agg.select(
+        "lang",
+        "source",
+        "n_docs",
+        "ws_tokens",
+        "bpe_tokens",
+        "n_chars",
+        (F.col("bpe_tokens").cast("double") / F.col("ws_tokens").cast("double")).alias("fertility"),
+        (F.col("n_chars").cast("double") / F.col("bpe_tokens").cast("double")).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+TX20_SQL = """
+WITH per AS (
+    SELECT lang, source, n_chars,
+           cast(len(str_split(text, ' ')) AS BIGINT) AS ws,
+           cast(list_sum(list_transform(str_split(text, ' '),
+                t -> cast(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS bpe
+    FROM documents
+),
+agg AS (
+    SELECT lang, source,
+           cast(count(*) AS BIGINT) AS n_docs,
+           cast(sum(ws) AS BIGINT) AS ws_tokens,
+           cast(sum(bpe) AS BIGINT) AS bpe_tokens,
+           cast(sum(n_chars) AS BIGINT) AS n_chars
+    FROM per GROUP BY lang, source
+)
+SELECT lang, source, n_docs, ws_tokens, bpe_tokens, n_chars,
+       cast(bpe_tokens AS DOUBLE) / cast(ws_tokens AS DOUBLE) AS fertility,
+       cast(n_chars AS DOUBLE) / cast(bpe_tokens AS DOUBLE) AS chars_per_token
+FROM agg
+"""

@@ -4157,3 +4157,80 @@ def test_dd21_s_curve_semantics(spark, sf_dir):
     # ladder rung must fire less often below tau than the shallowest
     lo_r, hi_r = min(by_cfg), max(by_cfg)
     assert by_cfg[hi_r][25] < by_cfg[lo_r][25]  # fewer false candidates
+
+
+def test_pl20_pack_efficiency_hand_computed(spark, tmp_path):
+    """pl20 on a crafted corpus where the packing is hand-computable
+    (ctx=10, shards=2): shard 0 packs 4+8=12 tokens into 2 windows
+    (doc 2 straddles the boundary), shard 1 packs 10+5=15 into 2
+    windows with no straddler. Spark == hand truth == PL20_SQL twin
+    on the same parquet."""
+    import duckdb
+    import pandas as pd
+
+    from maggy_spark.functions.pipeline import pl20_pack_efficiency, pl20_sql
+
+    # every word is 4 chars -> bpe_token_estimate = word count
+    texts = {
+        0: " ".join(["aaaa"] * 4),    # shard 0, 4 tokens
+        1: " ".join(["bbbb"] * 10),   # shard 1, 10 tokens (exactly 1 window)
+        2: " ".join(["cccc"] * 8),    # shard 0, 8 tokens (straddles w0/w1)
+        3: " ".join(["dddd"] * 5),    # shard 1, 5 tokens (all inside w1)
+    }
+    pdf = pd.DataFrame(
+        [(i, t, "en", "s1", len(t)) for i, t in texts.items()],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    got = {
+        r.shard: (r.n_docs, r.fill_tokens, r.n_windows, r.capacity_tokens,
+                  r.waste_tokens, r.fill_ratio, r.boundary_docs)
+        for r in pl20_pack_efficiency(spark, str(tmp_path), ctx=10, shards=2).collect()
+    }
+    want = {
+        0: (2, 12, 2, 20, 8, 12 / 20, 1),
+        1: (2, 15, 2, 20, 5, 15 / 20, 0),
+    }
+    assert got == want
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path / 'documents.parquet'}'")
+    duck = {row[0]: tuple(row[1:]) for row in con.execute(pl20_sql(ctx=10, shards=2)).fetchall()}
+    assert duck == want
+
+
+def test_tx20_fertility_hand_computed(spark, tmp_path):
+    """tx20 on a crafted corpus: a language whose words chunk to one
+    sub-token each (fertility 1.0) vs one the 4-char proxy fragments
+    (fertility 3.0) — the spike the acceptance table exists to catch.
+    Spark == hand truth == TX20_SQL twin."""
+    import duckdb
+    import pandas as pd
+
+    from maggy_spark.functions.text import TX20_SQL, tx20_tokenizer_fertility
+
+    rows = [
+        (0, "aaaa bbbb", "en", "s1"),       # ws 2, bpe 2
+        (1, "cccc dddd eeee", "en", "s1"),  # ws 3, bpe 3
+        (2, "aaaaaaaaa", "de", "s1"),       # ws 1, bpe ceil(9/4)=3
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len().astype("int64")
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    got = {
+        (r.lang, r.source): (r.n_docs, r.ws_tokens, r.bpe_tokens, r.n_chars,
+                             r.fertility, r.chars_per_token)
+        for r in tx20_tokenizer_fertility(spark, str(tmp_path)).collect()
+    }
+    want = {
+        ("en", "s1"): (2, 5, 5, 23, 1.0, 23 / 5),
+        ("de", "s1"): (1, 1, 3, 9, 3.0, 9 / 3),
+    }
+    assert got == want
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path / 'documents.parquet'}'")
+    duck = {(r[0], r[1]): tuple(r[2:]) for r in con.execute(TX20_SQL).fetchall()}
+    assert duck == want

@@ -274,6 +274,15 @@ CASES = [
     # sides spell s^r and (1-s^r)^b as identical unrolled IEEE
     # multiplication chains (bit-exact, corpus-independent)
     ("dd21_lsh_s_curve", "DD21_SQL", "maggy_spark.functions.dedup"),
+    # round-13 addition: per-shard pack-efficiency audit of pl7's
+    # plan (tail-window waste + boundary-doc count — the two numbers
+    # that price a packing configuration); integer aggregates of the
+    # integer plan, twin replays the cumsum spelling
+    ("pl20_pack_efficiency", "PL20_SQL", "maggy_spark.functions.pipeline"),
+    # round-13 addition: per-(lang, source) tokenizer fertility /
+    # compression (Rust et al. 2021) — exact integer masses, two
+    # int/int IEEE ratios; the tokenizer acceptance table
+    ("tx20_tokenizer_fertility", "TX20_SQL", "maggy_spark.functions.text"),
 ]
 
 

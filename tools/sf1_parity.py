@@ -105,6 +105,13 @@ DIRECT = [
     "pl9_epoch_shuffle_plan",
     "pl14_curriculum_order",
     "pl1_corpus_prep",
+    # r13 additions: the pack-efficiency audit (pl7's cumsum replay),
+    # the tokenizer fertility table, and the corpus-independent LSH
+    # S-curve planner (static matrix — swept to pin the unrolled
+    # IEEE chains stay bit-equal on this engine build)
+    "pl20_pack_efficiency",
+    "tx20_tokenizer_fertility",
+    "dd21_lsh_s_curve",
     "ev4_asof_attribution",
     "ev5_sessionize",
     "ev11_volume_anomaly",
