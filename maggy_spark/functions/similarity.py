@@ -2594,3 +2594,104 @@ ANN16_SQL = ann16_sql()
 # mm2/mm3 and stays offline-oracled).
 OPERATORS.append(("ann12_ivfpq_adc", ann12_ivfpq_adc, ANN12_SQL))
 OPERATORS.append(("ann16_mmr_rerank", ann16_mmr_rerank, ANN16_SQL))
+
+
+# --- ann17/ann18: filtered search + range search --------------------------
+#
+# The two remaining named serving patterns of a vector store (both are
+# first-class FAISS / vector-DB operations): FILTERED search — a
+# metadata predicate applied BEFORE scoring, here "candidates sharing
+# the query's label" (the same-category filter) — and RANGE search —
+# every neighbor above a similarity floor instead of a fixed k
+# (faiss.Index.range_search). Scoring, norms, and the degenerate-
+# vector rule are ann1's exact expressions.
+
+RANGE_TAU = 0.25  # similarity floor: ~p99 of the corpus cosine mass
+
+
+def ann17_filtered_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """Exact top-k restricted to corpus vectors with the QUERY's
+    label. The filter is an equi-join key, NOT a post-filter: the
+    plan is a broadcast HASH join on label (candidate volume divides
+    by |labels| before any arithmetic runs), where unfiltered ann1 is
+    a broadcast nested loop — the plan-shape difference that makes
+    filtered search cheaper, not costlier, at 100 TB (with a
+    label-partitioned corpus the scan prunes to matching partitions).
+    Not in the driver registry (50-entry cap); DuckDB parity in
+    tests/test_offline_oracles.py."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    q = (
+        e.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "label",
+            F.col("embedding").alias("qe"),
+            F.sqrt(_dot("embedding", "embedding")).alias("qn"),
+        )
+        .where(F.col("qn") > 0)
+    )
+    c = (
+        e.where(F.col("vec_id") >= N_QUERIES)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            F.col("embedding").alias("ve"),
+            F.sqrt(_dot("embedding", "embedding")).alias("vn"),
+        )
+        .where(F.col("vn") > 0)
+    )
+    scored = c.join(F.broadcast(q), "label").select(
+        "query_id", "label", "neighbor_id", _cosine_pre("qe", "ve", "qn", "vn").alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.select(
+            "query_id", "label", "neighbor_id", "cosine",
+            F.row_number().over(w).cast("bigint").alias("rank"),
+        )
+        .where(F.col("rank") <= k)
+    )
+
+
+ANN17_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, label, embedding AS qe FROM embeddings
+           WHERE vec_id < {N_QUERIES} AND {_NONZERO_SQL}),
+c AS (SELECT vec_id AS neighbor_id, label, embedding AS ve FROM embeddings
+      WHERE vec_id >= {N_QUERIES} AND {_NONZERO_SQL}),
+scored AS (
+    SELECT query_id, label, neighbor_id, {_cos_sql("qe", "ve")} AS cosine
+    FROM c JOIN q USING (label)
+)
+SELECT query_id, label, neighbor_id, cosine, rank FROM (
+    SELECT query_id, label, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+def ann18_range_search(spark: SparkSession, sf_dir: str, tau: float = RANGE_TAU) -> DataFrame:
+    """Every corpus neighbor with cosine >= tau per query — the
+    similarity-floor query (faiss range_search): dedup screens and
+    recall-oriented retrieval want "everything this close", not a
+    fixed k. Output size is data-dependent by design. Rides ann1's
+    session-shared scored relation, so the floor is a pure filter
+    over the already-priced scoring pass. Not in the driver registry
+    (50-entry cap); DuckDB parity in tests/test_offline_oracles.py."""
+    scored = _bruteforce_scored(spark, sf_dir)
+    return scored.where(F.col("cosine") >= tau).select("query_id", "neighbor_id", "cosine")
+
+
+ANN18_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < {N_QUERIES} AND {_NONZERO_SQL}),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ve FROM embeddings
+      WHERE vec_id >= {N_QUERIES} AND {_NONZERO_SQL}),
+scored AS (
+    SELECT query_id, neighbor_id, {_cos_sql("qe", "ve")} AS cosine
+    FROM c CROSS JOIN q
+)
+SELECT query_id, neighbor_id, cosine FROM scored WHERE cosine >= {RANGE_TAU}
+"""

@@ -4234,3 +4234,79 @@ def test_tx20_fertility_hand_computed(spark, tmp_path):
     con.execute(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path / 'documents.parquet'}'")
     duck = {(r[0], r[1]): tuple(r[2:]) for r in con.execute(TX20_SQL).fetchall()}
     assert duck == want
+
+
+def test_ann17_filtered_equals_postfiltered_ann_scoring(spark, sf_dir):
+    """The filtered search's point, pinned two ways: (a) its result
+    equals post-filtering the FULL scored relation to the query's
+    label then re-ranking (the equi-join must not change scoring);
+    (b) every returned neighbor shares its query's label, and ranks
+    are dense 1..k per query."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from maggy_spark.functions.similarity import (
+        N_QUERIES,
+        TOP_K,
+        _bruteforce_scored,
+        ann17_filtered_topk,
+    )
+    from maggy_spark.plans.fixtures import load_table
+
+    got = ann17_filtered_topk(spark, sf_dir).collect()
+    labels = {r.vec_id: r.label for r in load_table(spark, sf_dir, "embeddings")
+              .select("vec_id", "label").collect()}
+    for r in got:
+        assert labels[r.query_id] == r.label == labels[r.neighbor_id]
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for qid, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= TOP_K
+
+    # (a) independent derivation: post-filter the full scored relation
+    scored = _bruteforce_scored(spark, sf_dir)
+    lab = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"), F.col("label")
+    )
+    post = (
+        scored.join(lab.withColumnRenamed("vec_id", "query_id")
+                    .withColumnRenamed("label", "ql"), "query_id")
+        .join(lab.withColumnRenamed("vec_id", "neighbor_id")
+              .withColumnRenamed("label", "nl"), "neighbor_id")
+        .where(F.col("ql") == F.col("nl"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    post_topk = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in post.select("query_id", "neighbor_id",
+                             F.row_number().over(w).cast("bigint").alias("rank"))
+        .where(F.col("rank") <= TOP_K).collect()
+    }
+    assert {(r.query_id, r.neighbor_id, r.rank) for r in got} == post_topk
+
+
+def test_ann18_range_search_semantics(spark, sf_dir):
+    """Range search = the exact similarity floor over ann1's scored
+    relation: every returned pair clears tau, every omitted pair
+    doesn't, and the floor relation contains ann1's top hits whose
+    cosine clears tau (consistency across the two serving shapes)."""
+    from maggy_spark.functions.similarity import (
+        RANGE_TAU,
+        _bruteforce_scored,
+        ann1_bruteforce_topk,
+        ann18_range_search,
+    )
+
+    got = {(r.query_id, r.neighbor_id): r.cosine
+           for r in ann18_range_search(spark, sf_dir).collect()}
+    assert got, "tau has no support at this sf — lower RANGE_TAU"
+    assert all(c >= RANGE_TAU for c in got.values())
+    full = {(r.query_id, r.neighbor_id): r.cosine
+            for r in _bruteforce_scored(spark, sf_dir).collect()}
+    want = {k: c for k, c in full.items() if c >= RANGE_TAU}
+    assert got == want
+    for r in ann1_bruteforce_topk(spark, sf_dir).collect():
+        if r.cosine >= RANGE_TAU:
+            assert (r.query_id, r.neighbor_id) in got

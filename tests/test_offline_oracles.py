@@ -283,6 +283,13 @@ CASES = [
     # compression (Rust et al. 2021) — exact integer masses, two
     # int/int IEEE ratios; the tokenizer acceptance table
     ("tx20_tokenizer_fertility", "TX20_SQL", "maggy_spark.functions.text"),
+    # round-13 addition: the two remaining named vector-store serving
+    # patterns — filtered search (metadata predicate as an equi-join
+    # key BELOW the scoring, broadcast hash join instead of ann1's
+    # nested loop) and range search (similarity floor, faiss
+    # range_search semantics; output size data-dependent by design)
+    ("ann17_filtered_topk", "ANN17_SQL", "maggy_spark.functions.similarity"),
+    ("ann18_range_search", "ANN18_SQL", "maggy_spark.functions.similarity"),
 ]
 
 

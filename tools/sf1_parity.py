@@ -112,6 +112,8 @@ DIRECT = [
     "pl20_pack_efficiency",
     "tx20_tokenizer_fertility",
     "dd21_lsh_s_curve",
+    "ann17_filtered_topk",
+    "ann18_range_search",
     "ev4_asof_attribution",
     "ev5_sessionize",
     "ev11_volume_anomaly",
