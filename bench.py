@@ -273,7 +273,7 @@ def main() -> None:
             tx5_ngram_stats,
         )
         from maggy_spark.functions.dedup import dd21_lsh_s_curve
-        from maggy_spark.functions.pipeline import pl20_pack_efficiency
+        from maggy_spark.functions.pipeline import pl20_pack_efficiency, pl21_fair_interleave
         from maggy_spark.functions.similarity import ann17_filtered_topk, ann18_range_search
         from maggy_spark.functions.text import tx20_tokenizer_fertility
         from maggy_spark.sources.jsonl import s10_jsonl_clean, s10_jsonl_report
@@ -315,6 +315,7 @@ def main() -> None:
             # r13: the remaining vector-store serving patterns
             ("ann17_filtered_topk", ann17_filtered_topk),
             ("ann18_range_search", ann18_range_search),
+            ("pl21_fair_interleave", pl21_fair_interleave),
         ):
             samples = []
             for _ in range(reps):

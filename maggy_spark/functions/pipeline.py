@@ -2078,3 +2078,101 @@ FROM agg
 
 
 PL20_SQL = pl20_sql()
+
+
+# --- pl21: fair source interleave ----------------------------------------
+
+
+def pl21_fair_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic FAIR INTERLEAVE of sources into one global
+    dataloader order: document i of a source with n docs sits at
+    fractional position (2i - 1) / (2n) — the stride-balanced merge
+    (the datasets-library `interleave_datasets` / Pile-style mixing
+    rule), so every batch-sized window of the global order carries
+    each source in proportion to its share, instead of pl9's
+    uniform-random order where source runs of unbounded length can
+    occur. Within a source, documents keep pl9's hash order (seeded
+    md5 — reshuffleable per epoch), so interleave composes with the
+    epoch permutation rather than replacing it.
+
+    Cross-engine determinism: positions are exact small-integer
+    ratios ((2i-1)/(2n) as one int/int IEEE division — i, n <= corpus
+    size, both exact in double far past any real corpus), and the
+    global order breaks remaining ties by (source, doc_id) — total
+    and engine-independent.
+
+    Scale shape: one hash-rank window per source (partitioned by
+    source — the pl7 per-shard independence argument), and the GLOBAL
+    rank is a CLOSED FORM, not a global-order window (which would
+    funnel the corpus through one task — the pl17 two-phase rule):
+    for doc i of source s, the number of source-s' docs strictly
+    ahead of it is #{j : (2j-1)·n_s < (2i-1)·n_s'} =
+    floor(((2i-1)·n_s' + n_s - 1) / (2·n_s)) — pure integer
+    arithmetic against the broadcast |sources|-row count relation —
+    plus the tie (equal fractional position) exactly when
+    n_s | (2i-1)·n_s' with an odd quotient, charged to the
+    lexicographically earlier source. The DuckDB twin spells the same
+    order as the naive global window (the twin is the semantics, the
+    closed form its scale-honest realization — pl17's documented
+    pattern), so any error in the rank arithmetic is a hash mismatch.
+    Not in the driver registry (50-entry cap); DuckDB parity in
+    tests/test_offline_oracles.py."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id", "source")
+    # pl9's seeded hash order WITHIN each source
+    h = F.md5(F.concat(F.lit("pl21:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h, "doc_id")
+    per = d.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).cast("bigint").alias("src_rank"),
+        F.count("*").over(Window.partitionBy("source")).cast("bigint").alias("n_src"),
+    )
+    counts = per.groupBy(F.col("source").alias("osrc")).agg(
+        F.max("n_src").cast("bigint").alias("n_o")
+    )
+    a = (2 * F.col("src_rank") - 1) * F.col("n_o")  # (2i-1) * n_s'
+    b = F.col("n_src")                              # n_s
+    # floor((a+b-1) / (2b)) in EXACT integer arithmetic (x - x%y is
+    # divisible by y, so the closing division is exact), capped at
+    # n_o — positions past the other source's last doc count all of it
+    x = a + b - 1
+    y = 2 * b
+    fd = ((x - x % y) / y).cast("bigint")
+    ahead_other = F.least(fd, F.col("n_o"))
+    # tie: (2j-1)*n_s == (2i-1)*n_s' for some j in 1..n_o — i.e.
+    # a = (odd)*b (a % 2b == b) with that j inside the other source
+    # (a <= (2*n_o - 1)*b) — charged to the lexicographically earlier
+    # source, matching the twin's (pos, source, doc_id) order
+    tie_exists = (a % y == b) & (a <= (2 * F.col("n_o") - 1) * b)
+    tie_ahead = F.when(
+        tie_exists & (F.col("osrc") < F.col("source")), F.lit(1)
+    ).otherwise(F.lit(0))
+    contrib = F.when(F.col("osrc") == F.col("source"), F.col("src_rank") - 1).otherwise(
+        ahead_other + tie_ahead
+    )
+    ranked = (
+        per.crossJoin(F.broadcast(counts))
+        .groupBy("doc_id", "source", "src_rank", "n_src")
+        .agg((F.sum(contrib) + 1).cast("bigint").alias("global_rank"))
+    )
+    pos = (2 * F.col("src_rank") - 1).cast("double") / (2 * F.col("n_src")).cast("double")
+    return ranked.select("doc_id", "source", "src_rank", pos.alias("pos"), "global_rank")
+
+
+PL21_SQL = """
+WITH per AS (
+    SELECT doc_id, source,
+           cast(row_number() OVER (PARTITION BY source
+                ORDER BY md5('pl21:' || cast(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS src_rank,
+           cast(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+    FROM documents
+)
+SELECT doc_id, source, src_rank,
+       cast(2 * src_rank - 1 AS DOUBLE) / cast(2 * n_src AS DOUBLE) AS pos,
+       cast(row_number() OVER (
+            ORDER BY cast(2 * src_rank - 1 AS DOUBLE) / cast(2 * n_src AS DOUBLE),
+                     source, doc_id) AS BIGINT) AS global_rank
+FROM per
+"""

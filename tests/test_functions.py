@@ -4310,3 +4310,53 @@ def test_ann18_range_search_semantics(spark, sf_dir):
     for r in ann1_bruteforce_topk(spark, sf_dir).collect():
         if r.cosine >= RANGE_TAU:
             assert (r.query_id, r.neighbor_id) in got
+
+
+def test_pl21_interleave_closed_form_and_fairness(spark, tmp_path):
+    """pl21 on a crafted skewed corpus with sizes (2, 6, 1) — chosen
+    so fractional positions COLLIDE (source-a doc 1 at 1/4 ties
+    source-b doc 2 at 3/12), driving the closed form's tie arm. Pins:
+    (a) global_rank is a permutation of 1..N; (b) it equals the
+    naive global-order window computed inline (the spelling the twin
+    uses); (c) low discrepancy — every prefix of the global order
+    carries each source within 1 of its proportional share (the
+    property a uniform shuffle does NOT give)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from maggy_spark.functions.pipeline import pl21_fair_interleave
+
+    rows = []
+    did = 0
+    for src, n in (("a", 2), ("b", 6), ("c", 1)):
+        for _ in range(n):
+            rows.append((did, f"text {did}", "en", src))
+            did += 1
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len().astype("int64")
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    out = pl21_fair_interleave(spark, str(tmp_path))
+    got = out.collect()
+    n = len(got)
+    assert sorted(r.global_rank for r in got) == list(range(1, n + 1))
+
+    # (b) the naive global window over the same per-source ranks
+    w = Window.orderBy("pos", "source", "doc_id")
+    naive = {
+        r.doc_id: r.g
+        for r in out.select(
+            "doc_id", F.row_number().over(w).cast("bigint").alias("g")
+        ).collect()
+    }
+    assert {r.doc_id: r.global_rank for r in got} == naive
+
+    # (c) prefix fairness
+    share = {s: c for s, c in [("a", 2), ("b", 6), ("c", 1)]}
+    order = sorted(got, key=lambda r: r.global_rank)
+    seen = {s: 0 for s in share}
+    for m, r in enumerate(order, start=1):
+        seen[r.source] += 1
+        for s in share:
+            assert abs(seen[s] - m * share[s] / n) <= 1.0, (m, s, seen)

@@ -290,6 +290,13 @@ CASES = [
     # range_search semantics; output size data-dependent by design)
     ("ann17_filtered_topk", "ANN17_SQL", "maggy_spark.functions.similarity"),
     ("ann18_range_search", "ANN18_SQL", "maggy_spark.functions.similarity"),
+    # round-13 addition: deterministic fair source interleave — the
+    # stride-balanced dataloader merge; the Spark side computes the
+    # global rank as a CLOSED FORM against the broadcast source-count
+    # relation (no global-order window), the twin spells the naive
+    # global window — the pl17 semantics-vs-realization pattern, so
+    # any rank-arithmetic error is a hash mismatch
+    ("pl21_fair_interleave", "PL21_SQL", "maggy_spark.functions.pipeline"),
 ]
 
 

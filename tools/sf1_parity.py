@@ -114,6 +114,7 @@ DIRECT = [
     "dd21_lsh_s_curve",
     "ann17_filtered_topk",
     "ann18_range_search",
+    "pl21_fair_interleave",
     "ev4_asof_attribution",
     "ev5_sessionize",
     "ev11_volume_anomaly",
