@@ -101,6 +101,16 @@ def main() -> int:
         n_ran += 1
         mod = importlib.import_module(mod_name)
         fn, sql = getattr(mod, name), getattr(mod, sql_const)
+        if name.startswith("s10_") and sf_dir.rstrip("/") != "/root/testdata/sf0.01":
+            # the S10 module constants are bound to the gate's sf0.01
+            # fixture PATH (unlike value-parameterized twins); rebuild
+            # them for the requested dir so a sf0.1/sf1 replay compares
+            # the same bytes on both engines
+            from maggy_spark.sources import jsonl
+
+            sql = (
+                jsonl.s10_clean_sql(sf_dir) if "clean" in name else jsonl.s10_report_sql(sf_dir)
+            )
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)  # build ONCE: dtypes + collect share it
