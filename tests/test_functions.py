@@ -4360,3 +4360,48 @@ def test_pl21_interleave_closed_form_and_fairness(spark, tmp_path):
         seen[r.source] += 1
         for s in share:
             assert abs(seen[s] - m * share[s] / n) <= 1.0, (m, s, seen)
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _pl21_closed_form_rank(sizes: dict, s: str, i: int) -> int:
+    """Pure-python replica of pl21's integer closed form."""
+    n_s = sizes[s]
+    total = (i - 1)  # own source: strictly earlier ranks
+    a_base = 2 * i - 1
+    for o, n_o in sizes.items():
+        if o == s:
+            continue
+        a = a_base * n_o
+        y = 2 * n_s
+        fd = min(n_o, (a + n_s - 1) // y)
+        tie = (a % y == n_s) and (a <= (2 * n_o - 1) * n_s)
+        total += fd + (1 if tie and o < s else 0)
+    return total + 1
+
+
+@settings(max_examples=200, deadline=None, derandomize=True)
+@given(
+    st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=6)
+)
+def test_pl21_closed_form_equals_fraction_sort(sizes_list):
+    """THIRD derivation of pl21's global rank (engine-free): the
+    integer closed form must equal sorting every (position, source,
+    index) with EXACT rational positions (fractions.Fraction — no
+    float ties) for random source-size profiles, including the
+    tie-heavy ones hypothesis finds (equal sizes, divisor pairs).
+    The Spark implementation and the DuckDB window twin are the
+    other two derivations (hash-equal at sf0.01/sf1/sf10)."""
+    from fractions import Fraction
+
+    sizes = {f"s{chr(97 + k)}": n for k, n in enumerate(sizes_list)}
+    items = [
+        (Fraction(2 * i - 1, 2 * n), s, i)
+        for s, n in sizes.items()
+        for i in range(1, n + 1)
+    ]
+    ref = {(s, i): rank for rank, (_p, s, i) in enumerate(sorted(items), start=1)}
+    for (s, i), want in ref.items():
+        assert _pl21_closed_form_rank(sizes, s, i) == want, (sizes, s, i)
