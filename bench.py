@@ -272,7 +272,7 @@ def main() -> None:
             tx18_langid_eval,
             tx5_ngram_stats,
         )
-        from maggy_spark.functions.dedup import dd21_lsh_s_curve
+        from maggy_spark.functions.dedup import dd21_lsh_s_curve, dd22_minhash_calibration
         from maggy_spark.functions.pipeline import pl20_pack_efficiency, pl21_fair_interleave
         from maggy_spark.functions.similarity import ann17_filtered_topk, ann18_range_search
         from maggy_spark.functions.text import tx20_tokenizer_fertility
@@ -316,6 +316,7 @@ def main() -> None:
             ("ann17_filtered_topk", ann17_filtered_topk),
             ("ann18_range_search", ann18_range_search),
             ("pl21_fair_interleave", pl21_fair_interleave),
+            ("dd22_minhash_calibration", dd22_minhash_calibration),
         ):
             samples = []
             for _ in range(reps):

@@ -2318,3 +2318,95 @@ def dd21_sql() -> str:
 
 
 DD21_SQL = dd21_sql()
+
+
+# -- DD22: MinHash estimator calibration ----------------------------------
+
+
+def dd22_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured counterpart of dd21's theory: for every LSH candidate
+    pair, compare the MinHash ESTIMATE of Jaccard (fraction of
+    matching signature windows — the estimator whose E[est] = J
+    underwrites the whole banding scheme, MMDS ch.3) against the
+    EXACT shingle Jaccard dd8 verifies, rolled up per exact-Jaccard
+    decile: (band, n_pairs, sum_err_milli, max_err_milli). A fat
+    error band at the threshold decile means the geometry
+    (minhash_geometry) needs more rows per band — this relation is
+    how a deployment VALIDATES its (b, r) choice on its own corpus
+    instead of trusting the s-curve blind.
+
+    Cross-engine determinism: est = matches/nh and exact =
+    inter/union are int/int IEEE divisions (identical doubles per
+    row on both engines), so err_milli = floor(|est - exact| * 1000)
+    and the decile floor are identical per row; the aggregates are
+    then exact-integer sums/maxes. Scale shape: everything derives
+    from the session-cached shingle/signature/band relations
+    (candidate volume is the banding's, never n^2); the window
+    compare is a bounded nh-term map-side expression per candidate.
+    Not in the driver registry (50-entry cap); DuckDB parity in
+    tests/test_offline_oracles.py."""
+    b, r = minhash_geometry(corpus_count(spark, sf_dir, "documents"))
+    nh = b * r
+    sig = dd2_minhash_signature(spark, sf_dir)
+    sh = _shingled(spark, sf_dir)
+    cand = _candidate_pairs(_minhash_bands(spark, sf_dir))
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    bb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    j = cand.join(a, "doc_a").join(bb, "doc_b").join(sa, "doc_a").join(sb, "doc_b")
+    matches = F.aggregate(
+        F.sequence(F.lit(0), F.lit(nh - 1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc
+        + F.when(
+            F.col("sig_a").substr(w * 8 + 1, F.lit(8))
+            == F.col("sig_b").substr(w * 8 + 1, F.lit(8)),
+            1,
+        ).otherwise(0),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    est = matches.cast("double") / F.lit(float(nh))
+    exact = inter.cast("double") / union.cast("double")
+    err_milli = F.floor(F.abs(est - exact) * 1000).cast("bigint")
+    band = F.least(F.floor(exact * 10).cast("bigint"), F.lit(9).cast("bigint"))
+    per = j.select(band.alias("band"), err_milli.alias("err_milli"))
+    return per.groupBy("band").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("err_milli").cast("bigint").alias("sum_err_milli"),
+        F.max("err_milli").cast("bigint").alias("max_err_milli"),
+    )
+
+
+DD22_SQL = f"""
+WITH p AS ({_MH_PARAMS_SQL}),
+sh AS ({_SHINGLES_SQL}),
+sig AS ({_SIG_SQL}),
+bands AS ({_BANDS_SQL}),
+cand AS ({_CAND_SQL}),
+per AS (
+    SELECT least(CAST(floor((cast(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+               / cast(len(sa.shingles) + len(sb.shingles)
+                      - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)) * 10)
+               AS BIGINT), 9) AS band,
+           CAST(floor(abs(
+               cast(list_sum(list_transform(generate_series(0, p.nh - 1), w ->
+                   CASE WHEN substr(ga.sig, w * 8 + 1, 8) = substr(gb.sig, w * 8 + 1, 8)
+                        THEN 1 ELSE 0 END)) AS DOUBLE) / cast(p.nh AS DOUBLE)
+               - cast(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / cast(len(sa.shingles) + len(sb.shingles)
+                        - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+           ) * 1000) AS BIGINT) AS err_milli
+    FROM cand c
+    JOIN sig ga ON c.doc_a = ga.doc_id
+    JOIN sig gb ON c.doc_b = gb.doc_id
+    JOIN sh sa ON c.doc_a = sa.doc_id
+    JOIN sh sb ON c.doc_b = sb.doc_id
+    CROSS JOIN p
+)
+SELECT band, cast(count(*) AS BIGINT) AS n_pairs,
+       cast(sum(err_milli) AS BIGINT) AS sum_err_milli,
+       cast(max(err_milli) AS BIGINT) AS max_err_milli
+FROM per GROUP BY band
+"""

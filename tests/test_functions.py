@@ -4405,3 +4405,32 @@ def test_pl21_closed_form_equals_fraction_sort(sizes_list):
     ref = {(s, i): rank for rank, (_p, s, i) in enumerate(sorted(items), start=1)}
     for (s, i), want in ref.items():
         assert _pl21_closed_form_rank(sizes, s, i) == want, (sizes, s, i)
+
+
+def test_dd22_calibration_identical_pair_is_exact(spark, tmp_path):
+    """The estimator's fixed point, pinned: an identical-text pair has
+    exact Jaccard 1.0 AND matching signatures in every window, so the
+    calibration row for the top decile must report zero error — any
+    window-slicing or geometry bug breaks this before anything else.
+    Error is bounded by construction everywhere (|est-exact| <= 1)."""
+    import pandas as pd
+
+    from maggy_spark.functions.dedup import dd22_minhash_calibration
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta", "en", "s1"),
+        (1, "alpha beta gamma delta epsilon zeta", "en", "s1"),  # exact dup of 0
+        (2, "one two three four five six seven", "en", "s1"),
+        (3, "unrelated words entirely different here now", "en", "s1"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len().astype("int64")
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    got = {r.band: (r.n_pairs, r.sum_err_milli, r.max_err_milli)
+           for r in dd22_minhash_calibration(spark, str(tmp_path)).collect()}
+    assert 9 in got  # the identical pair is always an LSH candidate
+    n, s, m = got[9]
+    assert n >= 1 and s == 0 and m == 0
+    for band, (_n, _s, mx) in got.items():
+        assert 0 <= band <= 9 and mx <= 1000

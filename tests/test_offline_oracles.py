@@ -297,6 +297,11 @@ CASES = [
     # global window — the pl17 semantics-vs-realization pattern, so
     # any rank-arithmetic error is a hash mismatch
     ("pl21_fair_interleave", "PL21_SQL", "maggy_spark.functions.pipeline"),
+    # round-13 addition: the measured counterpart of dd21's theory —
+    # per-decile |minhash-estimated - exact| Jaccard error over the
+    # LSH candidate pairs, integer-quantized per row so the rollup is
+    # engine-exact; how a deployment validates its (b, r) geometry
+    ("dd22_minhash_calibration", "DD22_SQL", "maggy_spark.functions.dedup"),
 ]
 
 
