@@ -273,7 +273,11 @@ def main() -> None:
             tx5_ngram_stats,
         )
         from maggy_spark.functions.dedup import dd21_lsh_s_curve, dd22_minhash_calibration
-        from maggy_spark.functions.pipeline import pl20_pack_efficiency, pl21_fair_interleave
+        from maggy_spark.functions.pipeline import (
+            pl20_pack_efficiency,
+            pl21_fair_interleave,
+            pl22_pps_sample,
+        )
         from maggy_spark.functions.similarity import ann17_filtered_topk, ann18_range_search
         from maggy_spark.functions.text import tx20_tokenizer_fertility
         from maggy_spark.sources.jsonl import s10_jsonl_clean, s10_jsonl_report
@@ -317,6 +321,7 @@ def main() -> None:
             ("ann18_range_search", ann18_range_search),
             ("pl21_fair_interleave", pl21_fair_interleave),
             ("dd22_minhash_calibration", dd22_minhash_calibration),
+            ("pl22_pps_sample", pl22_pps_sample),
         ):
             samples = []
             for _ in range(reps):

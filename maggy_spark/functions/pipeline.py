@@ -1710,6 +1710,18 @@ def shard_assignments_over(
     cannot drift between the plan and the files on disk."""
     from pyspark.sql.window import Window
 
+    starts = prefix_starts_over(t, bucket_docs)
+    return starts.select("doc_id", "n", F.expr(f"start DIV {shard_tokens}").alias("shard_id"))
+
+
+def prefix_starts_over(t: DataFrame, bucket_docs: int = PL17_BUCKET_DOCS) -> DataFrame:
+    """(doc_id, n, start) — the doc_id-ordered EXCLUSIVE token prefix
+    sum as a two-phase plan (per-bucket totals + one bounded offsets
+    window, then within-bucket running sums), factored out of
+    shard_assignments_over so pl22's PPS sampler shares the identical
+    realization."""
+    from pyspark.sql.window import Window
+
     t = t.select("doc_id", "n", F.expr(f"doc_id DIV {bucket_docs}").alias("bkt"))
     # phase 1: per-bucket totals, then EXCLUSIVE cumulative offsets
     # over the bounded bucket relation
@@ -1720,12 +1732,12 @@ def shard_assignments_over(
         .select("bkt", (F.sum("bt").over(wb) - F.col("bt")).alias("off"))
     )
     # phase 2: within-bucket running sum + broadcast bucket offset
-    wd = Window.partitionBy("bkt").orderBy("doc_id")
-    start = F.col("off") + F.sum("n").over(wd) - F.col("n")
+    start = F.col("off") + F.sum("n").over(
+        Window.partitionBy("bkt").orderBy("doc_id")
+    ) - F.col("n")
     return (
         t.join(F.broadcast(offsets), "bkt")
-        .withColumn("start", start)
-        .select("doc_id", "n", F.expr(f"start DIV {shard_tokens}").alias("shard_id"))
+        .select("doc_id", "n", start.cast("bigint").alias("start"))
     )
 
 
@@ -2176,3 +2188,68 @@ SELECT doc_id, source, src_rank,
                      source, doc_id) AS BIGINT) AS global_rank
 FROM per
 """
+
+
+# --- pl22: systematic PPS sample -----------------------------------------
+
+PL22_TARGET = 100  # sampling points (expected/exact sample token share)
+
+
+def pl22_pps_sample(
+    spark: SparkSession, sf_dir: str, n_target: int = PL22_TARGET
+) -> DataFrame:
+    """Systematic PROBABILITY-PROPORTIONAL-TO-SIZE sample of the
+    corpus by token mass (classic survey-sampling PPS with a
+    systematic ladder, Madow 1949): lay n_target equally-spaced
+    points over the doc_id-ordered cumulative token line and keep
+    every document whose token interval contains a point. Selection
+    probability is exactly n * n_target / total per doc (capped by
+    multi-hits for docs heavier than the stride), the total hit count
+    is EXACTLY n_target, and — unlike pl2's per-doc hash coin — the
+    sample's token mass is deterministic to within one stride, which
+    is what a token-budgeted subcorpus build needs.
+
+    Cross-engine determinism: hits = (n_target * cum_end) // total -
+    (n_target * start) // total is pure integer arithmetic (all
+    nonnegative, so DuckDB's truncating // equals Spark's DIV); no
+    rng, no floats anywhere. Scale shape: the cumulative line is the
+    pl17 two-phase prefix sum (prefix_starts_over — per-bucket
+    offsets window over a bounded relation, never a global window);
+    the single-row total broadcasts. Overflow: n_target * total must
+    fit int64 — at 100 TB (total ~ 1e14 tokens) keep n_target <= ~9e4
+    or promote the product to decimal(38,0) (documented, ANSI fails
+    loud). Not in the driver registry (50-entry cap); DuckDB parity
+    in tests/test_offline_oracles.py."""
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    t = d.select("doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n"))
+    starts = prefix_starts_over(t)
+    total = starts.agg(F.sum("n").cast("bigint").alias("total"))
+    hits = F.expr(f"({n_target} * (start + n)) DIV total - ({n_target} * start) DIV total")
+    return (
+        starts.crossJoin(F.broadcast(total))
+        .select("doc_id", "n", "start", hits.cast("bigint").alias("n_hits"))
+        .where(F.col("n_hits") > 0)
+    )
+
+
+def pl22_sql(n_target: int = PL22_TARGET) -> str:
+    """DuckDB twin: the naive global-window cumsum spelling of the
+    same integer ladder (the pl17/pl21 semantics-vs-realization
+    pattern)."""
+    return f"""
+WITH t AS (
+    SELECT doc_id, cast(len(str_split(text, ' ')) AS BIGINT) AS n
+    FROM documents),
+c AS (
+    SELECT doc_id, n,
+           cast(sum(n) OVER (ORDER BY doc_id) AS BIGINT) - n AS start
+    FROM t),
+tot AS (SELECT cast(sum(n) AS BIGINT) AS total FROM t)
+SELECT doc_id, n, start,
+       cast(({n_target} * (start + n)) // total - ({n_target} * start) // total AS BIGINT) AS n_hits
+FROM c CROSS JOIN tot
+WHERE ({n_target} * (start + n)) // total - ({n_target} * start) // total > 0
+"""
+
+
+PL22_SQL = pl22_sql()

@@ -4434,3 +4434,32 @@ def test_dd22_calibration_identical_pair_is_exact(spark, tmp_path):
     assert n >= 1 and s == 0 and m == 0
     for band, (_n, _s, mx) in got.items():
         assert 0 <= band <= 9 and mx <= 1000
+
+
+def test_pl22_pps_sample_semantics(spark, tmp_path):
+    """The sampler's invariants on a crafted skewed corpus: total
+    hits == n_target exactly; a doc heavier than the stride is ALWAYS
+    selected (with multi-hits); a doc lighter than the stride is hit
+    at most once; and hits reproduce the hand-computed integer ladder
+    (4 points over [0, 20) with weights 1,9,1,9)."""
+    import pandas as pd
+
+    from maggy_spark.functions.pipeline import pl22_pps_sample
+
+    texts = {0: "aaaa", 1: " ".join(["b"] * 9), 2: "c", 3: " ".join(["d"] * 9)}
+    pdf = pd.DataFrame(
+        [(i, t, "en", "s1", len(t)) for i, t in texts.items()],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    got = {r.doc_id: (r.n, r.start, r.n_hits)
+           for r in pl22_pps_sample(spark, str(tmp_path), n_target=4).collect()}
+    # cumulative line: doc0 [0,1) doc1 [1,10) doc2 [10,11) doc3 [11,20)
+    # hits = (4*end)//20 - (4*start)//20:
+    #   doc0: 4//20 - 0        = 0 (light doc, no point lands)
+    #   doc1: 40//20 - 4//20   = 2 (heavier than the 5-token stride)
+    #   doc2: 44//20 - 40//20  = 0 (light doc between points)
+    #   doc3: 80//20 - 44//20  = 2
+    assert got == {1: (9, 1, 2), 3: (9, 11, 2)}
+    assert sum(h for _n, _s, h in got.values()) == 4  # exactly n_target

@@ -302,6 +302,12 @@ CASES = [
     # LSH candidate pairs, integer-quantized per row so the rollup is
     # engine-exact; how a deployment validates its (b, r) geometry
     ("dd22_minhash_calibration", "DD22_SQL", "maggy_spark.functions.dedup"),
+    # round-13 addition: systematic PPS sampling by token mass
+    # (Madow 1949) — n_target equally-spaced points on the pl17
+    # two-phase cumulative token line, pure nonnegative integer
+    # arithmetic (DuckDB // == Spark DIV there); total hits exactly
+    # n_target, the token-budgeted complement of pl2's hash coin
+    ("pl22_pps_sample", "PL22_SQL", "maggy_spark.functions.pipeline"),
 ]
 
 

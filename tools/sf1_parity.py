@@ -115,6 +115,7 @@ DIRECT = [
     "ann17_filtered_topk",
     "ann18_range_search",
     "pl21_fair_interleave",
+    "pl22_pps_sample",
     "ev4_asof_attribution",
     "ev5_sessionize",
     "ev11_volume_anomaly",
