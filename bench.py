@@ -280,6 +280,8 @@ def main() -> None:
         )
         from maggy_spark.functions.similarity import ann17_filtered_topk, ann18_range_search
         from maggy_spark.functions.text import tx20_tokenizer_fertility
+        from maggy_spark.operators.aggregations import a13_regret_curve
+        from maggy_spark.operators.generators import g14_pbt_schedule
         from maggy_spark.sources.jsonl import s10_jsonl_clean, s10_jsonl_report
 
         # r13 rotation bookkeeping: ann12/pl16/tx19/ann16 moved INTO the
@@ -322,6 +324,8 @@ def main() -> None:
             ("pl21_fair_interleave", pl21_fair_interleave),
             ("dd22_minhash_calibration", dd22_minhash_calibration),
             ("pl22_pps_sample", pl22_pps_sample),
+            ("a13_regret_curve", a13_regret_curve),
+            ("g14_pbt_schedule", g14_pbt_schedule),
         ):
             samples = []
             for _ in range(reps):

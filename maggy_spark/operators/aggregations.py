@@ -498,3 +498,49 @@ OPERATORS = [
     # tests/test_offline_oracles.py at the gate's sf0.01.
     ("a10_interim_selection", a10_interim_selection, A10_SQL),
 ]
+
+
+# -- A13: best-so-far regret curve --------------------------------------
+
+
+def a13_regret_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE HPO evaluation relation: the best-so-far curve over the
+    finalized trial sequence — (seq, final_metric, best_so_far,
+    improved) — what every optimizer comparison plots (simple regret
+    is best_so_far minus the optimum, a constant shift). Running max
+    over a window ORDERED BY the submission sequence; improvement
+    flags compare against the strictly-prior prefix.
+
+    Scale note: the global-order window is CORRECT here, not a
+    compromise — trial relations are driver-scale (thousands of
+    rows), the documented boundary where pl17/pl21-style two-phase
+    realizations are overkill. Determinism: running MAX is
+    order-insensitive within the prefix; no sums. Not in the driver
+    registry (50-entry cap); DuckDB parity in
+    tests/test_offline_oracles.py."""
+    from pyspark.sql.window import Window
+
+    from maggy_spark.plans.fixtures import trials_df
+
+    t = trials_df(spark, sf_dir, statuses=["FINALIZED"]).select("seq", "final_metric")
+    w = Window.orderBy("seq")
+    prev = Window.orderBy("seq").rowsBetween(Window.unboundedPreceding, -1)
+    best = F.max("final_metric").over(w)
+    prior = F.max("final_metric").over(prev)
+    return t.select(
+        "seq",
+        "final_metric",
+        best.alias("best_so_far"),
+        (prior.isNull() | (F.col("final_metric") > prior)).alias("improved"),
+    )
+
+
+A13_SQL = with_fixtures("""
+SELECT seq, final_metric,
+       max(final_metric) OVER (ORDER BY seq) AS best_so_far,
+       (max(final_metric) OVER (ORDER BY seq ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            IS NULL
+        OR final_metric > max(final_metric)
+             OVER (ORDER BY seq ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) AS improved
+FROM trials WHERE status = 'FINALIZED'
+""")

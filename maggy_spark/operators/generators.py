@@ -420,3 +420,113 @@ OPERATORS = [
 # relations whose logic hb1 + the pruner tests already pin) to free
 # gate slots for the ev4/ev5 event capstones; their DuckDB parity
 # stays enforced by tests/test_offline_oracles.py. See COVERAGE.md.
+
+
+# -- G14: population-based-training exploit/explore schedule -----------
+
+
+def g14_pbt_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PBT generation step (Jaderberg et al. 2017, Population
+    Based Training): per generation (the budget rung here), the
+    bottom-quartile trials EXPLOIT the top quartile — loser of rank i
+    adopts donor of rank i's hyperparameters — then EXPLORE by
+    perturbing the continuous param (x1.2 or x0.8, the paper's
+    factors) on a deterministic hash coin. This is the one classic
+    population controller the reference family (random/grid/ASHA/
+    GP/TPE/Hyperband) doesn't span; emitted as a relation so the
+    wave scheduler can apply it like any other trial generator.
+
+    Determinism: ranks tie-break on trial_id; the coin is the 52-bit
+    md5 uniform vs 0.5; p1_new is ONE IEEE multiply of the donor's
+    param by a literal factor — all engine-identical. Scale: trial
+    relations are driver-scale; two windows per generation key and a
+    rank equi-join, all bounded by population size. Not in the
+    driver registry (50-entry cap); DuckDB parity in
+    tests/test_offline_oracles.py."""
+    from pyspark.sql.window import Window
+
+    t = trials_df(spark, sf_dir, statuses=["FINALIZED"]).select(
+        F.col("budget").alias("generation"), "trial_id", "final_metric", "p1"
+    )
+    w_desc = Window.partitionBy("generation").orderBy(
+        F.col("final_metric").desc(), "trial_id"
+    )
+    w_asc = Window.partitionBy("generation").orderBy(
+        F.col("final_metric").asc(), "trial_id"
+    )
+    ranked = t.select(
+        "generation",
+        "trial_id",
+        "final_metric",
+        "p1",
+        F.row_number().over(w_desc).cast("bigint").alias("rk_best"),
+        F.row_number().over(w_asc).cast("bigint").alias("rk_worst"),
+        F.count("*").over(Window.partitionBy("generation")).cast("bigint").alias("n"),
+    )
+    q = F.greatest(F.expr("n DIV 4"), F.lit(1).cast("bigint"))
+    losers = ranked.where(F.col("rk_worst") <= q).select(
+        "generation",
+        F.col("trial_id").alias("loser_id"),
+        F.col("final_metric").alias("loser_metric"),
+        F.col("rk_worst").alias("pair_rank"),
+    )
+    donors = ranked.where(F.col("rk_best") <= q).select(
+        "generation",
+        F.col("trial_id").alias("donor_id"),
+        F.col("final_metric").alias("donor_metric"),
+        F.col("p1").alias("p1_donor"),
+        F.col("rk_best").alias("pair_rank"),
+    )
+    coin = hash_uniform("pbt", F.col("loser_id"))
+    factor = F.when(coin < 0.5, F.lit(1.2)).otherwise(F.lit(0.8))
+    return (
+        losers.join(donors, ["generation", "pair_rank"])
+        .select(
+            "generation",
+            "pair_rank",
+            "loser_id",
+            "loser_metric",
+            "donor_id",
+            "donor_metric",
+            "p1_donor",
+            factor.alias("factor"),
+            (F.col("p1_donor").cast("double") * factor).alias("p1_new"),
+        )
+    )
+
+
+G14_SQL = with_fixtures("""
+, fin AS (
+    SELECT budget AS generation, trial_id, final_metric, p1
+    FROM trials WHERE status = 'FINALIZED'
+),
+ranked AS (
+    SELECT generation, trial_id, final_metric, p1,
+           cast(row_number() OVER (PARTITION BY generation
+                ORDER BY final_metric DESC, trial_id) AS BIGINT) AS rk_best,
+           cast(row_number() OVER (PARTITION BY generation
+                ORDER BY final_metric ASC, trial_id) AS BIGINT) AS rk_worst,
+           cast(count(*) OVER (PARTITION BY generation) AS BIGINT) AS n
+    FROM fin
+),
+losers AS (
+    SELECT generation, trial_id AS loser_id, final_metric AS loser_metric,
+           rk_worst AS pair_rank
+    FROM ranked WHERE rk_worst <= greatest(n // 4, 1)
+),
+donors AS (
+    SELECT generation, trial_id AS donor_id, final_metric AS donor_metric,
+           p1 AS p1_donor, rk_best AS pair_rank
+    FROM ranked WHERE rk_best <= greatest(n // 4, 1)
+)
+SELECT l.generation, l.pair_rank, l.loser_id, l.loser_metric,
+       d.donor_id, d.donor_metric, d.p1_donor,
+       CASE WHEN cast(cast(('0x' || substr(md5('pbt:' || l.loser_id), 1, 13)) AS BIGINT) AS DOUBLE)
+                 / 4503599627370496.0 < 0.5
+            THEN 1.2 ELSE 0.8 END AS factor,
+       cast(d.p1_donor AS DOUBLE) *
+       CASE WHEN cast(cast(('0x' || substr(md5('pbt:' || l.loser_id), 1, 13)) AS BIGINT) AS DOUBLE)
+                 / 4503599627370496.0 < 0.5
+            THEN 1.2 ELSE 0.8 END AS p1_new
+FROM losers l JOIN donors d ON l.generation = d.generation AND l.pair_rank = d.pair_rank
+""")

@@ -4463,3 +4463,52 @@ def test_pl22_pps_sample_semantics(spark, tmp_path):
     #   doc3: 80//20 - 44//20  = 2
     assert got == {1: (9, 1, 2), 3: (9, 11, 2)}
     assert sum(h for _n, _s, h in got.values()) == 4  # exactly n_target
+
+
+def test_a13_regret_curve_semantics(spark, sf_dir):
+    """best_so_far must be the running max of the seq-ordered metric
+    stream (nondecreasing, ends at the global max) and `improved`
+    must mark exactly the strict-increase points (first row
+    included)."""
+    from maggy_spark.operators.aggregations import a13_regret_curve
+
+    rows = sorted(a13_regret_curve(spark, sf_dir).collect(), key=lambda r: r.seq)
+    assert rows
+    best = float("-inf")
+    for r in rows:
+        want_improved = r.final_metric > best
+        best = max(best, r.final_metric)
+        assert r.best_so_far == best
+        assert r.improved == want_improved
+    assert rows[-1].best_so_far == max(r.final_metric for r in rows)
+
+
+def test_g14_pbt_schedule_semantics(spark, sf_dir):
+    """The PBT step's invariants: per generation exactly
+    greatest(n//4, 1) pairs; every donor outscores (or ties) its
+    loser; the perturbation is exactly donor_p1 x factor with factor
+    in {1.2, 0.8}; and losers/donors are disjoint whenever the
+    population is big enough for the quartiles not to overlap."""
+    from maggy_spark.operators.generators import g14_pbt_schedule
+    from maggy_spark.plans.fixtures import trials_df
+
+    pairs = g14_pbt_schedule(spark, sf_dir).collect()
+    assert pairs
+    n_by_gen = {
+        r.generation: r.n
+        for r in trials_df(spark, sf_dir, statuses=["FINALIZED"])
+        .groupBy(F.col("budget").alias("generation"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    from collections import Counter
+
+    per_gen = Counter(p.generation for p in pairs)
+    for gen, cnt in per_gen.items():
+        assert cnt == max(n_by_gen[gen] // 4, 1), gen
+    for p in pairs:
+        assert p.donor_metric >= p.loser_metric
+        assert p.factor in (1.2, 0.8)
+        assert p.p1_new == p.p1_donor * p.factor
+        if n_by_gen[p.generation] >= 2 * max(n_by_gen[p.generation] // 4, 1):
+            assert p.loser_id != p.donor_id

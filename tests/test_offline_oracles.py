@@ -308,6 +308,15 @@ CASES = [
     # arithmetic (DuckDB // == Spark DIV there); total hits exactly
     # n_target, the token-budgeted complement of pl2's hash coin
     ("pl22_pps_sample", "PL22_SQL", "maggy_spark.functions.pipeline"),
+    # round-13 addition: the HPO evaluation relation — best-so-far
+    # regret curve over the finalized trial sequence (running max,
+    # improvement flags against the strictly-prior prefix)
+    ("a13_regret_curve", "A13_SQL", "maggy_spark.operators.aggregations"),
+    # round-13 addition: the PBT exploit/explore generation step
+    # (Jaderberg et al. 2017) — bottom quartile adopts top-quartile
+    # params, x1.2/x0.8 perturbation on the 52-bit md5 coin; the one
+    # classic population controller the reference family lacks
+    ("g14_pbt_schedule", "G14_SQL", "maggy_spark.operators.generators"),
 ]
 
 
