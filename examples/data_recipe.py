@@ -10,9 +10,14 @@ operators end-to-end on the synthetic corpus:
              perplexity tertiles (CCNet); keep head+middle
 3. apply   — pl19_temperature_apply: per-doc repeat plan realizing
              pl18's epochs via deterministic stochastic rounding
-4. order   — pl9_epoch_shuffle_plan over the surviving copies
-5. serve   — ann16_mmr_rerank: the diversity reranker the retrieval
-             tier runs over the finished corpus's embeddings
+4. order   — pl9_epoch_shuffle_plan over the surviving copies,
+             then pl21_fair_interleave so every batch window carries
+             each source proportionally (round-13)
+5. budget  — pl22_pps_sample: a token-budgeted systematic PPS
+             subsample when the run targets fewer tokens (round-13)
+6. serve   — ann16_mmr_rerank for diversity plus
+             ann17_filtered_topk for metadata-scoped retrieval over
+             the finished corpus's embeddings
 
 Every stage is an oracle-checked operator; this example only wires
 them and prints the decision numbers a recipe run would log.
@@ -44,8 +49,10 @@ def main() -> None:
         pl9_epoch_shuffle_plan,
         pl18_temperature_mix,
         pl19_temperature_apply,
+        pl21_fair_interleave,
+        pl22_pps_sample,
     )
-    from maggy_spark.functions.similarity import ann16_mmr_rerank
+    from maggy_spark.functions.similarity import ann16_mmr_rerank, ann17_filtered_topk
     from maggy_spark.functions.text import tx19_ccnet_bucket
 
     # 1. derive the mixture
@@ -74,9 +81,23 @@ def main() -> None:
     plan = pl9_epoch_shuffle_plan(spark, sf_dir).join(kept_ids, "doc_id")
     print(f"epoch-shuffle plan rows over kept docs: {plan.count()}")
 
-    # 5. the serving-side readout: diversity-reranked neighbors
+    # 4b. fair interleave: the global dataloader order that keeps
+    # every batch window source-proportional (closed-form rank)
+    inter = pl21_fair_interleave(spark, sf_dir).join(kept_ids, "doc_id")
+    print("fair-interleave head of the global order:")
+    inter.orderBy("global_rank").show(8)
+
+    # 4c. token-budget subsample: systematic PPS over the token line
+    # (exactly n_target sampling points; heavy docs always kept)
+    pps = pl22_pps_sample(spark, sf_dir).join(kept_ids, "doc_id")
+    print(f"PPS-subsample kept docs (of the gated set): {pps.count()}")
+
+    # 5. the serving-side readouts: diversity-reranked neighbors and
+    # metadata-filtered (same-label) search
     print("MMR-reranked serving results (0.5*relevance - 0.5*redundancy):")
     ann16_mmr_rerank(spark, sf_dir).orderBy("query_id", "pick_rank").show(8)
+    print("filtered (same-label) top-k:")
+    ann17_filtered_topk(spark, sf_dir).orderBy("query_id", "rank").show(8)
 
     spark.stop()
 
