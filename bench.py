@@ -278,7 +278,11 @@ def main() -> None:
             pl21_fair_interleave,
             pl22_pps_sample,
         )
-        from maggy_spark.functions.similarity import ann17_filtered_topk, ann18_range_search
+        from maggy_spark.functions.similarity import (
+            ann17_filtered_topk,
+            ann18_range_search,
+            ann19_filtered_ivf,
+        )
         from maggy_spark.functions.text import tx20_tokenizer_fertility
         from maggy_spark.operators.aggregations import a13_regret_curve
         from maggy_spark.operators.generators import g14_pbt_schedule
@@ -326,6 +330,7 @@ def main() -> None:
             ("pl22_pps_sample", pl22_pps_sample),
             ("a13_regret_curve", a13_regret_curve),
             ("g14_pbt_schedule", g14_pbt_schedule),
+            ("ann19_filtered_ivf", ann19_filtered_ivf),
         ):
             samples = []
             for _ in range(reps):

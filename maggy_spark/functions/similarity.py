@@ -2695,3 +2695,143 @@ scored AS (
 )
 SELECT query_id, neighbor_id, cosine FROM scored WHERE cosine >= {RANGE_TAU}
 """
+
+
+# --- ann19: filtered search THROUGH the IVF index --------------------------
+
+
+def ann19_filtered_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    candidates: int = SQ_CANDIDATES,
+    k: int = TOP_K,
+) -> DataFrame:
+    """ann17's metadata filter pushed INTO the IVF index: with the
+    inverted lists partitioned by the filter key (this store's lists
+    ARE the label partitions), a same-label query probes exactly ONE
+    list — the medoid routing disappears and the scan touches
+    1/|labels| of the int8 store before ann8's SQ-coarse + exact
+    rerank. This is the production form of filtered vector search
+    (vector DBs call it partitioned/filtered collections): the filter
+    SELECTS lists instead of post-filtering scores. With `candidates`
+    >= the list size it degrades to exactly ann17's exact-ranked
+    top-k (the ann8->ann7 degradation pattern, pinned by test).
+
+    Scale shape: zero routing work, the coarse join keys the
+    broadcast (query, label) probe against the list-partitioned code
+    store (partition pruning at 100 TB), and the exact fetch stays
+    candidates x |queries| through broadcast joins. Not in the driver
+    registry (50-entry cap); DuckDB parity in
+    tests/test_offline_oracles.py."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True).where(
+        _dot("embedding", "embedding") > 0  # degenerate-vector rule
+    )
+    cq = _sq_corpus(spark, sf_dir)
+    q = (
+        e.where(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cq.select("scale").limit(1)))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("list_id"),  # the filter IS the probe
+            F.col("embedding").alias("qe"),
+            _sq_quantize(F.col("embedding"), F.col("scale")).alias("qv"),
+            F.sqrt(_dot("embedding", "embedding")).alias("qn"),
+        )
+        .withColumn("qn2", _sq_int_dot("qv", "qv"))
+    )
+    probes = q.select("query_id", "qv", "qn2", "list_id")
+    idot = _sq_int_dot("qv", "cv")
+    qcos = F.when((F.col("qn2") == 0) | (F.col("cn2") == 0), F.lit(-2.0)).otherwise(
+        idot.cast("double")
+        / F.sqrt(F.col("qn2").cast("double") * F.col("cn2").cast("double"))
+    )
+    coarse = cq.join(F.broadcast(probes), "list_id").select(
+        "query_id", "neighbor_id", qcos.alias("coarse_cos")
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("coarse_cos").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        coarse.select(
+            "query_id", "neighbor_id", "coarse_cos", F.row_number().over(wc).alias("crank")
+        )
+        .where(F.col("crank") <= candidates)
+        .drop("crank")
+    )
+    fetched = (
+        e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ve"))
+        .join(F.broadcast(cand), "neighbor_id")
+        .withColumn("vn", F.sqrt(_dot("ve", "ve")))
+        .join(F.broadcast(q.select("query_id", "qe", "qn")), "query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        fetched.select(
+            "query_id",
+            "neighbor_id",
+            "coarse_cos",
+            _cosine_pre("qe", "ve", "qn", "vn").alias("cosine"),
+        )
+        .select(
+            "query_id", "neighbor_id", "coarse_cos", "cosine",
+            F.row_number().over(w).cast("bigint").alias("rank"),
+        )
+        .where(F.col("rank") <= k)
+    )
+
+
+def ann19_sql(candidates: int = SQ_CANDIDATES, k: int = TOP_K) -> str:
+    """DuckDB twin: ann8's twin with the probes CTE replaced by the
+    query's OWN label (the filter selects the list)."""
+    lv = SQ_LEVELS
+    quant = (
+        f"list_transform({{v}}, x -> CASE WHEN scale = 0.0 THEN 0 "
+        f"ELSE GREATEST(-{lv}, LEAST({lv}, "
+        f"CAST(floor(x * {lv}.0 / scale + 0.5) AS INTEGER))) END)"
+    )
+    idot = "cast(list_sum(list_transform(range(1, len({a}) + 1), i -> cast({a}[i] AS BIGINT) * {b}[i])) AS BIGINT)"
+    return f"""
+WITH q0 AS (SELECT vec_id AS query_id, label AS list_id, embedding::DOUBLE[] AS qe FROM embeddings
+            WHERE vec_id < {N_QUERIES} AND {_NONZERO_SQL}),
+c0 AS (SELECT vec_id AS neighbor_id, label AS list_id, embedding::DOUBLE[] AS ve FROM embeddings
+       WHERE vec_id >= {N_QUERIES} AND {_NONZERO_SQL}),
+env AS (SELECT max(abs(v)) AS scale FROM (SELECT unnest(ve) AS v FROM c0)),
+qq AS (
+    SELECT query_id, list_id, qe, qv, {idot.format(a="qv", b="qv")} AS qn2
+    FROM (SELECT query_id, list_id, qe, {quant.format(v="qe")} AS qv FROM q0 CROSS JOIN env)
+),
+cq AS (
+    SELECT neighbor_id, list_id, cv, {idot.format(a="cv", b="cv")} AS cn2
+    FROM (SELECT neighbor_id, list_id, {quant.format(v="ve")} AS cv FROM c0 CROSS JOIN env)
+),
+cand AS (
+    SELECT query_id, neighbor_id, coarse_cos FROM (
+        SELECT query_id, neighbor_id, coarse_cos,
+               row_number() OVER (PARTITION BY query_id ORDER BY coarse_cos DESC, neighbor_id) AS crank
+        FROM (
+            SELECT q.query_id, c.neighbor_id,
+                   CASE WHEN q.qn2 = 0 OR c.cn2 = 0 THEN -2.0
+                        ELSE cast({idot.format(a="q.qv", b="c.cv")} AS DOUBLE)
+                             / sqrt(cast(q.qn2 AS DOUBLE) * cast(c.cn2 AS DOUBLE)) END AS coarse_cos
+            FROM qq q
+            JOIN cq c ON c.list_id = q.list_id
+        )
+    ) WHERE crank <= {candidates}
+)
+SELECT query_id, neighbor_id, coarse_cos, cosine, rank FROM (
+    SELECT d.query_id, d.neighbor_id, d.coarse_cos,
+           {_cos_sql("q.qe", "c.ve")} AS cosine,
+           row_number() OVER (
+               PARTITION BY d.query_id
+               ORDER BY {_cos_sql("q.qe", "c.ve")} DESC, d.neighbor_id
+           ) AS rank
+    FROM cand d
+    JOIN c0 c ON d.neighbor_id = c.neighbor_id
+    JOIN q0 q ON d.query_id = q.query_id
+) WHERE rank <= {k}
+"""
+
+
+ANN19_SQL = ann19_sql()

@@ -4512,3 +4512,39 @@ def test_g14_pbt_schedule_semantics(spark, sf_dir):
         assert p.p1_new == p.p1_donor * p.factor
         if n_by_gen[p.generation] >= 2 * max(n_by_gen[p.generation] // 4, 1):
             assert p.loser_id != p.donor_id
+
+
+def test_ann19_degrades_to_ann17_with_full_candidates(spark, sf_dir):
+    """The filtered-IVF contract (the ann8->ann7 degradation
+    pattern): with a candidate pool at least the size of the largest
+    list, the SQ-coarse pass prunes nothing and ann19's exact-ranked
+    output must equal ann17's filtered exact top-k row for row
+    (ids + ranks; ann19 additionally carries its coarse score)."""
+    from maggy_spark.functions.similarity import (
+        ann17_filtered_topk,
+        ann19_filtered_ivf,
+    )
+    from maggy_spark.plans.fixtures import load_table
+
+    n_max = max(
+        r.n
+        for r in load_table(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ann19_filtered_ivf(spark, sf_dir, candidates=n_max).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ann17_filtered_topk(spark, sf_dir).collect()
+    }
+    assert got == want
+
+    # default candidate pool: every hit still shares the query's label
+    labels = {r.vec_id: r.label for r in load_table(spark, sf_dir, "embeddings")
+              .select("vec_id", "label").collect()}
+    for r in ann19_filtered_ivf(spark, sf_dir).collect():
+        assert labels[r.query_id] == labels[r.neighbor_id]

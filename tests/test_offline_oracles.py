@@ -317,6 +317,11 @@ CASES = [
     # params, x1.2/x0.8 perturbation on the 52-bit md5 coin; the one
     # classic population controller the reference family lacks
     ("g14_pbt_schedule", "G14_SQL", "maggy_spark.operators.generators"),
+    # round-13 addition: ann17's metadata filter pushed INTO the IVF
+    # index — with label-partitioned lists the filter selects the
+    # list (zero routing, 1/|labels| of the code store scanned); with
+    # candidates >= list size it degrades to exactly ann17 (pinned)
+    ("ann19_filtered_ivf", "ANN19_SQL", "maggy_spark.functions.similarity"),
 ]
 
 

@@ -114,6 +114,7 @@ DIRECT = [
     "dd21_lsh_s_curve",
     "ann17_filtered_topk",
     "ann18_range_search",
+    "ann19_filtered_ivf",
     "pl21_fair_interleave",
     "pl22_pps_sample",
     "ev4_asof_attribution",
