@@ -254,9 +254,9 @@ def main() -> None:
         from maggy_spark.functions.multimodal import mm1_decode_metadata
         from maggy_spark.functions.pipeline import (
             pl14_curriculum_order,
-            pl17_shard_plan,
             pl18_temperature_mix,
             pl19_temperature_apply,
+            pl1_corpus_prep,
         )
         from maggy_spark.operators.events import ev12_lag_quantiles, ev13_type_transitions
         from maggy_spark.operators.warehouse import k5_late_shipment_priority
@@ -267,9 +267,9 @@ def main() -> None:
             ann3_ivf_topk,
         )
         from maggy_spark.functions.text import (
-            tx16_length_quantiles,
             tx17_tfidf_keywords,
             tx18_langid_eval,
+            tx1_token_count,
             tx5_ngram_stats,
         )
         from maggy_spark.functions.dedup import dd21_lsh_s_curve, dd22_minhash_calibration
@@ -293,12 +293,15 @@ def main() -> None:
         # rotated-out ops take their extras slots so the measured row
         # set — and therefore the round-over-round shared-row
         # comparison — stays identical to r12.
+        # r14 rotation bookkeeping: pl17/tx16 moved INTO the registry;
+        # the rotated-out pl1/tx1 take their extras slots (same
+        # row-set-preserving convention).
         for name, fn in (
             ("ann3_ivf_topk", ann3_ivf_topk),
             ("pl14_curriculum_order", pl14_curriculum_order),
             ("dd18_crossmodal_verify", dd18_crossmodal_verify),
-            ("tx16_length_quantiles", tx16_length_quantiles),
-            ("pl17_shard_plan", pl17_shard_plan),
+            ("tx1_token_count", tx1_token_count),
+            ("pl1_corpus_prep", pl1_corpus_prep),
             ("ann13_cluster_quality", ann13_cluster_quality),
             ("dd19_containment_screen", dd19_containment_screen),
             ("ann14_recall_eval", ann14_recall_eval),
@@ -332,17 +335,26 @@ def main() -> None:
             ("g14_pbt_schedule", g14_pbt_schedule),
             ("ann19_filtered_ivf", ann19_filtered_ivf),
         ):
-            samples = []
-            for _ in range(reps):
-                t0 = _tick()
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                samples.append(time.time() - t0)
+            # per-operator guard: one failure records -1.0 under ITS
+            # OWN name and the rest of the roster still runs (an
+            # unguarded loop would abort everything after the failure
+            # point and misattribute the error to a fixed row)
+            try:
+                samples = []
+                for _ in range(reps):
+                    t0 = _tick()
+                    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                    samples.append(time.time() - t0)
+                    spark.catalog.clearCache()
+                timings[name] = round(statistics.median(samples), 3)
+                spreads[name] = round(max(samples) - min(samples), 3)
+            except Exception as e:  # noqa: BLE001
+                timings[name] = -1.0
+                print(f"BENCH ERROR {name}: {e}", file=sys.stderr)
                 spark.catalog.clearCache()
-            timings[name] = round(statistics.median(samples), 3)
-            spreads[name] = round(max(samples) - min(samples), 3)
     except Exception as e:  # noqa: BLE001
-        timings["ann3_ivf_topk"] = -1.0
-        print(f"BENCH ERROR r12 extras: {e}", file=sys.stderr)
+        timings["extras_import"] = -1.0
+        print(f"BENCH ERROR extras import: {e}", file=sys.stderr)
         spark.catalog.clearCache()
 
     # dd20 split (VERDICT r12 item 3): the old single row was ~90%

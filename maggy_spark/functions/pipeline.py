@@ -545,7 +545,13 @@ PL7_SQL = pl7_sql()
 
 
 OPERATORS = [
-    ("pl1_corpus_prep", pl1_corpus_prep, PL1_SQL),
+    # pl1_corpus_prep rotated OUT round 14 (pre-declared in COVERAGE.md
+    # r13): its filter chain is the first three stages of the
+    # gate-green pl13 ledger, pinned equal by
+    # test_pl13_quality_stage_equals_pl4_survivors; the slot went to
+    # pl17_shard_plan (the two-phase distributed prefix-sum write
+    # manifest — a plan shape the gate lacked). Parity continues in
+    # tests/test_offline_oracles.py at the gate's sf0.01.
     # pl2_stratified_sample rotated OUT round 9 (its hash-quota filter
     # is a sub-expression of the gate-green pl9/pl13 hash family) to
     # free a slot for pl14_curriculum_order; parity continues in
@@ -1780,6 +1786,11 @@ FROM s GROUP BY shard_id
 
 PL17_SQL = pl17_sql()
 
+# rotated INTO the driver registry round 14 (pre-declared in
+# COVERAGE.md r13) for pl1_corpus_prep OUT — the gate gains the
+# two-phase distributed prefix-sum plan shape.
+OPERATORS.append(("pl17_shard_plan", pl17_shard_plan, PL17_SQL))
+
 
 def corpus_to_token_shards(
     spark: SparkSession,
@@ -2119,8 +2130,10 @@ def pl21_fair_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnel the corpus through one task — the pl17 two-phase rule):
     for doc i of source s, the number of source-s' docs strictly
     ahead of it is #{j : (2j-1)·n_s < (2i-1)·n_s'} =
-    floor(((2i-1)·n_s' + n_s - 1) / (2·n_s)) — pure integer
-    arithmetic against the broadcast |sources|-row count relation —
+    floor(((2i-1)·n_s' + n_s - 1) / (2·n_s)) — pure int64 arithmetic
+    (SQL DIV; valid while the product (2i-1)·n_s' stays under 2^63,
+    i.e. per-source sizes to ~2.1e9 docs — past that, promote the
+    operands to decimal(38,0)) against the broadcast count relation —
     plus the tie (equal fractional position) exactly when
     n_s | (2i-1)·n_s' with an odd quotient, charged to the
     lexicographically earlier source. The DuckDB twin spells the same
@@ -2151,7 +2164,14 @@ def pl21_fair_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_o — positions past the other source's last doc count all of it
     x = a + b - 1
     y = 2 * b
-    fd = ((x - x % y) / y).cast("bigint")
+    joined = per.crossJoin(F.broadcast(counts)).withColumn("_fd_x", x).withColumn("_fd_y", y)
+    # true 64-bit integer division (SQL DIV). The former
+    # (x - x % y) / y route goes through a double and is only exact to
+    # 2^53, so (2i-1)*n_other silently mis-floors once source sizes
+    # pass ~6.7e7 docs; DIV keeps the whole chain in int64. The
+    # remaining bound is the int64 PRODUCT (2i-1)*n_other < 2^63,
+    # i.e. per-source sizes up to ~2.1e9 docs — documented above.
+    fd = F.expr("_fd_x DIV _fd_y")
     ahead_other = F.least(fd, F.col("n_o"))
     # tie: (2j-1)*n_s == (2i-1)*n_s' for some j in 1..n_o — i.e.
     # a = (odd)*b (a % 2b == b) with that j inside the other source
@@ -2164,10 +2184,8 @@ def pl21_fair_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     contrib = F.when(F.col("osrc") == F.col("source"), F.col("src_rank") - 1).otherwise(
         ahead_other + tie_ahead
     )
-    ranked = (
-        per.crossJoin(F.broadcast(counts))
-        .groupBy("doc_id", "source", "src_rank", "n_src")
-        .agg((F.sum(contrib) + 1).cast("bigint").alias("global_rank"))
+    ranked = joined.groupBy("doc_id", "source", "src_rank", "n_src").agg(
+        (F.sum(contrib) + 1).cast("bigint").alias("global_rank")
     )
     pos = (2 * F.col("src_rank") - 1).cast("double") / (2 * F.col("n_src")).cast("double")
     return ranked.select("doc_id", "source", "src_rank", pos.alias("pos"), "global_rank")

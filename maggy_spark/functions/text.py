@@ -443,7 +443,11 @@ TX8_SQL = tx8_sql()  # default-argument twin for the offline oracle table
 
 
 OPERATORS = [
-    ("tx1_token_count", tx1_token_count, TX1_SQL),
+    # tx1_token_count rotated OUT round 14 (pre-declared in COVERAGE.md
+    # r13): its token count is a literal sub-expression of tx16's
+    # histogram input and of the gate-green tx2/tx10 staging; the slot
+    # went to tx16_length_quantiles. Parity continues in
+    # tests/test_offline_oracles.py at the gate's sf0.01.
     # tx5_ngram_stats rotated OUT round 13 (pre-declared in VERDICT r12
     # item 1): its shingle explode + count shape is the first stage of
     # the gate-green dd7/dd8 banded pipelines and of tx10's unigram
@@ -1737,6 +1741,11 @@ SELECT lang, source, max(total) AS n_docs,
 FROM cum
 GROUP BY lang, source
 """
+
+# rotated INTO the driver registry round 14 (pre-declared in
+# COVERAGE.md r13) for tx1_token_count OUT — the gate gains the
+# bounded-histogram integer inverted-CDF order statistic.
+OPERATORS.append(("tx16_length_quantiles", tx16_length_quantiles, TX16_SQL))
 
 
 # --- tx17: TF-IDF keyword extraction ------------------------------------

@@ -138,11 +138,24 @@ S10_BROKEN_LINES = [
 
 
 def s10_fixture_path(sf_dir: str) -> str:
+    """Cache path for the fixture, keyed on the FULL sf_dir path plus
+    the size+mtime of documents.parquet — so a regenerated corpus, or
+    two corpora sharing a basename, never reuse a stale fixture."""
+    import hashlib
     import tempfile
     from pathlib import Path
 
+    src = Path(sf_dir.rstrip("/")) / "documents.parquet"
+    try:
+        st = src.stat()
+        stamp = f"{src.resolve()}:{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        stamp = str(src)
+    key = hashlib.sha1(stamp.encode()).hexdigest()[:16]
     return str(
-        Path(tempfile.gettempdir()) / f"maggy_s10_{Path(sf_dir.rstrip('/')).name}" / "docs.jsonl"
+        Path(tempfile.gettempdir())
+        / f"maggy_s10_{Path(sf_dir.rstrip('/')).name}_{key}"
+        / "docs.jsonl"
     )
 
 

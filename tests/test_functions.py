@@ -4407,6 +4407,45 @@ def test_pl21_closed_form_equals_fraction_sort(sizes_list):
         assert _pl21_closed_form_rank(sizes, s, i) == want, (sizes, s, i)
 
 
+def test_pl21_rank_division_exact_past_double_precision(spark):
+    """r14 ADVICE fix, pinned: the floor-division in pl21's closed
+    form must stay exact when the numerator (2i-1)*n_other exceeds
+    2^53 — the regime where the former (x - x%y)/y double route
+    silently mis-floors (~5% of draws at 1e9-doc sources). Drives the
+    EXACT expression shape pl21 ships (`_fd_x DIV _fd_y` on bigint
+    columns) against Python's arbitrary-precision // on adversarial
+    operands: odd numerators just above 2^53, near-2^62 products, and
+    y values that are not powers of two."""
+    cases = [
+        # (src_rank i, n_other, n_src) — numerators 9e15..4.6e18
+        (2_251_799_813_685_249, 2, 3),            # (2i-1)*2 = 2^53+... odd*2
+        (1, 9_007_199_254_740_993, 7),              # n_other just past 2^53
+        (1_500_000_000, 1_537_228_672_809_129_301 // 1_000_000_000, 999_999_937),
+        (2_147_483_647, 1_073_741_824, 2_147_483_629),
+        (1, 4_611_686_018_427_387_903, 3),
+    ]
+    rows = [(int(i), int(no), int(ns)) for i, no, ns in cases]
+    df = spark.createDataFrame(rows, "src_rank bigint, n_o bigint, n_src bigint")
+    got = (
+        df.withColumn("_fd_x", (2 * F.col("src_rank") - 1) * F.col("n_o") + F.col("n_src") - 1)
+        .withColumn("_fd_y", 2 * F.col("n_src"))
+        .select("src_rank", "n_o", "n_src", F.expr("_fd_x DIV _fd_y").alias("fd"))
+        .collect()
+    )
+    for r in got:
+        x = (2 * r.src_rank - 1) * r.n_o + r.n_src - 1
+        y = 2 * r.n_src
+        assert x < 2**63, "case overflows int64 — invalid test case"
+        assert r.fd == x // y, (r.src_rank, r.n_o, r.n_src, r.fd, x // y)
+        # and the OLD double route really is wrong somewhere in this set
+    old_wrong = any(
+        int((x - x % y) / y) != x // y
+        for i, no, ns in cases
+        for x, y in [((2 * i - 1) * no + ns - 1, 2 * ns)]
+    )
+    assert old_wrong, "adversarial set no longer exercises the double hazard"
+
+
 def test_dd22_calibration_identical_pair_is_exact(spark, tmp_path):
     """The estimator's fixed point, pinned: an identical-text pair has
     exact Jaccard 1.0 AND matching signatures in every window, so the

@@ -187,7 +187,10 @@ CASES = [
     # statistic in pure integer arithmetic) — the length-filter
     # calibration relation; convention pinned against numpy
     # inverted_cdf in test_functions.py
-    ("tx16_length_quantiles", "TX16_SQL", "maggy_spark.functions.text"),
+    # tx16 rotated INTO the driver registry round 14 (pre-declared);
+    # tx1_token_count takes its offline slot (rotated OUT — a literal
+    # sub-expression of tx16's histogram input and of tx2/tx10)
+    ("tx1_token_count", "TX1_SQL", "maggy_spark.functions.text"),
     # round-12 addition: cluster-quality diagnostics over the trained
     # k-means model (population, worst/best member fit, sub-tau count,
     # nearest-other-centroid separation) — every column an ORDER-FREE
@@ -198,7 +201,10 @@ CASES = [
     # naive global-window spelling (the twin is the semantics, the
     # two-phase plan its scale-honest realization); pure integer
     # arithmetic, multi-bucket path pinned in test_functions.py
-    ("pl17_shard_plan", "PL17_SQL", "maggy_spark.functions.pipeline"),
+    # pl17 rotated INTO the driver registry round 14 (pre-declared);
+    # pl1_corpus_prep takes its offline slot (rotated OUT — its filter
+    # chain is the first three stages of gate-green pl13's ledger)
+    ("pl1_corpus_prep", "PL1_SQL", "maggy_spark.functions.pipeline"),
     # round-12 addition: the asymmetric containment screen (Broder's
     # resemblance-vs-containment distinction) — doc-in-doc duplication
     # that symmetric Jaccard misses; the verbatim-inclusion probe pair

@@ -143,14 +143,23 @@ def main() -> int:
         import json
 
         path = Path(out_path) if Path(out_path).is_absolute() else REPO / out_path
+        # every row carries its own provenance, so a merged artifact
+        # can't misreport which sf_dir a prior run's cases came from
+        for r in results.values():
+            r["sf_dir"] = sf_dir
         merged = results
         if (only or globs) and path.exists():
             # subset runs refresh their rows without dropping the rest
             # of a prior full sweep (the sf1_parity.py convention)
-            prior = json.loads(path.read_text()).get("results", {})
+            prior_doc = json.loads(path.read_text())
+            prior = prior_doc.get("results", {})
+            prior_dir = prior_doc.get("sf_dir")
+            for name, r in prior.items():
+                r.setdefault("sf_dir", prior_dir)
             merged = {**prior, **results}
+        dirs = sorted({r.get("sf_dir") for r in merged.values() if r.get("sf_dir")})
         payload = {
-            "sf_dir": sf_dir,
+            "sf_dir": sf_dir if dirs == [sf_dir] else f"mixed:{dirs}",
             "n_cases": len(merged),
             "n_fail": sum(1 for r in merged.values() if not r["match"]),
             "results": merged,
