@@ -282,6 +282,7 @@ def main() -> None:
             ann17_filtered_topk,
             ann18_range_search,
             ann19_filtered_ivf,
+            ann20_selective_filtered_ivf,
         )
         from maggy_spark.functions.text import tx20_tokenizer_fertility
         from maggy_spark.operators.aggregations import a13_regret_curve
@@ -334,6 +335,10 @@ def main() -> None:
             ("a13_regret_curve", a13_regret_curve),
             ("g14_pbt_schedule", g14_pbt_schedule),
             ("ann19_filtered_ivf", ann19_filtered_ivf),
+            # r14: the non-aligned filtered IVF (histogram-planned
+            # nprobe); each rep pays the full store + histogram build
+            # (clearCache drops the session-cached SQ corpus)
+            ("ann20_selective_filtered_ivf", ann20_selective_filtered_ivf),
         ):
             # per-operator guard: one failure records -1.0 under ITS
             # OWN name and the rest of the roster still runs (an

@@ -2835,3 +2835,261 @@ SELECT query_id, neighbor_id, coarse_cos, cosine, rank FROM (
 
 
 ANN19_SQL = ann19_sql()
+
+
+# --- ann20: filtered search where the filter is NOT the list key -----------
+
+
+def ann20_selective_filtered_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    candidates: int = SQ_CANDIDATES,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Filtered IVF search for a filter ORTHOGONAL to the inverted
+    lists — the production tier ann19 cannot serve. ann19's contract
+    is filter == list key (the partitioned-collection layout); a user
+    filtering on a second attribute (here: the query document's
+    ``source`` — a date/tenant/source-style payload field the label
+    lists do not partition) would otherwise fall back to ann17's
+    exact scan. This is the published "filtered ANN" problem (FAISS
+    metadata-filtering discussions; Gollapudi et al., Filtered-
+    DiskANN, WWW 2023; Qdrant/Milvus payload-filtered search with
+    cardinality-based planning): the index must decide HOW MANY lists
+    to probe so that enough FILTERED candidates survive.
+
+    The plan here is the cardinality-estimation form every vector DB
+    documents:
+
+    1. Build-time: the attribute rides the quantized code store as a
+       payload column (no serving-time metadata join), and a BOUNDED
+       (list_id x source) histogram — |lists| x |attr domain| rows,
+       broadcastable at any corpus size — records exact member
+       counts.
+    2. Route: rank ALL lists per query by medoid cosine (ann8's
+       deterministic routing).
+    3. Selectivity-aware nprobe: walk the routing order accumulating
+       the histogram count of the query's source per list (lists with
+       zero matching members are skipped outright) and probe the
+       MINIMAL PREFIX whose cumulative matching count reaches
+       ``candidates`` — a rare source automatically probes MORE lists
+       (up to all of them), a dense one fewer; nprobe is an output,
+       not a config.
+    4. SQ-coarse over the probed lists restricted to matching-source
+       codes (the filter applies BEFORE scoring), then ann7's exact
+       float rerank of the top ``candidates``.
+
+    With ``candidates`` >= the query's total matching count the probe
+    prefix covers every matching list and the output equals the exact
+    source-filtered top-k row for row (degradation pin, the
+    ann8->ann7 / ann19->ann17 pattern). Fully deterministic: exact
+    integer histogram counts, the routing/tie rules of ann8, and
+    ann7's quantization grid — the DuckDB twin replays it
+    bit-for-bit.
+
+    Scale shape: routing is |lists| broadcast rows; the histogram is
+    |lists| x |domain| broadcast rows; the coarse join keys the
+    broadcast (query, probed-list) relation against the
+    list-partitioned code store (partition pruning), and the exact
+    fetch stays candidates x |queries| through broadcast joins — no
+    corpus shuffle anywhere on the serving path. Output carries
+    n_probed so the selectivity decision is pinned in the value hash.
+    Not in the driver registry (50-entry cap); DuckDB parity in
+    tests/test_offline_oracles.py."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True).where(
+        _dot("embedding", "embedding") > 0  # degenerate-vector rule
+    )
+    src = load_table(spark, sf_dir, "documents", fan_out=True).select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    cq = _sq_corpus(spark, sf_dir)
+    # build-time payload join: the attribute lives IN the code store
+    # (Qdrant's payload-in-segment layout) — serving never joins docs
+    cqs = cq.join(src.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+    hist = cqs.groupBy("list_id", "source").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    reps = (
+        e.groupBy("label")
+        .agg(F.min_by("embedding", "vec_id").alias("rep_emb"))
+        .select(F.col("label").alias("list_id"), "rep_emb")
+    )
+    q = (
+        e.where(F.col("vec_id") < N_QUERIES)
+        .join(src, "vec_id")
+        .crossJoin(F.broadcast(cq.select("scale").limit(1)))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("source").alias("qsource"),
+            F.col("embedding").alias("qe"),
+            _sq_quantize(F.col("embedding"), F.col("scale")).alias("qv"),
+            F.sqrt(_dot("embedding", "embedding")).alias("qn"),
+        )
+        .withColumn("qn2", _sq_int_dot("qv", "qv"))
+    )
+    hist_r = hist.select(
+        F.col("list_id").alias("h_list"), F.col("source").alias("h_source"), "cnt"
+    )
+    routed = (
+        q.crossJoin(F.broadcast(reps))
+        .select(
+            "query_id", "qsource", "qv", "qn2", "list_id",
+            _cosine("qe", "rep_emb").alias("rep_cos"),
+        )
+        # inner histogram join: zero-match lists leave the walk here
+        .join(
+            F.broadcast(hist_r),
+            (F.col("list_id") == F.col("h_list")) & (F.col("qsource") == F.col("h_source")),
+        )
+        .drop("h_list", "h_source")
+    )
+    wroute = Window.partitionBy("query_id").orderBy(
+        F.col("rep_cos").desc(), F.col("list_id")
+    )
+    cum_before = F.coalesce(
+        F.sum("cnt").over(wroute.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("bigint"),
+    )
+    probes = routed.select(
+        "query_id", "qsource", "qv", "qn2", "list_id", cum_before.alias("cum_before")
+    ).where(F.col("cum_before") < candidates)
+    n_probed = probes.groupBy("query_id").agg(
+        F.count("*").cast("bigint").alias("n_probed")
+    )
+    idot = _sq_int_dot("qv", "cv")
+    qcos = F.when((F.col("qn2") == 0) | (F.col("cn2") == 0), F.lit(-2.0)).otherwise(
+        idot.cast("double")
+        / F.sqrt(F.col("qn2").cast("double") * F.col("cn2").cast("double"))
+    )
+    pr = probes.select(
+        "query_id", "qsource", "qv", "qn2", F.col("list_id").alias("p_list")
+    )
+    coarse = cqs.join(
+        F.broadcast(pr),
+        (cqs["list_id"] == pr["p_list"]) & (cqs["source"] == pr["qsource"]),
+    ).select("query_id", "neighbor_id", qcos.alias("coarse_cos"))
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("coarse_cos").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        coarse.select(
+            "query_id", "neighbor_id", "coarse_cos", F.row_number().over(wc).alias("crank")
+        )
+        .where(F.col("crank") <= candidates)
+        .drop("crank")
+    )
+    fetched = (
+        e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ve"))
+        .join(F.broadcast(cand), "neighbor_id")
+        .withColumn("vn", F.sqrt(_dot("ve", "ve")))
+        .join(F.broadcast(q.select("query_id", "qsource", "qe", "qn")), "query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        fetched.select(
+            "query_id",
+            F.col("qsource").alias("source"),
+            "neighbor_id",
+            "coarse_cos",
+            _cosine_pre("qe", "ve", "qn", "vn").alias("cosine"),
+        )
+        .select(
+            "query_id", "source", "neighbor_id", "coarse_cos", "cosine",
+            F.row_number().over(w).cast("bigint").alias("rank"),
+        )
+        .where(F.col("rank") <= k)
+        .join(F.broadcast(n_probed), "query_id")
+        .select(
+            "query_id", "source", "n_probed", "neighbor_id", "coarse_cos", "cosine", "rank"
+        )
+    )
+
+
+def ann20_sql(candidates: int = SQ_CANDIDATES, k: int = TOP_K) -> str:
+    """DuckDB twin: ann8's routing + the (list x source) histogram
+    walk + source-restricted quantized scoring + exact rerank."""
+    lv = SQ_LEVELS
+    quant = (
+        f"list_transform({{v}}, x -> CASE WHEN scale = 0.0 THEN 0 "
+        f"ELSE GREATEST(-{lv}, LEAST({lv}, "
+        f"CAST(floor(x * {lv}.0 / scale + 0.5) AS INTEGER))) END)"
+    )
+    idot = "cast(list_sum(list_transform(range(1, len({a}) + 1), i -> cast({a}[i] AS BIGINT) * {b}[i])) AS BIGINT)"
+    return f"""
+WITH q0 AS (SELECT vec_id AS query_id, d.source AS qsource, embedding::DOUBLE[] AS qe
+            FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+            WHERE vec_id < {N_QUERIES} AND {_NONZERO_SQL}),
+c0 AS (SELECT vec_id AS neighbor_id, label AS list_id, d.source AS source,
+              embedding::DOUBLE[] AS ve
+       FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+       WHERE vec_id >= {N_QUERIES} AND {_NONZERO_SQL}),
+env AS (SELECT max(abs(v)) AS scale FROM (SELECT unnest(ve) AS v FROM c0)),
+qq AS (
+    SELECT query_id, qsource, qe, qv, {idot.format(a="qv", b="qv")} AS qn2
+    FROM (SELECT query_id, qsource, qe, {quant.format(v="qe")} AS qv FROM q0 CROSS JOIN env)
+),
+cq AS (
+    SELECT neighbor_id, list_id, source, cv, {idot.format(a="cv", b="cv")} AS cn2
+    FROM (SELECT neighbor_id, list_id, source, {quant.format(v="ve")} AS cv FROM c0 CROSS JOIN env)
+),
+hist AS (
+    SELECT list_id, source, cast(count(*) AS BIGINT) AS cnt
+    FROM c0 GROUP BY list_id, source
+),
+nz AS (SELECT * FROM embeddings WHERE {_NONZERO_SQL}),
+rep_ids AS (SELECT label AS list_id, min(vec_id) AS rep_id FROM nz GROUP BY label),
+reps AS (
+    SELECT r.list_id, e.embedding::DOUBLE[] AS rep_emb
+    FROM rep_ids r JOIN nz e ON r.rep_id = e.vec_id
+),
+routed AS (
+    SELECT q.query_id, q.qsource, r.list_id, h.cnt,
+           {_cos_sql("q.qe", "r.rep_emb")} AS rep_cos
+    FROM q0 q
+    CROSS JOIN reps r
+    JOIN hist h ON h.list_id = r.list_id AND h.source = q.qsource
+),
+probes AS (
+    SELECT query_id, qsource, list_id FROM (
+        SELECT query_id, qsource, list_id,
+               coalesce(sum(cnt) OVER (
+                   PARTITION BY query_id ORDER BY rep_cos DESC, list_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM routed
+    ) WHERE cum_before < {candidates}
+),
+np AS (SELECT query_id, cast(count(*) AS BIGINT) AS n_probed FROM probes GROUP BY query_id),
+cand AS (
+    SELECT query_id, neighbor_id, coarse_cos FROM (
+        SELECT query_id, neighbor_id, coarse_cos,
+               row_number() OVER (PARTITION BY query_id ORDER BY coarse_cos DESC, neighbor_id) AS crank
+        FROM (
+            SELECT p.query_id, c.neighbor_id,
+                   CASE WHEN q.qn2 = 0 OR c.cn2 = 0 THEN -2.0
+                        ELSE cast({idot.format(a="q.qv", b="c.cv")} AS DOUBLE)
+                             / sqrt(cast(q.qn2 AS DOUBLE) * cast(c.cn2 AS DOUBLE)) END AS coarse_cos
+            FROM probes p
+            JOIN cq c ON c.list_id = p.list_id AND c.source = p.qsource
+            JOIN qq q ON q.query_id = p.query_id
+        )
+    ) WHERE crank <= {candidates}
+)
+SELECT query_id, source, n_probed, neighbor_id, coarse_cos, cosine, rank FROM (
+    SELECT d.query_id, q.qsource AS source, n.n_probed, d.neighbor_id, d.coarse_cos,
+           {_cos_sql("q.qe", "c.ve")} AS cosine,
+           row_number() OVER (
+               PARTITION BY d.query_id
+               ORDER BY {_cos_sql("q.qe", "c.ve")} DESC, d.neighbor_id
+           ) AS rank
+    FROM cand d
+    JOIN c0 c ON d.neighbor_id = c.neighbor_id
+    JOIN q0 q ON d.query_id = q.query_id
+    JOIN np n ON d.query_id = n.query_id
+) WHERE rank <= {k}
+"""
+
+
+ANN20_SQL = ann20_sql()

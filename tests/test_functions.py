@@ -4587,3 +4587,120 @@ def test_ann19_degrades_to_ann17_with_full_candidates(spark, sf_dir):
               .select("vec_id", "label").collect()}
     for r in ann19_filtered_ivf(spark, sf_dir).collect():
         assert labels[r.query_id] == labels[r.neighbor_id]
+
+
+def _ann20_exact_reference(spark, sf_dir, k=5):
+    """The naive exact spelling of ann20's semantics: brute-force
+    cosine over corpus vectors whose DOCUMENT source equals the
+    query document's source (the filter the IVF lists do NOT
+    partition)."""
+    from pyspark.sql.window import Window
+
+    from maggy_spark.functions.similarity import N_QUERIES, _cosine, _dot
+    from maggy_spark.plans.fixtures import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").where(_dot("embedding", "embedding") > 0)
+    src = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    em = e.join(src, "vec_id")
+    q = em.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("source").alias("qsource"),
+        F.col("embedding").alias("qe"),
+    )
+    c = em.where(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("source").alias("csource"),
+        F.col("embedding").alias("ve"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        c.join(F.broadcast(q), F.col("csource") == F.col("qsource"))
+        .select("query_id", "neighbor_id", _cosine("qe", "ve").alias("cosine"))
+        .select("query_id", "neighbor_id",
+                F.row_number().over(w).cast("bigint").alias("rank"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def test_ann20_degrades_to_exact_filtered_topk(spark, sf_dir):
+    """ann20's degradation contract (the ann19->ann17 pattern lifted
+    to the non-aligned filter): with a candidate pool >= every
+    query's total matching count, the probe prefix covers every
+    matching list, the coarse pass prunes nothing, and the output
+    must equal the EXACT source-filtered top-k row for row."""
+    from maggy_spark.functions.similarity import ann20_selective_filtered_ivf
+    from maggy_spark.plans.fixtures import load_table
+
+    n_corpus = load_table(spark, sf_dir, "embeddings").count()
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ann20_selective_filtered_ivf(spark, sf_dir, candidates=n_corpus).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in _ann20_exact_reference(spark, sf_dir).collect()
+    }
+    assert got == want
+
+    # every hit matches the query's source (the filter semantics) —
+    # checked on the DEFAULT candidate pool, where pruning is real
+    src = {r.doc_id: r.source for r in load_table(spark, sf_dir, "documents")
+           .select("doc_id", "source").collect()}
+    rows = ann20_selective_filtered_ivf(spark, sf_dir).collect()
+    assert rows, "default run returned nothing"
+    for r in rows:
+        assert src[r.query_id] == src[r.neighbor_id] == r.source
+
+
+def test_ann20_nprobe_scales_with_selectivity(spark, tmp_path):
+    """The cardinality-planning point, pinned on a crafted corpus
+    where the filter is orthogonal to the lists: source 'dense' has
+    many members in the query's nearest list, source 'rare' has ONE
+    member per list — the rare-source query must probe MORE lists
+    than the dense-source query to bank the same candidate budget,
+    and n_probed is exactly the minimal histogram prefix."""
+    import numpy as np
+    import pandas as pd
+
+    from maggy_spark.functions.similarity import ann20_selective_filtered_ivf
+
+    rng = np.random.default_rng(7)
+    rows, drows = [], []
+    # queries 0/1: query 0 is 'dense', query 1 is 'rare'
+    base = rng.normal(size=8)
+    base /= np.linalg.norm(base)
+    for vid, srcname in ((0, "dense"), (1, "rare")):
+        v = base + 0.01 * rng.normal(size=8)
+        rows.append((vid, (v / np.linalg.norm(v)).astype("float32").tolist(), 0))
+        drows.append((vid, f"q {vid}", "en", srcname))
+    vid = 5
+    for lst in range(4):
+        # 6 dense members + 1 rare member per list
+        for j in range(6):
+            v = rng.normal(size=8)
+            rows.append((vid, (v / np.linalg.norm(v)).astype("float32").tolist(), lst))
+            drows.append((vid, f"d {vid}", "en", "dense"))
+            vid += 1
+        v = rng.normal(size=8)
+        rows.append((vid, (v / np.linalg.norm(v)).astype("float32").tolist(), lst))
+        drows.append((vid, f"r {vid}", "en", "rare"))
+        vid += 1
+    pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]).to_parquet(
+        tmp_path / "embeddings.parquet", index=False
+    )
+    ddf = pd.DataFrame(drows, columns=["doc_id", "text", "lang", "source"])
+    ddf["n_chars"] = ddf["text"].str.len().astype("int64")
+    ddf.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    out = ann20_selective_filtered_ivf(spark, str(tmp_path), candidates=4, k=3).collect()
+    nprobe = {r.query_id: r.n_probed for r in out}
+    # dense: nearest list already holds 6 >= 4 candidates -> 1 list;
+    # rare: 1 match/list -> needs 4 lists for a 4-candidate budget
+    assert nprobe[0] == 1, nprobe
+    assert nprobe[1] == 4, nprobe
+    # and the filter semantics hold on the crafted corpus too
+    srcmap = dict(zip(ddf.doc_id, ddf.source))
+    for r in out:
+        assert srcmap[r.query_id] == srcmap[r.neighbor_id] == r.source

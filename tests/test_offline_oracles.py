@@ -328,6 +328,12 @@ CASES = [
     # list (zero routing, 1/|labels| of the code store scanned); with
     # candidates >= list size it degrades to exactly ann17 (pinned)
     ("ann19_filtered_ivf", "ANN19_SQL", "maggy_spark.functions.similarity"),
+    # round-14 addition: filtered IVF where the filter is ORTHOGONAL
+    # to the lists (the Filtered-DiskANN / payload-filter problem) —
+    # bounded (list x source) histogram drives a selectivity-aware
+    # per-query nprobe; n_probed rides the output so the cardinality
+    # decision is value-hash-pinned
+    ("ann20_selective_filtered_ivf", "ANN20_SQL", "maggy_spark.functions.similarity"),
 ]
 
 

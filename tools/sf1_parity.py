@@ -115,6 +115,9 @@ DIRECT = [
     "ann17_filtered_topk",
     "ann18_range_search",
     "ann19_filtered_ivf",
+    # r14: the non-aligned filtered IVF (selectivity-aware nprobe
+    # from the bounded (list x source) histogram)
+    "ann20_selective_filtered_ivf",
     "pl21_fair_interleave",
     "pl22_pps_sample",
     "ev4_asof_attribution",
