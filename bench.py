@@ -514,6 +514,25 @@ def main() -> None:
             assert res["num_trials"] == 16
         timings["exp_gp_bo_16"] = round(statistics.median(gp_samples), 3)
         spreads["exp_gp_bo_16"] = round(max(gp_samples) - min(gp_samples), 3)
+
+        # r14: the PBT controller loop (4 generations x population 4,
+        # generation-synchronous exploit/explore) — same near-noop fn
+        # and <=2 s/trial budget as the other driver loops
+        from maggy_spark.optimizers import Pbt
+
+        pbt_cfg = HyperparameterOptConfig(
+            num_trials=16, optimizer=Pbt(population=4),
+            searchspace=Searchspace(x=("DOUBLE", [0.0, 1.0])),
+            direction="max", es_policy="none", seed=42, parallelism=4,
+        )
+        pbt_samples = []
+        for _ in range(reps):
+            t0 = _tick()
+            res = lagom(_gp_fn, pbt_cfg, spark)
+            pbt_samples.append(time.time() - t0)
+            assert res["num_trials"] == 16
+        timings["exp_pbt_16"] = round(statistics.median(pbt_samples), 3)
+        spreads["exp_pbt_16"] = round(max(pbt_samples) - min(pbt_samples), 3)
     except Exception as e:  # noqa: BLE001
         print(f"BENCH ERROR driver-loop metrics: {e}", file=sys.stderr)
 

@@ -555,11 +555,167 @@ class Asha(AbstractOptimizer):
         return not pending and settled >= self._emitted_rung0 + sum(len(s) for s in self._promoted.values())
 
 
+class Pbt(AbstractOptimizer):
+    """Population Based Training (Jaderberg et al. 2017,
+    arXiv:1711.09846) as a wave-scheduler controller — the runtime
+    counterpart of the g14_pbt_schedule relation (the r13 VERDICT's
+    "PBT as a controller, not just a relation").
+
+    Generation-synchronous: a fixed ``population`` of configs runs
+    per generation; when a generation fully settles, the bottom
+    quartile EXPLOITS the top quartile (loser of rank i adopts donor
+    of rank i's params, ranks tie-broken on trial_id — exactly
+    g14's pairing) and EXPLORES by multiplying every continuous
+    (DOUBLE) param by 1.2 or 0.8 on the deterministic md5 coin
+    ``hash_uniform('pbt', loser_id) < 0.5`` — the same 52-bit
+    arithmetic g14 pins cross-engine, so the controller's generation
+    step is verifiable against the relation (test_pbt_step_equals_
+    g14_arithmetic). Survivors carry their params into the next
+    generation unchanged (the training-continues arm; each
+    generation is a fresh trial at budget=generation here, the same
+    budget-as-generation encoding the g14 fixture uses).
+
+    No clamping: the perturbation is the paper's multiplicative walk
+    verbatim (and g14's exact arithmetic) — bound-sensitive
+    objectives should guard in the train fn.
+
+    ``num_trials`` on the config is the TOTAL trial budget:
+    generations = max(num_trials // population, 1), so
+    ``num_trials=16, population=4`` runs 4 generations of 4. Waits
+    (returns []) while a generation is in flight — same contract as
+    Asha's promotion gates. Errored trials never finalize and are
+    excluded from ranking; a generation that settles with zero
+    finalized trials falls back to fresh random draws.
+    """
+
+    def __init__(self, population: int = 4) -> None:
+        super().__init__()
+        if population < 2:
+            raise ValueError(f"population must be >= 2, got {population}")
+        self.population = population
+
+    def _initialize(self) -> None:
+        self.generations = max(self.num_trials // self.population, 1)
+        self.num_trials = self.generations * self.population
+        self._gen = 0
+        self._gen_errors = 0
+        self._buffer = [
+            self._make_trial(params, 0, "random")
+            for params in self._draw_randoms(self.population, salt=0)
+        ]
+        # errored trials shrink a generation's settle target — gate on
+        # what was actually EMITTED, not the nominal population, or an
+        # error-bearing generation waits forever
+        self._gen_emitted = len(self._buffer)
+
+    # -- generation plumbing -------------------------------------------
+
+    def _draw_randoms(self, n: int, salt: int) -> list[dict]:
+        out, attempts = [], 0
+        while len(out) < n and attempts < n * (MAX_DEDUP_RETRIES + 1) * 4:
+            params = self.searchspace.get_random_parameter_values(
+                1, seed=None if self.seed is None else self.seed + salt * 100_003 + attempts
+            )[0]
+            attempts += 1
+            if self.hparams_exist(params):
+                continue
+            self._seen_params.add(self._params_key(params))
+            out.append(params)
+        return out
+
+    def _make_trial(self, params: dict, generation: int, sample_type: str, donor_id: str | None = None) -> Trial:
+        info = {"sample_type": sample_type, "generation": generation, "budget": generation}
+        if donor_id is not None:
+            info["donor_trial_id"] = donor_id
+        t = Trial(dict(params), info_dict=info)
+        # same params may legitimately recur across generations (the
+        # survivor arm); disambiguate the id by generation, the Asha
+        # budget-injection pattern
+        t.trial_id = Trial({**params, "generation": generation}).trial_id
+        return t
+
+    @staticmethod
+    def pbt_coin(loser_id: str) -> float:
+        """Python replica of hash_uniform('pbt', loser_id): top 52
+        md5 bits / 2^52 — bit-identical to g14's Spark/DuckDB coin."""
+        import hashlib
+
+        h = hashlib.md5(f"pbt:{loser_id}".encode()).hexdigest()
+        return int(h[:13], 16) / 4503599627370496.0
+
+    def _evolve(self, finalized: list[Trial], generation: int) -> list[Trial]:
+        """One g14 step: rank, pair bottom-q losers with top-q donors,
+        perturb DOUBLE params by the coin factor; survivors carry."""
+        valid = [t for t in finalized if t.final_metric is not None]
+        if not valid:
+            return [
+                self._make_trial(p, generation, "random")
+                for p in self._draw_randoms(self.population, salt=generation)
+            ]
+        # g14's two windows verbatim: rk_best orders metric best-first,
+        # rk_worst worst-first, BOTH tie-breaking on trial_id ASC
+        ranked = sorted(
+            valid, key=lambda t: (self.metric_for_min(t.final_metric), t.trial_id)
+        )
+        worst_first = sorted(
+            valid, key=lambda t: (-self.metric_for_min(t.final_metric), t.trial_id)
+        )
+        q = max(len(valid) // 4, 1)
+        donors = ranked[:q]
+        losers = worst_first[:q]  # pair_rank 1 = worst
+        double_names = [n for n, ty in self.searchspace.names().items() if ty == DOUBLE]
+        out = []
+        replaced = {t.trial_id for t in losers}
+        for loser, donor in zip(losers, donors):  # pair_rank i: worst-i adopts best-i
+            factor = 1.2 if self.pbt_coin(loser.trial_id) < 0.5 else 0.8
+            params = dict(donor.params)
+            for n in double_names:
+                params[n] = float(params[n]) * factor
+            out.append(self._make_trial(params, generation, "model", donor_id=donor.trial_id))
+        for t in ranked:
+            if t.trial_id not in replaced:
+                out.append(self._make_trial(dict(t.params), generation, "promoted"))
+        return out
+
+    def _settled_in_gen(self, generation: int) -> int:
+        fin = sum(
+            1 for t in self.final_store if t.info_dict.get("generation") == generation
+        )
+        return fin + self._gen_errors
+
+    def report_error(self, trial: Trial) -> None:
+        super().report_error(trial)
+        if trial.info_dict.get("generation") == self._gen:
+            self._gen_errors += 1
+
+    def _next_batch(self, max_trials: int) -> list[Trial]:
+        if not self._buffer and self._gen + 1 < self.generations:
+            if self._settled_in_gen(self._gen) >= self._gen_emitted:
+                finalized = [
+                    t for t in self.final_store
+                    if t.info_dict.get("generation") == self._gen
+                ]
+                self._gen += 1
+                self._gen_errors = 0
+                self._buffer = self._evolve(finalized, self._gen)
+                self._gen_emitted = len(self._buffer)
+        out, self._buffer = self._buffer[:max_trials], self._buffer[max_trials:]
+        return out
+
+    def done(self) -> bool:
+        return (
+            not self._buffer
+            and self._gen + 1 >= self.generations
+            and self._settled_in_gen(self._gen) >= self._gen_emitted
+        )
+
+
 CONTROLLERS = {
     "randomsearch": RandomSearch,
     "gridsearch": GridSearch,
     "none": SingleRun,
     "asha": Asha,
+    "pbt": Pbt,
 }
 
 
