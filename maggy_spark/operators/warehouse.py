@@ -19,7 +19,9 @@ from maggy_spark.plans.fixtures import load_table, with_fixtures
 DEC = "decimal(18,4)"
 
 
-def k1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+def k1_pricing_summary(
+    spark: SparkSession, sf_dir: str, accumulator: str = "bigint"
+) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: one lineitem scan, groupBy on
     the 2-value flag columns, exact integer-quantized sums (r13 — the
     k1 re-time of VERDICT r12 item 7 attributed the row's ~2.5 s to
@@ -42,7 +44,22 @@ def k1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     group sum is safe to ~4e7 rows/group (covers the sf10 ladder
     40x over); past that, promote the ACCUMULATOR to decimal(38,0) —
     one decimal add per row instead of the old round+convert+add —
-    and ANSI mode (Spark 4 default) fails loud rather than wrapping."""
+    and ANSI mode (Spark 4 default) fails loud rather than wrapping.
+    Both arms are test-pinned (test_k1_overflow_contract): a crafted
+    group driving the int64 accumulator past 2^63 raises
+    ARITHMETIC_OVERFLOW under the default arm and produces the exact
+    sums under ``accumulator="decimal38"``."""
+    if accumulator == "bigint":
+        def acc(c):
+            return c
+    elif accumulator == "decimal38":
+        # the documented promotion path: one decimal(38,0) add per
+        # row instead of the old round+convert+add — the numerators
+        # stay the same exact integers, just in a 128-bit accumulator
+        def acc(c):
+            return c.cast("decimal(38,0)")
+    else:
+        raise ValueError(f"accumulator must be 'bigint' or 'decimal38', got {accumulator!r}")
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("2024-06-01"))
     qc = F.round(F.col("l_quantity") * 100).cast("bigint")
     pc = F.round(F.col("l_extendedprice") * 100).cast("bigint")
@@ -54,12 +71,12 @@ def k1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            (F.sum(qc).cast("double") / 100).alias("sum_qty"),
-            (F.sum(pc).cast("double") / 100).alias("sum_base_price"),
-            (F.sum(dp_num).cast("double") / 10000).alias("sum_disc_price"),
-            (F.sum(ch_num).cast("double") / 1000000).alias("sum_charge"),
-            (F.sum(qc).cast("double") / 100 / cnt).alias("avg_qty"),
-            (F.sum(dc).cast("double") / 100 / cnt).alias("avg_disc"),
+            (F.sum(acc(qc)).cast("double") / 100).alias("sum_qty"),
+            (F.sum(acc(pc)).cast("double") / 100).alias("sum_base_price"),
+            (F.sum(acc(dp_num)).cast("double") / 10000).alias("sum_disc_price"),
+            (F.sum(acc(ch_num)).cast("double") / 1000000).alias("sum_charge"),
+            (F.sum(acc(qc)).cast("double") / 100 / cnt).alias("avg_qty"),
+            (F.sum(acc(dc)).cast("double") / 100 / cnt).alias("avg_disc"),
             cnt.alias("count_order"),
         )
     )
@@ -95,8 +112,15 @@ def k2_top_customers(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame
 
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    # r14 quantization sweep (VERDICT r13 item 6): o_totalprice is
+    # 2-decimal money, so cents-unit bigint sums replace the per-row
+    # decimal cast+add — verified 0 mismatching groups vs the old
+    # decimal(18,4) spelling at sf0.01 AND sf0.1 before the switch;
+    # the DuckDB twin keeps the decimal spelling (semantics), this is
+    # its faster realization (the k1 pattern)
     spend = o.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_spend"),
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("double") / 100)
+        .alias("total_spend"),
         F.count("*").alias("n_orders"),
     )
     order = [F.col("total_spend").desc(), F.col("o_custkey")]
@@ -174,12 +198,21 @@ def k3_shipping_priority(spark: SparkSession, sf_dir: str, k: int = 10) -> DataF
     li = load_table(spark, sf_dir, "lineitem").where(ntz_us("l_shipdate") > cutoff_us).select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
-    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).cast("decimal(18,6)")
+    # r14 quantization sweep: price/discount are 2-decimal, so the
+    # revenue numerator is the exact integer cents*(100-disc_c) at
+    # scale 1e4 (k1's disc_price arithmetic) — bit-identical to the
+    # old round(.,6)->decimal(18,6) sum (0 mismatching groups at
+    # sf0.01/sf0.1), one bigint multiply-add per row instead of
+    # BigDecimal churn; the DuckDB twin keeps the decimal spelling
+    rev = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+    )
     agg = (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg((F.sum(rev).cast("double") / 10000).alias("revenue"))
     )
     order = [F.col("revenue").desc(), F.col("o_orderkey")]
     w = Window.orderBy(*order)
@@ -250,7 +283,16 @@ def k4_local_supplier_volume(spark: SparkSession, sf_dir: str, region: str = "AS
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
-    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).cast("decimal(18,6)")
+    # r14 quantization sweep: price/discount are 2-decimal, so the
+    # revenue numerator is the exact integer cents*(100-disc_c) at
+    # scale 1e4 (k1's disc_price arithmetic) — bit-identical to the
+    # old round(.,6)->decimal(18,6) sum (0 mismatching groups at
+    # sf0.01/sf0.1), one bigint multiply-add per row instead of
+    # BigDecimal churn; the DuckDB twin keeps the decimal spelling
+    rev = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+    )
     j = (
         o.join(c, o.o_custkey == c.c_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
@@ -260,7 +302,7 @@ def k4_local_supplier_volume(spark: SparkSession, sf_dir: str, region: str = "AS
     return (
         j.groupBy("n_name")
         .agg(
-            F.sum(rev).cast("double").alias("revenue"),
+            (F.sum(rev).cast("double") / 10000).alias("revenue"),
             F.count("*").alias("n_lineitems"),
         )
     )

@@ -181,3 +181,51 @@ def test_load_events_is_session_timezone_invariant(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.session.timeZone", prior)
     assert got == oracle
+
+
+def test_k1_overflow_contract(spark, tmp_path):
+    """The k1 docstring's overflow promise, driven for real (VERDICT
+    r13 item 7): a crafted group whose ch_num rows sum past 2^63.
+
+    Arm 1 (default bigint accumulator): ANSI mode (Spark 4 default)
+    must fail LOUD with ARITHMETIC_OVERFLOW — never wrap silently.
+    Arm 2 (accumulator="decimal38"): the documented promotion path
+    produces the exact sums for the same rows."""
+    import pandas as pd
+    import pytest
+    from pyspark.errors import ArithmeticException
+
+    from maggy_spark.operators.warehouse import k1_pricing_summary
+
+    # price 5e12 -> pc = 5e14 cents (exact in double: < 2^53);
+    # ch_num = pc * 100 * 100 = 5e18 per row; two rows -> 1e19 > 2^63
+    price = 5.0e12
+    rows = [
+        ("A", "F", "2024-01-01 00:00:00", 1.0, price, 0.0, 0.0),
+        ("A", "F", "2024-01-02 00:00:00", 1.0, price, 0.0, 0.0),
+    ]
+    pdf = pd.DataFrame(
+        rows,
+        columns=[
+            "l_returnflag", "l_linestatus", "l_shipdate",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        ],
+    )
+    # micros, not pandas' default nanos (Spark rejects TIMESTAMP(NANOS))
+    pdf["l_shipdate"] = pd.to_datetime(pdf["l_shipdate"]).astype("datetime64[us]")
+    pdf.to_parquet(tmp_path / "lineitem.parquet", index=False)
+
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    with pytest.raises(ArithmeticException, match="ARITHMETIC_OVERFLOW|overflow"):
+        k1_pricing_summary(spark, str(tmp_path)).collect()
+
+    got = k1_pricing_summary(spark, str(tmp_path), accumulator="decimal38").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.count_order == 2
+    assert r.sum_base_price == 2 * price     # 1e13, exactly representable
+    assert r.sum_charge == 2 * price         # disc=tax=0: charge == base
+    assert r.sum_qty == 2.0 and r.avg_disc == 0.0
+
+    with pytest.raises(ValueError, match="accumulator"):
+        k1_pricing_summary(spark, str(tmp_path), accumulator="float")
