@@ -390,3 +390,159 @@ def ccnet_route_stream(
             .alias("bucket"),
         )
     )
+
+
+# --- streaming dd20: incremental component-map maintenance ----------------
+
+
+def dd20_stream_init(spark, sf_dir: str, state_dir: str, delta_mod: int = 10) -> None:
+    """Seed the maintenance state (VERDICT r13 item 5): version 0 of
+    the star map is the landed corpus's snapshot (what
+    `dd20_store_star_map` persisted when the store landed) and the
+    arrived-set starts empty. Versioned subdirectories, never
+    overwrite-in-place: a foreachBatch that read parquet path P must
+    not overwrite P in the same batch (the read re-executes lazily
+    under the write — the documented self-overwrite hazard), so each
+    batch writes `star_{v+1}` and readers resolve the latest version."""
+    from maggy_spark.functions.dedup import dd20_store_star_map
+
+    dd20_store_star_map(spark, sf_dir, delta_mod).write.mode("overwrite").parquet(
+        f"{state_dir}/star_000000"
+    )
+    spark.createDataFrame([], "doc_id bigint").write.mode("overwrite").parquet(
+        f"{state_dir}/arrived_000000"
+    )
+
+
+def _dd20_latest(state_dir: str, prefix: str) -> str:
+    import glob
+
+    vs = sorted(glob.glob(f"{state_dir}/{prefix}_*"))
+    if not vs:
+        raise FileNotFoundError(f"no {prefix} state under {state_dir} — run dd20_stream_init")
+    return vs[-1]
+
+
+def dd20_refresh_components(spark, sf_dir: str, state_dir: str) -> DataFrame:
+    """The CURRENT component map implied by the maintained state:
+    latest star map contracted over store + arrived docs — what a
+    consumer (dd14 winner selection, pl13's dedup stage) reads
+    between batches. Schema = dd10's (doc_id, cluster_rep,
+    cluster_size, is_duplicate)."""
+    from maggy_spark.functions.dedup import components_over
+    from maggy_spark.plans.fixtures import load_table
+
+    delta_mod = 10
+    stars = spark.read.parquet(_dd20_latest(state_dir, "star"))
+    arrived = spark.read.parquet(_dd20_latest(state_dir, "arrived"))
+    store = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % delta_mod != 0)
+    )
+    universe = store.unionByName(arrived).distinct()
+    return components_over(universe, "doc_id", stars)
+
+
+def dd20_refresh_stream_fn(spark, sf_dir: str, state_dir: str, delta_mod: int = 10, max_iter: int = 30):
+    """Streaming dd20_refresh (VERDICT r13 item 5): foreachBatch
+    maintenance of the persisted star map across micro-batches —
+    read snapshot -> probe the arriving delta against the band store
+    -> contract map + delta edges -> write back the next version. A
+    long-running ingest stream's component map no longer goes stale
+    until a batch snapshot: every micro-batch advances it.
+
+    Per batch (the arriving docs are a slice of the delta):
+    1. The batch's doc_ids are pinned via localCheckpoint (bounded:
+       one id per arriving doc) — foreachBatch sources re-execute
+       under each downstream action otherwise.
+    2. dd11's probe shape, batch-sided: the batch's band keys join
+       the store's (|batch| x bucket work, store-size-independent
+       beyond the lookup); eligible partners are landed-store docs,
+       PREVIOUSLY-arrived delta docs, and the batch itself (a<b
+       orientation for batch-internal pairs; the first-match guard
+       dedups across bands exactly like dd11). Docs of the delta
+       that have NOT yet arrived are excluded — the stream must not
+       see the future.
+    3. `incremental_components_over` rewrites the delta edges through
+       the previous map and contracts (the dd20_refresh kernel
+       verbatim), over the universe = store + arrived + batch.
+    4. The new star edges (doc -> component rep where doc != rep)
+       and the grown arrived-set land as version batch_id+1
+       (versioned write, see dd20_stream_init).
+
+    The signatures ride the session-cached static band relation here
+    (the fixture signs the whole table once) — in production the
+    batch signs itself map-side (`simhash_bands_for` accepts any
+    (doc_id, text) relation, including a streaming one) and appends
+    to the store; either way the probe never rescans the store.
+
+    State contract: the stream itself is STATELESS (no Spark state
+    store); all cross-batch state is the two versioned parquet
+    relations — restart-safe at the last completed version, the ing1
+    discipline. End-state oracle: after the last batch, the
+    maintained map must equal batch `dd20_refresh` over the same
+    bytes (test_dd20_refresh_stream_matches_batch — the ninth stream
+    end-state oracle).
+
+    Returns a foreachBatch `process(batch_df, batch_id)`.
+    """
+    from maggy_spark.functions.dedup import (
+        MAX_HAMMING,
+        _first_match_and_hamming,
+        incremental_components_over,
+        simhash_band_relation,
+    )
+    from maggy_spark.plans.fixtures import load_table
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        new_ids = batch_df.select("doc_id").distinct().localCheckpoint()
+        if not new_ids.take(1):
+            return
+        bands, b, t = simhash_band_relation(spark, sf_dir)
+        prev_stars = spark.read.parquet(_dd20_latest(state_dir, "star"))
+        arrived = spark.read.parquet(_dd20_latest(state_dir, "arrived"))
+        a = bands.join(new_ids, "doc_id").select(
+            F.col("doc_id").alias("doc_a"), F.col("sigint").alias("sa"), "band_key"
+        )
+        partners = (
+            bands.where(F.col("doc_id") % delta_mod != 0)
+            .withColumn("_new", F.lit(False))
+            .unionByName(bands.join(arrived, "doc_id").withColumn("_new", F.lit(False)))
+            .unionByName(bands.join(new_ids, "doc_id").withColumn("_new", F.lit(True)))
+        )
+        bb = partners.select(
+            F.col("doc_id").alias("doc_b"), F.col("sigint").alias("sb"), "band_key", "_new"
+        )
+        first_match, ham = _first_match_and_hamming(b, t)
+        edges = (
+            a.join(bb, "band_key")
+            .where(F.col("doc_a") != F.col("doc_b"))
+            # batch-internal pairs are reachable from both sides: keep
+            # one orientation; batch-vs-landed pairs only from the
+            # batch side, so no guard needed there
+            .where(~F.col("_new") | (F.col("doc_a") < F.col("doc_b")))
+            .where(ham <= MAX_HAMMING)
+            .where(first_match)
+            .select(
+                F.greatest("doc_a", "doc_b").alias("hi"),
+                F.least("doc_a", "doc_b").alias("lo"),
+            )
+            .distinct()
+        )
+        seen = arrived.unionByName(new_ids).distinct()
+        store = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id")
+            .where(F.col("doc_id") % delta_mod != 0)
+        )
+        universe = store.unionByName(seen).distinct()
+        newmap = incremental_components_over(universe, "doc_id", prev_stars, edges, max_iter)
+        new_stars = newmap.where(F.col("is_duplicate")).select(
+            F.col("doc_id").alias("hi"), F.col("cluster_rep").alias("lo")
+        )
+        v = f"{batch_id + 1:06d}"
+        new_stars.write.mode("overwrite").parquet(f"{state_dir}/star_{v}")
+        seen.write.mode("overwrite").parquet(f"{state_dir}/arrived_{v}")
+
+    return process

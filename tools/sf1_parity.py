@@ -112,6 +112,11 @@ DIRECT = [
     "pl20_pack_efficiency",
     "tx20_tokenizer_fertility",
     "dd21_lsh_s_curve",
+    # r14 (VERDICT r13 item 4): dd22 gets its own sf1 rung — the
+    # direct DuckDB twin IS feasible here (180 candidate pairs at the
+    # sf1 dup density; the cost is the 50k-doc signature CTE, minutes
+    # not hours), so the inherited dd8 exclusion no longer applies
+    "dd22_minhash_calibration",
     "ann17_filtered_topk",
     "ann18_range_search",
     "ann19_filtered_ivf",
