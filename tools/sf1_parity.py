@@ -33,7 +33,11 @@ compare would only re-hash the same multiset for ~3 GB of driver
 RAM), `dd8` (minhash candidate verification — the candidate CTE is
 quadratic per band bucket in DuckDB at the sf1 dup density; dd8's
 production claim is covered by dd13/dd16's window-hash family which
-DO sweep), and every lineitem/orders-backed row (a*/c*/g*/k*/hb1:
+DO sweep; note dd22 — which consumes the SAME candidate CTE but
+rolls up to a decile table — was measured feasible r14 and sweeps
+directly: the sf1 candidate count is only 180 pairs and the cost is
+the 50k-doc signature CTE, ~6 min in DuckDB), and every
+lineitem/orders-backed row (a*/c*/g*/k*/hb1:
 the synthetic decade has no TPC-H tables; those rows' scaling story
 is the metrics fixture's own 4-decade SCALING.md rows).
 
