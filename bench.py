@@ -283,9 +283,10 @@ def main() -> None:
             ann18_range_search,
             ann19_filtered_ivf,
             ann20_selective_filtered_ivf,
+            ann21_routing_recall_curve,
         )
         from maggy_spark.functions.text import tx20_tokenizer_fertility
-        from maggy_spark.operators.aggregations import a13_regret_curve
+        from maggy_spark.operators.aggregations import a13_regret_curve, a14_param_importance
         from maggy_spark.operators.generators import g14_pbt_schedule
         from maggy_spark.sources.jsonl import s10_jsonl_clean, s10_jsonl_report
 
@@ -333,12 +334,14 @@ def main() -> None:
             ("dd22_minhash_calibration", dd22_minhash_calibration),
             ("pl22_pps_sample", pl22_pps_sample),
             ("a13_regret_curve", a13_regret_curve),
+            ("a14_param_importance", a14_param_importance),
             ("g14_pbt_schedule", g14_pbt_schedule),
             ("ann19_filtered_ivf", ann19_filtered_ivf),
             # r14: the non-aligned filtered IVF (histogram-planned
             # nprobe); each rep pays the full store + histogram build
             # (clearCache drops the session-cached SQ corpus)
             ("ann20_selective_filtered_ivf", ann20_selective_filtered_ivf),
+            ("ann21_routing_recall_curve", ann21_routing_recall_curve),
         ):
             # per-operator guard: one failure records -1.0 under ITS
             # OWN name and the rest of the roster still runs (an

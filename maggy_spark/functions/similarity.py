@@ -3093,3 +3093,117 @@ SELECT query_id, source, n_probed, neighbor_id, coarse_cos, cosine, rank FROM (
 
 
 ANN20_SQL = ann20_sql()
+
+
+# --- ann21: IVF routing-recall tuning curve --------------------------------
+
+
+def ann21_routing_recall_curve(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """The nprobe tuning curve — the ANN-family analogue of dd21/dd22
+    closing the dedup tuning loop: for every nprobe value 1..|lists|,
+    what fraction of the EXACT top-k neighbors live in one of the
+    first nprobe routed lists (FAISS's nprobe/recall trade-off, the
+    curve every IVF deployment reads before fixing nprobe; routing
+    recall upper-bounds serving recall — a neighbor whose list is
+    never probed can never be returned, so this isolates the ROUTING
+    loss from the quantization loss ann14 measures downstream).
+
+    One pass, no per-nprobe re-search: each exact (query, neighbor)
+    pair joins the neighbor's list to ann8's deterministic routing
+    rank (medoid cosine desc, list_id), and the curve is a cumulative
+    count over that rank — |lists| output rows regardless of corpus
+    size. Determinism: ranks and counts are exact integers;
+    recall = hits/total is one int/int IEEE division per row.
+    Scale: the per-rank count relation is <= |lists| rows, the curve
+    join |lists|^2 — both driver-scale; the only corpus-sized work is
+    ann1's exact relation, which is the session-shared truth baseline
+    the whole eval family already prices. Not in the driver registry
+    (50-entry cap); DuckDB parity in tests/test_offline_oracles.py."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True).where(
+        _dot("embedding", "embedding") > 0
+    )
+    exact = ann1_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    reps = (
+        e.groupBy("label")
+        .agg(F.min_by("embedding", "vec_id").alias("rep_emb"))
+        .select(F.col("label").alias("list_id"), "rep_emb")
+    )
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("rep_cos").desc(), F.col("list_id"))
+    routed = (
+        q.crossJoin(F.broadcast(reps))
+        .select("query_id", "list_id", _cosine("qe", "rep_emb").alias("rep_cos"))
+        .select("query_id", "list_id", F.row_number().over(wp).cast("bigint").alias("rrank"))
+    )
+    nb = e.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("list_id"))
+    ranked_pairs = exact.join(nb, "neighbor_id").join(
+        F.broadcast(routed), ["query_id", "list_id"]
+    )
+    per_rank = ranked_pairs.groupBy("rrank").agg(F.count("*").cast("bigint").alias("cnt"))
+    domain = routed.select(F.col("rrank").alias("nprobe")).distinct()
+    tot = ranked_pairs.agg(F.count("*").cast("bigint").alias("total"))
+    curve = (
+        domain.join(per_rank, per_rank["rrank"] <= domain["nprobe"], "left")
+        .groupBy("nprobe")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("hits"))
+    )
+    return curve.crossJoin(F.broadcast(tot)).select(
+        "nprobe",
+        "hits",
+        "total",
+        (F.col("hits").cast("double") / F.col("total").cast("double")).alias("routing_recall"),
+    )
+
+
+def ann21_sql(k: int = TOP_K) -> str:
+    return f"""
+WITH q0 AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings
+            WHERE vec_id < {N_QUERIES} AND {_NONZERO_SQL}),
+c0 AS (SELECT vec_id AS neighbor_id, label AS list_id, embedding::DOUBLE[] AS ve FROM embeddings
+       WHERE vec_id >= {N_QUERIES} AND {_NONZERO_SQL}),
+exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY {_cos_sql("qe", "ve")} DESC, neighbor_id) AS rank
+        FROM c0 CROSS JOIN q0
+    ) WHERE rank <= {k}
+),
+nz AS (SELECT * FROM embeddings WHERE {_NONZERO_SQL}),
+rep_ids AS (SELECT label AS list_id, min(vec_id) AS rep_id FROM nz GROUP BY label),
+reps AS (
+    SELECT r.list_id, e.embedding::DOUBLE[] AS rep_emb
+    FROM rep_ids r JOIN nz e ON r.rep_id = e.vec_id
+),
+routed AS (
+    SELECT query_id, list_id,
+           cast(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {_cos_sql("q.qe", "r.rep_emb")} DESC, r.list_id
+           ) AS BIGINT) AS rrank
+    FROM q0 q CROSS JOIN reps r
+),
+ranked_pairs AS (
+    SELECT x.query_id, rt.rrank
+    FROM exact x
+    JOIN c0 c ON x.neighbor_id = c.neighbor_id
+    JOIN routed rt ON rt.query_id = x.query_id AND rt.list_id = c.list_id
+),
+per_rank AS (SELECT rrank, cast(count(*) AS BIGINT) AS cnt FROM ranked_pairs GROUP BY rrank),
+domain AS (SELECT DISTINCT rrank AS nprobe FROM routed),
+tot AS (SELECT cast(count(*) AS BIGINT) AS total FROM ranked_pairs)
+SELECT d.nprobe,
+       cast(coalesce(sum(p.cnt), 0) AS BIGINT) AS hits,
+       max(t.total) AS total,
+       cast(coalesce(sum(p.cnt), 0) AS DOUBLE) / cast(max(t.total) AS DOUBLE) AS routing_recall
+FROM domain d
+LEFT JOIN per_rank p ON p.rrank <= d.nprobe
+CROSS JOIN tot t
+GROUP BY d.nprobe
+"""
+
+
+ANN21_SQL = ann21_sql()

@@ -544,3 +544,128 @@ SELECT seq, final_metric,
              OVER (ORDER BY seq ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) AS improved
 FROM trials WHERE status = 'FINALIZED'
 """)
+
+
+# -- A14: hyperparameter importance (banded eta-squared) -----------------
+
+
+def a14_param_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hyperparameter importance over the finalized trials — the
+    variance-decomposition readout (correlation ratio eta^2, the
+    single-parameter marginal of fANOVA, Hutter et al. ICML 2014)
+    every post-hoc HPO analysis starts with: how much of the metric's
+    variance does each param's bin explain? Output: one row per
+    param — (param, n_bins, n, sum_y, sum_y2, between_milli, eta2).
+
+    Cross-engine exactness by BANDING (the dd22/tx16 discipline):
+    the metric is quantized to exact cents, then banded into 10
+    fixed integer deciles of the cent range — y in 0..9 — so every
+    sufficient statistic is a small exact integer: per-bin n_g and
+    s_g = sum(y), the between-groups numerator SUM_g (s_g^2 * 1000)
+    DIV n_g in exact milli units (magnitudes: s_g^2 <= ~1.8e14 at
+    1.5M trials, *1000 well inside int64), and the total sum/sumsq
+    of y. eta2 = (between/1000 - S^2/N) / (sum_y2 - S^2/N) is IEEE
+    arithmetic over those exact integers, spelled identically in the
+    twin; a zero-variance metric yields eta2 = 0 by guard. Bins:
+    p1 DIV 5 (10 bins), p2 as-is (5 priorities), p3 DIV 50 (10
+    bins). Scale: three map-combined groupBys over the one trials
+    scan; every aggregate relation is <= |bins| rows. Not in the
+    driver registry (50-entry cap); DuckDB parity in
+    tests/test_offline_oracles.py."""
+    from maggy_spark.plans.fixtures import trials_df
+
+    t = trials_df(spark, sf_dir, statuses=["FINALIZED"]).where(
+        F.col("final_metric").isNotNull()
+    )
+    mc = F.round(F.col("final_metric") * 100).cast("bigint")
+    t = t.select(
+        mc.alias("mc"),
+        (F.col("p1").cast("bigint")).alias("p1"),
+        F.col("p2"),
+        (F.col("p3").cast("bigint")).alias("p3"),
+    )
+    env = t.agg(F.max("mc").alias("max_mc"), F.min("mc").alias("min_mc"))
+    ty = (
+        t.crossJoin(F.broadcast(env))
+        .withColumn("_span", F.col("max_mc") - F.col("min_mc") + 1)
+        .withColumn(
+            "y",
+            F.expr("((mc - min_mc) * 10) DIV _span").cast("bigint"),
+        )
+        .select("p1", "p2", "p3", "y")
+    )
+
+    def stats_for(bin_col, pname: str) -> DataFrame:
+        g = ty.groupBy(bin_col.alias("bin")).agg(
+            F.count("*").cast("bigint").alias("n_g"),
+            F.sum("y").cast("bigint").alias("s_g"),
+        )
+        return g.agg(
+            F.lit(pname).alias("param"),
+            F.count("*").cast("bigint").alias("n_bins"),
+            F.sum("n_g").cast("bigint").alias("n"),
+            F.sum("s_g").cast("bigint").alias("sum_y"),
+            F.sum(F.expr("(s_g * s_g * 1000) DIV n_g")).cast("bigint").alias("between_milli"),
+        )
+
+    tot = ty.agg(F.sum(F.col("y") * F.col("y")).cast("bigint").alias("sum_y2"))
+    per = (
+        stats_for(F.expr("p1 DIV 5"), "p1")
+        .unionByName(stats_for(F.col("p2"), "p2"))
+        .unionByName(stats_for(F.expr("p3 DIV 50"), "p3"))
+        .crossJoin(F.broadcast(tot))
+    )
+    s2n = F.col("sum_y").cast("double") * F.col("sum_y").cast("double") / F.col("n").cast("double")
+    sst = F.col("sum_y2").cast("double") - s2n
+    ssb = F.col("between_milli").cast("double") / F.lit(1000.0) - s2n
+    return per.select(
+        "param",
+        "n_bins",
+        "n",
+        "sum_y",
+        "sum_y2",
+        "between_milli",
+        F.when(sst == 0, F.lit(0.0)).otherwise(ssb / sst).alias("eta2"),
+    )
+
+
+A14_SQL = with_fixtures("""
+, fin AS (
+    SELECT cast(round(final_metric * 100) AS BIGINT) AS mc,
+           cast(p1 AS BIGINT) AS p1, p2, cast(p3 AS BIGINT) AS p3
+    FROM trials WHERE status = 'FINALIZED' AND final_metric IS NOT NULL
+),
+env AS (SELECT max(mc) AS max_mc, min(mc) AS min_mc FROM fin),
+ty AS (
+    SELECT p1, p2, p3,
+           ((mc - min_mc) * 10) // (max_mc - min_mc + 1) AS y
+    FROM fin CROSS JOIN env
+),
+tot AS (SELECT cast(sum(y * y) AS BIGINT) AS sum_y2 FROM ty),
+bins AS (
+    SELECT 'p1' AS param, cast(p1 // 5 AS VARCHAR) AS bin, cast(count(*) AS BIGINT) AS n_g,
+           cast(sum(y) AS BIGINT) AS s_g FROM ty GROUP BY p1 // 5
+    UNION ALL
+    SELECT 'p2', p2, cast(count(*) AS BIGINT), cast(sum(y) AS BIGINT) FROM ty GROUP BY p2
+    UNION ALL
+    SELECT 'p3', cast(p3 // 50 AS VARCHAR), cast(count(*) AS BIGINT), cast(sum(y) AS BIGINT)
+    FROM ty GROUP BY p3 // 50
+),
+per AS (
+    SELECT param,
+           cast(count(*) AS BIGINT) AS n_bins,
+           cast(sum(n_g) AS BIGINT) AS n,
+           cast(sum(s_g) AS BIGINT) AS sum_y,
+           cast(sum((s_g * s_g * 1000) // n_g) AS BIGINT) AS between_milli
+    FROM bins GROUP BY param
+)
+SELECT param, n_bins, n, sum_y, t.sum_y2, between_milli,
+       CASE WHEN cast(t.sum_y2 AS DOUBLE)
+                 - cast(sum_y AS DOUBLE) * cast(sum_y AS DOUBLE) / cast(n AS DOUBLE) = 0
+            THEN 0.0
+            ELSE (cast(between_milli AS DOUBLE) / 1000.0
+                  - cast(sum_y AS DOUBLE) * cast(sum_y AS DOUBLE) / cast(n AS DOUBLE))
+                 / (cast(t.sum_y2 AS DOUBLE)
+                    - cast(sum_y AS DOUBLE) * cast(sum_y AS DOUBLE) / cast(n AS DOUBLE)) END AS eta2
+FROM per CROSS JOIN tot t
+""")

@@ -4704,3 +4704,38 @@ def test_ann20_nprobe_scales_with_selectivity(spark, tmp_path):
     srcmap = dict(zip(ddf.doc_id, ddf.source))
     for r in out:
         assert srcmap[r.query_id] == srcmap[r.neighbor_id] == r.source
+
+
+def test_ann21_curve_properties_and_bounds_serving_recall(spark, sf_dir):
+    """The routing-recall curve's three structural pins: (a) hits are
+    monotone non-decreasing in nprobe; (b) probing ALL lists reaches
+    recall 1.0 exactly (every exact neighbor's list is ranked
+    somewhere); (c) routing recall at ANN8_NPROBE upper-bounds ann8's
+    SERVING recall vs exact at the same nprobe — routing loss is a
+    floor under quantization loss, the decomposition the curve
+    exists to expose."""
+    from maggy_spark.functions.similarity import (
+        ANN8_NPROBE,
+        ann1_bruteforce_topk,
+        ann21_routing_recall_curve,
+        ann8_ivf_quantized,
+    )
+
+    curve = {
+        r.nprobe: r
+        for r in ann21_routing_recall_curve(spark, sf_dir).collect()
+    }
+    nprobes = sorted(curve)
+    assert nprobes == list(range(1, len(nprobes) + 1))
+    hits = [curve[n].hits for n in nprobes]
+    assert hits == sorted(hits)
+    top = curve[nprobes[-1]]
+    assert top.hits == top.total and top.routing_recall == 1.0
+
+    exact = {(r.query_id, r.neighbor_id) for r in ann1_bruteforce_topk(spark, sf_dir).collect()}
+    served = {
+        (r.query_id, r.neighbor_id)
+        for r in ann8_ivf_quantized(spark, sf_dir, nprobe=ANN8_NPROBE).collect()
+    }
+    serving_recall = len(exact & served) / len(exact)
+    assert serving_recall <= curve[ANN8_NPROBE].routing_recall + 1e-12

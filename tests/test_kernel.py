@@ -229,3 +229,50 @@ def test_k1_overflow_contract(spark, tmp_path):
 
     with pytest.raises(ValueError, match="accumulator"):
         k1_pricing_summary(spark, str(tmp_path), accumulator="float")
+
+
+def test_a14_param_importance_numpy_derivation(spark, sf_dir):
+    """THIRD derivation of a14 (the tx16 numpy-pinned convention):
+    recompute the banded eta^2 with numpy/python floats from the raw
+    fixture rows and pin the operator's exact integer statistics and
+    (to float tolerance) its eta2; plus the structural invariants —
+    eta2 in [0, 1], shared totals across param rows."""
+    import duckdb
+    import numpy as np
+
+    from maggy_spark.operators.aggregations import a14_param_importance
+
+    rows = {r.param: r for r in a14_param_importance(spark, sf_dir).collect()}
+    assert set(rows) == {"p1", "p2", "p3"}
+    base = next(iter(rows.values()))
+    for r in rows.values():
+        assert 0.0 <= r.eta2 <= 1.0
+        assert (r.n, r.sum_y, r.sum_y2) == (base.n, base.sum_y, base.sum_y2)
+
+    con = duckdb.connect()
+    raw = con.execute(
+        f"""
+        SELECT cast(round(o_totalprice * 100) AS BIGINT) AS mc,
+               o_custkey % 50 AS p1, o_orderpriority AS p2, o_orderkey % 500 AS p3
+        FROM read_parquet('{sf_dir}/orders.parquet') WHERE o_orderstatus = 'F'
+        """
+    ).df()
+    mc = raw["mc"].to_numpy()
+    y = ((mc - mc.min()) * 10) // (mc.max() - mc.min() + 1)
+    sst = float((y**2).sum()) - float(y.sum()) ** 2 / len(y)
+    for pname, bins in (
+        ("p1", raw["p1"].to_numpy() // 5),
+        ("p2", raw["p2"].to_numpy()),
+        ("p3", raw["p3"].to_numpy() // 50),
+    ):
+        n_g, s_g = {}, {}
+        for b, yy in zip(bins, y):
+            n_g[b] = n_g.get(b, 0) + 1
+            s_g[b] = s_g.get(b, 0) + int(yy)
+        between_milli = sum((s * s * 1000) // n_g[b] for b, s in s_g.items())
+        r = rows[pname]
+        assert r.n == len(y) and r.sum_y == int(y.sum()) and r.sum_y2 == int((y**2).sum())
+        assert r.n_bins == len(n_g)
+        assert r.between_milli == between_milli, pname
+        eta2 = (between_milli / 1000.0 - float(y.sum()) ** 2 / len(y)) / sst
+        assert abs(r.eta2 - eta2) < 1e-9, pname

@@ -334,6 +334,12 @@ CASES = [
     # per-query nprobe; n_probed rides the output so the cardinality
     # decision is value-hash-pinned
     ("ann20_selective_filtered_ivf", "ANN20_SQL", "maggy_spark.functions.similarity"),
+    # round-14 addition: the nprobe tuning curve (routing recall vs
+    # nprobe in one pass — the ANN analogue of dd21/dd22's tuning loop)
+    ("ann21_routing_recall_curve", "ANN21_SQL", "maggy_spark.functions.similarity"),
+    # round-14 addition: banded eta^2 hyperparameter importance (the
+    # fANOVA single-param marginal; exact integer sufficient stats)
+    ("a14_param_importance", "A14_SQL", "maggy_spark.operators.aggregations"),
 ]
 
 

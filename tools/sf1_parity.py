@@ -127,6 +127,7 @@ DIRECT = [
     # r14: the non-aligned filtered IVF (selectivity-aware nprobe
     # from the bounded (list x source) histogram)
     "ann20_selective_filtered_ivf",
+    "ann21_routing_recall_curve",
     "pl21_fair_interleave",
     "pl22_pps_sample",
     "ev4_asof_attribution",
