@@ -251,7 +251,7 @@ def main() -> None:
     # retrain + the k x k separation pass — the ann10 discipline).
     try:
         from maggy_spark.functions.dedup import dd18_crossmodal_verify, dd19_containment_screen
-        from maggy_spark.functions.multimodal import mm1_decode_metadata
+        from maggy_spark.functions.multimodal import mm1_decode_metadata, mm9_multimodal_pack_plan
         from maggy_spark.functions.pipeline import (
             pl14_curriculum_order,
             pl18_temperature_mix,
@@ -335,6 +335,7 @@ def main() -> None:
             ("pl22_pps_sample", pl22_pps_sample),
             ("a13_regret_curve", a13_regret_curve),
             ("a14_param_importance", a14_param_importance),
+            ("mm9_multimodal_pack_plan", mm9_multimodal_pack_plan),
             ("g14_pbt_schedule", g14_pbt_schedule),
             ("ann19_filtered_ivf", ann19_filtered_ivf),
             # r14: the non-aligned filtered IVF (histogram-planned

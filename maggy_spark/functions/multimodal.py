@@ -1110,3 +1110,132 @@ SELECT DISTINCT p.media_id AS probe_id, s.media_id AS store_id,
 FROM pband p JOIN sband s ON p.band_key = s.band_key
 WHERE bit_count(xor(p.sigint, s.sigint)) <= {PHASH_MAX_HAMMING}
 """
+
+
+# --- mm9: multimodal-aware sequence packing -------------------------------
+
+MM9_PATCH = 14        # ViT patch side: image tokens = ceil(w/14)*ceil(h/14)
+MM9_AUDIO_DIV = 320   # 16 kHz bytes -> 50 tokens/sec = n_bytes DIV 320
+MM9_VID_FRAME_TOKENS = 256  # per sampled frame (16x16 low-res grid)
+MM9_VID_EVERY = 30    # mm2's frame-sampling stride
+
+
+def mm9_multimodal_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pl7's sequence packing extended to MULTIMODAL token budgets —
+    the packing a vision-language training pipeline actually runs
+    (LLaVA-style interleaving: every media attachment consumes
+    context positions alongside the text): each doc's cost is its
+    text BPE-ish tokens PLUS its attachment's vision/audio tokens —
+    image = ceil(w/P)·ceil(h/P) ViT patches (P=14), audio =
+    bytes DIV 320 (16 kHz -> 50 tokens/sec), video = |mm2's sampled
+    frames| · 256 patch tokens — and the pack windows are computed
+    over that combined cost with pl7's exact integer cumsum core.
+    Output: (doc_id, media_type, text_tokens, media_tokens, shard,
+    tok_start, window_start, window_end, n_windows).
+
+    The media dimensions come through mm1's REAL decode path
+    (mapInPandas over Arrow batches; stub-decoded deterministically on
+    this corpus), so the Spark plan exercises the actual multimodal
+    plumbing while the DuckDB twin replays the stub's closed form.
+    Determinism: every cost is an exact integer (ceil of small-int /
+    14.0 is exact in double far past these magnitudes; audio DIV;
+    frame count from an integer list expression); the pack core is
+    pl7's. Scale: mm1 is a narrow zero-shuffle pass; the pack is
+    pl7's per-shard window — same plan shape that swept sf1/sf10.
+    Not in the driver registry (50-entry cap); DuckDB parity in
+    tests/test_offline_oracles.py."""
+    from maggy_spark.functions.pipeline import pack_plan
+    from maggy_spark.plans.fixtures import load_table
+
+    meta = mm1_decode_metadata(spark, sf_dir).select(
+        F.col("media_id").alias("doc_id"), "media_type", "n_bytes",
+        "width", "height", "n_frames",
+    )
+    text_toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.aggregate(
+            F.split(F.col("text"), " "),
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("bigint"),
+        ).alias("text_tokens"),
+    )
+    sampled_frames = F.size(
+        F.array_distinct(
+            F.concat(
+                F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(MM9_VID_EVERY)),
+                F.array(F.col("n_frames") - 1),
+            )
+        )
+    ).cast("bigint")
+    media_tokens = (
+        F.when(
+            F.col("media_type") == "image",
+            (F.ceil(F.col("width") / float(MM9_PATCH)) * F.ceil(F.col("height") / float(MM9_PATCH))).cast("bigint"),
+        )
+        .when(F.col("media_type") == "audio", F.expr(f"n_bytes DIV {MM9_AUDIO_DIV}"))
+        .otherwise(sampled_frames * MM9_VID_FRAME_TOKENS)
+    )
+    combined = meta.join(text_toks, "doc_id").select(
+        "doc_id", "media_type", "text_tokens", media_tokens.alias("media_tokens")
+    )
+    packed = pack_plan(
+        combined.select("doc_id", (F.col("text_tokens") + F.col("media_tokens")).alias("bpe_tokens"))
+    )
+    return packed.join(
+        combined.select("doc_id", "media_type", "text_tokens", "media_tokens"), "doc_id"
+    ).select(
+        "doc_id", "media_type", "text_tokens", "media_tokens",
+        "shard", "tok_start", "window_start", "window_end", "n_windows",
+    )
+
+
+def mm9_sql() -> str:
+    from maggy_spark.functions.pipeline import PACK_CTX, PACK_SHARDS
+
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         cast(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         CAST('0x' || substr(md5(text), 1, 8) AS UBIGINT) AS seed,
+         cast(list_sum(list_transform(str_split(text, ' '),
+              t -> cast(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS text_tokens
+  FROM documents
+), dims AS (
+  SELECT doc_id, media_type, text_tokens,
+         CAST(CASE media_type WHEN 'image' THEN 64 + seed % 512 ELSE 0 END AS BIGINT) AS width,
+         CAST(CASE media_type WHEN 'image' THEN 64 + (seed // 512) % 512 ELSE 0 END AS BIGINT) AS height,
+         CAST(CASE media_type WHEN 'video' THEN 1 + seed % 300 ELSE 0 END AS BIGINT) AS n_frames,
+         n_bytes
+  FROM m
+), cost AS (
+  SELECT doc_id, media_type, text_tokens,
+         CASE media_type
+           WHEN 'image' THEN cast(ceil(width / {MM9_PATCH}.0) * ceil(height / {MM9_PATCH}.0) AS BIGINT)
+           WHEN 'audio' THEN n_bytes // {MM9_AUDIO_DIV}
+           ELSE cast(len(list_distinct(list_append(
+                    range(0, n_frames, {MM9_VID_EVERY}), n_frames - 1))) AS BIGINT) * {MM9_VID_FRAME_TOKENS}
+         END AS media_tokens
+  FROM dims
+), t AS (
+  SELECT doc_id, media_type, text_tokens, media_tokens,
+         cast(doc_id % {PACK_SHARDS} AS INTEGER) AS shard,
+         text_tokens + media_tokens AS bpe_tokens
+  FROM cost
+), c AS (
+  SELECT *, cast(sum(bpe_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum_end
+  FROM t
+)
+SELECT doc_id, media_type, text_tokens, media_tokens, shard,
+       cast(cum_end - bpe_tokens AS BIGINT) AS tok_start,
+       cast(floor((cum_end - bpe_tokens) / {PACK_CTX}.0) AS BIGINT) AS window_start,
+       cast(floor((cum_end - 1) / {PACK_CTX}.0) AS BIGINT) AS window_end,
+       cast(floor((cum_end - 1) / {PACK_CTX}.0)
+            - floor((cum_end - bpe_tokens) / {PACK_CTX}.0) + 1 AS BIGINT) AS n_windows
+FROM c
+"""
+
+
+MM9_SQL = mm9_sql()

@@ -4739,3 +4739,53 @@ def test_ann21_curve_properties_and_bounds_serving_recall(spark, sf_dir):
     }
     serving_recall = len(exact & served) / len(exact)
     assert serving_recall <= curve[ANN8_NPROBE].routing_recall + 1e-12
+
+
+def test_mm9_budget_arithmetic_and_pack_consistency(spark, sf_dir):
+    """mm9's semantic pins: (a) per-type media-token budgets recompute
+    from mm1's decoded dimensions (image = ViT patch grid, audio =
+    bytes DIV 320, video = |mm2's sampled frames| x 256 — the video
+    arm is a CROSS-OPERATOR consistency pin against mm2's actual
+    output rows); (b) pl7's pack invariants hold over the combined
+    budget (tok_start = running sum of prior costs per shard,
+    windows span exactly the doc's token interval)."""
+    import math
+    from collections import Counter
+
+    from maggy_spark.functions.multimodal import (
+        MM9_AUDIO_DIV,
+        MM9_PATCH,
+        MM9_VID_FRAME_TOKENS,
+        mm1_decode_metadata,
+        mm2_frame_sample,
+        mm9_multimodal_pack_plan,
+    )
+    from maggy_spark.functions.pipeline import PACK_CTX
+
+    out = {r.doc_id: r for r in mm9_multimodal_pack_plan(spark, sf_dir).collect()}
+    meta = {r.media_id: r for r in mm1_decode_metadata(spark, sf_dir).collect()}
+    frames = Counter(r.media_id for r in mm2_frame_sample(spark, sf_dir).collect())
+    assert out and set(out) == set(meta)
+    for did, r in out.items():
+        m = meta[did]
+        if m.media_type == "image":
+            want = math.ceil(m.width / MM9_PATCH) * math.ceil(m.height / MM9_PATCH)
+        elif m.media_type == "audio":
+            want = m.n_bytes // MM9_AUDIO_DIV
+        else:
+            want = frames[did] * MM9_VID_FRAME_TOKENS
+        assert r.media_tokens == want, (did, m.media_type)
+    # pack invariants per shard
+    by_shard = {}
+    for r in out.values():
+        by_shard.setdefault(r.shard, []).append(r)
+    for rs in by_shard.values():
+        rs.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rs:
+            assert r.tok_start == cum
+            total = r.text_tokens + r.media_tokens
+            cum += total
+            assert r.window_start == r.tok_start // PACK_CTX or total == 0
+            assert r.window_end == (cum - 1) // PACK_CTX or total == 0
+            assert r.n_windows == r.window_end - r.window_start + 1

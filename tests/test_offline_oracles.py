@@ -340,6 +340,9 @@ CASES = [
     # round-14 addition: banded eta^2 hyperparameter importance (the
     # fANOVA single-param marginal; exact integer sufficient stats)
     ("a14_param_importance", "A14_SQL", "maggy_spark.operators.aggregations"),
+    # round-14 addition: multimodal-aware sequence packing (pl7's
+    # cumsum core over text + vision/audio token budgets)
+    ("mm9_multimodal_pack_plan", "MM9_SQL", "maggy_spark.functions.multimodal"),
 ]
 
 

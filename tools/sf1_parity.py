@@ -128,6 +128,7 @@ DIRECT = [
     # from the bounded (list x source) histogram)
     "ann20_selective_filtered_ivf",
     "ann21_routing_recall_curve",
+    "mm9_multimodal_pack_plan",
     "pl21_fair_interleave",
     "pl22_pps_sample",
     "ev4_asof_attribution",
