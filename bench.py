@@ -257,6 +257,7 @@ def main() -> None:
             pl18_temperature_mix,
             pl19_temperature_apply,
             pl1_corpus_prep,
+            pl23_weighted_sample,
         )
         from maggy_spark.operators.events import ev12_lag_quantiles, ev13_type_transitions
         from maggy_spark.operators.warehouse import k5_late_shipment_priority
@@ -286,7 +287,11 @@ def main() -> None:
             ann21_routing_recall_curve,
         )
         from maggy_spark.functions.text import tx20_tokenizer_fertility
-        from maggy_spark.operators.aggregations import a13_regret_curve, a14_param_importance
+        from maggy_spark.operators.aggregations import (
+            a13_regret_curve,
+            a14_param_importance,
+            a15_earlystop_savings,
+        )
         from maggy_spark.operators.generators import g14_pbt_schedule
         from maggy_spark.sources.jsonl import s10_jsonl_clean, s10_jsonl_report
 
@@ -335,7 +340,9 @@ def main() -> None:
             ("pl22_pps_sample", pl22_pps_sample),
             ("a13_regret_curve", a13_regret_curve),
             ("a14_param_importance", a14_param_importance),
+            ("a15_earlystop_savings", a15_earlystop_savings),
             ("mm9_multimodal_pack_plan", mm9_multimodal_pack_plan),
+            ("pl23_weighted_sample", pl23_weighted_sample),
             ("g14_pbt_schedule", g14_pbt_schedule),
             ("ann19_filtered_ivf", ann19_filtered_ivf),
             # r14: the non-aligned filtered IVF (histogram-planned

@@ -2271,3 +2271,86 @@ WHERE ({n_target} * (start + n)) // total - ({n_target} * start) // total > 0
 
 
 PL22_SQL = pl22_sql()
+
+
+# --- pl23: weighted sampling without replacement (exponential race) ------
+
+PL23_TARGET = 200  # sample size
+
+
+def pl23_weighted_sample(
+    spark: SparkSession, sf_dir: str, n_target: int = PL23_TARGET
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, probability proportional
+    to token mass — the third member of the sampling triad (pl2's
+    per-doc hash coin = Bernoulli; pl22's Madow ladder = systematic
+    PPS with fixed total; pl23 = the classic reservoir form):
+    Efraimidis & Spirakis 2006 ("Weighted random sampling with a
+    reservoir"), in the equivalent exponential-race spelling (a.k.a.
+    Gumbel top-k): draw u_i uniform, race key e_i = -ln(u_i)/w_i,
+    keep the n_target SMALLEST keys. P(i in sample) follows the
+    without-replacement PPS law exactly, and the sample is stable
+    under data repartitioning because u_i is the doc's own hash.
+
+    Cross-engine determinism: u_i = (h52 + 1)/(2^52 + 1) in (0, 1]
+    from the md5 primitive (exact integer -> one IEEE division);
+    -ln(u) is libm, so it is BLUNTED through decimal(18,6) before use
+    (tx10's ln idiom — last-ulp libm differences vanish at the 1e-6
+    quantum); the race key is then one IEEE division of that exact
+    decimal by the exact integer weight, and ties (including docs
+    with equal blunted keys) break on doc_id.
+
+    Scale shape: the candidate relation is one projection over one
+    scan; the global smallest-n is `orderBy().limit(n)` —
+    TakeOrderedAndProject's per-task n-row heaps, NEVER a global sort
+    or an unpartitioned rank window over the corpus — and the rank
+    window runs over ONLY the n survivors (k2's top-k discipline).
+    The twin deliberately spells the naive global window (the
+    semantics); this plan is its scale-honest realization. Not in
+    the driver registry (50-entry cap); DuckDB parity in
+    tests/test_offline_oracles.py."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
+    w_tok = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    h52 = hash_uniform("pl23", F.col("doc_id").cast("string")) * F.lit(4503599627370496.0)
+    u = (h52 + F.lit(1.0)) / F.lit(4503599627370497.0)
+    e6 = (-F.log(u)).cast("decimal(18,6)")
+    key = e6.cast("double") / w_tok.cast("double")
+    cand = d.select(
+        "doc_id", w_tok.alias("w_tokens"), key.alias("race_key")
+    )
+    order = [F.col("race_key").asc(), F.col("doc_id")]
+    wr = Window.orderBy(*order)
+    return (
+        cand.orderBy(*order)
+        .limit(n_target)
+        .select(
+            "doc_id", "w_tokens", "race_key",
+            F.row_number().over(wr).cast("bigint").alias("rank"),
+        )
+    )
+
+
+def pl23_sql(n_target: int = PL23_TARGET) -> str:
+    return f"""
+WITH cand AS (
+    SELECT doc_id,
+           cast(len(str_split(text, ' ')) AS BIGINT) AS w_tokens,
+           cast(-ln((cast(cast(('0x' || substr(md5('pl23:' || cast(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                          % 4503599627370496 AS DOUBLE) + 1.0) / 4503599627370497.0)
+                AS DECIMAL(18,6)) AS e6
+    FROM documents
+)
+SELECT doc_id, w_tokens, race_key, rank FROM (
+    SELECT doc_id, w_tokens,
+           cast(e6 AS DOUBLE) / cast(w_tokens AS DOUBLE) AS race_key,
+           cast(row_number() OVER (
+               ORDER BY cast(e6 AS DOUBLE) / cast(w_tokens AS DOUBLE), doc_id
+           ) AS BIGINT) AS rank
+    FROM cand
+) WHERE rank <= {n_target}
+"""
+
+
+PL23_SQL = pl23_sql()

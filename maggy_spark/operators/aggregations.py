@@ -669,3 +669,88 @@ SELECT param, n_bins, n, sum_y, t.sum_y2, between_milli,
                     - cast(sum_y AS DOUBLE) * cast(sum_y AS DOUBLE) / cast(n AS DOUBLE)) END AS eta2
 FROM per CROSS JOIN tot t
 """)
+
+
+# -- A15: early-stop savings ledger ---------------------------------------
+
+
+def a15_earlystop_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cost side of early stopping — the relation an HPO platform
+    reads to justify (or retune) its stopping rule: per budget rung,
+    how many metric steps did finalized trials actually report vs the
+    rung's observed full horizon, and how much of the rung's step
+    budget did the stopped trials give back (Li et al., Hyperband
+    JMLR 2018 frames exactly this resource accounting). Output per
+    budget: (budget, n_trials, n_stopped, steps_run, steps_full,
+    saved_steps, saved_frac).
+
+    steps_run is the per-trial count of DEDUPED metric steps (c2's
+    relation); the rung's horizon is the max steps any of its trials
+    reported, so steps_full = n_trials * horizon and saved_steps =
+    steps_full - steps_run — all exact integer counts (no float
+    anywhere until the final saved_frac, one int/int IEEE division).
+    Scale: one metrics aggregation keyed by trial (map-combined), a
+    trial-keyed join, and a |budgets|-row rollup. Not in the driver
+    registry (50-entry cap); DuckDB parity in
+    tests/test_offline_oracles.py."""
+    from maggy_spark.plans.fixtures import metrics_df, trials_df
+
+    per_trial = metrics_df(spark, sf_dir).groupBy("trial_id").agg(
+        F.count("*").cast("bigint").alias("steps_run")
+    )
+    t = trials_df(spark, sf_dir, statuses=["FINALIZED"]).select(
+        "trial_id", "budget", "early_stop"
+    )
+    j = t.join(per_trial, "trial_id", "left").select(
+        "budget",
+        "early_stop",
+        F.coalesce("steps_run", F.lit(0).cast("bigint")).alias("steps_run"),
+    )
+    per_budget = j.groupBy("budget").agg(
+        F.count("*").cast("bigint").alias("n_trials"),
+        F.sum(F.col("early_stop").cast("bigint")).cast("bigint").alias("n_stopped"),
+        F.sum("steps_run").cast("bigint").alias("steps_run"),
+        F.max("steps_run").cast("bigint").alias("horizon"),
+    )
+    steps_full = F.col("n_trials") * F.col("horizon")
+    saved = steps_full - F.col("steps_run")
+    return per_budget.select(
+        "budget",
+        "n_trials",
+        "n_stopped",
+        "steps_run",
+        steps_full.alias("steps_full"),
+        saved.alias("saved_steps"),
+        F.when(steps_full == 0, F.lit(0.0))
+        .otherwise(saved.cast("double") / steps_full.cast("double"))
+        .alias("saved_frac"),
+    )
+
+
+A15_SQL = with_fixtures("""
+, per_trial AS (
+    SELECT trial_id, cast(count(*) AS BIGINT) AS steps_run
+    FROM metrics GROUP BY trial_id
+),
+fin AS (
+    SELECT t.budget, t.early_stop,
+           cast(coalesce(p.steps_run, 0) AS BIGINT) AS steps_run
+    FROM trials t LEFT JOIN per_trial p ON t.trial_id = p.trial_id
+    WHERE t.status = 'FINALIZED'
+),
+per_budget AS (
+    SELECT budget,
+           cast(count(*) AS BIGINT) AS n_trials,
+           cast(sum(CASE WHEN early_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_stopped,
+           cast(sum(steps_run) AS BIGINT) AS steps_run,
+           cast(max(steps_run) AS BIGINT) AS horizon
+    FROM fin GROUP BY budget
+)
+SELECT budget, n_trials, n_stopped, steps_run,
+       cast(n_trials * horizon AS BIGINT) AS steps_full,
+       cast(n_trials * horizon - steps_run AS BIGINT) AS saved_steps,
+       CASE WHEN n_trials * horizon = 0 THEN 0.0
+            ELSE cast(n_trials * horizon - steps_run AS DOUBLE)
+                 / cast(n_trials * horizon AS DOUBLE) END AS saved_frac
+FROM per_budget
+""")

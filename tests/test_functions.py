@@ -4789,3 +4789,70 @@ def test_mm9_budget_arithmetic_and_pack_consistency(spark, sf_dir):
             assert r.window_start == r.tok_start // PACK_CTX or total == 0
             assert r.window_end == (cum - 1) // PACK_CTX or total == 0
             assert r.n_windows == r.window_end - r.window_start + 1
+
+
+def _pl23_python_keys(rows):
+    """Pure-python replica of pl23's race-key chain (md5 uniform ->
+    (h+1)/(2^52+1) -> -ln blunted to decimal(18,6) HALF_UP -> /w)."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    out = []
+    for doc_id, w in rows:
+        h = int(hashlib.md5(f"pl23:{doc_id}".encode()).hexdigest()[:13], 16)
+        u = (float(h) + 1.0) / 4503599627370497.0
+        e6 = Decimal(repr(-math.log(u))).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        out.append((float(e6) / float(w), doc_id, w))
+    return out
+
+
+def test_pl23_weighted_sample_python_derivation(spark, sf_dir):
+    """THIRD derivation of pl23 (engine-free): recompute every race
+    key with hashlib/math/decimal and take the n smallest — the
+    operator's output must match EXACTLY (ids, weights, keys, ranks).
+    Also pins the without-replacement shape (n distinct rows, ranks
+    1..n)."""
+    from maggy_spark.functions.pipeline import pl23_weighted_sample
+    from maggy_spark.plans.fixtures import load_table
+
+    docs = [
+        (r.doc_id, r.w)
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).cast("bigint").alias("w"))
+        .collect()
+    ]
+    n = 25
+    keys = sorted(_pl23_python_keys(docs))[:n]
+    want = [(doc_id, w, key, i + 1) for i, (key, doc_id, w) in enumerate(keys)]
+    got = [
+        (r.doc_id, r.w_tokens, r.race_key, r.rank)
+        for r in sorted(pl23_weighted_sample(spark, sf_dir, n_target=n).collect(),
+                        key=lambda r: r.rank)
+    ]
+    assert len(got) == n
+    assert [g[3] for g in got] == list(range(1, n + 1))
+    for g, w in zip(got, want):
+        assert g[0] == w[0] and g[1] == w[1] and g[3] == w[3], (g, w)
+        assert g[2] == w[2], (g, w)  # bit-exact key
+
+
+def test_pl23_weight_dominance(spark, tmp_path):
+    """The PPS point on a crafted corpus: one doc carries 1000x the
+    token mass of every other; its race key divides by 1000x the
+    weight, so it lands in a 3-of-10 sample (deterministic under the
+    fixed hash — verified against the python derivation, not assumed)."""
+    import pandas as pd
+
+    from maggy_spark.functions.pipeline import pl23_weighted_sample
+
+    rows = [(0, " ".join(["tok"] * 1000), "en", "src0")]
+    rows += [(i, "tok", "en", "src0") for i in range(1, 10)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len().astype("int64")
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    got = {r.doc_id for r in pl23_weighted_sample(spark, str(tmp_path), n_target=3).collect()}
+    keys = sorted(_pl23_python_keys([(0, 1000)] + [(i, 1) for i in range(1, 10)]))[:3]
+    assert got == {doc_id for _k, doc_id, _w in keys}
+    assert 0 in got  # the heavy doc won its race

@@ -276,3 +276,25 @@ def test_a14_param_importance_numpy_derivation(spark, sf_dir):
         assert r.between_milli == between_milli, pname
         eta2 = (between_milli / 1000.0 - float(y.sum()) ** 2 / len(y)) / sst
         assert abs(r.eta2 - eta2) < 1e-9, pname
+
+
+def test_a15_savings_identities(spark, sf_dir):
+    """a15's accounting identities, pinned per budget row: steps_full
+    = n_trials * horizon >= steps_run (the horizon is the max of the
+    summands), saved = full - run, frac = saved/full, n_stopped <=
+    n_trials; and a cross-operator pin — total steps_run across
+    budgets equals the c2-deduped metric rows of FINALIZED trials."""
+    from maggy_spark.operators.aggregations import a15_earlystop_savings
+    from maggy_spark.plans.fixtures import metrics_df, trials_df
+
+    rows = a15_earlystop_savings(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.steps_full >= r.steps_run >= 0
+        assert r.saved_steps == r.steps_full - r.steps_run
+        assert abs(r.saved_frac - r.saved_steps / r.steps_full) < 1e-15
+        assert 0 <= r.n_stopped <= r.n_trials
+
+    fin = trials_df(spark, sf_dir, statuses=["FINALIZED"]).select("trial_id")
+    want = metrics_df(spark, sf_dir).join(fin, "trial_id").count()
+    assert sum(r.steps_run for r in rows) == want

@@ -343,6 +343,11 @@ CASES = [
     # round-14 addition: multimodal-aware sequence packing (pl7's
     # cumsum core over text + vision/audio token budgets)
     ("mm9_multimodal_pack_plan", "MM9_SQL", "maggy_spark.functions.multimodal"),
+    # round-14 addition: Efraimidis-Spirakis weighted sampling without
+    # replacement (exponential race / Gumbel top-k; blunted-ln idiom)
+    ("pl23_weighted_sample", "PL23_SQL", "maggy_spark.functions.pipeline"),
+    # round-14 addition: per-budget early-stop resource accounting
+    ("a15_earlystop_savings", "A15_SQL", "maggy_spark.operators.aggregations"),
 ]
 
 

@@ -129,6 +129,7 @@ DIRECT = [
     "ann20_selective_filtered_ivf",
     "ann21_routing_recall_curve",
     "mm9_multimodal_pack_plan",
+    "pl23_weighted_sample",
     "pl21_fair_interleave",
     "pl22_pps_sample",
     "ev4_asof_attribution",
