@@ -231,3 +231,74 @@ def kmeans_route_stream(
             "ts",
         )
     )
+
+
+# --- streaming ann17: filtered top-k serving ------------------------------
+
+
+def filtered_topk_serve_fn(spark: SparkSession, sf_dir: str, emit, k: int = 5):
+    """Streaming ann17 (the TENTH stream end-state oracle's subject):
+    a foreachBatch servlet for filtered vector search — each arriving
+    micro-batch of queries (query_id, embedding, label, ts) is served
+    its exact label-filtered top-k against the static corpus, with
+    ann17's exact plan shape INSIDE the batch: the label filter is a
+    broadcast hash-join key BELOW the scoring (candidate volume
+    divides by |labels| before any arithmetic), then the per-query
+    rank window runs over the batch's scored rows only.
+
+    Stateless across batches by construction (each query is fully
+    served in its arrival batch; no state store, no watermark —
+    the ing1 discipline), so a restart re-serves only in-flight
+    batches. `emit(topk_df, batch_id)` owns the result sink (the
+    length_profile_stream_fn callback contract).
+
+    End-state oracle: accumulating every emitted row over all
+    micro-batches must reproduce batch ann17's relation for the
+    arrived queries exactly — pinned against the DuckDB twin over
+    the same bytes in test_filtered_topk_serve_stream_matches_batch.
+    """
+    from pyspark.sql.window import Window
+
+    from maggy_spark.plans.fixtures import load_table
+    from maggy_spark.functions.similarity import N_QUERIES
+
+    e = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    corpus = (
+        e.where(F.col("vec_id") >= N_QUERIES)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            F.col("embedding").alias("ve"),
+            F.sqrt(_dot("embedding", "embedding")).alias("vn"),
+        )
+        .where(F.col("vn") > 0)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        q = (
+            batch_df.select(
+                "query_id",
+                "label",
+                F.col("embedding").alias("qe"),
+                F.sqrt(_dot("embedding", "embedding")).alias("qn"),
+            )
+            .where(F.col("qn") > 0)  # untrusted feed: drop zero vectors
+            .localCheckpoint()  # pin: foreachBatch sources re-execute
+        )
+        scored = corpus.join(F.broadcast(q), "label").select(
+            "query_id", "label", "neighbor_id",
+            _cosine_pre("qe", "ve", "qn", "vn").alias("cosine"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        topk = (
+            scored.select(
+                "query_id", "label", "neighbor_id", "cosine",
+                F.row_number().over(w).cast("bigint").alias("rank"),
+            )
+            .where(F.col("rank") <= k)
+        )
+        emit(topk, batch_id)
+
+    return process

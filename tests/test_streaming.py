@@ -1238,3 +1238,68 @@ def test_dd20_refresh_stream_matches_batch(spark, sf_dir, tmp_path):
         for r in dd20_refresh(spark, sf_dir, snap).collect()
     )
     assert got == want
+
+
+def test_filtered_topk_serve_stream_matches_batch(spark, sf_dir, tmp_path):
+    """TENTH stream end-state oracle: the filtered-search servlet,
+    fed the five canonical query vectors across TWO micro-batches
+    (maxFilesPerTrigger=1), must accumulate EXACTLY batch ann17's
+    relation — value-compared against the ANN17 DuckDB twin over the
+    same parquet bytes, not just against batch Spark."""
+    import os
+
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from maggy_spark.functions.similarity import ANN17_SQL, N_QUERIES
+    from maggy_spark.streaming.embeddings_stream import filtered_topk_serve_fn
+
+    src = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .where(F.col("vec_id") < N_QUERIES)
+        .collect()
+    )
+    assert len(src) == N_QUERIES
+    feed = str(tmp_path / "qfeed")
+    os.makedirs(feed)
+    schema = "query_id bigint, embedding array<float>, label int, ts timestamp"
+    for i, chunk in enumerate((src[:2], src[2:])):
+        rows = [(r.vec_id, list(r.embedding), r.label, None) for r in chunk]
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{feed}/b{i}")
+    for sub in ("b0", "b1"):
+        for f in os.listdir(f"{feed}/{sub}"):
+            if f.endswith(".parquet"):
+                os.rename(f"{feed}/{sub}/{f}", f"{feed}/{sub}_{f}")
+
+    got_batches = []
+
+    def emit(df, batch_id):
+        got_batches.append(df.toPandas())
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(feed)
+    )
+    q = (
+        stream.writeStream.foreachBatch(filtered_topk_serve_fn(spark, sf_dir, emit))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    assert len(got_batches) >= 2  # genuinely multi-batch
+
+    got = (
+        pd.concat(got_batches, ignore_index=True)
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    want = con.execute(ANN17_SQL).df().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    got2 = got[want.columns].reset_index(drop=True)
+    assert len(got2) == len(want)
+    for c in want.columns:
+        assert (got2[c] == want[c]).all(), c
