@@ -259,7 +259,11 @@ def main() -> None:
             pl1_corpus_prep,
             pl23_weighted_sample,
         )
-        from maggy_spark.operators.events import ev12_lag_quantiles, ev13_type_transitions
+        from maggy_spark.operators.events import (
+            ev12_lag_quantiles,
+            ev13_type_transitions,
+            ev14_session_funnel,
+        )
         from maggy_spark.operators.warehouse import k5_late_shipment_priority
         from maggy_spark.functions.similarity import (
             ann13_cluster_quality,
@@ -273,7 +277,11 @@ def main() -> None:
             tx1_token_count,
             tx5_ngram_stats,
         )
-        from maggy_spark.functions.dedup import dd21_lsh_s_curve, dd22_minhash_calibration
+        from maggy_spark.functions.dedup import (
+            dd21_lsh_s_curve,
+            dd22_minhash_calibration,
+            dd23_contamination_report,
+        )
         from maggy_spark.functions.pipeline import (
             pl20_pack_efficiency,
             pl21_fair_interleave,
@@ -320,6 +328,7 @@ def main() -> None:
             ("mm1_decode_metadata", mm1_decode_metadata),
             ("pl18_temperature_mix", pl18_temperature_mix),
             ("ev13_type_transitions", ev13_type_transitions),
+            ("ev14_session_funnel", ev14_session_funnel),
             ("pl19_temperature_apply", pl19_temperature_apply),
             ("k5_late_shipment_priority", k5_late_shipment_priority),
             # r13: the S10 JSONL ingest surfaces (fixture written once
@@ -337,6 +346,7 @@ def main() -> None:
             ("ann18_range_search", ann18_range_search),
             ("pl21_fair_interleave", pl21_fair_interleave),
             ("dd22_minhash_calibration", dd22_minhash_calibration),
+            ("dd23_contamination_report", dd23_contamination_report),
             ("pl22_pps_sample", pl22_pps_sample),
             ("a13_regret_curve", a13_regret_curve),
             ("a14_param_importance", a14_param_importance),

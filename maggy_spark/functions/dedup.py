@@ -2410,3 +2410,143 @@ SELECT band, cast(count(*) AS BIGINT) AS n_pairs,
        cast(max(err_milli) AS BIGINT) AS max_err_milli
 FROM per GROUP BY band
 """
+
+
+# -- dd23: contamination audit report --------------------------------------
+
+# Probe triple keeping the report non-vacuous at every scale (the
+# dd19/dd15 probe-union pattern): one eval-slice doc (-100 % 100 == 0
+# on both engines) embedded VERBATIM in two train docs from two
+# distinct probe sources -> containment 1.0 rows per source exist by
+# construction, on top of whatever organic contamination the corpus
+# carries.
+DD23_EVAL_TEXT = "quick brown fox eval prompt alpha beta gamma delta epsilon zeta"
+DD23_PROBE_DOCS = [
+    (-100, DD23_EVAL_TEXT),
+    (-1, "crawl page one header " + DD23_EVAL_TEXT + " footer filler words trailing"),
+    (-3, "another page intro " + DD23_EVAL_TEXT + " closing boilerplate lines here"),
+]
+DD23_PROBE_SOURCES = [(-1, "probe_src_a"), (-3, "probe_src_b")]
+
+assert all(
+    t.isascii() and t.isprintable() and "'" not in t for _i, t in DD23_PROBE_DOCS
+), "dd23 probe payloads must be quote-free printable ASCII"
+_DD23_PROBE_VALUES = ", ".join(
+    f"(cast({i} AS BIGINT), '{t}')" for i, t in DD23_PROBE_DOCS
+)
+_DD23_SRC_VALUES = ", ".join(
+    f"(cast({i} AS BIGINT), '{srcname}')" for i, srcname in DD23_PROBE_SOURCES
+)
+
+
+def dd23_contamination_report(
+    spark: SparkSession, sf_dir: str, eval_mod: int = 100, min_containment: float = 0.5
+) -> DataFrame:
+    """The AUDIT rollup on top of dd9's pair semantics — the
+    contamination report a lab publishes next to a release (the
+    GPT-3 appendix-C form): for every (eval doc, TRAINING SOURCE),
+    how many training docs from that source contaminate it, the
+    worst containment, and the total overlapping shingle mass. dd9
+    answers "which docs do I drop"; dd23 answers "WHICH FEEDS leak
+    benchmarks" — the per-source signal that turns a dedup pass into
+    a pipeline fix. Output: (eval_doc, source, n_contaminating,
+    max_containment, sum_common).
+
+    Carries the dd19-style probe union (one eval probe embedded
+    verbatim in two probe-source train docs), so the relation is
+    non-vacuous on every corpus — the synthetic fixtures produce no
+    organic >= 0.5 containment at sf0.01, and a 0-row oracle pin
+    would be meaningless. Determinism: counts and masses are exact
+    integers; containment is an int/int IEEE division; max over
+    identical doubles is engine-free. Scale: dd9's exact shape (one
+    shared shingle pass, broadcast eval side, candidate-bounded pair
+    aggregation) + one join to the doc->source map + an
+    (eval x sources)-bounded rollup. Not in the driver registry
+    (50-entry cap); DuckDB parity in tests/test_offline_oracles.py."""
+    probes = spark.createDataFrame(DD23_PROBE_DOCS, "doc_id bigint, text string").select(
+        "doc_id", _shingles_expr().alias("sh")
+    )
+    sh = _shingled(spark, sf_dir).unionByName(probes)
+    is_eval = F.col("doc_id") % eval_mod == 0
+    ev = sh.where(is_eval).select(
+        F.col("doc_id").alias("eval_doc"),
+        F.explode("sh").alias("s"),
+        F.size("sh").alias("n_eval"),
+    )
+    tr = sh.where(~is_eval).select(F.col("doc_id").alias("train_doc"), F.explode("sh").alias("s"))
+    hits = (
+        tr.join(F.broadcast(ev), "s")
+        .groupBy("train_doc", "eval_doc", "n_eval")
+        .agg(F.count("*").alias("n_common"))
+    )
+    containment = F.col("n_common").cast("double") / F.col("n_eval").cast("double")
+    pairs = hits.where(containment >= min_containment).select(
+        "train_doc", "eval_doc",
+        F.col("n_common").cast("bigint").alias("n_common"),
+        containment.alias("containment"),
+    )
+    src = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("train_doc"), "source")
+        .unionByName(
+            spark.createDataFrame(DD23_PROBE_SOURCES, "train_doc bigint, source string")
+        )
+    )
+    return (
+        pairs.join(src, "train_doc")
+        .groupBy("eval_doc", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_contaminating"),
+            F.max("containment").alias("max_containment"),
+            F.sum("n_common").cast("bigint").alias("sum_common"),
+        )
+    )
+
+
+DD23_SQL = f"""
+WITH u AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT * FROM (VALUES {_DD23_PROBE_VALUES}) probes(doc_id, text)
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct(
+               CASE WHEN len(w) >= 3
+                    THEN list_transform(generate_series(1, len(w) - 2),
+                                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                    ELSE [] END
+           ) AS shingles
+    FROM (SELECT doc_id, str_split(text, ' ') AS w FROM u)
+),
+ev AS (
+    SELECT doc_id AS eval_doc, unnest(shingles) AS s, len(shingles) AS n_eval
+    FROM sh WHERE doc_id % 100 = 0
+),
+tr AS (
+    SELECT doc_id AS train_doc, unnest(shingles) AS s
+    FROM sh WHERE doc_id % 100 != 0
+),
+hits AS (
+    SELECT t.train_doc, e.eval_doc, e.n_eval, count(*) AS n_common
+    FROM tr t JOIN ev e ON t.s = e.s
+    GROUP BY t.train_doc, e.eval_doc, e.n_eval
+),
+pairs AS (
+    SELECT train_doc, eval_doc, cast(n_common AS BIGINT) AS n_common,
+           cast(n_common AS DOUBLE) / cast(n_eval AS DOUBLE) AS containment
+    FROM hits
+    WHERE cast(n_common AS DOUBLE) / cast(n_eval AS DOUBLE) >= 0.5
+),
+src AS (
+    SELECT doc_id AS train_doc, source FROM documents
+    UNION ALL
+    SELECT * FROM (VALUES {_DD23_SRC_VALUES}) psrc(train_doc, source)
+)
+SELECT p.eval_doc, s.source,
+       cast(count(*) AS BIGINT) AS n_contaminating,
+       max(p.containment) AS max_containment,
+       cast(sum(p.n_common) AS BIGINT) AS sum_common
+FROM pairs p JOIN src s ON p.train_doc = s.train_doc
+GROUP BY p.eval_doc, s.source
+"""

@@ -941,3 +941,105 @@ SELECT prev_type, event_type, n_transitions,
            AS p
 FROM counts
 """
+
+
+# -- EV14: session-scoped conversion funnel --------------------------------
+
+
+def ev14_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev7's ordered funnel evaluated INSIDE ev5's session boundaries
+    — the product-analytics standard ("conversion within a session"):
+    a view in yesterday's session does not license today's purchase.
+    Per (user, session): first view, first click at-or-after it,
+    first purchase at-or-after that click, all WITHIN the session;
+    rollup = sessions per deepest stage. Output: (stage, stage_name,
+    n_sessions).
+
+    Composes the two pinned building blocks verbatim — ev5's
+    lag-gap-cumsum session ids (strictly-greater split, the
+    session_window-compatible boundary) and ev7's sorted-instant
+    staging chain re-keyed by (user_id, session_id) — so the
+    session arm cannot drift from either parent (cross-operator pin
+    in tests: per-session stages are >= aggregated-user stages
+    never, and the session count equals ev5's). Determinism: instant
+    arrays sort on exact integer micros; counts are integers.
+    Scale: ONE shuffle on user_id (the session window), then the
+    per-session aggregation rides the same partitioning; state per
+    group is the bounded per-session instant arrays. Not in the
+    driver registry (50-entry cap); DuckDB parity in
+    tests/test_offline_oracles.py."""
+    from pyspark.sql.window import Window
+
+    e = load_events(spark, sf_dir).select(
+        "user_id", "event_id", F.col("event_type").alias("et"), F.unix_micros("ts").alias("us")
+    )
+    order = Window.partitionBy("user_id").orderBy("us", "event_id")
+    run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = e.withColumn(
+        "new_session",
+        F.when(
+            F.lag("us").over(order).isNull()
+            | ((F.col("us") - F.lag("us").over(order)) > SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    ).withColumn("session_id", F.sum("new_session").over(run))
+    per = sessions.groupBy("user_id", "session_id").agg(
+        F.min(F.when(F.col("et") == "view", F.col("us"))).alias("v"),
+        F.sort_array(F.collect_list(F.when(F.col("et") == "click", F.col("us")))).alias("cs"),
+        F.sort_array(F.collect_list(F.when(F.col("et") == "purchase", F.col("us")))).alias("ps"),
+    )
+    staged = per.withColumn(
+        "c", F.array_min(F.filter("cs", lambda x: x >= F.col("v")))
+    ).withColumn("p", F.array_min(F.filter("ps", lambda x: x >= F.col("c"))))
+    stage = (
+        F.when(F.col("p").isNotNull(), F.lit(3))
+        .when(F.col("c").isNotNull(), F.lit(2))
+        .when(F.col("v").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    name = F.element_at(
+        F.array(F.lit("no_view"), F.lit("viewed"), F.lit("clicked"), F.lit("purchased")),
+        stage + 1,
+    )
+    return staged.groupBy(stage.cast("bigint").alias("stage"), name.alias("stage_name")).agg(
+        F.count("*").cast("bigint").alias("n_sessions")
+    )
+
+
+EV14_SQL = f"""
+WITH gapped AS (
+    SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+sessions AS (
+    SELECT *, cast(sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+    FROM gapped
+),
+per AS (
+    SELECT user_id, session_id,
+           min(CASE WHEN event_type = 'view' THEN us END) AS v,
+           list_sort(list(us) FILTER (WHERE event_type = 'click')) AS cs,
+           list_sort(list(us) FILTER (WHERE event_type = 'purchase')) AS ps
+    FROM sessions GROUP BY user_id, session_id
+),
+with_c AS (SELECT *, list_min(list_filter(cs, x -> x >= v)) AS c FROM per),
+with_p AS (SELECT *, list_min(list_filter(ps, x -> x >= c)) AS p FROM with_c),
+staged AS (
+    SELECT CASE WHEN p IS NOT NULL THEN 3
+                WHEN c IS NOT NULL THEN 2
+                WHEN v IS NOT NULL THEN 1
+                ELSE 0 END AS stage
+    FROM with_p
+)
+SELECT cast(stage AS BIGINT) AS stage,
+       CASE stage WHEN 0 THEN 'no_view' WHEN 1 THEN 'viewed'
+                  WHEN 2 THEN 'clicked' ELSE 'purchased' END AS stage_name,
+       cast(count(*) AS BIGINT) AS n_sessions
+FROM staged
+GROUP BY stage
+"""

@@ -4856,3 +4856,75 @@ def test_pl23_weight_dominance(spark, tmp_path):
     keys = sorted(_pl23_python_keys([(0, 1000)] + [(i, 1) for i in range(1, 10)]))[:3]
     assert got == {doc_id for _k, doc_id, _w in keys}
     assert 0 in got  # the heavy doc won its race
+
+
+def test_dd23_probe_rows_and_dd9_consistency(spark, sf_dir):
+    """dd23's probe contract, pinned: the verbatim-embedded eval
+    probe yields exactly one contaminating doc per probe source with
+    containment 1.0 and sum_common = |eval shingles|; and every
+    ORGANIC row aggregates dd9 pairs exactly (cross-operator pin:
+    per-(eval, source) counts recomputed from dd9's own output +
+    the documents source map)."""
+    from collections import defaultdict
+
+    from maggy_spark.functions.dedup import (
+        DD23_EVAL_TEXT,
+        dd23_contamination_report,
+        dd9_decontaminate,
+    )
+    from maggy_spark.plans.fixtures import load_table
+
+    rows = dd23_contamination_report(spark, sf_dir).collect()
+    n_ev_shingles = len({
+        " ".join(ws) for ws in zip(*(DD23_EVAL_TEXT.split()[i:] for i in range(3)))
+    })
+    probe = {(r.eval_doc, r.source): r for r in rows if r.eval_doc == -100}
+    assert set(probe) == {(-100, "probe_src_a"), (-100, "probe_src_b")}
+    for r in probe.values():
+        assert r.n_contaminating == 1
+        assert r.max_containment == 1.0
+        assert r.sum_common == n_ev_shingles
+
+    srcmap = {r.doc_id: r.source for r in load_table(spark, sf_dir, "documents")
+              .select("doc_id", "source").collect()}
+    want = defaultdict(lambda: [0, 0.0, 0])
+    for p in dd9_decontaminate(spark, sf_dir).collect():
+        k = (p.eval_doc, srcmap[p.train_doc])
+        want[k][0] += 1
+        want[k][1] = max(want[k][1], p.containment)
+        want[k][2] += p.n_common
+    got = {(r.eval_doc, r.source): (r.n_contaminating, r.max_containment, r.sum_common)
+           for r in rows if r.eval_doc != -100 and r.source not in ("probe_src_a", "probe_src_b")}
+    assert got == {k: tuple(v) for k, v in want.items()}
+
+
+def test_ev14_session_scope_differs_from_user_scope(spark, tmp_path):
+    """ev14's semantic point, pinned on a crafted feed: user 2 views
+    and clicks in session 1 but purchases in session 2 (a >30-min
+    gap) — the SESSION funnel must not credit that purchase
+    (session 1 = clicked, session 2 = no_view), while ev7's per-USER
+    funnel converts the same user. User 1 converts fully inside one
+    session (purchased)."""
+    import pandas as pd
+
+    from maggy_spark.operators.events import ev14_session_funnel, ev7_conversion_funnel
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+    rows = [
+        (1, 1, "view", t0),
+        (2, 1, "click", t0 + m),
+        (3, 1, "purchase", t0 + 2 * m),
+        (4, 2, "view", t0),
+        (5, 2, "click", t0 + m),
+        (6, 2, "purchase", t0 + 45 * m),  # next session: gap > 30 min
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "ts"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf["value"] = 1.0
+    pdf.to_parquet(tmp_path / "events.parquet", index=False)
+
+    got = {r.stage: r.n_sessions for r in ev14_session_funnel(spark, str(tmp_path)).collect()}
+    assert got == {3: 1, 2: 1, 0: 1}  # u1s1 purchased, u2s1 clicked, u2s2 no_view
+    user = {r.stage: r.n_users for r in ev7_conversion_funnel(spark, str(tmp_path)).collect()}
+    assert user == {3: 2}  # per-user scope converts BOTH — the distinction ev14 exists for

@@ -348,6 +348,13 @@ CASES = [
     ("pl23_weighted_sample", "PL23_SQL", "maggy_spark.functions.pipeline"),
     # round-14 addition: per-budget early-stop resource accounting
     ("a15_earlystop_savings", "A15_SQL", "maggy_spark.operators.aggregations"),
+    # round-14 addition: per-(eval doc, training source) contamination
+    # audit rollup with the dd19-style probe union (non-vacuous by
+    # construction)
+    ("dd23_contamination_report", "DD23_SQL", "maggy_spark.functions.dedup"),
+    # round-14 addition: ev7's ordered funnel inside ev5's session
+    # boundaries (conversion within a session)
+    ("ev14_session_funnel", "EV14_SQL", "maggy_spark.operators.events"),
 ]
 
 

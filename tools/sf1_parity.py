@@ -137,6 +137,7 @@ DIRECT = [
     "ev11_volume_anomaly",
     "ev12_lag_quantiles",
     "ev13_type_transitions",
+    "ev14_session_funnel",
     "ann1_bruteforce_topk",
     "ann2_lsh_topk",
     "ann3_ivf_topk",
