@@ -150,3 +150,48 @@ def test_pbt_scheduler_contract_with_errors():
         pbt.finalize_trial(t)
     assert pbt._next_batch(10) == []
     assert pbt.done()
+
+
+def test_controller_regret_comparison_cross_engine(spark, tmp_path):
+    """Suite-resident form of tools/controller_comparison.py (the
+    VERDICT r13 item-3 closing artifact): run TWO controllers
+    (random, pbt) through the real lagom loop on one objective,
+    persist their trials, and pin the per-controller a13 regret
+    relation cross-engine over the same parquet bytes."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from tools.controller_comparison import REGRET_SQL, objective, regret_curves_spark
+
+    frames = []
+    for name, opt in (("random", "randomsearch"), ("pbt", Pbt(population=4))):
+        cfg = HyperparameterOptConfig(
+            num_trials=8, optimizer=opt,
+            searchspace=Searchspace(x=("DOUBLE", [0.0, 1.0])),
+            direction="max", es_policy="none", seed=5, parallelism=4,
+            log_dir=str(tmp_path / name), name=f"mini_{name}",
+        )
+        res = lagom(objective, cfg, spark)
+        assert res["num_trials"] == 8
+        t = spark.read.parquet(res["log_dir"] + "/trials")
+        frames.append(
+            t.where(F.col("status") == "FINALIZED")
+            .select(F.lit(name).alias("controller"), "seq", "final_metric")
+        )
+    union_path = str(tmp_path / "runs.parquet")
+    frames[0].unionByName(frames[1]).write.parquet(union_path)
+
+    spark_pd = (
+        regret_curves_spark(spark, union_path)
+        .toPandas().sort_values(["controller", "seq"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW runs AS SELECT * FROM read_parquet('{union_path}/*.parquet')")
+    duck_pd = con.execute(REGRET_SQL).df().sort_values(["controller", "seq"]).reset_index(drop=True)
+    assert len(spark_pd) == 16
+    assert spark_pd[duck_pd.columns].reset_index(drop=True).equals(duck_pd)
+    # best-so-far is monotone per controller
+    for _c, g in spark_pd.groupby("controller"):
+        bs = g.sort_values("seq")["best_so_far"].tolist()
+        assert bs == sorted(bs)
