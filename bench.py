@@ -286,6 +286,7 @@ def main() -> None:
             pl20_pack_efficiency,
             pl21_fair_interleave,
             pl22_pps_sample,
+            pl24_doremi_reweight,
         )
         from maggy_spark.functions.similarity import (
             ann17_filtered_topk,
@@ -360,6 +361,9 @@ def main() -> None:
             # (clearCache drops the session-cached SQ corpus)
             ("ann20_selective_filtered_ivf", ann20_selective_filtered_ivf),
             ("ann21_routing_recall_curve", ann21_routing_recall_curve),
+            # r14: the DoReMi reweighting step; each rep re-prices the
+            # shared tx19 LM relation cold (clearCache drops it)
+            ("pl24_doremi_reweight", pl24_doremi_reweight),
         ):
             # per-operator guard: one failure records -1.0 under ITS
             # OWN name and the rest of the roster still runs (an

@@ -2354,3 +2354,207 @@ SELECT doc_id, w_tokens, race_key, rank FROM (
 
 
 PL23_SQL = pl23_sql()
+
+
+# --- pl24: DoReMi one-step domain reweighting ---------------------------
+
+PL24_ETA_MILLI = 1000  # exponentiated-gradient step size eta = 1.0
+PL24_SMOOTH_MILLI = 10  # uniform-smoothing mass c = 0.01
+PL24_EXCESS_CAP_MILLI = 19000  # e^19 * 1e6 * 1000 * |sources| stays < 2^63
+
+
+def pl24_doremi_reweight(
+    spark: SparkSession,
+    sf_dir: str,
+    eta_milli: int = PL24_ETA_MILLI,
+    c_milli: int = PL24_SMOOTH_MILLI,
+) -> DataFrame:
+    """One exponentiated-gradient step of DoReMi domain reweighting
+    (Xie et al. 2023, arXiv:2305.10429): each training source's
+    mixture weight is multiplied by exp(eta * excess_loss) — excess =
+    max(0, domain loss - reference loss), the Group-DRO update — then
+    renormalized and smoothed toward uniform with mass c. Domains the
+    proxy LM finds HARDER than the corpus baseline are upweighted;
+    at-or-below-baseline domains keep factor exactly 1. The per-doc
+    loss is tx19's session-cached unigram cost relation (the CCNet
+    cost in exact milli-nats per token), so pl24's "proxy model" is
+    frozen IDENTICAL to the model tx10/tx19 report — no second,
+    subtly different LM (the _unigram_scored discipline). Reference
+    loss = the corpus-wide token-weighted mean of the same costs.
+
+    Cross-engine determinism: domain loss is token-weighted in exact
+    integer arithmetic (sum(cost_milli * n_tokens) DIV sum(n_tokens),
+    all bigint); excess is an exact bigint difference clamped to
+    [0, 19000] milli-nats; the one transcendental, exp, is computed
+    on an exact-integer-derived double and immediately blunted
+    through decimal(18,6) (tx10's ln idiom) into integer micro-units,
+    so the score products and their normalizing sum are exact bigints
+    and `alpha` is three IEEE ops on exact integers with the
+    identical expression tree both engines. int64 headroom:
+    cost_milli*n_tokens <= 2e4 * 1e4 per doc and ~2e17 per 100 TB
+    domain; score <= 1000 * e^19 * 1e6 ~ 1.8e17, summed over O(10^2)
+    sources < 2^63 (the excess cap exists exactly for this bound).
+
+    Scale shape: rides the session-cached tx19_doc_costs relation
+    (zero extra LM scans); one doc_id equi-join against the 2-column
+    (doc_id, source) projection — the same join shape tx19 itself
+    runs for lang; then a map-side-combined groupBy on `source` (a
+    dims-sized key), two single-row broadcast crossJoins, |sources|
+    rows out. Not in the driver registry (50-entry cap); DuckDB
+    parity in tests/test_offline_oracles.py."""
+    from maggy_spark.functions.text import tx19_doc_costs
+
+    costs = tx19_doc_costs(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    per = (
+        costs.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("cost_milli") * F.col("n_tokens")).cast("bigint").alias("cost_tok"),
+        )
+    )
+    ref = per.agg(
+        F.sum("cost_tok").cast("bigint").alias("ref_cost"),
+        F.sum("n_tokens").cast("bigint").alias("ref_tokens"),
+    )
+    cap = F.lit(PL24_EXCESS_CAP_MILLI).cast("bigint")
+    enriched = (
+        per.crossJoin(F.broadcast(ref))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr("cost_tok div n_tokens").cast("bigint").alias("loss_milli"),
+            F.expr("ref_cost div ref_tokens").cast("bigint").alias("ref_milli"),
+            "ref_tokens",
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "loss_milli",
+            F.least(
+                F.greatest(F.lit(0).cast("bigint"), F.col("loss_milli") - F.col("ref_milli")),
+                cap,
+            ).alias("excess_milli"),
+            F.expr("(n_tokens * 1000) div ref_tokens").cast("bigint").alias("prior_milli"),
+        )
+        .select(
+            "*",
+            (
+                F.exp(
+                    (F.lit(eta_milli) * F.col("excess_milli")).cast("double")
+                    / F.lit(1000000.0)
+                ).cast("decimal(18,6)")
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("factor_micro"),
+        )
+        .select("*", (F.col("prior_milli") * F.col("factor_micro")).cast("bigint").alias("score"))
+    )
+    tots = enriched.agg(
+        F.sum("score").cast("bigint").alias("tot_score"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    hi = (1000 - c_milli) / 1000.0
+    lo = c_milli / 1000.0
+    alpha = (
+        F.lit(hi) * (F.col("score").cast("double") / F.col("tot_score").cast("double"))
+        + F.lit(lo) / F.col("k").cast("double")
+    )
+    return enriched.crossJoin(F.broadcast(tots)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "loss_milli",
+        "excess_milli",
+        "prior_milli",
+        "factor_micro",
+        "score",
+        alpha.alias("alpha"),
+    )
+
+
+def pl24_sql(
+    vocab_size: int | None = None,
+    eta_milli: int = PL24_ETA_MILLI,
+    c_milli: int = PL24_SMOOTH_MILLI,
+) -> str:
+    """DuckDB twin: the tx19 LM prefix (identical spelling) feeding
+    the exact-integer DoReMi step; `alpha` spells the same three-op
+    IEEE tree the Spark side builds."""
+    from maggy_spark.functions.text import UNIGRAM_VOCAB
+
+    v = UNIGRAM_VOCAB if vocab_size is None else vocab_size
+    hi = (1000 - c_milli) / 1000.0
+    lo = c_milli / 1000.0
+    return f"""
+WITH ex AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents),
+counts AS (SELECT tok, cast(count(*) AS BIGINT) AS cnt FROM ex GROUP BY tok),
+tot AS (SELECT cast(sum(cnt) AS BIGINT) AS total FROM counts),
+vocab AS (
+    SELECT tok, cast(ln(cast(cnt AS DOUBLE) / cast(total AS DOUBLE)) AS DECIMAL(18,6)) AS lp
+    FROM (SELECT tok, cnt FROM counts ORDER BY cnt DESC, tok ASC LIMIT {v})
+    CROSS JOIN tot
+),
+scored AS (
+    SELECT e.doc_id,
+           coalesce(v.lp, cast(ln(0.5 / cast(t.total AS DOUBLE)) AS DECIMAL(18,6))) AS lp2
+    FROM ex e LEFT JOIN vocab v USING (tok) CROSS JOIN tot t
+),
+per_doc AS (
+    SELECT doc_id, cast(count(*) AS BIGINT) AS n_tokens,
+           cast(sum(cast(-lp2 * 1000000 AS BIGINT)) AS BIGINT) AS cost_micro
+    FROM scored GROUP BY doc_id
+),
+docs AS (
+    SELECT d.doc_id, d.source, p.n_tokens,
+           cast(p.cost_micro // (p.n_tokens * 1000) AS BIGINT) AS cost_milli
+    FROM per_doc p JOIN documents d USING (doc_id)
+),
+per AS (
+    SELECT source,
+           cast(count(*) AS BIGINT) AS n_docs,
+           cast(sum(n_tokens) AS BIGINT) AS n_tokens,
+           cast(sum(cost_milli * n_tokens) AS BIGINT) AS cost_tok
+    FROM docs GROUP BY source
+),
+ref AS (
+    SELECT cast(sum(cost_tok) AS BIGINT) AS ref_cost,
+           cast(sum(n_tokens) AS BIGINT) AS ref_tokens
+    FROM per
+),
+enr AS (
+    SELECT source, n_docs, n_tokens,
+           cast(cost_tok // n_tokens AS BIGINT) AS loss_milli,
+           cast(ref_cost // ref_tokens AS BIGINT) AS ref_milli,
+           ref_tokens
+    FROM per CROSS JOIN ref
+),
+enr2 AS (
+    SELECT source, n_docs, n_tokens, loss_milli,
+           least(greatest(cast(0 AS BIGINT), loss_milli - ref_milli),
+                 cast({PL24_EXCESS_CAP_MILLI} AS BIGINT)) AS excess_milli,
+           cast((n_tokens * 1000) // ref_tokens AS BIGINT) AS prior_milli
+    FROM enr
+),
+enr3 AS (
+    SELECT *, cast(cast(exp(cast({eta_milli} * excess_milli AS DOUBLE) / 1000000.0)
+                        AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS factor_micro
+    FROM enr2
+),
+enr4 AS (SELECT *, cast(prior_milli * factor_micro AS BIGINT) AS score FROM enr3),
+tots AS (
+    SELECT cast(sum(score) AS BIGINT) AS tot_score, cast(count(*) AS BIGINT) AS k FROM enr4
+)
+SELECT source, n_docs, n_tokens, loss_milli, excess_milli, prior_milli, factor_micro, score,
+       {hi!r} * (cast(score AS DOUBLE) / cast(tot_score AS DOUBLE))
+           + {lo!r} / cast(k AS DOUBLE) AS alpha
+FROM enr4 CROSS JOIN tots
+"""
+
+
+PL24_SQL = pl24_sql()

@@ -4928,3 +4928,52 @@ def test_ev14_session_scope_differs_from_user_scope(spark, tmp_path):
     assert got == {3: 1, 2: 1, 0: 1}  # u1s1 purchased, u2s1 clicked, u2s2 no_view
     user = {r.stage: r.n_users for r in ev7_conversion_funnel(spark, str(tmp_path)).collect()}
     assert user == {3: 2}  # per-user scope converts BOTH — the distinction ev14 exists for
+
+
+def test_pl24_doremi_reweight_semantics(spark, tmp_path):
+    """DoReMi invariants on a crafted two-regime corpus with EQUAL
+    per-source token mass: the easy source (one massively repeated
+    token -> cheap under the corpus's own unigram LM) sits at or
+    below the reference loss, so excess == 0 and factor_micro is
+    EXACTLY 1_000_000; the hard source (all-distinct singleton
+    tokens) carries positive excess and a factor > 1; the smoothed
+    alphas sum to 1; and with equal priors the hard source's alpha
+    strictly exceeds the easy one's — the upweighting DoReMi exists
+    to produce. factor_micro is also recomputed from the row's own
+    excess via python's exp + HALF_UP decimal quantization (a third
+    spelling of the blunting idiom)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from maggy_spark.functions.pipeline import pl24_doremi_reweight
+
+    rows = [(i, " ".join(["a"] * 8), "en", "easy") for i in range(5)]
+    rows += [
+        (100 + i, " ".join(f"h{i}t{j}" for j in range(8)), "en", "hard")
+        for i in range(5)
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len().astype("int64")
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    got = {r.source: r.asDict() for r in pl24_doremi_reweight(spark, str(tmp_path)).collect()}
+    assert set(got) == {"easy", "hard"}
+    easy, hard = got["easy"], got["hard"]
+    assert easy["n_tokens"] == hard["n_tokens"] == 40
+    assert easy["prior_milli"] == hard["prior_milli"] == 500
+    assert easy["excess_milli"] == 0 and easy["factor_micro"] == 1_000_000
+    assert hard["excess_milli"] > 0 and hard["factor_micro"] > 1_000_000
+    assert abs(easy["alpha"] + hard["alpha"] - 1.0) < 1e-9
+    assert hard["alpha"] > easy["alpha"]
+    # third spelling of the blunted-exp chain, from the row's own excess
+    exp_f = int(
+        (
+            Decimal(repr(math.exp(1000 * hard["excess_milli"] / 1000000.0))).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+            * 1_000_000
+        ).to_integral_value()
+    )
+    assert hard["factor_micro"] == exp_f

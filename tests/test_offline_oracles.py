@@ -355,6 +355,11 @@ CASES = [
     # round-14 addition: ev7's ordered funnel inside ev5's session
     # boundaries (conversion within a session)
     ("ev14_session_funnel", "EV14_SQL", "maggy_spark.operators.events"),
+    # round-14 addition: one DoReMi exponentiated-gradient domain
+    # reweighting step (Xie et al. 2023) over tx19's session-cached
+    # unigram cost relation — exact-integer token-weighted losses,
+    # blunted-exp update factors, smoothed alphas
+    ("pl24_doremi_reweight", "PL24_SQL", "maggy_spark.functions.pipeline"),
 ]
 
 

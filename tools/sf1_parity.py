@@ -130,6 +130,9 @@ DIRECT = [
     "ann21_routing_recall_curve",
     "mm9_multimodal_pack_plan",
     "pl23_weighted_sample",
+    # r14: the DoReMi reweighting step — its twin rides the same LM
+    # prefix as tx19's, so the sf1 cost profile is tx19's + epsilon
+    "pl24_doremi_reweight",
     "pl21_fair_interleave",
     "pl22_pps_sample",
     "ev4_asof_attribution",
