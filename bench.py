@@ -294,6 +294,7 @@ def main() -> None:
             ann19_filtered_ivf,
             ann20_selective_filtered_ivf,
             ann21_routing_recall_curve,
+            ann22_incremental_store,
         )
         from maggy_spark.functions.text import tx20_tokenizer_fertility
         from maggy_spark.operators.aggregations import (
@@ -364,6 +365,9 @@ def main() -> None:
             # r14: the DoReMi reweighting step; each rep re-prices the
             # shared tx19 LM relation cold (clearCache drops it)
             ("pl24_doremi_reweight", pl24_doremi_reweight),
+            # r14: the incremental IVF store (in-plan form: model
+            # derivation + full-corpus assign + quantize + payload)
+            ("ann22_incremental_store", ann22_incremental_store),
         ):
             # per-operator guard: one failure records -1.0 under ITS
             # OWN name and the rest of the roster still runs (an

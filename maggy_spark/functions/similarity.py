@@ -3207,3 +3207,232 @@ GROUP BY d.nprobe
 
 
 ANN21_SQL = ann21_sql()
+
+
+# --- ann22: incremental IVF store maintenance ----------------------------
+#
+# The serving-side ingest seam (the ANN analogue of dd20's streamed
+# star map): a production vector store does NOT retrain its index per
+# ingest batch — the routing model (list representatives) and the
+# quantizer (SQ scale) are FROZEN when the store snapshot lands, and
+# every later batch of vectors is assigned to the existing lists and
+# quantized on the existing grid (FAISS IndexIVF.add after train;
+# Milvus/Qdrant segment ingest). Retraining per batch would both cost
+# a corpus pass and silently re-key every persisted code. ann22
+# splits exactly like dd20: `ann22_store_build` is the one-time
+# snapshot cost (model + landed codes persisted), `ann22_refresh` is
+# the production per-batch path (read model, assign + quantize the
+# delta, append), and `ann22_incremental_store` is the in-plan
+# simulated form the fixture can oracle (no persisted store in the
+# fixture, so the model is derived in-plan from the same landed-slice
+# definition — the dd20_incremental_components pattern).
+
+ANN22_DELTA_MOD = 10  # dd11/dd20's store convention: delta = vec_id % 10 == 0
+
+
+def _ann22_nz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The indexable corpus: non-query, nonzero-norm vectors (the
+    _sq_corpus membership rule), with the delta flag riding."""
+    return (
+        load_table(spark, sf_dir, "embeddings", fan_out=True)
+        .where((F.col("vec_id") >= N_QUERIES) & (_dot("embedding", "embedding") > 0))
+        .withColumn("is_delta", (F.col("vec_id") % ANN22_DELTA_MOD) == 0)
+    )
+
+
+def _ann22_model(landed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The frozen index model over the LANDED slice only: one medoid
+    representative per label list (min vec_id — ann8's deterministic
+    rep rule) and the global SQ scale (max |component|). Both are
+    tiny relations (|lists| rows, 1 row) — the broadcastable model a
+    deployment persists beside the codes."""
+    reps = (
+        landed.groupBy("label")
+        .agg(F.min_by("embedding", "vec_id").alias("rep_emb"))
+        .select(F.col("label").alias("list_id"), "rep_emb")
+    )
+    env = landed.select(F.explode("embedding").alias("v")).agg(
+        F.max(F.abs(F.col("v").cast("double"))).alias("scale")
+    )
+    return reps, env
+
+
+def _ann22_coded(vecs: DataFrame, src: DataFrame, reps: DataFrame, env: DataFrame) -> DataFrame:
+    """Assign each vector to its nearest frozen representative
+    (argmax cosine, ties by list_id — ann8's routing rule applied to
+    MEMBERSHIP, i.e. true IVF assignment) and quantize it on the
+    frozen scale. Per-vector independent given the model, which is
+    what makes the refresh path batch-size-invariant: assigning the
+    delta in one batch or across N micro-batches yields identical
+    rows. code_md5 pins the full int8 code in the value hash without
+    shipping the array through the compare."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "list_id")
+    assigned = (
+        vecs.crossJoin(F.broadcast(reps))
+        .select(
+            "vec_id",
+            "embedding",
+            "is_delta",
+            "list_id",
+            _cosine("embedding", "rep_emb").alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "list_id", "embedding", "is_delta")
+    )
+    return (
+        assigned.crossJoin(F.broadcast(env))
+        .select(
+            "vec_id",
+            "list_id",
+            "is_delta",
+            _sq_quantize(F.col("embedding"), F.col("scale")).alias("cv"),
+        )
+        .select(
+            "vec_id",
+            "list_id",
+            _sq_int_dot("cv", "cv").alias("cn2"),
+            F.md5(F.concat_ws(",", F.transform("cv", lambda x: x.cast("string")))).alias(
+                "code_md5"
+            ),
+            "cv",
+            "is_delta",
+        )
+        .join(src, "vec_id")
+    )
+
+
+def _ann22_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The payload projection (ann20's build-time join): the source
+    attribute lives IN the code store so ann20's (list x source)
+    histogram stays derivable from the store alone."""
+    return load_table(spark, sf_dir, "documents", fan_out=True).select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+
+
+def ann22_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The refreshed IVF code store maintained INCREMENTALLY: model
+    frozen over the landed slice (vec_id % 10 != 0), every corpus
+    vector assigned to its nearest frozen representative and
+    quantized on the frozen scale, source payload riding each code
+    row (vec_id, list_id, cn2, code_md5, source, is_delta). By
+    per-vector independence this equals `ann22_refresh` over a
+    persisted store byte-for-byte (pinned by frame equality in
+    tests), which is the production path; the in-plan form exists so
+    the fixture — which ships no persisted store — can oracle the
+    whole maintenance arithmetic against DuckDB.
+
+    Cross-engine determinism: assignment ranks IEEE cosines of exact
+    double inputs with the deterministic (cos desc, list_id) tie
+    rule (ann8's routing, gate-green); the code is ann7's exact
+    integer grid; cn2 is an exact integer; code_md5 hashes the
+    canonical comma-joined int rendering (identical strings both
+    engines).
+
+    Scale shape: the model is |lists| + 1 broadcast rows; assignment
+    is the |corpus| x |lists| broadcast-join ann10's k-means assign
+    already runs at sf10 — a build/ingest pass, not a serving path —
+    followed by one per-vector rank; no corpus shuffle (the window
+    partitions by vec_id, the scan's natural key). The production
+    refresh assigns ONLY the delta: |batch| x |lists| work per
+    micro-batch, store-size-independent. Not in the driver registry
+    (50-entry cap); DuckDB parity in tests/test_offline_oracles.py."""
+    nz = _ann22_nz(spark, sf_dir)
+    reps, env = _ann22_model(nz.where(~F.col("is_delta")))
+    return _ann22_coded(nz, _ann22_src(spark, sf_dir), reps, env).drop("cv")
+
+
+def ann22_store_build(spark: SparkSession, sf_dir: str, store_dir: str) -> None:
+    """The one-time snapshot build a deployment pays when the store
+    lands: freeze the model (reps + scale) and code the landed slice;
+    persist all three as version-0 relations (versioned
+    subdirectories, never overwrite-in-place — the dd20_stream_init
+    discipline)."""
+    nz = _ann22_nz(spark, sf_dir)
+    landed = nz.where(~F.col("is_delta"))
+    reps, env = _ann22_model(landed)
+    reps.write.mode("overwrite").parquet(f"{store_dir}/model_reps")
+    env.write.mode("overwrite").parquet(f"{store_dir}/model_env")
+    _ann22_coded(landed, _ann22_src(spark, sf_dir), reps, env).write.mode(
+        "overwrite"
+    ).parquet(f"{store_dir}/codes_000000")
+
+
+def _ann22_latest(store_dir: str) -> str:
+    import glob
+
+    vs = sorted(glob.glob(f"{store_dir}/codes_*"))
+    if not vs:
+        raise FileNotFoundError(f"no codes state under {store_dir} — run ann22_store_build")
+    return vs[-1]
+
+
+def ann22_refresh(spark: SparkSession, sf_dir: str, store_dir: str) -> DataFrame:
+    """The PRODUCTION per-batch refresh: read the persisted model and
+    the latest code version, assign + quantize the arriving delta
+    against the FROZEN model (|delta| x |lists| work — store-size-
+    independent), and return the refreshed store relation (persisted
+    codes ∪ delta codes). Never recomputes a landed code and never
+    rescans the landed floats — the property that bounds 100 TB
+    ingest."""
+    reps = spark.read.parquet(f"{store_dir}/model_reps")
+    env = spark.read.parquet(f"{store_dir}/model_env")
+    prev = spark.read.parquet(_ann22_latest(store_dir))
+    delta = _ann22_nz(spark, sf_dir).where(F.col("is_delta"))
+    coded = _ann22_coded(delta, _ann22_src(spark, sf_dir), reps, env)
+    return prev.unionByName(coded)
+
+
+def ann22_sql(delta_mod: int = ANN22_DELTA_MOD) -> str:
+    """DuckDB twin of ann22_incremental_store: the same frozen-model
+    derivation, assignment rank, and quantization grid, spelled over
+    the raw tables."""
+    lv = SQ_LEVELS
+    quant = (
+        f"list_transform(ve, x -> CASE WHEN scale = 0.0 THEN 0 "
+        f"ELSE GREATEST(-{lv}, LEAST({lv}, "
+        f"CAST(floor(x * {lv}.0 / scale + 0.5) AS INTEGER))) END)"
+    )
+    idot = (
+        "cast(list_sum(list_transform(range(1, len({a}) + 1), "
+        "i -> cast({a}[i] AS BIGINT) * {b}[i])) AS BIGINT)"
+    )
+    return f"""
+WITH nz AS (
+    SELECT vec_id, embedding, label, (vec_id % {delta_mod} = 0) AS is_delta
+    FROM embeddings
+    WHERE vec_id >= {N_QUERIES} AND {_NONZERO_SQL}
+),
+landed AS (SELECT * FROM nz WHERE NOT is_delta),
+rep_ids AS (SELECT label AS list_id, min(vec_id) AS rep_id FROM landed GROUP BY label),
+reps AS (
+    SELECT r.list_id, e.embedding::DOUBLE[] AS rep_emb
+    FROM rep_ids r JOIN landed e ON r.rep_id = e.vec_id
+),
+env AS (
+    SELECT max(abs(v)) AS scale
+    FROM (SELECT unnest(embedding::DOUBLE[]) AS v FROM landed)
+),
+assigned AS (
+    SELECT vec_id, ve, is_delta, list_id FROM (
+        SELECT t.vec_id, t.embedding::DOUBLE[] AS ve, t.is_delta, r.list_id,
+               row_number() OVER (
+                   PARTITION BY t.vec_id
+                   ORDER BY {_cos_sql("t.embedding::DOUBLE[]", "r.rep_emb")} DESC, r.list_id
+               ) AS rn
+        FROM nz t CROSS JOIN reps r
+    ) WHERE rn = 1
+),
+coded AS (SELECT vec_id, list_id, is_delta, {quant} AS cv FROM assigned CROSS JOIN env)
+SELECT c.vec_id, c.list_id,
+       {idot.format(a="cv", b="cv")} AS cn2,
+       md5(array_to_string(cv, ',')) AS code_md5,
+       d.source, c.is_delta
+FROM coded c JOIN documents d ON d.doc_id = c.vec_id
+"""
+
+
+ANN22_SQL = ann22_sql()

@@ -302,3 +302,66 @@ def filtered_topk_serve_fn(spark: SparkSession, sf_dir: str, emit, k: int = 5):
         emit(topk, batch_id)
 
     return process
+
+
+def ann22_refresh_stream_fn(spark: SparkSession, sf_dir: str, store_dir: str):
+    """Streaming ann22_refresh (the ELEVENTH stream end-state
+    oracle's subject): foreachBatch maintenance of the persisted IVF
+    code store across micro-batches of arriving vectors — read the
+    frozen model (reps + scale, persisted by ann22_store_build) and
+    the latest code version, assign + quantize the ARRIVING batch
+    against the frozen model, and write back version batch+1 =
+    previous codes ∪ batch codes (versioned subdirectories, never
+    overwrite-in-place — the dd20_stream_init discipline). A
+    long-running ingest stream's vector index no longer goes stale
+    until a snapshot rebuild: every micro-batch lands in a list.
+
+    Per batch the work is |batch| x |lists| (the model is broadcast;
+    assignment is per-vector independent given the frozen model) —
+    store-size-independent, which is what bounds 100 TB ingest. The
+    landed codes are never recomputed and the landed floats never
+    rescanned. Membership applies the store's own rule map-side
+    (non-query ids, zero-norm vectors dropped — an untrusted feed).
+
+    State contract: the stream itself is STATELESS (no Spark state
+    store); all cross-batch state is the versioned parquet code
+    relations + the immutable model — restart-safe at the last
+    completed version (the dd20 discipline). End-state oracle: the
+    maintained latest version must equal batch ann22_refresh /
+    ann22_incremental_store over the same bytes
+    (test_ann22_refresh_stream_matches_batch).
+
+    Returns a foreachBatch `process(batch_df, batch_id)`.
+    """
+    from maggy_spark.functions.similarity import (
+        N_QUERIES,
+        _ann22_coded,
+        _ann22_latest,
+        _ann22_src,
+    )
+
+    reps = spark.read.parquet(f"{store_dir}/model_reps")
+    env = spark.read.parquet(f"{store_dir}/model_env")
+    src = _ann22_src(spark, sf_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        vecs = (
+            batch_df.select("vec_id", "embedding")
+            .where(
+                (F.col("vec_id") >= N_QUERIES)
+                & (_dot("embedding", "embedding") > 0)
+            )
+            .withColumn("is_delta", F.lit(True))
+            .localCheckpoint()  # pin: foreachBatch sources re-execute
+        )
+        if not vecs.take(1):
+            return
+        prev_path = _ann22_latest(store_dir)
+        prev = spark.read.parquet(prev_path)
+        coded = _ann22_coded(vecs, src, reps, env)
+        v = int(prev_path.rsplit("_", 1)[1]) + 1
+        prev.unionByName(coded).write.mode("overwrite").parquet(
+            f"{store_dir}/codes_{v:06d}"
+        )
+
+    return process

@@ -4977,3 +4977,72 @@ def test_pl24_doremi_reweight_semantics(spark, tmp_path):
         ).to_integral_value()
     )
     assert hard["factor_micro"] == exp_f
+
+
+def test_ann22_frozen_model_semantics(spark, tmp_path):
+    """The two properties that make ann22 an INCREMENTAL store and
+    not a rebuild, on a crafted 4-dim corpus: (1) frozen ASSIGNMENT —
+    a delta vector whose own label has a landed rep but whose
+    direction matches another list's rep is assigned to the NEAREST
+    rep, not its label (true IVF membership under the frozen model);
+    (2) frozen SCALE — a delta vector twice the landed magnitude
+    clamps at the int8 rail (cn2 == 127^2), it does NOT restretch the
+    quantizer grid (which would silently re-key every landed code)."""
+    from maggy_spark.functions.similarity import ann22_incremental_store
+
+    rows = [
+        (5, [1.0, 0.0, 0.0, 0.0], 0),   # landed, rep of list 0
+        (6, [0.0, 1.0, 0.0, 0.0], 1),   # landed, rep of list 1
+        (7, [0.9, 0.1, 0.0, 0.0], 0),   # landed member of list 0
+        (10, [0.0, 0.9, 0.0, 0.0], 0),  # delta, label 0, direction of list 1
+        (20, [2.0, 0.0, 0.0, 0.0], 1),  # delta, magnitude 2x the frozen scale
+    ]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(f"{tmp_path}/embeddings.parquet")
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        [(i, "t", "en", f"src{i % 3}", 1) for i, _, _ in rows],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    got = {r.vec_id: r for r in ann22_incremental_store(spark, str(tmp_path)).collect()}
+    assert set(got) == {5, 6, 7, 10, 20}
+    assert not got[5].is_delta and got[10].is_delta and got[20].is_delta
+    assert got[5].list_id == 0 and got[6].list_id == 1 and got[7].list_id == 0
+    assert got[10].list_id == 1  # nearest frozen rep wins over the label
+    assert got[20].list_id == 0
+    # frozen scale == 1.0 (landed max |component|): the 2.0 component
+    # clamps at 127 instead of rescaling the grid
+    assert got[20].cn2 == 127 * 127
+    assert got[5].cn2 == 127 * 127  # the in-grid rep quantizes to the rail too
+    assert got[7].cn2 == 114 * 114 + 13 * 13  # floor(.9*127+.5), floor(.1*127+.5)
+    assert got[5].source == "src2" and got[10].source == "src1"
+
+
+def test_ann22_refresh_matches_incremental_store(spark, sf_dir, tmp_path):
+    """The production split (store_build + refresh over a PERSISTED
+    store) must reproduce the in-plan simulated relation row for row
+    — the dd20 snapshot/refresh equivalence, here for the vector
+    store: per-vector independence under the frozen model means
+    assigning the delta against read-back parquet state equals
+    assigning it in-plan."""
+    from maggy_spark.functions.similarity import (
+        ann22_incremental_store,
+        ann22_refresh,
+        ann22_store_build,
+    )
+
+    store = str(tmp_path / "store")
+    ann22_store_build(spark, sf_dir, store)
+    got = sorted(
+        (r.vec_id, r.list_id, r.cn2, r.code_md5, r.source, r.is_delta)
+        for r in ann22_refresh(spark, sf_dir, store).drop("cv").collect()
+    )
+    want = sorted(
+        (r.vec_id, r.list_id, r.cn2, r.code_md5, r.source, r.is_delta)
+        for r in ann22_incremental_store(spark, sf_dir).collect()
+    )
+    assert got == want and len(got) > 0

@@ -360,6 +360,11 @@ CASES = [
     # unigram cost relation — exact-integer token-weighted losses,
     # blunted-exp update factors, smoothed alphas
     ("pl24_doremi_reweight", "PL24_SQL", "maggy_spark.functions.pipeline"),
+    # round-14 addition: incremental IVF store maintenance — frozen
+    # model (landed medoid reps + SQ scale), every vector assigned and
+    # quantized under it, code pinned via md5 of the canonical int
+    # rendering; the in-plan form of the store_build/refresh split
+    ("ann22_incremental_store", "ANN22_SQL", "maggy_spark.functions.similarity"),
 ]
 
 

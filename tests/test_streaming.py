@@ -1303,3 +1303,76 @@ def test_filtered_topk_serve_stream_matches_batch(spark, sf_dir, tmp_path):
     assert len(got2) == len(want)
     for c in want.columns:
         assert (got2[c] == want[c]).all(), c
+
+
+def test_ann22_refresh_stream_matches_batch(spark, sf_dir, tmp_path):
+    """ELEVENTH stream end-state oracle: the foreachBatch-maintained
+    IVF code store, after the delta vectors arrive across TWO
+    micro-batches (maxFilesPerTrigger=1), must equal the in-plan
+    ann22_incremental_store relation row for row — which is itself
+    DuckDB-oracled offline and frame-equal to batch ann22_refresh
+    (test_ann22_refresh_matches_incremental_store), so the stream,
+    the batch path, and the SQL twin pin each other transitively.
+    Per-vector independence under the frozen model is the property
+    under test: N micro-batches must land exactly the rows one batch
+    would."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from maggy_spark.functions.similarity import (
+        _ann22_latest,
+        ann22_incremental_store,
+        ann22_store_build,
+    )
+    from maggy_spark.streaming.embeddings_stream import ann22_refresh_stream_fn
+
+    store = str(tmp_path / "store")
+    ann22_store_build(spark, sf_dir, store)
+
+    delta = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .where((F.col("vec_id") % 10 == 0) & (F.col("vec_id") >= 5))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    assert len(delta) >= 2
+    half = len(delta) // 2
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    for i, chunk in enumerate((delta[:half], delta[half:])):
+        spark.createDataFrame(
+            [(r.vec_id, r.embedding) for r in chunk],
+            "vec_id bigint, embedding array<float>",
+        ).coalesce(1).write.parquet(f"{feed}/b{i}")
+    for sub in ("b0", "b1"):
+        for f in os.listdir(f"{feed}/{sub}"):
+            if f.endswith(".parquet"):
+                os.rename(f"{feed}/{sub}/{f}", f"{feed}/{sub}_{f}")
+
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    q = (
+        stream.writeStream.foreachBatch(ann22_refresh_stream_fn(spark, sf_dir, store))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+
+    # at least two maintenance versions landed beyond the snapshot
+    assert len(glob.glob(f"{store}/codes_*")) >= 3
+
+    got = sorted(
+        (r.vec_id, r.list_id, r.cn2, r.code_md5, r.source, r.is_delta)
+        for r in spark.read.parquet(_ann22_latest(store)).drop("cv").collect()
+    )
+    want = sorted(
+        (r.vec_id, r.list_id, r.cn2, r.code_md5, r.source, r.is_delta)
+        for r in ann22_incremental_store(spark, sf_dir).collect()
+    )
+    assert got == want and len(got) > 0

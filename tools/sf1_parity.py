@@ -128,6 +128,8 @@ DIRECT = [
     # from the bounded (list x source) histogram)
     "ann20_selective_filtered_ivf",
     "ann21_routing_recall_curve",
+    # r14: the incremental IVF store (frozen-model assign + quantize)
+    "ann22_incremental_store",
     "mm9_multimodal_pack_plan",
     "pl23_weighted_sample",
     # r14: the DoReMi reweighting step — its twin rides the same LM
