@@ -303,6 +303,7 @@ def main() -> None:
             a15_earlystop_savings,
         )
         from maggy_spark.operators.generators import g14_pbt_schedule
+        from maggy_spark.sources.csvsrc import s11_csv_clean, s11_csv_report
         from maggy_spark.sources.jsonl import s10_jsonl_clean, s10_jsonl_report
 
         # r13 rotation bookkeeping: ann12/pl16/tx19/ann16 moved INTO the
@@ -338,6 +339,10 @@ def main() -> None:
             # + split/report, not the fixture build)
             ("s10_jsonl_clean", s10_jsonl_clean),
             ("s10_jsonl_report", s10_jsonl_report),
+            # r14: the S11 CSV ingest surfaces (same fixture-once,
+            # measure-the-scan convention as S10)
+            ("s11_csv_clean", s11_csv_clean),
+            ("s11_csv_report", s11_csv_report),
             # r13: the LSH banding S-curve planner (scan-free matrix)
             ("dd21_lsh_s_curve", dd21_lsh_s_curve),
             # r13: the pack-efficiency audit + tokenizer fertility table

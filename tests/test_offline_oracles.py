@@ -365,6 +365,12 @@ CASES = [
     # quantized under it, code pinned via md5 of the canonical int
     # rendering; the in-plan form of the store_build/refresh split
     ("ann22_incremental_store", "ANN22_SQL", "maggy_spark.functions.similarity"),
+    # round-14 addition: S11 CSV ingest + quarantine in the
+    # quote-disabled delimiter-free-fields dialect — text scan +
+    # whole-line from_csv (projection-invariant corrupt channel),
+    # DuckDB twin via raw-line read + str_split + try_cast
+    ("s11_csv_clean", "S11_CLEAN_SQL", "maggy_spark.sources.csvsrc"),
+    ("s11_csv_report", "S11_REPORT_SQL", "maggy_spark.sources.csvsrc"),
 ]
 
 

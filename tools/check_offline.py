@@ -111,6 +111,15 @@ def main() -> int:
             sql = (
                 jsonl.s10_clean_sql(sf_dir) if "clean" in name else jsonl.s10_report_sql(sf_dir)
             )
+        if name.startswith("s11_") and sf_dir.rstrip("/") != "/root/testdata/sf0.01":
+            # same path-bound-constant rule for the S11 CSV fixture
+            from maggy_spark.sources import csvsrc
+
+            sql = (
+                csvsrc.s11_clean_sql(sf_dir)
+                if "clean" in name
+                else csvsrc.s11_report_sql(sf_dir)
+            )
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)  # build ONCE: dtypes + collect share it
