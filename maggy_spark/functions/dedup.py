@@ -782,24 +782,46 @@ def _large_star(e: DataFrame) -> DataFrame:
     (hi, lo): every node u links each STRICTLY LARGER neighbor v to
     m = min(neighborhood(u) + {u}). High-degree hubs (the skew risk
     of any CC algorithm) cost one map-side partial min plus one
-    equi-join on u — the neighbor list is never materialized."""
-    sym = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionAll(
-        e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
-    )
+    equi-join on u — the neighbor list is never materialized, and the
+    skewed join partition a hub creates is AQE-skew-splittable (a
+    window-min spelling would not be: AQE cannot split window
+    partitions — guide §2.5).
+
+    Shuffle shape (r14 optimization, guide §2.4): both orientations
+    come from ONE explode over the checkpointed edge scan (not a
+    self-union that scans it twice), and the closing dedup is planned
+    as repartition(hi) + dropDuplicates — hashpartitioning(hi) already
+    satisfies the (hi, lo) dedup's clustering requirement AND is
+    exactly the distribution `_small_star`'s per-hi min and relink
+    join need, so the whole small-star half of the round runs with no
+    further shuffle (verified in plans/r14/star_round_after.txt: 4
+    distinct Exchanges per round vs 6 in the r13 spelling)."""
+    sym = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("hi").alias("u"), F.col("lo").alias("v")),
+                F.struct(F.col("lo").alias("u"), F.col("hi").alias("v")),
+            )
+        ).alias("s")
+    ).select("s.u", "s.v")
     mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
     return (
         sym.join(mins, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("hi"), F.least("mv", "u").alias("lo"))
         .where(F.col("hi") != F.col("lo"))
-        .distinct()
+        .repartition("hi")
+        .dropDuplicates()
     )
 
 
 def _small_star(e: DataFrame) -> DataFrame:
     """One small-star round: edges are already oriented (hi, lo) with
     hi > lo; every node hi links all its smaller neighbors AND itself
-    to m = min of those neighbors."""
+    to m = min of those neighbors. When composed after `_large_star`
+    the input is already hashpartitioning(hi), so the min aggregate
+    and the relink join plan with no new Exchange; standalone, the
+    usual partial-min + equi-join shape applies."""
     mins = e.groupBy("hi").agg(F.min("lo").alias("m"))
     relink = e.join(mins, "hi").select(F.col("lo").alias("child"), F.col("m").alias("parent"))
     selfl = mins.select(F.col("hi").alias("child"), F.col("m").alias("parent"))
@@ -846,7 +868,8 @@ def star_components(edges: DataFrame, max_iter: int = 30, checkpoint_dir: str | 
     would grow the logical plan (and Catalyst analysis time)
     exponentially with the round count — the checkpoint pins the round
     to a materialized 2-long-column relation and keeps every round's
-    plan constant-size.
+    plan constant-size. (A lazy checkpoint measured 2x slower here —
+    see the ckpt note below.)
 
     Checkpoint durability: by default rounds pin executor-local blocks
     (`localCheckpoint` — fastest, but lost with an executor). On a real
@@ -875,6 +898,14 @@ def star_components(edges: DataFrame, max_iter: int = 30, checkpoint_dir: str | 
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
         ckpt = lambda df: df.checkpoint(eager=True)  # noqa: E731
     else:
+        # Stays EAGER deliberately (r14 optimization note): a lazy
+        # localCheckpoint here was measured 2x SLOWER per dd10 run
+        # (12.4 s vs 5.8 s solo median at sf0.1) — the convergence
+        # checksum's aggregate then fuses into the round's result
+        # stage and the materialization loses the coalesced final
+        # plan the eager count() gets, so the "saved" job costs more
+        # than it saves. (bpe_train shows the opposite profile and
+        # uses the lazy form — see text.py.)
         ckpt = lambda df: df.localCheckpoint()  # noqa: E731
     try:
         edges = ckpt(edges)
@@ -942,7 +973,11 @@ def dd10_near_dup_components(spark: SparkSession, sf_dir: str, max_iter: int = 3
     round mechanics and scale design.
     """
     pairs = dd7_simhash_near_dup(spark, sf_dir)
-    edges = pairs.select(F.col("doc_b").alias("hi"), F.col("doc_a").alias("lo")).distinct()
+    # no .distinct(): dd7's first-matching-band guard already emits
+    # each (doc_a, doc_b) pair exactly once, so deduping here was a
+    # pure extra shuffle of the whole edge set (guide §2.4 — removed
+    # r14; pinned by test_dd7_pairs_are_unique)
+    edges = pairs.select(F.col("doc_b").alias("hi"), F.col("doc_a").alias("lo"))
     stars = star_components(edges, max_iter)
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return components_over(docs, "doc_id", stars)
@@ -1996,19 +2031,38 @@ def dd19_containment_screen(
     ex = d.select("doc_id", F.explode("sh").alias("shingle")).select(
         "doc_id", F.xxhash64("shingle").alias("sid")
     )
-    from pyspark.sql.window import Window
-
-    ex = (
-        ex.withColumn("f", F.count("*").over(Window.partitionBy("sid")))
-        .where(F.col("f") <= max_doc_freq)
-        .drop("f")
+    # pair generation from POSTING LISTS (r14 optimization, guide
+    # §2.4): one groupBy(sid) collects each shingle's sorted doc list,
+    # the doc-frequency cap filters on list size, and the i<j pairs
+    # are emitted by an in-stage nested transform + explode — exactly
+    # the rows the earlier window-count + self-join produced, with
+    # ONE exchange of the postings instead of a windowed sort feeding
+    # both sides of a sort-merge join. Skew/memory profile unchanged:
+    # a viral shingle concentrated one window partition before and
+    # concentrates one list row now (8 bytes/doc), and viral lists
+    # are dropped by the size filter BEFORE the O(f^2) pair explode —
+    # the same quadratic-bomb cap as before.
+    posts = (
+        ex.groupBy("sid")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .where((F.size("ds") >= 2) & (F.size("ds") <= max_doc_freq))
     )
-    a = ex.alias("a")
-    b = ex.alias("b")
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ds") - 1),
+                lambda i: F.transform(
+                    F.slice(F.col("ds"), i + 1, F.size("ds") - i),
+                    lambda y: F.struct(
+                        F.element_at("ds", i).alias("doc_a"), y.alias("doc_b")
+                    ),
+                ),
+            )
+        )
+    )
     inter = (
-        a.join(b, "sid")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        posts.select(pair.alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").cast("bigint").alias("n_common"))
         .where(F.col("n_common") >= min_common)
     )
@@ -2165,8 +2219,10 @@ def dd20_store_star_map(
         .where(first_match)
         .select("doc_a", "doc_b")
     )
+    # no .distinct(): the first-matching-band guard emits each store
+    # pair exactly once (see dd10 — guide §2.4, removed r14)
     return star_components(
-        store_pairs.select(F.col("doc_b").alias("hi"), F.col("doc_a").alias("lo")).distinct(),
+        store_pairs.select(F.col("doc_b").alias("hi"), F.col("doc_a").alias("lo")),
         max_iter,
     )
 

@@ -1061,7 +1061,15 @@ def bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = 20) -> list:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
         ckpt = lambda df: df.checkpoint(eager=True)  # noqa: E731
     else:
-        ckpt = lambda df: df.localCheckpoint()  # noqa: E731
+        # LAZY local checkpoint (r14 optimization, star_components
+        # pattern): each round's top-pair collect() is an unavoidable
+        # action and it materializes the lazy checkpoint as a side
+        # effect — one Spark job per merge round instead of two, and
+        # the FINAL round's fold (whose vocab no collect ever reads)
+        # is never computed at all. The reliable path stays eager: a
+        # non-eager reliable checkpoint recomputes its lineage to
+        # write the files.
+        ckpt = lambda df: df.localCheckpoint(eager=False)  # noqa: E731
     try:
         return _bpe_train_rounds(spark, sf_dir, n_merges, ckpt)
     finally:

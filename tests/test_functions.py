@@ -461,6 +461,23 @@ def test_star_contraction_on_crafted_graph(spark):
     )
 
 
+def test_dd7_pairs_are_unique(spark, sf_dir):
+    """dd7's first-matching-band guard must emit every near-dup pair
+    exactly once: dd10/dd20 build their edge sets WITHOUT a dedup
+    shuffle on this invariant (r14 optimization — a regression here
+    would silently double star-contraction edges)."""
+    from pyspark.sql import functions as F
+
+    from maggy_spark.functions.dedup import dd7_simhash_near_dup
+
+    pairs = dd7_simhash_near_dup(spark, sf_dir)
+    row = pairs.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("doc_a", "doc_b").alias("nd"),
+    ).collect()[0]
+    assert row["n"] == row["nd"] and row["n"] > 0
+
+
 def test_dd10_components_refine_dd7_pairs(spark, sf_dir):
     """Every dd7 near-dup pair must land in one component, and every
     multi-doc component must be connected through dd7 edges (size
