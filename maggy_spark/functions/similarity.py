@@ -2329,10 +2329,18 @@ def ann15_cluster_keywords(spark: SparkSession, sf_dir: str, top: int = 3) -> Da
     d = load_table(spark, sf_dir, "documents", fan_out=True).select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
-    tf = (
-        d.join(km, "doc_id")
+    # tf feeds TWO consumers (the df aggregate and the score join):
+    # unmaterialized, Catalyst replays the member join + explode +
+    # groupBy once per consumer (the dd13 two-consumer lesson; r14
+    # optimization — see tx17, the same fix).
+    from maggy_spark.plans.fixtures import session_cached
+
+    tf = session_cached(
+        spark,
+        (sf_dir, "ann15_tf"),
+        lambda: d.join(km, "doc_id")
         .groupBy("cid", "term")
-        .agg(F.count("*").cast("bigint").alias("tf"))
+        .agg(F.count("*").cast("bigint").alias("tf")),
     )
     dfr = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
     idf = (

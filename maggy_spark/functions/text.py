@@ -1786,10 +1786,19 @@ def tx17_tfidf_keywords(spark: SparkSession, sf_dir: str, top: int = TX17_TOP_TE
     """
     d = load_table(spark, sf_dir, "documents", fan_out=True)
     n_docs = d.count()  # driver-side scalar, 1-row aggregate
-    tf = (
-        d.select("doc_id", F.explode(_tokens()).alias("term"))
+    # tf feeds TWO consumers (the df aggregate and the score join):
+    # unmaterialized, Catalyst replays the explode + groupBy — and the
+    # whole corpus scan — once per consumer (the dd13 two-consumer
+    # lesson; r14 optimization). Session-cached like every shared
+    # derivation, so one explode pass serves both.
+    from maggy_spark.plans.fixtures import session_cached
+
+    tf = session_cached(
+        spark,
+        (sf_dir, "tx17_tf"),
+        lambda: d.select("doc_id", F.explode(_tokens()).alias("term"))
         .groupBy("doc_id", "term")
-        .agg(F.count("*").cast("bigint").alias("tf"))
+        .agg(F.count("*").cast("bigint").alias("tf")),
     )
     df_rel = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
     idf = (
