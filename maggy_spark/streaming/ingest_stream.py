@@ -342,7 +342,21 @@ def ing1_ingest_gate(spark, sf_dir: str) -> DataFrame:
             (F.lit(1) + F.col("k") % 2).cast("bigint").alias("n_events"),
         )
     )
-    led = ingest_gate_batch(feed, store_fps, store_bands, b, history)
+    # pin `base` like the STREAM path does (ingest_gate_stream_fn
+    # localCheckpoints it): ingest_decisions consumes it four times
+    # (exact probe, band expansion, volume counts, ledger join) and
+    # unpinned, Catalyst replays the feed's md5 + SimHash signing +
+    # quality/PII expression block once per consumer (r14 optimization
+    # — the stream/batch asymmetry was the only composition in the
+    # suite where the dd13 two-consumer rule was applied on one side
+    # only). Session-cached on sf_dir: the fixture feed is
+    # deterministic, so the key contract holds.
+    from maggy_spark.plans.fixtures import session_cached
+
+    base = session_cached(
+        spark, (sf_dir, "ing1_base"), lambda: ingest_base(feed, b)
+    )
+    led = ingest_decisions(base, store_fps, store_bands, b, history)
     # the generic ledger keeps near_dup_hamming nullable; the oracle
     # form pins it to -1 = "no store near-dup within radius" because
     # DuckDB's client renders a nullable INTEGER column as float64,
