@@ -212,10 +212,22 @@ def dd2_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc MinHash signature with corpus-derived (bands, rows):
     one hex string of bands*rows 8-char windows. Map-side only —
     aggregate over the shingle array, no explode, no shuffle — and
-    ceil(n_hashes/4) digest evaluations per shingle."""
+    ceil(n_hashes/4) digest evaluations per shingle. Session-cached
+    (r14 optimization): the digest chain is the CPU-bound step of the
+    whole MinHash stack, and dd22 joins the relation on BOTH sides of
+    its candidate compare — unpinned, the full-corpus signing ran once
+    per side (plus once inside the band build). One signing pass now
+    serves the band relation and every verification consumer — the
+    long-lived signatures store of a production deployment."""
     b, r = minhash_geometry(corpus_count(spark, sf_dir, "documents"))
     nh = b * r
-    return _hashed(_shingled(spark, sf_dir), (nh + 3) // 4).select("doc_id", _sig_expr(nh))
+    return _session_cached(
+        spark,
+        (sf_dir, "minhash_sig"),
+        lambda: _hashed(_shingled(spark, sf_dir), (nh + 3) // 4).select(
+            "doc_id", _sig_expr(nh)
+        ),
+    )
 
 
 # shared SQL fragments: geometry, signature, banding, and candidate

@@ -341,6 +341,32 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+def _ivf_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF routing model: the deterministic medoid (min-vec_id
+    member's embedding) of every label list, computed in ONE
+    aggregation (min_by collapses partially map-side). Session-cached
+    (r14 optimization): five operators (ann3/ann8/ann12/ann20/ann21)
+    spelled this identical |corpus|-scan aggregate inline, so any plan
+    that replays its routing subtree across consumers re-ran the
+    corpus scan + groupBy per replay — the routing model is a
+    build-time artifact a deployment trains once and every serving
+    path loads, which is exactly what the session seam models. Output:
+    (list_id, rep_emb), |lists| rows."""
+    from maggy_spark.plans.fixtures import session_cached
+
+    def _build() -> DataFrame:
+        e = load_table(spark, sf_dir, "embeddings", fan_out=True).where(
+            _dot("embedding", "embedding") > 0  # degenerate-vector rule (see _cosine)
+        )
+        return (
+            e.groupBy("label")
+            .agg(F.min_by("embedding", "vec_id").alias("rep_emb"))
+            .select(F.col("label").alias("list_id"), "rep_emb")
+        )
+
+    return session_cached(spark, (sf_dir, "ivf_reps"), _build)
+
+
 def ann3_ivf_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """IVF-style partitioned search: each label partition is
     represented by its min-vec_id member (deterministic medoid);
@@ -352,14 +378,8 @@ def ann3_ivf_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings", fan_out=True).where(
         _dot("embedding", "embedding") > 0  # degenerate-vector rule (see _cosine)
     )
-    # deterministic medoid (min-vec_id member) in ONE aggregation:
-    # min_by collapses partially map-side, where the earlier
-    # groupBy(min) + join-back re-scanned the corpus a second time
-    # to fetch the representative's embedding
-    reps = (
-        e.groupBy("label")
-        .agg(F.min_by("embedding", "vec_id").alias("rep_emb"))
-        .select(F.col("label").alias("rep_label"), "rep_emb")
+    reps = _ivf_reps(spark, sf_dir).select(
+        F.col("list_id").alias("rep_label"), "rep_emb"
     )
     q = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
@@ -778,11 +798,7 @@ def ann8_ivf_quantized(
         _dot("embedding", "embedding") > 0  # degenerate-vector rule (see _cosine)
     )
     cq = _sq_corpus(spark, sf_dir)
-    reps = (
-        e.groupBy("label")
-        .agg(F.min_by("embedding", "vec_id").alias("rep_emb"))
-        .select(F.col("label").alias("list_id"), "rep_emb")
-    )
+    reps = _ivf_reps(spark, sf_dir)
     q = (
         e.where(F.col("vec_id") < N_QUERIES)
         .crossJoin(F.broadcast(cq.select("scale").limit(1)))
@@ -1310,11 +1326,7 @@ def ann12_ivfpq_adc(
     cb = _pq_codebook_df(spark, sf_dir)
     store = _pq_corpus(spark, sf_dir)
 
-    reps = (
-        e.groupBy("label")
-        .agg(F.min_by("embedding", "vec_id").alias("rep_emb"))
-        .select(F.col("label").alias("list_id"), "rep_emb")
-    )
+    reps = _ivf_reps(spark, sf_dir)
     q0 = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
@@ -2913,19 +2925,30 @@ def ann20_selective_filtered_ivf(
         F.col("doc_id").alias("vec_id"), "source"
     )
     cq = _sq_corpus(spark, sf_dir)
+    from maggy_spark.plans.fixtures import session_cached
+
     # build-time payload join: the attribute lives IN the code store
-    # (Qdrant's payload-in-segment layout) — serving never joins docs
-    cqs = cq.join(src.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+    # (Qdrant's payload-in-segment layout) — serving never joins docs.
+    # Session-cached (r14 optimization): the store feeds TWO consumers
+    # (the histogram aggregate and the coarse scan) and unpinned, the
+    # code-store + docs join replayed once per consumer
+    cqs = session_cached(
+        spark,
+        (sf_dir, "ann20_payload_store"),
+        lambda: cq.join(
+            src.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+        ),
+    )
     hist = cqs.groupBy("list_id", "source").agg(
         F.count("*").cast("bigint").alias("cnt")
     )
-    reps = (
-        e.groupBy("label")
-        .agg(F.min_by("embedding", "vec_id").alias("rep_emb"))
-        .select(F.col("label").alias("list_id"), "rep_emb")
-    )
-    q = (
-        e.where(F.col("vec_id") < N_QUERIES)
+    reps = _ivf_reps(spark, sf_dir)
+    # the query relation also has two consumers (routing and the exact
+    # rerank fetch); pinned, the embeddings-filter + docs join runs once
+    q = session_cached(
+        spark,
+        (sf_dir, "ann20_queries"),
+        lambda: e.where(F.col("vec_id") < N_QUERIES)
         .join(src, "vec_id")
         .crossJoin(F.broadcast(cq.select("scale").limit(1)))
         .select(
@@ -2935,7 +2958,7 @@ def ann20_selective_filtered_ivf(
             _sq_quantize(F.col("embedding"), F.col("scale")).alias("qv"),
             F.sqrt(_dot("embedding", "embedding")).alias("qn"),
         )
-        .withColumn("qn2", _sq_int_dot("qv", "qv"))
+        .withColumn("qn2", _sq_int_dot("qv", "qv")),
     )
     hist_r = hist.select(
         F.col("list_id").alias("h_list"), F.col("source").alias("h_source"), "cnt"
@@ -2960,9 +2983,17 @@ def ann20_selective_filtered_ivf(
         F.sum("cnt").over(wroute.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0).cast("bigint"),
     )
-    probes = routed.select(
-        "query_id", "qsource", "qv", "qn2", "list_id", cum_before.alias("cum_before")
-    ).where(F.col("cum_before") < candidates)
+    # the probe plan feeds TWO consumers (n_probed and the coarse
+    # scan's probe list); unpinned, the whole routing subtree
+    # (reps x queries crossJoin + histogram walk window) replayed per
+    # consumer. Keyed on `candidates`: the probe prefix depends on it
+    probes = session_cached(
+        spark,
+        (sf_dir, "ann20_probes", candidates),
+        lambda: routed.select(
+            "query_id", "qsource", "qv", "qn2", "list_id", cum_before.alias("cum_before")
+        ).where(F.col("cum_before") < candidates),
+    )
     n_probed = probes.groupBy("query_id").agg(
         F.count("*").cast("bigint").alias("n_probed")
     )
@@ -3133,27 +3164,45 @@ def ann21_routing_recall_curve(spark: SparkSession, sf_dir: str, k: int = TOP_K)
         _dot("embedding", "embedding") > 0
     )
     exact = ann1_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    reps = (
-        e.groupBy("label")
-        .agg(F.min_by("embedding", "vec_id").alias("rep_emb"))
-        .select(F.col("label").alias("list_id"), "rep_emb")
-    )
+    reps = _ivf_reps(spark, sf_dir)
     q = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
     wp = Window.partitionBy("query_id").orderBy(F.col("rep_cos").desc(), F.col("list_id"))
-    routed = (
-        q.crossJoin(F.broadcast(reps))
+    # routed feeds TWO consumers (ranked_pairs and the nprobe domain)
+    # and per_rank feeds two more (the curve join and the total);
+    # unpinned, Catalyst replays the query x reps crossJoin + window
+    # per consumer (r14 optimization — the dd13 two-consumer rule;
+    # both relations are tiny: |queries| x |lists| and <= |lists|
+    # rows)
+    from maggy_spark.plans.fixtures import session_cached
+
+    routed = session_cached(
+        spark,
+        (sf_dir, "ann21_routed"),
+        lambda: q.crossJoin(F.broadcast(reps))
         .select("query_id", "list_id", _cosine("qe", "rep_emb").alias("rep_cos"))
-        .select("query_id", "list_id", F.row_number().over(wp).cast("bigint").alias("rrank"))
+        .select("query_id", "list_id", F.row_number().over(wp).cast("bigint").alias("rrank")),
     )
     nb = e.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("list_id"))
     ranked_pairs = exact.join(nb, "neighbor_id").join(
         F.broadcast(routed), ["query_id", "list_id"]
     )
-    per_rank = ranked_pairs.groupBy("rrank").agg(F.count("*").cast("bigint").alias("cnt"))
+    per_rank = session_cached(
+        spark,
+        (sf_dir, "ann21_per_rank"),
+        lambda: ranked_pairs.groupBy("rrank").agg(
+            F.count("*").cast("bigint").alias("cnt")
+        ),
+    )
     domain = routed.select(F.col("rrank").alias("nprobe")).distinct()
-    tot = ranked_pairs.agg(F.count("*").cast("bigint").alias("total"))
+    # total = sum of the per-rank counts (identical to count(*) over
+    # ranked_pairs — count of rows == sum of group counts; coalesce
+    # pins the empty-relation case to the same 0) — so the exact-pair
+    # join subtree is traversed ONCE instead of once per consumer
+    tot = per_rank.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("total")
+    )
     curve = (
         domain.join(per_rank, per_rank["rrank"] <= domain["nprobe"], "left")
         .groupBy("nprobe")

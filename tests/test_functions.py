@@ -478,6 +478,46 @@ def test_dd7_pairs_are_unique(spark, sf_dir):
     assert row["n"] == row["nd"] and row["n"] > 0
 
 
+def test_ivf_reps_shared_seam(spark, sf_dir):
+    """The IVF routing model (_ivf_reps) is one session-cached
+    relation shared by every consumer (ann3/ann8/ann12/ann20/ann21 —
+    r14 optimization), and its content is exactly the inline
+    min_by-medoid aggregate it replaced: one row per label, the
+    embedding of that label's min-vec_id non-degenerate member."""
+    from maggy_spark.functions.similarity import _dot, _ivf_reps
+    from maggy_spark.plans.fixtures import load_table
+
+    reps = _ivf_reps(spark, sf_dir)
+    # cache identity: a second call serves the SAME relation, not a
+    # rebuilt plan (the seam every consumer composes on)
+    assert _ivf_reps(spark, sf_dir) is reps
+
+    e = load_table(spark, sf_dir, "embeddings").where(
+        _dot("embedding", "embedding") > 0
+    )
+    expect = {
+        r["label"]: r["rep_emb"]
+        for r in e.groupBy("label")
+        .agg(F.min_by("embedding", "vec_id").alias("rep_emb"))
+        .collect()
+    }
+    got = {r["list_id"]: r["rep_emb"] for r in reps.collect()}
+    assert got == expect and len(got) > 0
+
+
+def test_dd2_signature_seam_is_cached(spark, sf_dir):
+    """dd2's MinHash signing pass is session-cached (r14
+    optimization): repeated calls — the band build plus dd22's
+    two-sided verification join — must serve one relation instead of
+    re-running the digest chain per consumer."""
+    from maggy_spark.functions.dedup import dd2_minhash_signature
+
+    sig = dd2_minhash_signature(spark, sf_dir)
+    assert dd2_minhash_signature(spark, sf_dir) is sig
+    # one signature row per doc (the store a deployment persists)
+    assert sig.groupBy("doc_id").count().where("count > 1").count() == 0
+
+
 def test_dd10_components_refine_dd7_pairs(spark, sf_dir):
     """Every dd7 near-dup pair must land in one component, and every
     multi-doc component must be connected through dd7 edges (size
