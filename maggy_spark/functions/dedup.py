@@ -845,6 +845,26 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
+def _is_star_forest(e: DataFrame) -> bool:
+    """True iff the (hi, lo) edge set is a depth-1 star forest: every
+    hi appears in exactly one edge and no node is both a hi and a lo.
+    That shape is EXACTLY the fixpoint of a small∘large star round
+    (each star's root is its component minimum because hi > lo on
+    every edge, and one round maps a star forest to itself), so a
+    True here proves convergence without paying the confirming round
+    the checksum criterion needs. One union scan + one groupBy over
+    2|E| (node, flag) rows, with isEmpty's early exit."""
+    nodes = e.select(F.col("hi").alias("node"), F.lit(1).alias("is_hi")).unionAll(
+        e.select(F.col("lo").alias("node"), F.lit(0).alias("is_hi"))
+    )
+    viol = (
+        nodes.groupBy("node")
+        .agg(F.sum("is_hi").alias("n_hi"), F.count("*").alias("n"))
+        .where((F.col("n_hi") > 1) | ((F.col("n_hi") > 0) & (F.col("n") > F.col("n_hi"))))
+    )
+    return viol.isEmpty()
+
+
 def _free_local_checkpoint(df: DataFrame) -> None:
     """Release the storage blocks behind a localCheckpoint'd frame.
 
@@ -940,6 +960,19 @@ def star_components(edges: DataFrame, max_iter: int = 30, checkpoint_dir: str | 
             ).collect()[0]
             sig = (row["n"], row["h"])
             if sig == prev_sig:
+                return edges
+            # r14 optimization: when the edge COUNT has stabilized but
+            # the content still moved, the loop is typically one round
+            # from its fixpoint (measured at sf0.1: counts stable from
+            # round 1, content from round 3, round 4 purely
+            # confirmatory). A star-forest test over the checkpointed
+            # edges proves convergence NOW for the cost of one light
+            # groupBy job, saving the full confirming round (4 shuffles
+            # + checkpoint + checksum) the sig comparison would pay.
+            # Output-identical: the test only passes at the fixpoint
+            # (see _is_star_forest), so the returned edge SET is the
+            # same one the confirming round would have returned.
+            if prev_sig is not None and sig[0] == prev_sig[0] and _is_star_forest(edges):
                 return edges
             prev_sig = sig
         raise RuntimeError(f"connected components did not converge in {max_iter} rounds")

@@ -437,6 +437,41 @@ def test_pl3_token_budget_mix_respects_quotas(spark, sf_dir):
     assert kept.exceptAll(again).count() == 0 and again.exceptAll(kept).count() == 0
 
 
+def test_is_star_forest_is_exactly_the_fixpoint(spark):
+    """_is_star_forest (the r14 early-convergence test) must accept
+    exactly the star-round fixpoints: True on depth-1 stars rooted at
+    component minima, False on anything a round would still rewrite —
+    including the subtle (3,1),(3,2) shape whose los are all roots
+    but whose hi fans out to TWO parents (a small-star round relinks
+    it to (3,1),(2,1), so stopping there would split a component)."""
+    from maggy_spark.functions.dedup import _is_star_forest, _large_star, _small_star
+
+    def df(rows):
+        return spark.createDataFrame(rows, "hi long, lo long")
+
+    fixpoints = [
+        [(2, 1)],
+        [(2, 1), (3, 1), (5, 1)],            # one star
+        [(2, 1), (3, 1), (21, 20)],          # forest of two stars
+    ]
+    non_fixpoints = [
+        [(3, 2), (2, 1)],                    # chain: lo 2 is also a hi
+        [(3, 1), (3, 2)],                    # hi 3 has two parents
+        [(2, 1), (3, 2), (12, 10), (11, 10)],
+    ]
+    for rows in fixpoints:
+        e = df(rows)
+        assert _is_star_forest(e)
+        # and it really is a fixpoint: one more round changes nothing
+        nxt = sorted(map(tuple, _small_star(_large_star(e)).collect()))
+        assert nxt == sorted(rows)
+    for rows in non_fixpoints:
+        e = df(rows)
+        assert not _is_star_forest(e)
+        nxt = sorted(map(tuple, _small_star(_large_star(e)).collect()))
+        assert nxt != sorted(rows)
+
+
 def test_star_contraction_on_crafted_graph(spark):
     """The large/small-star rounds on a known graph: a 5-node chain
     (worst case for naive label propagation), a 3-clique, and an
