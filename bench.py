@@ -126,14 +126,29 @@ def main() -> None:
         from maggy_spark.plans.fixtures import invalidate_session_cache
 
         samples = []
+        lw_samples = []
         for _ in range(reps):
             invalidate_session_cache(spark)
             t0 = _tick()
             pl13_full_corpus_build(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
+            # r14 split row (OPTIMIZATION_r14.md): the cold sample above
+            # is dominated by the per-rep seam rebuild (signing + star
+            # loop + shingles ≈ 70% of the wall at sf0.1), so ledger-side
+            # drift is invisible in it. Re-time the SAME query while this
+            # rep's seams are still warm (the dd20_refresh convention: a
+            # production deployment amortizes the seam builds as
+            # persisted stores) so the two rows attribute drift to seam
+            # vs ledger. The warm rep reads relations its own cold rep
+            # built seconds earlier — no cross-run persistence.
+            t0 = _tick()
+            pl13_full_corpus_build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            lw_samples.append(time.time() - t0)
             spark.catalog.clearCache()
         timings["pl13_full_corpus_build"] = round(statistics.median(samples), 3)
         spreads["pl13_full_corpus_build"] = round(max(samples) - min(samples), 3)
+        timings["pl13_ledger_warm_seams"] = round(statistics.median(lw_samples), 3)
+        spreads["pl13_ledger_warm_seams"] = round(max(lw_samples) - min(lw_samples), 3)
     except Exception as e:  # noqa: BLE001
         timings["pl13_full_corpus_build"] = -1.0
         print(f"BENCH ERROR pl13_full_corpus_build: {e}", file=sys.stderr)
