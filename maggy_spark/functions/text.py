@@ -1536,8 +1536,17 @@ def dsir_unseen_llr(
     the model family. Returns a python Decimal."""
     half_b = 0.5 * buckets
     bucketed = _dsir_bucketed(spark, sf_dir, buckets)
-    tt = bucketed.where(F.col("doc_id") % target_mod == 0).count()
-    tr = bucketed.count()
+    # ONE aggregate job for both totals (r14 job-count pass — the two
+    # separate count() actions scanned the cached relation twice)
+    counts = bucketed.agg(
+        F.count("*").cast("bigint").alias("tr"),
+        F.coalesce(
+            F.sum(F.when(F.col("doc_id") % target_mod == 0, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("tt"),
+    ).collect()[0]
+    tt, tr = int(counts["tt"]), int(counts["tr"])
     row = spark.range(1).select(
         (
             F.log(F.lit(0.5) / (F.lit(tt).cast("double") + F.lit(half_b))).cast(
@@ -1784,8 +1793,12 @@ def tx17_tfidf_keywords(spark: SparkSession, sf_dir: str, top: int = TX17_TOP_TE
     Not in the driver registry (50-entry cap); DuckDB parity in
     tests/test_offline_oracles.py.
     """
+    from maggy_spark.plans.fixtures import corpus_count
+
     d = load_table(spark, sf_dir, "documents", fan_out=True)
-    n_docs = d.count()  # driver-side scalar, 1-row aggregate
+    # session-memoized scalar (same value as d.count(); the memo saves
+    # one whole job per invocation on repeat calls — r14 job-count pass)
+    n_docs = corpus_count(spark, sf_dir, "documents")
     # tf feeds TWO consumers (the df aggregate and the score join):
     # unmaterialized, Catalyst replays the explode + groupBy — and the
     # whole corpus scan — once per consumer (the dd13 two-consumer
