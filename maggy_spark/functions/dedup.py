@@ -891,9 +891,15 @@ def star_components(edges: DataFrame, max_iter: int = 30, checkpoint_dir: str | 
     Provably O(log^2 n) rounds; real near-dup graphs converge in a
     handful because components are band-blocked and shallow.
     Convergence is detected by an order-insensitive checksum of the
-    edge set — one count + xxhash64 sum per round, the only
-    driver-side action in the loop (1 row each; the edge relation
-    itself never leaves the cluster).
+    edge set — count + xxhash64 sum — collected as OBSERVED metrics
+    (`Dataset.observe`) on the round's checkpoint materialization
+    (r15 optimization): the eager checkpoint is already an action, so
+    the checksum rides its pass as a CollectMetrics accumulator and
+    costs ZERO extra jobs (the r14 spelling paid one separate agg job
+    per round over the cached blocks; a lazy checkpoint with the agg
+    as materializer was measured 2x slower — see the ckpt note). The
+    edge relation itself never leaves the cluster; the driver sees
+    two scalars per round.
 
     Each round ends in an EAGER checkpoint: one star round references
     the previous edge relation three times, so carrying raw lineage
@@ -940,10 +946,25 @@ def star_components(edges: DataFrame, max_iter: int = 30, checkpoint_dir: str | 
         # uses the lazy form — see text.py.)
         ckpt = lambda df: df.localCheckpoint()  # noqa: E731
     try:
+        from pyspark.sql import Observation
+
         edges = ckpt(edges)
         prev_sig = None
         for _ in range(max_iter):
-            nxt = ckpt(_small_star(_large_star(edges)))
+            # the convergence checksum rides the checkpoint's own
+            # materializing action as observed metrics — no separate
+            # checksum job per round (r15; verified value-identical to
+            # the old edges.agg spelling, empty relation included).
+            # checksum sums 64-bit hashes: accumulate in decimal(38,0)
+            # so ANSI mode can't overflow the long accumulator
+            obs = Observation()
+            nxt = ckpt(
+                _small_star(_large_star(edges)).observe(
+                    obs,
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.xxhash64("hi", "lo").cast("decimal(38,0)")).alias("h"),
+                )
+            )
             # the eager checkpoint above fully materialized nxt, so the
             # previous round's blocks are dead — free them now instead
             # of waiting for JVM GC, bounding storage to two edge-set
@@ -952,12 +973,7 @@ def star_components(edges: DataFrame, max_iter: int = 30, checkpoint_dir: str | 
             if not durable:
                 _free_local_checkpoint(edges)
             edges = nxt
-            # checksum sums 64-bit hashes: accumulate in decimal(38,0)
-            # so ANSI mode can't overflow the long accumulator
-            row = edges.agg(
-                F.count("*").alias("n"),
-                F.sum(F.xxhash64("hi", "lo").cast("decimal(38,0)")).alias("h"),
-            ).collect()[0]
+            row = obs.get
             sig = (row["n"], row["h"])
             if sig == prev_sig:
                 return edges

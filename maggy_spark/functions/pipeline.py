@@ -2414,6 +2414,13 @@ def pl24_doremi_reweight(
             F.sum("n_tokens").cast("bigint").alias("n_tokens"),
             F.sum(F.col("cost_milli") * F.col("n_tokens")).cast("bigint").alias("cost_tok"),
         )
+        # `per` feeds FOUR plan positions (ref's broadcast, enriched,
+        # tots' broadcast, the output select); unpinned, Catalyst
+        # replays the doc-scale costs⋈source join + groupBy once per
+        # position (r15, VERDICT r14 item 5 — the dd13 ≥2-consumer
+        # rule). Lazy localCheckpoint: |sources| rows, pinned by the
+        # first broadcast build, every later position reads the blocks.
+        .localCheckpoint(eager=False)
     )
     ref = per.agg(
         F.sum("cost_tok").cast("bigint").alias("ref_cost"),

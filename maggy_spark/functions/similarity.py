@@ -2464,7 +2464,10 @@ def ann16_mmr_rerank(
     # (not the durable-dir dance of the unbounded loops): the relation
     # is tiny, the stage count is a fixed public constant, and an
     # executor loss costs one cheap recompute, not a lost training run.
-    pe = pe.localCheckpoint(eager=True)
+    # LAZY (r15, the bpe_train pattern): the first consumer's job
+    # materializes and pins the RDD; an eager form paid a dedicated
+    # count() job here and one more per greedy stage below.
+    pe = pe.localCheckpoint(eager=False)
     a = pe.select(
         "query_id", F.col("neighbor_id").alias("nid_a"),
         F.col("ve").alias("va"), F.col("vn").alias("na"),
@@ -2477,6 +2480,10 @@ def ann16_mmr_rerank(
         a.join(b, "query_id")
         .where(F.col("nid_a") != F.col("nid_b"))
         .select("query_id", "nid_a", "nid_b", _cosine_pre("va", "vb", "na", "nb").alias("sim"))
+        # every penalty stage (k-1 of them) probes this pool^2-per-query
+        # pairwise-sim relation; pin it once (lazy, same rationale as
+        # pe) instead of replaying the self-join per stage (r15)
+        .localCheckpoint(eager=False)
     )
     cand = pe.select("query_id", "neighbor_id", "cosine")
 
@@ -2495,27 +2502,43 @@ def ann16_mmr_rerank(
             )
         )
 
-    # each pick is <= |queries| rows; eagerly checkpointing it keeps
-    # stage i's plan a flat join of tiny materialized relations
-    # instead of a replay of every previous stage's window (the
-    # star_components rule applied to a fixed-depth loop)
-    picks = [pick_stage(cand.withColumn("maxsim", F.lit(0.0)), 1).localCheckpoint(eager=True)]
-    sel = picks[0].select("query_id", "neighbor_id")
+    # each pick is <= |queries| rows; checkpointing it keeps stage i's
+    # plan a flat join of tiny materialized relations instead of a
+    # replay of every previous stage's window (the star_components
+    # rule applied to a fixed-depth loop). r15 (VERDICT r14 item 4 —
+    # the bpe_train pattern): the checkpoint is LAZY and the per-stage
+    # top-1 COLLECT materializes it — the same bounded control-plane
+    # action BPE's per-round top-pair uses (<= |queries| rows, a
+    # corpus-size-independent constant by construction). The collected
+    # picks feed the next stage back as a LocalRelation literal, so
+    # the growing `sel` union (two broadcast builds per stage in the
+    # r14 spelling) never exists as a plan subtree at all — the
+    # selected set is an IN-list predicate (InSet at scale, the same
+    # evaluation either way), so the anti-join and the semi-join
+    # against it cost no broadcast build jobs. The greedy trajectory
+    # is identical: the literal holds exactly the rows the sel
+    # relation contained. Measured: 44 -> 26 jobs / 86 -> 62 stages
+    # per invocation, output byte-identical (DuckDB oracle + the
+    # pure-Python MMR replay test).
+    def _sel_pred(qc, nc, rows):
+        return F.struct(qc, nc).isin(
+            [F.struct(F.lit(q).cast("long"), F.lit(n).cast("long")) for q, n in rows]
+        )
+
+    picks = [pick_stage(cand.withColumn("maxsim", F.lit(0.0)), 1).localCheckpoint(eager=False)]
+    sel_rows = [(r["query_id"], r["neighbor_id"]) for r in picks[0].collect()]
     for i in range(2, k + 1):
         ms = (
-            pairs.join(
-                sel.select("query_id", F.col("neighbor_id").alias("nid_b")),
-                ["query_id", "nid_b"],
-            )
+            pairs.where(_sel_pred("query_id", "nid_b", sel_rows))
             .groupBy("query_id", F.col("nid_a").alias("neighbor_id"))
             .agg(F.max("sim").alias("maxsim"))
         )
-        cur = cand.join(sel, ["query_id", "neighbor_id"], "left_anti").join(
+        cur = cand.where(~_sel_pred("query_id", "neighbor_id", sel_rows)).join(
             ms, ["query_id", "neighbor_id"]
         )
-        pick = pick_stage(cur, i).localCheckpoint(eager=True)
+        pick = pick_stage(cur, i).localCheckpoint(eager=False)
         picks.append(pick)
-        sel = sel.unionByName(pick.select("query_id", "neighbor_id"))
+        sel_rows += [(r["query_id"], r["neighbor_id"]) for r in pick.collect()]
     out = picks[0]
     for p in picks[1:]:
         out = out.unionByName(p)
@@ -3137,7 +3160,11 @@ ANN20_SQL = ann20_sql()
 # --- ann21: IVF routing-recall tuning curve --------------------------------
 
 
-def ann21_routing_recall_curve(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+def ann21_routing_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOTE (ADVICE r14): no `k` parameter — the curve is defined over the
+    # gate-green ann1 exact relation at its fixed TOP_K, and the session
+    # caches below are keyed only on sf_dir; a k knob here would silently
+    # serve the wrong-k cached relations across calls.
     """The nprobe tuning curve — the ANN-family analogue of dd21/dd22
     closing the dedup tuning loop: for every nprobe value 1..|lists|,
     what fraction of the EXACT top-k neighbors live in one of the

@@ -459,3 +459,24 @@ def test_dd11_sql_parameterized_matches_operator(spark):
     want = sorted(tuple(r) for r in con.execute(dd11_sql(delta_mod=7)).fetchall())
     con.close()
     assert got == want
+
+
+def test_rep_boundary_leaves_no_session_state(spark, tmp_path):
+    """bench.py's per-rep reset (r15, VERDICT r14 item 3) relies on
+    invalidate_session_cache(spark) with no sf_dir wiping EVERY kind
+    of session-scoped memo — persisted relations AND the plain-int
+    corpus counts that used to survive clearCache by type accident
+    (letting reps 2+ of a row skip a count job)."""
+    from maggy_spark.plans.fixtures import corpus_count, invalidate_session_cache, session_cached
+
+    sf = "/root/testdata/sf0.001"
+    session_cached(spark, (str(tmp_path), "rel"), lambda: spark.range(3))
+    n1 = corpus_count(spark, sf, "region")
+    assert spark._maggy_session_cache and spark._maggy_corpus_counts
+    invalidate_session_cache(spark)
+    assert spark._maggy_session_cache == {}
+    assert spark._maggy_corpus_counts == {}
+    # the next consumer really recounts (memo repopulates from scratch)
+    assert corpus_count(spark, sf, "region") == n1
+    assert list(spark._maggy_corpus_counts) == [(sf, "region")]
+    invalidate_session_cache(spark)  # leave no leftovers for other tests

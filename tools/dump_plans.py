@@ -1,11 +1,12 @@
-"""Dump .explain("formatted") for named queries to plans/r14/<name>_<tag>.txt.
+"""Dump .explain("formatted") for named queries to plans/<round>/<name>_<tag>.txt
+(round from $PLANS_ROUND, default r15).
 
 Usage: python tools/dump_plans.py <tag> [name ...]
   tag: "before" | "after"
   names: registry query names, or extras known to this tool; default =
          every registry query.
 
-The files are the judge-facing evidence for OPTIMIZATION_r14.md plan
+The files are the judge-facing evidence for OPTIMIZATION_r<N>.md plan
 claims (Exchange counts, join strategies, PushedFilters, Python seams).
 """
 
@@ -17,10 +18,6 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
-
-# non-registry operators worth plan evidence (bench extras roster)
-EXTRAS = {}
-
 
 def _extras():
     from maggy_spark.functions.dedup import (
@@ -126,7 +123,7 @@ def main() -> None:
     if not names:
         names = sorted(registry.queries().keys())
 
-    out_dir = REPO / "plans" / "r14"
+    out_dir = REPO / "plans" / os.environ.get("PLANS_ROUND", "r15")
     out_dir.mkdir(parents=True, exist_ok=True)
     for name in names:
         fn = fns.get(name)
