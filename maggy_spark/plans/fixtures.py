@@ -151,7 +151,18 @@ def session_cached(spark: SparkSession, key: tuple, build) -> DataFrame:
     IMMUTABLE for the life of the session — regenerating data under
     the same path would silently serve the stale relation. A writer
     that must do that in-session calls `invalidate_session_cache`
-    first (tests that rewrite temp fixtures do)."""
+    first (tests that rewrite temp fixtures do).
+
+    Footprint (ADVICE r14): the cache itself never evicts, but the
+    default DataFrame persist level is MEMORY_AND_DISK_DESER, so
+    under storage-memory pressure blocks SPILL to local disk rather
+    than evict-and-recompute or OOM. The corpus-scale seams pinned
+    here (signatures, bands, tf, SQ/PQ stores, ingest base) are
+    narrow projections — at sf0.1 the whole cache is ~100 MB; a
+    long-lived deployment at larger SFs sizes executor storage for
+    its seam set or calls `invalidate_session_cache(spark, sf_dir)`
+    between corpus generations, exactly like dropping a persisted
+    table it no longer serves."""
     from pyspark import StorageLevel
 
     cache = getattr(spark, "_maggy_session_cache", None)
