@@ -946,24 +946,24 @@ def star_components(edges: DataFrame, max_iter: int = 30, checkpoint_dir: str | 
         # uses the lazy form — see text.py.)
         ckpt = lambda df: df.localCheckpoint()  # noqa: E731
     try:
-        from pyspark.sql import Observation
+        from maggy_spark.plans.fixtures import checkpoint_with_metrics
 
         edges = ckpt(edges)
         prev_sig = None
         for _ in range(max_iter):
             # the convergence checksum rides the checkpoint's own
-            # materializing action as observed metrics — no separate
-            # checksum job per round (r15; verified value-identical to
-            # the old edges.agg spelling, empty relation included).
+            # materializing action as a named CollectMetrics node — no
+            # separate checksum job per round (r15; verified value-
+            # identical to the old edges.agg spelling, empty relation
+            # included). NOT a pyspark Observation: that would poison
+            # the session for later ml closures (checkpoint_with_metrics).
             # checksum sums 64-bit hashes: accumulate in decimal(38,0)
             # so ANSI mode can't overflow the long accumulator
-            obs = Observation()
-            nxt = ckpt(
-                _small_star(_large_star(edges)).observe(
-                    obs,
-                    F.count(F.lit(1)).alias("n"),
-                    F.sum(F.xxhash64("hi", "lo").cast("decimal(38,0)")).alias("h"),
-                )
+            nxt, sig = checkpoint_with_metrics(
+                _small_star(_large_star(edges)),
+                ckpt,
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.xxhash64("hi", "lo").cast("decimal(38,0)")).alias("h"),
             )
             # the eager checkpoint above fully materialized nxt, so the
             # previous round's blocks are dead — free them now instead
@@ -973,8 +973,6 @@ def star_components(edges: DataFrame, max_iter: int = 30, checkpoint_dir: str | 
             if not durable:
                 _free_local_checkpoint(edges)
             edges = nxt
-            row = obs.get
-            sig = (row["n"], row["h"])
             if sig == prev_sig:
                 return edges
             # r14 optimization: when the edge COUNT has stabilized but

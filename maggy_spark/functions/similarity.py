@@ -1796,19 +1796,21 @@ def kmeans_centroids_over(
         )
     )
     path = _km_assign_path(spark, vecs.count, k)
-    from pyspark.sql import Observation
+    from maggy_spark.plans.fixtures import checkpoint_with_metrics
 
     try:
         cent = ckpt(seeds)
         for _ in range(iters):
             assign = _km_assign_pass(vecs, cent, path)
             # the emptiness probe rides the checkpoint's materializing
-            # action as an observed row count (r15, the star_components
-            # checksum pattern) — the r14 spelling paid a take(1) job
-            # per iteration on top of the checkpoint job
-            obs = Observation()
-            cent = ckpt(_km_update(assign).observe(obs, F.count(F.lit(1)).alias("n")))
-            if obs.get["n"] == 0:
+            # action as a collected row count (r15, the star_components
+            # checksum pattern; named CollectMetrics, not Observation —
+            # see checkpoint_with_metrics) — the r14 spelling paid a
+            # take(1) job per iteration on top of the checkpoint job
+            cent, (n_cent,) = checkpoint_with_metrics(
+                _km_update(assign), ckpt, F.count(F.lit(1)).alias("n")
+            )
+            if n_cent == 0:
                 raise ValueError(
                     "k-means: every cluster degenerated (empty or "
                     "zero-norm centroid) — corpus has no clusterable "

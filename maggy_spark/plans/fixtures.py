@@ -179,6 +179,41 @@ def session_cached(spark: SparkSession, key: tuple, build) -> DataFrame:
     return df
 
 
+def checkpoint_with_metrics(df: DataFrame, ckpt, *aggs):
+    """Checkpoint `df` through `ckpt` (an EAGER localCheckpoint /
+    reliable-checkpoint lambda) while collecting aggregate metrics on
+    the materializing action itself — a named CollectMetrics node, so
+    the loop telemetry (convergence checksums, emptiness probes) costs
+    ZERO extra jobs. Returns (checkpointed_df, tuple_of_metric_values).
+
+    Deliberately NOT `pyspark.sql.Observation`: constructing one
+    initializes the SparkSession's LAZY `observationManager` field,
+    which is not java-serializable — after which any later task
+    closure that captures the session fails with
+    NotSerializableException(ObservationManager). pyspark.ml model
+    summaries capture the session exactly that way (measured: one
+    Observation-based observe anywhere in the session breaks a later
+    LogisticRegression evaluate; the named form does not — pinned by
+    test_star_loop_does_not_poison_ml_serialization). The named form
+    only adds the plan node; the metrics are read back from the
+    dataset's executed QueryExecution."""
+    import decimal
+
+    observed = df.observe("maggy_ckpt_metrics", *aggs)
+    out = ckpt(observed)
+    row = observed._jdf.queryExecution().observedMetrics().get("maggy_ckpt_metrics").get()
+    vals = []
+    for i in range(row.size()):
+        v = row.get(i)
+        if v is not None and not isinstance(v, (int, float, bool, str, decimal.Decimal)):
+            # a java value py4j did not auto-convert (py4j maps
+            # java.math.BigDecimal -> decimal.Decimal and primitives
+            # to Python natives already): stringify through the JVM
+            v = decimal.Decimal(v.toString())
+        vals.append(v)
+    return out, tuple(vals)
+
+
 def invalidate_session_cache(spark: SparkSession, sf_dir: str | None = None) -> int:
     """Drop session-cached relations (and memoized corpus counts)
     whose key mentions `sf_dir` — or ALL of them when sf_dir is None.

@@ -480,3 +480,32 @@ def test_rep_boundary_leaves_no_session_state(spark, tmp_path):
     assert corpus_count(spark, sf, "region") == n1
     assert list(spark._maggy_corpus_counts) == [(sf, "region")]
     invalidate_session_cache(spark)  # leave no leftovers for other tests
+
+
+def test_star_loop_does_not_poison_ml_serialization(spark):
+    """r15 regression pin: the loop-telemetry metrics must NOT go
+    through pyspark.sql.Observation — constructing one initializes
+    the SparkSession's lazy, non-serializable `observationManager`,
+    after which ANY later task closure that captures the session
+    (pyspark.ml model summaries do) dies with
+    NotSerializableException(ObservationManager). The named
+    CollectMetrics form (fixtures.checkpoint_with_metrics) leaves the
+    session clean; this drives a star loop (and its checksum
+    telemetry) and then the exact ML shape that failed."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.linalg import Vectors
+
+    from maggy_spark.functions.dedup import star_components
+
+    e = spark.createDataFrame([(3, 2), (2, 1), (5, 4)], "hi long, lo long")
+    stars = {tuple(r) for r in star_components(e).collect()}
+    assert stars == {(2, 1), (3, 1), (5, 4)}
+
+    train = spark.createDataFrame(
+        [(Vectors.dense([float(i % 10) / 10, float(i % 7) / 7]), float(i % 2)) for i in range(60)],
+        ["features", "label"],
+    )
+    model = LogisticRegression(maxIter=5).fit(train)
+    auc = BinaryClassificationEvaluator().evaluate(model.transform(train))
+    assert 0.0 <= auc <= 1.0
