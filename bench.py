@@ -85,7 +85,8 @@ def main() -> None:
         # and the memoized corpus counts (plain Python ints) behind —
         # so reps 2+ of a row could skip a count job by type accident.
         # A rep boundary must leave no session-scoped state of ANY
-        # type; pinned by tests/test_bench_contract.py.
+        # type; pinned by tests/test_review_fixes.py::
+        # test_rep_boundary_leaves_no_session_state.
         _invalidate(spark)
         spark.catalog.clearCache()
 
